@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are assembled from the per-module registries so each operator
+  * family (relational core, profiler, star transform, extensions) owns its
+  * own named, documented, oracle-backed entries.
+  */
 object SparkEntry {
+
+  /** All registered operators, in registration order. Later modules must not
+    * reuse a name — enforced by the uniqueness require below. */
+  def all: Seq[(String, GQuery)] =
+    operators.Relational.queries
+
+  require(all.map(_._1).distinct.size == all.size, "duplicate query names")
+
+  private lazy val byName: Map[String, GQuery] = all.toMap
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    byName("q_agg_basic").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loaders + numeric-determinism helpers shared by every operator.
+  *
+  * Determinism contract (SURVEY.md §5.1): every `[V]` query must hash-match a
+  * DuckDB oracle, so floating-point aggregates are computed over exact
+  * decimals and only converted to double at the end — summation order then
+  * cannot change the result on either engine.
+  */
+object Tables {
+  /** Loads a testdata table. `events.ts` is physically TIMESTAMP(NANOS),
+    * which Spark reads only as a nanos-since-epoch long (via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench);
+    * convert to a proper micros timestamp here so operators see
+    * TimestampType. Integer `div` keeps full precision (a double would
+    * round above 2^53 ns). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}
+
+object Fns {
+  /** Exact money/quantity type: 2 fractional digits covers the testdata
+    * generators (TPC-H-ish money columns). */
+  val D18_2: DecimalType = DecimalType(18, 2)
+  /** Exact rate type for discount/tax-like factors. */
+  val D18_8: DecimalType = DecimalType(18, 8)
+
+  /** Order-insensitive exact sum of a 2-dp double column, surfaced as double.
+    * Equivalent DuckDB: CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE). */
+  def dsum2(c: Column): Column = sum(c.cast(D18_2)).cast("double")
+
+  /** Exact average (decimal sum / count), surfaced as double. */
+  def davg2(c: Column): Column = dsum2(c) / count(c)
+
+  /** DuckDB SQL fragment mirroring [[dsum2]]. */
+  def sqlDsum2(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB SQL fragment mirroring [[davg2]]. */
+  def sqlDavg2(c: String): String = s"${sqlDsum2(c)} / COUNT($c)"
+}
+
+/** One verifiable operator: a Spark implementation plus (when the operator is
+  * SQL-expressible) DuckDB oracle SQL over the same parquet tables. */
+final case class GQuery(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")

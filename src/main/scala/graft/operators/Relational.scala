@@ -1,0 +1,530 @@
+package graft.operators
+
+import graft.{Fns, GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — the reference's operator inventory (SURVEY.md §2)
+  * re-expressed as declarative DataFrame plans so Catalyst gets predicate
+  * pushdown, column pruning and join selection for free.
+  *
+  * Scale notes are attached per query; the recurring ones:
+  *  - dimension joins are `broadcast()`-hinted (reference dims are <50 values
+  *    by construction, `R/schema_analyzer.R:34`);
+  *  - every aggregate uses partial (map-side) aggregation via `groupBy.agg`;
+  *  - global `row_number` windows appear ONLY on post-distinct dimension
+  *    values (tiny by contract), never on fact rows (SURVEY.md §7.4 item 2).
+  */
+object Relational {
+  import Fns._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // ------------------------------------------------------------------
+    // A3/A9 read-back grouped summary (R/star_transformer.R:148-165,
+    // README.md:256-262) as a TPC-H-Q1-shaped aggregate: the flagship.
+    // Scale: partial agg on 6 groups -> shuffle of 6 rows per partition.
+    "q_agg_basic" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum2($"l_quantity").as("sum_qty"),
+            dsum2($"l_extendedprice").as("sum_base_price"),
+            sum($"l_extendedprice".cast(D18_2) *
+              (lit(1.0) - $"l_discount").cast(D18_8))
+              .cast("double").as("sum_disc_price"),
+            sum($"l_extendedprice".cast(D18_2) *
+              ((lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).cast(D18_8))
+              .cast("double").as("sum_charge"),
+            davg2($"l_quantity").as("avg_qty"),
+            davg2($"l_extendedprice").as("avg_price"),
+            (sum($"l_discount".cast(D18_8)).cast("double") / count($"l_discount"))
+              .as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "grouped multi-agg sum/avg/min/max/count (R/star_transformer.R:148-165)"),
+
+    // P1 column-subset projection (R/star_transformer.R:85-89): filter +
+    // project both reach the parquet scan (PushedFilters / ReadSchema).
+    "q_scan_project" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_extendedprice")
+          .filter($"l_quantity" < 5.0)
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity < 5.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "projection pushdown (R/star_transformer.R:85-89)"),
+
+    // P3 equality filter (README.md:252-253; R/main.R:153-154)
+    "q_filter_eq" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin),
+      "equality predicate filter (README.md:252-253)"),
+
+    // P2 not-null filter (R/star_transformer.R:53)
+    "q_filter_notnull" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .filter($"value".isNotNull && $"event_type".isNotNull)
+          .select($"event_id", $"user_id", $"value")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |ORDER BY event_id""".stripMargin),
+      "not-null filter before dimension build (R/star_transformer.R:53)"),
+
+    // P4/F1 numeric promotion with silent null (R/star_transformer.R:93-97):
+    // ANSI-safe try_cast == R as.numeric's NA-on-failure.
+    "q_cast" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select(
+            $"p_partkey",
+            $"p_size".cast("double").as("size_d"),
+            expr("try_cast(p_brand AS DOUBLE)").as("brand_num"),
+            expr("try_cast(cast(p_retailprice AS STRING) AS DOUBLE)")
+              .as("price_roundtrip"),
+            expr("try_cast(p_type AS DOUBLE)").as("type_num"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_d,
+        |  TRY_CAST(p_brand AS DOUBLE) AS brand_num,
+        |  TRY_CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS price_roundtrip,
+        |  TRY_CAST(p_type AS DOUBLE) AS type_num
+        |FROM part ORDER BY p_partkey""".stripMargin),
+      "as.numeric silent-NA promotion (R/star_transformer.R:93-97)"),
+
+    // F6 concat with separator (R/xml_parser.R:189; R/schema_analyzer.R:18)
+    "q_concat" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .select(
+            $"c_custkey",
+            concat_ws("|", $"c_name", $"c_mktsegment").as("name_seg"),
+            upper($"c_name").as("name_upper"),
+            lower($"c_mktsegment").as("seg_lower"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS name_seg,
+        |  upper(c_name) AS name_upper, lower(c_mktsegment) AS seg_lower
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+      "paste(collapse=...) concat (R/xml_parser.R:189)"),
+
+    // S6/F4 comment business-key regex: pattern ^([A-Za-z]+):([^:]+)$
+    // (R/xml_parser.R:240-250) applied to a constructed key:value string,
+    // plus capture-group extraction from a JSON-ish payload.
+    "q_regex_extract" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val kv = concat($"event_type", lit(":"), $"user_id".cast("string"))
+        t(s, d, "events")
+          .select(
+            $"event_id",
+            regexp_extract($"props", "\"k\": (\\d+)", 1).cast("int").as("k"),
+            regexp_extract(kv, "^([A-Za-z]+):([^:]+)$", 1).as("bk_name"),
+            regexp_extract(kv, "^([A-Za-z]+):([^:]+)$", 2).as("bk_value"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+        |  regexp_extract(event_type || ':' || CAST(user_id AS VARCHAR), '^([A-Za-z]+):([^:]+)$', 1) AS bk_name,
+        |  regexp_extract(event_type || ':' || CAST(user_id AS VARCHAR), '^([A-Za-z]+):([^:]+)$', 2) AS bk_value
+        |FROM events ORDER BY event_id""".stripMargin),
+      "business-key regex capture (R/xml_parser.R:240-250)"),
+
+    // F9 gsub regex replace (R/star_transformer.R:119,129; R/logger.R:194)
+    "q_regex_replace" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(
+            $"doc_id",
+            regexp_replace($"text", "\\s+", " ").as("text_norm"),
+            regexp_replace($"source", "^src", "source_").as("source_renamed"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  regexp_replace(text, '\s+', ' ', 'g') AS text_norm,
+        |  regexp_replace(source, '^src', 'source_') AS source_renamed
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      "gsub replace-all (R/star_transformer.R:119)"),
+
+    // F8 date/time functions (R/star_transformer.R:112-114; R/logger.R:11,31)
+    "q_date_funcs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("yr"),
+            month($"o_orderdate").as("mo"),
+            dayofmonth($"o_orderdate").as("dy"),
+            quarter($"o_orderdate").as("qtr"),
+            date_format($"o_orderdate", "yyyy-MM-dd").as("date_str"),
+            date_trunc("month", $"o_orderdate").as("month_start"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dy,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "Sys.time/Sys.Date/format equivalents (R/star_transformer.R:112-114)"),
+
+    // S15/F7 audit lineage: source file name from the scan itself
+    // (R/xml_parser.R:332-335).
+    "q_lineage" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select(element_at(split(input_file_name(), "/"), -1)
+            .as("file_name"))
+          .groupBy($"file_name")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy($"file_name")
+      },
+      Some("SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows FROM lineitem"),
+      "source_file_name lineage stamping (R/xml_parser.R:332-335)"),
+
+    // A1+W1 dimension build: distinct -> sort -> row_number surrogate key —
+    // the reference's signature move (R/star_transformer.R:51-61). The
+    // global window is safe ONLY because dims are tiny post-distinct
+    // (classifier caps them at <50 values, R/schema_analyzer.R:34).
+    "q_dim_build" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .select($"c_mktsegment").filter($"c_mktsegment".isNotNull)
+          .distinct()
+          .withColumn("segment_key",
+            row_number().over(Window.orderBy($"c_mktsegment")))
+          .select($"segment_key", $"c_mktsegment", lit(true).as("is_active"))
+          .orderBy($"segment_key")
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS INT) AS segment_key,
+        |  c_mktsegment, TRUE AS is_active
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)
+        |ORDER BY segment_key""".stripMargin),
+      "surrogate-key dimension build (R/star_transformer.R:51-61)"),
+
+    // J1 fact-to-dimension key attach, collapsed to one broadcast equi-join
+    // on the dimension VALUE (fixes the reference's two-hop id join and its
+    // fan-out bug, SURVEY.md §8 Q5) (R/star_transformer.R:127-145).
+    "q_fact_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "customer")
+        val dim = cust.select($"c_mktsegment").filter($"c_mktsegment".isNotNull)
+          .distinct()
+          .withColumn("segment_key",
+            row_number().over(Window.orderBy($"c_mktsegment")))
+        cust.join(broadcast(dim), Seq("c_mktsegment"), "left")
+          .select($"c_custkey", $"c_mktsegment", $"segment_key")
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH dim AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS INT) AS segment_key, c_mktsegment
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL))
+        |SELECT c.c_custkey, c.c_mktsegment, d.segment_key
+        |FROM customer c LEFT JOIN dim d USING (c_mktsegment)
+        |ORDER BY c.c_custkey""".stripMargin),
+      "dimension-key broadcast left join (R/star_transformer.R:127-145)"),
+
+    // Extension X7: multi-way join + agg (TPC-H Q5 shape). region/nation are
+    // broadcast; lineitem<->orders is the only large shuffle join and AQE
+    // re-plans it at runtime.
+    "q_join_multi" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA" &&
+            $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+          .groupBy($"n_name")
+          .agg(
+            sum($"l_extendedprice".cast(D18_2) *
+              (lit(1.0) - $"l_discount").cast(D18_8))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      "multi-way join + grouped revenue (extension X7)"),
+
+    // Semi join (EXISTS) — free in Catalyst, absent in reference (§2.3).
+    "q_semi_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val open = t(s, d, "orders").filter($"o_orderstatus" === "O")
+        t(s, d, "customer")
+          .join(open, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin),
+      "left-semi join / EXISTS (extension)"),
+
+    // Anti join (NOT EXISTS) — used for FK-integrity checks in the star
+    // builder (SURVEY.md §5 item 4).
+    "q_anti_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+      "left-anti join / NOT EXISTS (extension)"),
+
+    // A4 distinct counts (R/schema_analyzer.R:15). Exact here; the 100 TB
+    // path swaps in approx_count_distinct (HLL) — see SchemaProfiler.
+    "q_count_distinct" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem").agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_rows FROM lineitem""".stripMargin),
+      "n_distinct profiling (R/schema_analyzer.R:15)"),
+
+    // A7 verdict counts + percentage (R/schema_validator.R:201-204)
+    "q_group_count" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pct",
+            $"n".cast("double") /
+              sum($"n").over(Window.partitionBy()).cast("double"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "group count + percentage (R/schema_validator.R:201-204)"),
+
+    // W1 ranked-first-N per key: row_number over a real partition.
+    "q_window_rownum" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+          .select($"o_custkey", $"o_orderkey", $"rn")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+      "row_number per partition (R/star_transformer.R:56-61 generalized)"),
+
+    // Extension X7: rank analytics (top-3 priced lines per supplier).
+    "q_window_rank" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey").orderBy($"l_extendedprice".desc)
+        t(s, d, "lineitem")
+          .withColumn("rnk", rank().over(w))
+          .filter($"rnk" <= 3)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            $"l_extendedprice", $"rnk")
+          .orderBy($"l_suppkey", $"rnk", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(rank() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC) AS INT) AS rnk
+        |  FROM lineitem) WHERE rnk <= 3
+        |ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber""".stripMargin),
+      "rank window (extension X7)"),
+
+    // Running (cumulative) sum with an explicit row frame. Decimal inside
+    // the frame so the incremental vs tree-aggregated evaluation of the two
+    // engines cannot diverge.
+    "q_window_running" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .withColumn("running_total",
+            sum($"o_totalprice".cast(D18_2)).over(w).cast("double"))
+          .select($"o_custkey", $"o_orderkey", $"running_total")
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      "running sum frame (extension)"),
+
+    // O1 sort (R/star_transformer.R:56; README.md:268)
+    "q_sort" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+          .orderBy($"c_acctbal".desc, $"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey""".stripMargin),
+      "arrange/sort (README.md:268)"),
+
+    // O2 top-k: Catalyst plans TakeOrderedAndProject (no full sort at scale).
+    "q_sort_limit" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      "top-k TakeOrderedAndProject (SURVEY.md §2.6)"),
+
+    // U1 union-with-fill == unionByName(allowMissingColumns) (R/main.R:156)
+    "q_union_by_name" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer").select(
+          $"c_custkey".as("id"), $"c_name".as("name"),
+          $"c_acctbal".as("acctbal"), $"c_mktsegment".as("segment"),
+          lit("customer").as("src"))
+        val su = t(s, d, "supplier").select(
+          $"s_suppkey".as("id"), $"s_name".as("name"),
+          $"s_acctbal".as("acctbal"), lit("supplier").as("src"))
+        c.unionByName(su, allowMissingColumns = true)
+          .orderBy($"src", $"id")
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |  c_mktsegment AS segment, 'customer' AS src FROM customer
+        |UNION ALL BY NAME
+        |SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal,
+        |  'supplier' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin),
+      "rbindlist(fill=TRUE) union (R/main.R:156)"),
+
+    // A2 row dedup (R/parquet_writer.R:115-116) — distinct as set semantics.
+    "q_dedup" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select($"l_returnflag", $"l_linestatus")
+          .distinct()
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "unique() dedup (R/parquet_writer.R:115-116)"),
+
+    // R1 wide->long reshape (R/schema_analyzer.R:6-24) as unpivot.
+    "q_unpivot" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_discount", $"l_tax"),
+            "measure", "value")
+          .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+      "pivot_longer reshape (R/schema_analyzer.R:6-24)"),
+
+    // R1 long->wide: groupBy().pivot() with an explicit value list (required
+    // at scale — implicit pivot runs a distinct job first).
+    "q_pivot" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .na.fill(0, Seq("F", "O", "P"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "pivot_wider reshape (R/schema_analyzer.R:6-24)"),
+  )
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's correctness gate: run each
+oracle_sql.json query in DuckDB over the sf parquet tables, compare with the
+Spark parquet output (columns sorted by name, values hashed in row order).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    return cols, list(zip(*data)) if data else (cols, [])
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            stbl = pq.read_table(spark_dir)
+            scols, srows = table_rows(stbl)
+            dtbl = con.execute(sql).arrow()
+            dcols, drows = table_rows(dtbl)
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(srows, drows)):
+            ca, cb = [canon(x) for x in a], [canon(x) for x in b]
+            if ca != cb:
+                bad = (i, ca, cb)
+                break
+        if bad:
+            i, ca, cb = bad
+            print(f"FAIL {name}: row {i} spark={ca} duck={cb}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
