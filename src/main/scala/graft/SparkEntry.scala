@@ -13,7 +13,11 @@ object SparkEntry {
   /** All registered operators, in registration order. Later modules must not
     * reuse a name — enforced by the uniqueness require below. */
   def all: Seq[(String, GQuery)] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.Text.queries ++
+      operators.Dedup.queries ++
+      operators.TimeWindows.queries ++
+      operators.Similarity.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 

@@ -47,6 +47,25 @@ object Fns {
 
   /** DuckDB SQL fragment mirroring [[davg2]]. */
   def sqlDavg2(c: String): String = s"${sqlDsum2(c)} / COUNT($c)"
+
+  /** Exact type for the events.value column (6 fractional digits). */
+  val D18_6: DecimalType = DecimalType(18, 6)
+
+  def dsum6(c: Column): Column = sum(c.cast(D18_6)).cast("double")
+
+  def sqlDsum6(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Whitespace tokenization shared by the text/dedup operators: lower,
+    * trim, split on runs of whitespace, drop empties. Mirrors the classic
+    * `strsplit(tolower(x), "\\s+")` shape; empty-string filter keeps Spark
+    * and DuckDB agreeing on leading/trailing whitespace. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
+
+  /** DuckDB fragment mirroring [[tokens]] applied to column `c`. */
+  def sqlTokens(c: String): String =
+    s"list_filter(string_split_regex(lower(trim($c)), '\\s+'), t -> t != '')"
 }
 
 /** One verifiable operator: a Spark implementation plus (when the operator is

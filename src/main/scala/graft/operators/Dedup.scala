@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Fns, GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (SURVEY.md §2.11 X1/X2).
+  *
+  * The oracle-verified tier here is exact dedup (hash-groupBy) and n-gram
+  * Jaccard similarity (the brute-force candidate generator). The sub-linear
+  * scale paths — MinHash+LSH banding and SimHash — are in
+  * [[graft.functions.MinHash]] / [[graft.functions.SimHash]] and are
+  * property-tested (ScalaTest) against the brute-force Jaccard here, since
+  * their hash functions are engine-specific and not DuckDB-expressible.
+  */
+object Dedup {
+  import Fns._
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // X1 exact dedup via content fingerprint: one hash-groupBy, map-side
+    // combine, shuffle only distinct fingerprints. At 100 TB this is the
+    // cheapest dedup pass and runs first to shrink later stages.
+    "q_dedup_exact" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select($"doc_id",
+            md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
+          .groupBy($"fp")
+          .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy($"fp")
+      },
+      Some("""SELECT fp, min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |      FROM documents)
+        |GROUP BY fp ORDER BY fp""".stripMargin),
+      "exact dedup by normalized-content hash (extension X1)"),
+
+    // X2 n-gram Jaccard near-dup, brute force: distinct word-3-shingles per
+    // doc, inverted-index self-join on shingle (the candidate generator),
+    // |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Top-20 most similar pairs.
+    // Scale notes: the explode→join is the exact-candidate path; at 100 TB
+    // the MinHash/LSH banding (functions.MinHash) replaces the full join,
+    // and hot shingles would be frequency-capped (df-limit) before joining.
+    "q_ngram_jaccard" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", explode(array_distinct(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+            .as("shingle"))
+        val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val a = sh.as("a"); val b = sh.as("b")
+        a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(counts.as("c1"), $"d1" === $"c1.doc_id")
+          .join(counts.as("c2"), $"d2" === $"c2.doc_id")
+          .select($"d1", $"d2",
+            ($"inter".cast("double") /
+              ($"c1.nsh" + $"c2.nsh" - $"inter")).as("jaccard"))
+          .orderBy($"jaccard".desc, $"d1", $"d2")
+          .limit(20)
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(toks)-2),
+        |        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |    FROM t WHERE len(toks) >= 3)),
+        |c AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(inter AS DOUBLE) / (c1.nsh + c2.nsh - inter) AS jaccard
+        |FROM p JOIN c c1 ON p.d1 = c1.doc_id JOIN c c2 ON p.d2 = c2.doc_id
+        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin),
+      "n-gram Jaccard near-dup candidate pairs (extension X2)"),
+  )
+}

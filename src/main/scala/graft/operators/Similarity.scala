@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.VectorOps.cosine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.11 X3):
+  * brute-force cosine top-k as the correctness baseline, a k-NN similarity
+  * join, an IVF-style coarse-quantizer search as the scale path, and a
+  * label-blocked embedding near-dup pass.
+  *
+  * Scale notes: brute force is a broadcast of the (tiny) query set against a
+  * scan of the corpus — embarrassingly parallel, no shuffle until top-k
+  * (TakeOrderedAndProject). The IVF variant is the 100 TB shape: nearest
+  * coarse centroid prunes the corpus to one cell before scoring, turning a
+  * full scan into a partition-pruned scan when the corpus is written
+  * partitioned by cell id. */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** DuckDB cosine over DOUBLE[] — float inputs are widened first so both
+    * engines do exact float→double conversion then identical double math. */
+  private def duckCos(a: String, b: String) =
+    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // X3 brute-force cosine top-k for one query vector.
+    "q_similarity" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+        e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id", cosine($"embedding", $"q_emb").as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, ${duckCos("e.embedding", "q.q_emb")} AS cos_sim
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      "brute-force cosine top-k (extension X3)"),
+
+    // X3 k-NN similarity join: top-3 neighbors for each of 5 query vectors
+    // via a per-query rank window (partitioned — no global sort).
+    "q_knn_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+        e.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"q_id", $"vec_id", $"cos_sim", $"rn")
+          .orderBy($"q_id", $"rn")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id, ${duckCos("e.embedding", "q.q_emb")} AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cos_sim, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+        |  FROM scored) WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      "k-NN similarity join (extension X3)"),
+
+    // X3 IVF-style search: coarse centroids (per-label element-wise mean),
+    // route the query to its nearest cell, brute-force only inside the cell.
+    // Exact decimal sums keep the centroid bit-identical across engines.
+    "q_ivf_search" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val cent = e
+          .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"v".cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("cv"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+            .as("cvec"))
+        val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+        val best = cent.crossJoin(broadcast(q))
+          .select($"label", cosine($"cvec", $"q_emb").as("ccos"))
+          .orderBy($"ccos".desc, $"label")
+          .limit(1)
+          .select($"label")
+        e.join(broadcast(best), Seq("label"))
+          .filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .select($"vec_id", cosine($"embedding", $"q_emb").as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+      },
+      Some(s"""WITH x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        |  FROM x GROUP BY 1, 2),
+        |centa AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |best AS (
+        |  SELECT label FROM centa, q
+        |  ORDER BY list_cosine_similarity(cvec, CAST(q_emb AS DOUBLE[])) DESC, label
+        |  LIMIT 1)
+        |SELECT e.vec_id, ${duckCos("e.embedding", "q.q_emb")} AS cos_sim
+        |FROM embeddings e JOIN best USING (label), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      "IVF coarse-quantizer ANN search (extension X3)"),
+
+    // X2/X3 embedding near-dup, blocked by label (the blocked-join shape:
+    // candidate pairs only within a coarse block, never the full n² join).
+    "q_embed_neardup" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val a = emb(s, d).select($"label", $"vec_id".as("v1"), $"embedding".as("e1"))
+        val b = emb(s, d).select($"label", $"vec_id".as("v2"), $"embedding".as("e2"))
+        a.join(b, Seq("label"))
+          .filter($"v1" < $"v2")
+          .select($"v1", $"v2", cosine($"e1", $"e2").as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"v1", $"v2")
+          .limit(20)
+      },
+      Some(s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, v1, v2 LIMIT 20""".stripMargin),
+      "label-blocked embedding near-dup pairs (extension X2)"),
+  )
+}

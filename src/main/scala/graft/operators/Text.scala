@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Fns, GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extension tier (SURVEY.md §2.11 X4): tokenization,
+  * quality scoring, language-ID heuristic, BPE-ish token counting, document
+  * fingerprinting.
+  *
+  * Scale notes: every query here is a narrow projection + per-row expression
+  * work (no shuffle except the final aggregations), so it scales linearly
+  * with input splits; all expressions are built-in higher-order functions
+  * that stay inside whole-stage codegen — no UDFs.
+  */
+object Text {
+  import Fns._
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Small per-language stopword lexicons for the language-ID heuristic.
+    * Deterministic, embedded (a lexicon broadcast join would be the shape at
+    * scale for large lexicons — see q_word_counts for the join-free path). */
+  private val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"))
+
+  private def sqlInList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** BPE-ish tokenizer regex: letter runs | digit runs | single non-space
+    * symbol. Same syntax/semantics in Java regex (Spark) and RE2 (DuckDB). */
+  private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // X4 tokenization: whitespace token + distinct-token counts per doc.
+    "q_text_tokens" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .withColumn("toks", tokens($"text"))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_tokens"),
+            size(array_distinct($"toks")).as("n_distinct_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(${sqlTokens("text")})) AS INT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      "whitespace tokenization + counts (extension X4)"),
+
+    // X4 corpus word frequencies: explode + count — the map-side-combine
+    // shape (partial agg per partition, tiny shuffle of distinct words).
+    "q_word_counts" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select(explode(tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(30)
+      },
+      Some(s"""SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(${sqlTokens("text")}) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin),
+      "corpus token frequency top-k (extension X4)"),
+
+    // X4 quality scoring: length/token/stopword-ratio heuristics. All
+    // integer counts divided as doubles — bit-identical across engines.
+    "q_text_quality" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val stop = langLexicons.toMap.apply("en")
+        docs(s, d)
+          .withColumn("toks", tokens($"text"))
+          .select(
+            $"doc_id",
+            length($"text").as("n_chars"),
+            size($"toks").as("n_tokens"),
+            (aggregate($"toks", lit(0L), (acc, x) => acc + length(x))
+              .cast("double") / size($"toks")).as("avg_token_len"),
+            (size(filter($"toks", t => t.isInCollection(stop)))
+              .cast("double") / size($"toks")).as("stopword_ratio"),
+            (size(filter($"toks", t => length(t) > 4))
+              .cast("double") / size($"toks")).as("long_token_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  CAST(len(text) AS INT) AS n_chars,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+        |  CAST(len(list_filter(toks, t -> t IN ${sqlInList(langLexicons.toMap.apply("en"))})) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  CAST(len(list_filter(toks, t -> len(t) > 4)) AS DOUBLE) / len(toks) AS long_token_ratio
+        |FROM (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+      "document quality metrics (extension X4)"),
+
+    // X4 language ID: stopword-lexicon hit ratio per language, argmax with
+    // fixed tie-break order (en > es > de > fr).
+    "q_lang_id" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d).withColumn("toks", tokens($"text"))
+        val scored = langLexicons.foldLeft(base) { case (df, (lg, ws)) =>
+          df.withColumn(s"score_$lg",
+            size(filter(col("toks"), t => t.isInCollection(ws)))
+              .cast("double") / size(col("toks")))
+        }
+        scored.select(
+          $"doc_id", $"lang",
+          $"score_en", $"score_es", $"score_de", $"score_fr",
+          when($"score_en" >= $"score_es" && $"score_en" >= $"score_de" &&
+               $"score_en" >= $"score_fr", "en")
+            .when($"score_es" >= $"score_de" && $"score_es" >= $"score_fr", "es")
+            .when($"score_de" >= $"score_fr", "de")
+            .otherwise("fr").as("predicted"))
+          .withColumn("is_correct", $"predicted" === $"lang")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val scores = langLexicons.map { case (lg, ws) =>
+          s"CAST(len(list_filter(toks, t -> t IN ${sqlInList(ws)})) AS DOUBLE) / len(toks) AS score_$lg"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+        |  CASE
+        |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |    WHEN score_de >= score_fr THEN 'de'
+        |    ELSE 'fr' END AS predicted,
+        |  (CASE
+        |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |    WHEN score_de >= score_fr THEN 'de'
+        |    ELSE 'fr' END) = lang AS is_correct
+        |FROM (SELECT doc_id, lang, $scores
+        |      FROM (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin
+      },
+      "n-gram/stopword language-ID heuristic (extension X4)"),
+
+    // X4 BPE-ish token counting via regexp_extract_all vs whitespace count.
+    "q_token_count" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select(
+            $"doc_id",
+            size(tokens($"text")).as("n_ws_tokens"),
+            // Column API, not expr(): a SQL literal would re-escape \s.
+            size(regexp_extract_all($"text", lit(bpeRe), lit(0)))
+              .as("n_bpe_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  CAST(len(${sqlTokens("text")}) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '$bpeRe')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      "BPE-ish regex token counting (extension X4)"),
+
+    // X4 document fingerprinting: md5 over whitespace-normalized text — the
+    // exact-dedup key (q_dedup_exact consumes the same expression).
+    "q_fingerprint" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select(
+            $"doc_id",
+            md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      "content fingerprint via normalized md5 (extension X4)"),
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Fns, GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Event-time window aggregations over `events` (SURVEY.md §2.10/§2.11 X6).
+  *
+  * The reference is strictly batch (no windows at all); these are the
+  * extension tier. Written with the exact same `window()`/`session_window()`
+  * expressions Structured Streaming uses, so the identical code runs under
+  * `readStream` with a watermark (see graft.streaming.EventStream).
+  *
+  * Scale notes: tumbling/sliding windows are a single hash-agg keyed by
+  * (window, keys) — partial agg collapses each input partition to one row
+  * per window before the shuffle. Session windows shuffle by user_id and
+  * merge per key — at 100 TB the skew lever is AQE skew-split plus a cap on
+  * events per user per day.
+  */
+object TimeWindows {
+  import Fns._
+
+  private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // X6 tumbling 1-hour window.
+    "q_time_window" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(window($"ts", "1 hour"))
+          .agg(count(lit(1)).as("n_events"), dsum6($"value").as("sum_value"))
+          .select($"window.start".as("window_start"),
+            $"window.end".as("window_end"), $"n_events", $"sum_value")
+          .orderBy($"window_start")
+      },
+      Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+        |  COUNT(*) AS n_events, ${sqlDsum6("value")} AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start""".stripMargin),
+      "tumbling event-time window (extension X6)"),
+
+    // X6 sliding window: 1 hour every 30 minutes — each event lands in 2
+    // windows; the oracle materializes both bucket offsets explicitly.
+    "q_time_window_slide" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(window($"ts", "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), dsum6($"value").as("sum_value"))
+          .select($"window.start".as("window_start"),
+            $"window.end".as("window_end"), $"n_events", $"sum_value")
+          .orderBy($"window_start")
+      },
+      Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', t) AS window_start, value FROM e
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', t) - INTERVAL '30 minutes', value FROM e)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |  COUNT(*) AS n_events, ${sqlDsum6("value")} AS sum_value
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin),
+      "sliding event-time window (extension X6)"),
+
+    // X6 session windows: 30-minute inactivity gap per user. Spark closes a
+    // session when the next event is >= gap after the previous one (window
+    // end is exclusive), mirrored by the >= in the oracle's islands pass.
+    "q_session_window" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"), dsum6($"value").as("sum_value"))
+          .select($"user_id", $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"), $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w >= INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(t) AS session_start,
+        |  max(t) + INTERVAL '30 minutes' AS session_end,
+        |  COUNT(*) AS n_events, ${sqlDsum6("value")} AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+      "session windows by inactivity gap (extension X6)"),
+  )
+}
