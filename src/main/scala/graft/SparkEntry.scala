@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Text.queries ++
       operators.Dedup.queries ++
       operators.TimeWindows.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.Profile.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 
