@@ -35,6 +35,8 @@ object SchemaProfiler {
       nRows: Column): Column =
     when(colName.isInCollection(IdentifierNames), "identifier")
       .when(colName.isInCollection(AuditNames), "audit")
+      // all-null columns have no metrics: plain attribute
+      .when(numericRatio.isNull, "attribute")
       .when(numericRatio > NumericThreshold, "measure")
       .when(uniqueCount < nRows * DimensionUniqueRatio &&
         uniqueCount < DimensionMaxUnique, "dimension")
@@ -54,14 +56,16 @@ object SchemaProfiler {
     * unique_count, mean_length, sample_values, classification, data_type. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      val sc = col(c).cast("string")
+      val sc = graft.qcol(c).cast("string")
       Seq(
         ((count(lit(1)) - count(sc)).cast("double") / count(lit(1)))
           .as(s"${c}__null_ratio"),
         (count(expr(s"try_cast(cast(`$c` AS string) AS double)"))
-          .cast("double") / count(sc)).as(s"${c}__numeric_ratio"),
+          .cast("double") / when(count(sc) =!= 0, count(sc)))
+          .as(s"${c}__numeric_ratio"),
         countDistinct(sc).as(s"${c}__unique"),
-        (sum(length(sc)).cast("double") / count(sc)).as(s"${c}__mean_len"),
+        (sum(length(sc)).cast("double") / when(count(sc) =!= 0, count(sc)))
+          .as(s"${c}__mean_len"),
         // deterministic "first 3 sample values": sorted distinct, not
         // encounter order (the reference's head(unique(x),3) is order-
         // dependent; sorted is reproducible across engines/partitions)
@@ -92,14 +96,16 @@ object SchemaProfiler {
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02)
       : DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      val sc = col(c).cast("string")
+      val sc = graft.qcol(c).cast("string")
       Seq(
         ((count(lit(1)) - count(sc)).cast("double") / count(lit(1)))
           .as(s"${c}__null_ratio"),
         (count(expr(s"try_cast(cast(`$c` AS string) AS double)"))
-          .cast("double") / count(sc)).as(s"${c}__numeric_ratio"),
+          .cast("double") / when(count(sc) =!= 0, count(sc)))
+          .as(s"${c}__numeric_ratio"),
         approx_count_distinct(sc, rsd).as(s"${c}__unique"),
-        (sum(length(sc)).cast("double") / count(sc)).as(s"${c}__mean_len"))
+        (sum(length(sc)).cast("double") / when(count(sc) =!= 0, count(sc)))
+          .as(s"${c}__mean_len"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>

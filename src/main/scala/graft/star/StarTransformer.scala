@@ -2,6 +2,7 @@ package graft.star
 
 import java.sql.{Date, Timestamp}
 
+import graft.qcol
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,10 +33,10 @@ object StarTransformer {
     * values, sorted, keyed 1..n by row_number, plus dimension metadata. */
   def buildDim(df: DataFrame, valueCol: String, loadDate: Date): DataFrame = {
     val keyCol = s"${valueCol}_key"
-    df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    df.select(qcol(valueCol)).filter(qcol(valueCol).isNotNull)
       .distinct()
-      .withColumn(keyCol, row_number().over(Window.orderBy(col(valueCol))))
-      .select(col(keyCol), col(valueCol),
+      .withColumn(keyCol, row_number().over(Window.orderBy(qcol(valueCol))))
+      .select(qcol(keyCol), qcol(valueCol),
         lit(loadDate).as("created_date"), lit(true).as("is_active"))
   }
 
@@ -46,15 +47,15 @@ object StarTransformer {
   def buildDimScalable(df: DataFrame, valueCol: String, loadDate: Date)
       : DataFrame = {
     val spark = df.sparkSession
-    val distinctSorted = df.select(col(valueCol))
-      .filter(col(valueCol).isNotNull).distinct().orderBy(col(valueCol))
+    val distinctSorted = df.select(qcol(valueCol))
+      .filter(qcol(valueCol).isNotNull).distinct().orderBy(qcol(valueCol))
     val schema = distinctSorted.schema
       .add(s"${valueCol}_key", org.apache.spark.sql.types.LongType)
     val keyed = spark.createDataFrame(
       distinctSorted.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
       }, schema)
-    keyed.select(col(s"${valueCol}_key"), col(valueCol),
+    keyed.select(qcol(s"${valueCol}_key"), qcol(valueCol),
       lit(loadDate).as("created_date"), lit(true).as("is_active"))
   }
 
@@ -70,11 +71,11 @@ object StarTransformer {
       runId: Long,
       loadTs: Timestamp): DataFrame = {
     val base = df.select(
-      (col(idCol) +:
+      (qcol(idCol) +:
         measureCols.map(m =>
           expr(s"try_cast(cast(`$m` AS string) AS double)").as(m))) ++
-        dims.keys.toSeq.sorted.map(col) ++
-        auditCols.filter(df.columns.contains).map(col): _*)
+        dims.keys.toSeq.sorted.map(qcol) ++
+        auditCols.filter(df.columns.contains).map(qcol): _*)
     val withKeys = dims.toSeq.sortBy(_._1).foldLeft(base) {
       case (acc, (dimCol, dim)) =>
         acc.join(
@@ -111,20 +112,20 @@ object StarTransformer {
     * per-measure sum/avg/min/max/count with suffixed names. */
   def aggregateFactData(fact: DataFrame, groupCols: Seq[String],
       measureCols: Seq[String]): DataFrame =
-    fact.groupBy(groupCols.map(col): _*)
+    fact.groupBy(groupCols.map(qcol): _*)
       .agg(
         measureCols.flatMap(m => Seq(
-          sum(col(m)).as(s"${m}_sum"),
-          avg(col(m)).as(s"${m}_avg"),
-          min(col(m)).as(s"${m}_min"),
-          max(col(m)).as(s"${m}_max"),
-          count(col(m)).as(s"${m}_count"))).head,
+          sum(qcol(m)).as(s"${m}_sum"),
+          avg(qcol(m)).as(s"${m}_avg"),
+          min(qcol(m)).as(s"${m}_min"),
+          max(qcol(m)).as(s"${m}_max"),
+          count(qcol(m)).as(s"${m}_count"))).head,
         measureCols.flatMap(m => Seq(
-          sum(col(m)).as(s"${m}_sum"),
-          avg(col(m)).as(s"${m}_avg"),
-          min(col(m)).as(s"${m}_min"),
-          max(col(m)).as(s"${m}_max"),
-          count(col(m)).as(s"${m}_count"))).tail: _*)
+          sum(qcol(m)).as(s"${m}_sum"),
+          avg(qcol(m)).as(s"${m}_avg"),
+          min(qcol(m)).as(s"${m}_min"),
+          max(qcol(m)).as(s"${m}_max"),
+          count(qcol(m)).as(s"${m}_count"))).tail: _*)
 
   /** Integrity checks (`R/star_transformer.R:168-199`): non-empty fact/dims,
     * unique+dense surrogate keys, and (beyond the reference) FK integrity —
@@ -139,7 +140,7 @@ object StarTransformer {
       val distinctKeys = dim.select(keyCol).distinct().count()
       if (distinctKeys != n)
         violations += s"dimension $name has duplicate surrogate keys"
-      val unresolved = star.fact.filter(col(keyCol).isNotNull)
+      val unresolved = star.fact.filter(qcol(keyCol).isNotNull)
         .join(dim, Seq(keyCol), "left_anti").count()
       if (unresolved > 0)
         violations += s"$unresolved fact rows have unresolved $keyCol"

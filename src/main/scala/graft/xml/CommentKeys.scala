@@ -1,0 +1,87 @@
+package graft.xml
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Business-key extraction from XML comments (`R/xml_parser.R:227-321`,
+  * SURVEY.md §2.1 S6): the first comment in a document matching
+  * `Key:Value` becomes per-file metadata, attached to every row of that
+  * file as (a) `business_key_name`/`business_key_value` columns and (b) a
+  * dynamically-named constant column per key name.
+  *
+  * The native XML source drops comments, so this is a separate pass — but
+  * one that reads ONLY each file's prefix (comments of interest precede the
+  * records), runs distributed over the file list, and joins back on file
+  * path as a broadcast (one row per file). That keeps the cost O(files),
+  * not O(bytes), at 100 TB.
+  */
+object CommentKeys {
+
+  /** `^([A-Za-z]+):([^:]+)$` — the reference's business-key pattern. */
+  private val KeyPattern = "^([A-Za-z]+):([^:]+)$".r
+  private val CommentRe = "(?s)<!--(.*?)-->".r
+
+  /** Extracts the first matching business key from an XML document string
+    * prefix; comments that don't match the pattern are skipped (the
+    * reference takes the FIRST comment and tests it; we scan until a match
+    * to be robust to leading license banners — same observable result on
+    * reference-shaped files whose first comment is the key). */
+  def extractFromContent(content: String): Option[(String, String)] =
+    CommentRe.findAllMatchIn(content)
+      .map(_.group(1).trim)
+      .flatMap {
+        case KeyPattern(name, value) => Some(name -> value.trim)
+        case _ => None
+      }
+      .take(1).toSeq.headOption
+
+  /** Distributed prefix scan of every file: one output row per file that
+    * carries a business key: (source_file_path, business_key_name,
+    * business_key_value). */
+  def scan(spark: SparkSession, files: Seq[String], maxBytes: Int = 65536)
+      : DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    files.toDS().mapPartitions { it =>
+      it.flatMap { file =>
+        val key = try {
+          val path = new Path(file)
+          val fs = path.getFileSystem(conf.value)
+          val in = fs.open(path)
+          try {
+            val buf = new Array[Byte](maxBytes)
+            var off = 0
+            var n = in.read(buf, off, maxBytes - off)
+            while (n > 0 && off < maxBytes) {
+              off += n; n = in.read(buf, off, maxBytes - off)
+            }
+            extractFromContent(
+              new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        } catch { case _: java.io.IOException => None }
+        key.map { case (name, value) => (file, name, value) }
+      }
+    }.toDF("bk_file_path", "business_key_name", "business_key_value")
+  }
+
+  /** Attaches business-key columns to parsed rows (which must carry
+    * `source_file_path` lineage). Adds the two generic columns plus one
+    * constant column per distinct key name (`COMMENT_AS_DIMENSION`
+    * behavior). The keys table is one row per file — broadcast. */
+  def attach(df: DataFrame, keys: DataFrame): DataFrame = {
+    val joined = df.join(broadcast(keys),
+      df("source_file_path") === keys("bk_file_path"), "left")
+      .drop("bk_file_path")
+    // dynamic per-key-name columns; key names are few (driver collect OK)
+    val names = keys.select("business_key_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    names.foldLeft(joined) { (acc, n) =>
+      acc.withColumn(n,
+        when(col("business_key_name") === n, col("business_key_value")))
+    }
+  }
+}
