@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.{Fns, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Property-style tests for the sub-linear dedup paths against brute-force
+  * ground truth on deterministic synthetic corpora (fixed seed). */
+class DedupFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus: 20 base docs of 60 tokens drawn from a vocab wide
+  // enough that distinct docs share (almost) no shingles; docs 100.. are
+  // near-copies of doc 0 with k token substitutions
+  private def word(i: Int) = s"w${math.abs(i) % 4013}"
+  private lazy val rng = {
+    val docs = (0 until 20).map { d =>
+      val toks = (0 until 60).map(p => word(d * 997 + p * 13 + (p * p) % 7))
+      (d.toLong, toks.mkString(" "))
+    }
+    val base = docs.head._2.split(" ")
+    val nearDups = Seq(1, 3, 10).zipWithIndex.map { case (k, j) =>
+      val mutated = base.zipWithIndex.map { case (t, i) =>
+        if (i < k) s"sub$i" else t
+      }
+      ((100 + j).toLong, mutated.mkString(" "))
+    }
+    docs ++ nearDups
+  }
+  private lazy val docs = rng.toDF("doc_id", "text")
+    .withColumn("toks", Fns.tokens($"text"))
+
+  /** Brute-force true Jaccard over distinct 3-shingles for a doc pair. */
+  private def trueJaccard(id1: Long, id2: Long): Double = {
+    val sh = docs
+      .select($"doc_id", MinHash.shingles($"toks", 3).as("sh"))
+      .filter($"doc_id".isin(id1, id2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val (a, b) = (sh(id1), sh(id2))
+    a.intersect(b).size.toDouble / a.union(b).size
+  }
+
+  test("identical docs: est Jaccard 1.0 and always a candidate pair") {
+    val dup = docs.union(docs.filter($"doc_id" === 0)
+      .withColumn("doc_id", lit(999L)))
+    val found = MinHash.nearDuplicates(dup, "doc_id", col("toks"),
+      threshold = 0.9)
+      .filter($"id1" === 0 && $"id2" === 999)
+      .collect()
+    assert(found.length == 1)
+    assert(found.head.getDouble(2) == 1.0)
+  }
+
+  test("MinHash estimate tracks true Jaccard within 0.2") {
+    val signed = docs.select($"doc_id",
+      MinHash.signature(MinHash.shingles($"toks", 3), 128).as("sig"))
+    val s0 = signed.as("a").filter($"doc_id" === 0)
+      .select($"sig".as("sig0"))
+    val est = signed.crossJoin(s0)
+      .filter($"doc_id".isin(100L, 101L, 102L))
+      .select($"doc_id", MinHash.estJaccard($"sig", $"sig0").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, e) <- est) {
+      val t = trueJaccard(0L, id)
+      assert(math.abs(e - t) < 0.2, s"doc $id: est $e vs true $t")
+    }
+    // monotone: fewer substitutions -> higher similarity
+    assert(est(100L) > est(102L))
+  }
+
+  test("near-dups of doc 0 are found; unrelated docs are not flagged") {
+    val found = MinHash
+      .nearDuplicates(docs, "doc_id", col("toks"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1- and 3-token mutants of doc 0 are >0.5-similar
+    assert(found.contains((0L, 100L)))
+    assert(found.contains((0L, 101L)))
+    // distinct random docs don't collide above threshold
+    assert(!found.exists { case (a, b) => a < 20 && b < 20 })
+  }
+
+  test("SimHash: identical fingerprints, small hamming for near-dups") {
+    val fp = docs.select($"doc_id", SimHash.simhashExpr("toks").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) != fp(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // 1-token substitution moves few bits; unrelated docs move many
+    assert(ham(fp(0L), fp(100L)) < ham(fp(0L), fp(5L)))
+  }
+
+  test("SimHash blocked near-dup join finds low-hamming pairs") {
+    val pairs = SimHash.nearDuplicates(docs, "doc_id", "toks",
+      maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+}
