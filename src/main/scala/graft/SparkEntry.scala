@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.TimeWindows.queries ++
       operators.Similarity.queries ++
-      operators.Profile.queries
+      operators.Profile.queries ++
+      operators.StarQueries.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 
