@@ -53,34 +53,44 @@ object SchemaProfiler {
   /** Exact profile of `cols` (values viewed as strings, like the reference's
     * stringly-typed ingest): one row per column with metrics + roles.
     * Output columns: col_name, n_rows, null_ratio, numeric_ratio,
-    * unique_count, mean_length, sample_values, classification, data_type. */
+    * unique_count, mean_length, sample_values, classification, data_type.
+    *
+    * Plan shape (deliberate): unpivot to (col_name, value) then TWO-stage
+    * aggregation — groupBy(col_name, value) with map-side combine, then
+    * groupBy(col_name) over the distinct-value counts. One exact pass, no
+    * multi-countDistinct Expand (which would blow the input up gid-fold and
+    * hash on every profiled column at once), no unbounded collect_set: the
+    * only per-value state is a count, and the 3 sorted sample values come
+    * from a row_number window over the (already distinct) value counts. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      val sc = graft.qcol(c).cast("string")
-      Seq(
-        ((count(lit(1)) - count(sc)).cast("double") / count(lit(1)))
-          .as(s"${c}__null_ratio"),
-        (count(expr(s"try_cast(cast(`$c` AS string) AS double)"))
-          .cast("double") / when(count(sc) =!= 0, count(sc)))
-          .as(s"${c}__numeric_ratio"),
-        countDistinct(sc).as(s"${c}__unique"),
-        (sum(length(sc)).cast("double") / when(count(sc) =!= 0, count(sc)))
-          .as(s"${c}__mean_len"),
-        // deterministic "first 3 sample values": sorted distinct, not
-        // encounter order (the reference's head(unique(x),3) is order-
-        // dependent; sorted is reproducible across engines/partitions)
-        array_join(slice(array_sort(collect_set(sc)), 1, 3), "|")
-          .as(s"${c}__sample"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', `${c}__null_ratio`, `${c}__numeric_ratio`, `${c}__unique`, " +
-        s"`${c}__mean_len`, `${c}__sample`").mkString(", ")
-    val long = wide.select(
-      col("n_rows"),
-      expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, null_ratio, numeric_ratio, unique_count, mean_length, sample_values)"))
-    long.select(
+    import org.apache.spark.sql.expressions.Window
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` AS string)").mkString(", ")
+    val longDf = df.select(
+      expr(s"stack(${cols.size}, $stackArgs) AS (col_name, value)"))
+    val vc = longDf.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val nn = when(col("value").isNotNull, col("cnt"))
+    val main = vc.groupBy("col_name").agg(
+      sum("cnt").as("n_rows"),
+      (coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L))
+        .cast("double") / sum(col("cnt"))).as("null_ratio"),
+      (coalesce(sum(when(expr("try_cast(value AS double)").isNotNull,
+        col("cnt"))), lit(0L)).cast("double") / sum(nn))
+        .as("numeric_ratio"),
+      count(when(col("value").isNotNull, lit(1))).as("unique_count"),
+      (sum(length(col("value")) * col("cnt")).cast("double") / sum(nn))
+        .as("mean_length"))
+    // deterministic "first 3 sample values": 3 smallest distinct values
+    // (the reference's head(unique(x),3) is encounter-order-dependent;
+    // sorted is reproducible across engines/partitions)
+    val samples = vc.filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("col_name").orderBy("value")))
+      .filter(col("rn") <= 3)
+      .groupBy("col_name")
+      .agg(array_join(array_sort(collect_set(col("value"))), "|")
+        .as("sample_values"))
+    main.join(samples, Seq("col_name"), "left").select(
       col("col_name"), col("n_rows"), col("null_ratio"),
       col("numeric_ratio"), col("unique_count"), col("mean_length"),
       col("sample_values"),

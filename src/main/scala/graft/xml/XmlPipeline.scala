@@ -45,9 +45,12 @@ object XmlPipeline {
       explicitXsd: Option[String] = None,
       profileSampleFiles: Int = 100): PipelineReport = {
 
+    val log = new graft.io.PipelineLogger(s"$outputDir/logs")
+
     // 1. discovery (R/main.R:80)
     val files = XmlIngest.listXmlFiles(spark, inputDir)
     require(files.nonEmpty, s"no *.xml files in $inputDir")
+    log.info(s"queued ${files.size} XML files from $inputDir")
 
     // 2. per-file validation pre-pass; invalid files are SKIPPED, the
     // pipeline continues (R/xml_parser.R:34-42)
@@ -58,6 +61,7 @@ object XmlPipeline {
             .cache()
         val bad = verdicts.filter(col("verdict") === "invalid")
         val badSet = bad.select("file").collect().map(_.getString(0)).toSet
+        badSet.toSeq.sorted.foreach(f => log.error(s"validation failed: $f"))
         (files.filterNot(badSet), bad)
       } else (files, spark.emptyDataFrame)
 
@@ -122,6 +126,9 @@ object XmlPipeline {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$outputDir/parquet_metadata.csv")
 
+    outputs.foreach(p => log.audit(s"wrote $p"))
+    log.info(s"processed ${goodFiles.size}/${files.size} files, " +
+      s"$rows fact rows, batch_id=$runId")
     PipelineReport(files.size, nSkipped, rows, star,
       StarTransformer.validateIntegrity(star), outputs)
   }
