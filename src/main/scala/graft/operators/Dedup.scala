@@ -47,22 +47,25 @@ object Dedup {
     "q_ngram_jaccard" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // per-doc shingle count rides along on every shingle row (window
+        // count), so the pair aggregation needs NO extra count-joins and
+        // the two self-join sides are identical plans (ReusedExchange).
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
         val sh = Tables.load(s, d, "documents")
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 3)
           .select($"doc_id", explode(array_distinct(expr(
             "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
             .as("shingle"))
-        val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+          .withColumn("nsh", count(lit(1)).over(w))
         val a = sh.as("a"); val b = sh.as("b")
         a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+            $"a.nsh".as("n1"), $"b.nsh".as("n2"))
           .agg(count(lit(1)).as("inter"))
-          .join(counts.as("c1"), $"d1" === $"c1.doc_id")
-          .join(counts.as("c2"), $"d2" === $"c2.doc_id")
           .select($"d1", $"d2",
             ($"inter".cast("double") /
-              ($"c1.nsh" + $"c2.nsh" - $"inter")).as("jaccard"))
+              ($"n1" + $"n2" - $"inter")).as("jaccard"))
           .orderBy($"jaccard".desc, $"d1", $"d2")
           .limit(20)
       },

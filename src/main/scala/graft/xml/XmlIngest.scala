@@ -103,6 +103,18 @@ object XmlIngest {
       .option("inferSchema", "false")
       .load(files: _*)
 
+  /** Read with an explicit schema — skips the source's structure-discovery
+    * pass over the data entirely. */
+  def readFilesWithSchema(spark: SparkSession, files: Seq[String],
+      rowTag: String, schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("attributePrefix", XmlFlatten.AttributePrefix)
+      .option("valueTag", XmlFlatten.ValueTag)
+      .schema(schema)
+      .load(files: _*)
+
   /** Audit/lineage columns (`R/xml_parser.R:332-335`); the load timestamp is
     * injected for reproducibility (SURVEY.md §8 Q6). */
   def withLineage(df: DataFrame, loadTs: java.sql.Timestamp): DataFrame =

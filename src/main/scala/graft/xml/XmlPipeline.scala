@@ -43,7 +43,8 @@ object XmlPipeline {
       loadTs: Timestamp,
       validate: Boolean = true,
       explicitXsd: Option[String] = None,
-      profileSampleFiles: Int = 100): PipelineReport = {
+      profileSampleFiles: Int = 100,
+      structureSampleFiles: Int = 16): PipelineReport = {
 
     val log = new graft.io.PipelineLogger(s"$outputDir/logs")
 
@@ -65,16 +66,37 @@ object XmlPipeline {
         (files.filterNot(badSet), bad)
       } else (files, spark.emptyDataFrame)
 
-    // 3. structured read + flatten + lineage + record ids (§1.4, S15)
+    // 3. structured read + flatten + lineage + record ids (§1.4, S15).
+    // Structure is inferred from a bounded FILE SAMPLE (the reference's
+    // SCHEMA_SAMPLE_SIZE bound, R/main.R:19,95) and applied to the full
+    // read — one inference pass over <=100 files instead of a discovery
+    // scan of the whole corpus; files outside the sample union-with-fill
+    // into that schema (missing elements -> null). The structured read is
+    // cached: the flattener's repetition-count aggregate, the profile pass
+    // and the star build all reuse one parse.
+    // Physical structure needs far fewer sample files than role inference
+    // (the discovery pass is single-threaded); elements appearing only
+    // beyond the sample are dropped — same bounded-sample tradeoff the
+    // reference makes for roles (R/main.R:19).
     val rowTag = XmlIngest.probeRowTag(spark, inputDir)
-    val raw = XmlIngest.readFiles(spark, goodFiles, rowTag)
-    val flat = XmlFlatten.flatten(raw)
-    val withLineage =
-      XmlIngest.ensureRecordId(XmlIngest.withLineage(flat, loadTs))
+    val schema = XmlIngest
+      .readFiles(spark, goodFiles.take(structureSampleFiles), rowTag).schema
+    // input_file_name() must be stamped BEFORE the cache — it reads from
+    // the scan node and returns "" once rows come from the cached relation.
+    val raw = XmlIngest
+      .readFilesWithSchema(spark, goodFiles, rowTag, schema)
+      .withColumn("source_file_path", input_file_name())
+      .cache()
+    val flat = XmlFlatten.flatten(raw) // lineage string passes through
+    val withLineage = XmlIngest.ensureRecordId(
+      flat
+        .withColumn("source_file_name",
+          element_at(split(col("source_file_path"), "/"), -1))
+        .withColumn("load_timestamp", lit(loadTs)))
 
     // 4. business keys from comments (S6)
     val keys = CommentKeys.scan(spark, goodFiles)
-    val data = CommentKeys.attach(withLineage, keys).cache()
+    val data = CommentKeys.attach(withLineage, keys)
 
     // 5. role classification on a bounded sample of files (R/main.R:95)
     val sampleFiles = goodFiles.take(profileSampleFiles)
@@ -82,12 +104,21 @@ object XmlPipeline {
     val profileCols = data.columns.filterNot(AuditCols)
       .filterNot(c => keys.columns.contains(c)).toSeq
     val sample = data.filter(col("source_file_name").isin(sampleFiles: _*))
-    val profiled = SchemaProfiler.profile(sample, profileCols).cache()
+    // Role classification needs only approximate distinct counts — the HLL
+    // profile is one aggregate pass (no per-value shuffle); the exact
+    // profile (with sample values) stays available for explicit profiling.
+    val profiled = SchemaProfiler.profileApprox(sample, profileCols).cache()
     val roles = profiled.select("col_name", "classification")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
-    // 6. star transform, global dims (fixes §8 Q3)
-    val star = StarTransformer.build(data, "record_id", roles, runId, loadTs)
+    // 6. star transform, global dims (fixes §8 Q3). The fact feeds several
+    // actions (write, count, integrity joins) — cache it so each doesn't
+    // re-derive from the raw parse.
+    val star0 = StarTransformer.build(data, "record_id", roles, runId, loadTs)
+    // fact feeds write/count/integrity; dims feed write/join/integrity —
+    // cache both (dims are <50 rows each by the classifier contract).
+    val star = StarSchema(star0.fact.cache(),
+      star0.dims.map { case (n, d) => n -> d.cache() })
 
     // 7. sinks (R/parquet_writer.R): snappy parquet (dictionary encoding is
     // on by default in Spark's parquet writer)
@@ -126,10 +157,12 @@ object XmlPipeline {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$outputDir/parquet_metadata.csv")
 
+    raw.unpersist()
     outputs.foreach(p => log.audit(s"wrote $p"))
     log.info(s"processed ${goodFiles.size}/${files.size} files, " +
       s"$rows fact rows, batch_id=$runId")
-    PipelineReport(files.size, nSkipped, rows, star,
-      StarTransformer.validateIntegrity(star), outputs)
+    val violations = StarTransformer.validateIntegrity(star)
+    star.fact.unpersist()
+    PipelineReport(files.size, nSkipped, rows, star, violations, outputs)
   }
 }
