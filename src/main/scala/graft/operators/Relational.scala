@@ -508,6 +508,40 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
       "pivot_longer reshape (R/schema_analyzer.R:6-24)"),
 
+    // Hierarchical subtotals — absent in the reference, free in Catalyst
+    // (SURVEY.md §2.4): one Expand-based aggregation, no multi-pass.
+    // Null sort order made explicit on both engines (Spark defaults nulls
+    // first, DuckDB nulls last).
+    "q_rollup" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .rollup($"o_orderpriority", $"o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum2($"o_totalprice").as("total"))
+          .orderBy($"o_orderpriority".asc_nulls_first,
+            $"o_orderstatus".asc_nulls_first)
+      },
+      Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |  ${sqlDsum2("o_totalprice")} AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+      "rollup subtotals (SURVEY.md §2.4 extension)"),
+
+    "q_cube" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum2($"l_quantity").as("qty"))
+          .orderBy($"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  ${sqlDsum2("l_quantity")} AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "cube aggregation (SURVEY.md §2.4 extension)"),
+
     // R1 long->wide: groupBy().pivot() with an explicit value list (required
     // at scale — implicit pivot runs a distinct job first).
     "q_pivot" -> GQuery(
