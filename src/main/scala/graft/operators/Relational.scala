@@ -527,6 +527,24 @@ object Relational {
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
       "rollup subtotals (SURVEY.md §2.4 extension)"),
 
+    // SQL entry point (spark.sql) + GROUPING SETS — only SQL-expressible in
+    // Spark; demonstrates the engine's SQL surface alongside the DataFrame
+    // API. Same one-pass Expand aggregation as rollup/cube.
+    "q_grouping_sets" -> GQuery(
+      (s, d) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+          |ORDER BY o_orderpriority ASC NULLS FIRST,
+          |         o_orderstatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+      "spark.sql GROUPING SETS (SURVEY.md §2.4 extension)"),
+
     "q_cube" -> GQuery(
       (s, d) => {
         import s.implicits._
