@@ -19,7 +19,8 @@ object SparkEntry {
       operators.TimeWindows.queries ++
       operators.Similarity.queries ++
       operators.Profile.queries ++
-      operators.StarQueries.queries
+      operators.StarQueries.queries ++
+      operators.AsOf.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 

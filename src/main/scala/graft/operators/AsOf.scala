@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — an operator Spark lacks natively, composed from
+  * built-ins per the preference order in SURVEY.md §7.3: union-tag both
+  * sides, sort within key by (time, side), carry the right payload forward
+  * with a running `last(ignoreNulls)` window, keep left rows.
+  *
+  * For each left row this yields the most recent right row with
+  * `rightTime <= leftTime` in the same key group — without a range-join
+  * explosion or a per-key loop. Scale shape: ONE shuffle of both inputs by
+  * key + a per-partition sort (exactly a sort-merge join's cost); skewed
+  * keys fall to AQE or [[Skew]] salting like any keyed shuffle.
+  */
+object AsOf {
+
+  /** @param payloadCols right-side columns to attach (must not collide with
+    *                    left column names; rename beforehand if they do) */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__src", lit(1))
+    val r = right
+      .select((key +: rightTime +: payloadCols).map(col): _*)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__src", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal time: ties are inclusive
+    // (rightTime <= leftTime), matching ASOF semantics
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__src") === 1)
+      .drop("__t", "__src", rightTime)
+  }
+
+  val queries: Seq[(String, GQuery)] = Seq(
+    // For each event, the customer's most recent order on/before the event
+    // time. Orders deduped to one per (custkey, date) first so the match is
+    // deterministic on both engines (ASOF ties are otherwise unspecified).
+    "q_asof_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val events = Tables.load(s, d, "events")
+          .select($"event_id", $"user_id", $"ts")
+        val orders = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+          .agg(max($"o_orderkey").as("last_orderkey"))
+        asofJoin(events, orders, "user_id", "ts", "o_orderdate",
+          Seq("last_orderkey"))
+          .select($"event_id", $"user_id", $"last_orderkey")
+          .orderBy($"event_id")
+      },
+      Some("""WITH od AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT e.event_id, e.user_id, od.last_orderkey
+        |FROM e ASOF LEFT JOIN od
+        |  ON e.user_id = od.user_id AND e.t >= od.o_orderdate
+        |ORDER BY e.event_id""".stripMargin),
+      "as-of backward join via union-tag running-last (SURVEY.md §7.3)"),
+  )
+}
