@@ -24,6 +24,38 @@ object TimeWindows {
 
   val queries: Seq[(String, GQuery)] = Seq(
 
+    // Banded range join (SURVEY.md §2.3 extension): events followed by
+    // another event of the same user within 1 hour. A naive inequality
+    // join is a nested-loop; the scale pattern is BANDING — bucket the
+    // time axis to the range width, equi-join on (key, bucket ∈ {b, b+1}),
+    // then apply the exact range predicate. One hash shuffle, candidate
+    // set ≈ matches, never |L|×|R|.
+    "q_range_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = events(s, d).select($"event_id", $"user_id", $"ts")
+        val a = e
+          .withColumn("bucket", explode(array(
+            date_trunc("hour", $"ts"),
+            date_trunc("hour", $"ts") + expr("INTERVAL 1 HOUR"))))
+          .select($"event_id", $"user_id", $"ts".as("ta"), $"bucket")
+        val b = e.select($"user_id",
+          date_trunc("hour", $"ts").as("bucket"), $"ts".as("tb"))
+        a.join(b, Seq("user_id", "bucket"))
+          .filter($"tb" > $"ta" && $"tb" <= $"ta" + expr("INTERVAL 1 HOUR"))
+          .groupBy($"event_id")
+          .agg(count(lit(1)).as("n_followers"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT a.event_id, COUNT(*) AS n_followers
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND b.t > a.t
+        |  AND b.t <= a.t + INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
+      "banded range join (time-bucket equi-join + exact filter)"),
+
     // X6 tumbling 1-hour window.
     "q_time_window" -> GQuery(
       (s, d) => {
