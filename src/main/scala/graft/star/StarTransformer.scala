@@ -40,6 +40,30 @@ object StarTransformer {
         lit(loadDate).as("created_date"), lit(true).as("is_active"))
   }
 
+  /** Incremental dimension merge: values already in `existing` KEEP their
+    * surrogate keys (appended fact rows stay consistent with historical
+    * ones); genuinely new values get fresh keys above the current max, in
+    * value order. This is what the reference's per-batch keying should have
+    * been (SURVEY.md §8 Q3). */
+  def mergeDim(existing: DataFrame, df: DataFrame, valueCol: String,
+      loadDate: Date): DataFrame = {
+    val keyCol = s"${valueCol}_key"
+    val maxKey = existing.agg(max(qcol(keyCol))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.get(0).asInstanceOf[Number].longValue()
+    }
+    val newVals = df.select(qcol(valueCol)).filter(qcol(valueCol).isNotNull)
+      .distinct()
+      .join(existing.select(qcol(valueCol)), Seq(valueCol), "left_anti")
+    val keyed = newVals
+      .withColumn(keyCol,
+        (row_number().over(Window.orderBy(qcol(valueCol))) + lit(maxKey))
+          .cast(existing.schema(keyCol).dataType))
+      .select(qcol(keyCol), qcol(valueCol),
+        lit(loadDate).as("created_date"), lit(true).as("is_active"))
+    existing.select(keyed.columns.map(qcol): _*).unionByName(keyed)
+  }
+
   /** Key assignment for dims too large for one partition: zipWithIndex over
     * a sorted distinct — keys are still dense, unique, value-deterministic,
     * but no single-partition window. (Sort is a range-partitioned exchange;

@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import graft.profile.SchemaProfiler
 import graft.star.{StarSchema, StarTransformer}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end XML -> star-schema -> Parquet pipeline — the rebuild of the
@@ -15,8 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * Outputs mirror the reference's layout (`R/parquet_writer.R`):
   * `fact_main.parquet`, `dim_<col>.parquet`, `processing_errors.csv`,
-  * `processing_manifest.csv`, `parquet_metadata.csv`,
-  * `schema_documentation.csv` (as directories — distributed writers).
+  * `processing_manifest.csv` (append across runs, like the reference's
+  * append-mode manifest), `parquet_metadata.csv`,
+  * `schema_documentation.csv`, plus a `processed_files.csv` ledger backing
+  * [[processIncremental]] — the reference's audit-column-based reprocessing
+  * avoidance (`README.md:241`) made explicit: already-ledgered files are
+  * skipped, new fact rows append, and dimension surrogate keys are MERGED
+  * (existing values keep their keys; new values key above the max).
   */
 object XmlPipeline {
 
@@ -34,6 +40,7 @@ object XmlPipeline {
     "source_file_name", "source_file_path", "load_timestamp",
     "business_key_name", "business_key_value")
 
+  /** Full (re)build: processes every discovered file, overwrites outputs. */
   def process(
       spark: SparkSession,
       inputDir: String,
@@ -45,44 +52,102 @@ object XmlPipeline {
       explicitXsd: Option[String] = None,
       profileSampleFiles: Int = 100,
       structureSampleFiles: Int = 16): PipelineReport = {
-
-    val log = new graft.io.PipelineLogger(s"$outputDir/logs")
-
-    // 1. discovery (R/main.R:80)
     val files = XmlIngest.listXmlFiles(spark, inputDir)
     require(files.nonEmpty, s"no *.xml files in $inputDir")
-    log.info(s"queued ${files.size} XML files from $inputDir")
+    run(spark, files, files.size, inputDir, outputDir, schemaDir, runId,
+      loadTs, validate, explicitXsd, profileSampleFiles,
+      structureSampleFiles, append = false)
+  }
 
-    // 2. per-file validation pre-pass; invalid files are SKIPPED, the
+  /** Incremental run: skips files already in the ledger, appends new fact
+    * rows, merges dimension keys. Assumes a stable record schema across
+    * runs (checked against the existing fact before writing). */
+  def processIncremental(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      schemaDir: String,
+      runId: Long,
+      loadTs: Timestamp,
+      validate: Boolean = true,
+      explicitXsd: Option[String] = None,
+      profileSampleFiles: Int = 100,
+      structureSampleFiles: Int = 16): PipelineReport = {
+    val files = XmlIngest.listXmlFiles(spark, inputDir)
+    require(files.nonEmpty, s"no *.xml files in $inputDir")
+    val processed = readLedger(spark, outputDir)
+    val newFiles = files.filterNot(f => processed(f.split('/').last))
+    if (newFiles.isEmpty)
+      return PipelineReport(files.size, files.size, 0L,
+        StarSchema(spark.emptyDataFrame, Map.empty), Seq.empty, Seq.empty)
+    run(spark, newFiles, files.size, inputDir, outputDir, schemaDir, runId,
+      loadTs, validate, explicitXsd, profileSampleFiles,
+      structureSampleFiles, append = true)
+  }
+
+  private def readLedger(spark: SparkSession, outputDir: String)
+      : Set[String] = {
+    val p = new Path(s"$outputDir/processed_files.csv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.option("header", "true").csv(p.toString)
+      .select("file_name").collect().map(_.getString(0)).toSet
+  }
+
+  private def existingDims(spark: SparkSession, outputDir: String)
+      : Map[String, String] = {
+    val p = new Path(outputDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("dim_") && n.endsWith(".parquet"))
+      .map(n => n.stripPrefix("dim_").stripSuffix(".parquet") ->
+        s"$outputDir/$n")
+      .toMap
+  }
+
+  // scalastyle:off method.length
+  private def run(
+      spark: SparkSession,
+      filesToProcess: Seq[String],
+      filesDiscovered: Int,
+      inputDir: String,
+      outputDir: String,
+      schemaDir: String,
+      runId: Long,
+      loadTs: Timestamp,
+      validate: Boolean,
+      explicitXsd: Option[String],
+      profileSampleFiles: Int,
+      structureSampleFiles: Int,
+      append: Boolean): PipelineReport = {
+
+    val log = new graft.io.PipelineLogger(s"$outputDir/logs")
+    log.info(s"queued ${filesToProcess.size} XML files from $inputDir" +
+      (if (append) " (incremental)" else ""))
+
+    // per-file validation pre-pass; invalid files are SKIPPED, the
     // pipeline continues (R/xml_parser.R:34-42)
     val (goodFiles, errorsDf) =
       if (validate) {
-        val verdicts =
-          XmlValidation.validateBatch(spark, files, schemaDir, explicitXsd)
-            .cache()
+        val verdicts = XmlValidation
+          .validateBatch(spark, filesToProcess, schemaDir, explicitXsd)
+          .cache()
         val bad = verdicts.filter(col("verdict") === "invalid")
         val badSet = bad.select("file").collect().map(_.getString(0)).toSet
         badSet.toSeq.sorted.foreach(f => log.error(s"validation failed: $f"))
-        (files.filterNot(badSet), bad)
-      } else (files, spark.emptyDataFrame)
+        (filesToProcess.filterNot(badSet), bad)
+      } else (filesToProcess, spark.emptyDataFrame)
 
-    // 3. structured read + flatten + lineage + record ids (§1.4, S15).
-    // Structure is inferred from a bounded FILE SAMPLE (the reference's
-    // SCHEMA_SAMPLE_SIZE bound, R/main.R:19,95) and applied to the full
-    // read — one inference pass over <=100 files instead of a discovery
-    // scan of the whole corpus; files outside the sample union-with-fill
-    // into that schema (missing elements -> null). The structured read is
-    // cached: the flattener's repetition-count aggregate, the profile pass
-    // and the star build all reuse one parse.
-    // Physical structure needs far fewer sample files than role inference
-    // (the discovery pass is single-threaded); elements appearing only
-    // beyond the sample are dropped — same bounded-sample tradeoff the
-    // reference makes for roles (R/main.R:19).
+    // structured read + flatten + lineage + record ids (§1.4, S15).
+    // Physical structure is inferred from a bounded FILE SAMPLE (the
+    // reference's SCHEMA_SAMPLE_SIZE bound, R/main.R:19,95) and applied to
+    // the full read; files beyond the sample union-with-fill into that
+    // schema. input_file_name() must be stamped BEFORE the cache — it
+    // reads the scan node and returns "" from a cached relation.
     val rowTag = XmlIngest.probeRowTag(spark, inputDir)
     val schema = XmlIngest
       .readFiles(spark, goodFiles.take(structureSampleFiles), rowTag).schema
-    // input_file_name() must be stamped BEFORE the cache — it reads from
-    // the scan node and returns "" once rows come from the cached relation.
     val raw = XmlIngest
       .readFilesWithSchema(spark, goodFiles, rowTag, schema)
       .withColumn("source_file_path", input_file_name())
@@ -94,37 +159,60 @@ object XmlPipeline {
           element_at(split(col("source_file_path"), "/"), -1))
         .withColumn("load_timestamp", lit(loadTs)))
 
-    // 4. business keys from comments (S6)
+    // business keys from comments (S6)
     val keys = CommentKeys.scan(spark, goodFiles)
     val data = CommentKeys.attach(withLineage, keys)
 
-    // 5. role classification on a bounded sample of files (R/main.R:95)
+    // role classification on a bounded sample of files (R/main.R:95) via
+    // the one-pass HLL profile (roles need only approximate distincts).
+    // Incremental runs force previously-materialized dims to stay dims so
+    // key spaces remain stable.
     val sampleFiles = goodFiles.take(profileSampleFiles)
       .map(f => f.split('/').last)
     val profileCols = data.columns.filterNot(AuditCols)
       .filterNot(c => keys.columns.contains(c)).toSeq
     val sample = data.filter(col("source_file_name").isin(sampleFiles: _*))
-    // Role classification needs only approximate distinct counts — the HLL
-    // profile is one aggregate pass (no per-value shuffle); the exact
-    // profile (with sample values) stays available for explicit profiling.
     val profiled = SchemaProfiler.profileApprox(sample, profileCols).cache()
+    val priorDims: Map[String, String] =
+      if (append) existingDims(spark, outputDir) else Map.empty
     val roles = profiled.select("col_name", "classification")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap ++
+      priorDims.keys.map(_ -> "dimension")
 
-    // 6. star transform, global dims (fixes §8 Q3). The fact feeds several
-    // actions (write, count, integrity joins) — cache it so each doesn't
-    // re-derive from the raw parse.
-    val star0 = StarTransformer.build(data, "record_id", roles, runId, loadTs)
-    // fact feeds write/count/integrity; dims feed write/join/integrity —
-    // cache both (dims are <50 rows each by the classifier contract).
-    val star = StarSchema(star0.fact.cache(),
-      star0.dims.map { case (n, d) => n -> d.cache() })
+    // star transform, global dims (fixes §8 Q3); incremental runs MERGE
+    // dimension keys against the existing dim tables (stable keys).
+    val loadDate = new java.sql.Date(loadTs.getTime)
+    val dimCols = roles.collect { case (c, "dimension") => c }.toSeq.sorted
+      .filter(data.columns.contains)
+    val dims = dimCols.map { c =>
+      val dim = priorDims.get(c) match {
+        case Some(path) =>
+          StarTransformer.mergeDim(spark.read.parquet(path), data, c, loadDate)
+        case None => StarTransformer.buildDim(data, c, loadDate)
+      }
+      c -> dim.cache()
+    }.toMap
+    val measureCols = roles.collect { case (c, "measure") => c }.toSeq.sorted
+      .filterNot(_ == "record_id").filter(data.columns.contains)
+    val fact = StarTransformer.buildFact(data, "record_id", measureCols,
+      dims, Seq("source_file_name", "source_file_path"), runId, loadTs)
+      .cache()
+    val star = StarSchema(fact, dims)
 
-    // 7. sinks (R/parquet_writer.R): snappy parquet (dictionary encoding is
-    // on by default in Spark's parquet writer)
+    // sinks (R/parquet_writer.R): snappy parquet, dictionary encoding on by
+    // default; incremental appends fact rows after a schema-equality check.
     val factPath = s"$outputDir/fact_main.parquet"
-    star.fact.write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy").parquet(factPath)
+    val factMode = if (append) SaveMode.Append else SaveMode.Overwrite
+    if (append) {
+      // names+types must match (nullability differs after a parquet
+      // round-trip and is irrelevant for append safety)
+      val shape = (s: org.apache.spark.sql.types.StructType) =>
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      val existing = spark.read.parquet(factPath).schema
+      require(shape(existing) == shape(fact.schema),
+        s"incremental fact schema drift: existing=$existing new=${fact.schema}")
+    }
+    fact.write.mode(factMode).option("compression", "snappy").parquet(factPath)
     val dimPaths = star.dims.toSeq.sortBy(_._1).map { case (name, dim) =>
       val p = s"$outputDir/dim_$name.parquet"
       // dims are tiny by the classifier contract -> one file
@@ -139,16 +227,19 @@ object XmlPipeline {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$outputDir/schema_documentation.csv")
 
-    // 8. manifest + parquet metadata read-back (S13/S14)
-    val rows = star.fact.count()
-    val nSkipped = files.size - goodFiles.size
+    // manifest (append across runs, S13) + ledger + metadata read-back (S14)
+    val rows = fact.count()
+    val nSkipped = filesToProcess.size - goodFiles.size
     import spark.implicits._
-    Seq((loadTs.toString, files.size, goodFiles.size, nSkipped, rows,
-      goodFiles.size.toDouble / files.size, runId))
+    Seq((loadTs.toString, filesDiscovered, goodFiles.size, nSkipped, rows,
+      goodFiles.size.toDouble / filesToProcess.size, runId))
       .toDF("run_timestamp", "files_total", "files_processed",
         "files_skipped", "fact_rows", "success_rate", "batch_id")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .coalesce(1).write.mode(SaveMode.Append)
       .option("header", "true").csv(s"$outputDir/processing_manifest.csv")
+    goodFiles.map(_.split('/').last).toDF("file_name")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .option("header", "true").csv(s"$outputDir/processed_files.csv")
     val outputs = factPath +: dimPaths
     outputs.map { p =>
       val df = spark.read.parquet(p)
@@ -159,10 +250,11 @@ object XmlPipeline {
 
     raw.unpersist()
     outputs.foreach(p => log.audit(s"wrote $p"))
-    log.info(s"processed ${goodFiles.size}/${files.size} files, " +
+    log.info(s"processed ${goodFiles.size}/${filesToProcess.size} files, " +
       s"$rows fact rows, batch_id=$runId")
     val violations = StarTransformer.validateIntegrity(star)
-    star.fact.unpersist()
-    PipelineReport(files.size, nSkipped, rows, star, violations, outputs)
+    fact.unpersist()
+    PipelineReport(filesDiscovered, nSkipped, rows, star, violations, outputs)
   }
+  // scalastyle:on method.length
 }

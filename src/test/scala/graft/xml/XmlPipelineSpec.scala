@@ -170,6 +170,52 @@ class XmlPipelineSpec extends SparkSpec {
     assert(v.valid.contains(false) && v.errors.nonEmpty)
   }
 
+  private def catalogXml(ids: Range, statuses: Seq[String]): String = {
+    val recs = ids.map { i =>
+      val st = statuses(i % statuses.size)
+      s"""  <record id="$i" status="$st"><title>T$i</title><price>${i * 1.5}</price></record>"""
+    }
+    s"""<?xml version="1.0"?>\n<catalog>\n${recs.mkString("\n")}\n</catalog>\n"""
+  }
+
+  test("incremental: ledger skip, fact append, stable merged dim keys") {
+    val in = Files.createTempDirectory("graft_inc_in")
+    val out = Files.createTempDirectory("graft_inc_out")
+    val schemas = Files.createTempDirectory("graft_inc_sch")
+    Files.writeString(in.resolve("a.xml"),
+      catalogXml(1 to 40, Seq("active", "retired", "pending")))
+    val r1 = XmlPipeline.process(spark, in.toString, out.toString,
+      schemas.toString, runId = 1L, loadTs = ts)
+    assert(r1.rows == 40)
+    val dim1 = spark.read.parquet(s"$out/dim_status.parquet")
+      .select("status_key", "status").as[(Int, String)].collect().toMap
+    assert(dim1.size == 3)
+
+    // new file arrives, carrying a NEW status value
+    Files.writeString(in.resolve("b.xml"),
+      catalogXml(41 to 50, Seq("active", "archived")))
+    val r2 = XmlPipeline.processIncremental(spark, in.toString, out.toString,
+      schemas.toString, runId = 2L, loadTs = ts)
+    assert(r2.rows == 10) // only the new file's records
+    val fact = spark.read.parquet(s"$out/fact_main.parquet")
+    assert(fact.count() == 50)
+    val dim2 = spark.read.parquet(s"$out/dim_status.parquet")
+      .select("status_key", "status").as[(Int, String)].collect().toMap
+    assert(dim2.size == 4)
+    // old keys unchanged; the new value keyed above the max
+    dim1.foreach { case (k, v) => assert(dim2(k) == v) }
+    assert(dim2.maxBy(_._1)._2 == "archived")
+    // batch ids distinguish the runs in the appended fact
+    assert(fact.select("batch_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L))
+
+    // third run with nothing new: everything skipped
+    val r3 = XmlPipeline.processIncremental(spark, in.toString, out.toString,
+      schemas.toString, runId = 3L, loadTs = ts)
+    assert(r3.rows == 0)
+    assert(spark.read.parquet(s"$out/fact_main.parquet").count() == 50)
+  }
+
   test("end-to-end pipeline: star outputs, error isolation, manifest") {
     val (in, out, schemas) = mkPipelineDirs()
     val report = XmlPipeline.process(spark, in.toString, out.toString,
