@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan regression tests: the SCALE.md-documented plan properties,
+  * asserted so a refactor can't silently trade them away. Runs at sf0.001
+  * (plan shape, not data volume, is under test). */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("q_scan_project: filter pushed to parquet, schema pruned") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"))
+  }
+
+  test("q_agg_basic: partial (map-side) aggregation before the exchange") {
+    val p = plan("q_agg_basic")
+    assert(p.contains("partial_sum"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("q_fact_join: dimension attach is a broadcast join, no fact shuffle") {
+    val p = plan("q_fact_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q_join_multi: small dimensions broadcast") {
+    val p = plan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q_sort_limit and q_similarity: top-k via TakeOrderedAndProject") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+    assert(plan("q_similarity").contains("TakeOrderedAndProject"))
+  }
+
+  test("no UDFs anywhere in the verified query plans") {
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q contains a UDF node")
+    }
+  }
+}
