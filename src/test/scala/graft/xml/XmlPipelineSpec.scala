@@ -216,6 +216,36 @@ class XmlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/fact_main.parquet").count() == 50)
   }
 
+  test("DTD validation: internal DOCTYPE drives the verdict") {
+    val dir = Files.createTempDirectory("graft_dtd")
+    Files.writeString(dir.resolve("good.xml"),
+      """<?xml version="1.0"?>
+        |<!DOCTYPE catalog [
+        |  <!ELEMENT catalog (record+)>
+        |  <!ELEMENT record (title)>
+        |  <!ELEMENT title (#PCDATA)>
+        |  <!ATTLIST record id CDATA #REQUIRED>
+        |]>
+        |<catalog><record id="1"><title>ok</title></record></catalog>
+        |""".stripMargin)
+    Files.writeString(dir.resolve("bad.xml"),
+      """<?xml version="1.0"?>
+        |<!DOCTYPE catalog [
+        |  <!ELEMENT catalog (record+)>
+        |  <!ELEMENT record (title)>
+        |  <!ELEMENT title (#PCDATA)>
+        |]>
+        |<catalog><record><wrong>x</wrong></record></catalog>
+        |""".stripMargin)
+    assert(XmlValidation.hasInternalDtd(dir.resolve("good.xml").toString))
+    val good = XmlValidation.validateAuto(dir.resolve("good.xml").toString,
+      dir.toString)
+    assert(good.valid.contains(true), good.errors)
+    val bad = XmlValidation.validateAuto(dir.resolve("bad.xml").toString,
+      dir.toString)
+    assert(bad.valid.contains(false) && bad.errors.nonEmpty)
+  }
+
   test("end-to-end pipeline: star outputs, error isolation, manifest") {
     val (in, out, schemas) = mkPipelineDirs()
     val report = XmlPipeline.process(spark, in.toString, out.toString,
