@@ -28,22 +28,20 @@ object Similarity {
 
   val queries: Seq[(String, GQuery)] = Seq(
 
-    // X3 brute-force cosine top-k for one query vector. Corpus norms are
-    // computed once per row (not per pair) — identical FP ops per term, so
-    // bit-identical to cosine(), with a third of the per-pair folds.
+    // X3 brute-force cosine top-k for one query vector, scored by the
+    // native codegen expression (functions.CosineSimilarityExpr): one fused
+    // loop per pair, no per-element lambda dispatch, math identical to
+    // VectorOps.cosine.
     "q_similarity" -> GQuery(
       (s, d) => {
         import s.implicits._
         import graft.functions.VectorOps
         val e = emb(s, d)
-          .withColumn("nrm", sqrt(VectorOps.dot($"embedding", $"embedding")))
-        val q = e.filter($"vec_id" === 0)
-          .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
         e.filter($"vec_id" =!= 0)
           .crossJoin(broadcast(q))
           .select($"vec_id",
-            (VectorOps.dot($"embedding", $"q_emb") / ($"nrm" * $"q_nrm"))
-              .as("cos_sim"))
+            expr("cosine_sim(embedding, q_emb)").as("cos_sim"))
           .orderBy($"cos_sim".desc, $"vec_id")
           .limit(10)
       },
@@ -60,16 +58,13 @@ object Similarity {
         import s.implicits._
         import graft.functions.VectorOps
         val e = emb(s, d)
-          .withColumn("nrm", sqrt(VectorOps.dot($"embedding", $"embedding")))
         val q = e.filter($"vec_id" < 5)
-          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-            $"nrm".as("q_nrm"))
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
         val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
         e.crossJoin(broadcast(q))
           .filter($"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id",
-            (VectorOps.dot($"embedding", $"q_emb") / ($"nrm" * $"q_nrm"))
-              .as("cos_sim"))
+            expr("cosine_sim(embedding, q_emb)").as("cos_sim"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 3)
           .select($"q_id", $"vec_id", $"cos_sim", $"rn")
@@ -134,24 +129,19 @@ object Similarity {
       "IVF coarse-quantizer ANN search (extension X3)"),
 
     // X2/X3 embedding near-dup, blocked by label (the blocked-join shape:
-    // candidate pairs only within a coarse block, never the full n² join).
-    // Norms are precomputed per ROW before the join — the pairwise work is
-    // one dot product, not dot + two norm folds (same FP ops per term, so
-    // the value is bit-identical to cosine(); ~3x less pair work).
+    // candidate pairs only within a coarse block, never the full n² join),
+    // scored by the native codegen cosine.
     "q_embed_neardup" -> GQuery(
       (s, d) => {
         import s.implicits._
         import graft.functions.VectorOps
         val e = emb(s, d)
-          .withColumn("nrm", sqrt(VectorOps.dot($"embedding", $"embedding")))
-        val a = e.select($"label", $"vec_id".as("v1"),
-          $"embedding".as("e1"), $"nrm".as("n1"))
-        val b = e.select($"label", $"vec_id".as("v2"),
-          $"embedding".as("e2"), $"nrm".as("n2"))
+        val a = e.select($"label", $"vec_id".as("v1"), $"embedding".as("e1"))
+        val b = e.select($"label", $"vec_id".as("v2"), $"embedding".as("e2"))
         a.join(b, Seq("label"))
           .filter($"v1" < $"v2")
           .select($"v1", $"v2",
-            (VectorOps.dot($"e1", $"e2") / ($"n1" * $"n2")).as("cos_sim"))
+            expr("cosine_sim(e1, e2)").as("cos_sim"))
           .orderBy($"cos_sim".desc, $"v1", $"v2")
           .limit(20)
       },
