@@ -305,6 +305,37 @@ object Relational {
         |GROUP BY n_name ORDER BY n_name""".stripMargin),
       "multi-way join + grouped revenue (extension X7)"),
 
+    // Extension X7: TPC-H-Q3-shaped top-k revenue — join + agg + top-k in
+    // one plan; AQE broadcasts the filtered customer side, and the final
+    // top-10 is TakeOrderedAndProject over the aggregate (no global sort).
+    "q_topk_agg" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .filter($"c_mktsegment" === "BUILDING" &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp") &&
+            $"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(sum($"l_extendedprice".cast(D18_2) *
+            (lit(1.0) - $"l_discount").cast(D18_8))
+            .cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      "TPC-H-Q3-shaped top-k revenue (extension X7)"),
+
     // Semi join (EXISTS) — free in Catalyst, absent in reference (§2.3).
     "q_semi_join" -> GQuery(
       (s, d) => {

@@ -103,7 +103,7 @@ object StarTransformer {
     val withKeys = dims.toSeq.sortBy(_._1).foldLeft(base) {
       case (acc, (dimCol, dim)) =>
         acc.join(
-          broadcast(dim.select(col(s"${dimCol}_key"), col(dimCol))),
+          broadcast(dim.select(qcol(s"${dimCol}_key"), qcol(dimCol))),
           Seq(dimCol), "left")
           .drop(dimCol)
     }
@@ -161,7 +161,7 @@ object StarTransformer {
       val keyCol = s"${name}_key"
       val n = dim.count()
       if (n == 0) violations += s"dimension $name is empty"
-      val distinctKeys = dim.select(keyCol).distinct().count()
+      val distinctKeys = dim.select(qcol(keyCol)).distinct().count()
       if (distinctKeys != n)
         violations += s"dimension $name has duplicate surrogate keys"
       val unresolved = star.fact.filter(qcol(keyCol).isNotNull)
