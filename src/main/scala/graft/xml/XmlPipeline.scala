@@ -171,7 +171,11 @@ object XmlPipeline {
       .map(f => f.split('/').last)
     val profileCols = data.columns.filterNot(AuditCols)
       .filterNot(c => keys.columns.contains(c)).toSeq
-    val sample = data.filter(col("source_file_name").isin(sampleFiles: _*))
+    // no filter when the sample bound covers every file (the common small-
+    // corpus case) — the per-row 100-way isin is pure overhead then
+    val sample =
+      if (sampleFiles.size >= goodFiles.size) data
+      else data.filter(col("source_file_name").isin(sampleFiles: _*))
     val profiled = SchemaProfiler.profileApprox(sample, profileCols).cache()
     val priorDims: Map[String, String] =
       if (append) existingDims(spark, outputDir) else Map.empty
