@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Executes the FULL plan (incl. final sorts/projections, which
+    * `.count()` lets Catalyst eliminate via EliminateSorts) without any
+    * driver-side materialization: the built-in noop sink consumes every
+    * row on the executors. */
+  private def sink(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,15 +24,22 @@ object Bench {
     // Warm up JVM/codegen/file-index so the first timed query isn't charged
     // for session bootstrap (~5s of JIT + parquet footer reads).
     SparkEntry.queries.get("q_agg_basic").foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => })
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try sink(fn(spark, sfDir)) catch { case _: Throwable => })
+    // Deterministic sorted order, >=2 reps per query, report the min: one
+    // rep measures plan+GC noise as much as the query, and a hash Map's
+    // arbitrary order made run-to-run diffs incomparable (VERDICT r1 #1).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val times = (1 to math.max(reps, 1)).map { _ =>
+          val t0 = System.nanoTime()
+          try sink(fn(spark, sfDir)) catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Fns._
 
+  /** Shingles appearing in more than this many documents are treated as
+    * stop-phrases and excluded from the Jaccard shingle universe (mirrored
+    * exactly in the DuckDB oracle). */
+  val MaxShingleDf = 100
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // X1 exact dedup via content fingerprint: one hash-groupBy, map-side
@@ -41,22 +46,31 @@ object Dedup {
     // X2 n-gram Jaccard near-dup, brute force: distinct word-3-shingles per
     // doc, inverted-index self-join on shingle (the candidate generator),
     // |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Top-20 most similar pairs.
-    // Scale notes: the explode→join is the exact-candidate path; at 100 TB
-    // the MinHash/LSH banding (functions.MinHash) replaces the full join,
-    // and hot shingles would be frequency-capped (df-limit) before joining.
+    // Hot (stop-phrase) shingles — doc frequency > MaxShingleDf — are
+    // dropped BEFORE the self-join: a shingle in k docs contributes k² join
+    // rows while carrying ~zero discrimination, so the cap bounds the join
+    // blowup (the similarity becomes Jaccard over the capped shingle
+    // universe, identically on both engines). Scale notes: the explode→join
+    // is the exact-candidate path; at 100 TB the MinHash/LSH banding
+    // (functions.MinHash) replaces the full join.
     "q_ngram_jaccard" -> GQuery(
       (s, d) => {
         import s.implicits._
-        // per-doc shingle count rides along on every shingle row (window
-        // count), so the pair aggregation needs NO extra count-joins and
-        // the two self-join sides are identical plans (ReusedExchange).
+        // per-doc/per-shingle counts ride along on every shingle row
+        // (window counts), so the pair aggregation needs NO extra
+        // count-joins and the two self-join sides are identical plans
+        // (ReusedExchange).
         val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+        val wsh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
         val sh = Tables.load(s, d, "documents")
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 3)
           .select($"doc_id", explode(array_distinct(expr(
             "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
             .as("shingle"))
+          .withColumn("df", count(lit(1)).over(wsh))
+          .filter($"df" <= MaxShingleDf)
+          .drop("df")
           .withColumn("nsh", count(lit(1)).over(w))
         val a = sh.as("a"); val b = sh.as("b")
         a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -73,12 +87,16 @@ object Dedup {
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
         |  FROM documents),
-        |s AS (
+        |s0 AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id,
         |      unnest(list_transform(generate_series(1, len(toks)-2),
         |        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
         |    FROM t WHERE len(toks) >= 3)),
+        |s AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        |    FROM s0) WHERE df <= 100),
         |c AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY doc_id),
         |p AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

@@ -82,19 +82,14 @@ object Similarity {
 
     // X3 IVF-style search: coarse centroids (per-label element-wise mean),
     // route the query to its nearest cell, brute-force only inside the cell.
-    // Exact decimal sums keep the centroid bit-identical across engines.
+    // Centroids come from the PRECOMPUTED persisted index (IvfIndex) — the
+    // query path never re-trains; decimal-exact sums in the index keep the
+    // centroid bit-identical to the oracle's formulation.
     "q_ivf_search" -> GQuery(
       (s, d) => {
         import s.implicits._
         val e = emb(s, d)
-        val cent = e
-          .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-          .groupBy($"label", $"pos")
-          .agg((sum($"v".cast("decimal(28,12)")).cast("double") /
-            count(lit(1))).as("cv"))
-          .groupBy($"label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
-            .as("cvec"))
+        val cent = IvfIndex.centroidsExact(s, d)
         val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
         val best = cent.crossJoin(broadcast(q))
           .select($"label", cosine($"cvec", $"q_emb").as("ccos"))

@@ -20,28 +20,50 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object CommentKeys {
 
-  /** `^([A-Za-z]+):([^:]+)$` — the reference's business-key pattern. */
-  private val KeyPattern = "^([A-Za-z]+):([^:]+)$".r
+  /** `^([A-Za-z]+):([^:]+)$` — the reference's primary business-key
+    * pattern (`R/xml_parser.R:245`). */
+  val StandardPattern: String = "^([A-Za-z]+):([^:]+)$"
+
+  /** The reference's documented alternative comment formats
+    * (`R/main.R:231-237` `COMMENT_PATTERNS`), by the same names. Every
+    * pattern must expose exactly two capture groups (name, value). */
+  val CommentPatterns: Map[String, String] = Map(
+    "standard" -> StandardPattern,                    // ABCD:1234
+    "underscore" -> "^([A-Za-z_]+):([^:]+)$",         // ABC_DEF:1234
+    "equals" -> "^([A-Za-z]+)=([^=]+)$",              // ABCD=1234
+    "spaced" -> "^([A-Za-z]+)\\s*:\\s*([^:]+)$",      // ABCD : 1234
+    "numeric_key" -> "^([A-Za-z0-9]+):([^:]+)$")      // ABC123:1234
+
   private val CommentRe = "(?s)<!--(.*?)-->".r
 
-  /** Extracts the first matching business key from an XML document string
-    * prefix; comments that don't match the pattern are skipped (the
-    * reference takes the FIRST comment and tests it; we scan until a match
-    * to be robust to leading license banners — same observable result on
-    * reference-shaped files whose first comment is the key). */
-  def extractFromContent(content: String): Option[(String, String)] =
+  /** Extracts the first business key matching any of `patterns` (tried in
+    * order per comment) from an XML document string prefix; comments that
+    * match no pattern are skipped (the reference takes the FIRST comment
+    * and tests it; we scan until a match to be robust to leading license
+    * banners — same observable result on reference-shaped files whose
+    * first comment is the key). */
+  def extractFromContent(
+      content: String,
+      patterns: Seq[String] = Seq(StandardPattern)): Option[(String, String)] = {
+    val compiled = patterns.map(_.r)
     CommentRe.findAllMatchIn(content)
       .map(_.group(1).trim)
-      .flatMap {
-        case KeyPattern(name, value) => Some(name -> value.trim)
-        case _ => None
+      .flatMap { c =>
+        compiled.iterator.flatMap { p =>
+          c match {
+            case p(name, value) => Some(name -> value.trim)
+            case _ => None
+          }
+        }.take(1)
       }
       .take(1).toSeq.headOption
+  }
 
   /** Distributed prefix scan of every file: one output row per file that
     * carries a business key: (source_file_path, business_key_name,
     * business_key_value). */
-  def scan(spark: SparkSession, files: Seq[String], maxBytes: Int = 65536)
+  def scan(spark: SparkSession, files: Seq[String], maxBytes: Int = 65536,
+      patterns: Seq[String] = Seq(StandardPattern))
       : DataFrame = {
     import spark.implicits._
     val conf = new SerializableConfiguration(
@@ -60,7 +82,8 @@ object CommentKeys {
               off += n; n = in.read(buf, off, maxBytes - off)
             }
             extractFromContent(
-              new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8))
+              new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8),
+              patterns)
           } finally in.close()
         } catch { case _: java.io.IOException => None }
         key.map { case (name, value) => (file, name, value) }

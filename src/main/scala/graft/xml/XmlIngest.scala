@@ -125,7 +125,14 @@ object XmlIngest {
 
   /** Fallback record ids when the XML carries no `id` attribute: sequential
     * per file in document order (fixes the reference's per-chunk restart,
-    * SURVEY.md §8 Q4). Requires lineage columns. */
+    * SURVEY.md §8 Q4). Requires lineage columns.
+    *
+    * SCALE CONSTRAINT: the `partitionBy(source_file_path)` window shuffles
+    * the whole dataset and puts each FILE into ONE reducer partition — fine
+    * for many-small-files corpora (the reference's shape), pathological for
+    * one multi-split giant file. For that case use
+    * [[ensureRecordIdNoShuffle]], which assigns the same dense per-file ids
+    * with two narrow passes and zero shuffle. */
   def ensureRecordId(df: DataFrame): DataFrame =
     if (df.columns.contains("id"))
       df.withColumn("record_id", col("id"))
@@ -133,4 +140,53 @@ object XmlIngest {
       df.withColumn("record_id",
         row_number().over(Window.partitionBy(col("source_file_path"))
           .orderBy(monotonically_increasing_id())).cast("string"))
+
+  /** Shuffle-free dense per-file record ids (the scale path for huge or
+    * skewed files): pass 1 collects per-(partition, file) row COUNTS (tiny
+    * — a partition touches few files), the driver turns them into start
+    * offsets, pass 2 stamps offset + local counter. Both passes are narrow;
+    * the data never moves. Requires a DETERMINISTIC input (a file scan or a
+    * cached plan) so the two passes see identical partitioning — the same
+    * contract `zipWithIndex` has. Ids are dense 1..n per file in partition
+    * order, which for a file-split scan is document order. */
+  def ensureRecordIdNoShuffle(df: DataFrame): DataFrame = {
+    if (df.columns.contains("id")) return df.withColumn("record_id", col("id"))
+    val spark = df.sparkSession
+    val pathIdx = df.schema.fieldIndex("source_file_path")
+    val counts: Array[(Int, Seq[(String, Long)])] =
+      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val perFile = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { r =>
+          val f = r.getString(pathIdx)
+          perFile(f) = perFile.getOrElse(f, 0L) + 1L
+        }
+        Iterator.single(pid -> perFile.toSeq)
+      }.collect()
+    val offsets = {
+      val running = scala.collection.mutable.Map[String, Long]()
+      val m = Map.newBuilder[(Int, String), Long]
+      counts.sortBy(_._1).foreach { case (pid, files) =>
+        files.foreach { case (f, n) =>
+          val prev = running.getOrElse(f, 0L)
+          m += ((pid, f) -> prev)
+          running(f) = prev + n
+        }
+      }
+      m.result()
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = df.schema.add("record_id",
+      org.apache.spark.sql.types.StringType, nullable = false)
+    val tagged = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.Map[String, Long]()
+      it.map { r =>
+        val f = r.getString(pathIdx)
+        val n = local.getOrElse(f, 0L) + 1L
+        local(f) = n
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (bc.value.getOrElse((pid, f), 0L) + n).toString)
+      }
+    }
+    spark.createDataFrame(tagged, outSchema)
+  }
 }

