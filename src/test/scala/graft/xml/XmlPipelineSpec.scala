@@ -273,5 +273,74 @@ class XmlPipelineSpec extends SparkSpec {
     val errs = spark.read.option("header", "true")
       .csv(s"$out/processing_errors.csv")
     assert(errs.filter(col("file").contains("broken.xml")).count() == 1)
+    // validation report (R/logger.R:125-156): verdict counts + percentages
+    val vr = spark.read.option("header", "true")
+      .csv(s"$out/validation_report.csv")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1).toLong, r.getString(2).toDouble)).toMap
+    // 3 files: broken.xml invalid, the two catalogs well-formed w/o schema
+    assert(vr("invalid")._1 == 1L && math.abs(vr("invalid")._2 - 1.0 / 3) < 1e-9)
+    assert(vr("no_schema")._1 == 2L &&
+      math.abs(vr("no_schema")._2 - 2.0 / 3) < 1e-9)
+    // metadata read-back records on-disk size (R/parquet_writer.R:177)
+    val meta = spark.read.option("header", "true")
+      .csv(s"$out/parquet_metadata.csv")
+    assert(meta.columns.contains("size_bytes"))
+    assert(meta.filter(col("size_bytes").cast("long") <= 0).count() == 0)
+  }
+
+  test("alternate comment-key patterns extract end-to-end") {
+    // reference COMMENT_PATTERNS (R/main.R:231-237): equals + underscore
+    assert(CommentKeys.extractFromContent("<!-- Region=West -->",
+      Seq(CommentKeys.CommentPatterns("equals"))) == Some(("Region", "West")))
+    assert(CommentKeys.extractFromContent("<!-- COST_CENTER:42 -->",
+      Seq(CommentKeys.CommentPatterns("underscore"))) ==
+      Some(("COST_CENTER", "42")))
+    // default (standard) pattern does NOT match the equals format
+    assert(CommentKeys.extractFromContent("<!-- Region=West -->") == None)
+    // distributed scan honors the configured pattern list
+    val dir = Files.createTempDirectory("graft_altkeys")
+    Files.writeString(dir.resolve("a.xml"),
+      "<?xml version=\"1.0\"?>\n<!-- Region=West -->\n" +
+        "<catalog><record id=\"1\"><t>x</t></record></catalog>\n")
+    val files = XmlIngest.listXmlFiles(spark, dir.toString)
+    val got = CommentKeys.scan(spark, files,
+      patterns = Seq(CommentKeys.CommentPatterns("equals"))).collect()
+    assert(got.length == 1 && got.head.getString(1) == "Region" &&
+      got.head.getString(2) == "West")
+    assert(CommentKeys.scan(spark, files).isEmpty) // default pattern: no key
+  }
+
+  test("ensureRecordIdNoShuffle: dense per-file ids, multi-partition, no shuffle") {
+    // several files -> several input partitions; counts differ per file
+    val dir = Files.createTempDirectory("graft_recid")
+    (1 to 4).foreach { f =>
+      Files.writeString(dir.resolve(s"f$f.xml"),
+        catalogXml(1 to (10 * f), Seq("active")).replace(" id=\"", " xid=\""))
+    }
+    val files = XmlIngest.listXmlFiles(spark, dir.toString)
+    val raw = XmlIngest.readFiles(spark, files, "record")
+      .withColumn("source_file_path", input_file_name())
+    assert(raw.rdd.getNumPartitions > 1) // the constraint being exercised
+    val tagged = XmlIngest.ensureRecordIdNoShuffle(raw).cache()
+    val perFile = tagged.groupBy("source_file_path")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("record_id")).as("nd"),
+        min(col("record_id").cast("long")).as("lo"),
+        max(col("record_id").cast("long")).as("hi"))
+      .collect()
+    assert(perFile.length == 4)
+    perFile.foreach { r =>
+      val (n, nd, lo, hi) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd == n && lo == 1L && hi == n) // dense 1..n per file
+    }
+    // same ids as the window-based variant, file by file (attrs read with
+    // the `_` prefix in the raw pre-flatten frame)
+    val windowed = XmlIngest.ensureRecordId(raw)
+    assert(tagged.select("source_file_path", "_xid", "record_id")
+      .except(windowed.select("source_file_path", "_xid", "record_id"))
+      .isEmpty)
+    tagged.unpersist()
   }
 }
