@@ -107,5 +107,24 @@ object Dedup {
         |FROM p JOIN c c1 ON p.d1 = c1.doc_id JOIN c c2 ON p.d2 = c2.doc_id
         |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin),
       "n-gram Jaccard near-dup candidate pairs (extension X2)"),
+
+    // X2 MinHash+LSH banded near-dup — the PRODUCTION path that replaces
+    // the all-pairs shingle join above: constant-size signature per doc,
+    // candidates only from shared band buckets (sub-linear pair count).
+    // Not DuckDB-expressible (xxhash64 is engine-specific), so no oracle:
+    // the driver records a rows-only check, and the recall property vs the
+    // brute-force truth is ScalaTest-verified (DedupFunctionsSpec
+    // "LSH recall", >=0.9 at threshold 0.7 on sf0.1).
+    "q_minhash_lsh" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+        graft.functions.MinHash
+          .nearDuplicates(docs, "doc_id", $"toks", threshold = 0.7)
+          .orderBy($"id1", $"id2")
+      },
+      None,
+      "MinHash+LSH banded near-dup pairs (extension X2, scale path)"),
   )
 }

@@ -93,4 +93,35 @@ class DedupFunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 100L)))
   }
+
+  test("LSH recall >= 0.9 vs brute-force truth at threshold 0.7 (sf0.1)") {
+    // truth: UNCAPPED true Jaccard over distinct 3-shingles, all pairs
+    // >= 0.7, on the real sf0.1 corpus (5000 docs, 256 such pairs)
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .withColumn("toks", Fns.tokens($"text"))
+    val sh = corpus.filter(size($"toks") >= 3)
+      .select($"doc_id", explode(MinHash.shingles($"toks", 3)).as("shingle"))
+    val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(nsh.select($"doc_id".as("d1"), $"nsh".as("n1")), "d1")
+      .join(nsh.select($"doc_id".as("d2"), $"nsh".as("n2")), "d2")
+      .filter($"inter".cast("double") / ($"n1" + $"n2" - $"inter") >= 0.7)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture has no >=0.7 near-dup pairs")
+    val found = MinHash
+      .nearDuplicates(corpus, "doc_id", $"toks", threshold = 0.7)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    info(s"sf0.1 LSH recall@0.7 = $recall (${truth.size} true pairs, " +
+      s"${found.size} reported)")
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9")
+  }
 }
