@@ -14,6 +14,7 @@ object SparkEntry {
     * reuse a name — enforced by the uniqueness require below. */
   def all: Seq[(String, GQuery)] =
     operators.Relational.queries ++
+      operators.Analytics.queries ++
       operators.Text.queries ++
       operators.Dedup.queries ++
       operators.TimeWindows.queries ++

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{Fns, GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytical operators beyond the reference's own surface (SURVEY.md §2
+  * extensions): exact percentiles, offset windows (lag/lead), ntile
+  * bucketing, ordered string aggregation, histogram binning, and filtered
+  * (conditional) aggregates. All are single-shuffle grouped/window shapes
+  * with deterministic, oracle-matched formulations.
+  *
+  * Scale notes: every query here shuffles once on its grouping/partition
+  * key and aggregates with map-side partials (or windows within partitions
+  * — no global sort except the final presentation ORDER BY, which at 100 TB
+  * would be dropped or replaced by a top-k). Exact `percentile` needs the
+  * group's values on one partition (Spark collects a sorted buffer per
+  * group); for corpus-wide percentiles at scale use approx_percentile —
+  * noted inline. */
+object Analytics {
+  import Fns._
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // exact interpolated percentiles per group. Both engines implement the
+    // same (n-1)*p linear interpolation over the sorted group, so the
+    // doubles match bit-for-bit. At 100 TB the per-group sort buffer is the
+    // cost — switch to approx_percentile (t-digest) when groups are huge.
+    "q_percentile" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "exact interpolated percentiles per group"),
+
+    // offset windows: previous/next order price per customer, in order-date
+    // order. Pure value movement, no arithmetic — engine-identical.
+    "q_lag_lead" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice",
+            lag($"o_totalprice", 1).over(w).as("prev_price"),
+            lead($"o_totalprice", 1).over(w).as("next_price"))
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+      "lag/lead offset windows per customer"),
+
+    // ntile bucketing: price quartile within each order priority. The
+    // window ORDER BY carries a unique tie-break (o_orderkey) so bucket
+    // assignment is total-order deterministic on both engines.
+    "q_ntile" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice", $"o_orderkey")
+        Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_orderpriority",
+            ntile(4).over(w).as("quartile"))
+          .orderBy($"o_orderpriority", $"quartile", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders
+        |ORDER BY o_orderpriority, quartile, o_orderkey""".stripMargin),
+      "ntile quartile bucketing per priority"),
+
+    // ordered string aggregation per nation: collect_list carries no order
+    // guarantee, so the list is array_sort'ed before joining — mirrored by
+    // DuckDB's ORDER BY inside string_agg. Names are ASCII, so Spark's
+    // binary sort and DuckDB's collation agree.
+    "q_string_agg" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "customer")
+          .join(broadcast(Tables.load(s, d, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            array_join(array_sort(collect_list($"c_name")), "|").as("names"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_customers,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      "ordered string aggregation per nation"),
+
+    // histogram binning: fixed-width price buckets with exact decimal
+    // sums. floor of a double division is engine-identical; the bucket key
+    // shuffles with map-side partial counts.
+    "q_histogram" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .select((floor($"l_extendedprice" / 5000.0)).as("bucket"),
+            $"l_extendedprice")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), dsum2($"l_extendedprice").as("sum_price"))
+          .orderBy($"bucket")
+      },
+      Some(s"""SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, ${sqlDsum2("l_extendedprice")} AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "fixed-width histogram with exact sums"),
+
+    // filtered (conditional) aggregates: discount mix per return flag.
+    // Counts only — no float accumulation — so engine-exact by
+    // construction.
+    "q_filtered_agg" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            count(when($"l_discount" > 0.05, 1)).as("n_high_disc"),
+            count(when($"l_tax" === 0.0, 1)).as("n_no_tax"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+        |  COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_no_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "filtered/conditional aggregates per group"),
+  )
+}

@@ -43,6 +43,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(agreement > 1 - 1e-9, s"full-fraction drifted: min cos $agreement")
   }
 
+  test("cell-partitioned layout: IVF probe is a partition-pruned scan") {
+    // the 100 TB layout SCALE.md promises: corpus written partitionBy cell
+    // id, so routing a query to its cell prunes at the FILE level
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = IvfIndex.assignCells(e, IvfIndex.centroidsExact(spark, dir))
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    cells.write.mode("overwrite").partitionBy("cell_id").parquet(out)
+    val probe = spark.read.parquet(out).filter($"cell_id" === 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1000))
+    assert(probe.count() ==
+      cells.filter($"cell_id" === 1).count()) // pruned scan, same rows
+  }
+
   test("assignCells tags every vector with exactly its argmax-cosine cell") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val cent = IvfIndex.centroidsExact(spark, dir)
