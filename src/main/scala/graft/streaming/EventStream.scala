@@ -44,6 +44,39 @@ object EventStream {
         col("sum_value"))
   }
 
+  /** Streaming exact dedup (extension X1 under readStream): drops
+    * re-deliveries of the same logical event, keyed by a content
+    * fingerprint, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` evicts fingerprints once the event
+    * time passes out of the watermark — at 100 TB/day the state holds only
+    * the watermark horizon, not the full history). Same fingerprint
+    * expression as the batch `q_dedup_exact` shape. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .withColumn("fp",
+        md5(concat_ws("|", col("user_id"), col("ts"), col("value"))))
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Watermarked stream-stream interval join: each click pairs with the
+    * same user's impressions at most `horizon` before it. Both sides'
+    * buffers are bounded by watermark + interval — the canonical
+    * state-bounded stream-stream join shape. */
+  def intervalJoin(
+      impressions: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("i_user"), col("ts").as("i_ts"),
+        col("value").as("i_value"))
+    val clk = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    imp.join(clk,
+      expr("i_user = c_user AND c_ts >= i_ts AND " +
+        "c_ts <= i_ts + INTERVAL 1 HOUR"))
+      .select(col("i_user").as("user_id"), col("i_ts"), col("c_ts"),
+        col("i_value"))
+  }
+
   /** Custom keyed state: running per-user event count + value total via
     * flatMapGroupsWithState (the KeyValueGroupedDataset state API). */
   def userTotals(events: Dataset[Event]): Dataset[UserTotal] = {

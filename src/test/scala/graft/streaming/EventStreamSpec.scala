@@ -64,6 +64,51 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupStream(input.toDF)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      // re-deliver batch1 (duplicates) plus one genuinely new event
+      input.addData(batch1 :+ batch2.head: _*); q.processAllAvailable()
+      val got = spark.table("dedup")
+      assert(got.count() == 4) // 3 originals + 1 new, dupes dropped
+      assert(got.select("fp").distinct().count() == 4)
+      // parity: batch dropDuplicates on the same fingerprint
+      import org.apache.spark.sql.functions._
+      val batchFp = (batch1 ++ batch1 :+ batch2.head).toDF
+        .withColumn("fp",
+          md5(concat_ws("|", col("user_id"), col("ts"), col("value"))))
+        .dropDuplicates("fp")
+      assert(batchFp.count() == 4)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with prior impressions") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.intervalJoin(imps.toDF, clicks.toDF)
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(batch1: _*)
+      // user 1 clicks 10:30 — within 1h after the 10:05 impression but
+      // BEFORE the 10:40 one; user 2 clicks 13:00 — outside every horizon
+      clicks.addData(
+        Event(ts("2024-01-01 10:30:00"), 1L, 0.0),
+        Event(ts("2024-01-01 13:00:00"), 2L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ij")
+        .select("user_id", "i_ts")
+        .as[(Long, Timestamp)].collect().toSeq.sorted
+      assert(got == Seq((1L, ts("2024-01-01 10:05:00"))))
+    } finally q.stop()
+  }
+
   test("session windows close on the 30-minute gap (batch run)") {
     val out = EventStream.sessionAgg(batch1.toDF, withWatermark = false)
       .orderBy("user_id", "session_start")
