@@ -39,6 +39,33 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_similarity").contains("TakeOrderedAndProject"))
   }
 
+  test("q_percentile: map-side partial percentile buffers before exchange") {
+    val p = plan("q_percentile")
+    assert(p.contains("partial_percentile"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"))
+  }
+
+  test("q_string_agg: nation broadcast, partial collect before exchange") {
+    val p = plan("q_string_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("partial_collect_list"), p.take(800))
+  }
+
+  test("q_histogram: partial agg on bucket key, single-column scan") {
+    val p = plan("q_histogram")
+    assert(p.contains("partial_count"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"), p.take(800))
+  }
+
+  test("q_lag_lead: one partition exchange feeds both offset windows") {
+    val p = plan("q_lag_lead")
+    // lag and lead share a single Window node over one hashpartitioning
+    // exchange — not one shuffle per function
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1200))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
