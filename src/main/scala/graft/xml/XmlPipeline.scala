@@ -227,16 +227,27 @@ object XmlPipeline {
     // default; incremental appends fact rows after a schema-equality check.
     val factPath = s"$outputDir/fact_main.parquet"
     val factMode = if (append) SaveMode.Append else SaveMode.Overwrite
-    if (append) {
-      // names+types must match (nullability differs after a parquet
-      // round-trip and is irrelevant for append safety)
-      val shape = (s: org.apache.spark.sql.types.StructType) =>
-        s.fields.map(f => (f.name, f.dataType)).toSeq
-      val existing = spark.read.parquet(factPath).schema
-      require(shape(existing) == shape(fact.schema),
-        s"incremental fact schema drift: existing=$existing new=${fact.schema}")
+    val factToWrite = if (!append) fact else {
+      // schema EVOLUTION, not schema equality: a type conflict on a shared
+      // column is a real error; columns the new batch lacks are null-filled
+      // (so new files carry the full historical column set); brand-new
+      // columns append as-is and surface as null on older rows via
+      // mergeSchema reads (nullability is ignored — it flips on any
+      // parquet round-trip).
+      val existing = spark.read.option("mergeSchema", "true")
+        .parquet(factPath).schema
+      val newTypes = fact.schema.fields.map(f => f.name -> f.dataType).toMap
+      val conflicts = existing.fields
+        .filter(f => newTypes.get(f.name).exists(_ != f.dataType))
+        .map(f => s"${f.name}: ${f.dataType} vs ${newTypes(f.name)}")
+      require(conflicts.isEmpty,
+        s"incremental fact schema type conflicts: ${conflicts.mkString(", ")}")
+      existing.fields.filterNot(f => newTypes.contains(f.name))
+        .foldLeft(fact)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
     }
-    fact.write.mode(factMode).option("compression", "snappy").parquet(factPath)
+    factToWrite.write.mode(factMode)
+      .option("compression", "snappy").parquet(factPath)
     val dimPaths = star.dims.toSeq.sortBy(_._1).map { case (name, dim) =>
       val p = s"$outputDir/dim_$name.parquet"
       // dims are tiny by the classifier contract -> one file
@@ -275,7 +286,8 @@ object XmlPipeline {
     val outFs = new Path(outputDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     outputs.map { p =>
-      val df = spark.read.parquet(p)
+      // mergeSchema: after an evolving append, cols = the union schema
+      val df = spark.read.option("mergeSchema", "true").parquet(p)
       // on-disk size like the reference's size_mb (R/parquet_writer.R:177),
       // in bytes — content summary covers the whole parquet directory
       val size = outFs.getContentSummary(new Path(p)).getLength

@@ -216,6 +216,35 @@ class XmlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/fact_main.parquet").count() == 50)
   }
 
+  test("incremental schema evolution: new column appends, old rows null") {
+    val in = Files.createTempDirectory("graft_evo_in")
+    val out = Files.createTempDirectory("graft_evo_out")
+    val schemas = Files.createTempDirectory("graft_evo_sch")
+    Files.writeString(in.resolve("a.xml"),
+      catalogXml(1 to 30, Seq("active", "retired")))
+    XmlPipeline.process(spark, in.toString, out.toString,
+      schemas.toString, runId = 1L, loadTs = ts)
+    // the new file carries an element the original corpus never had (a
+    // varying numeric -> classified as a measure -> a new fact column)
+    val recs = (31 to 40).map { i =>
+      s"""  <record id="$i" status="active"><title>T$i</title><price>${i * 1.5}</price><weight>${i * 0.25}</weight></record>"""
+    }
+    Files.writeString(in.resolve("b.xml"),
+      s"""<?xml version="1.0"?>\n<catalog>\n${recs.mkString("\n")}\n</catalog>\n""")
+    val r2 = XmlPipeline.processIncremental(spark, in.toString, out.toString,
+      schemas.toString, runId = 2L, loadTs = ts)
+    assert(r2.rows == 10)
+    val fact = spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/fact_main.parquet")
+    assert(fact.count() == 40)
+    // the evolved column exists; run-1 rows surface it as null
+    assert(fact.columns.contains("weight"), fact.columns.mkString(","))
+    assert(fact.filter(col("batch_id") === 1L &&
+      col("weight").isNotNull).count() == 0)
+    assert(fact.filter(col("batch_id") === 2L &&
+      col("weight").isNull).count() == 0)
+  }
+
   test("DTD validation: internal DOCTYPE drives the verdict") {
     val dir = Files.createTempDirectory("graft_dtd")
     Files.writeString(dir.resolve("good.xml"),
