@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{Fns, GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators (SURVEY.md §2.11 extensions):
+  * deterministic hash sampling and the composed dedup→filter→measure
+  * pipeline a data-mixing job runs before training.
+  *
+  * Scale notes: hash sampling is a stateless per-row predicate — no
+  * shuffle, no sampled-set materialization, reproducible across runs and
+  * engines (md5, not `rand()`). The corpus-prep chain is one window
+  * shuffle on the fingerprint (exact-dedup keeper selection) plus one
+  * grouped aggregation; everything else is map-side projection. */
+object Corpus {
+  import Fns._
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // deterministic 1-in-10 hash sample: bucket = first 8 md5 hex digits of
+    // the id, mod 10. Engine-identical (md5 of the same decimal string) and
+    // stable run to run — the reproducible-sampling primitive for corpus
+    // mixing; stratified variants filter per-source on the same bucket.
+    "q_sample_hash" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .withColumn("bucket",
+            pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+              16, 10).cast("bigint"), lit(10)))
+          .filter($"bucket" === 0)
+          .select($"doc_id", $"source", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, n_chars FROM (
+        |  SELECT *, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+        |  FROM documents)
+        |WHERE bucket = 0 ORDER BY doc_id""".stripMargin),
+      "deterministic md5-bucket corpus sample"),
+
+    // the composed training-data prep pass: exact dedup (normalized-text
+    // fingerprint, min-doc_id keeper), minimum-length quality gate, token
+    // counting, then the per-(source, lang) mix report a sampler consumes.
+    // One window shuffle + one agg shuffle end to end.
+    "q_corpus_prep" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"fp").orderBy($"doc_id")
+        Tables.load(s, d, "documents")
+          .withColumn("fp", md5(regexp_replace(lower($"text"), "\\s+", " ")))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1) // dedup: keep lowest doc_id per fingerprint
+          .withColumn("n_tokens", size(tokens($"text")))
+          .filter($"n_tokens" >= 5) // quality gate: drop fragments
+          .groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("sum_tokens"),
+            max($"n_tokens").as("max_tokens"))
+          .orderBy($"source", $"lang")
+      },
+      Some("""WITH deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |measured AS (
+        |  SELECT source, lang,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t != '')) AS n_tokens
+        |  FROM deduped)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, MAX(n_tokens) AS max_tokens
+        |FROM measured WHERE n_tokens >= 5
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+      "composed dedup -> quality gate -> token mix report"),
+  )
+}
