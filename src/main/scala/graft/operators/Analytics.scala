@@ -126,6 +126,47 @@ object Analytics {
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin),
       "fixed-width histogram with exact sums"),
 
+    // covariance + correlation per group WITHOUT covar_samp/corr (whose
+    // float accumulation is summation-order-dependent): the moment sums are
+    // exact decimals, converted to double once, and the closed-form
+    // combination runs in identical IEEE double ops on both engines.
+    "q_covar_corr" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"l_quantity".cast(D18_2)).cast("double").as("sx"),
+            sum($"l_extendedprice".cast(D18_2)).cast("double").as("sy"),
+            sum(($"l_quantity".cast(D18_2) * $"l_quantity".cast(D18_2)))
+              .cast("double").as("sxx"),
+            sum(($"l_extendedprice".cast(D18_2) * $"l_extendedprice".cast(D18_2)))
+              .cast("double").as("syy"),
+            sum(($"l_quantity".cast(D18_2) * $"l_extendedprice".cast(D18_2)))
+              .cast("double").as("sxy"))
+          .select($"l_returnflag", $"n",
+            (($"sxy" - $"sx" * $"sy" / $"n") / $"n").as("covar_pop"),
+            ((($"sxy" - $"sx" * $"sy" / $"n") / $"n") /
+              (sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n") *
+                sqrt(($"syy" - $"sy" * $"sy" / $"n") / $"n"))).as("corr"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) / n AS covar_pop,
+        |  ((sxy - sx * sy / n) / n) /
+        |    (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+      "exact-moment covariance and correlation per group"),
+
     // filtered (conditional) aggregates: discount mix per return flag.
     // Counts only — no float accumulation — so engine-exact by
     // construction.
