@@ -126,6 +126,35 @@ object Analytics {
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin),
       "fixed-width histogram with exact sums"),
 
+    // 7-day moving aggregate via a RANGE window frame: the frame is keyed
+    // on an integer day number, so "6 days preceding" is a rangeBetween in
+    // days — the time-series smoothing shape. Decimal sums keep the frame
+    // aggregation order-insensitive; one shuffle on the partition key.
+    "q_moving_avg" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"day_num")
+          .rangeBetween(-6, Window.currentRow)
+        Tables.load(s, d, "orders")
+          .withColumn("day_num",
+            datediff($"o_orderdate", to_date(lit("1992-01-01"))))
+          .withColumn("sum_7d",
+            sum($"o_totalprice".cast(D18_2)).over(w).cast("double"))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+            $"sum_7d", $"n_7d")
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d,
+        |  COUNT(*) OVER w AS n_7d
+        |FROM (SELECT *, datediff('day', DATE '1992-01-01',
+        |        CAST(o_orderdate AS DATE)) AS day_num FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+      "7-day moving sum/count via range window frame"),
+
     // covariance + correlation per group WITHOUT covar_samp/corr (whose
     // float accumulation is summation-order-dependent): the moment sums are
     // exact decimals, converted to double once, and the closed-form
