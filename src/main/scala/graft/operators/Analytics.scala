@@ -196,6 +196,58 @@ object Analytics {
         |FROM m ORDER BY l_returnflag""".stripMargin),
       "exact-moment covariance and correlation per group"),
 
+    // set operations: INTERSECT/EXCEPT (distinct semantics on both
+    // engines). Customers appearing in both market segments' order sets vs
+    // only the first — each side is a distinct projection, so the set op
+    // shuffles only distinct keys.
+    "q_set_ops" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer"),
+            $"o_custkey" === $"c_custkey")
+        val a = o.filter($"c_mktsegment" === "BUILDING")
+          .select($"c_nationkey")
+        val b = o.filter($"c_mktsegment" === "MACHINERY")
+          .select($"c_nationkey")
+        a.intersect(b).withColumn("op", lit("both"))
+          .unionByName(a.except(b).withColumn("op", lit("building_only")))
+          .orderBy($"op", $"c_nationkey")
+      },
+      Some("""WITH o AS (SELECT c_nationkey, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (SELECT c_nationkey FROM o WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT c_nationkey FROM o WHERE c_mktsegment = 'MACHINERY')
+        |SELECT c_nationkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT c_nationkey, 'building_only' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |ORDER BY op, c_nationkey""".stripMargin),
+      "INTERSECT / EXCEPT distinct set operations"),
+
+    // null-handling scalar functions: coalesce, nullif, and null-aware
+    // comparison over a column with injected nulls (acctbal <= 0 mapped to
+    // null by nullif-like gating) — engine-identical semantics.
+    "q_null_funcs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "customer")
+          .select($"c_custkey",
+            nullif($"c_mktsegment", lit("BUILDING")).as("seg_or_null"),
+            coalesce(nullif($"c_mktsegment", lit("BUILDING")),
+              lit("(hidden)")).as("seg_filled"),
+            when($"c_acctbal" < 0, lit(null).cast("double"))
+              .otherwise($"c_acctbal").as("bal_nonneg"),
+            $"c_acctbal".isNull.as("bal_missing"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(hidden)') AS seg_filled,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+        |  c_acctbal IS NULL AS bal_missing
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+      "null-handling scalar functions (nullif/coalesce/case)"),
+
     // filtered (conditional) aggregates: discount mix per return flag.
     // Counts only — no float accumulation — so engine-exact by
     // construction.

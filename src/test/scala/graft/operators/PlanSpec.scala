@@ -66,6 +66,26 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q_sample_hash: stateless predicate, zero hash exchanges") {
+    val p = plan("q_sample_hash")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1000))
+  }
+
+  test("q_corpus_prep: rank-limit pushdown + partial agg, two exchanges") {
+    val p = plan("q_corpus_prep")
+    // WindowGroupLimit drops all but the top-1 row per fingerprint BEFORE
+    // the row_number window materializes
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2)
+  }
+
+  test("q_moving_avg: range frame over a single partition exchange") {
+    val p = plan("q_moving_avg")
+    assert(p.contains("RangeFrame"), p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
