@@ -64,6 +64,15 @@ object XmlFlatten {
       }
     }
 
+  /** Output column names drop any namespace prefix (`cat:title` →
+    * `title`) — matching what an un-namespaced corpus yields; collisions
+    * across namespaces fall into the make.unique numbering. Struct FIELD
+    * access keeps the real (qualified) names. */
+  private def localName(n: String): String = {
+    val i = n.lastIndexOf(':')
+    if (i >= 0) n.substring(i + 1) else n
+  }
+
   /** R `make.unique`: first occurrence keeps the name, repeats get `.k`. */
   def makeUnique(names: Seq[String]): Seq[String] = {
     val seen = mutable.Map.empty[String, Int]
@@ -93,7 +102,7 @@ object XmlFlatten {
 
     val attrCols = fields
       .filter(f => f.name.startsWith(AttributePrefix) && f.name != ValueTag)
-      .map(f => f.name.stripPrefix(AttributePrefix) ->
+      .map(f => localName(f.name.stripPrefix(AttributePrefix)) ->
         qcol(f.name).cast("string"))
 
     val elemCols = fields
@@ -101,7 +110,7 @@ object XmlFlatten {
       .flatMap { f =>
         f.dataType match {
           case st: StructType =>
-            Seq(f.name -> structText(qcol(f.name), st))
+            Seq(localName(f.name) -> structText(qcol(f.name), st))
           case ArrayType(et, _) =>
             val n = maxLens.getOrElse(f.name, 0)
             (0 until math.max(n, 1)).map { i =>
@@ -111,9 +120,9 @@ object XmlFlatten {
                 case st: StructType => structText(elem, st)
                 case _ => elem.cast("string")
               }
-              f.name -> c
+              localName(f.name) -> c
             }
-          case _ => Seq(f.name -> qcol(f.name).cast("string"))
+          case _ => Seq(localName(f.name) -> qcol(f.name).cast("string"))
         }
       }
 

@@ -51,7 +51,11 @@ object XmlIngest {
 
   /** Determines the row tag by streaming the first file's prefix: first
     * element matching a candidate (anywhere, like the `.//record` XPath),
-    * else the first child-of-root element (the reference's fallback). */
+    * else the first child-of-root element (the reference's fallback).
+    * Candidates match on LOCAL name, but the returned tag is the QUALIFIED
+    * name as written in the document (`cat:record`) — the XML source
+    * matches row tags verbatim, so a namespaced corpus needs the prefix
+    * (the reference's prefix-less `.//record` XPath would find nothing). */
   def probeRowTag(spark: SparkSession, dir: String): String = {
     val files = listXmlFiles(spark, dir)
     require(files.nonEmpty, s"no *.xml files in $dir")
@@ -62,15 +66,17 @@ object XmlIngest {
     val r = fac.createXMLStreamReader(new StringReader(prefix))
     var depth = 0
     var firstChildOfRoot: Option[String] = None
+    def qualified: String =
+      Option(r.getPrefix).filter(_.nonEmpty)
+        .map(p => s"$p:${r.getLocalName}").getOrElse(r.getLocalName)
     try {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             depth += 1
-            val name = r.getLocalName
-            if (RowTagCandidates.contains(name)) return name
+            if (RowTagCandidates.contains(r.getLocalName)) return qualified
             if (depth == 2 && firstChildOfRoot.isEmpty)
-              firstChildOfRoot = Some(name)
+              firstChildOfRoot = Some(qualified)
           case XMLStreamConstants.END_ELEMENT => depth -= 1
           case _ =>
         }

@@ -245,6 +245,37 @@ class XmlPipelineSpec extends SparkSpec {
       col("weight").isNull).count() == 0)
   }
 
+  test("namespaced XML: qualified row tag probed, local column names") {
+    val in = Files.createTempDirectory("graft_ns_in")
+    Files.writeString(in.resolve("a.xml"),
+      """<?xml version="1.0"?>
+        |<cat:catalog xmlns:cat="http://example.com/cat">
+        |  <cat:record id="1" status="active">
+        |    <cat:title>Alpha</cat:title>
+        |    <cat:price>10.50</cat:price>
+        |  </cat:record>
+        |  <cat:record id="2" status="retired">
+        |    <cat:title>Beta</cat:title>
+        |    <cat:price>7.25</cat:price>
+        |  </cat:record>
+        |</cat:catalog>
+        |""".stripMargin)
+    val tag = XmlIngest.probeRowTag(spark, in.toString)
+    assert(tag == "cat:record") // qualified — the source matches verbatim
+    val flat = XmlFlatten.flatten(
+      XmlIngest.read(spark, in.toString, tag))
+    assert(flat.count() == 2)
+    // prefixes dropped from output names, same shape as un-namespaced
+    assert(flat.columns.toSet == Set("id", "status", "title", "price"))
+    assert(flat.filter($"id" === "1").head().getAs[String]("title") == "Alpha")
+    // and the whole pipeline runs on a namespaced corpus
+    val out = Files.createTempDirectory("graft_ns_out")
+    val schemas = Files.createTempDirectory("graft_ns_sch")
+    val report = XmlPipeline.process(spark, in.toString, out.toString,
+      schemas.toString, runId = 1L, loadTs = ts)
+    assert(report.rows == 2)
+  }
+
   test("DTD validation: internal DOCTYPE drives the verdict") {
     val dir = Files.createTempDirectory("graft_dtd")
     Files.writeString(dir.resolve("good.xml"),
