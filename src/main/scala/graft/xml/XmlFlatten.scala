@@ -41,21 +41,32 @@ object XmlFlatten {
   val AttributePrefix = "_"
   val ValueTag = "_VALUE"
 
-  /** Text of a struct-typed element per the reference rule. */
-  private def structText(c: Column, st: StructType): Column =
-    if (st.fieldNames.contains(ValueTag)) c.getField(ValueTag).cast("string")
-    else concat_ws(" ", leafTexts(c, st): _*)
+  /** Text of a struct-typed element per the reference rule. `_VALUE` may
+    * be scalar (simple text) or an ARRAY (mixed content: the text runs
+    * around child elements) — arrays are space-joined, never cast raw (a
+    * raw cast leaks `[a, b]` formatting). An element with both text and
+    * children contributes text first, then child texts in schema order. */
+  private def structText(c: Column, st: StructType): Column = {
+    val valueTxt = st.fields.filter(_.name == ValueTag).toSeq.map { f =>
+      f.dataType match {
+        case ArrayType(_, _) =>
+          array_join(c.getField(ValueTag).cast("array<string>"), " ")
+        case _ => c.getField(ValueTag).cast("string")
+      }
+    }
+    val parts = valueTxt ++ leafTexts(c, st)
+    if (parts.size == 1) parts.head else concat_ws(" ", parts: _*)
+  }
 
   /** Descendant leaf texts of a nested element, in schema-field order,
-    * skipping attribute fields. */
+    * skipping attribute fields (ValueTag is `_`-prefixed, so text content
+    * is contributed by [[structText]], not double-counted here). */
   private def leafTexts(c: Column, st: StructType): Seq[Column] =
     st.fields.filterNot(_.name.startsWith(AttributePrefix)).toSeq.flatMap { f =>
       val child = c.getField(f.name)
       f.dataType match {
         case st2: StructType =>
-          if (st2.fieldNames.contains(ValueTag))
-            Seq(child.getField(ValueTag).cast("string"))
-          else leafTexts(child, st2)
+          Seq(structText(child, st2))
         case ArrayType(st2: StructType, _) =>
           Seq(array_join(transform(child, x => structText(x, st2)), " "))
         case ArrayType(_, _) =>

@@ -245,6 +245,30 @@ class XmlPipelineSpec extends SparkSpec {
       col("weight").isNull).count() == 0)
   }
 
+  test("edge content: CDATA, entities, empty elements, mixed content") {
+    val in = Files.createTempDirectory("graft_edge_in")
+    Files.writeString(in.resolve("a.xml"),
+      """<?xml version="1.0"?>
+        |<catalog>
+        |  <record id="1">
+        |    <title><![CDATA[Alpha & Beta <3]]></title>
+        |    <note>a &amp; b &lt;tag&gt;</note>
+        |    <empty/>
+        |    <mixed>prefix <b>bold</b> suffix</mixed>
+        |  </record>
+        |</catalog>
+        |""".stripMargin)
+    val flat = XmlFlatten.flatten(
+      XmlIngest.read(spark, in.toString, "record"))
+    val r = flat.head()
+    assert(r.getAs[String]("title") == "Alpha & Beta <3") // CDATA verbatim
+    assert(r.getAs[String]("note") == "a & b <tag>")      // entities decoded
+    assert(r.getAs[String]("empty") == "")                // empty element
+    // mixed content: text runs space-joined, then child texts in schema
+    // order — never the raw array rendering "[prefix, suffix]"
+    assert(r.getAs[String]("mixed") == "prefix suffix bold")
+  }
+
   test("namespaced XML: qualified row tag probed, local column names") {
     val in = Files.createTempDirectory("graft_ns_in")
     Files.writeString(in.resolve("a.xml"),
