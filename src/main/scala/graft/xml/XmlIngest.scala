@@ -89,10 +89,23 @@ object XmlIngest {
       throw new IllegalArgumentException(s"no records found in ${files.head}"))
   }
 
+  /** Declared encoding of the corpus, sniffed from the first file's XML
+    * declaration (`encoding="..."`); UTF-8 when absent. The XML source
+    * decodes with ITS option, not the declaration — without this a Latin-1
+    * corpus silently reads as mojibake. ASCII-safe: every encoding the
+    * declaration can name preserves the ASCII prolog bytes. */
+  def probeEncoding(spark: SparkSession, file: String): String = {
+    val head = readPrefix(spark, file, maxBytes = 256)
+    "encoding=[\"']([A-Za-z0-9._-]+)[\"']".r
+      .findFirstMatchIn(head).map(_.group(1)).getOrElse("UTF-8")
+  }
+
   /** Stringly-typed structured read of an XML directory. */
-  def read(spark: SparkSession, dir: String, rowTag: String): DataFrame =
+  def read(spark: SparkSession, dir: String, rowTag: String,
+      charset: String = "UTF-8"): DataFrame =
     spark.read.format("xml")
       .option("rowTag", rowTag)
+      .option("encoding", charset)
       .option("attributePrefix", XmlFlatten.AttributePrefix)
       .option("valueTag", XmlFlatten.ValueTag)
       .option("inferSchema", "false") // stringly typed, like the reference
@@ -100,10 +113,12 @@ object XmlIngest {
       .load(dir)
 
   /** Same, over an explicit file list (the post-validation good files). */
-  def readFiles(spark: SparkSession, files: Seq[String], rowTag: String)
+  def readFiles(spark: SparkSession, files: Seq[String], rowTag: String,
+      charset: String = "UTF-8")
       : DataFrame =
     spark.read.format("xml")
       .option("rowTag", rowTag)
+      .option("encoding", charset)
       .option("attributePrefix", XmlFlatten.AttributePrefix)
       .option("valueTag", XmlFlatten.ValueTag)
       .option("inferSchema", "false")
@@ -112,10 +127,12 @@ object XmlIngest {
   /** Read with an explicit schema — skips the source's structure-discovery
     * pass over the data entirely. */
   def readFilesWithSchema(spark: SparkSession, files: Seq[String],
-      rowTag: String, schema: org.apache.spark.sql.types.StructType)
+      rowTag: String, schema: org.apache.spark.sql.types.StructType,
+      charset: String = "UTF-8")
       : DataFrame =
     spark.read.format("xml")
       .option("rowTag", rowTag)
+      .option("encoding", charset)
       .option("attributePrefix", XmlFlatten.AttributePrefix)
       .option("valueTag", XmlFlatten.ValueTag)
       .schema(schema)

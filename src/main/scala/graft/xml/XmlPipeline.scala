@@ -166,10 +166,12 @@ object XmlPipeline {
     // schema. input_file_name() must be stamped BEFORE the cache — it
     // reads the scan node and returns "" from a cached relation.
     val rowTag = XmlIngest.probeRowTag(spark, inputDir)
+    val charset = XmlIngest.probeEncoding(spark, goodFiles.head)
     val schema = XmlIngest
-      .readFiles(spark, goodFiles.take(structureSampleFiles), rowTag).schema
+      .readFiles(spark, goodFiles.take(structureSampleFiles), rowTag, charset)
+      .schema
     val raw = XmlIngest
-      .readFilesWithSchema(spark, goodFiles, rowTag, schema)
+      .readFilesWithSchema(spark, goodFiles, rowTag, schema, charset)
       .withColumn("source_file_path", input_file_name())
       .cache()
     val flat = XmlFlatten.flatten(raw) // lineage string passes through

@@ -269,6 +269,25 @@ class XmlPipelineSpec extends SparkSpec {
     assert(r.getAs[String]("mixed") == "prefix suffix bold")
   }
 
+  test("declared non-UTF8 encoding is sniffed and honored") {
+    val in = Files.createTempDirectory("graft_enc_in")
+    Files.write(in.resolve("a.xml"),
+      ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>\n" +
+        "<catalog><record id=\"1\"><title>Café</title></record></catalog>\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val f = in.resolve("a.xml").toString
+    assert(XmlIngest.probeEncoding(spark, f) == "ISO-8859-1")
+    val flat = XmlFlatten.flatten(
+      XmlIngest.readFiles(spark, Seq(f), "record", charset = "ISO-8859-1"))
+    assert(flat.head().getAs[String]("title") == "Café")
+    // default (UTF-8) probe on a declaration-less file
+    val plain = Files.createTempDirectory("graft_enc2")
+    Files.writeString(plain.resolve("b.xml"),
+      "<catalog><record id=\"1\"><t>x</t></record></catalog>\n")
+    assert(XmlIngest.probeEncoding(spark,
+      plain.resolve("b.xml").toString) == "UTF-8")
+  }
+
   test("namespaced XML: qualified row tag probed, local column names") {
     val in = Files.createTempDirectory("graft_ns_in")
     Files.writeString(in.resolve("a.xml"),
