@@ -102,8 +102,11 @@ object SchemaProfiler {
   /** 100 TB variant: HLL distinct counts (configurable error) instead of an
     * exact count-distinct per column; otherwise identical shape. Role
     * thresholds tolerate HLL error by construction (they compare against
-    * ratios, not exact cardinalities). */
-  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02)
+    * ratios, not exact cardinalities). Default rsd 0.05: tightening to
+    * 0.02 pushes the sketch past its dense-representation threshold and
+    * costs ~6x per-row update time (measured) for precision the
+    * classifier never uses. */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05)
       : DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       val sc = graft.qcol(c).cast("string")

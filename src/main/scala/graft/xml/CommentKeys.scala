@@ -63,7 +63,8 @@ object CommentKeys {
     * carries a business key: (source_file_path, business_key_name,
     * business_key_value). */
   def scan(spark: SparkSession, files: Seq[String], maxBytes: Int = 65536,
-      patterns: Seq[String] = Seq(StandardPattern))
+      patterns: Seq[String] = Seq(StandardPattern),
+      charset: String = "UTF-8")
       : DataFrame = {
     import spark.implicits._
     val conf = new SerializableConfiguration(
@@ -82,7 +83,7 @@ object CommentKeys {
               off += n; n = in.read(buf, off, maxBytes - off)
             }
             extractFromContent(
-              new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8),
+              new String(buf, 0, off, java.nio.charset.Charset.forName(charset)),
               patterns)
           } finally in.close()
         } catch { case _: java.io.IOException => None }

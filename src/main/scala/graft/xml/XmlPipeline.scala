@@ -182,7 +182,7 @@ object XmlPipeline {
         .withColumn("load_timestamp", lit(loadTs)))
 
     // business keys from comments (S6)
-    val keys = CommentKeys.scan(spark, goodFiles)
+    val keys = CommentKeys.scan(spark, goodFiles, charset = charset)
     val data = CommentKeys.attach(withLineage, keys)
 
     // role classification on a bounded sample of files (R/main.R:95) via
