@@ -40,6 +40,38 @@ object Corpus {
         |WHERE bucket = 0 ORDER BY doc_id""".stripMargin),
       "deterministic md5-bucket corpus sample"),
 
+    // fixed-size token chunking with overlap (chunk 50, stride 40): the
+    // context-window splitting primitive for training/RAG ingestion. Pure
+    // per-row explode — no shuffle until the presentation sort; chunk
+    // count is data-driven via the token count, identically on both
+    // engines (integer division).
+    "q_chunk_docs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("n", size($"toks"))
+          .filter($"n" > 0)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, (n-1) div 40), " +
+              "i -> concat_ws(' ', slice(toks, i*40+1, 50)))"))
+            .as(Seq("chunk_id", "chunk")))
+          .withColumn("chunk_tokens", size(split($"chunk", " ")))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(i AS INT) AS chunk_id,
+        |  array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk,
+        |  CAST(len(toks[i*40+1 : i*40+50]) AS INT) AS chunk_tokens
+        |FROM n, unnest(generate_series(0, (n-1) // 40)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin),
+      "fixed-size overlapping token chunking"),
+
     // the composed training-data prep pass: exact dedup (normalized-text
     // fingerprint, min-doc_id keeper), minimum-length quality gate, token
     // counting, then the per-(source, lang) mix report a sampler consumes.

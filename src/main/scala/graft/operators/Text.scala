@@ -179,5 +179,41 @@ object Text {
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
       "content fingerprint via normalized md5 (extension X4)"),
+
+    // X4 TF-IDF: term frequency from an explode+groupBy (map-side
+    // partials), document frequency from the distinct (doc, word) set,
+    // corpus size broadcast as a one-row cross join. Integer counts +
+    // one ln() in identical expression order keep it engine-exact.
+    // Top-20 highest-scoring (doc, term) pairs, totally ordered.
+    "q_tfidf" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val words = docs(s, d)
+          .select($"doc_id", explode(graft.Fns.tokens($"text")).as("word"))
+        val tf = words.groupBy($"doc_id", $"word")
+          .agg(count(lit(1)).as("tf"))
+        val docFreq = words.select($"doc_id", $"word").distinct()
+          .groupBy($"word").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        tf.join(docFreq, "word")
+          .crossJoin(broadcast(n))
+          .select($"doc_id", $"word",
+            ($"tf".cast("double") *
+              log($"n_docs".cast("double") / $"df")).as("tfidf"))
+          .orderBy($"tfidf".desc, $"doc_id", $"word")
+          .limit(20)
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, word,
+        |  CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+        |FROM tf JOIN df USING (word), n
+        |ORDER BY tfidf DESC, doc_id, word LIMIT 20""".stripMargin),
+      "TF-IDF top terms (extension X4)"),
   )
 }
