@@ -21,6 +21,61 @@ object Dedup {
     * exactly in the DuckDB oracle). */
   val MaxShingleDf = 100
 
+  /** Connected components over near-dup candidate pairs — the step after
+    * pair generation in a real dedup pass: every document in a duplicate
+    * cluster maps to one canonical keeper (the smallest id reachable
+    * through any chain of pairs, so A~B, B~C collapses to one keeper even
+    * when A and C never paired directly).
+    *
+    * Iterative min-label propagation with POINTER JUMPING: each round a
+    * node takes the min of its own label, its neighbors' labels, and its
+    * label's label (path halving) — so even a path graph converges in
+    * O(log diameter) rounds, not O(diameter). Each round is two shuffle
+    * joins, and each round's result is `localCheckpoint`ed: an iterative
+    * join MUST cut lineage per round — a plain cache leaves the logical
+    * plan doubling every iteration until analysis itself blows up (the
+    * classic iterative-Spark trap; a cluster job would use
+    * `checkpoint` for driver-failure resilience).
+    *
+    * Returns (id, cluster_id). */
+  def clusters(
+      pairs: org.apache.spark.sql.DataFrame,
+      maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, coalesce, least, min => fmin}
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"),
+          col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(fmin(col("dst_label")).as("nbr_label"))
+      val jump = labels.select(col("id"), col("label")).as("a")
+        .join(labels.select(col("id").as("lid"),
+          col("label").as("jmp_label")), col("label") === col("lid"))
+        .select(col("id"), col("jmp_label"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
+        .select(col("id"), least(col("label"),
+          coalesce(col("nbr_label"), col("label")),
+          coalesce(col("jmp_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // X1 exact dedup via content fingerprint: one hash-groupBy, map-side
