@@ -76,6 +76,35 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** The full corpus dedup pass, composed the way a training-data job
+    * runs it: (1) exact dedup by normalized fingerprint — one cheap
+    * hash-groupBy that removes byte-identical copies before anything
+    * quadratic; (2) MinHash+LSH candidate pairs over the survivors;
+    * (3) connected-component clustering so transitive chains collapse;
+    * (4) keep one canonical document (smallest id) per cluster.
+    * Every stage is the sub-linear shape — nothing all-pairs. */
+  def deduplicate(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val exact = docs
+      .withColumn("__fp",
+        md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__fp")
+    val pairs = graft.functions.MinHash.nearDuplicates(
+      exact.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, col("__toks"), threshold = threshold)
+    val losers = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // X1 exact dedup via content fingerprint: one hash-groupBy, map-side

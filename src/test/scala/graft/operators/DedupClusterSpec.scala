@@ -25,6 +25,25 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.filter($"cluster_id" === 0L).count() == 64)
   }
 
+  test("deduplicate keeps one canonical doc per near-dup cluster") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val kept = Dedup.deduplicate(docs, "doc_id", "text").cache()
+    val n0 = docs.count()
+    val n1 = kept.count()
+    assert(n1 < n0, s"nothing removed from $n0 docs")
+    assert(kept.columns.sameElements(docs.columns)) // schema preserved
+    // no two survivors are still LSH near-dups at the threshold
+    val residualPairs = graft.functions.MinHash.nearDuplicates(
+      kept.withColumn("toks", graft.Fns.tokens($"text")),
+      "doc_id", $"toks", threshold = 0.7)
+    assert(residualPairs.isEmpty)
+    // each removed doc had a surviving representative with smaller id
+    val removed = docs.select("doc_id").except(kept.select("doc_id"))
+    assert(removed.count() == n0 - n1)
+    kept.unpersist()
+  }
+
   test("clusters over real LSH pairs pick one keeper per duplicate group") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.01/documents.parquet")
