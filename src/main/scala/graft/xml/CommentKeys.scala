@@ -59,6 +59,32 @@ object CommentKeys {
       .take(1).toSeq.headOption
   }
 
+  /** Reads one file's prefix and extracts its business key — the per-file
+    * unit shared by [[scan]] and the fused
+    * [[XmlValidation.validateAndScanBatch]] pass. */
+  private[xml] def readPrefixKey(
+      file: String,
+      hadoopConf: Configuration,
+      patterns: Seq[String],
+      charset: String,
+      maxBytes: Int = 65536): Option[(String, String)] =
+    try {
+      val path = new Path(file)
+      val fs = path.getFileSystem(hadoopConf)
+      val in = fs.open(path)
+      try {
+        val buf = new Array[Byte](maxBytes)
+        var off = 0
+        var n = in.read(buf, off, maxBytes - off)
+        while (n > 0 && off < maxBytes) {
+          off += n; n = in.read(buf, off, maxBytes - off)
+        }
+        extractFromContent(
+          new String(buf, 0, off, java.nio.charset.Charset.forName(charset)),
+          patterns)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
   /** Distributed prefix scan of every file: one output row per file that
     * carries a business key: (source_file_path, business_key_name,
     * business_key_value). */
@@ -71,23 +97,8 @@ object CommentKeys {
       spark.sparkContext.hadoopConfiguration)
     files.toDS().mapPartitions { it =>
       it.flatMap { file =>
-        val key = try {
-          val path = new Path(file)
-          val fs = path.getFileSystem(conf.value)
-          val in = fs.open(path)
-          try {
-            val buf = new Array[Byte](maxBytes)
-            var off = 0
-            var n = in.read(buf, off, maxBytes - off)
-            while (n > 0 && off < maxBytes) {
-              off += n; n = in.read(buf, off, maxBytes - off)
-            }
-            extractFromContent(
-              new String(buf, 0, off, java.nio.charset.Charset.forName(charset)),
-              patterns)
-          } finally in.close()
-        } catch { case _: java.io.IOException => None }
-        key.map { case (name, value) => (file, name, value) }
+        readPrefixKey(file, conf.value, patterns, charset, maxBytes)
+          .map { case (name, value) => (file, name, value) }
       }
     }.toDF("bk_file_path", "business_key_name", "business_key_value")
   }

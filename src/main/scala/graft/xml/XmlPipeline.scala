@@ -139,25 +139,33 @@ object XmlPipeline {
     log.info(s"queued ${filesToProcess.size} XML files from $inputDir" +
       (if (append) " (incremental)" else ""))
 
-    // per-file validation pre-pass; invalid files are SKIPPED, the
-    // pipeline continues (R/xml_parser.R:34-42). Good files come out of an
+    // per-file validation pre-pass FUSED with the business-key prefix scan
+    // (one task per file does both — halves the fixed job rounds vs two
+    // back-to-back file passes); invalid files are SKIPPED, the pipeline
+    // continues (R/xml_parser.R:34-42). Good files come out of an
     // ANTI-JOIN on the path column (VERDICT r1 #5) — the only collects are
     // the per-run good-path list (which the scan builder needs on the
     // driver regardless) and a BOUNDED sample of failures for the log.
-    val (goodFiles, errorsDf, verdicts) =
+    val charset = XmlIngest.probeEncoding(spark, filesToProcess.head)
+    val (goodFiles, errorsDf, verdicts, scannedKeys) =
       if (validate) {
         import spark.implicits._
         val v = XmlValidation
-          .validateBatch(spark, filesToProcess, schemaDir, explicitXsd)
+          .validateAndScanBatch(spark, filesToProcess, schemaDir,
+            explicitXsd, charset = charset)
           .cache()
         val bad = v.filter(col("verdict") === "invalid")
+          .select("file", "verdict", "errors", "schema_used")
         val good = filesToProcess.toDF("file")
           .join(bad.select("file"), Seq("file"), "left_anti")
           .orderBy("file").as[String].collect().toSeq
         bad.select("file").orderBy("file").limit(100).as[String].collect()
           .foreach(f => log.error(s"validation failed: $f"))
-        (good, bad, Some(v))
-      } else (filesToProcess, spark.emptyDataFrame, None)
+        val keys = v.filter(col("business_key_name").isNotNull)
+          .select(col("file").as("bk_file_path"),
+            col("business_key_name"), col("business_key_value"))
+        (good, bad, Some(v), Some(keys))
+      } else (filesToProcess, spark.emptyDataFrame, None, None)
 
     // structured read + flatten + lineage + record ids (§1.4, S15).
     // Physical structure is inferred from a bounded FILE SAMPLE (the
@@ -166,7 +174,6 @@ object XmlPipeline {
     // schema. input_file_name() must be stamped BEFORE the cache — it
     // reads the scan node and returns "" from a cached relation.
     val rowTag = XmlIngest.probeRowTag(spark, inputDir)
-    val charset = XmlIngest.probeEncoding(spark, goodFiles.head)
     val schema = XmlIngest
       .readFiles(spark, goodFiles.take(structureSampleFiles), rowTag, charset)
       .schema
@@ -181,8 +188,10 @@ object XmlPipeline {
           element_at(split(col("source_file_path"), "/"), -1))
         .withColumn("load_timestamp", lit(loadTs)))
 
-    // business keys from comments (S6)
-    val keys = CommentKeys.scan(spark, goodFiles, charset = charset)
+    // business keys from comments (S6) — already scanned by the fused
+    // validation pass when validation ran; separate prefix pass otherwise
+    val keys = scannedKeys.getOrElse(
+      CommentKeys.scan(spark, goodFiles, charset = charset))
     val data = CommentKeys.attach(withLineage, keys)
 
     // role classification on a bounded sample of files (R/main.R:95) via

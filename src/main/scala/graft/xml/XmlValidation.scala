@@ -162,6 +162,40 @@ object XmlValidation {
     }.toDF("file", "verdict", "errors", "schema_used")
   }
 
+  /** Validation AND business-key prefix scan fused into ONE distributed
+    * pass (one task opens each file once for the SAX parse, then re-reads
+    * only its prefix for the comment key) — halves the per-run job rounds
+    * vs running [[validateBatch]] and [[CommentKeys.scan]] back to back,
+    * which is pure fixed overhead at the small-corpus tier and one fewer
+    * full task-launch wave over 10M files at the large tier. */
+  def validateAndScanBatch(
+      spark: SparkSession,
+      files: Seq[String],
+      schemaDir: String,
+      explicitXsd: Option[String] = None,
+      keyPatterns: Seq[String] = Seq(CommentKeys.StandardPattern),
+      charset: String = "UTF-8"): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    files.toDS().map { f =>
+      val v = explicitXsd match {
+        case Some(xsd) => validateXsd(f, xsd)
+        case None => validateAuto(f, schemaDir)
+      }
+      val key =
+        if (v.valid.contains(false)) None // skipped files need no key
+        else CommentKeys.readPrefixKey(f, conf.value, keyPatterns, charset)
+      (v.file,
+        v.valid.map(b => if (b) "valid" else "invalid").getOrElse("no_schema"),
+        v.errors.mkString("; "),
+        v.schemaUsed.getOrElse(""),
+        key.map(_._1).orNull,
+        key.map(_._2).orNull)
+    }.toDF("file", "verdict", "errors", "schema_used",
+      "business_key_name", "business_key_value")
+  }
+
   /** Verdict counts + percentage (`R/schema_validator.R:201-204`). */
   def summarize(verdicts: DataFrame): DataFrame = {
     val total = verdicts.count()
