@@ -267,5 +267,81 @@ object Analytics {
         |  COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_no_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "filtered/conditional aggregates per group"),
+
+    // value windows: first/last/nth order per customer. The frame for
+    // last_value must be UNBOUNDED FOLLOWING on both engines (the default
+    // frame ends at CURRENT ROW and would return the row itself). Ordering
+    // key includes o_orderkey so ties on date are deterministic.
+    "q_value_windows" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val full = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            first($"o_orderkey").over(full).as("first_order"),
+            last($"o_orderkey").over(full).as("last_order"),
+            nth_value($"o_orderkey", 2).over(full).as("second_order"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin),
+      "first/last/nth value windows with explicit frames"),
+
+    // rank-ratio windows: percent_rank + cume_dist per market segment.
+    // Both are exact rationals of row counts — engine-identical doubles.
+    "q_percent_rank" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
+        Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment",
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin),
+      "percent_rank / cume_dist rank-ratio windows"),
+
+    // scalar-subquery shape: customers above their nation's average
+    // balance. Expressed shuffle-free on the fact side: the per-nation
+    // aggregate is 25 rows — broadcast back. The threshold compare uses
+    // EXACT decimal cross-multiplication (bal * n > sum), never a float
+    // average, so boundary rows can't flip between engines.
+    "q_scalar_subquery" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.load(s, d, "customer")
+        val stats = c.groupBy($"c_nationkey".as("nk"))
+          .agg(sum($"c_acctbal".cast("decimal(20,2)")).as("sum_bal"),
+            count(lit(1)).as("n_cust"))
+        c.join(broadcast(stats), $"c_nationkey" === $"nk")
+          .filter($"c_acctbal".cast("decimal(20,2)") * $"n_cust" > $"sum_bal")
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH stats AS (
+        |  SELECT c_nationkey AS nk,
+        |    SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS sum_bal,
+        |    COUNT(*) AS n_cust
+        |  FROM customer GROUP BY 1)
+        |SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer JOIN stats ON c_nationkey = nk
+        |WHERE CAST(c_acctbal AS DECIMAL(20,2)) * n_cust > sum_bal
+        |ORDER BY c_custkey""".stripMargin),
+      "scalar-subquery shape: rows above their group average (exact math)"),
   )
 }

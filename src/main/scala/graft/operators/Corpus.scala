@@ -108,5 +108,34 @@ object Corpus {
         |FROM measured WHERE n_tokens >= 5
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
       "composed dedup -> quality gate -> token mix report"),
+
+    // stratified hash sampling: a DIFFERENT deterministic fraction per
+    // stratum (the data-mixing knob: up-sample scarce sources, down-sample
+    // abundant ones). Same md5-bucket primitive as q_sample_hash — still a
+    // stateless per-row predicate, no shuffle until the audit aggregation,
+    // reproducible across engines and runs.
+    "q_stratified_sample" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val bucket = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+          16, 10).cast("bigint"), lit(100))
+        val keepPct = when($"source" === "src0", 10)
+          .when($"source" === "src1", 50)
+          .otherwise(25)
+        Tables.load(s, d, "documents")
+          .filter(bucket < keepPct)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_sampled FROM (
+        |  SELECT source,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN source = 'src0' THEN 10
+        |  WHEN source = 'src1' THEN 50 ELSE 25 END
+        |GROUP BY source ORDER BY source""".stripMargin),
+      "stratified per-source hash sampling (data-mixing knob)"),
   )
 }

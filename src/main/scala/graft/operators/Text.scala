@@ -180,11 +180,14 @@ object Text {
         |FROM documents ORDER BY doc_id""".stripMargin),
       "content fingerprint via normalized md5 (extension X4)"),
 
-    // X4 TF-IDF: term frequency from an explode+groupBy (map-side
-    // partials), document frequency from the distinct (doc, word) set,
-    // corpus size broadcast as a one-row cross join. Integer counts +
-    // one ln() in identical expression order keep it engine-exact.
-    // Top-20 highest-scoring (doc, term) pairs, totally ordered.
+    // X4 TF-IDF from ONE corpus scan: term frequency via explode+groupBy
+    // (map-side partials); document frequency as a window count over the
+    // tf table (tf has exactly one row per distinct (doc, word), so
+    // count-over-partition(word) IS df) — no second scan, no join, just
+    // one agg shuffle + one word-keyed window exchange. Corpus size
+    // broadcasts as a one-row cross join. Integer counts + one ln() in
+    // identical expression order keep it engine-exact. Top-20
+    // highest-scoring (doc, term) pairs, totally ordered.
     "q_tfidf" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -192,10 +195,9 @@ object Text {
           .select($"doc_id", explode(graft.Fns.tokens($"text")).as("word"))
         val tf = words.groupBy($"doc_id", $"word")
           .agg(count(lit(1)).as("tf"))
-        val docFreq = words.select($"doc_id", $"word").distinct()
-          .groupBy($"word").agg(count(lit(1)).as("df"))
+        val byWord = org.apache.spark.sql.expressions.Window.partitionBy($"word")
         val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
-        tf.join(docFreq, "word")
+        tf.withColumn("df", count(lit(1)).over(byWord))
           .crossJoin(broadcast(n))
           .select($"doc_id", $"word",
             ($"tf".cast("double") *
@@ -215,5 +217,110 @@ object Text {
         |FROM tf JOIN df USING (word), n
         |ORDER BY tfidf DESC, doc_id, word LIMIT 20""".stripMargin),
       "TF-IDF top terms (extension X4)"),
+
+    // X4 PII redaction: email/phone patterns replaced with placeholder
+    // tags — the scrub pass a training pipeline runs before tokenization.
+    // The synthetic corpus has no PII, so each engine deterministically
+    // INJECTS an email + phone built from doc_id into the text first, then
+    // scrubs — proving the redaction fires, not just that it's a no-op.
+    // Patterns use only syntax shared by Java regex and RE2.
+    "q_pii_scrub" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+        docs(s, d)
+          .withColumn("dirty",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com or +12-555-010"), pmod($"doc_id", lit(10))))
+          .select($"doc_id",
+            regexp_replace(regexp_replace($"dirty", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("clean"))
+          .filter($"clean".contains("<EMAIL>") &&
+            $"clean".contains("<PHONE>"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |        '@example.com or +12-555-010' || CAST(doc_id % 10 AS VARCHAR),
+        |      '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM documents
+        |WHERE contains(regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |        '@example.com or +12-555-010' || CAST(doc_id % 10 AS VARCHAR),
+        |      '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '<EMAIL>')
+        |ORDER BY doc_id""".stripMargin),
+      "PII email/phone redaction (extension X4)"),
+
+    // X4 repetition ratio — the Gopher-style quality signal: fraction of
+    // tokens that are repeats of an earlier token in the same doc.
+    // 1 - distinct/total, exact rational on both engines.
+    "q_repetition" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") > 0)
+          .select($"doc_id",
+            (lit(1.0) - size(array_distinct($"toks")).cast("double") /
+              size($"toks")).as("rep_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(${sqlTokens("text")})) AS DOUBLE) /
+        |    len(${sqlTokens("text")}) AS rep_ratio
+        |FROM documents WHERE len(${sqlTokens("text")}) > 0
+        |ORDER BY doc_id""".stripMargin),
+      "token repetition-ratio quality signal (extension X4)"),
+
+    // X4 bigram counts: adjacent-token pairs via an index transform over
+    // the token array (no self-join), then the usual partial-agg count.
+    // Top-20, totally ordered.
+    "q_bigrams" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .withColumn("toks", tokens($"text"))
+          .select(explode(expr(
+            "transform(sequence(1, size(toks)-1), " +
+              "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))"))
+            .as("bigram"))
+          .groupBy($"bigram").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bigram")
+          .limit(20)
+      },
+      Some(s"""WITH t AS (
+        |  SELECT ${sqlTokens("text")} AS toks FROM documents),
+        |b AS (
+        |  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+        |  FROM t, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |  WHERE len(toks) > 1)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
+      "adjacent-token bigram counts (extension X4)"),
+
+    // X4 edit-distance similarity: levenshtein of every part name against
+    // a probe string, top-20 closest — linear scan (never pairwise n²; the
+    // pairwise tier is the LSH/blocked path, operators/Dedup). Both
+    // engines implement unit-cost Levenshtein — identical integers.
+    "q_levenshtein" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "part")
+          .select($"p_partkey", $"p_name",
+            levenshtein($"p_name", lit("spring green yellow purple"))
+              .as("dist"))
+          .orderBy($"dist", $"p_partkey")
+          .limit(20)
+      },
+      Some("""SELECT p_partkey, p_name,
+        |  levenshtein(p_name, 'spring green yellow purple') AS dist
+        |FROM part ORDER BY dist, p_partkey LIMIT 20""".stripMargin),
+      "edit-distance similarity vs a probe string (extension X4)"),
   )
 }

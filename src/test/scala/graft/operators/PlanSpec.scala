@@ -86,6 +86,42 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
 
+  test("q_chunk_docs: one generator, no hash shuffle before the output sort") {
+    val p = plan("q_chunk_docs")
+    assert(p.linesIterator.count(_.contains("Generate posexplode")) == 1, p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q_tfidf: single corpus scan — df from a window over tf, not a re-scan") {
+    val p = plan("q_tfidf")
+    // exactly one explode of the corpus (tf); df reuses it via the window
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"))
+    // the only broadcast is the one-row corpus count
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) == 1, p.take(1500))
+  }
+
+  test("q_set_ops: customer side broadcasts, set-op aggs have map-side partials") {
+    val p = plan("q_set_ops")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // distinct projections shuffle only after a partial aggregate
+    val aggs = p.linesIterator.count(_.contains("HashAggregate(keys=[c_nationkey"))
+    assert(aggs >= 4, s"expected partial+final aggs per set-op branch, got $aggs")
+  }
+
+  test("q_null_funcs: pure projection — zero hash shuffles, pruned 3-col scan") {
+    val p = plan("q_null_funcs")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1000))
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_acctbal:double,c_mktsegment:string>"))
+  }
+
+  test("q_minhash_lsh: bucketed candidates only — no cartesian, capped buckets") {
+    val p = plan("q_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("bucket_n"), p.take(1500)) // hot-bucket cap window present
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
