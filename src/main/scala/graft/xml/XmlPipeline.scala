@@ -257,31 +257,51 @@ object XmlPipeline {
         .foldLeft(fact)((df, f) =>
           df.withColumn(f.name, lit(null).cast(f.dataType)))
     }
+    // Independent sinks are SUBMITTED CONCURRENTLY (each write is its own
+    // tiny Spark job; serially, task-launch latency dominates the whole
+    // sink stage — concurrent submission is the standard Spark pattern for
+    // many small independent jobs and cuts the stage to the slowest write).
+    // The fact write stays first and synchronous: it is the large one, and
+    // the metadata read-back depends on it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     factToWrite.write.mode(factMode)
       .option("compression", "snappy").parquet(factPath)
-    val dimPaths = star.dims.toSeq.sortBy(_._1).map { case (name, dim) =>
+    val dimWrites = star.dims.toSeq.sortBy(_._1).map { case (name, dim) =>
       val p = s"$outputDir/dim_$name.parquet"
       // dims are tiny by the classifier contract -> one file
-      dim.coalesce(1).write.mode(SaveMode.Overwrite)
-        .option("compression", "snappy").parquet(p)
-      p
+      Future {
+        dim.coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("compression", "snappy").parquet(p)
+        p
+      }
     }
-    if (validate && !errorsDf.isEmpty)
-      errorsDf.coalesce(1).write.mode(SaveMode.Overwrite)
-        .option("header", "true").csv(s"$outputDir/processing_errors.csv")
-    // validation report (R/logger.R:125-156): verdict counts + percentage
-    // per run — the reference user's validation_report.csv
-    verdicts.foreach { v =>
-      XmlValidation.summarize(v)
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .option("header", "true").csv(s"$outputDir/validation_report.csv")
-    }
-    profiled.orderBy("classification", "col_name")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("header", "true").csv(s"$outputDir/schema_documentation.csv")
+    val csvWrites = Seq(
+      Future {
+        if (validate && !errorsDf.isEmpty)
+          errorsDf.coalesce(1).write.mode(SaveMode.Overwrite)
+            .option("header", "true").csv(s"$outputDir/processing_errors.csv")
+      },
+      // validation report (R/logger.R:125-156): verdict counts + percentage
+      // per run — the reference user's validation_report.csv
+      Future {
+        verdicts.foreach { v =>
+          XmlValidation.summarize(v)
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .option("header", "true").csv(s"$outputDir/validation_report.csv")
+        }
+      },
+      Future {
+        profiled.orderBy("classification", "col_name")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("header", "true").csv(s"$outputDir/schema_documentation.csv")
+      })
 
     // manifest (append across runs, S13) + ledger + metadata read-back (S14)
     val rows = fact.count()
+    val dimPaths = dimWrites.map(Await.result(_, Duration.Inf))
+    csvWrites.foreach(Await.result(_, Duration.Inf))
     val nSkipped = filesToProcess.size - goodFiles.size
     import spark.implicits._
     Seq((loadTs.toString, filesDiscovered, goodFiles.size, nSkipped, rows,
@@ -297,13 +317,16 @@ object XmlPipeline {
     val outFs = new Path(outputDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     outputs.map { p =>
-      // mergeSchema: after an evolving append, cols = the union schema
-      val df = spark.read.option("mergeSchema", "true").parquet(p)
-      // on-disk size like the reference's size_mb (R/parquet_writer.R:177),
-      // in bytes — content summary covers the whole parquet directory
-      val size = outFs.getContentSummary(new Path(p)).getLength
-      (p.split('/').last, df.count(), df.columns.length, size)
-    }.toDF("file", "rows", "cols", "size_bytes")
+      Future {
+        // mergeSchema: after an evolving append, cols = the union schema
+        val df = spark.read.option("mergeSchema", "true").parquet(p)
+        // on-disk size like the reference's size_mb (R/parquet_writer.R:177),
+        // in bytes — content summary covers the whole parquet directory
+        val size = outFs.getContentSummary(new Path(p)).getLength
+        (p.split('/').last, df.count(), df.columns.length, size)
+      }
+    }.map(Await.result(_, Duration.Inf))
+      .toDF("file", "rows", "cols", "size_bytes")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$outputDir/parquet_metadata.csv")
 
