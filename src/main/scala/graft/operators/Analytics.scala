@@ -343,5 +343,61 @@ object Analytics {
         |WHERE CAST(c_acctbal AS DECIMAL(20,2)) * n_cust > sum_bal
         |ORDER BY c_custkey""".stripMargin),
       "scalar-subquery shape: rows above their group average (exact math)"),
+
+    // argmax aggregation: per customer, the order carrying their maximum
+    // total price — max_by/arg_max, the "pick the row that wins" shape
+    // that replaces a rank-window + filter with ONE partial-aggregable
+    // pass (map-side combine keeps only the current winner per group —
+    // strictly cheaper than a window at 100 TB). The value key includes
+    // the orderkey so exact-price ties stay deterministic on both engines.
+    "q_argmax" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(
+            max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+              .as("best_order"),
+            max($"o_totalprice").as("best_price"))
+          .orderBy($"o_custkey")
+      },
+      // DuckDB's arg_max can't take a struct value key, so the oracle uses
+      // the equivalent join-back: among a customer's max-price orders, the
+      // max orderkey — exactly max_by's lexicographic (price, key) winner.
+      Some("""WITH m AS (
+        |  SELECT o_custkey, max(o_totalprice) AS best_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_custkey, max(o.o_orderkey) AS best_order, m.best_price
+        |FROM orders o JOIN m
+        |  ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.best_price
+        |GROUP BY o.o_custkey, m.best_price
+        |ORDER BY o.o_custkey""".stripMargin),
+      "argmax (max_by) — winner row per group in one aggregable pass"),
+
+    // re-aggregatable distinct counting: per-segment HLL sketch PARTIALS
+    // (Datasketches binary, storable in a rollup table) merged with
+    // hll_union_agg into a global estimate — at 100 TB you materialize the
+    // per-partition sketches once and answer any rollup from them without
+    // rescanning. No DuckDB oracle (sketch binaries are engine-specific):
+    // rows-only driver check + HllSketchSpec asserts estimate accuracy vs
+    // exact counts.
+    "q_hll_distinct" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val partials = Tables.load(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(hll_sketch_agg($"o_custkey").as("sk"),
+            count(lit(1)).as("n_rows"))
+        val perSeg = partials
+          .select($"o_orderpriority".as("scope"),
+            hll_sketch_estimate($"sk").as("approx_custkeys"))
+        val global = partials
+          .agg(hll_sketch_estimate(hll_union_agg($"sk"))
+            .as("approx_custkeys"))
+          .select(lit("_global").as("scope"), $"approx_custkeys")
+        perSeg.unionByName(global).orderBy($"scope")
+      },
+      None,
+      "HLL sketch partials + union rollup (re-aggregatable distincts)"),
   )
 }

@@ -63,7 +63,11 @@ object IvfIndex {
     * re-assemble in pos order. Runs once per index build — at scale this is
     * the (sampled) training job, not a query-path cost. */
   private def meanCentroids(corpus: DataFrame, exact: Boolean): DataFrame = {
-    val v = if (exact) sum(col("v").cast("decimal(28,12)")).cast("double")
+    // float widens to double FIRST (exact on both engines; DuckDB's direct
+    // float->decimal cast rounds via the shortest decimal representation
+    // and lands ~1e-10 off Spark's — enough to flip near-tied cell routing)
+    val v = if (exact) sum(col("v").cast("double").cast("decimal(28,12)"))
+              .cast("double")
             else sum(col("v").cast("double"))
     corpus
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))

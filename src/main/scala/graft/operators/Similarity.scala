@@ -109,7 +109,7 @@ object Similarity {
         |  FROM embeddings),
         |cent AS (
         |  SELECT label, pos,
-        |    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
         |  FROM x GROUP BY 1, 2),
         |centa AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label),
         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
@@ -146,5 +146,64 @@ object Similarity {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cos_sim DESC, v1, v2 LIMIT 20""".stripMargin),
       "label-blocked embedding near-dup pairs (extension X2)"),
+
+    // X3 mean-pooling: the element-wise centroid of each label's vectors —
+    // the pooled-document-embedding / class-prototype primitive. Shape:
+    // posexplode to (label, pos, val), one partial-agg shuffle on
+    // (label, pos) — never collects vectors to the driver. Sums use EXACT
+    // decimal accumulation (float addition orders differ between engines);
+    // the mean divides two engine-identical values in double space.
+    "q_embed_pool" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        emb(s, d)
+          .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg(
+            // widen float->double FIRST (exact on both engines; a direct
+            // float->decimal cast rounds differently in DuckDB)
+            sum($"v".cast("double").cast("decimal(28,12)")).cast("double")
+              .as("sum_v"),
+            count(lit(1)).as("n"))
+          .select($"label", $"pos", ($"sum_v" / $"n").as("mean_v"))
+          .orderBy($"label", $"pos")
+      },
+      Some("""SELECT label, CAST(u.i - 1 AS INT) AS pos,
+        |  CAST(SUM(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(28,12)))
+        |    AS DOUBLE) / COUNT(*) AS mean_v
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+      "per-label mean-pooled embedding (extension X3)"),
+
+    // X3 L2-normalize + symmetric int8 quantization — the storage-shrink
+    // pass before ANN indexing (4x smaller vectors). Per-row map only: the
+    // squared-norm folds the array IN INDEX ORDER on both engines
+    // (aggregate / list_reduce), so the doubles are bit-identical; the
+    // int8 codes are emitted as one comma-joined signature string per
+    // vector (robust cross-engine compare, no array-type equality games).
+    "q_embed_quantize" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        emb(s, d)
+          .withColumn("norm", sqrt(expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+              "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+          .select($"vec_id", $"norm",
+            expr("concat_ws(',', transform(embedding, " +
+              "x -> CAST(round(127.0 * CAST(x AS DOUBLE) / norm, 0) AS INT)))")
+              .as("qsig"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (acc, x) -> acc + x)) AS norm
+        |  FROM embeddings)
+        |SELECT vec_id, norm,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(round(127.0 * CAST(x AS DOUBLE) / norm, 0) AS INT)), ',') AS qsig
+        |FROM n ORDER BY vec_id""".stripMargin),
+      "L2-normalize + int8 quantization signature (extension X3)"),
   )
 }
