@@ -21,6 +21,11 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  // DuckDB fragments for q_array_funcs (token list + probe vocabulary)
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+  private val sqlProbe = "['spark', 'join', 'window', 'zzz']"
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // ------------------------------------------------------------------
@@ -184,6 +189,82 @@ object Relational {
         |  regexp_replace(source, '^src', 'source_') AS source_renamed
         |FROM documents ORDER BY doc_id""".stripMargin),
       "gsub replace-all (R/star_transformer.R:119)"),
+
+    // F9+ global regex capture: ALL matches as an array (extraction tier
+    // above the reference's single-capture gregexpr uses, R/xml_parser.R
+    // :240). Joined to one string for a type-stable cross-engine compare.
+    "q_regex_extract_all" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            array_join(
+              expr("regexp_extract_all(text, '\\\\b[a-z]*a[a-z]*\\\\b', 0)"),
+              "|").as("a_words"),
+            size(expr("regexp_extract_all(text, '\\\\b[a-z]*a[a-z]*\\\\b', 0)"))
+              .as("n_matches"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  array_to_string(regexp_extract_all(text, '\b[a-z]*a[a-z]*\b', 0), '|')
+        |    AS a_words,
+        |  CAST(len(regexp_extract_all(text, '\b[a-z]*a[a-z]*\b', 0)) AS INT)
+        |    AS n_matches
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      "regexp_extract_all global capture"),
+
+    // F-tier JSON extraction: the events table's props column is a JSON
+    // object; path extraction + typed cast. get_json_object is Spark's
+    // codegen'd JSON path primitive (a full from_json with a declared
+    // schema is the typed variant — same plan shape).
+    "q_json_extract" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select($"event_id",
+            get_json_object($"props", "$.k").cast("int").as("k_int"),
+            get_json_object($"props", "$.missing").as("absent"))
+          .filter($"k_int".isNotNull)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin),
+      "JSON path extraction over the props column"),
+
+    // F-tier array set algebra over token arrays: intersect/union/except
+    // against a probe vocabulary. Outputs are sorted + joined (the two
+    // engines agree on SET CONTENT, not on element order or duplicate
+    // handling — array_sort + distinct on both sides pins it down).
+    "q_array_funcs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val probe = array(Seq("spark", "join", "window", "zzz").map(lit): _*)
+        t(s, d, "documents")
+          .withColumn("toks", graft.Fns.tokens($"text"))
+          .select($"doc_id",
+            array_join(array_sort(array_intersect($"toks", probe)), ",")
+              .as("common"),
+            array_join(array_sort(array_except($"toks", probe)), ",")
+              .as("rest"),
+            size(array_distinct(array_union($"toks", probe))).as("n_union"))
+          .orderBy($"doc_id")
+      },
+      // DuckDB list_sort([]) is NULL (Spark's array_join of [] is '') —
+      // coalesce pins the empty-set representation
+      Some(s"""SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list_sort(list_intersect(${sqlToks}, ${sqlProbe})), ','), '')
+        |    AS common,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(${sqlToks}),
+        |    x -> NOT list_contains(${sqlProbe}, x))), ','), '') AS rest,
+        |  CAST(len(list_distinct(list_concat(${sqlToks}, ${sqlProbe}))) AS INT)
+        |    AS n_union
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      "array set algebra (intersect/except/union) vs a probe vocabulary"),
 
     // F8 date/time functions (R/star_transformer.R:112-114; R/logger.R:11,31)
     "q_date_funcs" -> GQuery(

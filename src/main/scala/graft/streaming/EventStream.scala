@@ -77,6 +77,14 @@ object EventStream {
         col("i_value"))
   }
 
+  /** Stream-static enrichment: join the event stream against a STATIC
+    * dimension table (broadcast — the static side never buffers state; each
+    * micro-batch probes the same hashed relation). This is the streaming
+    * face of the star transform's dim-attach (J1): same join expression,
+    * stateless on the stream side. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Custom keyed state: running per-user event count + value total via
     * flatMapGroupsWithState (the KeyValueGroupedDataset state API). */
   def userTotals(events: Dataset[Event]): Dataset[UserTotal] = {
