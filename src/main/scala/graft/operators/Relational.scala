@@ -353,6 +353,49 @@ object Relational {
     // Extension X7: multi-way join + agg (TPC-H Q5 shape). region/nation are
     // broadcast; lineitem<->orders is the only large shuffle join and AQE
     // re-plans it at runtime.
+    // X7 full TPC-H Q5 shape — the six-table local-supplier-volume join.
+    // The load-bearing constraint is c_nationkey = s_nationkey (customer
+    // and supplier in the SAME nation), which can't be planned as a pure
+    // star: Catalyst must thread the nationkey equivalence through two
+    // fact-side joins. supplier/nation/region broadcast; lineitem never
+    // shuffles for them (only the orders/customer keys shuffle).
+    "q_tpch_q5" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, d, "supplier")),
+            $"l_suppkey" === $"s_suppkey" &&
+              $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(t(s, d, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region")),
+            $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA" &&
+            $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+          .groupBy($"n_name")
+          .agg(
+            sum($"l_extendedprice".cast(D18_2) *
+              (lit(1.0) - $"l_discount").cast(D18_8))
+              .cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      "TPC-H Q5 local-supplier volume (six-table join)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._

@@ -122,6 +122,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket_n"), p.take(1500)) // hot-bucket cap window present
   }
 
+  test("q_tpch_q5: fact table never shuffles — one agg exchange, dims broadcast") {
+    val p = plan("q_tpch_q5")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1500))
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+        "l_extendedprice:double,l_discount:double>"), p.take(1500))
+    assert(p.contains("r_name = ASIA") || p.contains("(r_name#"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
