@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** Distinct word n-gram shingles of a token array. */
+  /** Distinct word n-gram shingles of a token array. Docs shorter than n
+    * tokens yield ONE truncated shingle (their whole text): the stop bound
+    * clamps to 1 because Spark's `sequence(1, stop)` DESCENDS through 0
+    * when stop < 1, and `slice(_, 0, _)` throws — and an empty shingle set
+    * would make `array_min` return a null signature anyway. */
   def shingles(tokens: Column, n: Int): Column =
     array_distinct(
-      transform(sequence(lit(1), greatest(size(tokens) - (n - 1), lit(0))),
+      transform(sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(tokens, i, lit(n)))))
 
   /** k-permutation MinHash signature: element i is min over shingles of a

@@ -132,6 +132,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("r_name = ASIA") || p.contains("(r_name#"), p.take(1500))
   }
 
+  test("rank-filter queries push the limit INTO the window (WindowGroupLimit)") {
+    // rank()<=k / row_number()=1 filters must become per-group limits that
+    // drop rows before the full window sort buffers them — at 100 TB this
+    // is the difference between a bounded heap and a per-key sort spill.
+    Seq("q_window_rank", "q_knn_join", "q_corpus_prep").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lacks WindowGroupLimit")
+    }
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
