@@ -399,5 +399,25 @@ object Analytics {
       },
       None,
       "HLL sketch partials + union rollup (re-aggregatable distincts)"),
+
+    // approximate percentiles: the bounded-memory path q_percentile's
+    // scale note promises (exact percentile buffers whole groups;
+    // approx_percentile holds a fixed-size sketch per group). accuracy=
+    // 10000 → rank error ≤ n/10000. No DuckDB oracle (sketch internals
+    // are engine-specific): rows-only driver check + ApproxPercentileSpec
+    // asserts the rank-error envelope vs the exact values.
+    "q_approx_percentile" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+            expr("approx_percentile(l_extendedprice, array(0.25, 0.9), 10000)")
+              .as("p_price"))
+          .orderBy($"l_returnflag")
+      },
+      None,
+      "approx_percentile — bounded-memory quantiles at scale"),
   )
 }

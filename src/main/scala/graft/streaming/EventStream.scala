@@ -85,6 +85,20 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Idempotent (effectively exactly-once) parquet sink via foreachBatch:
+    * each micro-batch lands in its own `batch_id=` partition with DYNAMIC
+    * partition overwrite, so a replayed batch (post-failure re-delivery
+    * with the same epoch id) overwrites its own partition instead of
+    * appending duplicates. This is the standard end-to-end-exactly-once
+    * recipe for non-transactional stores. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String)
+      : Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
   /** Custom keyed state: running per-user event count + value total via
     * flatMapGroupsWithState (the KeyValueGroupedDataset state API). */
   def userTotals(events: Dataset[Event]): Dataset[UserTotal] = {

@@ -118,6 +118,29 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("foreachBatch idempotent sink: a replayed batch does not duplicate") {
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sink").toString + "/out"
+    val input = MemoryStream[Event]
+    val q = input.toDF.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, path))
+      .start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      assert(spark.read.parquet(path).count() == 4)
+      // simulate post-failure re-delivery of batch 1: same epoch id, same
+      // rows — the dynamic partition overwrite replaces, never appends
+      EventStream.writeBatchIdempotent(batch2.toDF, 1L, path)
+      assert(spark.read.parquet(path).count() == 4)
+      // and the other batch's partition was untouched
+      assert(spark.read.parquet(path)
+        .filter($"batch_id" === 0).count() == 3)
+    } finally q.stop()
+  }
+
   test("stream-static enrich broadcasts the dim; unmatched users keep null") {
     implicit val ctx = spark.sqlContext
     val dim = Seq((1L, "gold")).toDF("user_id", "tier")
