@@ -266,6 +266,114 @@ object Relational {
         |FROM documents ORDER BY doc_id""".stripMargin),
       "array set algebra (intersect/except/union) vs a probe vocabulary"),
 
+    // F-tier math scalars: engine-identical IEEE double + integer math.
+    // round() is decimal-exact half-away-from-zero on both engines.
+    "q_math_funcs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            abs($"l_discount" - 0.05).as("abs_d"),
+            ceil($"l_quantity" / 7).as("ceil_q"),
+            floor($"l_extendedprice" / 1000).as("floor_p"),
+            round($"l_tax" * 100, 1).as("round_t"),
+            pow($"l_quantity", 2).as("q_sq"),
+            pmod($"l_orderkey", lit(97)).as("mod_k"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_p,
+        |  round(l_tax * 100, 1) AS round_t,
+        |  pow(l_quantity, 2) AS q_sq,
+        |  l_orderkey % 97 AS mod_k
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "math scalar functions (abs/ceil/floor/round/pow/mod)"),
+
+    // F-tier string scalars beyond the reference's trim/concat tier.
+    "q_string_funcs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select($"p_partkey",
+            lpad($"p_name", 30, ".").as("padded"),
+            reverse($"p_name").as("rev"),
+            substring($"p_name", 2, 5).as("mid"),
+            instr($"p_name", "a").cast("int").as("first_a"),
+            repeat(substring($"p_name", 1, 2), 3).as("rep2"),
+            translate($"p_name", "aeiou", "AEIOU").as("caps_vowels"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        |  lpad(p_name, 30, '.') AS padded,
+        |  reverse(p_name) AS rev,
+        |  substring(p_name, 2, 5) AS mid,
+        |  CAST(instr(p_name, 'a') AS INT) AS first_a,
+        |  repeat(left(p_name, 2), 3) AS rep2,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS caps_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin),
+      "string scalar functions (pad/reverse/substr/instr/repeat/translate)"),
+
+    // F8+ date ARITHMETIC (the reading tier is q_date_funcs): day offsets,
+    // day diffs, truncated month arithmetic — all integer-exact.
+    "q_date_arith" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select($"o_orderkey",
+            date_add($"o_orderdate", 30).cast("date").as("due_date"),
+            datediff(lit("1998-12-31").cast("date"), $"o_orderdate")
+              .as("days_to_eoy"),
+            add_months($"o_orderdate", 3).cast("date").as("plus_q"),
+            last_day($"o_orderdate").cast("date").as("month_end"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |    AS INT) AS days_to_eoy,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_q,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "date arithmetic (offsets, diffs, month math)"),
+
+    // F-tier bitwise ops — exact integer semantics on both engines.
+    "q_bitwise" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .select($"c_custkey",
+            ($"c_custkey".bitwiseAND(255)).as("low8"),
+            ($"c_custkey".bitwiseXOR($"c_nationkey")).as("xored"),
+            shiftleft($"c_custkey", 2).as("shl2"),
+            bit_count($"c_custkey").as("popcnt"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        |  c_custkey & 255 AS low8,
+        |  xor(c_custkey, CAST(c_nationkey AS BIGINT)) AS xored,
+        |  c_custkey << 2 AS shl2,
+        |  CAST(bit_count(c_custkey) AS INT) AS popcnt
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+      "bitwise operators (and/xor/shift/popcount)"),
+
+    // U1+ union DISTINCT (q_union_by_name covers union-all-with-fill;
+    // q_set_ops covers intersect/except): distinct nation keys present on
+    // either side — dedup happens via one partial-aggregable distinct.
+    "q_union_distinct" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val a = t(s, d, "customer").select($"c_nationkey".as("nk"))
+        val b = t(s, d, "supplier").select($"s_nationkey".cast("bigint").as("nk"))
+        a.union(b).distinct().orderBy($"nk")
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin),
+      "union distinct (set union across tables)"),
+
     // F8 date/time functions (R/star_transformer.R:112-114; R/logger.R:11,31)
     "q_date_funcs" -> GQuery(
       (s, d) => {
