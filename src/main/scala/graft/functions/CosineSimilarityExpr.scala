@@ -84,12 +84,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
-/** Session extension registering graft's native expressions; enable with
+/** Session extension registering graft's native expressions and optimizer
+  * rules; enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),

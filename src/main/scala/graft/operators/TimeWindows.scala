@@ -22,27 +22,45 @@ object TimeWindows {
 
   private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
+  /** Hand-banded form of `q_range_join` — what RangeJoinRewrite produces
+    * automatically from the naive inequality join. Kept as the parity
+    * reference for RangeJoinRewriteSpec. */
+  def bandedFollowers(s: SparkSession, d: String) = {
+    import s.implicits._
+    val e = events(s, d).select($"event_id", $"user_id", $"ts")
+    val a = e
+      .withColumn("bucket", explode(array(
+        date_trunc("hour", $"ts"),
+        date_trunc("hour", $"ts") + expr("INTERVAL 1 HOUR"))))
+      .select($"event_id", $"user_id", $"ts".as("ta"), $"bucket")
+    val b = e.select($"user_id",
+      date_trunc("hour", $"ts").as("bucket"), $"ts".as("tb"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter($"tb" > $"ta" && $"tb" <= $"ta" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_followers"))
+      .orderBy($"event_id")
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // Banded range join (SURVEY.md §2.3 extension): events followed by
-    // another event of the same user within 1 hour. A naive inequality
-    // join is a nested-loop; the scale pattern is BANDING — bucket the
-    // time axis to the range width, equi-join on (key, bucket ∈ {b, b+1}),
-    // then apply the exact range predicate. One hash shuffle, candidate
-    // set ≈ matches, never |L|×|R|.
+    // another event of the same user within 1 hour. Written as the NAIVE
+    // inequality join — graft.plans.RangeJoinRewrite (registered via
+    // GraftExtensions) detects the two-sided bound and rewrites it to the
+    // banded form: bucket the time axis to the range width, equi-join on
+    // (key, bucket ∈ {b, b+1}), exact predicate on the candidates. One
+    // hash shuffle, candidate set ≈ matches, never |L|×|R|. The hand-banded
+    // equivalent lives in [[bandedFollowers]] (parity-asserted in
+    // RangeJoinRewriteSpec).
     "q_range_join" -> GQuery(
       (s, d) => {
         import s.implicits._
         val e = events(s, d).select($"event_id", $"user_id", $"ts")
-        val a = e
-          .withColumn("bucket", explode(array(
-            date_trunc("hour", $"ts"),
-            date_trunc("hour", $"ts") + expr("INTERVAL 1 HOUR"))))
-          .select($"event_id", $"user_id", $"ts".as("ta"), $"bucket")
-        val b = e.select($"user_id",
-          date_trunc("hour", $"ts").as("bucket"), $"ts".as("tb"))
-        a.join(b, Seq("user_id", "bucket"))
-          .filter($"tb" > $"ta" && $"tb" <= $"ta" + expr("INTERVAL 1 HOUR"))
+        val a = e.select($"event_id", $"user_id".as("ua"), $"ts".as("ta"))
+        val b = e.select($"user_id".as("ub"), $"ts".as("tb"))
+        a.join(b, $"ua" === $"ub" && $"tb" > $"ta" &&
+            $"tb" <= $"ta" + expr("INTERVAL 1 HOUR"))
           .groupBy($"event_id")
           .agg(count(lit(1)).as("n_followers"))
           .orderBy($"event_id")
