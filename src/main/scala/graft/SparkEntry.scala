@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.Text.queries ++
       operators.Dedup.queries ++
+      operators.Contamination.queries ++
       operators.Corpus.queries ++
       operators.TimeWindows.queries ++
       operators.Similarity.queries ++
