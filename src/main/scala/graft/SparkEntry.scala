@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Text.queries ++
       operators.Dedup.queries ++
       operators.Contamination.queries ++
+      operators.SqlShapes.queries ++
       operators.Corpus.queries ++
       operators.TimeWindows.queries ++
       operators.Similarity.queries ++

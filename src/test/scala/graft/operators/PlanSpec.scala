@@ -141,6 +141,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_exists_subquery: EXISTS/NOT EXISTS become semi + anti joins") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("NestedLoop"), p.take(1200))
+  }
+
+  test("q_lateral_topk: per-row LIMIT decorrelates to a rank window, no loop") {
+    val p = plan("q_lateral_topk")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q_contamination: benchmark shingle set broadcasts, corpus side flows") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q_range_join: naive inequality join auto-banded by RangeJoinRewrite") {
+    val p = plan("q_range_join")
+    assert(p.contains("__graft_band"), p.take(1500))
+    assert(!p.contains("NestedLoop"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
