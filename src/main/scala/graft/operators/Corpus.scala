@@ -137,5 +137,146 @@ object Corpus {
         |  WHEN source = 'src1' THEN 50 ELSE 25 END
         |GROUP BY source ORDER BY source""".stripMargin),
       "stratified per-source hash sampling (data-mixing knob)"),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis): key =
+    // -ln(u)/w with u a deterministic md5-derived uniform in (0,1], take
+    // the k smallest keys per stratum — the exact distributed analogue of
+    // a weighted reservoir, as one window over a stateless projection.
+    // Deterministic across engines AND runs (no rand()); weights here are
+    // document length, the usual proxy when mixing by token budget.
+    "q_weighted_sample" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val h = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("bigint")
+        val u = (h + lit(1)).cast("double") / lit(4294967297.0)
+        val w = Window.partitionBy($"source")
+          .orderBy($"key", $"doc_id")
+        Tables.load(s, d, "documents")
+          .filter($"n_chars" > 0)
+          .withColumn("key", -log(u) / $"n_chars")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+          .select($"source", $"rk", $"doc_id", $"n_chars")
+          .orderBy($"source", $"rk")
+      },
+      Some("""SELECT source, rk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |          / 4294967297.0) / n_chars,
+        |      doc_id) AS rk
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
+      "Efraimidis-Spirakis weighted sampling without replacement"),
+
+    // temperature-scaled source mixing (the multinomial-sampling weights
+    // of multilingual/multi-source training, alpha = 0.7): w_i ∝ c_i^α
+    // over per-source token counts. Token counts are exact integer sums;
+    // the power/normalize math is the identical double formula on both
+    // engines. Two tiny aggregations — the second is a broadcast scalar.
+    "q_mix_temperature" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.load(s, d, "documents")
+          .withColumn("n_tokens", size(tokens($"text")).cast("bigint"))
+          .groupBy($"source")
+          .agg(sum($"n_tokens").as("n_tokens"))
+        val scaled = counts
+          .withColumn("scaled", pow($"n_tokens".cast("double"), lit(0.7)))
+        val total = scaled.agg(sum($"scaled").as("z"))
+        scaled.crossJoin(total)
+          .select($"source", $"n_tokens",
+            ($"scaled" / $"z").as("weight"),
+            ($"scaled" / $"z" * lit(100000.0)).as("expected_draws"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH c AS (
+        |  SELECT source,
+        |    CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, n_tokens,
+        |    power(CAST(n_tokens AS DOUBLE), 0.7) AS scaled FROM c)
+        |SELECT source, n_tokens, scaled / (SELECT SUM(scaled) FROM s) AS weight,
+        |  scaled / (SELECT SUM(scaled) FROM s) * 100000.0 AS expected_draws
+        |FROM s ORDER BY source""".stripMargin),
+      "temperature-scaled (alpha=0.7) source mixing weights"),
+
+    // sequence packing (concat-and-chunk): docs concatenated per source in
+    // doc_id order, cut into 512-token context windows; a doc belongs to
+    // the bin its start offset lands in. One running-sum window per
+    // source + one aggregation — the deterministic distributed version of
+    // the pretraining packer (greedy first-fit is inherently sequential;
+    // offset packing is order-stable and shuffle-minimal at any scale).
+    "q_pack_sequences" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, d, "documents")
+          .withColumn("n_tokens", size(tokens($"text")).cast("bigint"))
+          .filter($"n_tokens" > 0)
+          .withColumn("cum", sum($"n_tokens").over(w))
+          .withColumn("bin", (($"cum" - $"n_tokens") / lit(512))
+            .cast("bigint"))
+          .groupBy($"source", $"bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("bin_tokens"),
+            min($"doc_id").as("first_doc"))
+          .withColumn("fill", $"bin_tokens".cast("double") / lit(512.0))
+          .orderBy($"source", $"bin")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT source, (cum - n_tokens) // 512 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / 512.0 AS fill
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+      "sequence packing into 512-token context windows"),
+
+    // lexical-diversity quality signals: type-token ratio + hapax ratio
+    // per document. One explode + per-(doc, token) count + one re-agg —
+    // linear, partial-agg friendly, no quadratic per-doc lambda.
+    "q_ttr" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok")
+          .agg(count(lit(1)).as("tf"))
+          .groupBy($"doc_id")
+          .agg(sum($"tf").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when($"tf" === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select($"doc_id", $"n_tokens".cast("bigint").as("n_tokens"),
+            $"n_types", $"n_hapax",
+            ($"n_types".cast("double") / $"n_tokens".cast("double"))
+              .as("ttr"),
+            ($"n_hapax".cast("double") / $"n_types".cast("double"))
+              .as("hapax_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM e GROUP BY doc_id, tok),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
+        |FROM a ORDER BY doc_id""".stripMargin),
+      "type-token + hapax lexical-diversity quality signals"),
   )
 }
