@@ -40,4 +40,40 @@ class CompactionSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("z-order clustering bounds per-file spans on BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft_z_in").toString
+    val zOut = Files.createTempDirectory("graft_z").toString + "/t"
+    val linOut = Files.createTempDirectory("graft_lin").toString + "/t"
+    // two independent uniform dims (decorrelated by multiplicative hashing)
+    (0 until 200000).map { i =>
+      ((i * 2654435761L) % 100000, (i * 40503L) % 100000, i.toLong)
+    }.toDF("x", "y", "id")
+      .repartition(32).write.mode("overwrite").parquet(dir)
+
+    val nZ = Compaction.compactZ(spark, dir, zOut, Seq("x", "y"),
+      targetFileBytes = 128L * 1024)
+    Compaction.compact(spark, dir, linOut, Seq("x"),
+      targetFileBytes = 128L * 1024)
+    assert(nZ >= 8, s"want enough files to measure spans, got $nZ")
+    assert(spark.read.parquet(zOut).count() == 200000)
+
+    // fraction of the full domain each file's [min,max] covers, averaged
+    def meanSpan(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col(c))
+        .groupBy($"f").agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble / 100000.0)
+      spans.sum / spans.length
+    }
+    val (zx, zy) = (meanSpan(zOut, "x"), meanSpan(zOut, "y"))
+    val (lx, ly) = (meanSpan(linOut, "x"), meanSpan(linOut, "y"))
+    // linear sort: near-perfect on x, useless on y (~full domain)
+    assert(lx < 0.10, s"linear x span $lx")
+    assert(ly > 0.90, s"linear y span $ly")
+    // z-order: BOTH dimensions bounded well under the full domain
+    assert(zx < 0.6 && zy < 0.6, s"z spans x=$zx y=$zy")
+    assert(math.max(zx, zy) < ly * 0.6,
+      s"z-order no better than linear on the second dim: $zy vs $ly")
+  }
 }
