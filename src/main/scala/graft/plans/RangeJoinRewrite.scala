@@ -175,7 +175,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // timeZoneId (TimeZoneAwareExpression), so enumerate directly.
       val binArr = If(GreaterThan(binHi, binLo),
         CreateArray(Seq(binLo, binHi)), CreateArray(Seq(binLo)))
-      val bandL = AttributeReference(BandName, LongType, nullable = false)()
+      // nullable: a null tL yields a single null band row (which can never
+      // equi-match, same as the original null-comparison semantics) — the
+      // attribute must admit it or codegen may elide the null check.
+      val bandL = AttributeReference(BandName, LongType,
+        nullable = tL.nullable)()
       val banded = Generate(Explode(binArr),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(bandL), child = l)

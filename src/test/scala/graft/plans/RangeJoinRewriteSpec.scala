@@ -112,6 +112,20 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("null timestamps: banded result still matches the naive join") {
+    val withNulls = ev.withColumn("ts",
+      when($"id" % 11 === 0, lit(null).cast("timestamp")).otherwise($"ts"))
+    def j = {
+      val a = withNulls.select($"id".as("aid"), $"ts".as("ta"))
+      val b = withNulls.select($"id".as("bid"), $"ts".as("tb"))
+      a.join(b, $"tb" > $"ta" && $"tb" <= $"ta" + expr("INTERVAL 1 MINUTE"))
+    }
+    val on = withRule(on = true)(rows(j))
+    val off = withRule(on = false)(rows(j))
+    assert(on.nonEmpty && on == off,
+      "null-ts rows must drop out identically under the rewrite")
+  }
+
   test("one-sided ranges and outer joins are left alone") {
     val a = ev.select($"id".as("aid"), $"ts".as("ta"))
     val b = ev.select($"id".as("bid"), $"ts".as("tb"))
