@@ -419,5 +419,32 @@ object Analytics {
       },
       None,
       "approx_percentile — bounded-memory quantiles at scale"),
+
+    // 7-day rolling DISTINCT users — the query exact methods cannot do at
+    // scale (distinct does not decompose over sliding frames; a 7-day
+    // exact recount rescans 7× the data per day). Sketch partials make it
+    // linear: one HLL per day, then hll_union_agg over a 7-row window —
+    // each day's answer merges 7 tiny sketches, never re-reads events.
+    // The daily partials are exactly what a streaming job materializes
+    // (EventStream.sketchPartials) — batch and stream share this rollup.
+    // No DuckDB oracle (sketch binaries are engine-specific): rows-only
+    // driver check + RollingDistinctSpec asserts accuracy vs the exact
+    // brute-force recount.
+    "q_rolling_distinct" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"day").rowsBetween(-6, 0)
+        Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(hll_sketch_agg($"user_id").as("sk"),
+            count(lit(1)).as("n_events"))
+          .withColumn("users_7d",
+            hll_sketch_estimate(hll_union_agg($"sk").over(w)))
+          .select($"day", $"n_events", $"users_7d")
+          .orderBy($"day")
+      },
+      None,
+      "rolling 7-day distinct users from daily HLL partials"),
   )
 }

@@ -99,6 +99,41 @@ object EventStream {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** Incremental sketch partials: each micro-batch lands ONE row per day
+    * of (day, hll user sketch, n_events) in its own `batch_id=` partition
+    * (dynamic overwrite → replay-idempotent, same recipe as
+    * [[writeBatchIdempotent]]). Sketches merge associatively, so the
+    * rollup never needs the raw events again — any window (7-day rolling,
+    * monthly, all-time) is a `hll_union_agg` over the stored partials.
+    * This is the streaming producer of the same partials the batch
+    * `q_rolling_distinct` consumes. */
+  def sketchPartials(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Roll stored partials up to per-day totals (merging across batches),
+    * plus the 7-day rolling distinct — no event rescan. */
+  def rollupPartials(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rowsBetween(-6, 0)
+    spark.read.parquet(path)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sk")).as("sk"),
+        sum(col("n_events")).as("n_events"))
+      .withColumn("users_1d", hll_sketch_estimate(col("sk")))
+      .withColumn("users_7d", hll_sketch_estimate(hll_union_agg(col("sk"))
+        .over(w)))
+      .select(col("day"), col("n_events"), col("users_1d"), col("users_7d"))
+  }
+
   /** Custom keyed state: running per-user event count + value total via
     * flatMapGroupsWithState (the KeyValueGroupedDataset state API). */
   def userTotals(events: Dataset[Event]): Dataset[UserTotal] = {

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchPartialsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val events = graft.Tables.load(spark, dir, "events")
+
+  test("q_rolling_distinct tracks the exact 7-day recount within 5%") {
+    val approx = graft.SparkEntry.queries("q_rolling_distinct")(spark, dir)
+      .select($"day", $"users_7d").as[(java.sql.Date, Long)].collect().toMap
+
+    // exact brute force: every day joined to its trailing 7-day slice
+    val daily = events.select(to_date($"ts").as("day"), $"user_id").distinct()
+    val days = daily.select($"day").distinct().withColumnRenamed("day", "d")
+    val exact = days.join(daily,
+        $"day" <= $"d" && $"day" >= date_sub($"d", 6))
+      .groupBy($"d").agg(countDistinct($"user_id").as("exact_7d"))
+      .as[(java.sql.Date, Long)].collect().toMap
+
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, truth) =>
+      val est = approx(day)
+      assert(math.abs(est - truth) <= math.max(2L, (truth * 0.05).toLong),
+        s"$day: est $est vs exact $truth")
+    }
+  }
+
+  test("streamed per-batch partials roll up to the batch answer; replay is idempotent") {
+    val path = Files.createTempDirectory("graft_sketch_partials").toString
+    // simulate three micro-batches slicing the same events arbitrarily
+    val batches = Seq(
+      events.filter($"user_id" % 3 === 0),
+      events.filter($"user_id" % 3 === 1),
+      events.filter($"user_id" % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EventStream.sketchPartials(b, i.toLong, path)
+    }
+    // replay batch 1 (failure re-delivery) — must overwrite, not duplicate
+    EventStream.sketchPartials(batches(1), 1L, path)
+
+    val rolled = EventStream.rollupPartials(spark, path)
+      .select($"day", $"n_events", $"users_1d")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val direct = events
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("u"))
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    assert(rolled.keySet == direct.keySet)
+    direct.foreach { case (day, (n, u)) =>
+      val (rn, ru) = rolled(day)
+      assert(rn == n, s"$day: event count $rn != $n (replay duplicated?)")
+      assert(math.abs(ru - u) <= math.max(2L, (u * 0.05).toLong),
+        s"$day: distinct est $ru vs exact $u")
+    }
+  }
+}
