@@ -278,5 +278,75 @@ object Corpus {
         |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
         |FROM a ORDER BY doc_id""".stripMargin),
       "type-token + hapax lexical-diversity quality signals"),
+
+    // markup/boilerplate stripping (same injected-then-cleaned pattern as
+    // q_pii_scrub: the testdata is clean, so wrap each text in
+    // deterministic markup, then strip tags + collapse entities +
+    // whitespace — asserting the cleaner recovers the original). Pure
+    // per-row regex projection: no shuffle, codegen'd.
+    "q_html_strip" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .withColumn("html", concat(
+            lit("<html><body><p class=\"x\">"), $"text",
+            lit("&nbsp;</p><br/><div>footer&amp;legal</div></body></html>")))
+          .withColumn("stripped", trim(regexp_replace(regexp_replace(
+            regexp_replace($"html", "<[^>]*>", " "),
+            "&(nbsp|amp|lt|gt|quot);", " "), "\\s+", " ")))
+          .select($"doc_id", length($"html").as("html_len"),
+            length($"stripped").as("clean_len"),
+            ($"stripped" === concat(trim(regexp_replace($"text", "\\s+", " ")),
+              lit(" footer legal"))).as("clean_roundtrip"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, length(html) AS html_len,
+        |  length(stripped) AS clean_len,
+        |  stripped = trim(regexp_replace(text, '\s+', ' ', 'g')) || ' footer legal'
+        |    AS clean_roundtrip
+        |FROM (
+        |  SELECT doc_id, text,
+        |    '<html><body><p class="x">' || text ||
+        |      '&nbsp;</p><br/><div>footer&amp;legal</div></body></html>' AS html,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      '<html><body><p class="x">' || text ||
+        |        '&nbsp;</p><br/><div>footer&amp;legal</div></body></html>',
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&(nbsp|amp|lt|gt|quot);', ' ', 'g'), '\s+', ' ', 'g')) AS stripped
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+      "HTML/markup stripping with entity + whitespace normalization"),
+
+    // deterministic train/val/test split (80/10/10 by md5 bucket) with the
+    // per-source audit a dataset card reports. Same stateless hash-bucket
+    // primitive as q_sample_hash — any row's split is recomputable from
+    // its id alone (no stored assignment table, no shuffle to assign).
+    "q_split" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val bucket = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+          16, 10).cast("bigint"), lit(100))
+        Tables.load(s, d, "documents")
+          .withColumn("split", when(bucket < 80, "train")
+            .when(bucket < 90, "val").otherwise("test"))
+          .groupBy($"source")
+          .agg(
+            sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when($"split" === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source,
+        |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM (
+        |  SELECT source, CASE
+        |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin),
+      "deterministic 80/10/10 train/val/test split audit"),
   )
 }
