@@ -348,5 +348,73 @@ object Corpus {
         |  FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin),
       "deterministic 80/10/10 train/val/test split audit"),
+
+    // the packed sequences THEMSELVES (q_pack_sequences reports the bin
+    // stats; this emits the training payload): per (source, bin), member
+    // docs concatenated in doc_id order with an <eos> separator. The
+    // ordered concat is array_sort(collect_list(struct)) — deterministic
+    // without an extra sort shuffle; output rows are bounded by bin size.
+    "q_pack_emit" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, d, "documents")
+          .withColumn("n_tokens", size(tokens($"text")).cast("bigint"))
+          .filter($"n_tokens" > 0)
+          .withColumn("bin",
+            ((sum($"n_tokens").over(w) - $"n_tokens") / lit(512))
+              .cast("bigint"))
+          .groupBy($"source", $"bin")
+          .agg(concat_ws(" <eos> ", expr(
+            "transform(array_sort(collect_list(struct(doc_id, text))), s -> s.text)"))
+            .as("packed"))
+          .select($"source", $"bin", length($"packed").as("packed_chars"),
+            $"packed")
+          .orderBy($"source", $"bin")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT source, doc_id, text,
+        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, text,
+        |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS bin
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT source, bin, length(packed) AS packed_chars, packed FROM (
+        |  SELECT source, bin,
+        |    string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed
+        |  FROM c GROUP BY source, bin)
+        |ORDER BY source, bin""".stripMargin),
+      "packed training sequences with <eos> separators"),
+
+    // one BPE-training statistics pass: frequency of adjacent character
+    // pairs inside whitespace tokens (the quantity a byte-pair-encoding
+    // merge step maximizes). explode to (token) then to (pair) —
+    // two generators + one partial-agg count, linear in corpus bytes.
+    "q_bpe_pairs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select(explode(tokens($"text")).as("tok"))
+          .filter(length($"tok") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+          .groupBy($"pair")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |pairs AS (
+        |  SELECT substring(tok, CAST(i AS INT), 2) AS pair
+        |  FROM toks, unnest(generate_series(1, length(tok)-1)) AS u(i)
+        |  WHERE length(tok) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      "BPE merge-step statistics: adjacent character-pair frequencies"),
   )
 }
