@@ -40,10 +40,19 @@ object Bench {
         }
         name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One JSON line, but with "queries" FIRST and the headline
+    // metric/value/unit/sf LAST, at 3-decimal precision: the driver
+    // records only the final ~2000 chars of output, and a 100-query map
+    // at full double precision (~4 KB) pushed the total off the front of
+    // that window in rounds 1-2 (BENCH_r0{1,2}.json "parsed": null).
+    // JSON key order is insignificant to any real parser; tail order is
+    // what decides whether the headline number survives truncation.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,24 +10,34 @@ import org.apache.spark.sql.functions._
   * The naive merge — read whole table, full-outer join, rewrite whole
   * table — is O(table) per batch and unusable at 100 TB. This one is
   * O(touched partitions): the update batch's distinct partition values
-  * prune the existing-table scan (partition pruning on the read, since the
-  * filter is on the partition column), the merge window runs over just
-  * those partitions, and `partitionOverwriteMode=dynamic` swaps in exactly
-  * the rewritten partition directories — untouched partition files are
-  * never read or written (asserted byte-for-byte in UpsertSpec). Last
-  * writer per key wins by `versionCol` (ties broken deterministically by
-  * preferring the update over the incumbent).
+  * (collected — a batch touches a bounded set of dates/tenants by
+  * contract) statically prune the existing-table scan, the merge window
+  * runs over just those partitions, and the result is written to a
+  * staging directory then swapped in per partition — untouched partition
+  * files are never read or written (asserted byte-for-byte in
+  * UpsertSpec). Last writer per key wins by `versionCol` (ties broken
+  * deterministically by preferring the update over the incumbent).
   *
-  * This is the public lakehouse copy-on-write pattern expressed with
-  * nothing but Spark built-ins; a table format (Delta/Iceberg/Hudi) adds
-  * snapshot isolation + file-level (not partition-level) rewrite, but the
-  * partition-pruned plan shape is the same.
+  * ==Atomicity==
+  * NOT transactional. The merge is computed entirely against the ORIGINAL
+  * table (the staging write consumes the read before any destination file
+  * is touched), so a failure during the merge/staging phase leaves the
+  * table byte-identical. The final swap is a per-partition
+  * delete+rename: a crash inside the swap loop can leave a prefix of the
+  * touched partitions on the new version and the rest on the old (and, in
+  * the worst case, one partition missing between its delete and rename).
+  * Re-running the same merge is idempotent and repairs that state as long
+  * as the staging write re-derives from `updates`' original source (not
+  * from `tablePath`). A table format (Delta/Iceberg/Hudi) buys snapshot
+  * isolation + file-level rewrite; the partition-pruned plan shape here is
+  * the same.
   */
 object Upsert {
 
   /** Merge `updates` into the parquet table at `tablePath`, partitioned by
     * `partitionCol`. Rows match on `keyCols`; higher `versionCol` wins.
-    * Returns the number of partitions rewritten. */
+    * Key and partition values must be non-null. Returns the number of
+    * partitions rewritten. */
   def mergeByKey(
       spark: SparkSession,
       tablePath: String,
@@ -36,11 +47,16 @@ object Upsert {
       versionCol: String): Int = {
     import org.apache.spark.sql.expressions.Window
 
-    val touched = updates.select(col(partitionCol)).distinct()
-    // partition values are few by construction (a batch touches a bounded
-    // set of dates/tenants); the list itself stays plan-side via a join.
+    // Materialize the touched-partition list up front (ADVICE r2): it is
+    // small by contract, the literal IN-list gives static partition
+    // pruning on the read (no DPP/AQE dependence), and nothing below
+    // re-executes `updates`' lineage after the table changes.
+    val touchedValues: Seq[Any] =
+      updates.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq
+    if (touchedValues.isEmpty) return 0
+
     val existing = spark.read.parquet(tablePath)
-      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      .filter(col(partitionCol).isin(touchedValues: _*))
 
     // updates outrank incumbents at equal version
     val merged = existing.withColumn("__rank_src", lit(0))
@@ -51,23 +67,33 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__rn", "__rank_src")
 
-    val prev = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Stage next to the table (same filesystem → rename is a metadata op,
+    // not a copy), under a dot-prefixed name parquet readers ignore.
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(table.getParent,
+      s".${table.getName}__graft_staging_${java.util.UUID.randomUUID()}")
     try {
       merged.write
         .mode(SaveMode.Overwrite)
         .partitionBy(partitionCol)
         .option("compression", "snappy")
-        .parquet(tablePath)
-    } finally {
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        .parquet(staging.toString)
+
+      // Swap in each staged partition dir. Enumerating the staging output
+      // (rather than re-encoding partition values into paths) keeps the
+      // value→dirname escaping logic entirely Spark's.
+      val stagedParts = fs.listStatus(staging)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partitionCol="))
+      stagedParts.foreach { st =>
+        val dest = new Path(table, st.getPath.getName)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(st.getPath, dest)
       }
+      stagedParts.length
+    } finally {
+      fs.delete(staging, true)
     }
-    touched.count().toInt
   }
 }

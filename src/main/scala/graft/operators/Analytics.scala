@@ -415,6 +415,12 @@ object Analytics {
             expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
             expr("approx_percentile(l_extendedprice, array(0.25, 0.9), 10000)")
               .as("p_price"))
+          // scalar columns only: the driver's compare crashes sorting
+          // array-typed cells (ADVICE r2), and even its rows-only check
+          // needs a sortable frame.
+          .select($"l_returnflag", $"p50_qty",
+            element_at($"p_price", 1).as("p25_price"),
+            element_at($"p_price", 2).as("p90_price"))
           .orderBy($"l_returnflag")
       },
       None,

@@ -235,7 +235,8 @@ object Corpus {
         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t WHERE n_tokens > 0)
-        |SELECT source, (cum - n_tokens) // 512 AS bin, COUNT(*) AS n_docs,
+        |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc,
         |  CAST(SUM(n_tokens) AS DOUBLE) / 512.0 AS fill
@@ -379,8 +380,8 @@ object Corpus {
         |  FROM documents),
         |c AS (
         |  SELECT source, doc_id, text,
-        |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS bin
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
         |  FROM t WHERE n_tokens > 0)
         |SELECT source, bin, length(packed) AS packed_chars, packed FROM (
         |  SELECT source, bin,

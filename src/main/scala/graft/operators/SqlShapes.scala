@@ -143,8 +143,9 @@ object SqlShapes {
       "exact higher moments (skewness, kurtosis) via integer power sums"),
 
     // Map-typed aggregation: per source, lang → doc-count as a map column,
-    // surfaced as parallel sorted arrays (map_keys/map_values after an
-    // array_sort of entries) so results are engine-comparable.
+    // surfaced as comma-joined scalar strings (the compare harness hashes
+    // scalar cells; array-typed output columns crash its pandas sort —
+    // ADVICE r2). map_from_entries/map_keys/map_values still exercised.
     "q_map_funcs" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -153,12 +154,18 @@ object SqlShapes {
           .groupBy($"source")
           .agg(map_from_entries(array_sort(collect_list(struct($"lang", $"n"))))
             .as("m"))
-          .select($"source", map_keys($"m").as("langs"),
-            map_values($"m").as("lang_counts"))
+          .select($"source",
+            size(map_keys($"m")).cast("bigint").as("n_langs"),
+            concat_ws(",", map_keys($"m")).as("langs"),
+            concat_ws(",", transform(map_values($"m"), _.cast("string")))
+              .as("lang_counts"))
           .orderBy($"source")
       },
-      Some("""SELECT source, list(lang ORDER BY lang) AS langs,
-        |  list(n ORDER BY lang) AS lang_counts
+      Some("""SELECT source,
+        |  CAST(len(list(lang ORDER BY lang)) AS BIGINT) AS n_langs,
+        |  array_to_string(list(lang ORDER BY lang), ',') AS langs,
+        |  array_to_string(list(CAST(n AS VARCHAR) ORDER BY lang), ',')
+        |    AS lang_counts
         |FROM (SELECT source, lang, COUNT(*) n FROM documents GROUP BY 1, 2)
         |GROUP BY source ORDER BY source""".stripMargin),
       "map aggregation (map_from_entries / map_keys / map_values)"),

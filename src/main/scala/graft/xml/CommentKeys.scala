@@ -61,13 +61,17 @@ object CommentKeys {
 
   /** Reads one file's prefix and extracts its business key — the per-file
     * unit shared by [[scan]] and the fused
-    * [[XmlValidation.validateAndScanBatch]] pass. */
+    * [[XmlValidation.validateAndScanBatch]] pass. The prefix is decoded
+    * with THIS file's declared encoding when it has one (per-file, not
+    * batch-wide: a corpus may mix encodings — ADVICE r2), falling back to
+    * `charset`. Also returns the declared encoding, so callers can group
+    * the later structured read by charset without another file pass. */
   private[xml] def readPrefixKey(
       file: String,
       hadoopConf: Configuration,
       patterns: Seq[String],
       charset: String,
-      maxBytes: Int = 65536): Option[(String, String)] =
+      maxBytes: Int = 65536): (Option[(String, String)], Option[String]) =
     try {
       val path = new Path(file)
       val fs = path.getFileSystem(hadoopConf)
@@ -79,11 +83,19 @@ object CommentKeys {
         while (n > 0 && off < maxBytes) {
           off += n; n = in.read(buf, off, maxBytes - off)
         }
-        extractFromContent(
-          new String(buf, 0, off, java.nio.charset.Charset.forName(charset)),
-          patterns)
+        // the prolog is ASCII-safe under any declarable encoding
+        val prolog = new String(buf, 0, math.min(off, 256),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val declared = XmlIngest.sniffDeclaredEncoding(prolog)
+        val cs = declared.getOrElse(charset)
+        val decoded = try {
+          new String(buf, 0, off, java.nio.charset.Charset.forName(cs))
+        } catch { case _: IllegalArgumentException =>
+          new String(buf, 0, off, java.nio.charset.Charset.forName(charset))
+        }
+        (extractFromContent(decoded, patterns), declared)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.IOException => (None, None) }
 
   /** Distributed prefix scan of every file: one output row per file that
     * carries a business key: (source_file_path, business_key_name,
@@ -97,7 +109,7 @@ object CommentKeys {
       spark.sparkContext.hadoopConfiguration)
     files.toDS().mapPartitions { it =>
       it.flatMap { file =>
-        readPrefixKey(file, conf.value, patterns, charset, maxBytes)
+        readPrefixKey(file, conf.value, patterns, charset, maxBytes)._1
           .map { case (name, value) => (file, name, value) }
       }
     }.toDF("bk_file_path", "business_key_name", "business_key_value")

@@ -89,15 +89,53 @@ object XmlIngest {
       throw new IllegalArgumentException(s"no records found in ${files.head}"))
   }
 
-  /** Declared encoding of the corpus, sniffed from the first file's XML
-    * declaration (`encoding="..."`); UTF-8 when absent. The XML source
-    * decodes with ITS option, not the declaration — without this a Latin-1
-    * corpus silently reads as mojibake. ASCII-safe: every encoding the
-    * declaration can name preserves the ASCII prolog bytes. */
+  private val EncodingDeclRe = "encoding=[\"']([A-Za-z0-9._-]+)[\"']".r
+
+  /** Declared encoding in an XML prolog prefix, if any. ASCII-safe: every
+    * encoding a declaration can name preserves the ASCII prolog bytes, so
+    * the prefix may be decoded with any ASCII-superset charset before
+    * sniffing. */
+  def sniffDeclaredEncoding(head: String): Option[String] =
+    EncodingDeclRe.findFirstMatchIn(head).map(_.group(1))
+
+  /** Declared encoding of ONE file's XML declaration (`encoding="..."`);
+    * UTF-8 when absent. The XML source decodes with ITS option, not the
+    * declaration — without this a Latin-1 corpus silently reads as
+    * mojibake. */
   def probeEncoding(spark: SparkSession, file: String): String = {
     val head = readPrefix(spark, file, maxBytes = 256)
-    "encoding=[\"']([A-Za-z0-9._-]+)[\"']".r
-      .findFirstMatchIn(head).map(_.group(1)).getOrElse("UTF-8")
+    sniffDeclaredEncoding(head).getOrElse("UTF-8")
+  }
+
+  /** Per-file declared encodings for a whole batch, sniffed DISTRIBUTED
+    * (one prefix read per file — O(files), not O(bytes)). Files without a
+    * declaration map to UTF-8. A corpus may legally mix per-file encodings
+    * (ADVICE r2): one file's declaration says nothing about its siblings. */
+  def probeEncodings(spark: SparkSession, files: Seq[String])
+      : Map[String, String] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    files.toDS().mapPartitions { it =>
+      it.map { f =>
+        val head = try {
+          val path = new org.apache.hadoop.fs.Path(f)
+          val fs = path.getFileSystem(conf.value)
+          val in = fs.open(path)
+          try {
+            val buf = new Array[Byte](256)
+            var off = 0
+            var n = in.read(buf, off, buf.length - off)
+            while (n > 0 && off < buf.length) {
+              off += n; n = in.read(buf, off, buf.length - off)
+            }
+            new String(buf, 0, off,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          } finally in.close()
+        } catch { case _: java.io.IOException => "" }
+        f -> sniffDeclaredEncoding(head).getOrElse("UTF-8")
+      }
+    }.collect().toMap
   }
 
   /** Stringly-typed structured read of an XML directory. */

@@ -146,13 +146,17 @@ object XmlPipeline {
     // ANTI-JOIN on the path column (VERDICT r1 #5) — the only collects are
     // the per-run good-path list (which the scan builder needs on the
     // driver regardless) and a BOUNDED sample of failures for the log.
-    val charset = XmlIngest.probeEncoding(spark, filesToProcess.head)
-    val (goodFiles, errorsDf, verdicts, scannedKeys) =
+    // Encodings are per FILE, not per corpus (ADVICE r2): the fused scan
+    // sniffs each file's own XML declaration; without validation a
+    // dedicated distributed prefix probe does the same. The resulting
+    // map is driver-side, like the good-file list itself (the explicit
+    // file-list read API needs paths on the driver regardless).
+    val (goodFiles, errorsDf, verdicts, scannedKeys, fileCharsets) =
       if (validate) {
         import spark.implicits._
         val v = XmlValidation
           .validateAndScanBatch(spark, filesToProcess, schemaDir,
-            explicitXsd, charset = charset)
+            explicitXsd)
           .cache()
         val bad = v.filter(col("verdict") === "invalid")
           .select("file", "verdict", "errors", "schema_used")
@@ -164,8 +168,12 @@ object XmlPipeline {
         val keys = v.filter(col("business_key_name").isNotNull)
           .select(col("file").as("bk_file_path"),
             col("business_key_name"), col("business_key_value"))
-        (good, bad, Some(v), Some(keys))
-      } else (filesToProcess, spark.emptyDataFrame, None, None)
+        val charsets = v.filter(col("declared_encoding").isNotNull)
+          .select("file", "declared_encoding").as[(String, String)]
+          .collect().toMap
+        (good, bad, Some(v), Some(keys), charsets)
+      } else (filesToProcess, spark.emptyDataFrame, None, None,
+        XmlIngest.probeEncodings(spark, filesToProcess))
 
     // structured read + flatten + lineage + record ids (§1.4, S15).
     // Physical structure is inferred from a bounded FILE SAMPLE (the
@@ -174,13 +182,24 @@ object XmlPipeline {
     // schema. input_file_name() must be stamped BEFORE the cache — it
     // reads the scan node and returns "" from a cached relation.
     val rowTag = XmlIngest.probeRowTag(spark, inputDir)
+    // one read per distinct declared charset (the XML source takes a
+    // single `encoding` option per read); almost always exactly one group
+    val charsetGroups = goodFiles
+      .groupBy(f => fileCharsets.getOrElse(f, "UTF-8")).toSeq
+      .sortBy(-_._2.size)
+    if (charsetGroups.size > 1)
+      log.info(s"mixed per-file encodings: " + charsetGroups
+        .map { case (cs, fs) => s"$cs(${fs.size})" }.mkString(", "))
+    val (mainCharset, mainFiles) = charsetGroups.head
     val schema = XmlIngest
-      .readFiles(spark, goodFiles.take(structureSampleFiles), rowTag, charset)
+      .readFiles(spark, mainFiles.take(structureSampleFiles), rowTag,
+        mainCharset)
       .schema
-    val raw = XmlIngest
-      .readFilesWithSchema(spark, goodFiles, rowTag, schema, charset)
-      .withColumn("source_file_path", input_file_name())
-      .cache()
+    val raw = charsetGroups.map { case (cs, fs) =>
+      XmlIngest.readFilesWithSchema(spark, fs, rowTag, schema, cs)
+        // stamp lineage per group, BEFORE the union and the cache
+        .withColumn("source_file_path", input_file_name())
+    }.reduce(_.unionByName(_)).cache()
     val flat = XmlFlatten.flatten(raw) // lineage string passes through
     val withLineage = XmlIngest.ensureRecordId(
       flat
@@ -191,7 +210,7 @@ object XmlPipeline {
     // business keys from comments (S6) — already scanned by the fused
     // validation pass when validation ran; separate prefix pass otherwise
     val keys = scannedKeys.getOrElse(
-      CommentKeys.scan(spark, goodFiles, charset = charset))
+      CommentKeys.scan(spark, goodFiles)) // per-file declared-charset decode
     val data = CommentKeys.attach(withLineage, keys)
 
     // role classification on a bounded sample of files (R/main.R:95) via

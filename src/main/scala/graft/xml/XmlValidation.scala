@@ -183,17 +183,18 @@ object XmlValidation {
         case Some(xsd) => validateXsd(f, xsd)
         case None => validateAuto(f, schemaDir)
       }
-      val key =
-        if (v.valid.contains(false)) None // skipped files need no key
+      val (key, declared) =
+        if (v.valid.contains(false)) (None, None) // skipped files need no key
         else CommentKeys.readPrefixKey(f, conf.value, keyPatterns, charset)
       (v.file,
         v.valid.map(b => if (b) "valid" else "invalid").getOrElse("no_schema"),
         v.errors.mkString("; "),
         v.schemaUsed.getOrElse(""),
         key.map(_._1).orNull,
-        key.map(_._2).orNull)
+        key.map(_._2).orNull,
+        declared.orNull)
     }.toDF("file", "verdict", "errors", "schema_used",
-      "business_key_name", "business_key_value")
+      "business_key_name", "business_key_value", "declared_encoding")
   }
 
   /** Verdict counts + percentage (`R/schema_validator.R:201-204`). */

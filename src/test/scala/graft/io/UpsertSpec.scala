@@ -46,6 +46,11 @@ class UpsertSpec extends SparkSpec {
     assert(partFiles(root, "day=day3") == untouchedBefore,
       "untouched partition was rewritten")
 
+    // no staging residue next to the table
+    val parent = new File(root).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("graft_staging")),
+      "staging directory not cleaned up")
+
     // equal-version tie: the update wins (deterministic rank)
     val tie = Seq((3L, "day3", "tie_update", 0L))
       .toDF("id", "day", "payload", "version")

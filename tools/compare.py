@@ -35,6 +35,23 @@ def table_rows(tbl):
     return cols, list(zip(*data)) if data else (cols, [])
 
 
+def kind(field):
+    """Coarse type class: int/float divergence between Spark and DuckDB
+    (e.g. DuckDB HUGEINT -> float64 via pandas) hash-mismatches in the
+    driver even when %.10g-formatted values agree, so flag it here."""
+    import pyarrow.types as pt
+    t = field.type
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t) or pt.is_decimal(t):
+        return "float"
+    return str(t)
+
+
+def type_kinds(tbl):
+    return {f.name: kind(f) for f in tbl.schema}
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -61,6 +78,14 @@ def main(sf_dir, out_dir):
             continue
         if scols != dcols:
             print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        sk, dk = type_kinds(stbl), type_kinds(dtbl)
+        badk = {c: (sk[c], dk[c]) for c in scols
+                if {sk[c], dk[c]} == {"int", "float"}}
+        if badk:
+            print(f"FAIL {name}: int/float type-class mismatch {badk} "
+                  "(driver hashes 10.0 != 10)")
             n_fail += 1
             continue
         if len(srows) != len(drows):
