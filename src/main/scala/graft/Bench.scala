@@ -40,19 +40,23 @@ object Bench {
         }
         name -> times.min
     }
-    // One JSON line, but with "queries" FIRST and the headline
-    // metric/value/unit/sf LAST, at 3-decimal precision: the driver
-    // records only the final ~2000 chars of output, and a 100-query map
-    // at full double precision (~4 KB) pushed the total off the front of
-    // that window in rounds 1-2 (BENCH_r0{1,2}.json "parsed": null).
-    // JSON key order is insignificant to any real parser; tail order is
-    // what decides whether the headline number survives truncation.
+    // The driver records only the final ~2000 chars of combined output and
+    // parses the JSON line out of that window. A 100-query map at full
+    // double precision is a ~4 KB line, so its head fell off the front of
+    // the window in rounds 1-2 and nothing parsed (BENCH_r0{1,2}.json
+    // "parsed": null). Emit TWO lines: a full-detail line first (for local
+    // analysis; front-truncation is fine), then — after spark.stop(), so no
+    // shutdown chatter follows it — a compact line holding the headline
+    // metric plus only the slowest queries, sized to fit the tail window
+    // whole.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""BENCH_FULL {"queries":${qmap(results)}}""")
     spark.stop()
+    val top = results.sortBy(-_._2).take(30)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_are_slowest":${top.size},"queries":${qmap(top)}}""")
   }
 }

@@ -40,13 +40,17 @@ object Formats {
   }
 
   /** Read a table back. `schema` is applied verbatim for text formats
-    * (no inference pass over the data) and used as a pruning hint for
-    * columnar ones. */
+    * (no inference pass over the data). For columnar formats it is also
+    * applied when given (ADVICE r2): Spark then prunes the scan to the
+    * named columns and enforces the declared types, instead of returning
+    * the full file schema. */
   def read(
       spark: SparkSession, path: String, format: Format,
       schema: Option[StructType] = None): DataFrame = format match {
-    case Parquet => spark.read.parquet(path)
-    case Orc => spark.read.orc(path)
+    case Parquet =>
+      schema.map(spark.read.schema).getOrElse(spark.read).parquet(path)
+    case Orc =>
+      schema.map(spark.read.schema).getOrElse(spark.read).orc(path)
     case Json =>
       val r = schema.map(spark.read.schema)
         .getOrElse(throw new IllegalArgumentException(
