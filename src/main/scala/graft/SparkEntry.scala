@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Profile.queries ++
       operators.StarQueries.queries ++
-      operators.AsOf.queries
+      operators.AsOf.queries ++
+      operators.Behavior.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over `events` (SURVEY.md §2.12 extension
+  * tier): ordered funnels and cohort retention — the two query shapes an
+  * event warehouse runs constantly and a naive engine gets wrong (a funnel
+  * is ORDER-sensitive: stage N+1 must happen strictly AFTER the user's
+  * stage-N time, so it cannot be a flat per-type aggregate).
+  *
+  * Scale shape: every join here is keyed on `user_id`, so the whole
+  * pipeline is one hash-partitioning of events by user reused across
+  * stages (co-partitioned shuffles; Spark reuses the exchange). Nothing
+  * is collected, nothing is per-user looped — at 100 TB the funnel is
+  * three partial-aggregated shuffles, not a driver iteration.
+  */
+object Behavior {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // Ordered 3-stage funnel view -> click -> purchase: per user, first
+    // view time, first click strictly after it, first purchase strictly
+    // after that, and the stage count reached. Each stage is a keyed
+    // semi-structured join + min-agg (partial aggregation on the map
+    // side); stage N's output is tiny (<= one row per user) so the next
+    // stage's join is against the shrunken set.
+    "q_funnel" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = ev(s, d).select($"user_id", $"event_type", $"ts")
+        val v = e.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t_view"))
+        val c = e.filter($"event_type" === "click")
+          .join(v, "user_id").filter($"ts" > $"t_view")
+          .groupBy($"user_id").agg(min($"ts").as("t_click"))
+        val p = e.filter($"event_type" === "purchase")
+          .join(c, "user_id").filter($"ts" > $"t_click")
+          .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+            (lit(1) +
+              when($"t_click".isNotNull, 1).otherwise(0) +
+              when($"t_purchase".isNotNull, 1).otherwise(0)).as("stage"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(t) AS t_click FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND t > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin),
+      "ordered view->click->purchase funnel with strict-after stage times"),
+
+    // Cohort retention: users grouped by first-activity date, activity
+    // counted per (cohort, day-offset) cell. The first-activity table is
+    // user-keyed like events itself; the distinct count is the standard
+    // two-phase (partial + final) aggregate.
+    "q_retention" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val days = ev(s, d).select($"user_id", to_date($"ts").as("day"))
+        val first = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        days.join(first, "user_id")
+          .select($"cohort_day",
+            datediff($"day", $"cohort_day").cast("bigint").as("day_offset"),
+            $"user_id")
+          .groupBy($"cohort_day", $"day_offset")
+          .agg(countDistinct($"user_id").as("n_active"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "cohort retention matrix (first-activity cohort x day offset)"),
+  )
+}

@@ -105,6 +105,62 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Brute-force n-gram-Jaccard candidate pairs (d1 < d2, jaccard) —
+    * shared by `q_ngram_jaccard` (top-k view) and `q_dup_clusters` (edge
+    * input). Per-doc/per-shingle counts ride along on every shingle row
+    * (window counts), so the pair aggregation needs NO extra count-joins
+    * and the two self-join sides are identical plans (ReusedExchange). */
+  private def jaccardPairs(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
+    val sh = Tables.load(s, d, "documents")
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+        .as("shingle"))
+      .withColumn("df", count(lit(1)).over(wsh))
+      .filter($"df" <= MaxShingleDf)
+      .drop("df")
+      .withColumn("nsh", count(lit(1)).over(w))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.nsh".as("n1"), $"b.nsh".as("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .select($"d1", $"d2",
+        ($"inter".cast("double") /
+          ($"n1" + $"n2" - $"inter")).as("jaccard"))
+  }
+
+  /** DuckDB CTE block computing the same (d1, d2, jaccard) pair set —
+    * textually shared by the two oracles so they can never drift. */
+  private val pairSql = """t AS (
+    |  SELECT doc_id,
+    |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+    |  FROM documents),
+    |s0 AS (
+    |  SELECT DISTINCT doc_id, shingle FROM (
+    |    SELECT doc_id,
+    |      unnest(list_transform(generate_series(1, len(toks)-2),
+    |        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    |    FROM t WHERE len(toks) >= 3)),
+    |s AS (
+    |  SELECT doc_id, shingle FROM (
+    |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    |    FROM s0) WHERE df <= 100),
+    |c AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY doc_id),
+    |p AS (
+    |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+    |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2),
+    |pairs AS (
+    |  SELECT d1, d2,
+    |    CAST(inter AS DOUBLE) / (c1.nsh + c2.nsh - inter) AS jaccard
+    |  FROM p JOIN c c1 ON p.d1 = c1.doc_id JOIN c c2 ON p.d2 = c2.doc_id)""".stripMargin
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // X1 exact dedup via content fingerprint: one hash-groupBy, map-side
@@ -138,59 +194,51 @@ object Dedup {
     // is the exact-candidate path; at 100 TB the MinHash/LSH banding
     // (functions.MinHash) replaces the full join.
     "q_ngram_jaccard" -> GQuery(
-      (s, d) => {
-        import s.implicits._
-        // per-doc/per-shingle counts ride along on every shingle row
-        // (window counts), so the pair aggregation needs NO extra
-        // count-joins and the two self-join sides are identical plans
-        // (ReusedExchange).
-        val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-        val wsh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
-        val sh = Tables.load(s, d, "documents")
-          .withColumn("toks", tokens($"text"))
-          .filter(size($"toks") >= 3)
-          .select($"doc_id", explode(array_distinct(expr(
-            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
-            .as("shingle"))
-          .withColumn("df", count(lit(1)).over(wsh))
-          .filter($"df" <= MaxShingleDf)
-          .drop("df")
-          .withColumn("nsh", count(lit(1)).over(w))
-        val a = sh.as("a"); val b = sh.as("b")
-        a.join(b, $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-            $"a.nsh".as("n1"), $"b.nsh".as("n2"))
-          .agg(count(lit(1)).as("inter"))
-          .select($"d1", $"d2",
-            ($"inter".cast("double") /
-              ($"n1" + $"n2" - $"inter")).as("jaccard"))
-          .orderBy($"jaccard".desc, $"d1", $"d2")
-          .limit(20)
-      },
-      Some("""WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
-        |  FROM documents),
-        |s0 AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(generate_series(1, len(toks)-2),
-        |        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
-        |    FROM t WHERE len(toks) >= 3)),
-        |s AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-        |    FROM s0) WHERE df <= 100),
-        |c AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2,
-        |  CAST(inter AS DOUBLE) / (c1.nsh + c2.nsh - inter) AS jaccard
-        |FROM p JOIN c c1 ON p.d1 = c1.doc_id JOIN c c2 ON p.d2 = c2.doc_id
+      (s, d) =>
+        jaccardPairs(s, d)
+          .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+          .limit(20),
+      Some(s"""WITH $pairSql
+        |SELECT d1, d2, jaccard FROM pairs
         |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin),
       "n-gram Jaccard near-dup candidate pairs (extension X2)"),
+
+    // X2 duplicate-cluster assignment: connected components over the
+    // near-dup pair graph, so transitive chains (A~B, B~C) collapse to one
+    // cluster with one canonical keeper (the min doc_id in the component).
+    // Spark side runs [[clusters]] — O(log diameter) pointer-jumping
+    // rounds, each two keyed shuffle joins over (id, label) pairs only,
+    // lineage cut per round — the shape that survives a billion-node dup
+    // graph. The DuckDB oracle computes the same fixpoint via a recursive
+    // transitive-closure CTE (fine at oracle scale, quadratic in cluster
+    // size — exactly the formulation the Spark side exists to avoid).
+    "q_dup_clusters" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val edges = jaccardPairs(s, d).filter($"jaccard" >= 0.5)
+          .select($"d1".as("id1"), $"d2".as("id2"))
+        val comp = clusters(edges)
+        val sizes = comp.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, "cluster_id")
+          .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairSql,
+        |j AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 0.5),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM j
+        |      UNION SELECT d2, d1 FROM j),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |m AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |      FROM reach GROUP BY src)
+        |SELECT m.doc_id, m.cluster_id, n.cluster_size
+        |FROM m JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+        |             FROM m GROUP BY 1) n USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin),
+      "connected-component duplicate clusters over near-dup pairs (X2)"),
 
     // X2 MinHash+LSH banded near-dup — the PRODUCTION path that replaces
     // the all-pairs shingle join above: constant-size signature per doc,
