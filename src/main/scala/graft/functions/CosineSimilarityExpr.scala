@@ -92,6 +92,7 @@ class GraftExtensions
   override def apply(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),

@@ -46,6 +46,35 @@ object AsOf {
       .drop("__t", "__src", rightTime)
   }
 
+  /** The same join through graft's NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]] — logical node + strategy + exec,
+    * registered by GraftExtensions, which the session must load): each
+    * side shuffles once by key and merges in a single streaming pass with
+    * O(1) state, instead of union-sorting both sides and running a window
+    * per payload column. Semantics are identical to [[asofJoin]]
+    * (ties inclusive, no match → nulls) — asserted by AsOfJoinExecSpec
+    * parity tests and the shared q_asof_join oracle. */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.Bridge
+    val lp = Bridge.analyzed(left)
+    val rp = Bridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not found in ${p.output.map(_.name).mkString(",")}"))
+    Bridge.ofRows(left.sparkSession, graft.plans.AsOfJoinNode(
+      lp, rp,
+      Seq(attr(lp, key)), Seq(attr(rp, key)),
+      attr(lp, leftTime), attr(rp, rightTime),
+      payloadCols.map(attr(rp, _))))
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
     // For each event, the customer's most recent order on/before the event
     // time. Orders deduped to one per (custkey, date) first so the match is
@@ -58,7 +87,9 @@ object AsOf {
         val orders = Tables.load(s, d, "orders")
           .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
           .agg(max($"o_orderkey").as("last_orderkey"))
-        asofJoin(events, orders, "user_id", "ts", "o_orderdate",
+        // through the native AsOfJoinExec operator — the oracle match IS
+        // the correctness gate for the custom physical plan
+        asofJoinNative(events, orders, "user_id", "ts", "o_orderdate",
           Seq("last_orderkey"))
           .select($"event_id", $"user_id", $"last_orderkey")
           .orderBy($"event_id")
