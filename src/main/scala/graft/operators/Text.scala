@@ -322,5 +322,118 @@ object Text {
         |  levenshtein(p_name, 'spring green yellow purple') AS dist
         |FROM part ORDER BY dist, p_partkey LIMIT 20""".stripMargin),
       "edit-distance similarity vs a probe string (extension X4)"),
+
+    // X4 collocation mining: PMI over adjacent token bigrams. All counts
+    // are exact integers; the sort key is the PMI *lift* ratio computed as
+    // ONE IEEE division of exact integer products (deterministic across
+    // engines, unlike summed doubles or libm log ordering); ln(lift) is
+    // display-rounded to 6 dp. Bigram/unigram tables join on token —
+    // ordinary keyed shuffles, linear in corpus size; the min-count filter
+    // prunes the long tail before the joins.
+    "q_pmi_bigrams" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d)
+          .select($"doc_id", tokens($"text").as("toks"))
+        val uni = toks.select(explode($"toks").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val big = toks.filter(size($"toks") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks)-1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))"))
+            .as("bg"))
+          .select($"bg.w1", $"bg.w2")
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 5)
+        val totals = uni.agg(sum($"cnt").as("t_uni")).crossJoin(
+          big.agg(sum($"n_ab").as("t_big")))
+        big
+          .join(uni.withColumnRenamed("tok", "w1")
+            .withColumnRenamed("cnt", "n_a"), "w1")
+          .join(uni.withColumnRenamed("tok", "w2")
+            .withColumnRenamed("cnt", "n_b"), "w2")
+          .crossJoin(broadcast(totals))
+          .select($"w1", $"w2", $"n_ab",
+            (($"n_ab" * $"t_uni" * $"t_uni").cast("double") /
+              ($"t_big" * $"n_a" * $"n_b")).as("lift"))
+          .withColumn("pmi", round(log($"lift"), 6))
+          .orderBy($"lift".desc, $"w1", $"w2")
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |uni AS (
+        |  SELECT tok, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+        |big AS (
+        |  SELECT w1, w2, COUNT(*) AS n_ab FROM (
+        |    SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT)+1] AS w2
+        |    FROM toks, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |    WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tot AS (
+        |  SELECT (SELECT SUM(cnt) FROM uni) AS t_uni,
+        |         (SELECT SUM(n_ab) FROM big) AS t_big)
+        |SELECT w1, w2, n_ab,
+        |  CAST(n_ab * t_uni * t_uni AS DOUBLE) / (t_big * a.cnt * b.cnt)
+        |    AS lift,
+        |  round(ln(CAST(n_ab * t_uni * t_uni AS DOUBLE)
+        |    / (t_big * a.cnt * b.cnt)), 6) AS pmi
+        |FROM big JOIN uni a ON big.w1 = a.tok
+        |         JOIN uni b ON big.w2 = b.tok, tot
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin),
+      "PMI collocations over adjacent token bigrams (extension X4)"),
+
+    // X4 Zipf fit: slope of ln(freq) vs ln(rank) over the top-1000
+    // vocabulary, via the closed-form least-squares formula on
+    // DECIMAL-EXACT sums of 9-dp-rounded logs — summed doubles would
+    // diverge between engines' aggregation orders. The global row_number
+    // runs over the post-aggregation vocabulary (bounded, like the dim
+    // surrogate keys); the corpus-size scan below it is linear.
+    "q_zipf_slope" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"tok")
+        val ranked = docs(s, d)
+          .select(explode(tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 1000)
+          .select(
+            round(log($"rank".cast("double")), 9)
+              .cast("decimal(12,9)").as("x"),
+            round(log($"n".cast("double")), 9)
+              .cast("decimal(12,9)").as("y"))
+        // sums stay decimal-EXACT; each sum converts to double once and
+        // the slope is pure IEEE double arithmetic — identical on both
+        // engines (a decimal division would hit the engines' different
+        // result-scale clamping rules instead)
+        ranked.agg(
+          count(lit(1)).as("k"),
+          sum($"x").cast("double").as("sx"),
+          sum($"y").cast("double").as("sy"),
+          sum($"x" * $"x").cast("double").as("sxx"),
+          sum($"x" * $"y").cast("double").as("sxy"))
+          .select($"k",
+            (($"k" * $"sxy" - $"sx" * $"sy") /
+              ($"k" * $"sxx" - $"sx" * $"sx")).as("zipf_slope"))
+      },
+      Some(s"""WITH wc AS (
+        |  SELECT tok, COUNT(*) AS n
+        |  FROM (SELECT unnest(${sqlTokens("text")}) AS tok
+        |        FROM documents) GROUP BY tok),
+        |r AS (
+        |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+        |         CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+        |  FROM (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        |        FROM wc) WHERE rank <= 1000),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM r)
+        |SELECT k, (k * sxy - sx * sy) / (k * sxx - sx * sx) AS zipf_slope
+        |FROM s""".stripMargin),
+      "Zipf law slope over the frequency-rank distribution (extension X4)"),
   )
 }

@@ -99,6 +99,38 @@ object EventStream {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** CDC upsert sink: merge each micro-batch of key-versioned updates into
+    * a partitioned parquet serving table ([[graft.io.Upsert.mergeByKey]] —
+    * touched partitions only). The first batch bootstraps the table.
+    *
+    * Replay-idempotent BY THE MERGE SEMANTICS, not by batch-id bookkeeping:
+    * re-delivering a batch re-merges the same (key, version) rows and the
+    * higher-version-wins rule leaves the table unchanged — so this sink
+    * tolerates foreachBatch's at-least-once contract without tracking
+    * epochs. Scale: each micro-batch costs O(touched partitions), never a
+    * table rewrite. */
+  def upsertSink(
+      batch: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      partitionCol: String,
+      versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      // bootstrap applies the same one-row-per-key rule as the merge
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .write.partitionBy(partitionCol)
+        .option("compression", "snappy").parquet(tablePath)
+    } else
+      graft.io.Upsert.mergeByKey(
+        spark, tablePath, batch, keyCols, partitionCol, versionCol)
+  }
+
   /** Incremental sketch partials: each micro-batch lands ONE row per day
     * of (day, hll user sketch, n_events) in its own `batch_id=` partition
     * (dynamic overwrite → replay-idempotent, same recipe as
