@@ -96,6 +96,61 @@ object IvfIndex {
       .drop("rn", "cvec", "cell_cos")
   }
 
+  /** Materializes the promised 100 TB layout: the corpus written
+    * `partitionBy(cell_id)`, one directory per IVF cell. After this,
+    * probing is partition PRUNING — the planner never opens files outside
+    * the probed cells (asserted in IvfLayoutSpec). */
+  def writeCellPartitioned(
+      corpus: DataFrame, centroids: DataFrame, path: String): Unit =
+    assignCells(corpus, centroids)
+      .write.partitionBy("cell_id")
+      .option("compression", "snappy").parquet(path)
+
+  /** Top-k cosine search over the cell-partitioned layout. The nprobe
+    * nearest cells are chosen DRIVER-SIDE from the centroid table (tiny by
+    * construction — that is what makes it an index); the scan then carries
+    * `cell_id IN (...)` as a static partition filter, so a 1000-cell
+    * corpus reads nprobe/1000 of its files. Within the probed cells the
+    * ranking is the same native `cosine_sim` + TakeOrderedAndProject as
+    * the brute-force path. */
+  def searchCellPartitioned(
+      spark: SparkSession,
+      path: String,
+      centroids: DataFrame,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import graft.functions.VectorOps.cosine
+    val probe = probeCells(centroids, query, nprobe)
+    spark.read.parquet(path)
+      .filter(col("cell_id").isin(probe: _*))
+      .withColumn("cos", cosine(col("embedding"), typedlit(query)))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The nprobe cell ids nearest (by cosine) to `query`, computed on the
+    * driver from the collected centroid table. Labels keep their native
+    * type so the partition filter compares without casts (a cast can
+    * defeat static partition pruning). */
+  def probeCells(
+      centroids: DataFrame, query: Array[Float], nprobe: Int): Seq[Any] = {
+    val cents = centroids.select(col("label"), col("cvec"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, query.length)
+      while (i < n) {
+        val x = a(i); val y = query(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cents.sortBy { case (id, v) => (-cos(v), id.toString) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
   /** Test hook: drop cached centroids (e.g. between suites). */
   def clear(): Unit = cache.clear()
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The cell-partitioned IVF layout must turn a probe into static partition
+  * PRUNING (files outside the probed cells never open) while returning the
+  * same rows as filtering the in-memory cell assignment. */
+class IvfLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("probe scans only the probed cell partitions and matches in-memory") {
+    val corpus = graft.Tables.load(spark, sf, "embeddings")
+    val cents = IvfIndex.centroidsExact(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_layout").toString + "/idx"
+    IvfIndex.writeCellPartitioned(corpus, cents, dir)
+
+    val query = corpus.orderBy($"vec_id").limit(1)
+      .select($"embedding").as[Array[Float]].head()
+    val res = IvfIndex
+      .searchCellPartitioned(spark, dir, cents, query, k = 5, nprobe = 2)
+    val got = res.select($"vec_id", $"cos").as[(Long, Double)].collect()
+    assert(got.length == 5)
+
+    // pruning: the parquet scan carries a partition filter on cell_id and
+    // selects a strict subset of the cell directories
+    res.collect()
+    val plan = res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ inner).flatMap(flatten)
+    }
+    val scan = flatten(plan)
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("cell_id")),
+      s"no cell_id partition filter in ${scan.partitionFilters}")
+    val nCells = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell_id="))
+    assert(nCells > 2, s"layout should have several cells, got $nCells")
+    assert(scan.inputRDDs().map(_.getNumPartitions).sum <= nCells,
+      "scan must not fan out past the probed cells")
+
+    // parity: same rows as the in-memory cell-filtered ranking over the
+    // SAME probe list the layout search used
+    import graft.functions.VectorOps.cosine
+    val probed = IvfIndex.probeCells(cents, query, nprobe = 2)
+    val expected = IvfIndex.assignCells(corpus, cents)
+      .filter($"cell_id".isin(probed: _*))
+      .withColumn("cos", cosine($"embedding", typedlit(query)))
+      .orderBy($"cos".desc, $"vec_id").limit(5)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect()
+    assert(got.toSeq == expected.toSeq)
+  }
+}
