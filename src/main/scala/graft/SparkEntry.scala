@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Profile.queries ++
       operators.StarQueries.queries ++
       operators.AsOf.queries ++
-      operators.Behavior.queries
+      operators.Behavior.queries ++
+      operators.Bpe.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 
