@@ -94,14 +94,35 @@ object AsOf {
           .select($"event_id", $"user_id", $"last_orderkey")
           .orderBy($"event_id")
       },
-      Some("""WITH od AS (
-        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey
-        |  FROM orders GROUP BY 1, 2),
-        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
-        |SELECT e.event_id, e.user_id, od.last_orderkey
-        |FROM e ASOF LEFT JOIN od
-        |  ON e.user_id = od.user_id AND e.t >= od.o_orderdate
-        |ORDER BY e.event_id""".stripMargin),
+      Some(asofOracle),
+      "as-of backward join via the NATIVE AsOfJoinExec operator"),
+
+    // The same semantics through the built-ins-only formulation, against
+    // the same oracle — keeps both paths verified and makes the bench
+    // show the native operator's advantage side by side.
+    "q_asof_join_window" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val events = Tables.load(s, d, "events")
+          .select($"event_id", $"user_id", $"ts")
+        val orders = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+          .agg(max($"o_orderkey").as("last_orderkey"))
+        asofJoin(events, orders, "user_id", "ts", "o_orderdate",
+          Seq("last_orderkey"))
+          .select($"event_id", $"user_id", $"last_orderkey")
+          .orderBy($"event_id")
+      },
+      Some(asofOracle),
       "as-of backward join via union-tag running-last (SURVEY.md §7.3)"),
   )
+
+  private lazy val asofOracle = """WITH od AS (
+    |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey
+    |  FROM orders GROUP BY 1, 2),
+    |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+    |SELECT e.event_id, e.user_id, od.last_orderkey
+    |FROM e ASOF LEFT JOIN od
+    |  ON e.user_id = od.user_id AND e.t >= od.o_orderdate
+    |ORDER BY e.event_id""".stripMargin
 }
