@@ -166,6 +166,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p.take(1500))
   }
 
+  test("q_asof_join: native AsOfJoin operator, no window fallback") {
+    val p = plan("q_asof_join")
+    assert(p.contains("AsOfJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q_funnel: every hash exchange keys on user_id — one co-partitioning") {
+    val p = plan("q_funnel")
+    val keys = "hashpartitioning\\(([A-Za-z0-9_#]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.forall(_.startsWith("user_id")),
+      s"unexpected exchange keys: $keys")
+  }
+
+  test("q_retention and q_pmi_bigrams: map-side partial aggregation") {
+    Seq("q_retention", "q_pmi_bigrams").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: ${p.take(1200)}")
+    }
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
