@@ -33,9 +33,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Scale: state per partition is one buffered right row + one buffered
   * match payload — independent of key-group size, so a 100 TB fact as-of
   * a 10 TB quote stream is one co-partitioned shuffle each plus a linear
-  * merge. Null keys never match (compare as distinct); a null right time
-  * sorts first and so matches any left time — keep times non-null by
-  * contract.
+  * merge. Null keys GROUP (a null-key left row matches null-key right
+  * rows) — the same behavior as the window formulation's partitionBy,
+  * unlike SQL ASOF equality; a null right time sorts first and so matches
+  * any left time. Keep keys and times non-null by contract where SQL
+  * semantics matter.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
