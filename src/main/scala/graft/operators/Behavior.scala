@@ -21,6 +21,34 @@ object Behavior {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events")
 
+  /** Per-user staged first-times: (user_id, t_view, t_click, t_purchase)
+    * with each stage strictly after the previous — shared by q_funnel and
+    * q_funnel_rate. */
+  private def funnelStages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, d).select($"user_id", $"event_type", $"ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+  }
+
+  private val funnelSqlCtes = """e AS (
+    |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+    |v AS (SELECT user_id, min(t) AS t_view FROM e
+    |      WHERE event_type = 'view' GROUP BY 1),
+    |c AS (SELECT e.user_id, min(t) AS t_click FROM e
+    |      JOIN v ON e.user_id = v.user_id
+    |      WHERE event_type = 'click' AND t > t_view GROUP BY 1),
+    |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e
+    |      JOIN c ON e.user_id = c.user_id
+    |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1)""".stripMargin
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // Ordered 3-stage funnel view -> click -> purchase: per user, first
@@ -32,33 +60,14 @@ object Behavior {
     "q_funnel" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val e = ev(s, d).select($"user_id", $"event_type", $"ts")
-        val v = e.filter($"event_type" === "view")
-          .groupBy($"user_id").agg(min($"ts").as("t_view"))
-        val c = e.filter($"event_type" === "click")
-          .join(v, "user_id").filter($"ts" > $"t_view")
-          .groupBy($"user_id").agg(min($"ts").as("t_click"))
-        val p = e.filter($"event_type" === "purchase")
-          .join(c, "user_id").filter($"ts" > $"t_click")
-          .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
-        v.join(c, Seq("user_id"), "left")
-          .join(p, Seq("user_id"), "left")
+        funnelStages(s, d)
           .select($"user_id", $"t_view", $"t_click", $"t_purchase",
             (lit(1) +
               when($"t_click".isNotNull, 1).otherwise(0) +
               when($"t_purchase".isNotNull, 1).otherwise(0)).as("stage"))
           .orderBy($"user_id")
       },
-      Some("""WITH e AS (
-        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
-        |v AS (SELECT user_id, min(t) AS t_view FROM e
-        |      WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(t) AS t_click FROM e
-        |      JOIN v ON e.user_id = v.user_id
-        |      WHERE event_type = 'click' AND t > t_view GROUP BY 1),
-        |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e
-        |      JOIN c ON e.user_id = c.user_id
-        |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1)
+      Some(s"""WITH $funnelSqlCtes
         |SELECT v.user_id, t_view, t_click, t_purchase,
         |  1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS stage
@@ -66,6 +75,82 @@ object Behavior {
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin),
       "ordered view->click->purchase funnel with strict-after stage times"),
+
+    // Funnel conversion summary: stage populations + step conversion
+    // rates. One global aggregate over the (<= one row per user) staged
+    // table; rates are single IEEE divisions of exact counts.
+    "q_funnel_rate" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        funnelStages(s, d).agg(
+          count($"t_view").as("n_view"),
+          count($"t_click").as("n_click"),
+          count($"t_purchase").as("n_purchase"))
+          .select($"n_view", $"n_click", $"n_purchase",
+            ($"n_click".cast("double") / $"n_view").as("view_to_click"),
+            ($"n_purchase".cast("double") / $"n_click").as("click_to_purchase"))
+      },
+      Some(s"""WITH $funnelSqlCtes,
+        |f AS (SELECT v.user_id, t_view, t_click, t_purchase
+        |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |             LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_click,
+        |  COUNT(t_purchase) AS n_purchase,
+        |  CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view) AS view_to_click,
+        |  CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click)
+        |    AS click_to_purchase
+        |FROM f""".stripMargin),
+      "funnel stage populations + step conversion rates"),
+
+    // Gap-based sessionization WITH SESSION IDS (q_session_window
+    // aggregates Spark's session_window; this assigns the per-user
+    // session sequence a downstream table can join on): lag to detect a
+    // >30 min gap, running sum of gap flags = session ordinal. One
+    // user-keyed partition exchange feeds both windows and the final
+    // aggregate — no second shuffle.
+    "q_sessionize" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts")
+        ev(s, d).select($"user_id", $"ts")
+          .withColumn("prev", lag($"ts", 1).over(w))
+          .withColumn("new_sess",
+            when($"prev".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev") > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum($"new_sess").over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ts").as("session_start"),
+            max($"ts").as("session_end"))
+          .withColumn("duration_sec",
+            unix_timestamp($"session_end") - unix_timestamp($"session_start"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |g AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN prev IS NULL
+        |           OR date_diff('second', prev, t) > 1800 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, t,
+        |          lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+        |        FROM e)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(t) AS session_start, MAX(t) AS session_end,
+        |  date_diff('second', MIN(t), MAX(t)) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "gap-based sessionization with per-user session ids"),
 
     // Cohort retention: users grouped by first-activity date, activity
     // counted per (cohort, day-offset) cell. The first-activity table is
