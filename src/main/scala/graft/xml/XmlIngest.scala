@@ -176,6 +176,38 @@ object XmlIngest {
       .schema(schema)
       .load(files: _*)
 
+  /** Structured read of a file batch whose members may declare DIFFERENT
+    * encodings (`charsets`: per-file declared encoding, e.g. from
+    * [[probeEncodings]] or the fused validation scan; unlisted files
+    * default to UTF-8). The XML source takes ONE `encoding` option per
+    * read, so the batch reads once per distinct charset — almost always
+    * exactly one group — unioned by name under the schema inferred from a
+    * bounded sample of the LARGEST group. Lineage (`source_file_path`) is
+    * stamped per group, before any union/cache (input_file_name() reads
+    * the scan node and returns "" from a cached relation). */
+  def readFilesGroupedByCharset(
+      spark: SparkSession,
+      files: Seq[String],
+      rowTag: String,
+      charsets: Map[String, String],
+      structureSampleFiles: Int = 16,
+      logMixed: String => Unit = _ => ()): DataFrame = {
+    val groups = files
+      .groupBy(f => charsets.getOrElse(f, "UTF-8")).toSeq
+      .sortBy(-_._2.size)
+    if (groups.size > 1)
+      logMixed(groups.map { case (cs, fs) => s"$cs(${fs.size})" }
+        .mkString(", "))
+    val (mainCharset, mainFiles) = groups.head
+    val schema = readFiles(
+      spark, mainFiles.take(structureSampleFiles), rowTag, mainCharset)
+      .schema
+    groups.map { case (cs, fs) =>
+      readFilesWithSchema(spark, fs, rowTag, schema, cs)
+        .withColumn("source_file_path", input_file_name())
+    }.reduce(_.unionByName(_))
+  }
+
   /** Audit/lineage columns (`R/xml_parser.R:332-335`); the load timestamp is
     * injected for reproducibility (SURVEY.md §8 Q6). */
   def withLineage(df: DataFrame, loadTs: java.sql.Timestamp): DataFrame =

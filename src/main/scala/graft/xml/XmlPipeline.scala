@@ -182,24 +182,9 @@ object XmlPipeline {
     // schema. input_file_name() must be stamped BEFORE the cache — it
     // reads the scan node and returns "" from a cached relation.
     val rowTag = XmlIngest.probeRowTag(spark, inputDir)
-    // one read per distinct declared charset (the XML source takes a
-    // single `encoding` option per read); almost always exactly one group
-    val charsetGroups = goodFiles
-      .groupBy(f => fileCharsets.getOrElse(f, "UTF-8")).toSeq
-      .sortBy(-_._2.size)
-    if (charsetGroups.size > 1)
-      log.info(s"mixed per-file encodings: " + charsetGroups
-        .map { case (cs, fs) => s"$cs(${fs.size})" }.mkString(", "))
-    val (mainCharset, mainFiles) = charsetGroups.head
-    val schema = XmlIngest
-      .readFiles(spark, mainFiles.take(structureSampleFiles), rowTag,
-        mainCharset)
-      .schema
-    val raw = charsetGroups.map { case (cs, fs) =>
-      XmlIngest.readFilesWithSchema(spark, fs, rowTag, schema, cs)
-        // stamp lineage per group, BEFORE the union and the cache
-        .withColumn("source_file_path", input_file_name())
-    }.reduce(_.unionByName(_)).cache()
+    val raw = XmlIngest.readFilesGroupedByCharset(spark, goodFiles, rowTag,
+      fileCharsets, structureSampleFiles,
+      logMixed = gs => log.info(s"mixed per-file encodings: $gs")).cache()
     val flat = XmlFlatten.flatten(raw) // lineage string passes through
     val withLineage = XmlIngest.ensureRecordId(
       flat

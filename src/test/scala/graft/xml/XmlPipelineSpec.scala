@@ -288,6 +288,32 @@ class XmlPipelineSpec extends SparkSpec {
       plain.resolve("b.xml").toString) == "UTF-8")
   }
 
+  test("mixed per-file encodings decode per declaration through the pipeline") {
+    val in = Files.createTempDirectory("graft_mixed_enc")
+    Files.write(in.resolve("latin.xml"),
+      ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>\n" +
+        "<catalog><record id=\"1\"><title>Café Müller</title></record></catalog>\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    Files.write(in.resolve("utf8.xml"),
+      ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<catalog><record id=\"2\"><title>Smörgåsbord</title></record></catalog>\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val files = Seq(in.resolve("latin.xml").toString,
+      in.resolve("utf8.xml").toString)
+    // the distributed probe sees each file's own declaration
+    val probed = XmlIngest.probeEncodings(spark, files)
+    assert(probed(files.head) == "ISO-8859-1")
+    assert(probed(files(1)) == "UTF-8")
+    // the charset-grouped read (the pipeline's read path) decodes each
+    // group with its own declared encoding: no mojibake on either side
+    val flat = XmlFlatten.flatten(XmlIngest.readFilesGroupedByCharset(
+      spark, files, "record", probed))
+    val titles = flat.select("title").collect().map(_.getString(0)).toSet
+    assert(titles == Set("Café Müller", "Smörgåsbord"), titles.toString)
+    // and lineage survives the per-group stamping + union
+    assert(flat.select("source_file_path").distinct().count() == 2)
+  }
+
   test("namespaced XML: qualified row tag probed, local column names") {
     val in = Files.createTempDirectory("graft_ns_in")
     Files.writeString(in.resolve("a.xml"),
