@@ -26,7 +26,8 @@ object SparkEntry {
       operators.StarQueries.queries ++
       operators.AsOf.queries ++
       operators.Behavior.queries ++
-      operators.Bpe.queries
+      operators.Bpe.queries ++
+      operators.Graph.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 
