@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver captures combined sbt output and json-parses the
+// final ~2000-char tail. Two pieces of sbt framing have broken that parse
+// for three rounds (BENCH_r0{1,2,3}.json "parsed": null):
+//  1. LoggedOutput prefixes every forked-process line with "[info] ", and
+//  2. sbt appends a "[success] Total time: ..." trailer after the run.
+// StdoutOutput inherits the parent stdout (no prefix) and showSuccess=false
+// drops the trailer, so Bench's compact JSON really is the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,7 +31,11 @@ object Bench {
     // Deterministic sorted order, >=2 reps per query, report the min: one
     // rep measures plan+GC noise as much as the query, and a hash Map's
     // arbitrary order made run-to-run diffs incomparable (VERDICT r1 #1).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional name filter for isolated profiling (the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .map {
       case (name, fn) =>
         val times = (1 to math.max(reps, 1)).map { _ =>
           val t0 = System.nanoTime()
@@ -57,6 +61,17 @@ object Bench {
     println(s"""BENCH_FULL {"queries":${qmap(results)}}""")
     spark.stop()
     val top = results.sortBy(-_._2).take(30)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_are_slowest":${top.size},"queries":${qmap(top)}}""")
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_are_slowest":${top.size},"queries":${qmap(top)}}"""
+    // Persist the full record for humans/diffing, independent of what the
+    // driver's tail window captures.
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${qmap(results)}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench.json"),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
+    // Last line of the run, bare (build.sbt strips sbt's [info] prefix and
+    // [success] trailer): this is the line the driver parses.
+    println(compact)
+    System.out.flush()
   }
 }

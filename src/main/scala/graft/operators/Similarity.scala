@@ -150,9 +150,15 @@ object Similarity {
     // X3 mean-pooling: the element-wise centroid of each label's vectors —
     // the pooled-document-embedding / class-prototype primitive. Shape:
     // posexplode to (label, pos, val), one partial-agg shuffle on
-    // (label, pos) — never collects vectors to the driver. Sums use EXACT
-    // decimal accumulation (float addition orders differ between engines);
-    // the mean divides two engine-identical values in double space.
+    // (label, pos) — never collects vectors to the driver. Sums need an
+    // ORDER-INDEPENDENT exact representation (float addition orders differ
+    // between engines AND between Spark partitions); decimal accumulation
+    // gave that but cost 23.7 s at sf0.1 (VERDICT r3 #1). Long micro-units
+    // are equally exact and stay in cheap integer codegen: widen float ->
+    // double (exact), scale by 1e9, round half-up (identical semantics in
+    // both engines), sum as BIGINT (associative; |v|<=~1 so sf0.1's ~10k
+    // rows/group peaks ~1e13, far under Long range). The mean then divides
+    // engine-identical values in double space.
     "q_embed_pool" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -160,17 +166,16 @@ object Similarity {
           .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
           .groupBy($"label", $"pos")
           .agg(
-            // widen float->double FIRST (exact on both engines; a direct
-            // float->decimal cast rounds differently in DuckDB)
-            sum($"v".cast("double").cast("decimal(28,12)")).cast("double")
-              .as("sum_v"),
+            sum(round($"v".cast("double") * lit(1e9), 0).cast("long"))
+              .as("sum_u"),
             count(lit(1)).as("n"))
-          .select($"label", $"pos", ($"sum_v" / $"n").as("mean_v"))
+          .select($"label", $"pos",
+            ($"sum_u".cast("double") / lit(1e9) / $"n").as("mean_v"))
           .orderBy($"label", $"pos")
       },
       Some("""SELECT label, CAST(u.i - 1 AS INT) AS pos,
-        |  CAST(SUM(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(28,12)))
-        |    AS DOUBLE) / COUNT(*) AS mean_v
+        |  CAST(SUM(CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e9, 0)
+        |    AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
       "per-label mean-pooled embedding (extension X3)"),

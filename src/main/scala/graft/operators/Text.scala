@@ -104,15 +104,41 @@ object Text {
 
     // X4 language ID: stopword-lexicon hit ratio per language, argmax with
     // fixed tie-break order (en > es > de > fr).
+    //
+    // Shape: the lexicon is a broadcast dim table joined against exploded
+    // tokens, scored with conditional sums — one scan, one doc-keyed partial
+    // agg, everything inside whole-stage codegen. The previous formulation
+    // (four `filter(toks, t.isInCollection(ws))` passes) kept identical
+    // values but ran interpreted — higher-order array functions have no
+    // codegen — and cost ~5 s at sf0.1 (VERDICT r3 #4). Counts here are the
+    // same integers (a token matching lexicon L contributes 1 to L's sum,
+    // duplicates included), so the oracle SQL is unchanged.
     "q_lang_id" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val base = docs(s, d).withColumn("toks", tokens($"text"))
-        val scored = langLexicons.foldLeft(base) { case (df, (lg, ws)) =>
-          df.withColumn(s"score_$lg",
-            size(filter(col("toks"), t => t.isInCollection(ws)))
-              .cast("double") / size(col("toks")))
+        val lex = {
+          val rows = langLexicons.flatMap { case (lg, ws) => ws.map((_, lg)) }
+          s.createDataFrame(rows).toDF("word", "lg")
         }
+        val hits = docs(s, d)
+          .withColumn("toks", tokens($"text"))
+          // explode_outer keeps empty-token docs as a null word row (no
+          // lexicon match), preserving the old per-doc row count.
+          .select($"doc_id", $"lang", size($"toks").as("n_toks"),
+            explode_outer($"toks").as("word"))
+          .join(broadcast(lex), Seq("word"), "left")
+          .groupBy($"doc_id", $"lang", $"n_toks")
+          .agg(
+            sum(when($"lg" === "en", 1).otherwise(0)).as("h_en"),
+            sum(when($"lg" === "es", 1).otherwise(0)).as("h_es"),
+            sum(when($"lg" === "de", 1).otherwise(0)).as("h_de"),
+            sum(when($"lg" === "fr", 1).otherwise(0)).as("h_fr"))
+        val scored = hits.select(
+          $"doc_id", $"lang",
+          ($"h_en".cast("double") / $"n_toks").as("score_en"),
+          ($"h_es".cast("double") / $"n_toks").as("score_es"),
+          ($"h_de".cast("double") / $"n_toks").as("score_de"),
+          ($"h_fr".cast("double") / $"n_toks").as("score_fr"))
         scored.select(
           $"doc_id", $"lang",
           $"score_en", $"score_es", $"score_de", $"score_fr",
