@@ -100,6 +100,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     // the only broadcast is the one-row corpus count
     assert(p.linesIterator.count(_.contains("BroadcastExchange")) == 1, p.take(1500))
+    // pinned plan economics (VERDICT r3 #3): exactly two hash exchanges —
+    // the (doc_id, word) tf aggregation and the word-keyed window for df.
+    // A third would mean df re-derives or the window re-shuffles.
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      p.take(2000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(word")), p.take(2000))
+  }
+
+  test("q_lang_id: broadcast lexicon join, one doc-keyed exchange, no HOFs") {
+    val p = plan("q_lang_id")
+    // lexicon attaches as a broadcast dim; scoring is conditional partial
+    // aggregation — exactly one hash exchange, keyed on the doc
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) == 1, p.take(1500))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(2000))
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      p.take(2000))
+    // the old interpreted per-language array-filter scoring must not creep
+    // back: the one residual lambda is the tokenizer's empty-string filter
+    // (shared with every text query), so pin lambda count == 1, not 4+.
+    assert(p.linesIterator.flatMap(l =>
+      "lambdafunction".r.findAllIn(l)).size <= 1, p.take(2000))
+    // scoring itself is plain conditional sums
+    assert(p.contains("sum(CASE WHEN"), p.take(2000))
+  }
+
+  test("q_embed_pool: long micro-unit sums — no decimal math in the hot path") {
+    val p = plan("q_embed_pool")
+    // one partial-agg shuffle on (label, pos); sums stay integral
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(2000))
+    assert(!p.toLowerCase.contains("decimal("), p.take(2000))
   }
 
   test("q_set_ops: customer side broadcasts, set-op aggs have map-side partials") {
