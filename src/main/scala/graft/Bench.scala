@@ -68,7 +68,10 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN bench.json not written: $e")
+    }
     // Last line of the run, bare (build.sbt strips sbt's [info] prefix and
     // [success] trailer): this is the line the driver parses.
     println(compact)

@@ -59,17 +59,21 @@ object Dedup {
         .join(labels.select(col("id").as("lid"),
           col("label").as("jmp_label")), col("label") === col("lid"))
         .select(col("id"), col("jmp_label"))
+      // The new label and a did-it-change flag come out of ONE projection
+      // over the same join, so the convergence probe below scans the
+      // already-materialized checkpoint instead of paying a second keyed
+      // join against the previous round's labels.
+      val newLabel = least(col("label"),
+        coalesce(col("nbr_label"), col("label")),
+        coalesce(col("jmp_label"), col("label")))
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .join(jump, Seq("id"), "left")
-        .select(col("id"), least(col("label"),
-          coalesce(col("nbr_label"), col("label")),
-          coalesce(col("jmp_label"), col("label"))).as("label"))
+        .select(col("id"), newLabel.as("label"),
+          (newLabel =!= col("label")).as("chg"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0L
       i += 1
     }

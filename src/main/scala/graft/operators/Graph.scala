@@ -10,70 +10,180 @@ import org.apache.spark.sql.functions._
   * member of graft's iterative-operator family beside [[Dedup.clusters]]
   * and [[Bpe.train]].
   *
-  * Per iteration: contributions = one keyed join of edges against the
-  * current rank table (co-partitioned on src) + a partial-aggregated
-  * shuffle of (dst, contribution) — O(edges) map work, O(nodes) shuffled
-  * bytes; the new rank table is `localCheckpoint`ed so iterative lineage
-  * never compounds. Driver state: nothing but the loop counter. This is
-  * the simple (non-dangling-redistributing) variant: rank mass leaving
-  * sink nodes is dropped, as documented.
+  * Scale shape: the per-edge weight table (src, dst, 1/out_deg) is built
+  * ONCE, partitioned by src, and checkpointed — each round then performs
+  * one keyed join of that static table against the current rank table
+  * (only the O(nodes) rank side shuffles) plus a partial-aggregated
+  * shuffle of (dst, contribution): O(edges) map work, O(nodes) shuffled
+  * bytes per round. Lineage is cut by `localCheckpoint` every
+  * `checkpointInterval` rounds rather than every round — each checkpoint
+  * is an eager materialization job, and at small scale those fixed job
+  * costs dominate (10 per-round checkpoints were ~60% of q_pagerank's
+  * 6.5 s at sf0.1); a 3-round interval keeps the plan bounded while
+  * amortizing the job overhead. Driver state: the loop counter plus (in
+  * the optional modes) one O(1) scalar per round.
   */
 object Graph {
 
   /** PageRank over directed `edges` (columns `src`, `dst`); returns
     * (id, rank). Fixed iteration count — callers pick it; ~10 is the
-    * usual centrality-signal setting. */
+    * usual centrality-signal setting.
+    *
+    * @param redistributeDangling when true, rank mass sitting on sink
+    *   nodes (no out-edges) is redistributed uniformly each round — the
+    *   standard formulation for real web graphs, where sinks are common
+    *   and dropped mass deflates every rank. Costs one O(nodes) scalar
+    *   aggregate per round (an anti-join against the out-edge key set).
+    *   The default (off) matches the simple drop-sink-mass variant.
+    * @param tol optional L1 convergence threshold: iteration stops early
+    *   once the L1 delta between consecutive CHECKPOINTED rank tables
+    *   falls below `tol`. Checked only at checkpoint boundaries (where
+    *   the table is materialized anyway), so the check costs one join +
+    *   scalar agg per `checkpointInterval` rounds; a multi-round delta
+    *   below `tol` implies every per-round delta inside the interval was
+    *   smaller still, so the stop is conservative.
+    */
   def pageRank(
       edges: DataFrame,
       iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      checkpointInterval: Int = 3,
+      redistributeDangling: Boolean = false,
+      tol: Option[Double] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint()
     val n = nodes.count().toDouble
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    // Static per-edge weight table, partitioned on the join key so each
+    // round's join shuffles only the rank side.
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("out_deg")).as("w"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    // Distinct out-edge sources: the complement of the sink-node set.
+    lazy val srcIds = eDeg.select(col("src").as("id")).distinct()
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
-      val contribs = e
+    var lastCheckpointed = ranks
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      it += 1
+      val sinkBoost =
+        if (!redistributeDangling) 0.0
+        else {
+          val dangling = ranks
+            .join(srcIds, Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)))
+            .head.getDouble(0)
+          damping * dangling / n
+        }
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(outDeg, "src")
-        .select(col("dst").as("id"),
-          (col("rank") / col("out_deg")).as("c"))
+        .select(col("dst").as("id"), (col("rank") * col("w")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit((1.0 - damping) / n) +
+          (lit((1.0 - damping) / n + sinkBoost) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      if (it % math.max(checkpointInterval, 1) == 0 || it == iterations) {
+        ranks = next.localCheckpoint()
+        tol.foreach { t =>
+          val delta = ranks
+            .join(lastCheckpointed.withColumnRenamed("rank", "prev"),
+              Seq("id"))
+            .agg(sum(abs(col("rank") - col("prev"))))
+            .head.getDouble(0)
+          if (delta < t) converged = true
+        }
+        lastCheckpointed = ranks
+      } else ranks = next
     }
     ranks
   }
 
+  /** The customer->supplier trade graph (orders x lineitem) used by the
+    * PageRank queries: edge c<custkey> -> s<suppkey> per distinct trading
+    * pair. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(s, d, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+        "o_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+  }
+
+  /** The q_pagerank2 oracle: 2 damped iterations unrolled as plain SQL
+    * CTEs — rank values after two rounds, rounded to 6 dp on both engines
+    * (the q_pmi/q_zipf recipe: double-sum order drift across engines is
+    * ~1e-16 relative, far under the rounding grain). Literals are written
+    * as `(1.0 - 0.85)` in BOTH formulations so the two engines evaluate
+    * the identical double. */
+  private val pagerank2Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+      |c1 AS (
+      |  SELECT e.dst AS id, SUM((1.0 / nn.n) / deg.out_deg) AS m
+      |  FROM e JOIN deg ON e.src = deg.src CROSS JOIN nn
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT nodes.id,
+      |         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c1.m, 0.0) AS rank
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+      |c2 AS (
+      |  SELECT e.dst AS id, SUM(r1.rank / deg.out_deg) AS m
+      |  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT nodes.id,
+      |         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.m, 0.0) AS rank
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id)
+      |SELECT id, round(rank, 6) AS rank2 FROM r2 ORDER BY id""".stripMargin
+
   val queries: Seq[(String, GQuery)] = Seq(
-    // Centrality over the customer->supplier trade graph (orders x
-    // lineitem): 10 PageRank rounds, top-20 by rank. Iterative double
-    // arithmetic is not stably oracle-comparable across engines
-    // (aggregation-order drift compounds per round), so the driver
-    // records a rows-only check; semantics are golden-tested against an
-    // independent in-memory implementation in GraphSpec.
+    // Centrality over the customer->supplier trade graph: 10 PageRank
+    // rounds, top-20 by rank. Iterative double arithmetic at 10 rounds is
+    // not stably oracle-comparable across engines (aggregation-order
+    // drift compounds per round), so the driver records a rows-only
+    // check; semantics are golden-tested against an independent in-memory
+    // implementation in GraphSpec, and the 2-round unrolled q_pagerank2
+    // below IS oracle-checked.
     "q_pagerank" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val edges = Tables.load(s, d, "orders")
-          .select($"o_orderkey", $"o_custkey")
-          .join(Tables.load(s, d, "lineitem")
-            .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
-            "o_orderkey")
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
-          .distinct()
-        pageRank(edges, iterations = 10)
+        pageRank(tradeEdges(s, d), iterations = 10)
           .orderBy($"rank".desc, $"id")
           .limit(20)
       },
       None,
       "PageRank centrality over the customer->supplier graph (10 rounds)"),
+
+    // The oracle-checked variant (VERDICT r3 #5): the same engine run for
+    // exactly 2 iterations, hash-compared against the unrolled-CTE SQL
+    // above after 6-dp rounding. This pins the distributed loop's
+    // semantics against a second engine, leaving only the 10-round drift
+    // (not the algorithm) outside the oracle gate.
+    "q_pagerank2" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        pageRank(tradeEdges(s, d), iterations = 2)
+          .select($"id", round($"rank", 6).as("rank2"))
+          .orderBy($"id")
+      },
+      Some(pagerank2Sql),
+      "PageRank after 2 unrolled rounds (oracle-checked vs DuckDB CTEs)"),
   )
 }

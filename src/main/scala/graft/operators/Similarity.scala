@@ -156,19 +156,33 @@ object Similarity {
     // gave that but cost 23.7 s at sf0.1 (VERDICT r3 #1). Long micro-units
     // are equally exact and stay in cheap integer codegen: widen float ->
     // double (exact), scale by 1e9, round half-up (identical semantics in
-    // both engines), sum as BIGINT (associative; |v|<=~1 so sf0.1's ~10k
-    // rows/group peaks ~1e13, far under Long range). The mean then divides
-    // engine-identical values in double space.
+    // both engines), sum as BIGINT (associative). A single global long sum
+    // would wrap once a (label,pos) group exceeds ~9e9 rows (ADVICE r4), so
+    // the sum is two-stage: stage 1 groups by (label, pos, physical input
+    // partition) and sums longs — bounded by rows-per-scan-partition (a
+    // 1 GiB partition of floats is ~2.7e8 values -> |partial| <= ~2.7e17
+    // for unit-normalized embeddings, 33x under Long.MaxValue; holds for
+    // any |v| <= 30) — then stage 2 merges the <=num_partitions partials
+    // per group in decimal(38,0), which is exact for any group size. Only
+    // the tiny merge (num_partitions rows/group) pays decimal cost; the
+    // per-element hot path stays integer codegen. The mean then divides
+    // engine-identical integers in double space (both engines round the
+    // same exact integer to the nearest double).
     "q_embed_pool" -> GQuery(
       (s, d) => {
         import s.implicits._
         emb(s, d)
           .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-          .groupBy($"label", $"pos")
+          .withColumn("part", spark_partition_id())
+          .groupBy($"label", $"pos", $"part")
           .agg(
             sum(round($"v".cast("double") * lit(1e9), 0).cast("long"))
-              .as("sum_u"),
-            count(lit(1)).as("n"))
+              .as("psum"),
+            count(lit(1)).as("pn"))
+          .groupBy($"label", $"pos")
+          .agg(
+            sum($"psum".cast("decimal(38,0)")).as("sum_u"),
+            sum($"pn").as("n"))
           .select($"label", $"pos",
             ($"sum_u".cast("double") / lit(1e9) / $"n").as("mean_v"))
           .orderBy($"label", $"pos")

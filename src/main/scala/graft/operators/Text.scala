@@ -117,7 +117,11 @@ object Text {
       (s, d) => {
         import s.implicits._
         val lex = {
-          val rows = langLexicons.flatMap { case (lg, ws) => ws.map((_, lg)) }
+          // distinct guards the join's one-hit-per-token contract: a
+          // duplicate word inside a language's lexicon Seq would fan out
+          // the join and double-count that token (ADVICE r4).
+          val rows = langLexicons
+            .flatMap { case (lg, ws) => ws.distinct.map((_, lg)) }
           s.createDataFrame(rows).toDF("word", "lg")
         }
         val hits = docs(s, d)

@@ -8,7 +8,8 @@ class GraphSpec extends SparkSpec {
   import spark.implicits._
 
   private def referencePageRank(
-      edges: Seq[(String, String)], iterations: Int, damping: Double)
+      edges: Seq[(String, String)], iterations: Int, damping: Double,
+      redistributeDangling: Boolean = false)
       : Map[String, Double] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size.toDouble
@@ -16,10 +17,14 @@ class GraphSpec extends SparkSpec {
     val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     var r = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to iterations) {
+      val dangling =
+        if (redistributeDangling)
+          nodes.filterNot(out.contains).map(r).sum
+        else 0.0
       r = nodes.map { v =>
         val mass = in.getOrElse(v, Seq.empty)
           .map(u => r(u) / out(u)).sum
-        v -> ((1.0 - damping) / n + damping * mass)
+        v -> ((1.0 - damping) / n + damping * (mass + dangling / n))
       }.toMap
     }
     r
@@ -56,6 +61,55 @@ class GraphSpec extends SparkSpec {
       got.foreach { case (k, v) =>
         assert(math.abs(v - want(k)) < 1e-10, s"trial $trial node $k")
       }
+    }
+  }
+
+  test("dangling-mass redistribution matches the reference and conserves mass") {
+    // e is a sink: without redistribution its incoming mass evaporates;
+    // with it, total rank stays ~1 every round.
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "d"), ("b", "d"), ("c", "d"), ("d", "e"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 10,
+        redistributeDangling = true)
+      .as[(String, Double)].collect().toMap
+    val want = referencePageRank(edges, 10, 0.85, redistributeDangling = true)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"node $k: $v vs ${want(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"mass not conserved: ${got.values.sum}")
+    // and the drop-mass variant does NOT conserve it on this sink graph
+    val dropped = Graph.pageRank(edges.toDF("src", "dst"), iterations = 10)
+      .as[(String, Double)].collect().toMap
+    assert(dropped.values.sum < 0.999)
+  }
+
+  test("convergence stop yields the fixed point early") {
+    // A tight cycle converges fast; a generous iteration cap with tol set
+    // must land on (numerically) the same ranks as running the cap out.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val full = Graph.pageRank(edges.toDF("src", "dst"), iterations = 60)
+      .as[(String, Double)].collect().toMap
+    val early = Graph.pageRank(edges.toDF("src", "dst"), iterations = 60,
+        tol = Some(1e-9))
+      .as[(String, Double)].collect().toMap
+    full.foreach { case (k, v) =>
+      assert(math.abs(v - early(k)) < 1e-7, s"node $k: $v vs ${early(k)}")
+    }
+  }
+
+  test("checkpoint interval does not change results") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b"))
+    val every = Graph.pageRank(edges.toDF("src", "dst"), iterations = 7,
+        checkpointInterval = 1)
+      .as[(String, Double)].collect().toMap
+    val sparse = Graph.pageRank(edges.toDF("src", "dst"), iterations = 7,
+        checkpointInterval = 5)
+      .as[(String, Double)].collect().toMap
+    every.foreach { case (k, v) =>
+      assert(math.abs(v - sparse(k)) < 1e-12, s"node $k")
     }
   }
 }

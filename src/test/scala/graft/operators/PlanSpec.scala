@@ -130,10 +130,21 @@ class PlanSpec extends SparkSpec {
 
   test("q_embed_pool: long micro-unit sums — no decimal math in the hot path") {
     val p = plan("q_embed_pool")
-    // one partial-agg shuffle on (label, pos); sums stay integral
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
-      p.take(2000))
-    assert(!p.toLowerCase.contains("decimal("), p.take(2000))
+    // two-stage overflow-safe sum (ADVICE r4): a partial-agg shuffle on
+    // (label, pos, physical partition) where sums stay integral, then a
+    // tiny (num_partitions rows/group) merge shuffle on (label, pos)
+    // where decimal(38,0) is allowed — the ONLY place it is.
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      p.take(2500))
+    // the per-element stage must be pure long arithmetic: no decimal may
+    // appear below the salted aggregate (i.e. in the same line as the
+    // micro-unit round/cast)
+    val hotLines = p.linesIterator.filter(_.contains("as bigint")).toSeq
+    assert(hotLines.nonEmpty && hotLines.forall(!_.toLowerCase.contains("decimal(")),
+      p.take(2500))
+    // decimal appears only in the merge-stage sum over stage-1 partials
+    assert(p.linesIterator.forall(l =>
+      !l.toLowerCase.contains("decimal(") || l.contains("psum")), p.take(2500))
   }
 
   test("q_set_ops: customer side broadcasts, set-op aggs have map-side partials") {
