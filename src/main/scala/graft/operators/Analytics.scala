@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fns, GQuery, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,27 +404,60 @@ object Analytics {
     // scale note promises (exact percentile buffers whole groups;
     // approx_percentile holds a fixed-size sketch per group). accuracy=
     // 10000 → rank error ≤ n/10000. No DuckDB oracle (sketch internals
-    // are engine-specific): rows-only driver check + ApproxPercentileSpec
-    // asserts the rank-error envelope vs the exact values.
+    // are engine-specific), but the query SELF-CHECKS its contract
+    // (VERDICT r3 #8) with the discrete form the guarantee actually
+    // states: the returned value's rank interval [count(<v), count(<=v)]
+    // must overlap [p*n - eps*n, p*n + eps*n] (+1 slack for the sketch's
+    // boundary handling). The check re-scans the table once and joins the
+    // 3-row aggregate back by broadcast, emitting *_ok booleans the
+    // driver's rows-only check and ApproxPercentileSpec both see — a
+    // sketch regression flips a column to false instead of silently
+    // drifting.
     "q_approx_percentile" -> GQuery(
       (s, d) => {
         import s.implicits._
-        Tables.load(s, d, "lineitem")
+        val ap = Tables.load(s, d, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
             expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
             expr("approx_percentile(l_extendedprice, array(0.25, 0.9), 10000)")
-              .as("p_price"))
+              .as("p_price"),
+            count(lit(1)).as("n"))
           // scalar columns only: the driver's compare crashes sorting
           // array-typed cells (ADVICE r2), and even its rows-only check
           // needs a sortable frame.
           .select($"l_returnflag", $"p50_qty",
             element_at($"p_price", 1).as("p25_price"),
-            element_at($"p_price", 2).as("p90_price"))
+            element_at($"p_price", 2).as("p90_price"), $"n")
+        def rankOk(lt: Column, le: Column, p: Double): Column = {
+          val slack = lit(p) * $"n" - (le + lit(1)) <= $"n" / lit(10000.0)
+          val slack2 = lt - lit(1) - lit(p) * $"n" <= $"n" / lit(10000.0)
+          slack && slack2
+        }
+        Tables.load(s, d, "lineitem")
+          .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+          .join(broadcast(ap), "l_returnflag")
+          .groupBy($"l_returnflag", $"p50_qty", $"p25_price",
+            $"p90_price", $"n")
+          .agg(
+            sum(when($"l_quantity" < $"p50_qty", 1).otherwise(0)).as("lt50"),
+            sum(when($"l_quantity" <= $"p50_qty", 1).otherwise(0)).as("le50"),
+            sum(when($"l_extendedprice" < $"p25_price", 1).otherwise(0))
+              .as("lt25"),
+            sum(when($"l_extendedprice" <= $"p25_price", 1).otherwise(0))
+              .as("le25"),
+            sum(when($"l_extendedprice" < $"p90_price", 1).otherwise(0))
+              .as("lt90"),
+            sum(when($"l_extendedprice" <= $"p90_price", 1).otherwise(0))
+              .as("le90"))
+          .select($"l_returnflag", $"p50_qty", $"p25_price", $"p90_price",
+            rankOk($"lt50", $"le50", 0.5).as("p50_ok"),
+            rankOk($"lt25", $"le25", 0.25).as("p25_ok"),
+            rankOk($"lt90", $"le90", 0.9).as("p90_ok"))
           .orderBy($"l_returnflag")
       },
       None,
-      "approx_percentile — bounded-memory quantiles at scale"),
+      "approx_percentile — bounded-memory quantiles, self-checked rank bound"),
 
     // 7-day rolling DISTINCT users — the query exact methods cannot do at
     // scale (distinct does not decompose over sliding frames; a 7-day
@@ -452,5 +485,41 @@ object Analytics {
       },
       None,
       "rolling 7-day distinct users from daily HLL partials"),
+
+    // The EXACT twin of q_rolling_distinct, oracle-checked (VERDICT r3
+    // #8): daily distinct-user sets merged over the same 7-row window —
+    // collect_set per day, flatten+distinct across the frame. Memory is
+    // O(7-day distinct users) per row, which is exactly the cost the HLL
+    // variant above exists to avoid at 100 TB; this formulation's job is
+    // to pin the window/rollup SEMANTICS (frame bounds, day bucketing,
+    // merge) against DuckDB, leaving only the sketch binary itself
+    // outside the oracle gate. Both engines use a ROWS frame, so sparse
+    // calendars (missing days) behave identically.
+    "q_rolling_distinct_exact" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"day").rowsBetween(-6, 0)
+        Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(collect_set($"user_id").as("us"),
+            count(lit(1)).as("n_events"))
+          .withColumn("users_7d",
+            size(array_distinct(flatten(collect_list($"us").over(w))))
+              .cast("long"))
+          .select($"day", $"n_events", $"users_7d")
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         list(DISTINCT user_id) AS us,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_events,
+        |  CAST(len(list_distinct(flatten(list(us) OVER
+        |    (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))
+        |    AS BIGINT) AS users_7d
+        |FROM daily ORDER BY day""".stripMargin),
+      "exact 7-day rolling distinct users (oracle twin of the HLL rollup)"),
   )
 }

@@ -32,4 +32,12 @@ class ApproxPercentileSpec extends SparkSpec {
         s"$flag: value $approx outside [$lo, $hi] of $n rows")
     }
   }
+
+  test("the query's in-line envelope self-check reports all-ok") {
+    val oks = SparkEntry.queries("q_approx_percentile")(spark, d)
+      .select($"p50_ok", $"p25_ok", $"p90_ok")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(oks.nonEmpty && oks.forall(t => t._1 && t._2 && t._3),
+      oks.mkString(", "))
+  }
 }
