@@ -60,6 +60,18 @@ object AsOf {
       key: String,
       leftTime: String,
       rightTime: String,
+      payloadCols: Seq[String]): DataFrame =
+    asofJoinNativeKeys(left, right, Seq(key), leftTime, rightTime,
+      payloadCols)
+
+  /** Multi-equi-key native as-of join (the [[graft.plans.AsOfJoinNode]]
+    * already carries Seq keys; this exposes it). */
+  def asofJoinNativeKeys(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftshim.Bridge
     val lp = Bridge.analyzed(left)
@@ -70,9 +82,39 @@ object AsOf {
         s"column $n not found in ${p.output.map(_.name).mkString(",")}"))
     Bridge.ofRows(left.sparkSession, graft.plans.AsOfJoinNode(
       lp, rp,
-      Seq(attr(lp, key)), Seq(attr(rp, key)),
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
       attr(lp, leftTime), attr(rp, rightTime),
       payloadCols.map(attr(rp, _))))
+  }
+
+  /** Hot-key mitigation for the native as-of join. AQE's skew-join split
+    * only rewrites the two built-in shuffled joins (SortMergeJoinExec /
+    * ShuffledHashJoinExec) — a custom exec's exchanges get placed, reused
+    * and COALESCED by AQE but never skew-split — so the scale story for a
+    * dominant key is the operator-level one: salt the LEFT side into
+    * `buckets` deterministic slices (hash of the left row's time) and
+    * replicate each right key group into every bucket. Every left row
+    * still sees the full right history for its key, so results are
+    * row-identical to [[asofJoinNative]] (SkewedAsOfSpec parity); the hot
+    * key's left partition is now `buckets`-way parallel at the cost of
+    * `buckets`× the (typically far smaller) right side's shuffle bytes —
+    * the classic replicate-the-build skew trade. */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      buckets: Int = 8): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(leftTime)), lit(buckets.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    asofJoinNativeKeys(l, r, Seq(key, "__salt"), leftTime, rightTime,
+      payloadCols)
+      .drop("__salt")
   }
 
   val queries: Seq[(String, GQuery)] = Seq(
