@@ -194,6 +194,64 @@ object Similarity {
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
       "per-label mean-pooled embedding (extension X3)"),
 
+    // X3 sign-random-projection (SRP) LSH — the hashing-family companion
+    // to the IVF index: 8 fixed hyperplanes, each embedding mapped to the
+    // 8-bit sign pattern of its projections, near-dup candidates = pairs
+    // sharing a bucket (P[bit match] = 1 - angle/pi, the SRP guarantee).
+    // Everything is EXACTLY oracle-checkable, which float-dot LSH never
+    // is: the "random" planes are a deterministic integer formula
+    // w(j,i) = ((j*31 + i*17) mod 7) - 3 both engines compute literally,
+    // and dots are taken in micro-unit longs (round(v*1e6) as bigint), so
+    // the SIGN — the only thing that matters — cannot flip on float
+    // summation order. Shape: one posexplode + one vec-keyed partial-agg
+    // shuffle for signatures (the embed_pool shape), then a self-join on
+    // the 8-bit bucket — sub-linear candidates, no all-pairs.
+    "q_srp_lsh" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val planes = 0 until 8
+        val dots = planes.map(j =>
+          sum($"u" * (pmod(lit(j * 31) + $"i" * 17, lit(7)) - 3))
+            .as(s"d$j"))
+        val sigs = emb(s, d)
+          .select($"vec_id", posexplode(
+            transform($"embedding",
+              x => round(x.cast("double") * lit(1e6), 0).cast("long")))
+            .as(Seq("i", "u")))
+          .groupBy($"vec_id")
+          .agg(dots.head, dots.tail: _*)
+          .select($"vec_id",
+            planes.map(j =>
+              when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).as("sig"))
+        sigs.as("a").join(sigs.as("b"),
+            $"a.sig" === $"b.sig" && $"a.vec_id" < $"b.vec_id")
+          .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+            $"a.sig".as("sig"))
+          .orderBy($"v1", $"v2")
+      },
+      Some("""WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS uu
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, j,
+        |    SUM(uu[i] * (((j*31 + (i-1)*17) % 7) - 3)) AS dot
+        |  FROM u,
+        |       unnest(generate_series(1, len(uu))) AS s(i),
+        |       unnest(generate_series(0, 7)) AS sj(j)
+        |  GROUP BY vec_id, j),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM d GROUP BY vec_id)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2, a.sig
+        |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |ORDER BY v1, v2""".stripMargin),
+      "sign-random-projection LSH buckets + candidate pairs (X3)"),
+
     // X3 L2-normalize + symmetric int8 quantization — the storage-shrink
     // pass before ANN indexing (4x smaller vectors). Per-row map only: the
     // squared-norm folds the array IN INDEX ORDER on both engines

@@ -51,4 +51,33 @@ class SimilarityRecallSpec extends SparkSpec {
       "chance level ≈ 1/3 cells)")
     assert(ivf.size == 10)
   }
+
+  test("SRP bucket-mates are more similar than random pairs") {
+    // the LSH property q_srp_lsh's fixed hyperplanes must preserve:
+    // P[same 8-bit sign pattern] grows with cosine, so candidate pairs
+    // from shared buckets should beat the random-pair mean cosine by a
+    // clear margin on the fixture corpus
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val pairs = Similarity.queries.toMap.apply("q_srp_lsh").fn(spark, d)
+    def cosOf(df: org.apache.spark.sql.DataFrame): Double = df
+      .join(emb.withColumnRenamed("vec_id", "v1")
+        .withColumnRenamed("embedding", "e1"), "v1")
+      .join(emb.withColumnRenamed("vec_id", "v2")
+        .withColumnRenamed("embedding", "e2"), "v2")
+      .select(expr("cosine_sim(e1, e2)").as("c"))
+      .agg(avg($"c")).head.getDouble(0)
+    val bucketMean = cosOf(pairs)
+    // random baseline: consecutive-id pairs (id unrelated to geometry)
+    val rand = emb.select($"vec_id".as("v1"), ($"vec_id" + 1).as("v2"))
+    val randMean = cosOf(rand)
+    info(f"bucket-mate mean cosine $bucketMean%.3f vs random $randMean%.3f")
+    // the fixture corpus is near-isotropic (random-pair mean ≈ 0.005), so
+    // even a strong relative signal is small in absolute cosine — observed
+    // bucket-mate mean ≈ 0.054, ~10× the random baseline
+    assert(bucketMean > randMean + 0.03,
+      s"SRP buckets not similarity-preserving: $bucketMean vs $randMean")
+  }
 }
