@@ -21,6 +21,17 @@ object Dedup {
     * exactly in the DuckDB oracle). */
   val MaxShingleDf = 100
 
+  /** Modulus for the cross-engine MinHash permutations (q_minhash_sig):
+    * the Mersenne prime 2^31-1. Multipliers stay below 2^20 so a*h with
+    * h < 2^32 peaks near 2^52 — exact in BIGINT on both engines. */
+  val MhPrime = 2147483647L
+
+  /** Eight fixed affine permutations (a, b) for q_minhash_sig. */
+  val mhPerms: Seq[(Long, Long)] = Seq(
+    (387461L, 98651L), (554111L, 202021L), (731641L, 315467L),
+    (123457L, 47563L), (982451L, 873127L), (286543L, 551239L),
+    (665981L, 90907L), (449363L, 668207L))
+
   /** Connected components over near-dup candidate pairs — the step after
     * pair generation in a real dedup pass: every document in a duplicate
     * cluster maps to one canonical keeper (the smallest id reachable
@@ -262,5 +273,110 @@ object Dedup {
       },
       None,
       "MinHash+LSH banded near-dup pairs (extension X2, scale path)"),
+
+    // X2 exactly-verified MinHash signatures: the signature math of the
+    // production LSH path, re-based on a CROSS-ENGINE hash so DuckDB can
+    // recompute it bit-for-bit (the q_srp_lsh recipe applied to text).
+    // h(shingle) = first 8 md5 hex digits as a bigint in [0, 2^32); eight
+    // affine permutations (a*h + b) mod p with p = 2^31-1 and a < 2^20 so
+    // a*h stays far under Long range; per-doc min per permutation is the
+    // signature, and md5 over each 4-slot half is the LSH band key — the
+    // same banding the scale path buckets on. MIN is duplicate-insensitive
+    // so no shingle distinct is needed: one scan, one doc-keyed partial
+    // agg (8 mins ride one shuffle).
+    "q_minhash_sig" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+            .as("sh"))
+          .withColumn("h",
+            conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long"))
+        val mins = mhPerms.zipWithIndex.map { case ((a, b), i) =>
+          min(pmod(lit(a) * $"h" + lit(b), lit(MhPrime))).as(s"m${i + 1}") }
+        sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+          .withColumn("band1", md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")))
+          .withColumn("band2", md5(concat_ws("|", $"m5", $"m6", $"m7", $"m8")))
+          .orderBy($"doc_id")
+      },
+      Some({
+        val minExprs = mhPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"    MIN(($a * h + $b) % $MhPrime) AS m${i + 1}"
+        }.mkString(",\n|")
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks)-2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h
+        |  FROM sh),
+        |m AS (
+        |  SELECT doc_id,
+        |$minExprs
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, m1, m2, m3, m4, m5, m6, m7, m8,
+        |  md5(m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR
+        |    || '|' || m4::VARCHAR) AS band1,
+        |  md5(m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR
+        |    || '|' || m8::VARCHAR) AS band2
+        |FROM m ORDER BY doc_id""".stripMargin
+      }),
+      "exactly-verified MinHash signatures + LSH band keys (extension X2)"),
+
+    // X1/X2 duplicated-span detection — the exact-substring-dedup signal
+    // (the suffix-array dedup family from the deduplicating-training-data
+    // line of work, re-expressed as sliding 10-token span fingerprints):
+    // a span occurring more than once ANYWHERE in the corpus marks every
+    // occurrence as duplicated text. Spans travel as 16-byte md5
+    // fingerprints, never as text; the occurrence count is one
+    // fingerprint-keyed window, then one doc-keyed rollup. At 100 TB the
+    // same two exchanges carry O(tokens) fixed-width rows — no all-pairs
+    // stage anywhere.
+    "q_dup_spans" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val wfp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+        Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 10)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-9), i -> md5(concat_ws(' ', slice(toks, i, 10))))"))
+            .as("fp"))
+          .withColumn("occ", count(lit(1)).over(wfp))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+          .select($"doc_id", $"n_spans", $"n_dup_spans",
+            round($"n_dup_spans".cast("double") / $"n_spans".cast("double"), 6)
+              .as("dup_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks)-9),
+        |      i -> md5(array_to_string(toks[i:i+9], ' ')))) AS fp
+        |  FROM t WHERE len(toks) >= 10),
+        |o AS (
+        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS occ FROM sp)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+        |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "duplicated 10-token span detection per document (extension X1/X2)"),
   )
 }

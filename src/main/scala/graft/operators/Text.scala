@@ -474,5 +474,159 @@ object Text {
         |SELECT k, (k * sxy - sx * sy) / (k * sxx - sx * sx) AS zipf_slope
         |FROM s""".stripMargin),
       "Zipf law slope over the frequency-rank distribution (extension X4)"),
+
+    // X4 Gopher-style quality gates: per-document word count, mean word
+    // length, top-token repetition ratio, and stopword presence, each with
+    // a keep/drop rule (the pretraining-corpus filter pattern from the
+    // Gopher/MassiveText line of work, re-expressed as one exploded
+    // aggregation). One scan, one (doc, tok) partial-count shuffle, one
+    // doc-keyed rollup — the flags are pure integer/rational arithmetic so
+    // both engines agree exactly; the keep rule reads the ROUNDED ratios so
+    // threshold comparisons cannot straddle an ulp.
+    "q_gopher_rules" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val en = langLexicons.toMap.apply("en")
+        docs(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id")
+          .agg(
+            sum($"cnt").as("n_words"),
+            max($"cnt").as("max_cnt"),
+            sum($"cnt" * length($"tok")).as("sum_len"),
+            sum(when($"tok".isInCollection(en), $"cnt").otherwise(0L))
+              .as("stop_hits"))
+          .select(
+            $"doc_id", $"n_words",
+            round($"sum_len".cast("double") / $"n_words".cast("double"), 6)
+              .as("mean_word_len"),
+            round($"max_cnt".cast("double") / $"n_words".cast("double"), 6)
+              .as("top_tok_ratio"),
+            $"stop_hits")
+          .select(
+            $"doc_id", $"n_words", $"mean_word_len", $"top_tok_ratio",
+            $"stop_hits",
+            ($"n_words".between(20, 100000) &&
+              $"mean_word_len".between(3.0, 10.0) &&
+              $"top_tok_ratio" <= 0.2 && $"stop_hits" >= 2).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |    CAST(SUM(cnt * len(tok)) AS BIGINT) AS sum_len,
+        |    CAST(SUM(CASE WHEN tok IN ${sqlInList(langLexicons.head._2)}
+        |      THEN cnt ELSE 0 END) AS BIGINT) AS stop_hits
+        |  FROM c GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |      AS mean_word_len,
+        |    round(CAST(max_cnt AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |      AS top_tok_ratio,
+        |    stop_hits
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, top_tok_ratio, stop_hits,
+        |  (n_words BETWEEN 20 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND top_tok_ratio <= 0.2 AND stop_hits >= 2) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin),
+      "Gopher-style per-document quality gates (extension X4)"),
+
+    // X4 unigram-LM surprisal: train an add-1-smoothed unigram language
+    // model on the corpus, score every document by average negative log
+    // probability — the cheap perplexity proxy used to quality-filter
+    // pretraining data. The LM is a tiny broadcast dim (distinct words);
+    // the scoring pass is one scan + one doc-keyed partial agg. Exactness:
+    // per-token surprisal is rounded to 9 dp and summed as DECIMAL (the
+    // q_zipf_slope recipe), so summation order cannot change the result.
+    "q_unigram_surprise" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+        val lm = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val tot = lm.agg(sum($"cnt").as("t"), count(lit(1)).as("v"))
+        val scored = lm.crossJoin(broadcast(tot))
+          .select($"tok",
+            round(log(($"cnt" + 1).cast("double") /
+              ($"t" + $"v").cast("double")), 9)
+              .cast("decimal(18,9)").as("s"))
+        toks.join(broadcast(scored), "tok")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"s").as("ssum"))
+          .select($"doc_id", $"n_tokens",
+            round(-($"ssum".cast("double")) / $"n_tokens".cast("double"), 6)
+              .as("avg_surprise"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |lm AS (SELECT tok, COUNT(*) AS cnt FROM e GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS t, COUNT(*) AS v FROM lm),
+        |sc AS (
+        |  SELECT tok,
+        |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS s
+        |  FROM lm, tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(-(CAST(SUM(s) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_surprise
+        |FROM e JOIN sc USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "add-1 unigram-LM average surprisal per document (extension X4)"),
+
+    // X4 domain shift: KL divergence of each source's word distribution
+    // against the whole corpus — the mixing-diagnostics counterpart to
+    // q_mix_temperature (which reweights sources; this measures how far
+    // each source's language actually is from the blend). Shapes: one
+    // (source, tok) partial-count shuffle; corpus counts and totals are
+    // broadcast dims. Same 9-dp-log + decimal-sum exactness recipe.
+    "q_kl_sources" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = docs(s, d)
+          .select($"source", explode(tokens($"text")).as("tok"))
+        val sw = e.groupBy($"source", $"tok").agg(count(lit(1)).as("c_sw"))
+        val st = sw.groupBy($"source").agg(sum($"c_sw").as("t_s"))
+        val cw = e.groupBy($"tok").agg(count(lit(1)).as("c_w"))
+        val tot = cw.agg(sum($"c_w").as("t"))
+        val p = $"c_sw".cast("double") / $"t_s".cast("double")
+        val q = $"c_w".cast("double") / $"t".cast("double")
+        sw.join(st, "source").join(broadcast(cw), "tok")
+          .crossJoin(broadcast(tot))
+          .select($"source", $"t_s",
+            round(p * round(log(p / q), 9), 12)
+              .cast("decimal(28,12)").as("term"))
+          .groupBy($"source", $"t_s")
+          .agg(sum($"term").as("klsum"))
+          .select($"source", $"t_s".as("n_words"),
+            round($"klsum".cast("double"), 6).as("kl"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |sw AS (SELECT source, tok, COUNT(*) AS c_sw FROM e GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(c_sw) AS t_s FROM sw GROUP BY source),
+        |cw AS (SELECT tok, COUNT(*) AS c_w FROM e GROUP BY tok),
+        |tot AS (SELECT SUM(c_w) AS t FROM cw),
+        |terms AS (
+        |  SELECT sw.source, st.t_s,
+        |    CAST(round(
+        |      (CAST(c_sw AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+        |      round(ln((CAST(c_sw AS DOUBLE) / CAST(t_s AS DOUBLE)) /
+        |                (CAST(c_w AS DOUBLE) / CAST(t AS DOUBLE))), 9),
+        |      12) AS DECIMAL(28,12)) AS term
+        |  FROM sw JOIN st USING (source) JOIN cw USING (tok), tot)
+        |SELECT source, CAST(t_s AS BIGINT) AS n_words,
+        |  round(CAST(SUM(term) AS DOUBLE), 6) AS kl
+        |FROM terms GROUP BY source, t_s ORDER BY source""".stripMargin),
+      "per-source KL divergence vs corpus word distribution (extension X4)"),
   )
 }
