@@ -26,6 +26,66 @@ object Similarity {
   private def duckCos(a: String, b: String) =
     s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  // ----- Product quantization (q_pq_encode / q_pq_search) -----------------
+  //
+  // Geometry: the 64-dim embedding splits into 4 subvectors of 16 dims;
+  // each subvector maps to its nearest of 8 centroids. All math happens in
+  // EXACT micro-unit integer space (round(v*1e6) as bigint — the
+  // q_srp_lsh/q_embed_pool recipe), and the codebook itself is a fixed
+  // integer formula c(m,k,j) = (((m*31 + k*17 + j*7) % 13) - 6) * 80000
+  // (±0.48 in micro units, spanning the data's ±0.6 range) — so NO float
+  // literal ever crosses the engine boundary and DuckDB recomputes codes
+  // bit-for-bit. Production would train the codebook with the IvfIndex
+  // k-means machinery and broadcast it; the formula stands in for the
+  // trained table to keep the encode/ADC math itself oracle-verifiable.
+
+  /** Spark SQL expression: array of 8 squared L2 distances (micro-unit
+    * longs) from subvector `m` of `embedding` to each formula centroid. */
+  private def pqDistsSpark(m: Int): String = {
+    val diff = s"CAST(round(CAST(element_at(embedding, ${m * 16} + j + 1) AS DOUBLE) * 1000000) AS BIGINT) - CAST(((($m * 31 + k * 17 + j * 7) % 13) - 6) * 80000 AS BIGINT)"
+    s"transform(sequence(0, 7), k -> aggregate(transform(sequence(0, 15), j -> $diff), CAST(0 AS BIGINT), (acc, x) -> acc + x * x))"
+  }
+
+  /** DuckDB fragment mirroring [[pqDistsSpark]]. */
+  private def pqDistsDuck(m: Int): String = {
+    val diff = s"(CAST(round(CAST(embedding[CAST(${m * 16} + j + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) - ((($m * 31 + k * 17 + j * 7) % 13) - 6) * 80000)"
+    s"list_transform(generate_series(0, 7), k -> list_reduce(list_transform(generate_series(0, 15), j -> $diff * $diff), (acc, x) -> acc + x))"
+  }
+
+  /** DuckDB CTE producing (vec_id, c1..c4, err) — textually shared by both
+    * PQ oracles so they can never drift. Codes are 1-based centroid ids
+    * (first-minimum argmin on both engines). */
+  private val pqEncodeSql: String = {
+    val dists = (0 until 4).map(m => s"${pqDistsDuck(m)} AS d${m + 1}")
+      .mkString(",\n|      ")
+    s"""enc AS (
+    |  SELECT vec_id,
+    |    CAST(list_position(d1, list_min(d1)) AS BIGINT) AS c1,
+    |    CAST(list_position(d2, list_min(d2)) AS BIGINT) AS c2,
+    |    CAST(list_position(d3, list_min(d3)) AS BIGINT) AS c3,
+    |    CAST(list_position(d4, list_min(d4)) AS BIGINT) AS c4,
+    |    CAST(list_min(d1) + list_min(d2) + list_min(d3) + list_min(d4)
+    |      AS BIGINT) AS err
+    |  FROM (
+    |    SELECT vec_id,
+    |      $dists
+    |    FROM embeddings))""".stripMargin
+  }
+
+  /** The Spark encode plan shared by q_pq_encode and q_pq_search. */
+  private def pqEncode(s: SparkSession, d: String) = {
+    import s.implicits._
+    var df = emb(s, d)
+    (0 until 4).foreach(m => df = df.withColumn(s"d${m + 1}", expr(pqDistsSpark(m))))
+    df.select($"vec_id", $"embedding",
+      array_position($"d1", array_min($"d1")).as("c1"),
+      array_position($"d2", array_min($"d2")).as("c2"),
+      array_position($"d3", array_min($"d3")).as("c3"),
+      array_position($"d4", array_min($"d4")).as("c4"),
+      (array_min($"d1") + array_min($"d2") + array_min($"d3") +
+        array_min($"d4")).as("err"))
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // X3 brute-force cosine top-k for one query vector, scored by the
@@ -282,5 +342,61 @@ object Similarity {
         |    x -> CAST(round(127.0 * CAST(x AS DOUBLE) / norm, 0) AS INT)), ',') AS qsig
         |FROM n ORDER BY vec_id""".stripMargin),
       "L2-normalize + int8 quantization signature (extension X3)"),
+
+    // X3 product-quantization encode: each embedding compresses to 4
+    // centroid codes (one per 16-dim subvector) + its total squared
+    // reconstruction error — the memory-compression step under every
+    // billion-vector ANN index (codes are 4 bytes/vector vs 256 bytes of
+    // floats). Pure per-row expression work, no shuffle but the final
+    // order; codes verified bit-for-bit (see the codebook note above).
+    "q_pq_encode" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        pqEncode(s, d).drop("embedding").orderBy($"vec_id")
+      },
+      Some(s"""WITH $pqEncodeSql
+        |SELECT vec_id, c1, c2, c3, c4, err FROM enc
+        |ORDER BY vec_id""".stripMargin),
+      "product-quantization codes + reconstruction error (extension X3)"),
+
+    // X3 PQ asymmetric-distance search (ADC): the probe vector stays
+    // EXACT while every corpus vector is represented only by its 4 codes —
+    // distance = sum over subvectors of (probe subvector ↔ coded centroid)
+    // squared L2, the lookup-table trick that makes PQ search scan
+    // 4-byte codes instead of raw vectors. Probe is a one-row broadcast;
+    // top-10 is TakeOrderedAndProject. Same micro-unit integer math, so
+    // the ADC distances (and the ranking) are oracle-exact.
+    "q_pq_search" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def adc(m: Int): String = {
+          val diff = s"CAST(round(CAST(element_at(p, ${m * 16} + j + 1) AS DOUBLE) * 1000000) AS BIGINT) - CAST(((($m * 31 + (c${m + 1} - 1) * 17 + j * 7) % 13) - 6) * 80000 AS BIGINT)"
+          s"aggregate(transform(sequence(0, 15), j -> $diff), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        }
+        val probe = emb(s, d).filter($"vec_id" === 0)
+          .select($"embedding".as("p"))
+        pqEncode(s, d).drop("embedding")
+          .crossJoin(broadcast(probe))
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id", $"c1", $"c2", $"c3", $"c4",
+            expr(s"${adc(0)} + ${adc(1)} + ${adc(2)} + ${adc(3)}")
+              .as("adc_dist"))
+          .orderBy($"adc_dist", $"vec_id")
+          .limit(10)
+      },
+      Some({
+        def adc(m: Int): String = {
+          val diff = s"(CAST(round(CAST(p[CAST(${m * 16} + j + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) - ((($m * 31 + (c${m + 1} - 1) * 17 + j * 7) % 13) - 6) * 80000)"
+          s"list_reduce(list_transform(generate_series(0, 15), j -> $diff * $diff), (acc, x) -> acc + x)"
+        }
+        s"""WITH $pqEncodeSql,
+        |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, c1, c2, c3, c4,
+        |  CAST(${adc(0)} + ${adc(1)} + ${adc(2)} + ${adc(3)} AS BIGINT)
+        |    AS adc_dist
+        |FROM enc, probe WHERE vec_id != 0
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+      }),
+      "PQ asymmetric-distance (ADC) top-10 search (extension X3)"),
   )
 }

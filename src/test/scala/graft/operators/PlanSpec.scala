@@ -232,6 +232,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_minhash_sig: all 8 signature mins ride ONE doc-keyed exchange") {
+    val p = plan("q_minhash_sig")
+    assert(p.contains("partial_min"), p.take(1200))
+    // one hashpartitioning exchange on doc_id (plus the final sort's range
+    // exchange) — the 8 permutations must never fan out into per-perm jobs
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1200))
+  }
+
+  test("q_unigram_surprise: LM attaches as broadcast, scoring has partial agg") {
+    val p = plan("q_unigram_surprise")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("q_gopher_rules: per-token counts aggregate map-side first") {
+    val p = plan("q_gopher_rules")
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("q_pq_search: probe broadcast, top-k via TakeOrderedAndProject") {
+    val p = plan("q_pq_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("Broadcast"), p.take(1200))
+    // encode + ADC are pure per-row expressions: no hash exchange anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
