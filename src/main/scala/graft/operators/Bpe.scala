@@ -67,6 +67,15 @@ object Bpe {
         .replace("GRAFT_P2", s"'${p2.replace("'", "\\'")}'")))
   }
 
+  /** Tokenizer APPLICATION: folds a learned merge list (in rank order)
+    * over a symbolized word table — each merge is one narrow per-row
+    * rewrite, so encoding is `numMerges` chained projections with no
+    * shuffle. Production shape: encode the DISTINCT-word table once,
+    * broadcast-join the subword arrays back to the corpus (words repeat;
+    * the corpus never re-tokenizes per occurrence). */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words) { case (df, (p1, p2)) => applyMerge(df, p1, p2) }
+
   /** Run `numMerges` BPE iterations; returns the learned merge table
     * (rank, p1, p2, weighted count) and the final symbolized state. */
   def train(docs: DataFrame, textCol: Column, numMerges: Int)
@@ -105,5 +114,33 @@ object Bpe {
       },
       None,
       "iterative BPE merge training, 5 rounds (extension X4)"),
+
+    // X4 tokenizer application: train 5 merges, then ENCODE the corpus
+    // with them — the distinct-word table is encoded once (5 narrow
+    // projections, no shuffle) and broadcast-joined back, so each doc
+    // reports its subword-token statistics. Rows-only like q_bpe_merges
+    // (the training loop is data-dependent); encode semantics are
+    // golden-tested against the independent reference in BpeSpec.
+    "q_bpe_encode" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+        val (merges, _) = train(docs, col("text"), numMerges = 5)
+        val toks = docs.select($"doc_id", explode(tokens($"text")).as("word"))
+        val words = toks.select($"word").distinct()
+          .withColumn("syms", expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        val enc = encodeWords(words, merges.map(m => (m._2, m._3)))
+          .select($"word", size($"syms").as("n_sub"))
+        toks.join(broadcast(enc), "word")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"), sum($"n_sub").as("n_subwords"))
+          .select($"doc_id", $"n_words", $"n_subwords",
+            round($"n_subwords".cast("double") / $"n_words".cast("double"), 6)
+              .as("subwords_per_word"))
+          .orderBy($"doc_id")
+      },
+      None,
+      "BPE tokenizer application: per-doc subword statistics (extension X4)"),
   )
 }

@@ -73,6 +73,42 @@ class BpeSpec extends SparkSpec {
     assert(state.select($"syms").as[Seq[String]].head() == Seq("aa", "aa"))
   }
 
+  /** Reference encode: apply merges in rank order, greedy left-to-right
+    * non-overlapping per merge. */
+  private def referenceEncode(word: String, merges: Seq[(String, String)])
+      : Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (syms, (p1, p2)) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+          out += (p1 + p2); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+  test("encodeWords reproduces the reference tokenization for every word") {
+    val texts = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "),
+      "lowest newlow widower aaaa")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, col("text"), 4)._1.map(m => (m._2, m._3))
+    val words = docs
+      .select(explode(graft.Fns.tokens(col("text"))).as("word")).distinct()
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val got = Bpe.encodeWords(words, merges)
+      .select($"word", $"syms").as[(String, Seq[String])].collect().toMap
+    got.foreach { case (w, syms) =>
+      assert(syms == referenceEncode(w, merges), s"word $w merges $merges")
+    }
+    // unseen-at-train words still encode (subset of merges apply)
+    assert(got.contains("widower") && got.contains("aaaa"))
+  }
+
   test("randomized corpora agree with the reference") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
