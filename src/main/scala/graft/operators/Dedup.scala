@@ -274,6 +274,53 @@ object Dedup {
       None,
       "MinHash+LSH banded near-dup pairs (extension X2, scale path)"),
 
+    // X2 leakage-safe train/val/test split: the doc-level hash split
+    // (q_split) leaks when near-duplicates straddle the train/test
+    // boundary — the model sees the test set's twin at training time. The
+    // fix every serious pipeline applies: split by DUPLICATE CLUSTER, so
+    // a whole near-dup family lands in one split. Composition: Jaccard
+    // pairs → pointer-jumping components → md5-bucket split on the
+    // CLUSTER id (docs in no pair are their own cluster). Oracle replays
+    // the recursive-CTE cluster map + the same split expression.
+    "q_split_safe" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val edges = jaccardPairs(s, d).filter($"jaccard" >= 0.5)
+          .select($"d1".as("id1"), $"d2".as("id2"))
+        val comp = clusters(edges).withColumnRenamed("id", "doc_id")
+        val bucket = pmod(conv(
+          substring(md5($"cluster_id".cast("string")), 1, 8), 16, 10)
+          .cast("bigint"), lit(100))
+        Tables.load(s, d, "documents")
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("split", when(bucket < 80, "train")
+            .when(bucket < 90, "val").otherwise("test"))
+          .select($"doc_id", $"cluster_id", $"split")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairSql,
+        |j AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 0.5),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM j
+        |      UNION SELECT d2, d1 FROM j),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |m AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |      FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  COALESCE(m.cluster_id, d.doc_id) AS cluster_id,
+        |  CASE
+        |    WHEN ('0x' || substring(md5(CAST(COALESCE(m.cluster_id, d.doc_id)
+        |      AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |    WHEN ('0x' || substring(md5(CAST(COALESCE(m.cluster_id, d.doc_id)
+        |      AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+      "leakage-safe split: near-dup clusters stay in one split (X2)"),
+
     // X2 exactly-verified MinHash signatures: the signature math of the
     // production LSH path, re-based on a CROSS-ENGINE hash so DuckDB can
     // recompute it bit-for-bit (the q_srp_lsh recipe applied to text).
