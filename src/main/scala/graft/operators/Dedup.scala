@@ -274,6 +274,55 @@ object Dedup {
       None,
       "MinHash+LSH banded near-dup pairs (extension X2, scale path)"),
 
+    // X2 quality-aware canonical selection: production dedup keeps the
+    // BEST document of a duplicate cluster, not the lowest id — dropping
+    // a clean original in favor of a truncated mirror copy is a real
+    // corpus-quality bug. Keeper = argmax on a deterministic quality
+    // score (distinct-token count; ties -> smallest doc_id) via one
+    // max_by aggregation over the cluster map. Oracle replays the
+    // recursive-CTE clusters and the argmax as the max-score join-back
+    // (the q_argmax recipe).
+    "q_dedup_keep_best" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val edges = jaccardPairs(s, d).filter($"jaccard" >= 0.5)
+          .select($"d1".as("id1"), $"d2".as("id2"))
+        val comp = clusters(edges).withColumnRenamed("id", "doc_id")
+        val score = Tables.load(s, d, "documents")
+          .select($"doc_id",
+            size(array_distinct(tokens($"text"))).cast("bigint").as("score"))
+        comp.join(score, "doc_id")
+          .groupBy($"cluster_id")
+          .agg(
+            count(lit(1)).as("cluster_size"),
+            max($"score").as("best_score"),
+            max_by($"doc_id", struct($"score", -$"doc_id")).as("keeper"))
+          .select($"cluster_id", $"cluster_size", $"keeper", $"best_score")
+          .orderBy($"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $pairSql,
+        |j AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 0.5),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM j
+        |      UNION SELECT d2, d1 FROM j),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |m AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |      FROM reach GROUP BY src),
+        |sc AS (SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT)
+        |         AS score FROM t),
+        |g AS (SELECT m.cluster_id, COUNT(*) AS cluster_size,
+        |        MAX(score) AS best_score
+        |      FROM m JOIN sc USING (doc_id) GROUP BY 1)
+        |SELECT g.cluster_id, g.cluster_size, MIN(sc.doc_id) AS keeper,
+        |  g.best_score
+        |FROM g JOIN m ON g.cluster_id = m.cluster_id
+        |       JOIN sc ON m.doc_id = sc.doc_id AND sc.score = g.best_score
+        |GROUP BY g.cluster_id, g.cluster_size, g.best_score
+        |ORDER BY g.cluster_id""".stripMargin),
+      "quality-argmax keeper per duplicate cluster (extension X2)"),
+
     // X2 leakage-safe train/val/test split: the doc-level hash split
     // (q_split) leaks when near-duplicates straddle the train/test
     // boundary — the model sees the test set's twin at training time. The
