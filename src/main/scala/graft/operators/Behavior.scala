@@ -179,5 +179,50 @@ object Behavior {
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "cohort retention matrix (first-activity cohort x day offset)"),
+
+    // Sequence-pattern matching over per-user event journeys — the
+    // MATCH_RECOGNIZE shape (row-pattern recognition) re-expressed as
+    // ordered journey strings + regex: each user's events collapse to a
+    // first-letter string in (time, event_id) order, and patterns like
+    // "view ... purchase" become regexes evaluated engine-side. One
+    // user-keyed shuffle; journey bytes are O(events/user). Ordering is
+    // EXACT cross-engine: sort key is floored event-time micros (Spark
+    // reads nanos `div 1000`; the oracle floors the same way) + event_id,
+    // so sub-microsecond neighbors cannot order differently. Regex counts
+    // are non-overlapping left-to-right scans in both Java regex and RE2;
+    // 'v[^p]*p' cannot backtrack across a 'p', so semantics agree.
+    "q_event_pattern" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .groupBy($"user_id")
+          .agg(array_join(expr(
+            "transform(array_sort(collect_list(struct(" +
+              "unix_micros(ts) AS t, event_id AS i, " +
+              "substring(event_type, 1, 1) AS c))), x -> x.c)"), "")
+            .as("journey"))
+          .select($"user_id",
+            length($"journey").as("n_events"),
+            size(expr("regexp_extract_all(journey, 'vc', 0)"))
+              .as("n_view_click"),
+            size(expr("regexp_extract_all(journey, 'v[^p]*p', 0)"))
+              .as("n_view_to_purchase"),
+            $"journey".rlike("s.*p").as("converted"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH j AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(length(journey) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(journey, 'vc')) AS INT)
+        |    AS n_view_click,
+        |  CAST(len(regexp_extract_all(journey, 'v[^p]*p')) AS INT)
+        |    AS n_view_to_purchase,
+        |  regexp_matches(journey, 's.*p') AS converted
+        |FROM j ORDER BY user_id""".stripMargin),
+      "row-pattern matching over ordered event journeys (MATCH_RECOGNIZE shape)"),
   )
 }
