@@ -45,6 +45,54 @@ object Analytics {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "exact interpolated percentiles per group"),
 
+    // Robust statistics per group: median absolute deviation and
+    // IQR-fence outlier counts — the outlier-tolerant dispersion pair
+    // that mean/stddev monitoring breaks on. Two-pass shape: quantiles
+    // per group (percentile buffers, partial-agg), broadcast the tiny
+    // per-group stats back, one more pass for MAD + fence counts. All
+    // arithmetic is double over identical operands; interpolated
+    // percentiles already proven engine-identical by q_percentile.
+    "q_robust_stats" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.load(s, d, "lineitem")
+          .select($"l_returnflag", $"l_quantity")
+        val qs = li.groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("med_qty"),
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.75)").as("p75"))
+        li.join(broadcast(qs), "l_returnflag")
+          .groupBy($"l_returnflag", $"med_qty", $"p25", $"p75")
+          .agg(
+            expr("percentile(abs(l_quantity - med_qty), 0.5)").as("mad_qty"),
+            sum(when(
+              $"l_quantity" < $"p25" - ($"p75" - $"p25") * 1.5 ||
+                $"l_quantity" > $"p75" + ($"p75" - $"p25") * 1.5,
+              1L).otherwise(0L)).as("n_outliers"),
+            count(lit(1)).as("n_rows"))
+          .select($"l_returnflag", $"med_qty", $"mad_qty",
+            ($"p75" - $"p25").as("iqr_qty"), $"n_outliers", $"n_rows")
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.5) AS med_qty,
+        |    quantile_cont(l_quantity, 0.25) AS p25,
+        |    quantile_cont(l_quantity, 0.75) AS p75
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, q.med_qty,
+        |  quantile_cont(abs(l.l_quantity - q.med_qty), 0.5) AS mad_qty,
+        |  (q.p75 - q.p25) AS iqr_qty,
+        |  CAST(SUM(CASE WHEN l.l_quantity < q.p25 - (q.p75 - q.p25) * 1.5
+        |    OR l.l_quantity > q.p75 + (q.p75 - q.p25) * 1.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem l JOIN q USING (l_returnflag)
+        |GROUP BY l.l_returnflag, q.med_qty, q.p25, q.p75
+        |ORDER BY l.l_returnflag""".stripMargin),
+      "median absolute deviation + IQR-fence outliers per group"),
+
     // offset windows: previous/next order price per customer, in order-date
     // order. Pure value movement, no arithmetic — engine-identical.
     "q_lag_lead" -> GQuery(

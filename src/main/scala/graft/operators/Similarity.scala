@@ -263,6 +263,66 @@ object Similarity {
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
       "per-label mean-pooled embedding (extension X3)"),
 
+    // X3 centroid-distance outlier detection: squared L2 distance of each
+    // vector to its LABEL centroid, top-20 farthest — the embedding-space
+    // quality gate that surfaces mislabeled/corrupt vectors before they
+    // poison training. Centroids are the exact pooled means (q_embed_pool
+    // shape: micro-unit long partials, broadcast back as a labels×dims
+    // dim table); per-position squared deviations are doubles over
+    // identical operands, rounded to 12 dp and decimal-summed so the
+    // 64-term reduction is order-independent (the 9-dp-log recipe,
+    // squared-deviation edition).
+    "q_embed_outliers" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pool = emb(s, d)
+          .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+          .withColumn("part", spark_partition_id())
+          .groupBy($"label", $"pos", $"part")
+          .agg(
+            sum(round($"v".cast("double") * lit(1e9), 0).cast("long"))
+              .as("psum"),
+            count(lit(1)).as("pn"))
+          .groupBy($"label", $"pos")
+          .agg(sum($"psum".cast("decimal(38,0)")).as("sum_u"),
+            sum($"pn").as("n"))
+          .select($"label", $"pos",
+            ($"sum_u".cast("double") / lit(1e9) / $"n").as("mean_v"))
+        val dev = $"v".cast("double") - $"mean_v"
+        emb(s, d)
+          .select($"vec_id", $"label",
+            posexplode($"embedding").as(Seq("pos", "v")))
+          .join(broadcast(pool), Seq("label", "pos"))
+          .select($"vec_id", $"label",
+            round(dev * dev, 12).cast("decimal(28,12)").as("term"))
+          .groupBy($"vec_id", $"label")
+          .agg(sum($"term").as("ssum"))
+          .select($"vec_id", $"label",
+            round($"ssum".cast("double"), 6).as("dist2"))
+          .orderBy($"dist2".desc, $"vec_id")
+          .limit(20)
+      },
+      Some("""WITH pool AS (
+        |  SELECT label, CAST(u.i - 1 AS INT) AS pos,
+        |    CAST(SUM(CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e9, 0)
+        |      AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |  GROUP BY label, pos),
+        |x AS (
+        |  SELECT e.vec_id, e.label, u.i,
+        |    CAST(e.embedding[u.i] AS DOUBLE) AS v
+        |  FROM embeddings e,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |terms AS (
+        |  SELECT x.vec_id, x.label,
+        |    CAST(round((x.v - pool.mean_v) * (x.v - pool.mean_v), 12)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM x JOIN pool ON pool.label = x.label AND pool.pos = x.i - 1)
+        |SELECT vec_id, label, round(CAST(SUM(term) AS DOUBLE), 6) AS dist2
+        |FROM terms GROUP BY vec_id, label
+        |ORDER BY dist2 DESC, vec_id LIMIT 20""".stripMargin),
+      "centroid-distance embedding outliers, top-20 farthest (extension X3)"),
+
     // X3 sign-random-projection (SRP) LSH — the hashing-family companion
     // to the IVF index: 8 fixed hyperplanes, each embedding mapped to the
     // 8-bit sign pattern of its projections, near-dup candidates = pairs

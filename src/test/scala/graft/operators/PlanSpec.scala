@@ -260,6 +260,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
   }
 
+  test("q_event_pattern: journeys build on ONE user-keyed exchange") {
+    val p = plan("q_event_pattern")
+    assert(p.contains("partial_collect_list"), p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1200))
+  }
+
+  test("q_embed_outliers: centroid table broadcast, top-k TakeOrdered") {
+    val p = plan("q_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
