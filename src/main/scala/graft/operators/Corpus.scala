@@ -202,6 +202,66 @@ object Corpus {
         |FROM s ORDER BY source""".stripMargin),
       "temperature-scaled (alpha=0.7) source mixing weights"),
 
+    // Epoch token-budget allocation — the step AFTER q_mix_temperature's
+    // weights: given a total token budget (50k here), each source gets
+    // floor(budget * weight) tokens, then docs fill the allocation in
+    // deterministic md5-hash order via a per-source running sum (greedy
+    // knapsack is inherently sequential; hash-order cumulative fill is
+    // the order-stable distributed version — one window per source).
+    // Weights use 9-dp-rounded scaled counts summed as DECIMAL so the
+    // normalizer is order-independent (unlike a raw double sum).
+    "q_token_budget" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+          .withColumn("n_tokens", size(tokens($"text")).cast("bigint"))
+          .withColumn("h", md5($"doc_id".cast("string")))
+        val counts = docs.groupBy($"source")
+          .agg(sum($"n_tokens").as("src_tokens"))
+          .withColumn("scaled",
+            round(pow($"src_tokens".cast("double"), lit(0.7)), 9)
+              .cast("decimal(28,9)"))
+        val z = counts.agg(sum($"scaled").as("z"))
+        val budgets = counts.crossJoin(broadcast(z))
+          .select($"source",
+            floor($"scaled".cast("double") / $"z".cast("double") *
+              lit(50000.0)).cast("bigint").as("budget_toks"))
+        val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("cum", sum($"n_tokens").over(w))
+          .join(broadcast(budgets), "source")
+          .filter($"cum" <= $"budget_toks")
+          .groupBy($"source", $"budget_toks")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_toks"))
+          .select($"source", $"budget_toks", $"n_docs", $"n_toks")
+          .orderBy($"source")
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT source, SUM(n_tokens) AS src_tokens FROM d
+        |      GROUP BY source),
+        |sc AS (SELECT source,
+        |    CAST(round(power(CAST(src_tokens AS DOUBLE), 0.7), 9)
+        |      AS DECIMAL(28,9)) AS scaled FROM c),
+        |z AS (SELECT SUM(scaled) AS z FROM sc),
+        |b AS (SELECT source,
+        |    CAST(floor(CAST(scaled AS DOUBLE) / CAST(z.z AS DOUBLE)
+        |      * 50000.0) AS BIGINT) AS budget_toks FROM sc, z),
+        |cum AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT cum.source, b.budget_toks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_toks
+        |FROM cum JOIN b USING (source) WHERE cum <= budget_toks
+        |GROUP BY 1, 2 ORDER BY source""".stripMargin),
+      "epoch token-budget allocation: hash-order cumulative fill per source"),
+
     // sequence packing (concat-and-chunk): docs concatenated per source in
     // doc_id order, cut into 512-token context windows; a doc belongs to
     // the bin its start offset lands in. One running-sum window per
