@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SQL-front-end query shapes (SURVEY.md §2 relational extension tier):
@@ -169,5 +170,54 @@ object SqlShapes {
         |FROM (SELECT source, lang, COUNT(*) n FROM documents GROUP BY 1, 2)
         |GROUP BY source ORDER BY source""".stripMargin),
       "map aggregation (map_from_entries / map_keys / map_values)"),
+
+    // Gaps-and-islands: collapse each customer's consecutive runs of the
+    // same order priority into SCD2-style validity rows (valid_from /
+    // valid_to / run length) — the dimension-versioning shape every
+    // warehouse needs and naive GROUP BY cannot express (it merges
+    // non-adjacent runs). Change flags via lag, island ids via running
+    // sum of flags, one grouped rollup — all on ONE customer-keyed
+    // exchange. Ordering is total ((date, orderkey)) so both engines
+    // build identical islands.
+    "q_scd2_islands" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val run = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, d, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+            $"o_orderpriority")
+          .withColumn("chg",
+            when(lag($"o_orderpriority", 1).over(w).isNull ||
+              lag($"o_orderpriority", 1).over(w) =!= $"o_orderpriority", 1L)
+              .otherwise(0L))
+          .withColumn("island", sum($"chg").over(run))
+          .groupBy($"o_custkey", $"island", $"o_orderpriority")
+          .agg(min($"o_orderdate").as("valid_from"),
+            max($"o_orderdate").as("valid_to"),
+            count(lit(1)).as("n_orders"))
+          .select($"o_custkey", $"island", $"o_orderpriority",
+            $"valid_from", $"valid_to", $"n_orders")
+          .orderBy($"o_custkey", $"island")
+      },
+      Some("""WITH f AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |        IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
+        |  FROM orders),
+        |i AS (
+        |  SELECT *, SUM(chg) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS island, o_orderpriority,
+        |  min(o_orderdate) AS valid_from, max(o_orderdate) AS valid_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM i GROUP BY 1, 2, 3 ORDER BY o_custkey, island""".stripMargin),
+      "gaps-and-islands run collapse -> SCD2 validity rows"),
   )
 }

@@ -143,5 +143,54 @@ object TimeWindows {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin),
       "session windows by inactivity gap (extension X6)"),
+
+    // Sweep-line interval concurrency: treat each event as a 5-minute
+    // open interval and report each user's PEAK number of simultaneously
+    // open intervals — the overlap-counting shape behind concurrency
+    // monitoring and capacity sizing that no plain GROUP BY expresses.
+    // Each interval explodes to a (+1 at start, -1 at end) boundary pair;
+    // a user-keyed running sum over boundaries is the live count; max of
+    // the running sum is the peak. Times travel as micro-second longs
+    // (floored the same way on both engines), and boundary ties order
+    // (-1 before +1, then event_id) so back-to-back intervals never
+    // count as concurrent. One user-keyed exchange end to end.
+    "q_sweep_concurrency" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"t", $"delta", $"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        events(s, d)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("t0"))
+          .select($"user_id", $"event_id", explode(array(
+            struct($"t0".as("t"), lit(1L).as("delta")),
+            struct(($"t0" + lit(300000000L)).as("t"), lit(-1L).as("delta"))))
+            .as("b"))
+          .select($"user_id", $"event_id", $"b.t", $"b.delta")
+          .withColumn("live", sum($"delta").over(w))
+          .groupBy($"user_id")
+          .agg((count(lit(1)) / 2).cast("bigint").as("n_intervals"),
+            max($"live").as("peak_concurrent"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t0 FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, t0 AS t, CAST(1 AS BIGINT) AS delta
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT user_id, event_id, t0 + 300000000, CAST(-1 AS BIGINT)
+        |  FROM iv),
+        |r AS (
+        |  SELECT user_id, delta,
+        |    SUM(delta) OVER (PARTITION BY user_id
+        |      ORDER BY t, delta, event_id ROWS UNBOUNDED PRECEDING) AS live
+        |  FROM b)
+        |SELECT user_id,
+        |  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+        |  CAST(MAX(live) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "sweep-line interval concurrency: per-user peak overlap (X6)"),
   )
 }
