@@ -300,6 +300,61 @@ object Dedup {
       None,
       "MinHash+LSH banded near-dup pairs (extension X2, scale path)"),
 
+    // X2 prefix-filtered set-similarity join (the PPJoin-family candidate
+    // generator): for Jaccard >= t, two sets MUST share a token within
+    // each set's first |s| - ceil(t*|s|) + 1 tokens under a fixed global
+    // (rarest-first) order — so the self-join runs on PREFIX tokens only,
+    // and the full intersection is computed just for surviving candidate
+    // pairs via per-pair array intersection. The oracle is the plain
+    // brute-force pair join at the same threshold, so the hash match
+    // PROVES the prefix filter lossless, not merely plausible. At scale
+    // this replaces the all-pairs shingle join with a join whose width is
+    // the prefix (rare tokens -> few collisions), the textbook
+    // set-similarity-join shape.
+    "q_prefix_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val t = 0.5
+        val wsh = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shingle")
+        val sh = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", explode(array_distinct(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+            .as("shingle"))
+          .withColumn("df", count(lit(1)).over(wsh))
+          .filter($"df" <= MaxShingleDf)
+        // global rarest-first order: (df, shingle) — deterministic; each
+        // doc's shingles sorted by it, prefix taken per the t-bound
+        val docSets = sh
+          .withColumn("key", struct($"df", $"shingle"))
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list(struct($"key", $"shingle")))
+            .as("ordered"))
+          .select($"doc_id",
+            expr("transform(ordered, x -> x.shingle)").as("set"))
+          .withColumn("nsh", size($"set"))
+          .withColumn("prefix",
+            expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)"))
+        val a = docSets.select($"doc_id".as("d1"), $"set".as("s1"),
+          $"nsh".as("n1"), explode($"prefix").as("p"))
+        val b = docSets.select($"doc_id".as("d2"), $"set".as("s2"),
+          $"nsh".as("n2"), explode($"prefix").as("p"))
+        a.join(b, Seq("p")).filter($"d1" < $"d2")
+          .select($"d1", $"d2", $"s1", $"s2", $"n1", $"n2").distinct()
+          .withColumn("inter", size(array_intersect($"s1", $"s2")))
+          .select($"d1", $"d2",
+            ($"inter".cast("double") / ($"n1" + $"n2" - $"inter"))
+              .as("jaccard"))
+          .filter($"jaccard" >= t)
+          .orderBy($"d1", $"d2")
+      },
+      Some(s"""WITH $pairSql
+        |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY d1, d2""".stripMargin),
+      "prefix-filtered set-similarity join, oracle-proven lossless (X2)"),
+
     // X2 quality-aware canonical selection: production dedup keeps the
     // BEST document of a duplicate cluster, not the lowest id — dropping
     // a clean original in favor of a truncated mirror copy is a real
