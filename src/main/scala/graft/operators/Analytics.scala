@@ -93,6 +93,42 @@ object Analytics {
         |ORDER BY l.l_returnflag""".stripMargin),
       "median absolute deviation + IQR-fence outliers per group"),
 
+    // Robust time-series anomaly flagging: daily event volumes scored by
+    // modified z-score against the median/MAD of all days (mean/stddev
+    // breaks when the anomaly itself inflates the baseline). Two tiny
+    // global aggregates broadcast back over the daily series; the 1.4826
+    // MAD-consistency constant and the 3.0 fence are written identically
+    // on both engines so the score doubles agree bit-for-bit.
+    "q_anomaly_days" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val med = daily.agg(expr("percentile(n_events, 0.5)").as("med"))
+        val mad = daily.crossJoin(broadcast(med))
+          .agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
+        daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+          .select($"day", $"n_events",
+            round(($"n_events" - $"med") / (lit(1.4826) * $"mad"), 6)
+              .as("score"),
+            (abs($"n_events" - $"med") > lit(3.0) * lit(1.4826) * $"mad")
+              .as("is_anomaly"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+        |md AS (SELECT quantile_cont(abs(n_events - med), 0.5) AS mad
+        |       FROM daily, m)
+        |SELECT day, n_events,
+        |  round((n_events - med) / (1.4826 * mad), 6) AS score,
+        |  abs(n_events - med) > 3.0 * 1.4826 * mad AS is_anomaly
+        |FROM daily, m, md ORDER BY day""".stripMargin),
+      "robust (median/MAD) daily-volume anomaly flags"),
+
     // offset windows: previous/next order price per customer, in order-date
     // order. Pure value movement, no arithmetic — engine-identical.
     "q_lag_lead" -> GQuery(

@@ -224,5 +224,55 @@ object Behavior {
         |  regexp_matches(journey, 's.*p') AS converted
         |FROM j ORDER BY user_id""".stripMargin),
       "row-pattern matching over ordered event journeys (MATCH_RECOGNIZE shape)"),
+
+    // Windowed (attribution-bounded) funnel: same view -> click ->
+    // purchase staging, but each stage must land within 1 hour of the
+    // previous stage's time — the conversion-window semantics real
+    // attribution uses (an unbounded funnel credits a purchase weeks
+    // later). Same monotone-shrinking keyed joins; the bound is one extra
+    // interval predicate per stage.
+    "q_funnel_windowed" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = ev(s, d).select($"user_id", $"event_type", $"ts")
+        val v = e.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t_view"))
+        val c = e.filter($"event_type" === "click")
+          .join(v, "user_id")
+          .filter($"ts" > $"t_view" &&
+            $"ts" <= $"t_view" + expr("INTERVAL 1 HOUR"))
+          .groupBy($"user_id").agg(min($"ts").as("t_click"))
+        val p = e.filter($"event_type" === "purchase")
+          .join(c, "user_id")
+          .filter($"ts" > $"t_click" &&
+            $"ts" <= $"t_click" + expr("INTERVAL 1 HOUR"))
+          .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+            (lit(1) +
+              when($"t_click".isNotNull, 1).otherwise(0) +
+              when($"t_purchase".isNotNull, 1).otherwise(0)).as("stage"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(t) AS t_click FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND t > t_view
+        |        AND t <= t_view + INTERVAL '1 hour' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND t > t_click
+        |        AND t <= t_click + INTERVAL '1 hour' GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin),
+      "attribution-windowed funnel (1-hour conversion windows)"),
   )
 }
