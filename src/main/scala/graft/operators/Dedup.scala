@@ -314,7 +314,7 @@ object Dedup {
     "q_prefix_join" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val t = 0.5
+        val t = 0.7
         val wsh = org.apache.spark.sql.expressions.Window
           .partitionBy($"shingle")
         val sh = Tables.load(s, d, "documents")
@@ -325,24 +325,39 @@ object Dedup {
             .as("shingle"))
           .withColumn("df", count(lit(1)).over(wsh))
           .filter($"df" <= MaxShingleDf)
-        // global rarest-first order: (df, shingle) — deterministic; each
-        // doc's shingles sorted by it, prefix taken per the t-bound
-        val docSets = sh
-          .withColumn("key", struct($"df", $"shingle"))
+        // DICTIONARY-ENCODE each shingle as its global rarest-first rank
+        // (row_number over (df, shingle) on the distinct universe): the
+        // rank IS the prefix order, sets become sorted int arrays (8
+        // bytes/entry instead of ~60-byte strings through every join and
+        // intersection), and ranks are collision-free — exactness costs
+        // nothing, unlike hashing. One extra exchange over the distinct
+        // shingle universe, which any 100 TB set-similarity job pays
+        // gladly to shrink its shuffle bytes ~8x. The unpartitioned
+        // row_number is the one single-partition step: at cluster scale
+        // swap it for the sort-based zipWithIndex surrogate-key assigner
+        // (star/StarTransformer) — any consistent total order preserves
+        // the prefix-filter guarantee, only BOTH join sides must share it
+        // (they do: both read this one checkpointed table).
+        val wRank = org.apache.spark.sql.expressions.Window
+          .orderBy($"df", $"shingle")
+        val dict = sh.select($"shingle", $"df").distinct()
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+        val sets = sh
+          .join(dict.select($"shingle", $"rank"), "shingle")
           .groupBy($"doc_id")
-          .agg(sort_array(collect_list(struct($"key", $"shingle")))
-            .as("ordered"))
-          .select($"doc_id",
-            expr("transform(ordered, x -> x.shingle)").as("set"))
+          .agg(sort_array(collect_list($"rank")).as("set"))
           .withColumn("nsh", size($"set"))
-          .withColumn("prefix",
-            expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)"))
-        val a = docSets.select($"doc_id".as("d1"), $"set".as("s1"),
-          $"nsh".as("n1"), explode($"prefix").as("p"))
-        val b = docSets.select($"doc_id".as("d2"), $"set".as("s2"),
-          $"nsh".as("n2"), explode($"prefix").as("p"))
+          .localCheckpoint()
+        val a = sets.select($"doc_id".as("d1"),
+          explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
+        val b = sets.select($"doc_id".as("d2"),
+          explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
         a.join(b, Seq("p")).filter($"d1" < $"d2")
-          .select($"d1", $"d2", $"s1", $"s2", $"n1", $"n2").distinct()
+          .select($"d1", $"d2").distinct()
+          .join(sets.select($"doc_id".as("d1"), $"set".as("s1"),
+            $"nsh".as("n1")), "d1")
+          .join(sets.select($"doc_id".as("d2"), $"set".as("s2"),
+            $"nsh".as("n2")), "d2")
           .withColumn("inter", size(array_intersect($"s1", $"s2")))
           .select($"d1", $"d2",
             ($"inter".cast("double") / ($"n1" + $"n2" - $"inter"))
@@ -351,7 +366,7 @@ object Dedup {
           .orderBy($"d1", $"d2")
       },
       Some(s"""WITH $pairSql
-        |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.5
+        |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.7
         |ORDER BY d1, d2""".stripMargin),
       "prefix-filtered set-similarity join, oracle-proven lossless (X2)"),
 
