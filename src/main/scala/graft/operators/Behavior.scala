@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over `events` (SURVEY.md §2.12 extension
@@ -274,5 +275,48 @@ object Behavior {
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin),
       "attribution-windowed funnel (1-hour conversion windows)"),
+
+    // Weekly churn: users active in week W who never return in week W+1
+    // — the retention complement product analytics reports weekly. One
+    // distinct (user, week) table, a per-user lead window, one grouped
+    // rollup; weeks are ISO date_trunc so both engines bucket
+    // identically.
+    "q_churn_weekly" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"week")
+        val uw = ev(s, d)
+          .select($"user_id",
+            to_date(date_trunc("week", $"ts")).as("week"))
+          .distinct()
+        uw.withColumn("next_week", lead($"week", 1).over(w))
+          .withColumn("churned",
+            $"next_week".isNull || $"next_week" > date_add($"week", 7))
+          .groupBy($"week")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when($"churned", 1L).otherwise(0L)).as("n_churned"))
+          .select($"week", $"n_active", $"n_churned",
+            round($"n_churned".cast("double") / $"n_active".cast("double"), 6)
+              .as("churn_rate"))
+          .orderBy($"week")
+      },
+      Some("""WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, week,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week)
+        |      AS next_week
+        |  FROM uw)
+        |SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN next_week IS NULL
+        |    OR next_week > week + INTERVAL 7 DAY THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  round(CAST(SUM(CASE WHEN next_week IS NULL
+        |    OR next_week > week + INTERVAL 7 DAY THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
+        |FROM n GROUP BY week ORDER BY week""".stripMargin),
+      "weekly churn: active users who never return next week"),
   )
 }

@@ -262,6 +262,45 @@ object Corpus {
         |GROUP BY 1, 2 ORDER BY source""".stripMargin),
       "epoch token-budget allocation: hash-order cumulative fill per source"),
 
+    // Corpus balance diagnostic: Gini coefficient of the per-source token
+    // distribution — the single number data-mixing dashboards track for
+    // "is one source dominating the corpus". Computed by the sorted
+    // cumulative formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    // over rank-ordered source sizes: every term is exact integer
+    // arithmetic until the one final division, so both engines emit the
+    // identical double. Source counts are a ~20-row table; the rank
+    // window is trivially single-partition HERE and stays safe at scale
+    // because its input is one row per SOURCE, not per document.
+    "q_gini" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.load(s, d, "documents")
+          .withColumn("n_tokens", size(tokens($"text")).cast("bigint"))
+          .groupBy($"source").agg(sum($"n_tokens").as("x"))
+        val w = Window.orderBy($"x", $"source")
+        counts.withColumn("i", row_number().over(w).cast("bigint"))
+          .agg(count(lit(1)).as("n_sources"),
+            sum($"x").as("total_tokens"),
+            sum($"i" * $"x").as("ixsum"))
+          .select($"n_sources", $"total_tokens",
+            round((lit(2L) * $"ixsum" - ($"n_sources" + 1L) * $"total_tokens")
+              .cast("double") /
+              ($"n_sources" * $"total_tokens").cast("double"), 6).as("gini"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT source,
+        |    CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+        |  FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  CAST(SUM(x) AS BIGINT) AS total_tokens,
+        |  round(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+        |    / CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS gini
+        |FROM r""".stripMargin),
+      "Gini coefficient of per-source token distribution (corpus balance)"),
+
     // sequence packing (concat-and-chunk): docs concatenated per source in
     // doc_id order, cut into 512-token context windows; a doc belongs to
     // the bin its start offset lands in. One running-sum window per

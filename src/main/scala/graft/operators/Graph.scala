@@ -193,5 +193,34 @@ object Graph {
       },
       Some(pagerank2Sql),
       "PageRank after 2 unrolled rounds (oracle-checked vs DuckDB CTEs)"),
+
+    // Graph degree diagnostics over the same trade graph: the top-20
+    // hub nodes by out-degree plus each hub's share of all edges — the
+    // first thing to look at before running centrality (a single
+    // mega-hub means salting / skew handling, and the memoized edge
+    // table makes this a one-aggregation query).
+    "q_degree_hubs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = tradeEdges(s, d)
+        val tot = e.count()
+        e.groupBy($"src")
+          .agg(count(lit(1)).as("out_deg"))
+          .select($"src", $"out_deg",
+            round($"out_deg".cast("double") / lit(tot.toDouble), 6)
+              .as("edge_share"))
+          .orderBy($"out_deg".desc, $"src")
+          .limit(20)
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM e)
+        |SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg,
+        |  round(CAST(COUNT(*) AS DOUBLE) / t.tot, 6) AS edge_share
+        |FROM e, t GROUP BY src, t.tot
+        |ORDER BY out_deg DESC, src LIMIT 20""".stripMargin),
+      "top-20 out-degree hubs + edge share over the trade graph"),
   )
 }
