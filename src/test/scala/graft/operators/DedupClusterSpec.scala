@@ -25,6 +25,25 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.filter($"cluster_id" === 0L).count() == 64)
   }
 
+  test("memoized cluster index: every consumer sees identical cluster ids") {
+    val d = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries
+    val fromClusters = q("q_dup_clusters")(spark, d)
+      .select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toMap
+    val fromSplit = q("q_split_safe")(spark, d)
+      .select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toMap
+    val fromKeeper = q("q_dedup_keep_best")(spark, d)
+      .select($"cluster_id").as[Long].collect().toSet
+    // split covers ALL docs; on the clustered subset ids must agree
+    fromClusters.foreach { case (doc, cl) =>
+      assert(fromSplit(doc) == cl, s"doc $doc: $cl vs ${fromSplit(doc)}")
+    }
+    // the keeper query's clusters are exactly the clustered subset's ids
+    assert(fromKeeper == fromClusters.values.toSet)
+  }
+
   test("deduplicate keeps one canonical doc per near-dup cluster") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.01/documents.parquet")
