@@ -323,6 +323,78 @@ object Similarity {
         |ORDER BY dist2 DESC, vec_id LIMIT 20""".stripMargin),
       "centroid-distance embedding outliers, top-20 farthest (extension X3)"),
 
+    // X3 reciprocal-rank fusion: merge the EXACT cosine ranking and the
+    // compressed PQ/ADC ranking for one probe into a single hybrid
+    // top-10 — the standard fusion step every hybrid retrieval stack
+    // (dense + compressed, or dense + lexical) runs, score =
+    // sum of 1/(60 + rank) over the lists a candidate appears in.
+    // Both input rankings are already oracle-exact here (q_similarity,
+    // q_pq_search), ranks come from row_number with total tie-breaks,
+    // and the fused score is one or two exact double terms — so the
+    // FUSION, not just the inputs, is verified.
+    "q_rrf_fusion" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val probe = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+        val wCos = Window.orderBy($"cos_sim".desc, $"vec_id")
+        val rankA = e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(probe))
+          .select($"vec_id", expr("cosine_sim(embedding, q_emb)").as("cos_sim"))
+          .withColumn("ra", row_number().over(wCos)).filter($"ra" <= 50)
+          .select($"vec_id", $"ra")
+        def adc(m: Int): String = {
+          val diff = s"CAST(round(CAST(element_at(p, ${m * 16} + j + 1) AS DOUBLE) * 1000000) AS BIGINT) - CAST(((($m * 31 + (c${m + 1} - 1) * 17 + j * 7) % 13) - 6) * 80000 AS BIGINT)"
+          s"aggregate(transform(sequence(0, 15), j -> $diff), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        }
+        val wAdc = Window.orderBy($"adc_dist", $"vec_id")
+        val rankB = pqEncode(s, d).drop("embedding")
+          .crossJoin(broadcast(e.filter($"vec_id" === 0)
+            .select($"embedding".as("p"))))
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            expr(s"${adc(0)} + ${adc(1)} + ${adc(2)} + ${adc(3)}")
+              .as("adc_dist"))
+          .withColumn("rb", row_number().over(wAdc)).filter($"rb" <= 50)
+          .select($"vec_id", $"rb")
+        rankA.join(rankB, Seq("vec_id"), "full_outer")
+          .select($"vec_id",
+            round(coalesce(lit(1.0) / (lit(60) + $"ra"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"rb"), lit(0.0)), 9)
+              .as("rrf_score"))
+          .orderBy($"rrf_score".desc, $"vec_id")
+          .limit(10)
+      },
+      Some({
+        def adc(m: Int): String = {
+          val diff = s"(CAST(round(CAST(p[CAST(${m * 16} + j + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) - ((($m * 31 + (c${m + 1} - 1) * 17 + j * 7) % 13) - 6) * 80000)"
+          s"list_reduce(list_transform(generate_series(0, 15), j -> $diff * $diff), (acc, x) -> acc + x)"
+        }
+        s"""WITH $pqEncodeSql,
+        |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        |ra AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+        |    AS ra
+        |  FROM (SELECT e.vec_id,
+        |          ${duckCos("e.embedding", "probe.p")} AS cos_sim
+        |        FROM embeddings e, probe WHERE e.vec_id <> 0)
+        |  QUALIFY ra <= 50),
+        |rb AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id)
+        |    AS rb
+        |  FROM (SELECT enc.vec_id,
+        |          CAST(${adc(0)} + ${adc(1)} + ${adc(2)} + ${adc(3)}
+        |            AS BIGINT) AS adc_dist
+        |        FROM enc, probe WHERE vec_id != 0)
+        |  QUALIFY rb <= 50)
+        |SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+        |  round(COALESCE(1.0 / (60 + ra), 0.0)
+        |    + COALESCE(1.0 / (60 + rb), 0.0), 9) AS rrf_score
+        |FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
+        |ORDER BY rrf_score DESC, vec_id LIMIT 10""".stripMargin
+      }),
+      "reciprocal-rank fusion of exact-cosine and PQ/ADC rankings (X3)"),
+
     // X3 sign-random-projection (SRP) LSH — the hashing-family companion
     // to the IVF index: 8 fixed hyperplanes, each embedding mapped to the
     // 8-bit sign pattern of its projections, near-dup candidates = pairs
