@@ -219,5 +219,54 @@ object SqlShapes {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM i GROUP BY 1, 2, 3 ORDER BY o_custkey, island""".stripMargin),
       "gaps-and-islands run collapse -> SCD2 validity rows"),
+
+    // Referential-integrity audit: orphan counts for every foreign-key
+    // relationship in the star (lineitem->orders, lineitem->part,
+    // lineitem->supplier, orders->customer, customer->nation) — the
+    // data-quality gate a warehouse load runs before trusting joins.
+    // Each check is one left-anti join (broadcast when the parent is a
+    // dim); results union into one audit table.
+    "q_fk_integrity" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def orphans(child: DataFrame, key: String, parent: DataFrame,
+            pkey: String, rel: String) = {
+          val p = parent.select(col(pkey).as(key)).distinct()
+          child.select(col(key)).join(p, Seq(key), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(rel).as("relationship"), $"n_orphans")
+        }
+        val li = Tables.load(s, d, "lineitem")
+        val o = Tables.load(s, d, "orders")
+        val c = Tables.load(s, d, "customer")
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+          .unionByName(orphans(li, "l_partkey",
+            Tables.load(s, d, "part"), "p_partkey", "lineitem->part"))
+          .unionByName(orphans(li, "l_suppkey",
+            Tables.load(s, d, "supplier"), "s_suppkey", "lineitem->supplier"))
+          .unionByName(orphans(o, "o_custkey", c, "c_custkey",
+            "orders->customer"))
+          .unionByName(orphans(c, "c_nationkey",
+            Tables.load(s, d, "nation"), "n_nationkey", "customer->nation"))
+          .orderBy($"relationship")
+      },
+      Some("""SELECT relationship, n_orphans FROM (
+        |  SELECT 'lineitem->orders' AS relationship,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orphans FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT) FROM customer
+        |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |ORDER BY relationship""".stripMargin),
+      "referential-integrity orphan audit across the star's foreign keys"),
   )
 }
