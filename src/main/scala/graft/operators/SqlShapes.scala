@@ -268,5 +268,68 @@ object SqlShapes {
         |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
         |ORDER BY relationship""".stripMargin),
       "referential-integrity orphan audit across the star's foreign keys"),
+
+    // Fact-vs-detail reconciliation: does each order header's total
+    // equal the sum of its lines at price*(1-discount)*(1+tax)? The
+    // close-of-load audit every finance warehouse runs. All money math
+    // is EXACT integer cents (price cents x (100-disc) x (100+tax) =
+    // a 10^-6-dollar scaled long), so the mismatch set is identical on
+    // both engines — no float tolerance games. One header-keyed partial
+    // agg + one join; emits a one-row summary.
+    "q_order_reconcile" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val lines = Tables.load(s, d, "lineitem")
+          .select($"l_orderkey",
+            (round($"l_extendedprice" * 100, 0).cast("bigint") *
+              (lit(100L) - round($"l_discount" * 100, 0).cast("bigint")) *
+              (lit(100L) + round($"l_tax" * 100, 0).cast("bigint")))
+              .as("line_scaled"))
+          .groupBy($"l_orderkey")
+          .agg(sum($"line_scaled").as("comp_scaled"))
+        Tables.load(s, d, "orders")
+          .select($"o_orderkey",
+            (round($"o_totalprice" * 100, 0).cast("bigint") * lit(10000L))
+              .as("total_scaled"))
+          .join(lines, $"o_orderkey" === $"l_orderkey", "left")
+          .select($"o_orderkey", $"total_scaled", $"comp_scaled",
+            abs($"comp_scaled" - $"total_scaled").as("diff_scaled"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when($"comp_scaled".isNull, 1L).otherwise(0L))
+              .as("n_no_lines"),
+            sum(when($"diff_scaled" === 0L, 1L).otherwise(0L))
+              .as("n_exact_match"),
+            sum(when($"diff_scaled" > 0L, 1L).otherwise(0L))
+              .as("n_mismatch"),
+            round(max($"diff_scaled").cast("double") / lit(1e6), 6)
+              .as("max_diff_dollars"))
+      },
+      Some("""WITH l AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |      * (100 + CAST(round(l_tax * 100, 0) AS BIGINT)))
+        |      AS BIGINT) AS comp_scaled
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000
+        |      AS total_scaled,
+        |    l.comp_scaled,
+        |    abs(l.comp_scaled - CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      * 10000) AS diff_scaled
+        |  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN comp_scaled IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_no_lines,
+        |  CAST(SUM(CASE WHEN diff_scaled = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_exact_match,
+        |  CAST(SUM(CASE WHEN diff_scaled > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mismatch,
+        |  round(CAST(MAX(diff_scaled) AS DOUBLE) / 1e6, 6)
+        |    AS max_diff_dollars
+        |FROM j""".stripMargin),
+      "exact-cents order-vs-lineitem reconciliation summary"),
   )
 }
