@@ -129,6 +129,108 @@ object Analytics {
         |FROM daily, m, md ORDER BY day""".stripMargin),
       "robust (median/MAD) daily-volume anomaly flags"),
 
+    // Market-basket association rules: part pairs co-occurring in the
+    // same order, scored by support / confidence / lift — frequent-
+    // itemset mining's 2-itemset core. The self-join is keyed on
+    // o_orderkey so fan-out is bounded by order WIDTH (a few lines per
+    // order), never corpus size; per-part order counts ride in via two
+    // broadcast joins of the tiny part-frequency dim. Ratios are single
+    // IEEE divisions of exact counts, rounded to 6 dp.
+    "q_market_basket" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val items = Tables.load(s, d, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val freq = items.groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n_part"))
+        val nOrders = items.select($"l_orderkey").distinct().count()
+        val a = items.select($"l_orderkey", $"l_partkey".as("p1"))
+        val b = items.select($"l_orderkey", $"l_partkey".as("p2"))
+        a.join(b, Seq("l_orderkey")).filter($"p1" < $"p2")
+          .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 3)
+          .join(broadcast(freq.select($"l_partkey".as("p1"),
+            $"n_part".as("n_a"))), "p1")
+          .join(broadcast(freq.select($"l_partkey".as("p2"),
+            $"n_part".as("n_b"))), "p2")
+          .select($"p1", $"p2", $"n_ab",
+            round($"n_ab".cast("double") / lit(nOrders.toDouble), 6)
+              .as("support"),
+            round($"n_ab".cast("double") / $"n_a".cast("double"), 6)
+              .as("confidence"),
+            round(($"n_ab".cast("double") * lit(nOrders.toDouble)) /
+              ($"n_a".cast("double") * $"n_b".cast("double")), 6)
+              .as("lift"))
+          .orderBy($"lift".desc, $"p1", $"p2")
+          .limit(20)
+      },
+      Some("""WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey, COUNT(*) AS n_part FROM items
+        |         GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+        |      FROM items),
+        |p AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p1, p2, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(fa.n_part AS DOUBLE), 6)
+        |    AS confidence,
+        |  round((CAST(n_ab AS DOUBLE) * n.n_orders)
+        |    / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE)), 6)
+        |    AS lift
+        |FROM p JOIN freq fa ON p.p1 = fa.l_partkey
+        |       JOIN freq fb ON p.p2 = fb.l_partkey, n
+        |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin),
+      "market-basket 2-itemset rules: support / confidence / lift"),
+
+    // Time-decayed revenue per customer: each order contributes
+    // totalprice * exp(-age_days/30) relative to the corpus's latest
+    // order date — the recency-weighted feature recommender and churn
+    // models consume. Exactness: the decay weight is rounded to 9 dp and
+    // becomes a DECIMAL multiplied by exact integer cents, so the
+    // per-customer sum is order-independent (the 9-dp-log recipe applied
+    // to exp). The anchor date is a broadcast scalar; one customer-keyed
+    // partial agg.
+    "q_decay_revenue" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "orders")
+          .select($"o_custkey", to_date($"o_orderdate").as("day"),
+            round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+        val anchor = o.agg(max($"day").as("ref"))
+        o.crossJoin(broadcast(anchor))
+          .select($"o_custkey",
+            (round(exp(-datediff($"ref", $"day").cast("double") / 30.0), 9)
+              .cast("decimal(12,9)") * $"cents").as("wrev"))
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum($"wrev").as("dsum"))
+          .select($"o_custkey", $"n_orders",
+            round($"dsum".cast("double") / 100.0, 6).as("decayed_rev"))
+          .orderBy($"decayed_rev".desc, $"o_custkey")
+          .limit(20)
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+        |      AS day,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT MAX(day) AS ref FROM o),
+        |w AS (
+        |  SELECT o_custkey,
+        |    CAST(round(exp(-CAST(datediff('day', day, a.ref) AS DOUBLE)
+        |      / 30.0), 9) AS DECIMAL(12,9)) * cents AS wrev
+        |  FROM o, a)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  round(CAST(SUM(wrev) AS DOUBLE) / 100.0, 6) AS decayed_rev
+        |FROM w GROUP BY o_custkey
+        |ORDER BY decayed_rev DESC, o_custkey LIMIT 20""".stripMargin),
+      "time-decayed (exp, 30-day) revenue per customer, top-20"),
+
     // offset windows: previous/next order price per customer, in order-date
     // order. Pure value movement, no arithmetic — engine-identical.
     "q_lag_lead" -> GQuery(
