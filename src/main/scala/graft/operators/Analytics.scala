@@ -231,6 +231,92 @@ object Analytics {
         |ORDER BY decayed_rev DESC, o_custkey LIMIT 20""".stripMargin),
       "time-decayed (exp, 30-day) revenue per customer, top-20"),
 
+    // RFM segmentation: recency / frequency / monetary quintiles per
+    // customer, concatenated into the classic 3-digit segment code.
+    // Quintiles via ntile over TOTAL orders (value, custkey) so bucket
+    // boundaries are engine-identical; monetary sums in exact cents.
+    // Output is the segment population summary (125 possible segments).
+    "q_rfm" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "orders")
+          .select($"o_custkey", to_date($"o_orderdate").as("day"),
+            round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+        val anchor = o.agg(max($"day").as("ref"))
+        val cust = o.crossJoin(broadcast(anchor))
+          .groupBy($"o_custkey")
+          .agg(min(datediff($"ref", $"day")).as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum($"cents").as("monetary_cents"))
+        val r = ntile(5).over(Window.orderBy($"recency_days", $"o_custkey"))
+        val f = ntile(5).over(Window.orderBy($"frequency".desc, $"o_custkey"))
+        val m = ntile(5).over(Window.orderBy($"monetary_cents".desc,
+          $"o_custkey"))
+        cust
+          .withColumn("r", r).withColumn("f", f).withColumn("m", m)
+          .withColumn("segment", concat($"r", $"f", $"m"))
+          .groupBy($"segment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"monetary_cents").as("seg_cents"))
+          .select($"segment", $"n_customers",
+            round($"seg_cents".cast("double") / 100.0, 2).as("seg_revenue"))
+          .orderBy($"segment")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+        |      AS day,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT MAX(day) AS ref FROM o),
+        |c AS (
+        |  SELECT o_custkey,
+        |    CAST(MIN(datediff('day', day, a.ref)) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |  FROM o, a GROUP BY o_custkey),
+        |t AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+        |  FROM c)
+        |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+        |    || CAST(m AS VARCHAR) AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  round(CAST(SUM(monetary_cents) AS DOUBLE) / 100.0, 2)
+        |    AS seg_revenue
+        |FROM t GROUP BY 1 ORDER BY segment""".stripMargin),
+      "RFM quintile segmentation with segment population summary"),
+
+    // Equi-depth (quantile-bucket) histogram of extended price: ntile
+    // assigns equal-population buckets, each reporting its span and
+    // count — the statistics shape optimizers and drift monitors want
+    // when equal-WIDTH buckets collapse under skew (cf. q_histogram).
+    "q_histogram_eqd" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"l_extendedprice", $"l_orderkey",
+          $"l_linenumber")
+        Tables.load(s, d, "lineitem")
+          .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min($"l_extendedprice").as("lo"),
+            max($"l_extendedprice").as("hi"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM (
+        |  SELECT l_extendedprice,
+        |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS bucket
+        |  FROM lineitem)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "equi-depth 10-bucket histogram of extended price"),
+
     // offset windows: previous/next order price per customer, in order-date
     // order. Pure value movement, no arithmetic — engine-identical.
     "q_lag_lead" -> GQuery(
