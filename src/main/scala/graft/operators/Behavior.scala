@@ -318,5 +318,98 @@ object Behavior {
         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
         |FROM n GROUP BY week ORDER BY week""".stripMargin),
       "weekly churn: active users who never return next week"),
+
+    // Event-type transition matrix (first-order Markov view of user
+    // journeys): adjacent event pairs per user in exact time order,
+    // rolled into counts and row-normalized probabilities — what Sankey
+    // flows and next-event models consume. One user-keyed window for
+    // the lag, one grouped rollup; same floored-micros + event_id total
+    // order as q_event_pattern so both engines see identical
+    // adjacency.
+    "q_transition_matrix" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+        val pairs = ev(s, d)
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type".as("from_type"),
+            $"next_type".as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy($"from_type")
+          .agg(sum($"n").as("row_total"))
+        pairs.join(broadcast(totals), "from_type")
+          .select($"from_type", $"to_type", $"n",
+            round($"n".cast("double") / $"row_total".cast("double"), 6)
+              .as("p"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS next_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS row_total FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  round(CAST(p.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6) AS p
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin),
+      "first-order event-type transition matrix (Markov/Sankey view)"),
+
+    // Cohort lifetime value: signup-month cohorts x months-since-signup,
+    // with per-cohort CUMULATIVE revenue per user — the curve growth
+    // teams read retention against. Revenue joins from orders by
+    // customer id (events carry no money), cohorts from each customer's
+    // first order month; the cumulative sum is one cohort-keyed window
+    // over the (cohort, offset) matrix in exact cents.
+    "q_cohort_ltv" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "orders")
+          .select($"o_custkey",
+            to_date(date_trunc("month", $"o_orderdate")).as("month"),
+            round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+        val cohort = o.groupBy($"o_custkey")
+          .agg(min($"month").as("cohort_month"))
+        val w = Window.partitionBy($"cohort_month").orderBy($"month_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.join(cohort, "o_custkey")
+          .withColumn("month_offset",
+            (months_between($"month", $"cohort_month")).cast("bigint"))
+          .groupBy($"cohort_month", $"month_offset")
+          .agg(sum($"cents").as("cents"),
+            countDistinct($"o_custkey").as("n_active"))
+          .withColumn("cum_cents", sum($"cents").over(w))
+          .select($"cohort_month", $"month_offset", $"n_active",
+            round($"cum_cents".cast("double") / 100.0, 2).as("cum_revenue"))
+          .orderBy($"cohort_month", $"month_offset")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |      AS DATE) AS month,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, MIN(month) AS cohort_month FROM o
+        |      GROUP BY 1),
+        |g AS (
+        |  SELECT c.cohort_month,
+        |    CAST(datediff('month', c.cohort_month, o.month) AS BIGINT)
+        |      AS month_offset,
+        |    CAST(SUM(o.cents) AS BIGINT) AS cents,
+        |    CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort_month, month_offset, n_active,
+        |  round(CAST(SUM(cents) OVER (PARTITION BY cohort_month
+        |    ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0,
+        |    2) AS cum_revenue
+        |FROM g ORDER BY cohort_month, month_offset""".stripMargin),
+      "cohort LTV curve: cumulative revenue by cohort month x offset"),
   )
 }
