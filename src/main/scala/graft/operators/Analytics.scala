@@ -317,6 +317,46 @@ object Analytics {
         |GROUP BY bucket ORDER BY bucket""".stripMargin),
       "equi-depth 10-bucket histogram of extended price"),
 
+    // Period-over-period comparison: monthly revenue with its
+    // year-earlier value (lag 12 over the month series) and YoY growth —
+    // the reporting shape behind every trend dashboard. Revenue is exact
+    // cents; growth is one IEEE division rounded to 6 dp; months with no
+    // year-earlier row keep NULL growth on both engines.
+    "q_yoy_growth" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"month")
+        Tables.load(s, d, "orders")
+          .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month"))
+          .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+            .as("cents"))
+          .withColumn("prev_year_cents", lag($"cents", 12).over(w))
+          .select($"month",
+            round($"cents".cast("double") / 100.0, 2).as("revenue"),
+            round($"prev_year_cents".cast("double") / 100.0, 2)
+              .as("prev_year_revenue"),
+            round(($"cents" - $"prev_year_cents").cast("double") /
+              $"prev_year_cents".cast("double"), 6).as("yoy_growth"))
+          .orderBy($"month")
+      },
+      Some("""WITH m AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |      AS DATE) AS month,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month, cents,
+        |    lag(cents, 12) OVER (ORDER BY month) AS prev_year_cents
+        |  FROM m)
+        |SELECT month,
+        |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(prev_year_cents AS DOUBLE) / 100.0, 2)
+        |    AS prev_year_revenue,
+        |  round(CAST(cents - prev_year_cents AS DOUBLE)
+        |    / CAST(prev_year_cents AS DOUBLE), 6) AS yoy_growth
+        |FROM l ORDER BY month""".stripMargin),
+      "monthly revenue with year-over-year growth (lag-12 comparison)"),
+
     // offset windows: previous/next order price per customer, in order-date
     // order. Pure value movement, no arithmetic — engine-identical.
     "q_lag_lead" -> GQuery(
