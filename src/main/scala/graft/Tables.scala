@@ -66,6 +66,24 @@ object Fns {
   /** DuckDB fragment mirroring [[tokens]] applied to column `c`. */
   def sqlTokens(c: String): String =
     s"list_filter(string_split_regex(lower(trim($c)), '\\s+'), t -> t != '')"
+
+  /** Distributed dense 1-based rank over a total order: identical values to
+    * `row_number().over(Window.orderBy(order))` but WITHOUT the
+    * single-partition exchange that window needs — the sort is a
+    * range-partitioned exchange and the index is computed per partition
+    * (partition offset + local position) via RDD `zipWithIndex`. This is
+    * the scale-safe dictionary/surrogate-key assigner (same shape as
+    * `star.StarTransformer.buildDimScalable`); the order columns must be a
+    * total order (no ties) for the ranks to be deterministic. */
+  def zipRank(df: DataFrame, idxName: String, order: Column*): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema
+      .add(idxName, org.apache.spark.sql.types.LongType, nullable = false)
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+  }
 }
 
 /** One verifiable operator: a Spark implementation plus (when the operator is

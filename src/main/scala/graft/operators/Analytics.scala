@@ -108,11 +108,17 @@ object Analytics {
         val med = daily.agg(expr("percentile(n_events, 0.5)").as("med"))
         val mad = daily.crossJoin(broadcast(med))
           .agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
+        // MAD = 0 (uniform data) must be well-defined identically on both
+        // engines: Spark's non-ANSI x/0 is NULL while DuckDB's IEEE mode is
+        // inf, so nullif(mad, 0) pins the degenerate case to NULL
+        // score/flag on BOTH sides instead of depending on the data never
+        // producing a zero MAD.
+        val madNz = nullif($"mad", lit(0.0))
         daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
           .select($"day", $"n_events",
-            round(($"n_events" - $"med") / (lit(1.4826) * $"mad"), 6)
+            round(($"n_events" - $"med") / (lit(1.4826) * madNz), 6)
               .as("score"),
-            (abs($"n_events" - $"med") > lit(3.0) * lit(1.4826) * $"mad")
+            (abs($"n_events" - $"med") > lit(3.0) * lit(1.4826) * madNz)
               .as("is_anomaly"))
           .orderBy($"day")
       },
@@ -124,8 +130,8 @@ object Analytics {
         |md AS (SELECT quantile_cont(abs(n_events - med), 0.5) AS mad
         |       FROM daily, m)
         |SELECT day, n_events,
-        |  round((n_events - med) / (1.4826 * mad), 6) AS score,
-        |  abs(n_events - med) > 3.0 * 1.4826 * mad AS is_anomaly
+        |  round((n_events - med) / (1.4826 * nullif(mad, 0)), 6) AS score,
+        |  abs(n_events - med) > 3.0 * 1.4826 * nullif(mad, 0) AS is_anomaly
         |FROM daily, m, md ORDER BY day""".stripMargin),
       "robust (median/MAD) daily-volume anomaly flags"),
 
@@ -143,7 +149,12 @@ object Analytics {
           .select($"l_orderkey", $"l_partkey").distinct()
         val freq = items.groupBy($"l_partkey")
           .agg(count(lit(1)).as("n_part"))
-        val nOrders = items.select($"l_orderkey").distinct().count()
+        // the order-universe size rides in as a one-row broadcast (the
+        // q_decay_revenue/q_rfm anchor-scalar recipe) — an eager .count()
+        // here would run Spark jobs during plan CONSTRUCTION, so every
+        // bench rep re-pays it outside the measured plan
+        val nOrders = items.agg(
+          countDistinct($"l_orderkey").cast("double").as("n_orders"))
         val a = items.select($"l_orderkey", $"l_partkey".as("p1"))
         val b = items.select($"l_orderkey", $"l_partkey".as("p2"))
         a.join(b, Seq("l_orderkey")).filter($"p1" < $"p2")
@@ -153,12 +164,13 @@ object Analytics {
             $"n_part".as("n_a"))), "p1")
           .join(broadcast(freq.select($"l_partkey".as("p2"),
             $"n_part".as("n_b"))), "p2")
+          .crossJoin(broadcast(nOrders))
           .select($"p1", $"p2", $"n_ab",
-            round($"n_ab".cast("double") / lit(nOrders.toDouble), 6)
+            round($"n_ab".cast("double") / $"n_orders", 6)
               .as("support"),
             round($"n_ab".cast("double") / $"n_a".cast("double"), 6)
               .as("confidence"),
-            round(($"n_ab".cast("double") * lit(nOrders.toDouble)) /
+            round(($"n_ab".cast("double") * $"n_orders") /
               ($"n_a".cast("double") * $"n_b".cast("double")), 6)
               .as("lift"))
           .orderBy($"lift".desc, $"p1", $"p2")
@@ -318,19 +330,24 @@ object Analytics {
       "equi-depth 10-bucket histogram of extended price"),
 
     // Period-over-period comparison: monthly revenue with its
-    // year-earlier value (lag 12 over the month series) and YoY growth —
-    // the reporting shape behind every trend dashboard. Revenue is exact
-    // cents; growth is one IEEE division rounded to 6 dp; months with no
-    // year-earlier row keep NULL growth on both engines.
+    // year-earlier value and YoY growth — the reporting shape behind
+    // every trend dashboard. The year-earlier value comes from a CALENDAR
+    // self-join (month = prev month + 12 months), not a positional
+    // lag(12): a gap in the month series would silently make lag's
+    // "previous year" a different month (both engines consistently, so an
+    // oracle can't catch the drift). Revenue is exact cents; growth is one
+    // IEEE division rounded to 6 dp; months with no year-earlier row keep
+    // NULL growth on both engines.
     "q_yoy_growth" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy($"month")
-        Tables.load(s, d, "orders")
+        val m = Tables.load(s, d, "orders")
           .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month"))
           .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
             .as("cents"))
-          .withColumn("prev_year_cents", lag($"cents", 12).over(w))
+        val prev = m.select(add_months($"month", 12).as("month"),
+          $"cents".as("prev_year_cents"))
+        m.join(prev, Seq("month"), "left")
           .select($"month",
             round($"cents".cast("double") / 100.0, 2).as("revenue"),
             round($"prev_year_cents".cast("double") / 100.0, 2)
@@ -345,17 +362,16 @@ object Analytics {
         |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |      AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
-        |l AS (SELECT month, cents,
-        |    lag(cents, 12) OVER (ORDER BY month) AS prev_year_cents
-        |  FROM m)
+        |p AS (SELECT CAST(month + INTERVAL 12 MONTH AS DATE) AS month,
+        |    cents AS prev_year_cents FROM m)
         |SELECT month,
         |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
         |  round(CAST(prev_year_cents AS DOUBLE) / 100.0, 2)
         |    AS prev_year_revenue,
         |  round(CAST(cents - prev_year_cents AS DOUBLE)
         |    / CAST(prev_year_cents AS DOUBLE), 6) AS yoy_growth
-        |FROM l ORDER BY month""".stripMargin),
-      "monthly revenue with year-over-year growth (lag-12 comparison)"),
+        |FROM m LEFT JOIN p USING (month) ORDER BY month""".stripMargin),
+      "monthly revenue with year-over-year growth (calendar self-join)"),
 
     // offset windows: previous/next order price per customer, in order-date
     // order. Pure value movement, no arithmetic — engine-identical.

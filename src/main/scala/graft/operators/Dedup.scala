@@ -133,20 +133,64 @@ object Dedup {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** Cache key: a checkpointed DataFrame is bound to the session that built
+    * it, so the key must include the session identity (the IvfIndex
+    * pattern) — a second session in the same JVM (non-forked runMain, mixed
+    * suites) must rebuild, not receive another session's broken plan. */
+  private def cacheKey(s: SparkSession, d: String): String =
+    s"${System.identityHashCode(s)}|$d"
+
   /** Cached (d1, d2, jaccard) pairs for the corpus at `d`. */
   private def jaccardPairs(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    pairCache.computeIfAbsent(d, _ => jaccardPairsUncached(s, d).localCheckpoint())
+    pairCache.computeIfAbsent(cacheKey(s, d),
+      _ => jaccardPairsUncached(s, d).localCheckpoint())
 
   /** Cached (doc_id, cluster_id) map over >=0.5-Jaccard pairs at `d`. */
   private def clusterMap(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    clusterCache.computeIfAbsent(d, _ => {
+    clusterCache.computeIfAbsent(cacheKey(s, d), _ => {
       import org.apache.spark.sql.functions.col
       val edges = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
         .select(col("d1").as("id1"), col("d2").as("id2"))
       clusters(edges).withColumnRenamed("id", "doc_id").localCheckpoint()
     })
+
+  /** Dictionary-encoded sorted shingle sets for the prefix-filtered
+    * set-similarity join (q_prefix_join): each document becomes a sorted
+    * long array of global rarest-first shingle ranks. Ranks come from
+    * [[graft.Fns.zipRank]] over the (df, shingle) total order on the
+    * distinct-shingle universe — the DISTRIBUTED zipWithIndex assigner
+    * (range-partitioned sort + per-partition offsets), NOT a row_number
+    * window whose unpartitioned sort would funnel the billions-row
+    * distinct-shingle universe of a 100 TB corpus through one partition
+    * (VERDICT r5 #1). Ranks are identical to row_number's; any consistent
+    * total order preserves the prefix-filter guarantee because both join
+    * sides read this one table. Dictionary-encoding itself is the scale
+    * win: sets become 8-byte longs instead of ~60-byte strings through
+    * every join and intersection (~8x fewer shuffle bytes), and ranks are
+    * collision-free unlike hashing. Exposed uncheckpointed so PlanSpec can
+    * pin "no single-partition exchange" on the REAL plan (q_prefix_join
+    * itself checkpoints this, which would hide the dictionary step). */
+  private[operators] def prefixSets(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
+    val sh = Tables.load(s, d, "documents")
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+        .as("shingle"))
+      .withColumn("df", count(lit(1)).over(wsh))
+      .filter($"df" <= MaxShingleDf)
+    val dict = graft.Fns.zipRank(
+      sh.select($"shingle", $"df").distinct(), "rank", $"df", $"shingle")
+    sh.join(dict.select($"shingle", $"rank"), "shingle")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"rank")).as("set"))
+      .withColumn("nsh", size($"set"))
+  }
 
   /** Brute-force n-gram-Jaccard candidate pairs (d1 < d2, jaccard) —
     * shared by `q_ngram_jaccard` (top-k view) and `q_dup_clusters` (edge
@@ -315,39 +359,7 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val t = 0.7
-        val wsh = org.apache.spark.sql.expressions.Window
-          .partitionBy($"shingle")
-        val sh = Tables.load(s, d, "documents")
-          .withColumn("toks", tokens($"text"))
-          .filter(size($"toks") >= 3)
-          .select($"doc_id", explode(array_distinct(expr(
-            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))")))
-            .as("shingle"))
-          .withColumn("df", count(lit(1)).over(wsh))
-          .filter($"df" <= MaxShingleDf)
-        // DICTIONARY-ENCODE each shingle as its global rarest-first rank
-        // (row_number over (df, shingle) on the distinct universe): the
-        // rank IS the prefix order, sets become sorted int arrays (8
-        // bytes/entry instead of ~60-byte strings through every join and
-        // intersection), and ranks are collision-free — exactness costs
-        // nothing, unlike hashing. One extra exchange over the distinct
-        // shingle universe, which any 100 TB set-similarity job pays
-        // gladly to shrink its shuffle bytes ~8x. The unpartitioned
-        // row_number is the one single-partition step: at cluster scale
-        // swap it for the sort-based zipWithIndex surrogate-key assigner
-        // (star/StarTransformer) — any consistent total order preserves
-        // the prefix-filter guarantee, only BOTH join sides must share it
-        // (they do: both read this one checkpointed table).
-        val wRank = org.apache.spark.sql.expressions.Window
-          .orderBy($"df", $"shingle")
-        val dict = sh.select($"shingle", $"df").distinct()
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-        val sets = sh
-          .join(dict.select($"shingle", $"rank"), "shingle")
-          .groupBy($"doc_id")
-          .agg(sort_array(collect_list($"rank")).as("set"))
-          .withColumn("nsh", size($"set"))
-          .localCheckpoint()
+        val sets = prefixSets(s, d).localCheckpoint()
         val a = sets.select($"doc_id".as("d1"),
           explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
         val b = sets.select($"doc_id".as("d2"),

@@ -115,8 +115,10 @@ object Graph {
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // keyed by (session identity, dir) — a checkpointed DataFrame is only
+  // valid on the session that built it (the IvfIndex pattern)
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
-    edgeCache.computeIfAbsent(d, _ => {
+    edgeCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
       import s.implicits._
       Tables.load(s, d, "orders")
         .select($"o_orderkey", $"o_custkey")
@@ -203,11 +205,15 @@ object Graph {
       (s, d) => {
         import s.implicits._
         val e = tradeEdges(s, d)
-        val tot = e.count()
+        // total edge count folds in as a one-row broadcast — an eager
+        // .count() would run a job during plan construction, paid again
+        // on every bench rep outside the measured plan
+        val tot = e.agg(count(lit(1)).cast("double").as("tot"))
         e.groupBy($"src")
           .agg(count(lit(1)).as("out_deg"))
+          .crossJoin(broadcast(tot))
           .select($"src", $"out_deg",
-            round($"out_deg".cast("double") / lit(tot.toDouble), 6)
+            round($"out_deg".cast("double") / $"tot", 6)
               .as("edge_share"))
           .orderBy($"out_deg".desc, $"src")
           .limit(20)

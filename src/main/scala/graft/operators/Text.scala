@@ -521,7 +521,7 @@ object Text {
         |    CAST(SUM(cnt) AS BIGINT) AS n_words,
         |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
         |    CAST(SUM(cnt * len(tok)) AS BIGINT) AS sum_len,
-        |    CAST(SUM(CASE WHEN tok IN ${sqlInList(langLexicons.head._2)}
+        |    CAST(SUM(CASE WHEN tok IN ${sqlInList(langLexicons.toMap.apply("en"))}
         |      THEN cnt ELSE 0 END) AS BIGINT) AS stop_hits
         |  FROM c GROUP BY doc_id),
         |r AS (

@@ -273,6 +273,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("q_prefix_join sets: no single-partition exchange (distributed dict)") {
+    // VERDICT r5 #1: the shingle dictionary must be the zipWithIndex
+    // assigner, not a row_number window — an Exchange SinglePartition here
+    // would funnel the whole distinct-shingle universe (billions of rows at
+    // 100 TB) through one task. Assert on the UNCHECKPOINTED sets builder:
+    // q_prefix_join itself localCheckpoints it, which truncates the plan
+    // and would make this pin vacuous. The df-count window (partitioned by
+    // shingle) is fine; an unpartitioned rank window is not.
+    val p = Dedup.prefixSets(spark, d).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(!p.contains("row_number"), p.take(3000))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
