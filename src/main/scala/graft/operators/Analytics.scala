@@ -706,27 +706,44 @@ object Analytics {
     // (Datasketches binary, storable in a rollup table) merged with
     // hll_union_agg into a global estimate — at 100 TB you materialize the
     // per-partition sketches once and answer any rollup from them without
-    // rescanning. No DuckDB oracle (sketch binaries are engine-specific):
-    // rows-only driver check + HllSketchSpec asserts estimate accuracy vs
-    // exact counts.
+    // rescanning. No DuckDB oracle (sketch binaries are engine-specific),
+    // but the query SELF-CHECKS its accuracy contract (VERDICT r5 #3, the
+    // q_approx_percentile treatment): exact distincts ride alongside and
+    // `hll_ok` asserts |HLL − exact| / exact ≤ 3·rsd, where rsd =
+    // 1.04/√2^12 for the default lgConfigK=12 — a sketch regression flips
+    // the column to false instead of being unverifiable. HllSketchSpec
+    // additionally asserts accuracy in ScalaTest.
     "q_hll_distinct" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val partials = Tables.load(s, d, "orders")
+        val rsd = 1.04 / math.sqrt((1 << 12).toDouble)
+        val orders = Tables.load(s, d, "orders")
+        val partials = orders
           .groupBy($"o_orderpriority")
           .agg(hll_sketch_agg($"o_custkey").as("sk"),
-            count(lit(1)).as("n_rows"))
+            countDistinct($"o_custkey").as("exact_custkeys"))
         val perSeg = partials
           .select($"o_orderpriority".as("scope"),
-            hll_sketch_estimate($"sk").as("approx_custkeys"))
+            hll_sketch_estimate($"sk").as("approx_custkeys"),
+            $"exact_custkeys")
+        // the global exact can't be derived from per-segment exacts
+        // (customers overlap segments) — one extra global aggregate
+        val globalExact = orders
+          .agg(countDistinct($"o_custkey").as("exact_custkeys"))
         val global = partials
           .agg(hll_sketch_estimate(hll_union_agg($"sk"))
             .as("approx_custkeys"))
-          .select(lit("_global").as("scope"), $"approx_custkeys")
-        perSeg.unionByName(global).orderBy($"scope")
+          .crossJoin(broadcast(globalExact))
+          .select(lit("_global").as("scope"), $"approx_custkeys",
+            $"exact_custkeys")
+        perSeg.unionByName(global)
+          .withColumn("hll_ok",
+            abs($"approx_custkeys" - $"exact_custkeys") /
+              $"exact_custkeys" <= lit(3.0 * rsd))
+          .orderBy($"scope")
       },
       None,
-      "HLL sketch partials + union rollup (re-aggregatable distincts)"),
+      "HLL sketch partials + union rollup, self-checked vs exact counts"),
 
     // approximate percentiles: the bounded-memory path q_percentile's
     // scale note promises (exact percentile buffers whole groups;
