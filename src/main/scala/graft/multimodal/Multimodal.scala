@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -13,10 +17,18 @@ final case class MediaMeta(
 
 final case class MediaRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
 
+/** Header-level image info decoded from the blob itself (not the declared
+  * metadata — production pipelines trust the bytes, not the catalog). */
+final case class ImageInfo(width: Int, height: Int, channels: Int,
+    format: String)
+
 final case class ImageFeatures(
     media_id: Long,
+    decode_ok: Boolean,
     width: Int,
     height: Int,
+    channels: Int,
+    format: String,
     n_bytes: Int,
     checksum: Long,
     features: Array[Float])
@@ -26,60 +38,152 @@ final case class FrameSample(media_id: Long, frame_index: Int, offset_ms: Long)
 /** Multimodal columns (SURVEY.md §2.11 X5): image/audio/video as opaque
   * `binary` columns with a typed metadata struct, processed in BATCHES
   * inside `mapPartitions` — the Scala shape of `mapInPandas`: one iterator
-  * per partition, grouped into fixed-size batches so a real codec could
-  * amortize model/library setup per batch instead of per row.
+  * per partition, grouped into fixed-size batches so a codec can amortize
+  * setup per batch instead of per row.
   *
-  * The decode step itself is a STUB (image/audio libraries are not in this
-  * container): [[decodeImageStub]] produces deterministic fake dimensions +
-  * features from the bytes. The Spark-side plumbing — schema, batching,
-  * partition sizing — is real and tested; swapping the stub for a codec
-  * changes nothing structural.
+  * Image decode is REAL: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP
+  * with no external codec — [[sniffImage]] pulls width/height/channels/
+  * format from the HEADER only (cheap, the 100 TB triage pass), and
+  * [[extractImageFeatures]] fully decodes to pixel statistics (mean RGB,
+  * luma, quadrant lumas — a deterministic stand-in embedding). Undecodable
+  * blobs surface as `decode_ok = false` rows — corrupt media is data to
+  * quarantine, not an exception to throw. Only VIDEO remains stubbed
+  * ([[sampleFrames]] synthesizes frame offsets from metadata — no video
+  * codec ships with the JDK).
   *
   * Scale notes: blobs never pass through a shuffle (all transforms are
   * map-side); partition budgets are byte-based (use
   * `spark.sql.files.maxPartitionBytes` on read so one task holds a bounded
   * number of blobs), and feature extraction emits small fixed-width rows,
-  * so the heavy binary column is dropped as early as possible.
+  * so the heavy binary column is dropped as early as possible. Prefer
+  * [[sniffImage]] when only dimensions are needed — it reads the header,
+  * not the pixels.
   */
 object Multimodal {
-
-  /** STUB — deterministic fake decode standing in for an image codec.
-    * "Decodes" dimensions and a tiny feature vector purely from the bytes,
-    * so tests are reproducible without any native library. */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-    val checksum = bytes.foldLeft(1469598103934665603L)((h, b) =>
-      (h ^ b) * 1099511628211L) // FNV-1a, deterministic
-    val w = 64 + math.floorMod(checksum, 512).toInt
-    val h = 64 + math.floorMod(checksum >> 16, 512).toInt
-    val feats = Array.tabulate(8)(i =>
-      math.floorMod(checksum >> (8 * (i % 8)), 1000).toFloat / 1000f)
-    (w, h, feats)
-  }
 
   private def fnv(bytes: Array[Byte]): Long =
     bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
 
+  /** HEADER-ONLY image decode via `javax.imageio`: width, height, channel
+    * count, and container format without decoding pixel data — the shape a
+    * 100 TB media-triage scan wants (bounded work per blob regardless of
+    * image size). Returns None for bytes no installed reader recognizes. */
+  def sniffImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        r.setInput(iis, true, true)
+        try {
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val channels =
+            if (types.hasNext) types.next().getColorModel.getNumComponents
+            else -1
+          Some(ImageInfo(w, h, channels, r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None
+    } finally iis.close()
+  }
+
+  /** Full pixel decode to a deterministic 8-float feature vector: mean R,
+    * G, B, global luma, and per-quadrant luma (all in [0,1]) — real pixel
+    * statistics standing where a learned embedding would plug in. */
+  def pixelFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    val quad = new Array[Double](4)
+    val quadN = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+        quad(q) += luma
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Array(
+      (sr / n / 255.0).toFloat,
+      (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat,
+      ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0).toFloat,
+      (quad(0) / math.max(quadN(0), 1L) / 255.0).toFloat,
+      (quad(1) / math.max(quadN(1), 1L) / 255.0).toFloat,
+      (quad(2) / math.max(quadN(2), 1L) / 255.0).toFloat,
+      (quad(3) / math.max(quadN(3), 1L) / 255.0).toFloat)
+  }
+
   /** Batched feature extraction — the mapInPandas shape: per-partition
-    * iterator, grouped into `batchSize` chunks; a real implementation would
-    * initialize the codec once per batch (or partition) here. */
+    * iterator, grouped into `batchSize` chunks (a learned model would
+    * initialize once per batch here). Each blob is REALLY decoded with
+    * `javax.imageio`; undecodable bytes yield a `decode_ok = false` row
+    * with header fields zeroed-out and an all-zero feature vector, so
+    * corrupt media flows to a quarantine filter instead of failing the
+    * job. */
   def extractImageFeatures(media: Dataset[MediaRow], batchSize: Int = 32)
       : Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would go here (codec / model handle)
+        // per-batch setup would go here (model handle / scratch buffers)
         batch.iterator.map { row =>
-          val (w, h, feats) = decodeImageStub(row.content)
-          ImageFeatures(row.media_id, w, h, row.content.length,
-            fnv(row.content), feats)
+          val info = sniffImage(row.content)
+          val img = info.flatMap { _ =>
+            try Option(ImageIO.read(new ByteArrayInputStream(row.content)))
+            catch { case _: java.io.IOException => None }
+          }
+          (info, img) match {
+            case (Some(i), Some(bi)) =>
+              ImageFeatures(row.media_id, decode_ok = true,
+                i.width, i.height, i.channels, i.format,
+                row.content.length, fnv(row.content), pixelFeatures(bi))
+            case _ =>
+              ImageFeatures(row.media_id, decode_ok = false,
+                -1, -1, -1, "", row.content.length, fnv(row.content),
+                new Array[Float](8))
+          }
         }
       }
     }
   }
 
+  /** Header-only triage over a media table: one row per blob with the
+    * SNIFFED dimensions beside the declared metadata — the first pass a
+    * media pipeline runs (catalog-vs-bytes drift, corrupt-blob rate)
+    * before paying for pixel decode. */
+  def sniffImages(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val info = sniffImage(row.content)
+      (row.media_id, row.meta.mediaType, row.meta.width, row.meta.height,
+        info.isDefined, info.map(_.width).getOrElse(-1),
+        info.map(_.height).getOrElse(-1),
+        info.map(_.channels).getOrElse(-1),
+        info.map(_.format).getOrElse(""))
+    }.toDF("media_id", "declared_type", "declared_width", "declared_height",
+      "decode_ok", "width", "height", "channels", "format")
+  }
+
   /** Video frame sampling STUB: emits every `everyMs`-th frame offset from
     * the metadata duration — the explode-shaped transform (1 row -> k
-    * rows) a real frame sampler would produce. */
+    * rows) a real frame sampler would produce. The JDK ships no video
+    * codec, so this is the one remaining stub in the module. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L)
       : Dataset[FrameSample] = {
     import media.sparkSession.implicits._
@@ -90,9 +194,9 @@ object Multimodal {
     }
   }
 
-  /** "Resize" STUB as a metadata transform: clamps stored dimensions to a
-    * bounding box, preserving aspect ratio — pure column math, the real
-    * pixel work would live in the batched extractor. */
+  /** "Resize" as a metadata transform: clamps stored dimensions to a
+    * bounding box, preserving aspect ratio — pure column math; the pixel
+    * resample itself would live in the batched extractor. */
   def resizeMeta(df: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(
       lit(maxDim) / greatest(col("meta.width"), lit(1)),

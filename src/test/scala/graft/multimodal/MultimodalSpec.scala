@@ -1,18 +1,41 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import graft.SparkSpec
-import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def blob(seed: Int, n: Int): Array[Byte] =
+  /** A real encoded image: deterministic gradient, any JDK writer format. */
+  private def image(w: Int, h: Int, fmt: String,
+      argb: Boolean = false): Array[Byte] = {
+    val t = if (argb) BufferedImage.TYPE_INT_ARGB else BufferedImage.TYPE_INT_RGB
+    val img = new BufferedImage(w, h, t)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (0xff << 24) | ((x * 255 / w) << 16) |
+        ((y * 255 / h) << 8) | ((x + y) % 256))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  private def junk(seed: Int, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((seed * 31 + i * 7) % 251).toByte)
 
+  private lazy val png = image(320, 200, "png")
+  private lazy val jpg = image(64, 48, "jpg")
+  private lazy val pngA = image(16, 16, "png", argb = true)
+
   private lazy val media = Seq(
-    MediaRow(1L, blob(1, 256), MediaMeta("image", 800, 600, 0L, "png")),
-    MediaRow(2L, blob(2, 512), MediaMeta("image", 1920, 1080, 0L, "jpeg")),
-    MediaRow(3L, blob(3, 1024), MediaMeta("video", 1280, 720, 3500L, "h264")))
+    MediaRow(1L, png, MediaMeta("image", 320, 200, 0L, "png")),
+    MediaRow(2L, jpg, MediaMeta("image", 64, 48, 0L, "jpeg")),
+    MediaRow(3L, junk(3, 1024), MediaMeta("video", 1280, 720, 3500L, "h264")),
+    MediaRow(4L, junk(4, 99), MediaMeta("image", 10, 10, 0L, "png")), // corrupt
+    MediaRow(5L, pngA, MediaMeta("image", 16, 16, 0L, "png")))
     .toDS()
 
   test("binary media schema round-trips through parquet") {
@@ -21,19 +44,49 @@ class MultimodalSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.schema("content").dataType.typeName == "binary")
     assert(back.schema("meta").dataType.typeName == "struct")
-    assert(back.count() == 3)
+    assert(back.count() == 5)
   }
 
-  test("batched feature extraction is deterministic and batch-insensitive") {
+  test("sniffImage reads REAL dimensions/channels/format from the bytes") {
+    assert(Multimodal.sniffImage(png).contains(ImageInfo(320, 200, 3, "png")))
+    val j = Multimodal.sniffImage(jpg).get
+    assert(j.width == 64 && j.height == 48 && j.format == "jpeg")
+    // RGBA png reports the alpha channel
+    assert(Multimodal.sniffImage(pngA).contains(ImageInfo(16, 16, 4, "png")))
+    // junk bytes are not an image
+    assert(Multimodal.sniffImage(junk(9, 512)).isEmpty)
+  }
+
+  test("feature extraction decodes for real, flags corrupt blobs, and is " +
+      "batch-insensitive") {
     val f1 = Multimodal.extractImageFeatures(media, batchSize = 2)
       .collect().sortBy(_.media_id)
     val f2 = Multimodal.extractImageFeatures(media, batchSize = 32)
       .collect().sortBy(_.media_id)
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    // real dimensions come from the BYTES, not the declared metadata
+    val byId = f1.map(f => f.media_id -> f).toMap
+    assert(byId(1L).decode_ok && byId(1L).width == 320 && byId(1L).height == 200)
+    assert(byId(2L).decode_ok && byId(2L).width == 64 && byId(2L).height == 48)
+    assert(byId(5L).channels == 4)
+    // corrupt / non-image rows are quarantined, not thrown
+    assert(!byId(3L).decode_ok && !byId(4L).decode_ok)
+    assert(byId(4L).width == -1 && byId(4L).features.forall(_ == 0f))
+    // gradient image: pixel stats are real — mean luma strictly inside (0,1)
+    // and the two x-halves differ (red ramps left to right)
+    val f = byId(1L).features
+    assert(f(3) > 0.05f && f(3) < 0.95f, f.mkString(","))
+    assert(math.abs(f(4) - f(5)) > 0.01f, f.mkString(","))
     assert(f1.forall(_.features.length == 8))
-    assert(f1.map(_.n_bytes).toSeq == Seq(256, 512, 1024))
-    // same bytes -> same features; different bytes -> different checksum
-    assert(f1(0).checksum != f1(1).checksum)
+  }
+
+  test("sniffImages triage compares declared metadata against the bytes") {
+    val t = Multimodal.sniffImages(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(t(1L).getBoolean(4) && t(1L).getInt(5) == 320)
+    assert(!t(3L).getBoolean(4)) // video blob: no JDK image reader
+    assert(t(5L).getInt(7) == 4) // alpha channel sniffed from header
   }
 
   test("frame sampling explodes video rows only, at the sample period") {
@@ -43,11 +96,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize metadata clamps to bounding box, keeps aspect ratio") {
-    val out = Multimodal.resizeMeta(media.toDF, maxDim = 640)
+    val out = Multimodal.resizeMeta(media.toDF, maxDim = 160)
       .select("media_id", "resized_width", "resized_height")
       .as[(Long, Int, Int)].collect().sortBy(_._1)
-    assert(out(0) == ((1L, 640, 480)))   // 800x600 -> 640x480
-    assert(out(1) == ((2L, 640, 360)))   // 1920x1080 -> 640x360
-    assert(out(2)._2 <= 640 && out(2)._3 <= 640)
+    assert(out(0) == ((1L, 160, 100)))   // 320x200 -> 160x100
+    assert(out(2)._2 <= 160 && out(2)._3 <= 160)
   }
 }
