@@ -76,7 +76,10 @@ object Fns {
     * `star.StarTransformer.buildDimScalable`); the order columns must be a
     * total order (no ties) for the ranks to be deterministic. */
   def zipRank(df: DataFrame, idxName: String, order: Column*): DataFrame = {
-    val sorted = df.orderBy(order: _*)
+    // Materialize the sort once: zipWithIndex runs an internal job to
+    // count per-partition rows before the indexing pass, and without the
+    // checkpoint both passes would recompute the full upstream lineage.
+    val sorted = df.orderBy(order: _*).localCheckpoint()
     val schema = sorted.schema
       .add(idxName, org.apache.spark.sql.types.LongType, nullable = false)
     sorted.sparkSession.createDataFrame(

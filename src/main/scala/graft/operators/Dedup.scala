@@ -176,6 +176,11 @@ object Dedup {
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val wsh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
+    // Checkpointed ONCE because it has two consumers with a materialization
+    // between them: the dict is built eagerly (zipRank), so without this
+    // the scan + explode + df-window pipeline would run twice — once for
+    // the dict, once for the rank join below. (Production materializes
+    // the shingle table next to the corpus for the same reason.)
     val sh = Tables.load(s, d, "documents")
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= 3)
@@ -184,6 +189,7 @@ object Dedup {
         .as("shingle"))
       .withColumn("df", count(lit(1)).over(wsh))
       .filter($"df" <= MaxShingleDf)
+      .localCheckpoint()
     val dict = graft.Fns.zipRank(
       sh.select($"shingle", $"df").distinct(), "rank", $"df", $"shingle")
     sh.join(dict.select($"shingle", $"rank"), "shingle")

@@ -90,7 +90,13 @@ object Graph {
         .select(col("id"),
           (lit((1.0 - damping) / n + sinkBoost) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-      if (it % math.max(checkpointInterval, 1) == 0 || it == iterations) {
+      // Checkpoint only at interval boundaries — NOT on the final round:
+      // a final-round checkpoint is one extra eager materialization job
+      // whose only consumer is the caller's own action, and returning the
+      // live plan instead lets that action (typically orderBy/limit →
+      // TakeOrderedAndProject) fuse with the last round's computation.
+      // Plan depth stays bounded by `checkpointInterval` rounds.
+      if (it % math.max(checkpointInterval, 1) == 0) {
         ranks = next.localCheckpoint()
         tol.foreach { t =>
           val delta = ranks
