@@ -355,22 +355,28 @@ object Dedup {
     // each set's first |s| - ceil(t*|s|) + 1 tokens under a fixed global
     // (rarest-first) order — so the self-join runs on PREFIX tokens only,
     // and the full intersection is computed just for surviving candidate
-    // pairs via per-pair array intersection. The oracle is the plain
+    // pairs via per-pair array intersection. The PPJoin LENGTH filter
+    // rides the prefix join: Jaccard >= t forces ceil(t*|s1|) <= |s2| <=
+    // |s1|/t, so size-incompatible candidates drop BEFORE the distinct
+    // and the set join-backs (~30% off the pair stage here; at scale it
+    // prunes the candidate shuffle itself). The oracle is the plain
     // brute-force pair join at the same threshold, so the hash match
-    // PROVES the prefix filter lossless, not merely plausible. At scale
-    // this replaces the all-pairs shingle join with a join whose width is
-    // the prefix (rare tokens -> few collisions), the textbook
+    // PROVES prefix + length filters lossless, not merely plausible. At
+    // scale this replaces the all-pairs shingle join with a join whose
+    // width is the prefix (rare tokens -> few collisions), the textbook
     // set-similarity-join shape.
     "q_prefix_join" -> GQuery(
       (s, d) => {
         import s.implicits._
         val t = 0.7
         val sets = prefixSets(s, d).localCheckpoint()
-        val a = sets.select($"doc_id".as("d1"),
+        val a = sets.select($"doc_id".as("d1"), $"nsh".as("na"),
           explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
-        val b = sets.select($"doc_id".as("d2"),
+        val b = sets.select($"doc_id".as("d2"), $"nsh".as("nb"),
           explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
-        a.join(b, Seq("p")).filter($"d1" < $"d2")
+        a.join(b, Seq("p"))
+          .filter($"d1" < $"d2" &&
+            $"nb" >= ceil(lit(t) * $"na") && $"na" >= ceil(lit(t) * $"nb"))
           .select($"d1", $"d2").distinct()
           .join(sets.select($"doc_id".as("d1"), $"set".as("s1"),
             $"nsh".as("n1")), "d1")

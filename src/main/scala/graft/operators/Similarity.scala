@@ -539,5 +539,51 @@ object Similarity {
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
       }),
       "PQ asymmetric-distance (ADC) top-10 search (extension X3)"),
+
+    // X2/X3 SemDeDup-style semantic deduplication: embedding-space
+    // near-duplicates found WITHIN clusters only (here the label column;
+    // production uses k-means cells exactly like IvfIndex) — the
+    // sub-quadratic shape, n²/k pairs instead of all-pairs. The keep rule
+    // is the greedy SemDeDup one: a vector is dropped when a
+    // higher-similarity twin with a smaller id exists in its cluster.
+    // Output is the per-cluster dedup report (sizes, drops, drop rate).
+    // Cosine is the native codegen expression, bit-identical to DuckDB's
+    // list_cosine_similarity on widened doubles (the q_similarity pin),
+    // so the >= threshold cut agrees across engines exactly.
+    "q_semantic_dedup" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val a = e.select($"label", $"vec_id".as("v1"), $"embedding".as("e1"))
+        val b = e.select($"label", $"vec_id".as("v2"), $"embedding".as("e2"))
+        val drops = a.join(b, Seq("label")).filter($"v1" < $"v2")
+          .filter(expr("cosine_sim(e1, e2)") >= 0.45)
+          .select($"label", $"v2".as("vec_id")).distinct()
+        e.groupBy($"label").agg(count(lit(1)).as("n_vectors"))
+          .join(drops.groupBy($"label").agg(count(lit(1)).as("nd")),
+            Seq("label"), "left")
+          .select($"label", $"n_vectors",
+            coalesce($"nd", lit(0L)).as("n_dropped"),
+            round(coalesce($"nd", lit(0L)).cast("double") /
+              $"n_vectors".cast("double"), 6).as("drop_frac"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |  FROM embeddings),
+        |dr AS (
+        |  SELECT DISTINCT b.label, b.vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45),
+        |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |      FROM e GROUP BY 1),
+        |dd AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nd
+        |       FROM dr GROUP BY 1)
+        |SELECT n.label, n.n_vectors,
+        |  COALESCE(dd.nd, 0) AS n_dropped,
+        |  round(CAST(COALESCE(dd.nd, 0) AS DOUBLE)
+        |    / CAST(n.n_vectors AS DOUBLE), 6) AS drop_frac
+        |FROM n LEFT JOIN dd USING (label) ORDER BY n.label""".stripMargin),
+      "SemDeDup-style within-cluster embedding dedup report (X2/X3)"),
   )
 }

@@ -628,5 +628,69 @@ object Text {
         |  round(CAST(SUM(term) AS DOUBLE), 6) AS kl
         |FROM terms GROUP BY source, t_s ORDER BY source""".stripMargin),
       "per-source KL divergence vs corpus word distribution (extension X4)"),
+
+    // X4 repetition quality gate (the Gopher/RedPajama repetition rules,
+    // word-n-gram form): machine-generated and boilerplate text repeats
+    // itself, so per-document we score (a) the most frequent bigram's
+    // share of all bigrams, (b) the duplicate-bigram fraction, (c) the
+    // duplicate-trigram fraction, and gate on (a) and (c). Two explode +
+    // partial-agg passes, all exact counts; ratios are single IEEE
+    // divisions rounded to 6 dp (the established recipe) and the keep
+    // verdict compares the ROUNDED ratios identically on both engines.
+    // Thresholds sit at the observed p90-p99 knee so both verdicts occur
+    // at every SF (planted near-dup docs trip the trigram rule).
+    "q_repetition_gate" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val t = docs(s, d)
+          .select($"doc_id", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 3)
+        def grams(k: Int) = t.select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(toks)-${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+          .as("g"))
+          .groupBy($"doc_id", $"g").agg(count(lit(1)).as("n"))
+        val s2 = grams(2).groupBy($"doc_id").agg(
+          max($"n").as("top2"), sum($"n").as("tot2"),
+          count(lit(1)).as("dist2"))
+        val s3 = grams(3).groupBy($"doc_id").agg(
+          sum($"n").as("tot3"), count(lit(1)).as("dist3"))
+        s2.join(s3, "doc_id")
+          .select($"doc_id",
+            round($"top2".cast("double") / $"tot2".cast("double"), 6)
+              .as("top_bigram_frac"),
+            round(lit(1.0) - $"dist2".cast("double") / $"tot2".cast("double"), 6)
+              .as("dup_bigram_frac"),
+            round(lit(1.0) - $"dist3".cast("double") / $"tot3".cast("double"), 6)
+              .as("dup_trigram_frac"))
+          .withColumn("keep",
+            $"top_bigram_frac" <= 0.08 && $"dup_trigram_frac" <= 0.02)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id,
+        |    round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |      AS top_bigram_frac,
+        |    round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |      AS dup_bigram_frac
+        |  FROM c2 GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS n FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id,
+        |    round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |      AS dup_trigram_frac
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT doc_id, top_bigram_frac, dup_bigram_frac, dup_trigram_frac,
+        |  (top_bigram_frac <= 0.08 AND dup_trigram_frac <= 0.02) AS keep
+        |FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "word-n-gram repetition quality gate (extension X4)"),
   )
 }
