@@ -692,5 +692,70 @@ object Text {
         |  (top_bigram_frac <= 0.08 AND dup_trigram_frac <= 0.02) AS keep
         |FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin),
       "word-n-gram repetition quality gate (extension X4)"),
+
+    // X4 linear quality-classifier SERVING (the fasttext/CCNet-style
+    // quality filter every LLM corpus pipeline runs): tokens hash into 64
+    // feature buckets, a broadcast weight table scores each token, and the
+    // per-doc mean weight is the quality logit. The WEIGHTS here are
+    // deterministic stand-ins (md5-derived per bucket — production swaps
+    // in trained values; the distributed serving path is what's built):
+    // integer micro-unit weights summed exactly, ONE division at the end,
+    // no exp/sigmoid anywhere — the logit threshold decides keep, so the
+    // whole score is cross-engine exact. Scale shape: explode + broadcast
+    // join against 64 rows + one doc-keyed partial-agg shuffle.
+    "q_quality_classifier" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        // bucket b's weight: md5-derived int in [0, 1e6) micro units (the
+        // q_sample_hash integer recipe). Kept NON-NEGATIVE so the mean
+        // below is an exact truncating integer division with identical
+        // semantics on both engines — rounding a double quotient at 6 dp
+        // is NOT cross-engine stable when the true value has unbounded
+        // decimals (observed one-ulp hash breaks at sf0.001/0.1).
+        val weights = s.range(0, 64).toDF("bucket")
+          .select($"bucket",
+            pmod(conv(substring(md5(concat(lit("w"),
+              $"bucket".cast("string"))), 1, 8), 16, 10).cast("long"),
+              lit(1000000L)).as("w_micro"))
+        val toks = docs(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .withColumn("bucket",
+            pmod(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"),
+              lit(64L)))
+        toks.join(broadcast(weights), "bucket")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum($"w_micro").as("wsum"))
+          // exact mean micro-weight; /1e6 then round(6) is safe ONLY
+          // because mean_micro/1e6 is exactly 6 decimal places
+          .select($"doc_id", $"n_tokens",
+            expr("wsum DIV n_tokens").as("mean_micro"))
+          .select($"doc_id", $"n_tokens",
+            round($"mean_micro".cast("double") / 1e6, 6)
+              .as("quality_score"),
+            ($"mean_micro" >= 450000L).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (
+        |  SELECT b.bucket,
+        |    ('0x' || substring(md5('w' || CAST(b.bucket AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 AS w_micro
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) b),
+        |tk AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM tk),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(w_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |      AS mean_micro
+        |  FROM tb JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(mean_micro AS DOUBLE) / 1e6, 6) AS quality_score,
+        |  mean_micro >= 450000 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin),
+      "hashed linear quality-classifier scoring (extension X4)"),
   )
 }
