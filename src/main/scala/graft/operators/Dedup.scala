@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * scale paths — MinHash+LSH banding and SimHash — are in
   * [[graft.functions.MinHash]] / [[graft.functions.SimHash]] and are
   * property-tested (ScalaTest) against the brute-force Jaccard here, since
-  * their hash functions are engine-specific and not DuckDB-expressible.
+  * their xxhash64-based hash functions are engine-specific; the MATH of
+  * both is additionally oracle-pinned via md5-hash twins (`q_minhash_sig`,
+  * `q_simhash`) that DuckDB replays bit-for-bit.
   */
 object Dedup {
   import Fns._
@@ -590,5 +592,72 @@ object Dedup {
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "duplicated 10-token span detection per document (extension X1/X2)"),
+
+    // X2 SimHash fingerprinting, oracle-exact: the production path
+    // (functions/SimHash.scala) votes with xxhash64, which DuckDB can't
+    // replay; this variant votes with the repo's md5-derived 32-bit hash
+    // (see oracle-exactness recipe at q_minhash_sig) so the whole
+    // fingerprint — per-bit majority votes, sign threshold, and the
+    // 8-bit chunk blocking keys (two fingerprints within Hamming
+    // distance 3 must share one of 4 chunks) — is hash-checked against
+    // DuckDB. Spark side is a single per-row higher-order projection:
+    // one md5 per token, then a 32-step bit fold — ZERO shuffles, the
+    // ideal 100 TB shape (fingerprinting is embarrassingly parallel;
+    // only the tiny (chunk, value) keys ever need to move). DuckDB
+    // replays the votes as 32 generated SUM columns over exploded
+    // token hashes.
+    "q_simhash" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 1)
+          .withColumn("hs", expr(
+            "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+          .withColumn("fp", expr(
+            """aggregate(
+              |  sequence(0, 31), 0L,
+              |  (acc, i) -> acc + IF(
+              |    aggregate(hs, 0L,
+              |      (v, h) -> v + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)
+              |    ) > 0L,
+              |    shiftleft(1L, i), 0L))""".stripMargin))
+          .select($"doc_id", $"fp",
+            expr("shiftright(fp, 0) & 255L").as("c0"),
+            expr("shiftright(fp, 8) & 255L").as("c1"),
+            expr("shiftright(fp, 16) & 255L").as("c2"),
+            expr("shiftright(fp, 24) & 255L").as("c3"))
+          .orderBy($"doc_id")
+      },
+      Some({
+        val votes = (0 until 32).map(i =>
+          s"    SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+          .mkString(",\n|")
+        val fpBits = (0 until 32).map(i =>
+          s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+          .mkString(" +\n|    ")
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    ${Fns.sqlTokens("text")} AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(toks,
+        |      t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)) AS h
+        |  FROM t WHERE len(toks) >= 1),
+        |v AS (
+        |  SELECT doc_id,
+        |$votes
+        |  FROM h GROUP BY doc_id),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST($fpBits AS BIGINT) AS fp
+        |  FROM v)
+        |SELECT doc_id, fp,
+        |  (fp >> 0) & 255 AS c0, (fp >> 8) & 255 AS c1,
+        |  (fp >> 16) & 255 AS c2, (fp >> 24) & 255 AS c3
+        |FROM f ORDER BY doc_id""".stripMargin
+      }),
+      "exactly-verified SimHash fingerprints + chunk blocking keys (extension X2)"),
   )
 }
