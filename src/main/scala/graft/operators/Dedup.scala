@@ -659,5 +659,56 @@ object Dedup {
         |FROM f ORDER BY doc_id""".stripMargin
       }),
       "exactly-verified SimHash fingerprints + chunk blocking keys (extension X2)"),
+
+    // X1/X4 n-gram novelty — per-document share of distinct 3-gram
+    // shingles whose FIRST corpus occurrence (min doc_id owner) is this
+    // document. The standard "how much new text does each source add"
+    // curation metric; near-1 means fresh content, near-0 means the doc
+    // is assembled from already-seen phrases. Shingles travel as md5
+    // fingerprints (16 bytes, never text); ownership is one
+    // fingerprint-keyed partial-agg min + one co-partitioned join back,
+    // then a doc_id rollup — three key-partitioned shuffles of
+    // fixed-width rows, no all-pairs stage, so the shape is the same one
+    // q_dup_spans proves out at scale.
+    "q_ngram_novelty" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-2), i -> md5(concat_ws(' ', slice(toks, i, 3))))"))
+            .as("fp"))
+          .distinct()
+        val owner = sh.groupBy($"fp").agg(min($"doc_id").as("owner"))
+        sh.join(owner, "fp")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"owner" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+          .select($"doc_id", $"n_shingles", $"n_novel",
+            round($"n_novel".cast("double") / $"n_shingles".cast("double"), 6)
+              .as("novelty_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, ${Fns.sqlTokens("text")} AS toks FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks)-2),
+        |      i -> md5(array_to_string(toks[i:i+2], ' ')))) AS fp
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, fp FROM sh0),
+        |own AS (
+        |  SELECT fp, MIN(doc_id) AS owner FROM sh GROUP BY fp)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+        |FROM sh JOIN own USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "per-document novel 3-gram share vs the whole corpus (extension X1/X4)"),
   )
 }

@@ -757,5 +757,67 @@ object Text {
         |  mean_micro >= 450000 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin),
       "hashed linear quality-classifier scoring (extension X4)"),
+
+    // X4 character-distribution Shannon entropy — the classic cheap
+    // gibberish/encoding-garbage detector (low entropy = repeated filler,
+    // high entropy = random bytes; prose sits in a narrow band). Reported
+    // in NATS via the count-form identity H = ln(tot) − (Σ cnt·ln cnt)/tot
+    // so every transcendental takes an INTEGER argument: ln of an integer
+    // rounded to 9 dp is the repo's proven cross-engine recipe
+    // (q_zipf_slope), whereas ln/log2 of per-doc RATIOS hits 6-dp rounding
+    // boundaries between Spark's StrictMath and DuckDB's libm at sf0.1
+    // (observed: one row in 5000). cnt·round9(ln cnt) stays exact in
+    // DECIMAL; only the final subtraction runs in double. Per-doc char
+    // histogram is a (doc_id, ch)-keyed partial-agg shuffle, the doc total
+    // reuses the same doc_id partitioning — all shuffles key-partitioned,
+    // nothing all-pairs or single-partition, so the shape holds at 100 TB.
+    "q_char_entropy" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val chars = Tables.load(s, d, "documents")
+          .filter(length($"text") >= 1)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch"))
+        chars.groupBy($"doc_id", $"ch")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("term",
+            ($"cnt".cast("decimal(18,0)") *
+              round(log($"cnt".cast("double")), 9).cast("decimal(12,9)"))
+              .cast("decimal(28,9)"))
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").as("n_chars_counted"),
+            count(lit(1)).as("n_uniq_chars"),
+            sum($"term").as("s"))
+          .withColumn("char_entropy_nats",
+            round(round(log($"n_chars_counted".cast("double")), 9)
+              - $"s".cast("double") / $"n_chars_counted".cast("double"), 6))
+          .select($"doc_id", $"n_chars_counted", $"n_uniq_chars",
+            $"char_entropy_nats")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(text)),
+        |      i -> substring(text, i, 1))) AS ch
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, ch, COUNT(*) AS cnt FROM ch GROUP BY doc_id, ch),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
+        |    CAST(COUNT(*) AS BIGINT) AS n_uniq_chars,
+        |    SUM(CAST(cnt AS DECIMAL(18,0))
+        |      * CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9)))
+        |      AS s
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_chars_counted, n_uniq_chars,
+        |  round(CAST(round(ln(CAST(n_chars_counted AS DOUBLE)), 9) AS DOUBLE)
+        |    - CAST(s AS DOUBLE) / CAST(n_chars_counted AS DOUBLE), 6)
+        |    AS char_entropy_nats
+        |FROM a ORDER BY doc_id""".stripMargin),
+      "per-document character Shannon entropy quality signal (extension X4)"),
   )
 }
