@@ -585,5 +585,67 @@ object Similarity {
         |    / CAST(n.n_vectors AS DOUBLE), 6) AS drop_frac
         |FROM n LEFT JOIN dd USING (label) ORDER BY n.label""".stripMargin),
       "SemDeDup-style within-cluster embedding dedup report (X2/X3)"),
+
+    // X3 one Lloyd iteration of k-means, oracle-exact — pins the TRAINING
+    // math that IvfIndex runs internally (assign to nearest centroid,
+    // recompute centroids) the same way q_pagerank2 pins the PageRank
+    // loop: k = 8 deterministic seeds (smallest vec_ids, a TakeOrdered —
+    // no full sort), assignment is a broadcast of 8 rows against the scan
+    // with the native codegen cosine (bit-identical to DuckDB
+    // list_cosine_similarity on widened doubles — the q_similarity pin),
+    // tie-broken on centroid id, and the new centroids reuse
+    // q_embed_pool's two-stage nano-unit recipe (per-partition long sums,
+    // decimal(38,0) merge — exact at any group size, integer codegen in
+    // the hot path). Shapes: one broadcast join + two key-partitioned
+    // partial-agg shuffles — exactly what a 1000-executor Lloyd round
+    // should be; a full k-means is this step iterated with the new
+    // centroids re-broadcast (IvfIndex.scala does precisely that).
+    "q_kmeans_step" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val seeds = e.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        val best = e.crossJoin(broadcast(seeds))
+          .select($"vec_id", $"embedding", $"cid",
+            expr("cosine_sim(embedding, cvec)").as("cs"))
+          .groupBy($"vec_id")
+          .agg(max(struct($"cs", (-$"cid").as("ncid"))).as("b"),
+            first($"embedding").as("embedding"))
+          .select((-$"b.ncid").as("cid"), $"embedding")
+        best.select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
+          .withColumn("part", spark_partition_id())
+          .groupBy($"cid", $"pos", $"part")
+          .agg(
+            sum(round($"v".cast("double") * lit(1e9), 0).cast("long"))
+              .as("psum"),
+            count(lit(1)).as("pn"))
+          .groupBy($"cid", $"pos")
+          .agg(sum($"psum".cast("decimal(38,0)")).as("sum_u"),
+            sum($"pn").as("n"))
+          .select($"cid", $"pos", $"n",
+            ($"sum_u".cast("double") / lit(1e9) / $"n").as("mean_v"))
+          .orderBy($"cid", $"pos")
+      },
+      Some(s"""WITH seeds AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sc AS (
+        |  SELECT e.vec_id, e.embedding, s.cid,
+        |    ${duckCos("e.embedding", "s.cvec")} AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |best AS (
+        |  SELECT vec_id, embedding, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM sc),
+        |b AS (SELECT cid, embedding FROM best WHERE rn = 1)
+        |SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e9, 0)
+        |    AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v
+        |FROM b, unnest(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY cid, pos ORDER BY cid, pos""".stripMargin),
+      "one oracle-exact Lloyd k-means iteration over embeddings (X3)"),
   )
 }
