@@ -866,5 +866,59 @@ object Analytics {
         |    AS BIGINT) AS users_7d
         |FROM daily ORDER BY day""".stripMargin),
       "exact 7-day rolling distinct users (oracle twin of the HLL rollup)"),
+
+    // 2-D skyline (Pareto front): orders not strictly dominated on BOTH
+    // axes (another order with higher total AND later date). The naive
+    // shapes are an all-pairs NOT EXISTS (quadratic) or one global
+    // ORDER BY totalprice window (single-partition over n rows) — both
+    // scale-killers. This implementation decomposes dominance by a
+    // FIXED-WIDTH price bucketing: (a) dominators in strictly higher
+    // buckets are summarized by a suffix-max-date over the bucket table —
+    // whose cardinality is bounded by price-range/width, independent of
+    // row count, so its tiny window + broadcast is the legitimate
+    // small-side pattern, not a data-scale sort; (b) same-bucket
+    // dominators reduce to a per-(bucket, price) max-date and a running
+    // max over strictly higher prices WITHIN the bucket — a partitioned
+    // window, fully distributed. Survivors check both summaries. The
+    // oracle replays the same predicate with DuckDB's global window
+    // (fine single-threaded; the point of the bucketed shape is that the
+    // cluster plan never needs that global sort).
+    "q_pareto_front" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "orders")
+          .withColumn("bkt", floor($"o_totalprice" / lit(1000.0)).cast("long"))
+        val bmax = o.groupBy($"bkt").agg(max($"o_orderdate").as("bmx"))
+        val wSuffix = Window.orderBy($"bkt".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val suffix = bmax
+          .withColumn("hi_mx", max($"bmx").over(wSuffix))
+          .select($"bkt", $"hi_mx")
+        val wInBkt = Window.partitionBy($"bkt")
+          .orderBy($"o_totalprice".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val inb = o.groupBy($"bkt", $"o_totalprice")
+          .agg(max($"o_orderdate").as("pmx"))
+          .withColumn("in_mx", max($"pmx").over(wInBkt))
+          .select($"bkt", $"o_totalprice", $"in_mx")
+        o.join(broadcast(suffix), Seq("bkt"), "left")
+          .join(inb, Seq("bkt", "o_totalprice"))
+          .filter(($"hi_mx".isNull || $"hi_mx" <= $"o_orderdate") &&
+            ($"in_mx".isNull || $"in_mx" <= $"o_orderdate"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH pm AS (
+        |  SELECT o_totalprice AS p, MAX(o_orderdate) AS mxd
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT p, MAX(mxd) OVER (ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better
+        |  FROM pm)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+        |FROM orders o JOIN r ON o.o_totalprice = r.p
+        |WHERE better IS NULL OR better <= o.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin),
+      "bucketed 2-D skyline / Pareto front over orders (price x recency)"),
   )
 }

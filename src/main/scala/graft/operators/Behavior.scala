@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GQuery, Tables}
+import graft.{Fns, GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -411,5 +411,47 @@ object Behavior {
         |    2) AS cum_revenue
         |FROM g ORDER BY cohort_month, month_offset""".stripMargin),
       "cohort LTV curve: cumulative revenue by cohort month x offset"),
+
+    // Last-touch attribution: each purchase's value is credited to the
+    // user's most recent PRECEDING non-purchase event type (the "touch"
+    // channel); purchases with no prior touch fall into '(none)'. One
+    // user-partitioned window (the same user_id hash partitioning every
+    // Behavior query reuses) carries the last non-null touch forward —
+    // last(ignoreNulls) over UNBOUNDED PRECEDING..1 PRECEDING — then a
+    // tiny channel rollup. Ordering pins the cross-engine recipe:
+    // micros + event_id tie-break; revenue sums in DECIMAL(18,6) (the
+    // events.value exact type) so partial-agg order can't drift.
+    "q_attribution" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+          .withColumn("touch",
+            when($"event_type" =!= "purchase", $"event_type"))
+          .withColumn("attr", last($"touch", ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .groupBy(coalesce($"attr", lit("(none)")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(Fns.dsum6($"value"), 6).as("revenue"))
+          .orderBy($"channel")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ns(ts) // 1000, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+        |  FROM events)
+        |SELECT COALESCE(attr, '(none)') AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS revenue
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin),
+      "last-touch channel attribution of purchase revenue"),
   )
 }
