@@ -100,5 +100,21 @@ class GraftExtensions
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarityExpr(children.head, children(1))
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "unicode_norm"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "unicode_norm takes (str) or (str, form)")
+        val form =
+          if (children.size == 2) {
+            val f = children(1)
+            require(f.foldable && f.dataType ==
+              org.apache.spark.sql.types.StringType,
+              "unicode_norm form must be a string literal")
+            f.eval().toString.toUpperCase(java.util.Locale.ROOT)
+          } else "NFC"
+        UnicodeNormalizeExpr(children.head, form)
+      }))
   }
 }

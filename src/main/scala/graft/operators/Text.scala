@@ -819,5 +819,38 @@ object Text {
         |    AS char_entropy_nats
         |FROM a ORDER BY doc_id""".stripMargin),
       "per-document character Shannon entropy quality signal (extension X4)"),
+
+    // X4 Unicode NFC normalization via the native codegen expression
+    // (functions/UnicodeNormalizeExpr.scala) — text-pipeline step zero:
+    // decomposed and composed accents must fingerprint identically before
+    // any dedup. The synthetic corpus is ASCII (normalization-neutral),
+    // so the query prepends a DECOMPOSED "cafe"+U+0301 prefix to every
+    // row, making the normalizer do real work on every document: the
+    // code-point length must drop by exactly one and the md5 of the
+    // normalized text must match DuckDB's utf8proc-based nfc_normalize
+    // byte-for-byte — two independent Unicode implementations agreeing
+    // on content, not just counts. Per-row projection, zero shuffles.
+    "q_nfc_normalize" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .withColumn("raw", concat(lit("cafe\u0301 "), $"text"))
+          .withColumn("nfc", expr("unicode_norm(raw, 'NFC')"))
+          .select($"doc_id",
+            length($"raw").as("len_raw"),
+            length($"nfc").as("len_nfc"),
+            substring(md5($"nfc"), 1, 8).as("nfc_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    'caf' || chr(101) || chr(769) || ' ' || text AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+        |  substring(md5(nfc_normalize(raw)), 1, 8) AS nfc_fp
+        |FROM t ORDER BY doc_id""".stripMargin),
+      "native NFC normalization pinned against DuckDB utf8proc (X4)"),
   )
 }
