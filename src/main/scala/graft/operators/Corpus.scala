@@ -516,5 +516,49 @@ object Corpus {
         |SELECT pair, COUNT(*) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
       "BPE merge-step statistics: adjacent character-pair frequencies"),
+
+    // Corpus composition report: per-source document/token counts, global
+    // shares, and the cumulative token share walking sources from largest
+    // to smallest — the table a data-mixture decision starts from ("the
+    // top k sources cover X% of tokens"). One doc-keyed token count, one
+    // source rollup (source cardinality is tiny — the rollup output is a
+    // broadcast-sized table, so the ordered cumulative window runs over a
+    // bounded domain, not data-scale rows). Shares divide exact BIGINTs
+    // in double space.
+    "q_domain_mix" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val bySrc = Tables.load(s, d, "documents")
+          .withColumn("n_toks", size(tokens($"text")).cast("long"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+        val tot = bySrc.agg(
+          sum($"n_docs").cast("double").as("td"),
+          sum($"n_tokens").cast("double").as("tt"))
+        val w = Window.orderBy($"n_tokens".desc, $"source")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        bySrc.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs", $"n_tokens",
+            round($"n_docs".cast("double") / $"td", 6).as("doc_share"),
+            round($"n_tokens".cast("double") / $"tt", 6).as("token_share"),
+            round(sum($"n_tokens").over(w).cast("double") / $"tt", 6)
+              .as("cum_token_share"))
+          .orderBy($"n_tokens".desc, $"source")
+      },
+      Some(s"""WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT CAST(SUM(n_docs) AS DOUBLE) AS td,
+        |    CAST(SUM(n_tokens) AS DOUBLE) AS tt FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / t.td, 6) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / t.tt, 6) AS token_share,
+        |  round(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.tt, 6)
+        |    AS cum_token_share
+        |FROM s, t ORDER BY n_tokens DESC, source""".stripMargin),
+      "per-source corpus mixture report with cumulative token coverage"),
   )
 }

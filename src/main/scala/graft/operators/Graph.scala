@@ -234,5 +234,78 @@ object Graph {
         |FROM e, t GROUP BY src, t.tot
         |ORDER BY out_deg DESC, src LIMIT 20""".stripMargin),
       "top-20 out-degree hubs + edge share over the trade graph"),
+
+    // Triangle counting over the supplier co-purchase similarity graph.
+    // The bipartite trade graph has no triangles by construction, so the
+    // unipartite input is its supplier PROJECTION — suppliers linked when
+    // they share "many" customers, thresholded at 1.5x the mean shared
+    // count (the raw projection of dense random data is complete:
+    // C(1000,2) pairs at sf0.1 — thresholding is what makes a similarity
+    // graph, exactly like a near-dup pair cut). Shapes, in order: the
+    // pair-count build is one (c)-keyed self-join + (s1,s2) partial agg;
+    // the threshold — the 99th percentile of shared counts, so the graph
+    // keeps its top-1% strongest edges at ANY scale factor (a fixed
+    // multiple of the mean degenerates to an empty graph when the count
+    // distribution is tight, as it is below sf0.1) — folds in as a
+    // one-row broadcast (never an eager collect; exact percentile here,
+    // approx_percentile at 100 TB per the q_percentile scale note);
+    // triangle enumeration is the canonical two shuffle joins
+    // on oriented edges (s1 < s2 everywhere, so each triangle is counted
+    // exactly once as a<b<c). At scale the projection join is the
+    // guarded step: fan-out is sum_c deg(c)^2 — bounded here by the
+    // threshold's pre-agg (counts shrink to one row per PAIR before the
+    // triangle joins), and a production run would cap/sample mega-degree
+    // customers first (the q_contamination capped-index pattern).
+    "q_triangles" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val co = Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey".as("c"))
+          .join(Tables.load(s, d, "lineitem")
+            .select($"l_orderkey".as("o_orderkey"), $"l_suppkey".as("s")),
+            "o_orderkey")
+          .select($"c", $"s").distinct()
+        val pairs = co.as("a")
+          .join(co.as("b"), col("a.c") === col("b.c") &&
+            col("a.s") < col("b.s"))
+          .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+          .agg(count(lit(1)).as("shared"))
+        val thr = pairs.agg(expr("percentile(shared, 0.99)").as("thr"))
+        val edges = pairs.crossJoin(broadcast(thr))
+          .filter($"shared".cast("double") > $"thr")
+          .select($"s1", $"s2")
+          .localCheckpoint() // reused by three self-joins below
+        val tri = edges.as("ab")
+          .join(edges.as("bc"), col("ab.s2") === col("bc.s1"))
+          .join(edges.as("ac"),
+            col("ac.s1") === col("ab.s1") && col("ac.s2") === col("bc.s2"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nn = edges.select($"s1".as("s")).union(edges.select($"s2"))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+        val ne = edges.agg(count(lit(1)).as("n_edges"))
+        nn.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+          .select($"n_nodes", $"n_edges", $"n_triangles")
+      },
+      Some("""WITH co AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |p AS (
+        |  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |t AS (SELECT quantile_cont(shared, 0.99) AS thr FROM p),
+        |e AS (
+        |  SELECT s1, s2 FROM p, t WHERE CAST(shared AS DOUBLE) > t.thr),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e ab JOIN e bc ON ab.s2 = bc.s1
+        |    JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2),
+        |nn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM (SELECT s1 AS s FROM e UNION SELECT s2 FROM e)),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles
+        |FROM nn, ne, tri""".stripMargin),
+      "triangle count over the thresholded supplier co-purchase graph"),
   )
 }
