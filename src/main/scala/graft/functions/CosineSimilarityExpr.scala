@@ -116,5 +116,16 @@ class GraftExtensions
           } else "NFC"
         UnicodeNormalizeExpr(children.head, form)
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_pack"),
+      new ExpressionInfo(classOf[SimHashPackExpr].getName, "simhash_pack"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "simhash_pack takes (hash_array, nbits_literal)")
+        val nb = children(1)
+        require(nb.foldable, "simhash_pack nbits must be a literal")
+        SimHashPackExpr(children.head,
+          nb.eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

@@ -15,17 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit SimHash over a token-array column name. Expressed in SQL form
-    * because shiftright-by-a-lambda-variable has no Column-API overload
-    * (the Scala `shiftright(Column, Int)` takes a static shift). */
+  /** 64-bit SimHash over a token-array column name: xxhash64 per token,
+    * then the native codegen vote-pack ([[SimHashPackExpr]], registered
+    * by [[GraftExtensions]] — required on the session). The earlier
+    * higher-order-lambda formulation walked the token hashes once per
+    * bit, interpreted; the native pack is one fused loop. */
   def simhashExpr(tokensCol: String): Column = expr(
-    s"""aggregate(
-       |  sequence(0, 63), 0L,
-       |  (acc, i) -> acc + IF(
-       |    aggregate($tokensCol, 0L,
-       |      (v, t) -> v + IF((shiftright(xxhash64(t), i) & 1L) = 1L, 1L, -1L)
-       |    ) > 0L,
-       |    shiftleft(1L, i), 0L))""".stripMargin)
+    s"simhash_pack(transform($tokensCol, t -> xxhash64(t)), 64)")
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -600,12 +600,14 @@ object Dedup {
     // fingerprint — per-bit majority votes, sign threshold, and the
     // 8-bit chunk blocking keys (two fingerprints within Hamming
     // distance 3 must share one of 4 chunks) — is hash-checked against
-    // DuckDB. Spark side is a single per-row higher-order projection:
-    // one md5 per token, then a 32-step bit fold — ZERO shuffles, the
-    // ideal 100 TB shape (fingerprinting is embarrassingly parallel;
-    // only the tiny (chunk, value) keys ever need to move). DuckDB
-    // replays the votes as 32 generated SUM columns over exploded
-    // token hashes.
+    // DuckDB. Spark side is a single per-row projection: one md5 per
+    // token, then the native codegen vote-pack
+    // (functions/SimHashPackExpr.scala — one fused loop; the
+    // higher-order-lambda formulation re-walked the hashes once per bit,
+    // interpreted, and cost 18 s at sf0.1) — ZERO shuffles, the ideal
+    // 100 TB shape (fingerprinting is embarrassingly parallel; only the
+    // tiny (chunk, value) keys ever need to move). DuckDB replays the
+    // votes as 32 generated SUM columns over exploded token hashes.
     "q_simhash" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -614,14 +616,7 @@ object Dedup {
           .filter(size($"toks") >= 1)
           .withColumn("hs", expr(
             "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-          .withColumn("fp", expr(
-            """aggregate(
-              |  sequence(0, 31), 0L,
-              |  (acc, i) -> acc + IF(
-              |    aggregate(hs, 0L,
-              |      (v, h) -> v + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)
-              |    ) > 0L,
-              |    shiftleft(1L, i), 0L))""".stripMargin))
+          .withColumn("fp", expr("simhash_pack(hs, 32)"))
           .select($"doc_id", $"fp",
             expr("shiftright(fp, 0) & 255L").as("c0"),
             expr("shiftright(fp, 8) & 255L").as("c1"),
