@@ -920,5 +920,59 @@ object Analytics {
         |WHERE better IS NULL OR better <= o.o_orderdate
         |ORDER BY o.o_orderkey""".stripMargin),
       "bucketed 2-D skyline / Pareto front over orders (price x recency)"),
+
+    // Per-group OLS trend: the least-squares slope of monthly revenue
+    // over a month index, one slope per customer market segment — the
+    // "is this segment growing?" reporting primitive. The regression
+    // inputs are EXACT integers (x = months since 1992-01, y = revenue
+    // cents), so the five sufficient statistics (k, Σx, Σy, Σxx, Σxy)
+    // are overflow-safe BIGINT sums over at most ~84 monthly points per
+    // group and the slope is one IEEE double expression — the same
+    // closed-form recipe q_zipf_slope proved, but grouped. Scale shape:
+    // orders⋈customer is a key join (customer broadcast-able until it
+    // isn't, then a co-partitioned shuffle), the monthly rollup is a
+    // partial-agg shuffle on (segment, month), and the per-segment
+    // regression reduces ~84 rows per group — nothing single-partition.
+    "q_trend_slope" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val monthly = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer")
+            .select($"c_custkey", $"c_mktsegment"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment",
+            ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate") - 1)
+              .cast("bigint").as("x"))
+          .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint")).as("y"))
+        monthly.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("k"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          .select($"c_mktsegment", $"k",
+            round((($"k" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"k" * $"sxx" - $"sx" * $"sx").cast("double")) / 100.0, 6)
+              .as("slope_monthly"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH m AS (
+        |  SELECT c.c_mktsegment,
+        |    CAST((year(o.o_orderdate) - 1992) * 12
+        |      + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+        |    CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT c_mktsegment, k,
+        |  round((CAST(k * sxy - sx * sy AS DOUBLE)
+        |    / CAST(k * sxx - sx * sx AS DOUBLE)) / 100.0, 6)
+        |    AS slope_monthly
+        |FROM st ORDER BY c_mktsegment""".stripMargin),
+      "per-segment OLS slope of monthly revenue (exact integer sums)"),
   )
 }

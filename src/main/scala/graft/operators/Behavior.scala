@@ -453,5 +453,128 @@ object Behavior {
         |FROM e WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin),
       "last-touch channel attribution of purchase revenue"),
+
+    // Position-based (U-shaped 40/20/40) multi-touch attribution: each
+    // purchase closes a "journey" — the user's touches (non-purchase
+    // events) since their previous purchase. Within a journey the first
+    // touch earns 40% of the purchase value, the last 40%, and the
+    // middles split the remaining 20% (1 touch -> 100%, 2 -> 50/50);
+    // purchases with an empty journey fall to '(none)'. The journey id
+    // is itself a window (count of PRECEDING purchases), so the whole
+    // operator is two passes over one user_id-partitioned window — no
+    // self-join, no per-purchase scan; at 100 TB it is exactly the
+    // q_attribution shuffle with one more window function on top.
+    // Cross-engine exactness: per-touch credit = round(value * weight,
+    // 9) summed as DECIMAL(18,9) (the proven rounded-then-decimal-sum
+    // recipe); the weight CASE is identical IEEE arithmetic on both
+    // engines.
+    "q_attribution_multi" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val wPrev = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val e = ev(s, d)
+          .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+          .withColumn("jid",
+            count(when($"event_type" === "purchase", 1)).over(wPrev))
+        val touches = e.filter($"event_type" =!= "purchase")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"user_id", $"jid")
+              .orderBy(unix_micros($"ts"), $"event_id")))
+          .withColumn("n_touch", count(lit(1)).over(
+            Window.partitionBy($"user_id", $"jid")))
+          .select($"user_id", $"jid", $"event_type", $"pos", $"n_touch")
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"jid", $"value")
+        val credited = touches
+          .join(purchases, Seq("user_id", "jid"))
+          .withColumn("w",
+            when($"n_touch" === 1, lit(1.0))
+              .when($"n_touch" === 2, lit(0.5))
+              .when($"pos" === 1 || $"pos" === $"n_touch", lit(0.4))
+              .otherwise(lit(0.2) / ($"n_touch" - 2).cast("double")))
+          .select($"event_type".as("channel"),
+            round($"value" * $"w", 9).cast("decimal(18,9)").as("credit"))
+        val untouched = purchases
+          .join(touches.select($"user_id", $"jid").distinct(),
+            Seq("user_id", "jid"), "left_anti")
+          .select(lit("(none)").as("channel"),
+            round($"value", 9).cast("decimal(18,9)").as("credit"))
+        credited.union(untouched)
+          .groupBy($"channel")
+          .agg(round(sum($"credit").cast("double"), 6).as("revenue"))
+          .orderBy($"channel")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS us,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ns(ts) // 1000, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS jid
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, jid, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, jid
+        |      ORDER BY us, event_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY user_id, jid) AS n_touch
+        |  FROM e WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, jid, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT t.event_type AS channel,
+        |    CAST(round(p.value * (CASE
+        |      WHEN t.n_touch = 1 THEN 1.0
+        |      WHEN t.n_touch = 2 THEN 0.5
+        |      WHEN t.pos = 1 OR t.pos = t.n_touch THEN 0.4
+        |      ELSE 0.2 / CAST(t.n_touch - 2 AS DOUBLE) END), 9)
+        |      AS DECIMAL(18,9)) AS credit
+        |  FROM t JOIN p USING (user_id, jid)
+        |  UNION ALL
+        |  SELECT '(none)' AS channel,
+        |    CAST(round(p.value, 9) AS DECIMAL(18,9)) AS credit
+        |  FROM p LEFT JOIN (SELECT DISTINCT user_id, jid FROM t) x
+        |    USING (user_id, jid)
+        |  WHERE x.user_id IS NULL)
+        |SELECT channel,
+        |  round(CAST(SUM(credit) AS DOUBLE), 6) AS revenue
+        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin),
+      "position-based 40/20/40 multi-touch purchase attribution"),
+
+    // Sequential-pattern mining lite: the corpus's most common 3-step
+    // event-type journeys (PrefixSpan's length-3 patterns restricted to
+    // CONTIGUOUS steps — the high-signal variant dashboards actually
+    // show). Two leads over the same user-keyed window the other
+    // journey queries reuse, then one grouped count and a total-ordered
+    // top-20. Same floored-micros + event_id total order as
+    // q_transition_matrix, so both engines see identical adjacency.
+    "q_event_trigrams" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+        ev(s, d)
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("t2", lead($"event_type", 1).over(w))
+          .withColumn("t3", lead($"event_type", 2).over(w))
+          .filter($"t3".isNotNull)
+          .groupBy($"event_type".as("s1"), $"t2".as("s2"), $"t3".as("s3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"s1", $"s2", $"s3")
+          .limit(20)
+      },
+      Some("""WITH s AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000, event_id))
+        |SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin),
+      "top contiguous 3-step event-type journey patterns"),
   )
 }

@@ -48,5 +48,89 @@ object Profile {
         |${cols.map(colSql).mkString("", "\nUNION ALL\n", "")}
         |) ORDER BY col_name""".stripMargin),
       "column profiling + role classification (R/schema_analyzer.R:4-55)"),
+
+    // Key-candidate + functional-dependency audit — the data-quality
+    // pass that decides whether a column can serve as a join key and
+    // whether an assumed dependency (does X determine Y?) actually holds
+    // before a pipeline builds dims on it. Each audit row is one grouped
+    // aggregate: key checks count duplicate key values; FD checks count
+    // left-hand values mapping to >1 right-hand value. All counts are
+    // exact integers; `ok` is the boolean a CI gate would assert on.
+    // Scale shape: every audit is a partial-agg shuffle on its own key —
+    // the five audits run as independent branches of one union (Spark
+    // schedules them concurrently), nothing global or single-partition.
+    "q_fd_profile" -> GQuery(
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+        val lineitem = Tables.load(s, d, "lineitem")
+        def keyAudit(df: org.apache.spark.sql.DataFrame, name: String,
+            keyCols: Seq[String]) =
+          df.agg(count(lit(1)).as("n_rows"),
+              countDistinct(keyCols.head, keyCols.tail: _*).as("n_groups"))
+            .select(lit(name).as("audit"), col("n_rows"), col("n_groups"),
+              (col("n_rows") - col("n_groups")).as("n_violations"),
+              (col("n_rows") === col("n_groups")).as("ok"))
+        def fdAudit(df: org.apache.spark.sql.DataFrame, name: String,
+            lhs: String, rhs: String) =
+          df.groupBy(col(lhs))
+            .agg(countDistinct(col(rhs)).as("k"))
+            .agg(sum(lit(1)).as("n_rows"), count(lit(1)).as("n_groups"),
+              sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(name).as("audit"),
+              col("n_groups").as("n_rows"), col("n_groups"),
+              col("n_violations"), (col("n_violations") === 0).as("ok"))
+        keyAudit(orders, "key:o_orderkey", Seq("o_orderkey"))
+          .unionAll(keyAudit(orders, "key:o_custkey", Seq("o_custkey")))
+          .unionAll(keyAudit(lineitem, "key:l_orderkey+l_linenumber",
+            Seq("l_orderkey", "l_linenumber")))
+          .unionAll(fdAudit(orders, "fd:o_custkey->o_orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .unionAll(fdAudit(lineitem, "fd:l_orderkey->l_linestatus",
+            "l_orderkey", "l_linestatus"))
+          .orderBy(col("audit"))
+      },
+      Some("""WITH k1 AS (
+        |  SELECT 'key:o_orderkey' AS audit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_groups
+        |  FROM orders),
+        |k2 AS (
+        |  SELECT 'key:o_custkey' AS audit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups
+        |  FROM orders),
+        |k3 AS (
+        |  SELECT 'key:l_orderkey+l_linenumber' AS audit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |      AS n_groups
+        |  FROM lineitem),
+        |f1 AS (
+        |  SELECT 'fd:o_custkey->o_orderpriority' AS audit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+        |        FROM orders GROUP BY 1)),
+        |f2 AS (
+        |  SELECT 'fd:l_orderkey->l_linestatus' AS audit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_linestatus) AS k
+        |        FROM lineitem GROUP BY 1))
+        |SELECT audit, n_rows, n_groups,
+        |  n_rows - n_groups AS n_violations,
+        |  n_rows = n_groups AS ok FROM k1
+        |UNION ALL SELECT audit, n_rows, n_groups,
+        |  n_rows - n_groups, n_rows = n_groups FROM k2
+        |UNION ALL SELECT audit, n_rows, n_groups,
+        |  n_rows - n_groups, n_rows = n_groups FROM k3
+        |UNION ALL SELECT audit, n_groups AS n_rows, n_groups,
+        |  n_violations, n_violations = 0 FROM f1
+        |UNION ALL SELECT audit, n_groups AS n_rows, n_groups,
+        |  n_violations, n_violations = 0 FROM f2
+        |ORDER BY audit""".stripMargin),
+      "key-candidate + functional-dependency data-quality audit"),
   )
 }

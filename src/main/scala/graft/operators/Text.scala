@@ -852,5 +852,136 @@ object Text {
         |  substring(md5(nfc_normalize(raw)), 1, 8) AS nfc_fp
         |FROM t ORDER BY doc_id""".stripMargin),
       "native NFC normalization pinned against DuckDB utf8proc (X4)"),
+
+    // X4/X3 BM25 lexical retrieval — the sparse leg of hybrid search
+    // (q_rrf_fusion fuses dense cosine + PQ; BM25 is the inverted-index
+    // counterpart every retrieval stack pairs with them). Okapi scoring
+    // with k1=1.2, b=0.75 and the plain ln(N/df) idf (the q_tfidf form —
+    // integer-argument logs stay inside the 10-sig-fig cross-engine
+    // envelope; the ±0.5-smoothed idf variant would put a rational inside
+    // the ln). Per-term scores are 9-dp-rounded then summed as
+    // DECIMAL(18,9) so the ≤4-term per-doc sum cannot drift with
+    // aggregation order. Scale shape: the probe filter prunes the explode
+    // to query terms only (at scale: an inverted-index scan, not a corpus
+    // scan), df and corpus stats are broadcast one-row joins, and the
+    // final top-k is TakeOrdered — no global sort, no all-pairs.
+    "q_bm25" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val probe = Seq("spark", "table", "join", "query")
+        val dd = docs(s, d)
+          .select($"doc_id", graft.Fns.tokens($"text").as("toks"))
+          .select($"doc_id", size($"toks").as("dl"), $"toks")
+        val stats = dd.agg(count(lit(1)).as("n_docs"),
+          sum($"dl").as("tot_tokens"))
+        val tf = dd.select($"doc_id", $"dl", explode($"toks").as("tok"))
+          .filter($"tok".isin(probe: _*))
+          .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("c"))
+        val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            $"tot_tokens".cast("double") / $"n_docs".cast("double"))
+          .withColumn("term_score", round(
+            log($"n_docs".cast("double") / $"df".cast("double")) *
+              ($"c".cast("double") * lit(2.2)) /
+              ($"c".cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * $"dl".cast("double") / $"avgdl")),
+            9).cast("decimal(18,9)"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            round(sum($"term_score").cast("double"), 6).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(s"""WITH dd AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks,
+        |    len(${sqlTokens("text")}) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(SUM(dl) AS BIGINT) AS tot_tokens FROM dd),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dd)
+        |  WHERE tok IN ('spark', 'table', 'join', 'query')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |ts AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+        |        (CAST(c AS DOUBLE) * 2.2) /
+        |        (CAST(c AS DOUBLE) + 1.2 *
+        |          (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |            (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+        |      9) AS DECIMAL(18,9)) AS term_score
+        |  FROM tf JOIN dfq USING (tok), st)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  round(CAST(SUM(term_score) AS DOUBLE), 6) AS bm25
+        |FROM ts GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+      "Okapi BM25 lexical retrieval top-k (sparse leg of hybrid search)"),
+
+    // X4 classifier calibration / reliability curve: bin the hashed
+    // linear classifier's exact integer logit (q_quality_classifier's
+    // mean_micro) into FIXED 0.05-wide score bands and report each band's
+    // population, exact mean score, and observed 'en' rate — the
+    // reliability diagram that decides whether a quality filter's scores
+    // can be thresholded or must be recalibrated. Fixed bins rather than
+    // ntile deciles on purpose: decile assignment needs a global sort
+    // (single-partition window) while fixed bands are embarrassingly
+    // parallel — the same scale decision q_histogram made vs
+    // q_histogram_eqd. All band math is exact integer (DIV), the two
+    // ratios are one rounded double division each.
+    "q_calibration" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val weights = s.range(0, 64).toDF("bucket")
+          .select($"bucket",
+            pmod(conv(substring(md5(concat(lit("w"),
+              $"bucket".cast("string"))), 1, 8), 16, 10).cast("long"),
+              lit(1000000L)).as("w_micro"))
+        val toks = docs(s, d)
+          .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+          .withColumn("bucket",
+            pmod(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"),
+              lit(64L)))
+        toks.join(broadcast(weights), "bucket")
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tokens"), sum($"w_micro").as("wsum"))
+          .select($"lang", expr("wsum DIV n_tokens").as("mean_micro"))
+          .groupBy(expr("mean_micro DIV 50000").as("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            round((expr("sum(mean_micro) DIV count(1)")).cast("double")
+              / 1e6, 6).as("mean_score"),
+            round(sum(when($"lang" === "en", 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("en_rate"))
+          .orderBy($"bin")
+      },
+      Some(s"""WITH w AS (
+        |  SELECT b.bucket,
+        |    ('0x' || substring(md5('w' || CAST(b.bucket AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 AS w_micro
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) b),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(${sqlTokens("text")}) AS tok
+        |        FROM documents)),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(w_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |      AS mean_micro
+        |  FROM tb JOIN w USING (bucket) GROUP BY doc_id, lang)
+        |SELECT mean_micro // 50000 AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(CAST(SUM(mean_micro) AS BIGINT)
+        |    // CAST(COUNT(*) AS BIGINT) AS DOUBLE) / 1e6, 6) AS mean_score,
+        |  round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS en_rate
+        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin),
+      "fixed-bin reliability curve for the hashed quality classifier"),
   )
 }
