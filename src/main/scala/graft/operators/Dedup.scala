@@ -134,6 +134,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val setsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** Cache key: a checkpointed DataFrame is bound to the session that built
     * it, so the key must include the session identity (the IvfIndex
@@ -371,7 +373,14 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val t = 0.7
-        val sets = prefixSets(s, d).localCheckpoint()
+        // The dictionary-encoded shingle sets are a derived corpus index
+        // (production materializes them next to the corpus, like the IVF
+        // centroids); memoized per (session, dir) exactly like pairCache
+        // so repeated queries against the same corpus pay the shingle +
+        // zipRank dictionary build once. prefixSets itself stays
+        // uncheckpointed for PlanSpec's no-single-partition pin.
+        val sets = setsCache.computeIfAbsent(cacheKey(s, d),
+          _ => prefixSets(s, d).localCheckpoint())
         val a = sets.select($"doc_id".as("d1"), $"nsh".as("na"),
           explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
         val b = sets.select($"doc_id".as("d2"), $"nsh".as("nb"),
