@@ -974,5 +974,73 @@ object Analytics {
         |    AS slope_monthly
         |FROM st ORDER BY c_mktsegment""".stripMargin),
       "per-segment OLS slope of monthly revenue (exact integer sums)"),
+
+    // Bucketed Lorenz curve / revenue-concentration report: how much of
+    // purchase revenue the top spender bands hold (the "do 20% of users
+    // drive 80% of revenue?" question; companion to q_gini's token-side
+    // coefficient). The exact Lorenz curve needs a global sort by user
+    // revenue; this is the BUCKETED formulation — users land in
+    // half-decade log10 revenue bands (a per-row map), bands aggregate
+    // exactly, and the cumulative shares run over the ~dozen band rows
+    // only. Same scale decision as q_calibration vs ntile: the one
+    // unpartitioned window touches O(bands) aggregate rows, never user
+    // rows. Exactness: per-user revenue in micro-unit BIGINTs; band id =
+    // floor(2·round9(log10(micro))) — log of an INTEGER argument (the
+    // q_zipf_slope recipe); shares are one rounded double division each.
+    "q_lorenz" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val ur = Tables.load(s, d, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(sum(round($"value" * 1e6, 0).cast("bigint")).as("micro"))
+          .filter($"micro" > 0)
+        val bands = ur
+          .groupBy(floor(round(log10($"micro".cast("double")), 9)
+            * 2).cast("bigint").as("band"))
+          .agg(count(lit(1)).as("n_users"), sum($"micro").as("band_micro"))
+        val w = Window.orderBy($"band".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bands
+          .withColumn("cum_users", sum($"n_users").over(w))
+          .withColumn("cum_micro", sum($"band_micro").over(w))
+          .crossJoin(broadcast(bands.agg(
+            sum($"n_users").as("tot_users"),
+            sum($"band_micro").as("tot_micro"))))
+          .select($"band", $"n_users",
+            round($"cum_users".cast("double") / $"tot_users".cast("double"),
+              6).as("top_user_share"),
+            round($"cum_micro".cast("double") / $"tot_micro".cast("double"),
+              6).as("top_revenue_share"))
+          .orderBy($"band".desc)
+      },
+      Some("""WITH ur AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |      AS micro
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1 HAVING micro > 0),
+        |b AS (
+        |  SELECT CAST(floor(round(log10(CAST(micro AS DOUBLE)), 9) * 2)
+        |      AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(micro) AS BIGINT) AS band_micro
+        |  FROM ur GROUP BY 1),
+        |c AS (
+        |  SELECT band, n_users,
+        |    CAST(SUM(n_users) OVER (ORDER BY band DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+        |    CAST(SUM(band_micro) OVER (ORDER BY band DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micro
+        |  FROM b),
+        |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tot_users,
+        |             CAST(SUM(band_micro) AS BIGINT) AS tot_micro FROM b)
+        |SELECT band, n_users,
+        |  round(CAST(cum_users AS DOUBLE) / CAST(tot_users AS DOUBLE), 6)
+        |    AS top_user_share,
+        |  round(CAST(cum_micro AS DOUBLE) / CAST(tot_micro AS DOUBLE), 6)
+        |    AS top_revenue_share
+        |FROM c, t ORDER BY band DESC""".stripMargin),
+      "bucketed Lorenz revenue-concentration curve (top-band shares)"),
   )
 }
