@@ -745,6 +745,58 @@ object Analytics {
       None,
       "HLL sketch partials + union rollup, self-checked vs exact counts"),
 
+    // THETA-sketch audience overlap: distinct users who performed BOTH
+    // event types, for every type pair — the intersection query HLL
+    // cannot answer from stored partials (union-only). One corpus pass
+    // builds per-(partition, type) theta partials
+    // (functions/ThetaSketch); the driver unions the bounded partial set
+    // (≤ partitions × event-types rows — parallelism-bounded like the
+    // IvfIndex centroid collect, NOT data-bounded; production stores the
+    // partials and rolls them up the same way) and intersects each pair.
+    // The EXACT overlap rides along from a distinct self-join (≤ C(6,2)
+    // pairs per user), and the query SELF-CHECKS the sketch contract the
+    // q_hll_distinct way: theta_ok asserts exact ∈ [lb, ub] at 3 std
+    // dev, so a sketch regression flips booleans instead of drifting.
+    // No DuckDB oracle (sketch internals are engine-specific); the
+    // driver's rows-only check sees a deterministic row set, and
+    // ThetaSketchSpec pins partition-invariance + accuracy.
+    "q_theta_overlap" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .select($"event_type", $"user_id")
+        val parts = graft.functions.ThetaSketch
+          .partials(ev, $"event_type", $"user_id")
+          .collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        val byScope = parts.groupBy(_._1).map { case (sc, rows) =>
+          sc -> graft.functions.ThetaSketch.union(rows.map(_._2).toSeq)
+        }
+        val estRows = (for {
+          (a, ska) <- byScope.toSeq
+          (b, skb) <- byScope.toSeq if a < b
+          r = graft.functions.ThetaSketch.intersect(Seq(ska, skb))
+        } yield (a, b, r.getEstimate, r.getLowerBound(3), r.getUpperBound(3)))
+        val est = estRows.toDF("type_a", "type_b", "est", "lb", "ub")
+        val ue = ev.distinct()
+        val exact = ue.as("x")
+          .join(ue.as("y"), $"x.user_id" === $"y.user_id" &&
+            $"x.event_type" < $"y.event_type")
+          .groupBy($"x.event_type".as("type_a"),
+            $"y.event_type".as("type_b"))
+          .agg(countDistinct($"x.user_id").as("exact_overlap"))
+        exact.join(broadcast(est), Seq("type_a", "type_b"))
+          .select($"type_a", $"type_b", $"exact_overlap",
+            round($"est", 2).as("theta_est"),
+            round(abs($"est" - $"exact_overlap") /
+              $"exact_overlap".cast("double"), 6).as("rel_err"),
+            ($"lb" <= $"exact_overlap" && $"exact_overlap" <= $"ub")
+              .as("theta_ok"))
+          .orderBy($"type_a", $"type_b")
+      },
+      None,
+      "theta-sketch pairwise audience overlap, self-checked vs exact"),
+
     // approximate percentiles: the bounded-memory path q_percentile's
     // scale note promises (exact percentile buffers whole groups;
     // approx_percentile holds a fixed-size sketch per group). accuracy=
