@@ -776,9 +776,12 @@ object Text {
         import s.implicits._
         val chars = Tables.load(s, d, "documents")
           .filter(length($"text") >= 1)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-            .as("ch"))
+          // split on the empty pattern is the single-pass char explode
+          // (one scan per doc); the transform/substring(i,1) formulation
+          // it replaced rescans the string prefix per position (O(len²)
+          // per doc — measurable at corpus scale). Verified equal
+          // element-for-element on the corpus before the swap.
+          .select($"doc_id", explode(split($"text", "")).as("ch"))
         chars.groupBy($"doc_id", $"ch")
           .agg(count(lit(1)).as("cnt"))
           .withColumn("term",
