@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.datasketches.memory.Memory
-import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, UpdateSketch}
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, Sketches, UpdateSketch}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,11 +68,18 @@ object ThetaSketch {
   }
 
   /** Intersection estimate over two or more sketches. */
-  def intersect(sketches: Seq[CompactSketch]): CompactSketch = {
+  def intersect(sketches: Seq[Sketch]): CompactSketch = {
     require(sketches.nonEmpty, "nothing to intersect")
     val i = SetOperation.builder().setNominalEntries(NominalEntries)
       .buildIntersection()
     sketches.foreach(i.intersect)
     i.getResult
   }
+
+  /** Serialized-form intersection — the executor-side shape (sketches
+    * arrive as binary columns). */
+  def intersectBytes(a: Array[Byte], b: Array[Byte]): CompactSketch =
+    intersect(Seq(
+      Sketches.wrapSketch(Memory.wrap(a)),
+      Sketches.wrapSketch(Memory.wrap(b))))
 }

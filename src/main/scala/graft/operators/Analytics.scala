@@ -749,35 +749,45 @@ object Analytics {
     // event types, for every type pair — the intersection query HLL
     // cannot answer from stored partials (union-only). One corpus pass
     // builds per-(partition, type) theta partials
-    // (functions/ThetaSketch); the driver unions the bounded partial set
-    // (≤ partitions × event-types rows — parallelism-bounded like the
-    // IvfIndex centroid collect, NOT data-bounded; production stores the
-    // partials and rolls them up the same way) and intersects each pair.
-    // The EXACT overlap rides along from a distinct self-join (≤ C(6,2)
-    // pairs per user), and the query SELF-CHECKS the sketch contract the
-    // q_hll_distinct way: theta_ok asserts exact ∈ [lb, ub] at 3 std
-    // dev, so a sketch regression flips booleans instead of drifting.
-    // No DuckDB oracle (sketch internals are engine-specific); the
-    // driver's rows-only check sees a deterministic row set, and
-    // ThetaSketchSpec pins partition-invariance + accuracy.
+    // (functions/ThetaSketch); a mapGroups rollup unions them to one
+    // sketch row per event type (≤ partitions × types partial rows —
+    // parallelism-bounded; production stores the partials and rolls them
+    // up the same way), and each type PAIR intersects executor-side in a
+    // typed map over the broadcast 6×6 self-join of the per-type sketch
+    // table (scope-bounded metadata, not data). Everything stays in the
+    // lazy plan — NO driver-side collect or eager job in the builder
+    // (the q_market_basket lesson). The EXACT overlap rides along from a
+    // distinct self-join (≤ C(6,2) pairs per user), and the query
+    // SELF-CHECKS the sketch contract the q_hll_distinct way: theta_ok
+    // asserts exact ∈ [lb, ub] at 3 std dev, so a sketch regression
+    // flips booleans instead of drifting. No DuckDB oracle (sketch
+    // internals are engine-specific); the driver's rows-only check sees
+    // a deterministic row set, and ThetaSketchSpec pins
+    // partition-invariance + accuracy.
     "q_theta_overlap" -> GQuery(
       (s, d) => {
         import s.implicits._
         val ev = Tables.load(s, d, "events")
           .select($"event_type", $"user_id")
-        val parts = graft.functions.ThetaSketch
+        val scoped = graft.functions.ThetaSketch
           .partials(ev, $"event_type", $"user_id")
-          .collect()
-          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-        val byScope = parts.groupBy(_._1).map { case (sc, rows) =>
-          sc -> graft.functions.ThetaSketch.union(rows.map(_._2).toSeq)
-        }
-        val estRows = (for {
-          (a, ska) <- byScope.toSeq
-          (b, skb) <- byScope.toSeq if a < b
-          r = graft.functions.ThetaSketch.intersect(Seq(ska, skb))
-        } yield (a, b, r.getEstimate, r.getLowerBound(3), r.getUpperBound(3)))
-        val est = estRows.toDF("type_a", "type_b", "est", "lb", "ub")
+          .as[(String, Array[Byte])]
+          .groupByKey(_._1)
+          .mapGroups { (sc, it) =>
+            (sc, graft.functions.ThetaSketch.union(it.map(_._2).toSeq)
+              .toByteArray)
+          }
+          .toDF("scope", "sk")
+        val est = scoped.as("x")
+          .join(broadcast(scoped.as("y")), $"x.scope" < $"y.scope")
+          .select($"x.scope".as("a"), $"y.scope".as("b"),
+            $"x.sk".as("ska"), $"y.sk".as("skb"))
+          .as[(String, String, Array[Byte], Array[Byte])]
+          .map { case (a, b, ska, skb) =>
+            val r = graft.functions.ThetaSketch.intersectBytes(ska, skb)
+            (a, b, r.getEstimate, r.getLowerBound(3), r.getUpperBound(3))
+          }
+          .toDF("type_a", "type_b", "est", "lb", "ub")
         val ue = ev.distinct()
         val exact = ue.as("x")
           .join(ue.as("y"), $"x.user_id" === $"y.user_id" &&
@@ -1094,5 +1104,72 @@ object Analytics {
         |    AS top_revenue_share
         |FROM c, t ORDER BY band DESC""".stripMargin),
       "bucketed Lorenz revenue-concentration curve (top-band shares)"),
+
+    // Join-skew audit: the heavy-key statistics that decide whether a
+    // planned join needs salting / AQE skew splitting BEFORE running it
+    // (operators/Skew.saltedJoin and the as-of salted variant are the
+    // consumers of exactly this decision). Per audited join key: row
+    // count, distinct keys, the heaviest key's row count and share, the
+    // median per-key count, and the max/median skew ratio. One partial-
+    // agg shuffle per key to build the per-key count table; the summary
+    // reduces it to one row (exact percentile over per-key counts —
+    // bounded by distinct keys, the same contract as q_percentile's
+    // group buffers; at extreme cardinality swap approx_percentile).
+    "q_join_skew_audit" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def audit(df: org.apache.spark.sql.DataFrame, table: String,
+            key: String) = {
+          val counts = df.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("c"))
+          counts.agg(
+            sum($"c").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max($"c").as("max_key_rows"),
+            expr("percentile(c, 0.5)").as("p50"))
+            .select(lit(s"$table.$key").as("join_key"),
+              $"n_rows", $"n_keys", $"max_key_rows",
+              round($"max_key_rows".cast("double") /
+                $"n_rows".cast("double"), 6).as("max_key_share"),
+              round($"max_key_rows".cast("double") / $"p50", 6)
+                .as("skew_ratio"))
+        }
+        audit(Tables.load(s, d, "lineitem"), "lineitem", "l_orderkey")
+          .unionAll(audit(Tables.load(s, d, "orders"), "orders",
+            "o_custkey"))
+          .unionAll(audit(Tables.load(s, d, "events"), "events",
+            "user_id"))
+          .orderBy($"join_key")
+      },
+      Some("""WITH a1 AS (
+        |  SELECT 'lineitem.l_orderkey' AS join_key,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        |    quantile_cont(c, 0.5) AS p50
+        |  FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem
+        |        GROUP BY 1)),
+        |a2 AS (
+        |  SELECT 'orders.o_custkey' AS join_key,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        |    quantile_cont(c, 0.5) AS p50
+        |  FROM (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1)),
+        |a3 AS (
+        |  SELECT 'events.user_id' AS join_key,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        |    quantile_cont(c, 0.5) AS p50
+        |  FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3)
+        |SELECT join_key, n_rows, n_keys, max_key_rows,
+        |  round(CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS max_key_share,
+        |  round(CAST(max_key_rows AS DOUBLE) / p50, 6) AS skew_ratio
+        |FROM u ORDER BY join_key""".stripMargin),
+      "heavy-key join-skew audit (salting / AQE skew-split decision input)"),
   )
 }
