@@ -82,4 +82,14 @@ object ThetaSketch {
     intersect(Seq(
       Sketches.wrapSketch(Memory.wrap(a)),
       Sketches.wrapSketch(Memory.wrap(b))))
+
+  /** Set difference A \ B (serialized form) — with [[union]] and
+    * [[intersect]] this completes the set algebra stored theta partials
+    * can answer. */
+  def diffBytes(a: Array[Byte], b: Array[Byte]): CompactSketch = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.wrapSketch(Memory.wrap(a)))
+    op.notB(Sketches.wrapSketch(Memory.wrap(b)))
+    op.getResult(true)
+  }
 }

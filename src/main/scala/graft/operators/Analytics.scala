@@ -21,6 +21,24 @@ import org.apache.spark.sql.functions._
 object Analytics {
   import Fns._
 
+  /** Per-event-type theta sketch table `(scope, sk binary)` — one corpus
+    * pass of map-side partials rolled up by a mapGroups union (shared by
+    * q_theta_overlap / q_theta_diff; production stores the partials). */
+  private def thetaScoped(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.ThetaSketch
+      .partials(Tables.load(s, d, "events")
+        .select($"event_type", $"user_id"), $"event_type", $"user_id")
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (sc, it) =>
+        (sc, graft.functions.ThetaSketch.union(it.map(_._2).toSeq)
+          .toByteArray)
+      }
+      .toDF("scope", "sk")
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // exact interpolated percentiles per group. Both engines implement the
@@ -767,17 +785,9 @@ object Analytics {
     "q_theta_overlap" -> GQuery(
       (s, d) => {
         import s.implicits._
+        val scoped = thetaScoped(s, d)
         val ev = Tables.load(s, d, "events")
           .select($"event_type", $"user_id")
-        val scoped = graft.functions.ThetaSketch
-          .partials(ev, $"event_type", $"user_id")
-          .as[(String, Array[Byte])]
-          .groupByKey(_._1)
-          .mapGroups { (sc, it) =>
-            (sc, graft.functions.ThetaSketch.union(it.map(_._2).toSeq)
-              .toByteArray)
-          }
-          .toDF("scope", "sk")
         val est = scoped.as("x")
           .join(broadcast(scoped.as("y")), $"x.scope" < $"y.scope")
           .select($"x.scope".as("a"), $"y.scope".as("b"),
@@ -806,6 +816,52 @@ object Analytics {
       },
       None,
       "theta-sketch pairwise audience overlap, self-checked vs exact"),
+
+    // THETA-sketch set DIFFERENCE (A \ B): "users who did A but never
+    // B" — the unconverted-audience query (viewed but never purchased)
+    // and, with union + intersection, the complete set algebra stored
+    // theta partials answer without rescanning. Same lazy shape as
+    // q_theta_overlap (shared per-type sketch table, typed map for the
+    // AnotB), exact diff derived distributedly as n_a − overlap(a,b)
+    // from the same distinct self-join; diff_ok asserts exact ∈ [lb, ub]
+    // per ordered pair.
+    "q_theta_diff" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val scoped = thetaScoped(s, d)
+        val ev = Tables.load(s, d, "events")
+          .select($"event_type", $"user_id")
+        val est = scoped.as("x")
+          .join(broadcast(scoped.as("y")), $"x.scope" =!= $"y.scope")
+          .select($"x.scope".as("a"), $"y.scope".as("b"),
+            $"x.sk".as("ska"), $"y.sk".as("skb"))
+          .as[(String, String, Array[Byte], Array[Byte])]
+          .map { case (a, b, ska, skb) =>
+            val r = graft.functions.ThetaSketch.diffBytes(ska, skb)
+            (a, b, r.getEstimate, r.getLowerBound(3), r.getUpperBound(3))
+          }
+          .toDF("type_a", "type_b", "est", "lb", "ub")
+        val ue = ev.distinct()
+        val totals = ue.groupBy($"event_type".as("type_a"))
+          .agg(countDistinct($"user_id").as("n_a"))
+        val overlap = ue.as("x")
+          .join(ue.as("y"), $"x.user_id" === $"y.user_id" &&
+            $"x.event_type" =!= $"y.event_type")
+          .groupBy($"x.event_type".as("type_a"),
+            $"y.event_type".as("type_b"))
+          .agg(countDistinct($"x.user_id").as("n_both"))
+        totals.join(overlap, Seq("type_a"))
+          .select($"type_a", $"type_b",
+            ($"n_a" - $"n_both").as("exact_diff"))
+          .join(broadcast(est), Seq("type_a", "type_b"))
+          .select($"type_a", $"type_b", $"exact_diff",
+            round($"est", 2).as("theta_est"),
+            ($"lb" <= $"exact_diff" && $"exact_diff" <= $"ub")
+              .as("diff_ok"))
+          .orderBy($"type_a", $"type_b")
+      },
+      None,
+      "theta-sketch audience difference (A-not-B), self-checked vs exact"),
 
     // approximate percentiles: the bounded-memory path q_percentile's
     // scale note promises (exact percentile buffers whole groups;
@@ -1171,5 +1227,112 @@ object Analytics {
         |  round(CAST(max_key_rows AS DOUBLE) / p50, 6) AS skew_ratio
         |FROM u ORDER BY join_key""".stripMargin),
       "heavy-key join-skew audit (salting / AQE skew-split decision input)"),
+
+    // Mutual information between two categorical columns (documents.lang
+    // × documents.source) — the feature-selection / redundancy signal
+    // behind "does source already tell me the language?". Computed in
+    // the COUNT form MI = (1/N)·Σ n_xy·[ln N + ln n_xy − ln n_x − ln n_y]
+    // so every transcendental takes an INTEGER argument (the proven
+    // q_zipf_slope / q_char_entropy recipe — ln of ratios diverges
+    // between engines' libms at rounding boundaries, ln of integers
+    // round9'd does not). The n_xy·(...) products stay in DECIMAL until
+    // the single final division. Scale shape: one (x,y) partial-agg
+    // shuffle plus two broadcast marginal joins — the contingency table
+    // is O(|lang|·|source|), never row-bound.
+    "q_mutual_info" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+        val nxy = docs.groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_xy"))
+        val nx = nxy.groupBy($"lang").agg(sum($"n_xy").as("n_x"))
+        val ny = nxy.groupBy($"source").agg(sum($"n_xy").as("n_y"))
+        val n = nxy.agg(sum($"n_xy").as("n"))
+        def rln9(c: org.apache.spark.sql.Column) =
+          round(log(c.cast("double")), 9).cast("decimal(12,9)")
+        nxy.join(broadcast(nx), "lang").join(broadcast(ny), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("term",
+            ($"n_xy".cast("decimal(18,0)") *
+              (rln9($"n") + rln9($"n_xy") - rln9($"n_x") - rln9($"n_y")))
+              .cast("decimal(28,9)"))
+          .agg(sum($"term").as("tsum"), max($"n").as("n_tot"))
+          .select(
+            round($"tsum".cast("double") / $"n_tot".cast("double"), 9)
+              .as("mi_nats"))
+      },
+      Some("""WITH nxy AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |nx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x
+        |       FROM nxy GROUP BY 1),
+        |ny AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y
+        |       FROM nxy GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM nxy),
+        |t AS (
+        |  SELECT CAST(n_xy AS DECIMAL(18,0)) * (
+        |      CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(12,9))
+        |    + CAST(round(ln(CAST(n_xy AS DOUBLE)), 9) AS DECIMAL(12,9))
+        |    - CAST(round(ln(CAST(n_x AS DOUBLE)), 9) AS DECIMAL(12,9))
+        |    - CAST(round(ln(CAST(n_y AS DOUBLE)), 9) AS DECIMAL(12,9)))
+        |    AS term, n
+        |  FROM nxy JOIN nx USING (lang) JOIN ny USING (source), nt)
+        |SELECT round(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE)
+        |  / CAST(MAX(n) AS DOUBLE), 9) AS mi_nats
+        |FROM t""".stripMargin),
+      "mutual information lang × source (integer-log exact form)"),
+
+    // Winsorized per-group statistics: mean after clamping to the
+    // group's [p05, p95] — the robust aggregate that tames heavy tails
+    // without dropping rows (companion to q_robust_stats' MAD/IQR
+    // fences). Percentile bounds come from the same exact interpolated
+    // percentile q_percentile pins; the clamped values sum exactly in
+    // DECIMAL(18,2) so aggregation order cannot drift the mean. Two
+    // passes over the group (bounds, then clamp+sum) joined by the
+    // broadcast 3-row bounds table — at scale swap approx_percentile
+    // bounds in, the clamp pass is unchanged.
+    "q_winsorize" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.load(s, d, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice")
+        val bounds = li.groupBy($"l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+            expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        li.join(broadcast(bounds), "l_returnflag")
+          .withColumn("w",
+            when($"l_extendedprice" < $"lo", $"lo")
+              .when($"l_extendedprice" > $"hi", $"hi")
+              .otherwise($"l_extendedprice"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(Fns.dsum2($"l_extendedprice") / count(lit(1)), 6)
+              .as("raw_mean"),
+            round(sum(round($"w", 2).cast(Fns.D18_2)).cast("double")
+              / count(lit(1)), 6).as("winsor_mean"),
+            sum(($"l_extendedprice" < $"lo" ||
+              $"l_extendedprice" > $"hi").cast("long")).as("n_clamped"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / COUNT(*), 6) AS raw_mean,
+        |  round(CAST(SUM(CAST(round(CASE
+        |      WHEN l.l_extendedprice < b.lo THEN b.lo
+        |      WHEN l.l_extendedprice > b.hi THEN b.hi
+        |      ELSE l.l_extendedprice END, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) / COUNT(*), 6) AS winsor_mean,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < b.lo
+        |    OR l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l.l_returnflag""".stripMargin),
+      "winsorized (p05/p95-clamped) robust group means"),
   )
 }

@@ -33,6 +33,14 @@ class ThetaSketchSpec extends SparkSpec {
     assert(sk.getEstimate === 3000.0)
   }
 
+  test("difference estimate brackets the exact A-not-B count") {
+    val x = sketchOf(1 to 12000, "x", 4)
+    val y = sketchOf(8001 to 20000, "y", 4)
+    val diff = ThetaSketch.diffBytes(x.toByteArray, y.toByteArray)
+    assert(diff.getLowerBound(3) <= 8000 && 8000 <= diff.getUpperBound(3))
+    assert(math.abs(diff.getEstimate - 8000) / 8000.0 < 0.1)
+  }
+
   test("intersection estimate brackets the exact overlap") {
     val x = sketchOf(1 to 12000, "x", 4)
     val y = sketchOf(8001 to 20000, "y", 4)
