@@ -647,5 +647,88 @@ object Similarity {
         |FROM b, unnest(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY cid, pos ORDER BY cid, pos""".stripMargin),
       "one oracle-exact Lloyd k-means iteration over embeddings (X3)"),
+
+    // X3 distributed PCA: the dominant principal direction of the
+    // embedding cloud via TWO unrolled power-iteration steps on the
+    // (scaled) covariance — the q_pagerank2/q_kmeans_step treatment
+    // applied to eigen-math, so the whole loop is DuckDB-replayable and
+    // hash-exact. All math is integer: milli-unit coordinates make the
+    // Gram matrix S = Σxxᵀ and mean vector m exact BIGINTs; the centered
+    // scatter M = N·S − m·mᵀ is exact (scaling by N instead of dividing
+    // keeps integers; direction is scale-invariant); step 1 (v1 = M·1)
+    // stays < 2^53 so the renormalization to 1e6 scale (round(v1/max·1e6))
+    // is exact IEEE; step 2 accumulates M·v1' in DECIMAL(38,0)/HUGEINT.
+    // Scale shape: the Gram build is one (i,j)-keyed partial-agg shuffle
+    // over dims² rows per vector (64² here — at higher dims switch to
+    // per-partition outer-product accumulation); every later stage
+    // operates on the 64- or 4096-row aggregate tables with broadcast
+    // joins. Deterministic start v0 = 1 (no randomness contract).
+    "q_pca_power" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+          .select($"vec_id", $"i",
+            round($"x".cast("double") * 1000, 0).cast("bigint").as("xi"))
+          .localCheckpoint() // two consumers: Gram self-join + mean
+        val n = e.agg((count(lit(1)) / 64).cast("bigint").as("n"))
+        val m = e.groupBy($"i").agg(sum($"xi").as("mi"))
+        val gram = e.as("a")
+          .join(e.as("b").withColumnRenamed("i", "j")
+            .withColumnRenamed("xi", "xj"), "vec_id")
+          .groupBy($"i", $"j")
+          .agg(sum($"xi" * $"xj").as("s_ij"))
+        val mm = gram
+          .join(broadcast(m), "i")
+          .join(broadcast(m.select($"i".as("j"), $"mi".as("mj"))), "j")
+          .crossJoin(broadcast(n))
+          .select($"i", $"j", ($"n" * $"s_ij" - $"mi" * $"mj").as("m_ij"))
+          .localCheckpoint() // two consumers: both power steps
+        val v1 = mm.groupBy($"j".as("vj")).agg(sum($"m_ij").as("v1"))
+        val mx1 = v1.agg(max(abs($"v1")).as("mx1"))
+        val v1n = v1.crossJoin(broadcast(mx1))
+          .select($"vj",
+            round($"v1".cast("double") / $"mx1".cast("double") * 1e6, 0)
+              .cast("bigint").as("v1n"))
+        val v2 = mm.join(broadcast(v1n), $"j" === $"vj")
+          .groupBy($"i")
+          .agg(sum(($"m_ij" * $"v1n").cast("decimal(38,0)")).as("v2"))
+        val mx2 = v2.agg(max(abs($"v2")).as("mx2"))
+        v2.crossJoin(broadcast(mx2))
+          .select($"i",
+            round($"v2".cast("double") / $"mx2".cast("double"), 6)
+              .as("loading"))
+          .orderBy($"i")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, CAST(u.i - 1 AS INT) AS i,
+        |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |nn AS (SELECT CAST(COUNT(*) / 64 AS BIGINT) AS n FROM e),
+        |m AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS mi FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS s_ij
+        |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT g.i, g.j, nn.n * g.s_ij - ma.mi * mb.mi AS m_ij
+        |  FROM g JOIN m ma ON g.i = ma.i JOIN m mb ON g.j = mb.i, nn),
+        |v1 AS (SELECT j AS vj, CAST(SUM(m_ij) AS BIGINT) AS v1
+        |       FROM mm GROUP BY 1),
+        |mx1 AS (SELECT MAX(abs(v1)) AS mx1 FROM v1),
+        |v1n AS (
+        |  SELECT vj, CAST(round(CAST(v1 AS DOUBLE) / CAST(mx1 AS DOUBLE)
+        |    * 1e6, 0) AS BIGINT) AS v1n
+        |  FROM v1, mx1),
+        |v2 AS (
+        |  SELECT mm.i, SUM(CAST(mm.m_ij * v1n.v1n AS HUGEINT)) AS v2
+        |  FROM mm JOIN v1n ON mm.j = v1n.vj GROUP BY 1),
+        |mx2 AS (SELECT MAX(abs(v2)) AS mx2 FROM v2)
+        |SELECT i, round(CAST(v2 AS DOUBLE) / CAST(mx2 AS DOUBLE), 6)
+        |  AS loading
+        |FROM v2, mx2 ORDER BY i""".stripMargin),
+      "dominant PCA direction via 2 oracle-exact power-iteration steps"),
   )
 }
