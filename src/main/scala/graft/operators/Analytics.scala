@@ -1334,5 +1334,107 @@ object Analytics {
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY 1 ORDER BY l.l_returnflag""".stripMargin),
       "winsorized (p05/p95-clamped) robust group means"),
+
+    // Benford first-digit audit: the distribution of leading digits of
+    // order amounts vs Benford's law — the classic fabricated-data /
+    // broken-generator detector a data-quality suite runs on money
+    // columns. The digit comes from the CENTS INTEGER's decimal string
+    // (no log/pow on the value itself — float first-digit extraction
+    // has power-of-ten boundary bugs; Benford shares are scale-invariant
+    // so cents vs dollars doesn't matter). One digit-keyed partial-agg
+    // shuffle; expected shares are log10(1+1/d) doubles computed
+    // identically on both engines and rounded at the edge.
+    "q_benford" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val digits = Tables.load(s, d, "orders")
+          .select(substring(round($"o_totalprice" * 100, 0)
+            .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+        digits
+          .crossJoin(broadcast(digits.agg(sum($"n").as("tot"))))
+          .select($"digit", $"n",
+            round($"n".cast("double") / $"tot".cast("double"), 6)
+              .as("obs_share"),
+            round(log10(lit(1.0) + lit(1.0) / $"digit".cast("double")), 6)
+              .as("benford_share"),
+            round(abs($"n".cast("double") / $"tot".cast("double") -
+              log10(lit(1.0) + lit(1.0) / $"digit".cast("double"))), 6)
+              .as("abs_dev"))
+          .orderBy($"digit")
+      },
+      Some("""WITH dg AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM dg)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+        |    AS benford_share,
+        |  round(abs(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+        |FROM dg, t ORDER BY digit""".stripMargin),
+      "Benford first-digit distribution audit on order amounts"),
+
+    // Hill tail-index estimator over the top-100 order values: α̂ =
+    // k / Σ(ln x_(i) − ln x_(k+1)) — the standard heavy-tail exponent
+    // behind "is this distribution Pareto-like, and how extreme will the
+    // next record be?" (feeds the skew/salting decisions q_join_skew_audit
+    // informs). Order statistics come from a TakeOrdered top-(k+1) with a
+    // full tie-break (cents desc, orderkey) — no global sort; the k-row
+    // tail fits one task by construction. Logs take INTEGER cent
+    // arguments (round9 + DECIMAL sum — the exactness recipe), one final
+    // double division.
+    "q_hill_tail" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val k = 100
+        val top = Tables.load(s, d, "orders")
+          .select($"o_orderkey",
+            round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+          .orderBy($"cents".desc, $"o_orderkey")
+          .limit(k + 1)
+        val w = Window.orderBy($"cents".desc, $"o_orderkey")
+        val ranked = top.withColumn("rn", row_number().over(w))
+        val xk1 = ranked.filter($"rn" === k + 1)
+          .select($"cents".as("min_cents"))
+        ranked.filter($"rn" <= k)
+          .crossJoin(broadcast(xk1))
+          .select(
+            (round(log($"cents".cast("double")), 9).cast("decimal(12,9)") -
+              round(log($"min_cents".cast("double")), 9)
+                .cast("decimal(12,9)")).as("term"),
+            $"min_cents")
+          .agg(count(lit(1)).as("k"),
+            sum($"term".cast("decimal(28,9)")).as("lsum"),
+            max($"min_cents").as("min_cents"))
+          .select($"k",
+            round($"min_cents".cast("double") / 100.0, 2).as("x_min"),
+            round($"k".cast("double") / $"lsum".cast("double"), 6)
+              .as("hill_alpha"))
+      },
+      Some("""WITH top AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders ORDER BY cents DESC, o_orderkey LIMIT 101),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents DESC,
+        |    o_orderkey) AS rn FROM top),
+        |k1 AS (SELECT cents AS min_cents FROM r WHERE rn = 101),
+        |t AS (
+        |  SELECT CAST(round(ln(CAST(cents AS DOUBLE)), 9)
+        |      AS DECIMAL(12,9))
+        |    - CAST(round(ln(CAST(min_cents AS DOUBLE)), 9)
+        |      AS DECIMAL(12,9)) AS term, min_cents
+        |  FROM r, k1 WHERE rn <= 100)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |  round(CAST(MAX(min_cents) AS DOUBLE) / 100.0, 2) AS x_min,
+        |  round(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS hill_alpha
+        |FROM t""".stripMargin),
+      "Hill heavy-tail index over top-100 order values (exact logs)"),
   )
 }

@@ -136,6 +136,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private val setsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** Cache key: a checkpointed DataFrame is bound to the session that built
     * it, so the key must include the session identity (the IvfIndex
@@ -207,7 +209,11 @@ object Dedup {
     * input). Per-doc/per-shingle counts ride along on every shingle row
     * (window counts), so the pair aggregation needs NO extra count-joins
     * and the two self-join sides are identical plans (ReusedExchange). */
-  private def jaccardPairsUncached(
+  /** Brute-force pair statistics (d1, d2, inter, n1, n2) over the
+    * df-capped shingle sets — the one expensive self-join every
+    * symmetric (Jaccard) and asymmetric (containment) similarity view
+    * projects from. */
+  private def pairStatsUncached(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
@@ -227,9 +233,21 @@ object Dedup {
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
         $"a.nsh".as("n1"), $"b.nsh".as("n2"))
       .agg(count(lit(1)).as("inter"))
-      .select($"d1", $"d2",
-        ($"inter".cast("double") /
-          ($"n1" + $"n2" - $"inter")).as("jaccard"))
+  }
+
+  /** Memoized pair statistics (same derived-index contract as the
+    * caches above). */
+  private def pairStats(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    statsCache.computeIfAbsent(cacheKey(s, d),
+      _ => pairStatsUncached(s, d).localCheckpoint())
+
+  private def jaccardPairsUncached(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    pairStats(s, d).select($"d1", $"d2",
+      ($"inter".cast("double") /
+        ($"n1" + $"n2" - $"inter")).as("jaccard"))
   }
 
   /** DuckDB CTE block computing the same (d1, d2, jaccard) pair set —
@@ -299,6 +317,40 @@ object Dedup {
         |SELECT d1, d2, jaccard FROM pairs
         |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin),
       "n-gram Jaccard near-dup candidate pairs (extension X2)"),
+
+    // X2 asymmetric CONTAINMENT C(A,B) = |A∩B| / |A|: the direction-aware
+    // near-dup signal Jaccard hides — a short document quoted inside a
+    // long one has low Jaccard but high containment, and production
+    // dedup keeps the superstring, not "the better of two equals".
+    // Projects off the same memoized pair-statistics index the Jaccard
+    // view uses (one self-join, many views); reports both directions and
+    // the containment-based keeper (drop the contained doc). Oracle
+    // reuses the shared CTE block so the pair set can never drift from
+    // q_ngram_jaccard's.
+    "q_containment" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        pairStats(s, d)
+          .select($"d1", $"d2",
+            round($"inter".cast("double") / $"n1", 6).as("c_in_d1"),
+            round($"inter".cast("double") / $"n2", 6).as("c_in_d2"))
+          .filter($"c_in_d1" >= 0.8 || $"c_in_d2" >= 0.8)
+          .withColumn("keep",
+            when($"c_in_d1" >= $"c_in_d2", $"d2").otherwise($"d1"))
+          .orderBy($"d1", $"d2")
+      },
+      Some(s"""WITH $pairSql,
+        |cont AS (
+        |  SELECT p.d1, p.d2,
+        |    round(CAST(inter AS DOUBLE) / c1.nsh, 6) AS c_in_d1,
+        |    round(CAST(inter AS DOUBLE) / c2.nsh, 6) AS c_in_d2
+        |  FROM p JOIN c c1 ON p.d1 = c1.doc_id
+        |         JOIN c c2 ON p.d2 = c2.doc_id)
+        |SELECT d1, d2, c_in_d1, c_in_d2,
+        |  CASE WHEN c_in_d1 >= c_in_d2 THEN d2 ELSE d1 END AS keep
+        |FROM cont WHERE c_in_d1 >= 0.8 OR c_in_d2 >= 0.8
+        |ORDER BY d1, d2""".stripMargin),
+      "asymmetric shingle containment pairs + superstring keeper (X2)"),
 
     // X2 duplicate-cluster assignment: connected components over the
     // near-dup pair graph, so transitive chains (A~B, B~C) collapse to one
