@@ -1436,5 +1436,151 @@ object Analytics {
         |    AS hill_alpha
         |FROM t""".stripMargin),
       "Hill heavy-tail index over top-100 order values (exact logs)"),
+
+    // Rank-sum (Mann-Whitney) AUC: how well does a numeric score separate
+    // a binary class — the one-number answer to "is this quality signal
+    // worth gating on?" before a filter ships. Tie-correct via grouped
+    // score counts: U2 = Σ_s pos_s·(2·neg_below_s + neg_at_s) stays in
+    // BIGINT; AUC = U2 / (2·n1·n0) is the only double. The cumulative
+    // neg-below is the SCALABLE two-phase form: a per-bucket window
+    // (partitioned — parallel) plus a broadcast bucket-offset join; the
+    // only unpartitioned window runs over the BUCKET table, whose row
+    // count is bounded by score-domain/64, not by data volume.
+    "q_auc" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val sc = Tables.load(s, d, "documents")
+          .groupBy($"n_chars".as("score"))
+          .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"),
+            sum(when($"lang" === "en", 0L).otherwise(1L)).as("neg"))
+          .withColumn("bucket", floor($"score" / 64))
+        val offsets = sc.groupBy($"bucket").agg(sum($"neg").as("bneg"))
+          .withColumn("boff", coalesce(sum($"bneg").over(
+            Window.orderBy($"bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"bucket", $"boff")
+        val wIn = Window.partitionBy($"bucket").orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        sc.join(broadcast(offsets), "bucket")
+          .withColumn("cnb", $"boff" + coalesce(sum($"neg").over(wIn), lit(0L)))
+          .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+            sum($"pos" * (lit(2L) * $"cnb" + $"neg")).as("u2"))
+          .select($"n_pos", $"n_neg", $"u2",
+            round($"u2".cast("double") /
+              (lit(2.0) * $"n_pos" * $"n_neg"), 6).as("auc"))
+      },
+      Some("""WITH sc AS (
+        |  SELECT n_chars AS score,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT score, pos, neg,
+        |    COALESCE(SUM(neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+        |  FROM sc)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(pos*(2*cnb+neg)) AS BIGINT) AS u2,
+        |  round(CAST(SUM(pos*(2*cnb+neg)) AS DOUBLE)
+        |    / (2.0*SUM(pos)*SUM(neg)), 6) AS auc
+        |FROM cum""".stripMargin),
+      "tie-correct Mann-Whitney AUC of doc length vs lang=en (integer U)"),
+
+    // Offline change-point detection on the daily event series: for each
+    // candidate split t the standardized mean-shift statistic
+    // |mean(≤t) − mean(>t)| · sqrt(t·(n−t)/n) (the CUSUM split form).
+    // Day count is bounded by the calendar window, not data volume, so
+    // the ordered window over the DAILY table is a constant-size stage at
+    // any SF (same argument as the top-k windows); the per-event work is
+    // one date-keyed partial-agg shuffle.
+    "q_changepoint" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val tot = daily.agg(sum($"n").as("tot"),
+          count(lit(1)).as("nd"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(tot))
+          .withColumn("cum", sum($"n").over(w))
+          .withColumn("t", row_number().over(Window.orderBy($"day")))
+          .filter($"t" < $"nd")
+          .select($"day",
+            round(abs($"cum".cast("double") / $"t" -
+              ($"tot" - $"cum").cast("double") / ($"nd" - $"t")) *
+              sqrt($"t".cast("double") * ($"nd" - $"t") / $"nd"), 6)
+              .as("cstat"))
+          .orderBy($"cstat".desc, $"day").limit(5)
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day, n,
+        |    SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    row_number() OVER (ORDER BY day) AS t,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS tot,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nd
+        |  FROM daily)
+        |SELECT day,
+        |  round(abs(CAST(cum AS DOUBLE)/t - CAST(tot-cum AS DOUBLE)/(nd-t))
+        |    * sqrt(CAST(t AS DOUBLE)*(nd-t)/nd), 6) AS cstat
+        |FROM c WHERE t < nd ORDER BY cstat DESC, day LIMIT 5""".stripMargin),
+      "CUSUM-style change-point scan over the daily event series"),
+
+    // Lag-k autocorrelation (k = 1..7) of the daily event count — the
+    // weekly-seasonality probe run before any forecasting/anomaly model.
+    // The lagged pairing is a SELF-JOIN on day = day + k (scale-safe and
+    // gap-correct), not a positional lag() (the q_yoy_growth lesson:
+    // positional offsets silently pair wrong rows across gaps). Pearson
+    // terms stay in BIGINT sums until the final division.
+    "q_autocorr" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
+        val pairs = daily.as("a").crossJoin(broadcast(lags))
+          .join(daily.as("b"),
+            $"b.day" === date_add($"a.day", $"lag"))
+          .select($"lag", $"a.n".as("x"), $"b.n".as("y"))
+        pairs.groupBy($"lag")
+          .agg(count(lit(1)).as("k"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"),
+            sum($"x" * $"x").as("sxx"),
+            sum($"y" * $"y").as("syy"))
+          .select($"lag", $"k",
+            round(($"k" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt(($"k" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                sqrt(($"k" * $"syy" - $"sy" * $"sy").cast("double"))), 6)
+              .as("acf"))
+          .orderBy($"lag")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(1,7)) AS lag),
+        |p AS (
+        |  SELECT l.lag, a.n AS x, b.n AS y
+        |  FROM lags l JOIN daily a ON true
+        |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT) * INTERVAL 1 DAY),
+        |s AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, k,
+        |  round((k*sxy - sx*sy) / (sqrt(CAST(k*sxx - sx*sx AS DOUBLE))
+        |    * sqrt(CAST(k*syy - sy*sy AS DOUBLE))), 6) AS acf
+        |FROM s ORDER BY lag""".stripMargin),
+      "gap-correct lag-1..7 autocorrelation of daily events (self-join)"),
   )
 }

@@ -352,6 +352,78 @@ object Dedup {
         |ORDER BY d1, d2""".stripMargin),
       "asymmetric shingle containment pairs + superstring keeper (X2)"),
 
+    // X2 edit-distance near-dup with two-key blocking: character-level
+    // Levenshtein catches small in-place edits that token shingles blur,
+    // but is O(len²) per pair — so candidates come from BLOCKING, never
+    // all-pairs: each doc enters two buckets (first-16-chars and
+    // last-16-chars of the normalized text, within language), pairs are
+    // generated only inside buckets, and any bucket holding > 50 docs is
+    // dropped (boilerplate-prefix guard, the same df-cap idea as the
+    // shingle index). Distance gate is pure-integer (5·dist ≤ maxlen ⟺
+    // dist ≤ 0.2·maxlen) — no double→int cast whose rounding differs
+    // across engines. At 100 TB: blocking keys are a map-side projection,
+    // bucket sizes are capped constants, and the quadratic work is
+    // bounded per bucket.
+    "q_edit_blocking" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.load(s, d, "documents").select($"doc_id", $"lang",
+          regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
+        val keyed = n.select($"doc_id", $"lang",
+            substring($"t", 1, 16).as("bk"))
+          .unionByName(n.select($"doc_id", $"lang",
+            expr("substring(t, greatest(1, length(t) - 15), 16)").as("bk")))
+        val capped = keyed
+          .withColumn("bn", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"lang", $"bk")))
+          .filter($"bn" <= 50)
+        val cand = capped.alias("a").join(capped.alias("b"),
+            $"a.lang" === $"b.lang" && $"a.bk" === $"b.bk" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+        cand
+          .join(n.select($"doc_id".as("d1"), $"t".as("t1")), "d1")
+          .join(n.select($"doc_id".as("d2"), $"t".as("t2")), "d2")
+          .select($"d1", $"d2",
+            levenshtein($"t1", $"t2").cast("bigint").as("dist"),
+            greatest(length($"t1"), length($"t2")).cast("bigint")
+              .as("maxlen"))
+          .filter(lit(5L) * $"dist" <= $"maxlen")
+          .select($"d1", $"d2", $"dist", $"maxlen",
+            round(lit(1.0) - $"dist".cast("double") / $"maxlen", 6)
+              .as("sim"))
+          .orderBy($"d1", $"d2")
+      },
+      Some("""WITH n AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |k0 AS (
+        |  SELECT doc_id, lang, substring(t, 1, 16) AS bk FROM n
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    substring(t, greatest(1, len(t) - 15), 16) AS bk FROM n),
+        |k AS (
+        |  SELECT doc_id, lang, bk FROM (
+        |    SELECT doc_id, lang, bk,
+        |      COUNT(*) OVER (PARTITION BY lang, bk) AS bn FROM k0)
+        |  WHERE bn <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM k a JOIN k b
+        |    ON a.lang = b.lang AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist,
+        |    CAST(greatest(len(x.t), len(y.t)) AS BIGINT) AS maxlen
+        |  FROM cand c JOIN n x ON c.d1 = x.doc_id
+        |              JOIN n y ON c.d2 = y.doc_id)
+        |SELECT d1, d2, dist, maxlen,
+        |  round(1.0 - CAST(dist AS DOUBLE) / maxlen, 6) AS sim
+        |FROM p WHERE 5 * dist <= maxlen ORDER BY d1, d2""".stripMargin),
+      "Levenshtein near-dup pairs via two-key capped blocking (X2)"),
+
     // X2 duplicate-cluster assignment: connected components over the
     // near-dup pair graph, so transitive chains (A~B, B~C) collapse to one
     // cluster with one canonical keeper (the min doc_id in the component).

@@ -986,5 +986,68 @@ object Text {
         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS en_rate
         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin),
       "fixed-bin reliability curve for the hashed quality classifier"),
+
+    // X4 Jensen-Shannon divergence between the en and non-en token
+    // distributions — the bounded, symmetric corpus-drift metric KL
+    // (q_kl_sources) can't give: JSD(P,Q) = ½·KL(P||M) + ½·KL(Q||M) with
+    // M = (P+Q)/2, in bits ∈ [0, 1]. Zero-count tokens contribute 0 from
+    // their side (no smoothing needed). One token-keyed partial-agg
+    // shuffle + a full outer join of the two count tables; the two totals
+    // ride in as broadcast one-row scalars. Per-token terms follow the
+    // exactness recipe: round 9 dp → DECIMAL sum → final 6-dp round.
+    "q_jsd" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = docs(s, d).select(
+          when($"lang" === "en", lit("p")).otherwise(lit("q")).as("side"),
+          explode(tokens($"text")).as("tok"))
+        val cnt = e.groupBy($"side", $"tok").agg(count(lit(1)).as("n"))
+        val pc = cnt.filter($"side" === "p").select($"tok", $"n".as("np"))
+        val qc = cnt.filter($"side" === "q").select($"tok", $"n".as("nq"))
+        val pt = pc.agg(sum($"np").as("tp"))
+        val qt = qc.agg(sum($"nq").as("tq"))
+        val joined = pc.join(qc, Seq("tok"), "full_outer")
+          .crossJoin(broadcast(pt)).crossJoin(broadcast(qt))
+          .select(
+            (coalesce($"np", lit(0L)).cast("double") / $"tp").as("pp"),
+            (coalesce($"nq", lit(0L)).cast("double") / $"tq").as("qq"))
+        joined
+          .select(
+            (when($"pp" > 0,
+              lit(0.5) * $"pp" * log2($"pp" / (($"pp" + $"qq") / 2)))
+              .otherwise(lit(0.0)) +
+              when($"qq" > 0,
+                lit(0.5) * $"qq" * log2($"qq" / (($"pp" + $"qq") / 2)))
+                .otherwise(lit(0.0))).as("raw"))
+          .select(round($"raw", 9).cast("decimal(20,9)").as("term"))
+          .agg(count(lit(1)).as("n_tokens"), sum($"term").as("tsum"))
+          .select($"n_tokens",
+            round($"tsum".cast("double"), 6).as("jsd_bits"))
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT CASE WHEN lang='en' THEN 'p' ELSE 'q' END AS side,
+        |    unnest(${sqlTokens("text")}) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT side, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM tok GROUP BY 1, 2),
+        |pt AS (SELECT CAST(SUM(n) AS BIGINT) AS tp FROM cnt WHERE side='p'),
+        |qt AS (SELECT CAST(SUM(n) AS BIGINT) AS tq FROM cnt WHERE side='q'),
+        |j AS (
+        |  SELECT
+        |    CAST(COALESCE(p.n, 0) AS DOUBLE) / tp AS pp,
+        |    CAST(COALESCE(q.n, 0) AS DOUBLE) / tq AS qq
+        |  FROM (SELECT tok, n FROM cnt WHERE side='p') p
+        |  FULL JOIN (SELECT tok, n FROM cnt WHERE side='q') q
+        |    ON p.tok = q.tok, pt, qt),
+        |terms AS (
+        |  SELECT CAST(round(
+        |      CASE WHEN pp>0 THEN 0.5*pp*log2(pp/((pp+qq)/2)) ELSE 0 END
+        |    + CASE WHEN qq>0 THEN 0.5*qq*log2(qq/((pp+qq)/2)) ELSE 0 END,
+        |    9) AS DECIMAL(20,9)) AS term
+        |  FROM j)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(term) AS DOUBLE), 6) AS jsd_bits
+        |FROM terms""".stripMargin),
+      "Jensen-Shannon divergence (bits) between en and non-en token mass"),
   )
 }
