@@ -1582,5 +1582,124 @@ object Analytics {
         |    * sqrt(CAST(k*syy - sy*sy AS DOUBLE))), 6) AS acf
         |FROM s ORDER BY lag""".stripMargin),
       "gap-correct lag-1..7 autocorrelation of daily events (self-join)"),
+
+    // Chi-square independence test on the lang × source contingency table
+    // (+ Cramér's V effect size) — "is language correlated with source?"
+    // is the first question a corpus-mixing audit asks. Zero cells matter:
+    // the full R×C grid comes from crossing the margins and left-joining
+    // observed counts (a cell observed 0 still contributes its expected
+    // mass). Margins, totals, and dimensions are broadcast one-row
+    // scalars; terms follow the 9-dp-round → DECIMAL-sum recipe. Cell
+    // count is bounded by the category domains, not data volume.
+    "q_chi2" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "documents")
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+        val rt = o.groupBy($"lang").agg(sum($"n").as("rn"))
+        val ct = o.groupBy($"source").agg(sum($"n").as("cn"))
+        val tot = o.agg(sum($"n").as("ntot"))
+        val rdim = rt.agg(count(lit(1)).as("nr"))
+        val cdim = ct.agg(count(lit(1)).as("nc"))
+        val e = ($"rn" * $"cn").cast("double") / $"ntot"
+        rt.crossJoin(ct)
+          .join(o, Seq("lang", "source"), "left")
+          .crossJoin(broadcast(tot))
+          .select(round(pow(coalesce($"n", lit(0L)) - e, 2) / e, 9)
+            .cast("decimal(24,9)").as("term"), $"ntot")
+          .crossJoin(broadcast(rdim)).crossJoin(broadcast(cdim))
+          .groupBy($"ntot", $"nr", $"nc")
+          .agg(sum($"term").as("tsum"))
+          .select(round($"tsum".cast("double"), 6).as("chi2"),
+            (($"nr" - 1) * ($"nc" - 1)).as("dof"),
+            round(sqrt($"tsum".cast("double") /
+              ($"ntot".cast("double") * least($"nr" - 1, $"nc" - 1))), 6)
+              .as("cramers_v"),
+            $"ntot".as("n_docs"))
+      },
+      Some("""WITH o AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM o),
+        |cells AS (
+        |  SELECT rt.rn, ct.cn, COALESCE(o.n, 0) AS obs
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+        |terms AS (
+        |  SELECT CAST(round(pow(obs - CAST(rn*cn AS DOUBLE)/ntot, 2)
+        |    / (CAST(rn*cn AS DOUBLE)/ntot), 9) AS DECIMAL(24,9)) AS term,
+        |    ntot
+        |  FROM cells, tot),
+        |dims AS (SELECT
+        |  CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS nr,
+        |  CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS nc)
+        |SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+        |  (nr-1)*(nc-1) AS dof,
+        |  round(sqrt(CAST(SUM(term) AS DOUBLE)
+        |    / (CAST(ntot AS DOUBLE) * least(nr-1, nc-1))), 6) AS cramers_v,
+        |  ntot AS n_docs
+        |FROM terms, dims GROUP BY ntot, nr, nc""".stripMargin),
+      "chi-square independence + Cramér's V on lang × source (full grid)"),
+
+    // Per-event-type OLS trend of the daily count series: slope
+    // (events/day), intercept, and R² from the closed-form normal
+    // equations — all sums stay in BIGINT (day index × count products),
+    // with doubles only in the final three divisions. The day index is
+    // datediff from the global min day (broadcast one-row scalar), so the
+    // regression is gap-correct. One date-keyed partial-agg shuffle, then
+    // a 5-group aggregate.
+    "q_trend" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val m = daily.agg(min($"day").as("d0"))
+        val idx = daily.crossJoin(broadcast(m))
+          .select($"event_type",
+            datediff($"day", $"d0").cast("bigint").as("t"), $"x")
+        idx.groupBy($"event_type")
+          .agg(count(lit(1)).as("k"),
+            sum($"t").as("st"), sum($"x").as("sx"),
+            sum($"t" * $"x").as("stx"),
+            sum($"t" * $"t").as("stt"),
+            sum($"x" * $"x").as("sxx"))
+          .select($"event_type", $"k",
+            round(($"k" * $"stx" - $"st" * $"sx") /
+              ($"k" * $"stt" - $"st" * $"st").cast("double"), 6)
+              .as("slope"),
+            round(($"sx".cast("double") * $"stt" - $"st" * $"stx") /
+              ($"k" * $"stt" - $"st" * $"st").cast("double"), 6)
+              .as("intercept"),
+            round(pow($"k" * $"stx" - $"st" * $"sx", 2) /
+              (($"k" * $"stt" - $"st" * $"st").cast("double") *
+                ($"k" * $"sxx" - $"sx" * $"sx")), 6).as("r2"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(day) AS d0 FROM daily),
+        |idx AS (SELECT event_type, CAST(day - d0 AS BIGINT) AS t, x
+        |        FROM daily, m),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(t*x) AS BIGINT) AS stx,
+        |    CAST(SUM(t*t) AS BIGINT) AS stt,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM idx GROUP BY 1)
+        |SELECT event_type, k,
+        |  round((k*stx - st*sx) / CAST(k*stt - st*st AS DOUBLE), 6)
+        |    AS slope,
+        |  round((CAST(sx AS DOUBLE)*stt - st*stx)
+        |    / CAST(k*stt - st*st AS DOUBLE), 6) AS intercept,
+        |  round(pow(k*stx - st*sx, 2) / (CAST(k*stt - st*st AS DOUBLE)
+        |    * (k*sxx - sx*sx)), 6) AS r2
+        |FROM s ORDER BY event_type""".stripMargin),
+      "per-event-type OLS trend (slope/intercept/R²) in integer sums"),
   )
 }

@@ -1049,5 +1049,60 @@ object Text {
         |  round(CAST(SUM(term) AS DOUBLE), 6) AS jsd_bits
         |FROM terms""".stripMargin),
       "Jensen-Shannon divergence (bits) between en and non-en token mass"),
+
+    // X4 Count-Min sketch: the point-frequency companion to the HLL /
+    // theta cardinality sketches — d=4 hash rows × w=256 counters, so the
+    // whole sketch is ≤1024 longs built from map-side partials regardless
+    // of corpus size, and any token's frequency is over-estimated by at
+    // most the bucket collisions (est ≥ exact ALWAYS; E[err] ≤ N/w).
+    // Unlike sampling sketches, CM is fully DETERMINISTIC given the hash
+    // family (the md5 recipe both engines share), so the oracle checks
+    // the estimates exactly — and the overcount column self-documents the
+    // sketch error against the exact counts. At 100 TB: the counter
+    // build is one partial-agg shuffle of ≤1024 rows; estimates are a
+    // broadcast join against the sketch.
+    "q_countmin" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cnt = docs(s, d)
+          .select(explode(tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("exact"))
+        val hashRows = s.range(0, 4).select($"id".cast("int").as("i"))
+        def bucket(tok: org.apache.spark.sql.Column,
+            i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          conv(substring(md5(concat(i.cast("string"), lit(":"), tok)),
+            1, 8), 16, 10).cast("bigint") % 256
+        val cm = cnt.crossJoin(broadcast(hashRows))
+          .groupBy($"i", bucket($"tok", $"i").as("bucket"))
+          .agg(sum($"exact").as("counter"))
+        cnt.orderBy($"exact".desc, $"tok").limit(20)
+          .crossJoin(broadcast(hashRows))
+          .withColumn("bucket", bucket($"tok", $"i"))
+          .join(broadcast(cm), Seq("i", "bucket"))
+          .groupBy($"tok", $"exact")
+          .agg(min($"counter").as("cm_est"))
+          .select($"tok", $"exact", $"cm_est",
+            ($"cm_est" - $"exact").as("overcount"))
+          .orderBy($"exact".desc, $"tok")
+      },
+      Some(s"""WITH cnt AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact
+        |  FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
+        |  GROUP BY 1),
+        |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |cm AS (
+        |  SELECT i,
+        |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+        |      % 256 AS bucket,
+        |    CAST(SUM(exact) AS BIGINT) AS counter
+        |  FROM cnt, rows_ GROUP BY 1, 2),
+        |top AS (SELECT tok, exact FROM cnt ORDER BY exact DESC, tok LIMIT 20)
+        |SELECT t.tok, t.exact, CAST(MIN(cm.counter) AS BIGINT) AS cm_est,
+        |  CAST(MIN(cm.counter) - t.exact AS BIGINT) AS overcount
+        |FROM top t JOIN rows_ r ON true
+        |JOIN cm ON cm.i = r.i AND cm.bucket =
+        |  ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT % 256
+        |GROUP BY t.tok, t.exact ORDER BY t.exact DESC, t.tok""".stripMargin),
+      "Count-Min sketch frequency estimates vs exact counts (d=4, w=256)"),
   )
 }
