@@ -334,6 +334,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapGroups"), p.take(1200))
   }
 
+  test("q_auc: data-volume cumulative runs bucket-partitioned, not global") {
+    val p = plan("q_auc")
+    // The per-score cumulative window must be PARTITIONED by bucket (the
+    // two-phase form) — a global ORDER BY window over the score table
+    // would be the q_prefix_join single-partition mistake all over again.
+    assert(p.contains("windowspecdefinition(bucket"), p.take(1500))
+    assert(p.contains("Exchange hashpartitioning(bucket"), p.take(1500))
+  }
+
+  test("q_edit_blocking: capped blocks, hash joins only — no cartesian") {
+    val p = plan("q_edit_blocking")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // Block-size cap window is partitioned by the blocking key.
+    assert(p.contains("windowspecdefinition(lang"), p.take(1500))
+  }
+
+  test("q_countmin: sketch build partial-aggregates, estimates broadcast") {
+    val p = plan("q_countmin")
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
