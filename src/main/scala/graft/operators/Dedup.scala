@@ -385,6 +385,14 @@ object Dedup {
         cand
           .join(n.select($"doc_id".as("d1"), $"t".as("t1")), "d1")
           .join(n.select($"doc_id".as("d2"), $"t".as("t2")), "d2")
+          // Length pre-filter BEFORE the O(len²) DP: levenshtein ≥
+          // |len1−len2| (insertions alone), so a pair failing the gate
+          // on length difference alone can never pass it on distance —
+          // dropping it here is lossless and skips the expensive
+          // comparison for most capped-block pairs (sf1 sweep: the DP
+          // dominated this query's cost before the filter).
+          .filter(lit(5L) * abs(length($"t1") - length($"t2")) <=
+            greatest(length($"t1"), length($"t2")))
           .select($"d1", $"d2",
             levenshtein($"t1", $"t2").cast("bigint").as("dist"),
             greatest(length($"t1"), length($"t2")).cast("bigint")
@@ -418,7 +426,8 @@ object Dedup {
         |    CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist,
         |    CAST(greatest(len(x.t), len(y.t)) AS BIGINT) AS maxlen
         |  FROM cand c JOIN n x ON c.d1 = x.doc_id
-        |              JOIN n y ON c.d2 = y.doc_id)
+        |              JOIN n y ON c.d2 = y.doc_id
+        |  WHERE 5 * abs(len(x.t) - len(y.t)) <= greatest(len(x.t), len(y.t)))
         |SELECT d1, d2, dist, maxlen,
         |  round(1.0 - CAST(dist AS DOUBLE) / maxlen, 6) AS sim
         |FROM p WHERE 5 * dist <= maxlen ORDER BY d1, d2""".stripMargin),
