@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-6 statistical-audit and dedup queries —
+  * invariants the DuckDB oracle cannot express (cross-formulation
+  * equality, sketch guarantees, blocking recall vs brute force). */
+class StatQueriesSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q_auc: two-phase cumulative equals the naive global-window AUC") {
+    import spark.implicits._
+    // Naive single-window reference formulation (the one we deliberately
+    // did NOT ship because its window is unpartitioned): if the two-phase
+    // bucket decomposition is wrong, these diverge.
+    val sc = graft.Tables.load(spark, d, "documents")
+      .groupBy($"n_chars".as("score"))
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when($"lang" === "en", 0L).otherwise(1L)).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = sc.withColumn("cnb", coalesce(sum($"neg").over(w), lit(0L)))
+      .agg(sum($"pos" * (lit(2L) * $"cnb" + $"neg")).as("u2"),
+        sum($"pos").as("np"), sum($"neg").as("nn"))
+      .select($"u2", $"np", $"nn").head()
+    val got = SparkEntry.queries("q_auc")(spark, d).head()
+    assert(got.getAs[Long]("u2") === naive.getAs[Long]("u2"))
+    assert(got.getAs[Long]("n_pos") === naive.getAs[Long]("np"))
+    val auc = got.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
+  test("q_countmin: estimates never undercount (CM guarantee)") {
+    val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CM undercounted ${r.getAs[String]("tok")}")
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact"))
+    }
+  }
+
+  test("q_edit_blocking: recall 1.0 vs brute-force all-pairs on sf0.001") {
+    import spark.implicits._
+    val n = graft.Tables.load(spark, d, "documents").select($"doc_id",
+      $"lang", regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
+    val brute = n.alias("a").join(n.alias("b"),
+        $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        levenshtein($"a.t", $"b.t").cast("long").as("dist"),
+        greatest(length($"a.t"), length($"b.t")).cast("long").as("maxlen"))
+      .filter(lit(5L) * $"dist" <= $"maxlen")
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("q_edit_blocking")(spark, d)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got === brute,
+      s"blocking missed ${(brute -- got).size} pairs, invented ${(got -- brute).size}")
+  }
+
+  test("q_chi2: dof matches the margins, statistic non-negative") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, d, "documents")
+    val nr = docs.select($"lang").distinct().count()
+    val nc = docs.select($"source").distinct().count()
+    val r = SparkEntry.queries("q_chi2")(spark, d).head()
+    assert(r.getAs[Long]("dof") === (nr - 1) * (nc - 1))
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("q_jsd bounded in [0,1] bits; q_autocorr in [-1,1]; q_trend R2 in [0,1]") {
+    val jsd = SparkEntry.queries("q_jsd")(spark, d)
+      .head().getAs[Double]("jsd_bits")
+    assert(jsd >= 0.0 && jsd <= 1.0)
+    SparkEntry.queries("q_autocorr")(spark, d).collect().foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 && a <= 1.0, s"acf out of range: $a")
+    }
+    SparkEntry.queries("q_trend")(spark, d).collect().foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r2")
+    }
+  }
+
+  test("q_containment: directions consistent with the Jaccard pair set") {
+    // Containment ≥ Jaccard for every pair (|A∩B|/min-side ≥ |A∩B|/|A∪B|),
+    // and the keeper is always one of the pair.
+    SparkEntry.queries("q_containment")(spark, d).collect().foreach { r =>
+      val c1 = r.getAs[Double]("c_in_d1"); val c2 = r.getAs[Double]("c_in_d2")
+      assert(c1 >= 0.0 && c1 <= 1.0 && c2 >= 0.0 && c2 <= 1.0)
+      val keep = r.getAs[Long]("keep")
+      assert(keep == r.getAs[Long]("d1") || keep == r.getAs[Long]("d2"))
+    }
+  }
+}
