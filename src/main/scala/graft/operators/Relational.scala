@@ -847,5 +847,65 @@ object Relational {
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       "pivot_wider reshape (R/schema_analyzer.R:6-24)"),
+
+    // Z-order (Morton-curve) layout audit: interleave the bits of two
+    // normalized dimensions (custkey, order day) into one sort key, then
+    // report each top-6-bit z-range's row count and per-dimension span.
+    // The invariant this proves — every z-range covers ~1/8 of BOTH
+    // dimensions simultaneously (an 8×8 grid cell), where a linear sort
+    // gives 1/64 of one and 100% of the other — is exactly what makes
+    // `repartitionByRange(zval).sortWithinPartitions(zval).write` at
+    // 100 TB prune file min/max stats on EITHER predicate dimension.
+    // Min/max normalizers are one-row broadcasts; the bit interleave is
+    // a per-row integer fold (16 bits/dim); one z-bucket partial-agg
+    // shuffle of 64 groups. ZOrderSpec pins the span invariant.
+    "q_zorder" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        val m = o.agg(min($"o_custkey").as("minc"), max($"o_custkey").as("maxc"),
+          min($"o_orderdate").as("mind"), max($"o_orderdate").as("maxd"))
+        o.crossJoin(broadcast(m))
+          .withColumn("x", expr(
+            "((o_custkey - minc) * 65535) div greatest(maxc - minc, 1L)"))
+          .withColumn("y", expr(
+            """(cast(datediff(o_orderdate, mind) as bigint) * 65535)
+              | div greatest(cast(datediff(maxd, mind) as bigint), 1L)"""
+              .stripMargin))
+          .withColumn("zval", expr(
+            """aggregate(sequence(0, 15), 0L, (acc, i) ->
+              |  acc + ((x >> i) & 1) * shiftleft(1L, 2*i)
+              |      + ((y >> i) & 1) * shiftleft(1L, 2*i+1))""".stripMargin))
+          .groupBy(expr("zval >> 26").as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            (max($"o_custkey") - min($"o_custkey")).as("custkey_span"),
+            datediff(max($"o_orderdate"), min($"o_orderdate"))
+              .cast("bigint").as("date_span_days"))
+          .orderBy($"zbucket")
+      },
+      Some("""WITH m AS (
+        |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+        |    min(o_orderdate) AS mind, max(o_orderdate) AS maxd
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    (o_custkey - minc) * 65535 // greatest(maxc - minc, 1) AS x,
+        |    CAST(date_diff('day', mind, o_orderdate) AS BIGINT) * 65535
+        |      // greatest(CAST(date_diff('day', mind, maxd) AS BIGINT), 1)
+        |      AS y
+        |  FROM orders, m),
+        |z AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(list_sum(list_transform(generate_series(0, 15),
+        |      i -> ((x >> i) & 1) * power(2, 2*i)
+        |         + ((y >> i) & 1) * power(2, 2*i+1))) AS BIGINT) AS zval
+        |  FROM n)
+        |SELECT zval >> 26 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS custkey_span,
+        |  CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+        |    AS BIGINT) AS date_span_days
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+      "Morton z-order layout audit: every z-range tight in BOTH dims"),
   )
 }
