@@ -1701,5 +1701,127 @@ object Analytics {
         |    * (k*sxx - sx*sx)), 6) AS r2
         |FROM s ORDER BY event_type""".stripMargin),
       "per-event-type OLS trend (slope/intercept/R²) in integer sums"),
+
+    // Two-sample Kolmogorov-Smirnov statistic comparing the doc-length
+    // distributions of en vs non-en: D = max_s |F_en(s) − F_other(s)|.
+    // Stays INTEGER all the way: the deviation is |ca·nb − cb·na| (cross-
+    // multiplied CDFs), so the max is found on exact longs and only the
+    // one reported D divides. The two cumulatives ride the SAME two-phase
+    // bucket decomposition as q_auc (partitioned window + broadcast
+    // offsets — no data-volume single-partition stage); argmax via
+    // TakeOrdered(1) with a full tie-break.
+    "q_ks_test" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val sc = Tables.load(s, d, "documents")
+          .groupBy($"n_chars".as("score"))
+          .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("a"),
+            sum(when($"lang" === "en", 0L).otherwise(1L)).as("b"))
+          .withColumn("bucket", floor($"score" / 64))
+        val wOff = Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = sc.groupBy($"bucket")
+          .agg(sum($"a").as("ba"), sum($"b").as("bb"))
+          .select($"bucket",
+            coalesce(sum($"ba").over(wOff), lit(0L)).as("oa"),
+            coalesce(sum($"bb").over(wOff), lit(0L)).as("ob"))
+        val wIn = Window.partitionBy($"bucket").orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = sc.agg(sum($"a").as("na"), sum($"b").as("nb"))
+        sc.join(broadcast(off), "bucket").crossJoin(broadcast(tot))
+          .select($"score",
+            ($"oa" + sum($"a").over(wIn)).as("ca"),
+            ($"ob" + sum($"b").over(wIn)).as("cb"), $"na", $"nb")
+          .withColumn("dev_num", abs($"ca" * $"nb" - $"cb" * $"na"))
+          .select($"score".as("argmax_score"), $"dev_num",
+            $"na".as("n_en"), $"nb".as("n_other"),
+            round($"dev_num".cast("double") / ($"na" * $"nb"), 6)
+              .as("ks_d"))
+          .orderBy($"dev_num".desc, $"argmax_score").limit(1)
+      },
+      Some("""WITH sc AS (
+        |  SELECT n_chars AS score,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT score,
+        |    SUM(a) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ca,
+        |    SUM(b) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cb,
+        |    CAST(SUM(a) OVER () AS BIGINT) AS na,
+        |    CAST(SUM(b) OVER () AS BIGINT) AS nb
+        |  FROM sc)
+        |SELECT score AS argmax_score,
+        |  CAST(abs(ca*nb - cb*na) AS BIGINT) AS dev_num,
+        |  na AS n_en, nb AS n_other,
+        |  round(CAST(abs(ca*nb - cb*na) AS DOUBLE)/(na*nb), 6) AS ks_d
+        |FROM cum ORDER BY dev_num DESC, argmax_score LIMIT 1""".stripMargin),
+      "two-sample KS statistic (integer cross-CDF deviations, exact argmax)"),
+
+    // Population Stability Index on the event-value distribution, first
+    // 15 days vs the rest — THE production drift alarm for any scored /
+    // monitored feature: PSI = Σ_bins (p−q)·ln(p/q) over 10 fixed-width
+    // value bins, with Laplace smoothing (+0.5 per bin) so empty bins
+    // are well-defined on both engines. The split day derives from the
+    // data (min day + 14, one-row broadcast), not a calendar literal.
+    // Per-event work is one (half, bin) partial-agg shuffle; everything
+    // after is 10 bins.
+    "q_psi" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events").filter($"value".isNotNull)
+          .select(to_date($"ts").as("day"), $"value")
+        val m = ev.agg(min($"day").as("d0"))
+        val e = ev.crossJoin(broadcast(m))
+          .select(when($"day" <= date_add($"d0", 14), "p").otherwise("q")
+            .as("half"),
+            least(greatest(floor($"value" / 50.0).cast("bigint"), lit(0L)),
+              lit(9L)).as("bin"))
+        val c = e.groupBy($"half", $"bin").agg(count(lit(1)).as("n"))
+        val bins = s.range(0, 10).select($"id".as("bin"))
+        val tp = c.filter($"half" === "p").agg(sum($"n").as("np"))
+        val tq = c.filter($"half" === "q").agg(sum($"n").as("nq"))
+        val j = broadcast(bins)
+          .join(c.filter($"half" === "p").select($"bin", $"n".as("cp")),
+            Seq("bin"), "left")
+          .join(c.filter($"half" === "q").select($"bin", $"n".as("cq")),
+            Seq("bin"), "left")
+          .crossJoin(broadcast(tp)).crossJoin(broadcast(tq))
+          .select(
+            ((coalesce($"cp", lit(0L)) + 0.5) / ($"np" + 5.0)).as("pp"),
+            ((coalesce($"cq", lit(0L)) + 0.5) / ($"nq" + 5.0)).as("qq"))
+        j.select(round(($"pp" - $"qq") * log($"pp" / $"qq"), 9)
+            .cast("decimal(20,9)").as("term"))
+          .agg(count(lit(1)).as("n_bins"), sum($"term").as("tsum"))
+          .select($"n_bins", round($"tsum".cast("double"), 6).as("psi"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT min(day) AS d0 FROM ev),
+        |e AS (
+        |  SELECT CASE WHEN day <= d0 + 14 THEN 'p' ELSE 'q' END AS half,
+        |    least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+        |      AS bin
+        |  FROM ev, m),
+        |c AS (SELECT half, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |tp AS (SELECT CAST(SUM(n) AS BIGINT) AS np FROM c WHERE half='p'),
+        |tq AS (SELECT CAST(SUM(n) AS BIGINT) AS nq FROM c WHERE half='q'),
+        |j AS (
+        |  SELECT (COALESCE(p.n, 0) + 0.5) / (np + 5.0) AS pp,
+        |    (COALESCE(q.n, 0) + 0.5) / (nq + 5.0) AS qq
+        |  FROM bins b
+        |  LEFT JOIN (SELECT bin, n FROM c WHERE half='p') p ON b.bin=p.bin
+        |  LEFT JOIN (SELECT bin, n FROM c WHERE half='q') q ON b.bin=q.bin,
+        |  tp, tq)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  round(CAST(SUM(CAST(round((pp-qq)*ln(pp/qq), 9)
+        |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
+        |FROM j""".stripMargin),
+      "population stability index: event-value drift, first 15 days vs rest"),
   )
 }

@@ -343,6 +343,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(bucket"), p.take(1500))
   }
 
+  test("q_ks_test: cross-CDF cumulative runs bucket-partitioned, not global") {
+    val p = plan("q_ks_test")
+    // Same two-phase decomposition as q_auc: the per-score cumulative must
+    // be partitioned by bucket; only the ~#buckets offset table may pass
+    // through a global-order window.
+    assert(p.contains("windowspecdefinition(bucket"), p.take(1500))
+    assert(p.contains("Exchange hashpartitioning(bucket"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q_psi: per-event work is one partial-agg shuffle, anchors broadcast") {
+    val p = plan("q_psi")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q_edit_blocking: capped blocks, hash joins only — no cartesian") {
     val p = plan("q_edit_blocking")
     assert(!p.contains("CartesianProduct"), p.take(1500))
