@@ -907,5 +907,69 @@ object Relational {
         |    AS BIGINT) AS date_span_days
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
       "Morton z-order layout audit: every z-range tight in BOTH dims"),
+
+    // Zone-map (min/max statistics) pruning audit — the companion to
+    // q_zorder that measures WHY layout matters: simulate range-clustered
+    // files (512 orderkeys per file, the write pattern of
+    // repartitionByRange(orderkey).write), record each file's shipdate
+    // min/max zone map, and report how many files a shipdate predicate
+    // skips without opening them (file pruned iff its max < cutoff) and
+    // the scan fraction that remain. This is exactly the parquet
+    // row-group / Delta file-skipping calculus at 100 TB: the audit is
+    // one file-keyed partial-agg shuffle (#files rows), the cutoff a
+    // one-row broadcast (min shipdate + 1200 days — data-derived, no
+    // calendar literal). Pruning is lossless by construction: every
+    // matching row lives in a scanned file (rows_match ≤ rows_scanned).
+    "q_zone_map" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select(expr("l_orderkey div 512").as("file_id"),
+            to_date($"l_shipdate").as("ship"))
+        val cut = li.agg(date_add(min($"ship"), 1200).as("cutoff"))
+        val f = li.crossJoin(broadcast(cut))
+          .groupBy($"file_id")
+          .agg(count(lit(1)).as("n_rows"), max($"ship").as("mx"),
+            sum(when($"ship" >= $"cutoff", 1L).otherwise(0L)).as("n_match"),
+            max($"cutoff").as("cutoff"))
+        f.agg(count(lit(1)).as("n_files"),
+            sum(when($"mx" < $"cutoff", 1L).otherwise(0L)).as("files_pruned"),
+            sum($"n_rows").as("rows_total"),
+            sum(when($"mx" < $"cutoff", lit(0L)).otherwise($"n_rows"))
+              .as("rows_scanned"),
+            sum($"n_match").as("rows_match"))
+          .select($"n_files", $"files_pruned",
+            round($"files_pruned".cast("double") / $"n_files", 6)
+              .as("prune_frac"),
+            $"rows_total", $"rows_scanned",
+            round($"rows_scanned".cast("double") / $"rows_total", 6)
+              .as("scan_frac"),
+            $"rows_match")
+      },
+      Some("""WITH li AS (
+        |  SELECT l_orderkey // 512 AS file_id,
+        |    CAST(l_shipdate AS DATE) AS ship
+        |  FROM lineitem),
+        |c AS (SELECT min(ship) + 1200 AS cutoff FROM li),
+        |f AS (
+        |  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    max(ship) AS mx,
+        |    CAST(SUM(CASE WHEN ship >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    max(cutoff) AS cutoff
+        |  FROM li, c GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN mx < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS files_pruned,
+        |  round(CAST(SUM(CASE WHEN mx < cutoff THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS prune_frac,
+        |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(SUM(CASE WHEN mx < cutoff THEN 0 ELSE n_rows END) AS BIGINT)
+        |    AS rows_scanned,
+        |  round(CAST(SUM(CASE WHEN mx < cutoff THEN 0 ELSE n_rows END)
+        |    AS DOUBLE) / SUM(n_rows), 6) AS scan_frac,
+        |  CAST(SUM(n_match) AS BIGINT) AS rows_match
+        |FROM f""".stripMargin),
+      "zone-map pruning audit: files skipped by min/max stats, lossless"),
   )
 }

@@ -1104,5 +1104,89 @@ object Text {
         |  ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT % 256
         |GROUP BY t.tok, t.exact ORDER BY t.exact DESC, t.tok""".stripMargin),
       "Count-Min sketch frequency estimates vs exact counts (d=4, w=256)"),
+
+    // X1/X3 Bloom-filter membership — the join-pruning primitive at
+    // 100 TB: before shipping a huge probe side across the wire, test
+    // each key against a Bloom filter of the build side (k=3 md5-derived
+    // positions, m = 8·n_built bits, so the load factor — and the FP
+    // rate — is scale-invariant). Here the filter over src0's document
+    // fingerprints screens the whole corpus; the exact membership join
+    // runs alongside to measure the realized false-positive rate. The
+    // filter is represented as its inverted set-bit table (≤ m rows,
+    // broadcast): a probe is positive iff all 3 of its positions hit.
+    // Deterministic hashing makes the whole audit oracle-EXACT; the
+    // Bloom guarantee (member ⇒ all positions hit ⇒ zero false
+    // negatives) is visible as exact_members ≤ bloom_positives per row.
+    "q_bloom" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select($"doc_id", $"lang", $"source", md5($"text").as("fp"))
+        val sz = base.filter($"source" === "src0")
+          .agg((count(lit(1)) * 8).cast("bigint").as("m"))
+        val builtFp = base.filter($"source" === "src0")
+          .select($"fp").distinct()
+        val ks = s.range(0, 3).select($"id".cast("int").as("i"))
+        def pos(fp: org.apache.spark.sql.Column,
+            i: org.apache.spark.sql.Column,
+            m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          conv(substring(md5(concat(i.cast("string"), lit(":"), fp)),
+            1, 8), 16, 10).cast("bigint") % m
+        val builtPos = builtFp.crossJoin(broadcast(sz))
+          .crossJoin(broadcast(ks))
+          .select($"i", pos($"fp", $"i", $"m").as("p")).distinct()
+          .withColumn("hit", lit(1))
+        val probe = base.crossJoin(broadcast(sz)).crossJoin(broadcast(ks))
+          .select($"doc_id", $"lang", $"fp", $"i",
+            pos($"fp", $"i", $"m").as("p"))
+          .join(broadcast(builtPos), Seq("i", "p"), "left")
+          .groupBy($"doc_id", $"lang", $"fp")
+          .agg(sum(coalesce($"hit", lit(0))).as("hits"))
+        probe.join(broadcast(builtFp.withColumn("member", lit(1))),
+            Seq("fp"), "left")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce($"member", lit(0))).cast("bigint")
+              .as("exact_members"),
+            sum(when($"hits" === 3, 1L).otherwise(0L))
+              .as("bloom_positives"),
+            sum(when($"hits" === 3 && $"member".isNull, 1L).otherwise(0L))
+              .as("false_positives"))
+          .orderBy($"lang")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, lang, source, md5(text) AS fp FROM documents),
+        |sz AS (SELECT CAST(COUNT(*) * 8 AS BIGINT) AS m
+        |       FROM base WHERE source = 'src0'),
+        |bfp AS (SELECT DISTINCT fp FROM base WHERE source = 'src0'),
+        |ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |bpos AS (
+        |  SELECT DISTINCT i,
+        |    ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 8))::BIGINT
+        |      % m AS p
+        |  FROM bfp, sz, ks),
+        |ppos AS (
+        |  SELECT b.doc_id, b.lang, b.fp, k.i,
+        |    ('0x' || substring(md5(CAST(k.i AS VARCHAR) || ':' || b.fp), 1, 8))::BIGINT
+        |      % m AS p
+        |  FROM base b, sz, ks k),
+        |probe AS (
+        |  SELECT doc_id, lang, fp,
+        |    CAST(SUM(CASE WHEN bp.hit IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM ppos LEFT JOIN (SELECT i, p, 1 AS hit FROM bpos) bp
+        |    USING (i, p)
+        |  GROUP BY 1, 2, 3)
+        |SELECT p.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN e.member IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS exact_members,
+        |  CAST(SUM(CASE WHEN p.hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bloom_positives,
+        |  CAST(SUM(CASE WHEN p.hits = 3 AND e.member IS NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS false_positives
+        |FROM probe p
+        |LEFT JOIN (SELECT fp, 1 AS member FROM bfp) e USING (fp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "Bloom-filter membership screen vs exact join (k=3, m=8n, per lang)"),
   )
 }

@@ -361,6 +361,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q_bloom: filter and membership sides broadcast, no cartesian") {
+    val p = plan("q_bloom")
+    // The set-bit table and the exact-membership side are both broadcast
+    // (bounded by m / built-set size); the probe side never shuffles for
+    // the joins — only the final per-lang partial agg exchanges.
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q_zone_map: file-keyed partial agg, cutoff broadcast") {
+    val p = plan("q_zone_map")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q_edit_blocking: capped blocks, hash joins only — no cartesian") {
     val p = plan("q_edit_blocking")
     assert(!p.contains("CartesianProduct"), p.take(1500))
