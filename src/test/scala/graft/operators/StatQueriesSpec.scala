@@ -85,6 +85,64 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_ks_test: two-phase D equals the naive global-window KS") {
+    import spark.implicits._
+    val sc = graft.Tables.load(spark, d, "documents")
+      .groupBy($"n_chars".as("score"))
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("a"),
+        sum(when($"lang" === "en", 0L).otherwise(1L)).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = sc
+      .withColumn("ca", sum($"a").over(w)).withColumn("cb", sum($"b").over(w))
+      .crossJoin(broadcast(sc.agg(sum($"a").as("na"), sum($"b").as("nb"))))
+      .select($"score", abs($"ca" * $"nb" - $"cb" * $"na").as("dev"))
+      .orderBy($"dev".desc, $"score").limit(1).head()
+    val got = SparkEntry.queries("q_ks_test")(spark, d).head()
+    assert(got.getAs[Long]("dev_num") === naive.getAs[Long]("dev"))
+    assert(got.getAs[Long]("argmax_score") === naive.getAs[Long]("score"))
+    val ksd = got.getAs[Double]("ks_d")
+    assert(ksd >= 0.0 && ksd <= 1.0)
+  }
+
+  test("q_psi: non-negative with exactly 10 smoothed bins") {
+    // Each (p−q)·ln(p/q) term is ≥ 0, so PSI ≥ 0 for ANY drift; Laplace
+    // smoothing guarantees all 10 bins exist on both halves.
+    val r = SparkEntry.queries("q_psi")(spark, d).head()
+    assert(r.getAs[Long]("n_bins") === 10L)
+    assert(r.getAs[Double]("psi") >= 0.0)
+  }
+
+  test("q_bloom: zero false negatives — positives split exactly") {
+    // The Bloom guarantee: member ⇒ every position hits ⇒ counted
+    // positive. So per lang: bloom_positives = exact_members (true
+    // positives, none lost) + false_positives.
+    val rows = SparkEntry.queries("q_bloom")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("bloom_positives")
+      val em = r.getAs[Long]("exact_members")
+      val fp = r.getAs[Long]("false_positives")
+      assert(bp === em + fp, s"lang ${r.getAs[String]("lang")}")
+      assert(bp <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q_zone_map: pruning is lossless and matches a direct filter") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q_zone_map")(spark, d).head()
+    assert(r.getAs[Long]("files_pruned") <= r.getAs[Long]("n_files"))
+    assert(r.getAs[Long]("rows_scanned") <= r.getAs[Long]("rows_total"))
+    assert(r.getAs[Long]("rows_match") <= r.getAs[Long]("rows_scanned"))
+    val li = graft.Tables.load(spark, d, "lineitem")
+      .select(to_date($"l_shipdate").as("ship"))
+    val cut = li.agg(date_add(min($"ship"), 1200)).head().getDate(0)
+    assert(r.getAs[Long]("rows_match") ===
+      li.filter($"ship" >= lit(cut)).count())
+    assert(r.getAs[Long]("rows_total") === li.count())
+  }
+
   test("q_containment: directions consistent with the Jaccard pair set") {
     // Containment ≥ Jaccard for every pair (|A∩B|/min-side ≥ |A∩B|/|A∪B|),
     // and the keeper is always one of the pair.
