@@ -192,6 +192,125 @@ object Similarity {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
       "IVF coarse-quantizer ANN search (extension X3)"),
 
+    // X3 ANN quality evaluation: recall@10 of the IVF search against the
+    // brute-force exact top-10, per query vector, at nprobe=1 AND
+    // nprobe=3 — the metric any ANN deployment is judged by, and the knob
+    // (cells probed vs recall) every index is tuned with before it
+    // replaces the exact join at scale. Both rankings are deterministic
+    // (native codegen cosine, bit-identical to DuckDB on widened doubles,
+    // vec_id tie-break), so the recall itself is oracle-EXACT — not a
+    // flaky statistical assertion. Shape: the 5-query set broadcasts
+    // against one corpus scan per ranking (the exact side is the
+    // ground-truth cost you pay once to certify the index; the IVF side
+    // scores only the ≤3 probed cells), per-query rank windows are
+    // q_id-partitioned, and the final intersection joins ≤50-row tables.
+    "q_ivf_recall" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos_sim".desc, $"vec_id")
+        val exact = e.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            expr("cosine_sim(embedding, q_emb)").as("cos_sim"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+          .select($"q_id", $"vec_id")
+        val probed = IvfIndex.centroidsExact(s, d).crossJoin(broadcast(q))
+          .select($"q_id", $"label", cosine($"cvec", $"q_emb").as("ccos"))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"ccos".desc, $"label")))
+          .filter($"crank" <= 3).select($"q_id", $"label", $"crank")
+        val cand = e.join(broadcast(probed), Seq("label"))
+          .filter($"vec_id" =!= $"q_id")
+          .join(broadcast(q), Seq("q_id"))
+          .select($"q_id", $"vec_id", $"crank",
+            expr("cosine_sim(embedding, q_emb)").as("cos_sim"))
+        def topk(df: org.apache.spark.sql.DataFrame, hit: String) = df
+          .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+          .select($"q_id", $"vec_id", lit(1).as(hit))
+        val p1 = topk(cand.filter($"crank" === 1), "h1")
+        val p3 = topk(cand, "h3")
+        // p1/p3 are ≤ 10·|q| rows by construction (rank ≤ 10 per query) —
+        // broadcast them or the post-window unknown-stats default is SMJ.
+        exact.join(broadcast(p1), Seq("q_id", "vec_id"), "left")
+          .join(broadcast(p3), Seq("q_id", "vec_id"), "left")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce($"h1", lit(0))).cast("bigint").as("n_hit_p1"),
+            sum(coalesce($"h3", lit(0))).cast("bigint").as("n_hit_p3"))
+          .select($"q_id", $"n_exact",
+            $"n_hit_p1",
+            round($"n_hit_p1".cast("double") / $"n_exact", 6)
+              .as("recall_p1"),
+            $"n_hit_p3",
+            round($"n_hit_p3".cast("double") / $"n_exact", 6)
+              .as("recall_p3"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 5),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY ${duckCos("e.embedding", "q.q_emb")} DESC, e.vec_id)
+        |      AS rn
+        |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE rn <= 10),
+        |x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / COUNT(*) AS cv
+        |  FROM x GROUP BY 1, 2),
+        |centa AS (
+        |  SELECT label, list(cv ORDER BY pos) AS cvec FROM cent
+        |  GROUP BY label),
+        |probed AS (
+        |  SELECT q_id, label, crank FROM (
+        |    SELECT q.q_id, c.label, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(c.cvec,
+        |        CAST(q.q_emb AS DOUBLE[])) DESC, c.label) AS crank
+        |    FROM centa c, q) WHERE crank <= 3),
+        |cand AS (
+        |  SELECT b.q_id, e.vec_id, b.crank,
+        |    ${duckCos("e.embedding", "q.q_emb")} AS cos_sim
+        |  FROM embeddings e JOIN probed b USING (label)
+        |  JOIN q ON q.q_id = b.q_id
+        |  WHERE e.vec_id <> b.q_id),
+        |p1 AS (
+        |  SELECT q_id, vec_id, 1 AS h1 FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |    FROM cand WHERE crank = 1) WHERE rn <= 10),
+        |p3 AS (
+        |  SELECT q_id, vec_id, 1 AS h3 FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |    FROM cand) WHERE rn <= 10)
+        |SELECT x.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN p1.h1 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit_p1,
+        |  round(CAST(SUM(CASE WHEN p1.h1 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS recall_p1,
+        |  CAST(SUM(CASE WHEN p3.h3 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit_p3,
+        |  round(CAST(SUM(CASE WHEN p3.h3 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS recall_p3
+        |FROM exact x
+        |LEFT JOIN p1 USING (q_id, vec_id)
+        |LEFT JOIN p3 USING (q_id, vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "IVF recall@10 vs exact ground truth at nprobe=1 and 3 (oracle-exact)"),
+
     // X2/X3 embedding near-dup, blocked by label (the blocked-join shape:
     // candidate pairs only within a coarse block, never the full n² join),
     // scored by the native codegen cosine.

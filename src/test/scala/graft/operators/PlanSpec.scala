@@ -377,6 +377,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q_ivf_recall: rank windows q_id-partitioned, probe sides broadcast") {
+    val p = plan("q_ivf_recall")
+    assert(p.contains("windowspecdefinition(q_id"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q_edit_blocking: capped blocks, hash joins only — no cartesian") {
     val p = plan("q_edit_blocking")
     assert(!p.contains("CartesianProduct"), p.take(1500))

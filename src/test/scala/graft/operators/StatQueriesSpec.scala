@@ -143,6 +143,19 @@ class StatQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("rows_total") === li.count())
   }
 
+  test("q_ivf_recall: recall monotone in nprobe, bounded, exact n=10") {
+    val rows = SparkEntry.queries("q_ivf_recall")(spark, d).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 10L)
+      val r1 = r.getAs[Double]("recall_p1"); val r3 = r.getAs[Double]("recall_p3")
+      // Probing a superset of cells can only add candidates that outrank
+      // (or tie into) the top-10, never remove true hits below p1's.
+      assert(r3 >= r1, s"q ${r.getAs[Long]("q_id")}: p3 $r3 < p1 $r1")
+      assert(r1 >= 0.0 && r3 <= 1.0)
+    }
+  }
+
   test("q_containment: directions consistent with the Jaccard pair set") {
     // Containment ≥ Jaccard for every pair (|A∩B|/min-side ≥ |A∩B|/|A∪B|),
     // and the keeper is always one of the pair.
