@@ -307,5 +307,56 @@ object Graph {
         |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles
         |FROM nn, ne, tri""".stripMargin),
       "triangle count over the thresholded supplier co-purchase graph"),
+
+    // Seeded 2-hop frontier expansion (the BFS step): for 20 seed
+    // customers, count direct suppliers (hop 1) and the distinct OTHER
+    // customers reachable through a shared supplier (hop 2) — the
+    // collaborative-filtering neighbor count and the primitive every
+    // k-hop graph query is built from. Scale shape: the seed filter
+    // prunes hop 1 BEFORE the expansion join (frontier size, not graph
+    // size, drives the work — the only way BFS survives a billion-edge
+    // graph); both hops are supplier-keyed hash joins on the memoized
+    // edge table, and a production run would cap mega-degree suppliers
+    // the same way q_contamination caps its inverted index.
+    "q_two_hop" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = tradeEdges(s, d)
+        val seeds = (1 to 20).map("c" + _)
+        val hop1 = e.filter($"src".isin(seeds: _*))
+          .select($"src".as("seed"), $"dst".as("sup"))
+        val hop2 = hop1.join(
+            e.select($"dst".as("sup"), $"src".as("nbr")), "sup")
+          .filter($"nbr" =!= $"seed")
+        val d1 = hop1.groupBy($"seed")
+          .agg(countDistinct($"sup").as("n_direct"))
+        val d2 = hop2.groupBy($"seed")
+          .agg(countDistinct($"nbr").as("n_two_hop"))
+        d1.join(d2, Seq("seed"), "left")
+          .select($"seed", $"n_direct",
+            coalesce($"n_two_hop", lit(0L)).as("n_two_hop"))
+          .orderBy($"seed")
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |seeds AS (
+        |  SELECT 'c' || CAST(x AS VARCHAR) AS seed
+        |  FROM unnest(generate_series(1, 20)) AS t(x)),
+        |h1 AS (
+        |  SELECT s.seed, e.dst AS sup FROM e JOIN seeds s ON e.src = s.seed),
+        |d1 AS (
+        |  SELECT seed, CAST(COUNT(DISTINCT sup) AS BIGINT) AS n_direct
+        |  FROM h1 GROUP BY seed),
+        |d2 AS (
+        |  SELECT h1.seed, CAST(COUNT(DISTINCT e2.src) AS BIGINT) AS n_two_hop
+        |  FROM h1 JOIN e e2 ON e2.dst = h1.sup AND e2.src <> h1.seed
+        |  GROUP BY h1.seed)
+        |SELECT d1.seed, d1.n_direct,
+        |  COALESCE(d2.n_two_hop, 0) AS n_two_hop
+        |FROM d1 LEFT JOIN d2 ON d1.seed = d2.seed
+        |ORDER BY d1.seed""".stripMargin),
+      "seeded 2-hop BFS frontier expansion over the trade graph"),
   )
 }

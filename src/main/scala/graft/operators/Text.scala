@@ -582,6 +582,68 @@ object Text {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "add-1 unigram-LM average surprisal per document (extension X4)"),
 
+    // X4 bigram-LM cross-entropy: train an add-1-smoothed bigram language
+    // model on the corpus itself and score each document by average
+    // negative log p(w2|w1) — the CCNet/Gopher perplexity-filter shape one
+    // order up from q_unigram_surprise (context-sensitive, so boilerplate
+    // with common words in odd orders scores worse). Shapes at scale: the
+    // LM is a (w1,w2)-keyed partial-agg count, context totals a w1-keyed
+    // rollup of the LM (never a second corpus scan), and scoring joins the
+    // doc bigrams back on (w1,w2) — ordinary keyed shuffles, linear in
+    // corpus size; nothing is collected. Exactness: per-bigram log-prob is
+    // 9-dp-rounded to DECIMAL before the doc sum (the q_unigram_surprise
+    // recipe), so aggregation order cannot change the hash.
+    "q_bigram_lm" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d).select($"doc_id", tokens($"text").as("toks"))
+        val bg = toks.filter(size($"toks") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))"))
+            .as("bg"))
+          .select($"doc_id", $"bg.w1", $"bg.w2")
+        val lm = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        val ctx = lm.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
+        val vocab = toks.select(explode($"toks").as("tok"))
+          .agg(countDistinct($"tok").as("v"))
+        val scored = lm.join(ctx, "w1").crossJoin(broadcast(vocab))
+          .select($"w1", $"w2",
+            round(log(($"n_ab" + 1).cast("double") /
+              ($"n_a" + $"v").cast("double")), 9)
+              .cast("decimal(18,9)").as("sc"))
+        bg.join(scored, Seq("w1", "w2"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"sc").as("ssum"))
+          .select($"doc_id", $"n_bigrams",
+            round(-($"ssum".cast("double")) / $"n_bigrams".cast("double"), 6)
+              .as("cross_entropy"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+        |         toks[CAST(i AS INT)+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |lm AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(n_ab) AS n_a FROM lm GROUP BY w1),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM toks)),
+        |sc AS (
+        |  SELECT w1, w2,
+        |    CAST(round(ln(CAST(n_ab + 1 AS DOUBLE) /
+        |      CAST(n_a + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS sc
+        |  FROM lm JOIN ctx USING (w1), vocab)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(-(CAST(SUM(sc) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS cross_entropy
+        |FROM bg JOIN sc USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "add-1 bigram-LM cross-entropy per document (extension X4)"),
+
     // X4 domain shift: KL divergence of each source's word distribution
     // against the whole corpus — the mixing-diagnostics counterpart to
     // q_mix_temperature (which reweights sources; this measures how far

@@ -247,6 +247,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
+  test("q_bigram_lm: keyed shuffles only — partial aggs, no cartesian") {
+    val p = plan("q_bigram_lm")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q_two_hop: seed filter before expansion, hash joins, no cartesian") {
+    val p = plan("q_two_hop")
+    // 20 seed values exceed inSetConversionThreshold, so In becomes INSET
+    assert(p.contains("src#") && (p.contains("INSET") || p.contains(" IN (")),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q_gopher_rules: per-token counts aggregate map-side first") {
     val p = plan("q_gopher_rules")
     assert(p.contains("partial_count"), p.take(1200))

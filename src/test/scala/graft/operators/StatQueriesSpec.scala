@@ -32,6 +32,43 @@ class StatQueriesSpec extends SparkSpec {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("q_bigram_lm: cross-entropy positive; uniform-LM bound holds") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_bigram_lm")(spark, d).collect()
+    assert(rows.length === 500)
+    // Add-1 smoothing caps any conditional prob at 1, so -avg log p > 0;
+    // and the per-doc average can never beat the best single bigram's
+    // -log p_max where p_max ≤ (n_ab+1)/(n_a+V) ≤ 1 — the cheap sanity
+    // band is (0, ln(n_a_max + V)] which we bound loosely by ln of the
+    // corpus bigram total + vocab.
+    val bg = graft.Tables.load(spark, d, "documents")
+      .select(explode(graft.Fns.tokens($"text")).as("t"))
+    val v = bg.agg(countDistinct($"t")).head().getLong(0)
+    val n = bg.count()
+    val hi = math.log((n + v).toDouble)
+    rows.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      assert(ce > 0.0 && ce <= hi, s"doc ${r.get(0)}: ce=$ce out of (0, $hi]")
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+  }
+
+  test("q_two_hop: frontier counts bounded by graph cardinalities") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_two_hop")(spark, d).collect()
+    assert(rows.length === 20)
+    val o = graft.Tables.load(spark, d, "orders")
+    val li = graft.Tables.load(spark, d, "lineitem")
+    val nSup = li.select($"l_suppkey").distinct().count()
+    val nCust = o.select($"o_custkey").distinct().count()
+    rows.foreach { r =>
+      val d1 = r.getAs[Long]("n_direct"); val d2 = r.getAs[Long]("n_two_hop")
+      assert(d1 >= 1L && d1 <= nSup)
+      // hop 2 excludes the seed itself, so strictly fewer than all customers
+      assert(d2 >= 0L && d2 < nCust)
+    }
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
