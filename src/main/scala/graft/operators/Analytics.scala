@@ -1823,5 +1823,135 @@ object Analytics {
         |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
         |FROM j""".stripMargin),
       "population stability index: event-value drift, first 15 days vs rest"),
+
+    // Weight-of-evidence / information-value audit of a binned feature vs
+    // a binary label — the standard credit-scoring / feature-selection
+    // screen (IV < 0.02 = useless, > 0.3 = strong). Feature: n_chars in
+    // 10 fixed-width bins; label: lang='en'. Laplace +0.5 per bin (the
+    // q_psi recipe) keeps empty cells defined. Shapes: one (bin) keyed
+    // partial-agg shuffle over the corpus; everything downstream is 10
+    // rows (the window total is bounded-post-agg, q_auc's justification).
+    // Exactness: smoothed shares are single IEEE divisions of exact
+    // integers+0.5; ln rounds to 9 dp into DECIMAL; IV terms to 12 dp.
+    "q_woe_iv" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.load(s, d, "documents")
+          .select(least(greatest(floor($"n_chars" / 60.0).cast("bigint"),
+            lit(0L)), lit(9L)).as("bin"),
+            ($"lang" === "en").cast("long").as("is_pos"))
+          .groupBy($"bin")
+          .agg(sum($"is_pos").as("n_pos"),
+            sum(lit(1L) - $"is_pos").as("n_neg"))
+        val tot = c.agg(sum($"n_pos").as("tp"), sum($"n_neg").as("tn"))
+        val bins = s.range(0, 10).select($"id".as("bin"))
+        val sh = broadcast(bins)
+          .join(c, Seq("bin"), "left")
+          .crossJoin(broadcast(tot))
+          .select($"bin",
+            coalesce($"n_pos", lit(0L)).as("n_pos"),
+            coalesce($"n_neg", lit(0L)).as("n_neg"),
+            ((coalesce($"n_pos", lit(0L)) + 0.5) / ($"tp" + 5.0)).as("pp"),
+            ((coalesce($"n_neg", lit(0L)) + 0.5) / ($"tn" + 5.0)).as("qq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        sh.select($"bin", $"n_pos", $"n_neg",
+            round(log($"pp" / $"qq"), 6).as("woe"),
+            round(($"pp" - $"qq") * round(log($"pp" / $"qq"), 9), 12)
+              .cast("decimal(20,12)").as("term"))
+          .withColumn("iv_total",
+            round(sum($"term").over(w).cast("double"), 6))
+          .select($"bin", $"n_pos", $"n_neg", $"woe",
+            round($"term".cast("double"), 6).as("iv_term"), $"iv_total")
+          .orderBy($"bin")
+      },
+      Some("""WITH c AS (
+        |  SELECT least(greatest(CAST(floor(n_chars / 60.0) AS BIGINT), 0), 9)
+        |      AS bin,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_neg
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+        |               CAST(SUM(n_neg) AS BIGINT) AS tn FROM c),
+        |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |sh AS (
+        |  SELECT b.bin,
+        |    COALESCE(c.n_pos, 0) AS n_pos, COALESCE(c.n_neg, 0) AS n_neg,
+        |    (COALESCE(c.n_pos, 0) + 0.5) / (tp + 5.0) AS pp,
+        |    (COALESCE(c.n_neg, 0) + 0.5) / (tn + 5.0) AS qq
+        |  FROM bins b LEFT JOIN c ON b.bin = c.bin, tot),
+        |t AS (
+        |  SELECT bin, n_pos, n_neg,
+        |    round(ln(pp / qq), 6) AS woe,
+        |    CAST(round((pp - qq) * round(ln(pp / qq), 9), 12)
+        |      AS DECIMAL(20,12)) AS term
+        |  FROM sh)
+        |SELECT bin, n_pos, n_neg, woe,
+        |  round(CAST(term AS DOUBLE), 6) AS iv_term,
+        |  round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS iv_total
+        |FROM t ORDER BY bin""".stripMargin),
+      "weight-of-evidence + information value of binned n_chars vs lang"),
+
+    // Precision-recall curve at 20 descending score thresholds — the
+    // classifier-eval companion to q_auc (which integrates one number;
+    // this shows the operating points). Predict positive when the score
+    // (n_chars) reaches the bin's lower edge: cumulative TP/FP from the
+    // top bin down. One (bin) keyed partial-agg shuffle; the cumulative
+    // window runs over ≤20 post-agg rows (bounded, q_auc's
+    // justification). All counts integers; ratios are single IEEE
+    // divisions rounded at the display edge.
+    "q_pr_curve" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.load(s, d, "documents")
+          .select(least(greatest(floor($"n_chars" / 30.0).cast("bigint"),
+            lit(0L)), lit(19L)).as("bin"),
+            ($"lang" === "en").cast("long").as("is_pos"))
+          .groupBy($"bin")
+          .agg(sum($"is_pos").as("pos"),
+            sum(lit(1L) - $"is_pos").as("neg"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"bin".desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wt = org.apache.spark.sql.expressions.Window
+          .orderBy($"bin".desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        c.select($"bin", $"pos", $"neg",
+            sum($"pos").over(w).as("cum_pos"),
+            (sum($"pos").over(w) + sum($"neg").over(w)).as("cum_n"),
+            sum($"pos").over(wt).as("tot_pos"))
+          .select($"bin", ($"bin" * 30L).as("thr"), $"cum_pos", $"cum_n",
+            round($"cum_pos".cast("double") / $"cum_n", 6).as("precision"),
+            round($"cum_pos".cast("double") / $"tot_pos", 6).as("recall"))
+          .orderBy($"bin".desc)
+      },
+      Some("""WITH c AS (
+        |  SELECT least(greatest(CAST(floor(n_chars / 30.0) AS BIGINT), 0), 19)
+        |      AS bin,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(SUM(CASE WHEN lang='en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS neg
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, pos, neg,
+        |    SUM(pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    SUM(pos + neg) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum_n,
+        |    SUM(pos) OVER () AS tot_pos
+        |  FROM c)
+        |SELECT bin, bin * 30 AS thr,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CAST(cum_n AS BIGINT) AS cum_n,
+        |  round(CAST(cum_pos AS DOUBLE) / cum_n, 6) AS precision,
+        |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS recall
+        |FROM cum ORDER BY bin DESC""".stripMargin),
+      "precision-recall operating points at 20 descending score thresholds"),
   )
 }

@@ -311,6 +311,130 @@ object Similarity {
         |GROUP BY 1 ORDER BY 1""".stripMargin),
       "IVF recall@10 vs exact ground truth at nprobe=1 and 3 (oracle-exact)"),
 
+    // X3 ANN ranking quality: nDCG@10 of the IVF (nprobe=3) ranking
+    // against the exact cosine ranking — recall says WHETHER the true
+    // neighbors surface; nDCG says whether they surface in the right
+    // ORDER (position-discounted), the metric retrieval evals actually
+    // report. Relevance grades are integers from the exact rank
+    // (rel = 11 - exact_rank, 0 for non-top-10), discounts 1/log2(pos+1)
+    // are rounded to 9 dp into DECIMAL per term before the ≤10-term sum —
+    // both engines evaluate identical small-integer logs, so nDCG is
+    // oracle-EXACT. Same sub-linear shapes as q_ivf_recall: broadcast
+    // query set, probed-cells-only candidate scoring, q_id-partitioned
+    // rank windows, ≤50-row final joins.
+    "q_ndcg" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos_sim".desc, $"vec_id")
+        val exact = e.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            expr("cosine_sim(embedding, q_emb)").as("cos_sim"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+          .select($"q_id", $"vec_id", (lit(11) - $"rn").as("rel"))
+        val probed = IvfIndex.centroidsExact(s, d).crossJoin(broadcast(q))
+          .select($"q_id", $"label", cosine($"cvec", $"q_emb").as("ccos"))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"ccos".desc, $"label")))
+          .filter($"crank" <= 3).select($"q_id", $"label")
+        val ivf = e.join(broadcast(probed), Seq("label"))
+          .filter($"vec_id" =!= $"q_id")
+          .join(broadcast(q), Seq("q_id"))
+          .select($"q_id", $"vec_id",
+            expr("cosine_sim(embedding, q_emb)").as("cos_sim"))
+          .withColumn("pos", row_number().over(w)).filter($"pos" <= 10)
+          .select($"q_id", $"vec_id", $"pos")
+        val disc = (p: org.apache.spark.sql.Column) =>
+          round(lit(1.0) / log2(p + 1), 9).cast("decimal(12,9)")
+        val dcg = ivf.join(broadcast(exact), Seq("q_id", "vec_id"), "left")
+          .select($"q_id",
+            (coalesce($"rel", lit(0)).cast("decimal(12,0)") * disc($"pos"))
+              .as("term"))
+          .groupBy($"q_id").agg(sum($"term").as("dcg"))
+        val idcg = exact
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"rel".desc, $"vec_id")))
+          .select($"q_id",
+            ($"rel".cast("decimal(12,0)") * disc($"pos")).as("term"))
+          .groupBy($"q_id").agg(sum($"term").as("idcg"))
+        dcg.join(broadcast(idcg), Seq("q_id"))
+          .select($"q_id",
+            round($"dcg".cast("double"), 6).as("dcg10"),
+            round($"idcg".cast("double"), 6).as("idcg10"),
+            round($"dcg".cast("double") / $"idcg".cast("double"), 6)
+              .as("ndcg10"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 5),
+        |exact AS (
+        |  SELECT q_id, vec_id, 11 - rn AS rel FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY ${duckCos("e.embedding", "q.q_emb")} DESC, e.vec_id)
+        |      AS rn
+        |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE rn <= 10),
+        |x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / COUNT(*) AS cv
+        |  FROM x GROUP BY 1, 2),
+        |centa AS (
+        |  SELECT label, list(cv ORDER BY pos) AS cvec FROM cent
+        |  GROUP BY label),
+        |probed AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q.q_id, c.label, row_number() OVER (
+        |      PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(c.cvec,
+        |        CAST(q.q_emb AS DOUBLE[])) DESC, c.label) AS crank
+        |    FROM centa c, q) WHERE crank <= 3),
+        |ivf AS (
+        |  SELECT q_id, vec_id, pos FROM (
+        |    SELECT b.q_id, e.vec_id, row_number() OVER (
+        |      PARTITION BY b.q_id
+        |      ORDER BY ${duckCos("e.embedding", "q.q_emb")} DESC, e.vec_id)
+        |      AS pos
+        |    FROM embeddings e JOIN probed b USING (label)
+        |    JOIN q ON q.q_id = b.q_id
+        |    WHERE e.vec_id <> b.q_id)
+        |  WHERE pos <= 10),
+        |dcg AS (
+        |  SELECT i.q_id,
+        |    SUM(CAST(COALESCE(x.rel, 0) AS DECIMAL(12,0)) *
+        |      CAST(round(1.0 / log2(i.pos + 1), 9) AS DECIMAL(12,9)))
+        |      AS dcg
+        |  FROM ivf i LEFT JOIN exact x USING (q_id, vec_id)
+        |  GROUP BY i.q_id),
+        |idcg AS (
+        |  SELECT q_id,
+        |    SUM(CAST(rel AS DECIMAL(12,0)) *
+        |      CAST(round(1.0 / log2(ipos + 1), 9) AS DECIMAL(12,9)))
+        |      AS idcg
+        |  FROM (
+        |    SELECT q_id, rel, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rel DESC, vec_id) AS ipos
+        |    FROM exact)
+        |  GROUP BY q_id)
+        |SELECT dcg.q_id,
+        |  round(CAST(dcg.dcg AS DOUBLE), 6) AS dcg10,
+        |  round(CAST(idcg.idcg AS DOUBLE), 6) AS idcg10,
+        |  round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+        |    AS ndcg10
+        |FROM dcg JOIN idcg USING (q_id)
+        |ORDER BY dcg.q_id""".stripMargin),
+      "nDCG@10 of the IVF ranking vs exact cosine ranking (oracle-exact)"),
+
     // X2/X3 embedding near-dup, blocked by label (the blocked-join shape:
     // candidate pairs only within a coarse block, never the full n² join),
     // scored by the native codegen cosine.

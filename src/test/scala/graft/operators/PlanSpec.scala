@@ -262,6 +262,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("q_ndcg: rank windows q_id-partitioned, probe sides broadcast") {
+    val p = plan("q_ndcg")
+    assert(p.contains("windowspecdefinition(q_id"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q_woe_iv and q_pr_curve: one partial-agg shuffle, no cartesian blowup") {
+    Seq("q_woe_iv", "q_pr_curve").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_sum"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+  }
+
   test("q_gopher_rules: per-token counts aggregate map-side first") {
     val p = plan("q_gopher_rules")
     assert(p.contains("partial_count"), p.take(1200))

@@ -69,6 +69,43 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_ndcg: bounded by 1, dcg never exceeds ideal dcg") {
+    val rows = SparkEntry.queries("q_ndcg")(spark, d).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val dcg = r.getAs[Double]("dcg10"); val idcg = r.getAs[Double]("idcg10")
+      val n = r.getAs[Double]("ndcg10")
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9, s"dcg $dcg > idcg $idcg")
+      assert(n >= 0.0 && n <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_woe_iv: IV non-negative, terms sum to the total") {
+    val rows = SparkEntry.queries("q_woe_iv")(spark, d).collect()
+    assert(rows.length === 10)
+    // (pp-qq) and ln(pp/qq) always share sign, so every term and the
+    // total are ≥ 0 — a sign bug in either factor breaks this.
+    val termSum = rows.map(_.getAs[Double]("iv_term")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Double]("iv_term") >= -1e-12)
+      assert(math.abs(r.getAs[Double]("iv_total") - termSum) < 1e-4)
+    }
+  }
+
+  test("q_pr_curve: recall monotone down-threshold, ends at 1; precision bounded") {
+    val rows = SparkEntry.queries("q_pr_curve")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // rows come ordered bin DESC = loosening threshold: recall can only grow
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-12 })
+    assert(math.abs(recalls.last - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("precision")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("cum_pos") <= r.getAs[Long]("cum_n"))
+    }
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
