@@ -687,6 +687,106 @@ object Dedup {
       }),
       "exactly-verified MinHash signatures + LSH band keys (extension X2)"),
 
+    // X2 the banded LSH JOIN itself, oracle-exact: candidate pairs come
+    // ONLY from band-key equality over the cross-engine md5 signatures
+    // (never an all-pairs stage), then the exact Jaccard is computed for
+    // candidates alone — the end-to-end bucket-join shape the xxhash64
+    // production path (q_minhash_lsh) runs, here hash-proven against
+    // DuckDB replaying the identical signatures, banding, and
+    // verification. Shapes at scale: signature build is one doc-keyed
+    // partial agg (8 mins ride one shuffle), the bucket join shuffles on
+    // (band_no, band_key) — constant bytes/doc — and the verify stage
+    // touches candidate pairs only (shingle join-back keyed on doc id).
+    // 2 bands × 4 rows: exact/near-exact dups always collide; the
+    // recall-vs-threshold tuning of the production banding is covered by
+    // the LSH recall ScalaTest, not this query.
+    "q_lsh_bucket_join" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+            .as("sh"))
+          .withColumn("h",
+            conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long"))
+          .select($"doc_id", $"h").distinct()
+        // MIN is duplicate-insensitive, so the distinct shingle-hash table
+        // serves both the signatures and the exact-Jaccard verify stage.
+        val mins = mhPerms.zipWithIndex.map { case ((a, b), i) =>
+          min(pmod(lit(a) * $"h" + lit(b), lit(MhPrime))).as(s"m${i + 1}") }
+        val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+        val bands = sig.select($"doc_id", lit(1).as("band_no"),
+            md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
+          .union(sig.select($"doc_id", lit(2).as("band_no"),
+            md5(concat_ws("|", $"m5", $"m6", $"m7", $"m8")).as("bk")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band_no") === col("y.band_no") &&
+              col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_bands"))
+        val c = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        cand.join(sh.select($"doc_id".as("d1"), $"h"), "d1")
+          .join(sh.select($"doc_id".as("d2"), $"h"), Seq("d2", "h"))
+          .groupBy($"d1", $"d2", $"n_bands").agg(count(lit(1)).as("inter"))
+          .join(c.select($"doc_id".as("d1"), $"nsh".as("n1")), "d1")
+          .join(c.select($"doc_id".as("d2"), $"nsh".as("n2")), "d2")
+          .select($"d1", $"d2", $"n_bands",
+            round($"inter".cast("double") / ($"n1" + $"n2" - $"inter"), 6)
+              .as("jaccard"))
+          .orderBy($"d1", $"d2")
+      },
+      Some({
+        val minExprs = mhPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"    MIN(($a * h + $b) % $MhPrime) AS m${i + 1}"
+        }.mkString(",\n|")
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(sg), 1, 8))::BIGINT AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(toks)-2),
+        |        i -> array_to_string(toks[i:i+2], ' '))) AS sg
+        |    FROM t WHERE len(toks) >= 3)),
+        |m AS (
+        |  SELECT doc_id,
+        |$minExprs
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 1 AS band_no,
+        |    md5(m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR
+        |      || '|' || m4::VARCHAR) AS bk FROM m
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    md5(m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR
+        |      || '|' || m8::VARCHAR) FROM m),
+        |cand AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bands
+        |  FROM bands x JOIN bands y ON x.band_no = y.band_no
+        |    AND x.bk = y.bk AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        |i AS (
+        |  SELECT cand.d1, cand.d2, cand.n_bands,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand JOIN sh a ON a.doc_id = cand.d1
+        |    JOIN sh b ON b.doc_id = cand.d2 AND b.h = a.h
+        |  GROUP BY 1, 2, 3)
+        |SELECT d1, d2, n_bands,
+        |  round(CAST(inter AS DOUBLE) / (c1.nsh + c2.nsh - inter), 6)
+        |    AS jaccard
+        |FROM i JOIN c c1 ON i.d1 = c1.doc_id JOIN c c2 ON i.d2 = c2.doc_id
+        |ORDER BY d1, d2""".stripMargin
+      }),
+      "banded LSH bucket join + exact verify on candidates (oracle-exact)"),
+
     // X1/X2 duplicated-span detection — the exact-substring-dedup signal
     // (the suffix-array dedup family from the deduplicating-training-data
     // line of work, re-expressed as sliding 10-token span fingerprints):

@@ -277,6 +277,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_lsh_bucket_join: bucket join keyed, partial mins, no cartesian") {
+    val p = plan("q_lsh_bucket_join")
+    assert(p.contains("partial_min"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q_gopher_rules: per-token counts aggregate map-side first") {
     val p = plan("q_gopher_rules")
     assert(p.contains("partial_count"), p.take(1200))

@@ -106,6 +106,29 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_lsh_bucket_join: pairs agree with q_minhash_sig band keys both ways") {
+    val got = SparkEntry.queries("q_lsh_bucket_join")(spark, d).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Long]("n_bands")).toMap
+    // q_minhash_sig computes the same signatures WITHOUT the shingle
+    // distinct (MIN is duplicate-insensitive, so they must agree): every
+    // band collision there must surface here with the matching band
+    // count, and vice versa — completeness AND soundness of the bucket
+    // join, plus the distinct-invariance of the signature math.
+    val sigs = SparkEntry.queries("q_minhash_sig")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("band1"), r.getAs[String]("band2")))
+    val expected = (for {
+      (a, a1, a2) <- sigs; (b, b1, b2) <- sigs if a < b
+      n = (if (a1 == b1) 1 else 0) + (if (a2 == b2) 1 else 0) if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(expected.nonEmpty, "fixture should produce band collisions")
+    assert(got.keySet === expected.keySet,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    expected.foreach { case (k, n) => assert(got(k) === n, s"pair $k") }
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
