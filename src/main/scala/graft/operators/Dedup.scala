@@ -787,6 +787,47 @@ object Dedup {
       }),
       "banded LSH bucket join + exact verify on candidates (oracle-exact)"),
 
+    // X2 dedup-yield tuning curve: how many documents each Jaccard
+    // threshold would remove (d2 of any >=t pair = the dropped side under
+    // lowest-id-keeps), as counts and corpus share — the table an operator
+    // reads BEFORE committing a threshold to a 100 TB dedup run, where a
+    // 0.1 threshold shift can swing yield by whole percentage points.
+    // Rides the memoized pair index (one build, many views — same as
+    // q_ngram_jaccard/q_containment); the 5-row threshold spine is a
+    // broadcast theta-join against the bounded pair table, then one
+    // distinct-count per threshold. Thresholds compare against the
+    // pairSql-proven jaccard doubles, so the cut is cross-engine safe.
+    "q_dedup_yield" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pairs = jaccardPairs(s, d)
+        val thrs = s.createDataset(Seq(0.5, 0.6, 0.7, 0.8, 0.9)).toDF("thr")
+        val nd = Tables.load(s, d, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        broadcast(thrs)
+          .join(pairs, pairs("jaccard") >= $"thr", "left")
+          .groupBy($"thr")
+          .agg(countDistinct($"d2").as("n_dup_docs"))
+          .crossJoin(broadcast(nd))
+          .select($"thr", $"n_dup_docs", $"n_docs",
+            round($"n_dup_docs".cast("double") / $"n_docs", 6)
+              .as("pct_removed"))
+          .orderBy($"thr")
+      },
+      Some(s"""WITH $pairSql,
+        |thr AS (
+        |  SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS thr),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |y AS (
+        |  SELECT t.thr,
+        |    CAST(COUNT(DISTINCT p.d2) AS BIGINT) AS n_dup_docs
+        |  FROM thr t LEFT JOIN pairs p ON p.jaccard >= t.thr
+        |  GROUP BY t.thr)
+        |SELECT thr, n_dup_docs, n_docs,
+        |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS pct_removed
+        |FROM y, nd ORDER BY thr""".stripMargin),
+      "dedup yield vs Jaccard threshold (the pre-run tuning table, X2)"),
+
     // X1/X2 duplicated-span detection — the exact-substring-dedup signal
     // (the suffix-array dedup family from the deduplicating-training-data
     // line of work, re-expressed as sliding 10-token span fingerprints):

@@ -129,6 +129,19 @@ class StatQueriesSpec extends SparkSpec {
     expected.foreach { case (k, n) => assert(got(k) === n, s"pair $k") }
   }
 
+  test("q_dedup_yield: yield monotone non-increasing in threshold") {
+    val rows = SparkEntry.queries("q_dedup_yield")(spark, d).collect()
+    assert(rows.length === 5)
+    val yields = rows.map(_.getAs[Long]("n_dup_docs"))
+    // raising the bar can only shrink the >=t pair set, so the dropped-doc
+    // count can only fall; a violation means the theta-join leaks pairs
+    assert(yields.zip(yields.tail).forall { case (a, b) => b <= a },
+      yields.mkString(","))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
