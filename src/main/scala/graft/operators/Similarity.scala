@@ -435,6 +435,61 @@ object Similarity {
         |ORDER BY dcg.q_id""".stripMargin),
       "nDCG@10 of the IVF ranking vs exact cosine ranking (oracle-exact)"),
 
+    // X3 embedding-space drift monitor — the PSI of the vector world: per
+    // label, the cosine between the centroid of even vec_ids and odd
+    // vec_ids (the production version splits old batch vs new batch; the
+    // parity split is the deterministic stand-in). A drift_cos well below
+    // 1 on a supposedly-stable corpus means the embedder or the upstream
+    // mix changed — checked BEFORE retraining an IVF/PQ index against a
+    // moved distribution. Shapes: one (label, half, pos)-keyed partial-agg
+    // shuffle over exploded vectors (linear in corpus bytes), then
+    // per-label centroid pairs — dims × labels rows. Exactness: the
+    // centroidsExact recipe (float→double→DECIMAL(28,12) sums), cosine on
+    // widened doubles bit-identical to DuckDB's list_cosine_similarity,
+    // rounded at the display edge.
+    "q_embed_drift" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val x = emb(s, d)
+          .select($"label", pmod($"vec_id", lit(2L)).as("half"),
+            $"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        val cent = x.groupBy($"label", $"half", $"pos")
+          .agg((sum($"v".cast("double").cast("decimal(28,12)"))
+            .cast("double") / count(lit(1))).as("cv"),
+            countDistinct($"vec_id").as("n"))
+        val ca = cent.groupBy($"label", $"half")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+            .as("cvec"), max($"n").as("n"))
+        val a = ca.filter($"half" === 0)
+          .select($"label", $"cvec".as("c0"), $"n".as("n_even"))
+        val b = ca.filter($"half" === 1)
+          .select($"label", $"cvec".as("c1"), $"n".as("n_odd"))
+        a.join(b, "label")
+          .select($"label", $"n_even", $"n_odd",
+            round(cosine($"c0", $"c1"), 6).as("drift_cos"))
+          .orderBy($"label")
+      },
+      Some("""WITH x AS (
+        |  SELECT label, vec_id % 2 AS half, vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, half, pos,
+        |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / COUNT(*) AS cv,
+        |    CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+        |  FROM x GROUP BY 1, 2, 3),
+        |ca AS (
+        |  SELECT label, half, list(cv ORDER BY pos) AS cvec,
+        |    MAX(n) AS n
+        |  FROM cent GROUP BY 1, 2)
+        |SELECT a.label, a.n AS n_even, b.n AS n_odd,
+        |  round(list_cosine_similarity(a.cvec, b.cvec), 6) AS drift_cos
+        |FROM ca a JOIN ca b ON a.label = b.label
+        |WHERE a.half = 0 AND b.half = 1
+        |ORDER BY a.label""".stripMargin),
+      "per-label embedding centroid drift, even vs odd half (extension X3)"),
+
     // X2/X3 embedding near-dup, blocked by label (the blocked-join shape:
     // candidate pairs only within a coarse block, never the full n² join),
     // scored by the native codegen cosine.

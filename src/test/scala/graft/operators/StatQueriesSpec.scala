@@ -142,6 +142,23 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_drift: cosine bounded, halves partition each label's vectors") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_embed_drift")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val perLabel = graft.Tables.load(spark, d, "embeddings")
+      .groupBy($"label").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("label").toLong -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Double]("drift_cos")
+      // no positivity assumption: at sf0.001 a half is ~2 vectors and the
+      // two noisy centroids can legitimately anti-correlate
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos $c out of range")
+      assert(r.getAs[Long]("n_even") + r.getAs[Long]("n_odd") ===
+        perLabel(r.getAs[Int]("label").toLong))
+    }
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
