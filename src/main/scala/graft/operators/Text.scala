@@ -644,6 +644,93 @@ object Text {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "add-1 bigram-LM cross-entropy per document (extension X4)"),
 
+    // X4 Heaps'-law fit: vocabulary V grows as K·N^β with corpus size N —
+    // the companion power law to q_zipf_slope, and the capacity-planning
+    // number for vocabulary-bounded structures (BPE vocab, hash dicts,
+    // embedding tables): β tells you how the distinct-token universe
+    // scales to 100 TB before you pay for the scan. Points are the
+    // per-source (ln N, ln V) pairs; the OLS fold is the q_zipf_slope
+    // recipe exactly (decimal-exact sums of 9-dp logs, one IEEE solve).
+    "q_heaps" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = docs(s, d)
+          .select($"source", explode(tokens($"text")).as("tok"))
+        val pts = e.groupBy($"source")
+          .agg(count(lit(1)).as("n_toks"),
+            countDistinct($"tok").as("vocab"))
+          .select(
+            round(log($"n_toks".cast("double")), 9)
+              .cast("decimal(12,9)").as("x"),
+            round(log($"vocab".cast("double")), 9)
+              .cast("decimal(12,9)").as("y"))
+        pts.agg(
+            count(lit(1)).as("k"),
+            sum($"x").cast("double").as("sx"),
+            sum($"y").cast("double").as("sy"),
+            sum($"x" * $"x").cast("double").as("sxx"),
+            sum($"x" * $"y").cast("double").as("sxy"))
+          .select($"k",
+            round(($"k" * $"sxy" - $"sx" * $"sy") /
+              ($"k" * $"sxx" - $"sx" * $"sx"), 6).as("heaps_beta"),
+            round(exp(($"sy" - ($"k" * $"sxy" - $"sx" * $"sy") /
+              ($"k" * $"sxx" - $"sx" * $"sx") * $"sx") / $"k"), 6)
+              .as("heaps_k"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |st AS (
+        |  SELECT source, COUNT(*) AS n_toks, COUNT(DISTINCT tok) AS vocab
+        |  FROM e GROUP BY source),
+        |r AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(n_toks AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+        |    CAST(round(ln(CAST(vocab AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+        |  FROM st),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM r)
+        |SELECT k,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS heaps_beta,
+        |  round(exp((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+        |    / k), 6) AS heaps_k
+        |FROM s""".stripMargin),
+      "Heaps'-law vocabulary-growth fit over per-source points (X4)"),
+
+    // X4 tokenizer fertility: BPE-ish tokens per whitespace word, by
+    // language — the first number a tokenizer eval reports (a tokenizer
+    // trained on English typically fragments other languages into more
+    // pieces; fertility quantifies the compute tax per language before
+    // committing a vocab). One scan, per-row regexp counts (codegen'd,
+    // no explode), one lang-keyed partial-agg shuffle.
+    "q_token_fertility" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"lang",
+            size(tokens($"text")).cast("long").as("w"),
+            size(regexp_extract_all($"text", lit(bpeRe), lit(0)))
+              .cast("long").as("t"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"w").as("n_words"), sum($"t").as("n_bpe_tokens"))
+          .select($"lang", $"n_docs", $"n_words", $"n_bpe_tokens",
+            round($"n_bpe_tokens".cast("double") / $"n_words", 6)
+              .as("fertility"))
+          .orderBy($"lang")
+      },
+      Some(s"""SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(regexp_extract_all(text, '$bpeRe'))) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  round(CAST(SUM(len(regexp_extract_all(text, '$bpeRe'))) AS DOUBLE)
+        |    / SUM(len(${sqlTokens("text")})), 6) AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "BPE-tokens-per-word fertility by language (tokenizer eval, X4)"),
+
     // X4 domain shift: KL divergence of each source's word distribution
     // against the whole corpus — the mixing-diagnostics counterpart to
     // q_mix_temperature (which reweights sources; this measures how far

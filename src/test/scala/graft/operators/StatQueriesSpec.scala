@@ -159,6 +159,25 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_heaps: sublinear growth (0 < beta < 1), positive K") {
+    val r = SparkEntry.queries("q_heaps")(spark, d).head()
+    val beta = r.getAs[Double]("heaps_beta")
+    // vocabulary can't outgrow the corpus (beta < 1) and always grows
+    // (beta > 0) on natural-ish text; K is a positive scale factor
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta")
+    assert(r.getAs[Double]("heaps_k") > 0.0)
+  }
+
+  test("q_token_fertility: BPE splits at least one token per word") {
+    val rows = SparkEntry.queries("q_token_fertility")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the BPE-ish regex never merges across whitespace, so fertility >= 1
+      assert(r.getAs[Double]("fertility") >= 1.0, s"lang ${r.get(0)}")
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
