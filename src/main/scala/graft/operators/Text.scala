@@ -731,6 +731,66 @@ object Text {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       "BPE-tokens-per-word fertility by language (tokenizer eval, X4)"),
 
+    // X4 train→test shingle coverage: the share of each source's
+    // held-out-split 3-gram shingles already seen in the train split —
+    // high coverage means the test split measures memorization, not
+    // generalization (the soft-contamination counterpart to
+    // q_contamination's exact 8-gram hits). Split = the q_split md5
+    // bucket recipe (deterministic cross-engine). Shapes: one distinct
+    // over (split, shingle-ish) rows, then a shingle-keyed LEFT join of
+    // test shingles against the distinct train vocabulary — linear keyed
+    // shuffles; at 100 TB the train vocabulary is itself huge, so the
+    // join stays a plain shuffle join (never broadcast).
+    "q_ngram_coverage" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val bucket = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+          16, 10).cast("bigint"), lit(100))
+        val sh = docs(s, d)
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 3)
+          .withColumn("split",
+            when(bucket < 80, "train").otherwise("heldout"))
+          .select($"source", $"split", explode(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+            .as("sh"))
+        val train = sh.filter($"split" === "train")
+          .select($"sh").distinct().withColumn("seen", lit(1))
+        sh.filter($"split" === "heldout")
+          .select($"source", $"sh").distinct()
+          .join(train, Seq("sh"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce($"seen", lit(0))).cast("bigint").as("n_covered"))
+          .select($"source", $"n_shingles", $"n_covered",
+            round($"n_covered".cast("double") / $"n_shingles", 6)
+              .as("coverage"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 < 80 THEN 'train' ELSE 'heldout' END AS split,
+        |    ${sqlTokens("text")} AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, split,
+        |    unnest(list_transform(generate_series(1, len(toks)-2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |train AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+        |held AS (
+        |  SELECT DISTINCT source, sh FROM sh WHERE split = 'heldout')
+        |SELECT h.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  round(CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS coverage
+        |FROM held h LEFT JOIN train tr ON h.sh = tr.sh
+        |GROUP BY h.source ORDER BY h.source""".stripMargin),
+      "train→heldout shingle coverage per source (generalization audit, X4)"),
+
     // X4 domain shift: KL divergence of each source's word distribution
     // against the whole corpus — the mixing-diagnostics counterpart to
     // q_mix_temperature (which reweights sources; this measures how far

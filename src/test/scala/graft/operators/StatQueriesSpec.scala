@@ -178,6 +178,16 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_ngram_coverage: covered never exceeds total, ratio bounded") {
+    val rows = SparkEntry.queries("q_ngram_coverage")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_shingles"))
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
