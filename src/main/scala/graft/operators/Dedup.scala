@@ -938,6 +938,77 @@ object Dedup {
       }),
       "exactly-verified SimHash fingerprints + chunk blocking keys (extension X2)"),
 
+    // X2 SimHash Hamming near-dup join: candidate pairs ONLY from shared
+    // 8-bit chunks (pigeonhole: hamming <= 3 over a 32-bit fp split into
+    // 4 chunks forces >= 1 equal chunk, so the blocking is LOSSLESS for
+    // the <= 3 cut — same argument as the prefix filter), verified by
+    // bit_count(xor) on candidates. The Hamming-space sibling of
+    // q_lsh_bucket_join: constant bytes/doc, chunk-keyed bucket join,
+    // never all-pairs. Both engines compute identical fps (q_simhash's
+    // oracle-pinned vote math), so pairs and distances are oracle-exact.
+    // 32 bits keeps the DuckDB vote replay tractable; a production corpus
+    // runs the identical shape at 64 bits / 16-bit chunks (simhash_pack
+    // supports it) so buckets don't saturate at billions of docs.
+    "q_simhash_near" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val fps = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 1)
+          .withColumn("hs", expr(
+            "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+          .select($"doc_id", expr("simhash_pack(hs, 32)").as("fp"))
+        val chunks = fps.select($"doc_id", $"fp", explode(expr(
+          "transform(sequence(0, 3), i -> struct(i AS cno, shiftright(fp, i * 8) & 255L AS ck))"))
+          .as("c"))
+          .select($"doc_id", $"fp", $"c.cno", $"c.ck")
+        chunks.as("a").join(chunks.as("b"),
+            col("a.cno") === col("b.cno") && col("a.ck") === col("b.ck") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 3)
+          .orderBy($"d1", $"d2")
+      },
+      Some({
+        val votes = (0 until 32).map(i =>
+          s"    SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+          .mkString(",\n|")
+        val fpBits = (0 until 32).map(i =>
+          s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+          .mkString(" +\n|    ")
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    ${Fns.sqlTokens("text")} AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(toks,
+        |      t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)) AS h
+        |  FROM t WHERE len(toks) >= 1),
+        |v AS (
+        |  SELECT doc_id,
+        |$votes
+        |  FROM h GROUP BY doc_id),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST($fpBits AS BIGINT) AS fp
+        |  FROM v),
+        |ch AS (
+        |  SELECT doc_id, fp, i AS cno, (fp >> (i * 8)) & 255 AS ck
+        |  FROM f, unnest(generate_series(0, 3)) AS u(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |    bit_count(xor(a.fp, b.fp)) AS hamming
+        |  FROM ch a JOIN ch b ON a.cno = b.cno AND a.ck = b.ck
+        |    AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, CAST(hamming AS INT) AS hamming
+        |FROM cand WHERE hamming <= 3
+        |ORDER BY d1, d2""".stripMargin
+      }),
+      "SimHash Hamming<=3 near-dup join via lossless chunk blocking (X2)"),
+
     // X1/X4 n-gram novelty — per-document share of distinct 3-gram
     // shingles whose FIRST corpus occurrence (min doc_id owner) is this
     // document. The standard "how much new text does each source add"

@@ -188,6 +188,22 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_simhash_near: chunk blocking lossless vs brute-force hamming<=3") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_simhash_near")(spark, d).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    // pigeonhole: <=3 differing bits over 4 chunks leaves >=1 chunk equal,
+    // so the bucket join must find EVERY <=3 pair the all-pairs scan finds
+    val fps = SparkEntry.queries("q_simhash")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    assert(got === brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("q_countmin: estimates never undercount (CM guarantee)") {
     val rows = SparkEntry.queries("q_countmin")(spark, d).collect()
     assert(rows.nonEmpty)
