@@ -284,6 +284,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("q_simhash_near: chunk-keyed bucket join, no cartesian") {
+    val p = plan("q_simhash_near")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q_ngram_coverage: shingle-keyed shuffle join with partial aggs") {
+    val p = plan("q_ngram_coverage")
+    assert(p.contains("partial_"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q_embed_drift and q_heaps: partial aggs, no cartesian blowup") {
+    Seq("q_embed_drift", "q_heaps").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("q_token_fertility: single scan, lang-keyed partial agg, no explode") {
+    val p = plan("q_token_fertility")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("Generate"), p.take(1200)) // regexp counts, no explode
+  }
+
   test("q_gopher_rules: per-token counts aggregate map-side first") {
     val p = plan("q_gopher_rules")
     assert(p.contains("partial_count"), p.take(1200))
