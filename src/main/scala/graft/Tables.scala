@@ -12,18 +12,27 @@ import org.apache.spark.sql.types.DecimalType
   * cannot change the result on either engine.
   */
 object Tables {
-  /** Loads a testdata table. `events.ts` is physically TIMESTAMP(NANOS),
-    * which Spark reads only as a nanos-since-epoch long (via
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench);
-    * convert to a proper micros timestamp here so operators see
-    * TimestampType. Integer `div` keeps full precision (a double would
-    * round above 2^53 ns). */
+  /** Loads a testdata table. `events.ts` has shipped in two physical
+    * forms across driver regenerations, and operators must see plain
+    * `TimestampType` either way:
+    *   - TIMESTAMP(NANOS): Spark reads it only as a nanos-since-epoch
+    *     long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    *     Verify/Bench/SparkSpec); integer `div` keeps full precision (a
+    *     double would round above 2^53 ns).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *     TIMESTAMP_NTZ; cast to TimestampType interprets the wall-clock
+    *     in the session time zone, which every entry point pins to UTC —
+    *     the same instant DuckDB reads, so oracles are unaffected. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 }
 
