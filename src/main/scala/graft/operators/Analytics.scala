@@ -1953,5 +1953,115 @@ object Analytics {
         |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS recall
         |FROM cum ORDER BY bin DESC""".stripMargin),
       "precision-recall operating points at 20 descending score thresholds"),
+
+    // Exponentially weighted moving average of daily event volume — the
+    // smoothing telemetry dashboards and drift monitors run before
+    // thresholding. α = 0.5 over a 30-CALENDAR-DAY window, as a range
+    // self-join on the day spine (not a positional lag: a gap day must
+    // decay the average, not shift it — the q_yoy_growth lesson). The
+    // dyadic α makes the whole query cross-engine EXACT: every term
+    // n·0.5^δ (δ ≤ 29, n < 2^23) is a dyadic rational spanning < 53
+    // mantissa bits, so the sums are exact doubles in ANY addition order
+    // and the final division is one IEEE op both engines perform on
+    // identical inputs. Scale shape: one date-keyed partial-agg shuffle
+    // to the day spine (O(days) rows ≪ O(events)), then a banded
+    // self-join the RangeJoinRewrite rule keeps off the BNLJ path.
+    "q_ewma" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val a = daily.select($"day", $"n")
+        val b = daily.select($"day".as("bday"), $"n".as("bn"))
+        a.join(b, $"bday" >= date_sub($"day", 29) && $"bday" <= $"day")
+          .groupBy($"day", $"n")
+          .agg(
+            (sum($"bn" * pow(lit(0.5), datediff($"day", $"bday"))) /
+              sum(pow(lit(0.5), datediff($"day", $"bday")))).as("ewma0"))
+          .select($"day", $"n".as("n_events"),
+            round($"ewma0", 6).as("ewma"),
+            round($"n" / $"ewma0", 6).as("vs_trend"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT a.day, a.n,
+        |    SUM(b.n * power(0.5, date_diff('day', b.day, a.day))) /
+        |      SUM(power(0.5, date_diff('day', b.day, a.day))) AS ewma0
+        |  FROM daily a JOIN daily b
+        |    ON b.day >= a.day - INTERVAL 29 DAY AND b.day <= a.day
+        |  GROUP BY a.day, a.n)
+        |SELECT day, CAST(n AS BIGINT) AS n_events,
+        |  round(ewma0, 6) AS ewma,
+        |  round(n / ewma0, 6) AS vs_trend
+        |FROM j ORDER BY day""".stripMargin),
+      "calendar-window EWMA of daily volume (dyadic α, cross-engine exact)"),
+
+    // k-anonymity / l-diversity audit over quasi-identifiers — the privacy
+    // gate a training corpus passes before release: any combination of
+    // QI values identifying fewer than k individuals is a re-identification
+    // risk. QIs here are (nation, market segment); the sensitive attribute
+    // is the account-balance band (floor/1000). Reports, per disclosure
+    // threshold k ∈ {2,5,10,20}: how many equivalence classes and rows
+    // fall below it, plus the dataset's actual k-anonymity (min class
+    // size) and l-diversity (min distinct sensitive values per class).
+    // Scale shape: one QI-keyed partial-agg shuffle to the class table
+    // (bounded by the QI-cardinality product, not row count); thresholds
+    // and the global minima ride as one-row/4-row broadcasts — integers
+    // end to end except the final pct division.
+    "q_k_anonymity" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val classes = Tables.load(s, d, "customer")
+          .groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(count(lit(1)).as("cls_n"),
+            countDistinct(floor($"c_acctbal" / 1000).cast("long"))
+              .as("cls_l"))
+        val global = classes.agg(
+          min($"cls_n").as("k_anonymity"),
+          min($"cls_l").as("l_diversity"),
+          sum($"cls_n").as("n_rows"))
+        val thresholds = s.range(0, 4).toDF("i")
+          .select(element_at(array(lit(2L), lit(5L), lit(10L), lit(20L)),
+            ($"i" + 1).cast("int")).as("k"))
+        classes.crossJoin(broadcast(thresholds))
+          .groupBy($"k")
+          .agg(
+            sum(when($"cls_n" < $"k", 1L).otherwise(0L))
+              .as("n_classes_lt_k"),
+            sum(when($"cls_n" < $"k", $"cls_n").otherwise(0L))
+              .as("n_rows_lt_k"))
+          .crossJoin(broadcast(global))
+          .select($"k", $"n_classes_lt_k", $"n_rows_lt_k",
+            round($"n_rows_lt_k".cast("double") / $"n_rows", 6)
+              .as("pct_rows_lt_k"),
+            $"k_anonymity", $"l_diversity")
+          .orderBy($"k")
+      },
+      Some("""WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cls_n,
+        |    COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS cls_l
+        |  FROM customer GROUP BY 1, 2),
+        |g AS (
+        |  SELECT CAST(MIN(cls_n) AS BIGINT) AS k_anonymity,
+        |    CAST(MIN(cls_l) AS BIGINT) AS l_diversity,
+        |    CAST(SUM(cls_n) AS BIGINT) AS n_rows
+        |  FROM classes),
+        |t AS (SELECT unnest([2, 5, 10, 20]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN cls_n < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_lt_k,
+        |  CAST(SUM(CASE WHEN cls_n < k THEN cls_n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_lt_k,
+        |  round(CAST(SUM(CASE WHEN cls_n < k THEN cls_n ELSE 0 END)
+        |    AS DOUBLE) / any_value(n_rows), 6) AS pct_rows_lt_k,
+        |  any_value(k_anonymity) AS k_anonymity,
+        |  any_value(l_diversity) AS l_diversity
+        |FROM classes CROSS JOIN t CROSS JOIN g
+        |GROUP BY k ORDER BY k""".stripMargin),
+      "k-anonymity / l-diversity audit over quasi-identifier classes"),
   )
 }

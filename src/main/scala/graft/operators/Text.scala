@@ -1397,5 +1397,87 @@ object Text {
         |LEFT JOIN (SELECT fp, 1 AS member FROM bfp) e USING (fp)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
       "Bloom-filter membership screen vs exact join (k=3, m=8n, per lang)"),
+
+    // X4 distributed batch-perceptron TRAINING for the language filter —
+    // the missing half of the classifier family: q_quality_classifier /
+    // q_calibration SERVE a hashed linear model; this trains one, and the
+    // perceptron rule (w += Σ y·x over mistakes) needs no sigmoid or
+    // learning rate, so the whole 2-round loop is INTEGER-exact and
+    // oracle-replayable — the q_pagerank2 / q_kmeans_step recipe applied
+    // to supervised learning. Features: 64 hashed token-bucket counts
+    // (identical hashing to the serving path); label y = ±1 on lang='en'.
+    // Round 1 from w=0 marks every doc a mistake (margin 0 ≤ 0), so
+    // w1 = Σ_docs y·x; round 2 re-scores against w1 and updates on the
+    // remaining mistakes. Scale shape: one token-explode partial-agg to
+    // doc×bucket counts, model state is a 64-row BROADCAST each round
+    // (never a shuffle), margins are one doc-keyed partial agg, updates
+    // one bucket-keyed partial agg — linear in tokens per round, the
+    // textbook distributed batch-perceptron layout.
+    "q_perceptron" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val tb = docs(s, d)
+          .select($"doc_id",
+            when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+            explode(tokens($"text")).as("tok"))
+          .withColumn("bucket",
+            pmod(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"),
+              lit(64L)))
+          .groupBy($"doc_id", $"y", $"bucket")
+          .agg(count(lit(1)).as("x"))
+        val w1 = tb.groupBy($"bucket")
+          .agg(sum($"y" * $"x").as("w1"))
+        val margins = tb.join(broadcast(w1), "bucket")
+          .groupBy($"doc_id", $"y")
+          .agg(sum($"w1" * $"x").as("m0"))
+        val mistakes = margins.filter($"y" * $"m0" <= 0)
+          .select($"doc_id")
+        val upd = tb.join(mistakes, "doc_id")
+          .groupBy($"bucket").agg(sum($"y" * $"x").as("dw"))
+        val stats = margins.agg(count(lit(1)).as("n_train"),
+          sum(when($"y" * $"m0" <= 0, 1L).otherwise(0L))
+            .as("n_mistakes_r2"))
+        w1.join(upd, Seq("bucket"), "left")
+          .select($"bucket", $"w1",
+            ($"w1" + coalesce($"dw", lit(0L))).as("w2"))
+          .crossJoin(broadcast(stats))
+          .select($"bucket", $"w1", $"w2", $"n_train", $"n_mistakes_r2",
+            round(lit(1.0) - $"n_mistakes_r2".cast("double") / $"n_train", 6)
+              .as("acc_r2"))
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH tb AS (
+        |  SELECT doc_id, any_value(y) AS y, bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM (
+        |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |      ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+        |    FROM (SELECT doc_id, lang, unnest(${sqlTokens("text")}) AS tok
+        |          FROM documents))
+        |  GROUP BY doc_id, bucket),
+        |w1 AS (
+        |  SELECT bucket, CAST(SUM(y * x) AS BIGINT) AS w1
+        |  FROM tb GROUP BY bucket),
+        |m AS (
+        |  SELECT doc_id, any_value(tb.y) AS y,
+        |    CAST(SUM(w1.w1 * tb.x) AS BIGINT) AS m0
+        |  FROM tb JOIN w1 USING (bucket) GROUP BY doc_id),
+        |upd AS (
+        |  SELECT bucket, CAST(SUM(tb.y * tb.x) AS BIGINT) AS dw
+        |  FROM tb JOIN (SELECT doc_id FROM m WHERE y * m0 <= 0) mi
+        |    USING (doc_id)
+        |  GROUP BY bucket),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN y * m0 <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_mistakes_r2
+        |  FROM m)
+        |SELECT w1.bucket, w1.w1,
+        |  w1.w1 + coalesce(upd.dw, 0) AS w2, n_train, n_mistakes_r2,
+        |  round(1.0 - CAST(n_mistakes_r2 AS DOUBLE) / n_train, 6) AS acc_r2
+        |FROM w1 LEFT JOIN upd USING (bucket) CROSS JOIN st
+        |ORDER BY bucket""".stripMargin),
+      "2-round batch-perceptron training, integer-exact (trains the " +
+        "hashed linear filter the serving queries score with)"),
   )
 }

@@ -84,6 +84,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       boundOf(ad.right).flatMap { case (a, o) => longVal(ad.left).map(v => (a, o + v)) }
     case s: Subtract if s.right.foldable =>
       boundOf(s.left).flatMap { case (a, o) => longVal(s.right).map(v => (a, o - v)) }
+    // date_add / date_sub keep the DATE unit (days) — consistent with
+    // micros() banding dates via UnixDate below.
+    case da: DateAdd if da.days.foldable =>
+      boundOf(da.startDate).flatMap { case (a, o) => longVal(da.days).map(v => (a, o + v)) }
+    case ds: DateSub if ds.days.foldable =>
+      boundOf(ds.startDate).flatMap { case (a, o) => longVal(ds.days).map(v => (a, o - v)) }
     case _ => None
   }
 
@@ -106,14 +112,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case b: Byte => b.toLong
   }
 
-  /** Timestamp and widening-integral attrs are bandable. */
+  /** Timestamp, date, and widening-integral attrs are bandable. */
   private def bandable(a: Attribute): Boolean = a.dataType match {
-    case TimestampType | LongType | IntegerType => true
+    case TimestampType | DateType | LongType | IntegerType => true
     case _ => false
+  }
+
+  /** The attribute's band unit: a bound is only meaningful between two
+    * attrs measured in the same unit (micros vs days vs raw integral). */
+  private def unit(a: Attribute): Int = a.dataType match {
+    case TimestampType => 0
+    case DateType => 1
+    case _ => 2
   }
 
   private def micros(a: Attribute): Expression = a.dataType match {
     case TimestampType => UnixMicros(a)
+    case DateType => Cast(UnixDate(a), LongType) // days since epoch
     case LongType => a
     case IntegerType => Cast(a, LongType)
     case t => throw new IllegalStateException(s"unbandable $t")
@@ -136,16 +151,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // left input: tR + ox ⋛ tL + oy  ⇒  d ⋛ oy − ox (same direction).
           case (Some((ar, ox)), Some((al, oy)))
               if r.outputSet.contains(ar) && l.outputSet.contains(al) &&
-                bandable(ar) && bandable(al) &&
-                ar.dataType.isInstanceOf[TimestampType] ==
-                  al.dataType.isInstanceOf[TimestampType] =>
+                bandable(ar) && bandable(al) && unit(ar) == unit(al) =>
             Some(RangeBound(al, ar, oy - ox, isLower = lower))
           // mirrored: x on the left input ⇒ direction flips.
           case (Some((al, ox)), Some((ar, oy)))
               if l.outputSet.contains(al) && r.outputSet.contains(ar) &&
-                bandable(ar) && bandable(al) &&
-                ar.dataType.isInstanceOf[TimestampType] ==
-                  al.dataType.isInstanceOf[TimestampType] =>
+                bandable(ar) && bandable(al) && unit(ar) == unit(al) =>
             Some(RangeBound(al, ar, ox - oy, isLower = upper))
           case _ => None
         }

@@ -461,6 +461,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q_ewma: date-banded self-join — no nested loop, band injected") {
+    val p = plan("q_ewma")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("__graft_band"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500)) // daily rollup partials
+  }
+
+  test("q_k_anonymity: class table partial-aggs; thresholds + minima broadcast") {
+    val p = plan("q_k_anonymity")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500)) // one-row/4-row sides
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q_perceptron: model state broadcasts each round, updates partial-agg") {
+    val p = plan("q_perceptron")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

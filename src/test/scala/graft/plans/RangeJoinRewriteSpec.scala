@@ -101,6 +101,29 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("date-typed calendar band join rewrites (date_sub offsets)") {
+    // a 90-day spine with gaps — the q_ewma shape: b.day in
+    // [a.day - 29d, a.day], DATE attrs on both sides, offsets in days
+    def dateBand = {
+      val days = (0 until 90).filter(i => i % 7 != 3)
+        .map(i => Tuple1(i)).toDF("i")
+        .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")), $"i")
+          .as("day"))
+      val a = days.select($"day")
+      val b = days.select($"day".as("bday"))
+      a.join(b, $"bday" >= date_sub($"day", 29) && $"bday" <= $"day")
+    }
+    val on = withRule(on = true)(rows(dateBand))
+    val off = withRule(on = false)(rows(dateBand))
+    assert(on.nonEmpty && on == off)
+    withRule(on = true) {
+      val phys = dateBand.queryExecution.executedPlan.treeString
+      assert(!phys.contains("NestedLoop"),
+        s"date band join still nested-loop:\n$phys")
+      assert(phys.contains("__graft_band"))
+    }
+  }
+
   test("rewrite is idempotent: exactly one band pair in the plan") {
     withRule(on = true) {
       val plan = naiveEqui.queryExecution.optimizedPlan.treeString
