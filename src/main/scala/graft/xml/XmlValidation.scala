@@ -52,13 +52,52 @@ object XmlValidation {
       def fatalError(e: SAXParseException): Unit = errs += e.getMessage
     }
 
+  /** Compiled-XSD cache, per JVM (= per executor): a batch validating 10M
+    * files against one XSD must compile it once per executor, not once per
+    * FILE — `javax.xml.validation.Schema` is immutable and thread-safe, so
+    * tasks share it and take a fresh (cheap) Validator each. Keyed by
+    * (path, mtime, length) so an edited schema file is recompiled, never
+    * served stale. Unbounded only in the number of DISTINCT schema files —
+    * bounded by the corpus contract, like the dimension cardinality. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), javax.xml.validation.Schema]()
+
+  private def compiledSchema(xsdFile: String): javax.xml.validation.Schema = {
+    val f = new File(xsdFile)
+    schemaCache.computeIfAbsent((f.getAbsolutePath, f.lastModified, f.length),
+      _ => SchemaFactory.newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
+        .newSchema(new StreamSource(f)))
+  }
+
+  /** SAX parser factories, per thread: `SAXParserFactory.newInstance` runs
+    * a service-loader scan over the (large, in a Spark JVM) classpath on
+    * EVERY call — per-file that scan costs more than parsing a small file.
+    * Factories are not thread-safe, so each task thread keeps its own pair
+    * (validating / plain). */
+  private val validatingFactory =
+    ThreadLocal.withInitial[SAXParserFactory] { () =>
+      val f = SAXParserFactory.newInstance()
+      f.setValidating(true)
+      f.setNamespaceAware(true)
+      f
+    }
+  private val plainFactory =
+    ThreadLocal.withInitial[SAXParserFactory] { () =>
+      val f = SAXParserFactory.newInstance()
+      f.setValidating(false)
+      f.setNamespaceAware(true)
+      f.setFeature(
+        "http://apache.org/xml/features/nonvalidating/load-external-dtd",
+        false)
+      f
+    }
+
   /** XSD validation (`R/schema_validator.R:4-49`). */
   def validateXsd(xmlFile: String, xsdFile: String): Verdict = {
     val errs = mutable.Buffer.empty[String]
     try {
-      val factory = SchemaFactory.newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
-      val schema = factory.newSchema(new StreamSource(new File(xsdFile)))
-      val validator = schema.newValidator()
+      val validator = compiledSchema(xsdFile).newValidator()
       validator.setErrorHandler(collectingHandler(errs))
       validator.validate(new StreamSource(localFile(xmlFile)))
       Verdict(xmlFile, Some(errs.isEmpty), errs.toSeq, Some(xsdFile))
@@ -74,10 +113,7 @@ object XmlValidation {
   def validateDtd(xmlFile: String, dtdFile: Option[String]): Verdict = {
     val errs = mutable.Buffer.empty[String]
     try {
-      val f = SAXParserFactory.newInstance()
-      f.setValidating(true)
-      f.setNamespaceAware(true)
-      val reader = f.newSAXParser().getXMLReader
+      val reader = validatingFactory.get().newSAXParser().getXMLReader
       reader.setErrorHandler(collectingHandler(errs))
       reader.parse(new InputSource(localFile(xmlFile).toURI.toString))
       Verdict(xmlFile, Some(errs.isEmpty), errs.toSeq, dtdFile.orElse(Some("DOCTYPE")))
@@ -92,11 +128,7 @@ object XmlValidation {
   def checkWellFormed(xmlFile: String): Verdict = {
     val errs = mutable.Buffer.empty[String]
     try {
-      val f = SAXParserFactory.newInstance()
-      f.setValidating(false)
-      f.setNamespaceAware(true)
-      f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-      val reader = f.newSAXParser().getXMLReader
+      val reader = plainFactory.get().newSAXParser().getXMLReader
       reader.setErrorHandler(collectingHandler(errs))
       reader.parse(new InputSource(localFile(xmlFile).toURI.toString))
       Verdict(xmlFile, if (errs.isEmpty) None else Some(false), errs.toSeq, None)
