@@ -35,6 +35,13 @@ final case class ImageFeatures(
 
 final case class FrameSample(media_id: Long, frame_index: Int, offset_ms: Long)
 
+final case class ResizedImage(
+    media_id: Long,
+    decode_ok: Boolean,
+    width: Int,
+    height: Int,
+    content: Array[Byte])
+
 /** Multimodal columns (SURVEY.md §2.11 X5): image/audio/video as opaque
   * `binary` columns with a typed metadata struct, processed in BATCHES
   * inside `mapPartitions` — the Scala shape of `mapInPandas`: one iterator
@@ -194,9 +201,59 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel resample into a `maxDim` bounding box (aspect preserved,
+    * never upscaled): bilinear via `java.awt.Graphics2D`, re-encoded as
+    * PNG with the JDK's own writer — no external codec, and PNG is
+    * lossless so the output bytes are a deterministic function of the
+    * input. Batched like [[extractImageFeatures]] (the mapInPandas
+    * shape); undecodable blobs become `decode_ok = false` quarantine rows.
+    * Images already inside the box pass their ORIGINAL bytes through
+    * untouched (no decode-reencode churn on the common case). Target
+    * dimensions follow [[resizeMeta]]'s ceil math exactly, so the column
+    * planner and the pixel path can never disagree about output shape. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int, batchSize: Int = 32)
+      : Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val img =
+            try Option(ImageIO.read(new ByteArrayInputStream(row.content)))
+            catch { case _: java.io.IOException => None }
+          img match {
+            case Some(src) if math.max(src.getWidth, src.getHeight) <= maxDim =>
+              ResizedImage(row.media_id, decode_ok = true,
+                src.getWidth, src.getHeight, row.content)
+            case Some(src) =>
+              val scale =
+                maxDim.toDouble / math.max(math.max(src.getWidth, src.getHeight), 1)
+              val w = math.max(1, math.ceil(src.getWidth * scale).toInt)
+              val h = math.max(1, math.ceil(src.getHeight * scale).toInt)
+              val dst = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, w, h, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              ImageIO.write(dst, "png", bos)
+              ResizedImage(row.media_id, decode_ok = true, w, h,
+                bos.toByteArray)
+            case None =>
+              ResizedImage(row.media_id, decode_ok = false, -1, -1,
+                Array.emptyByteArray)
+          }
+        }
+      }
+    }
+  }
+
   /** "Resize" as a metadata transform: clamps stored dimensions to a
     * bounding box, preserving aspect ratio — pure column math; the pixel
-    * resample itself would live in the batched extractor. */
+    * resample itself lives in [[resizeImages]]. */
   def resizeMeta(df: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(
       lit(maxDim) / greatest(col("meta.width"), lit(1)),

@@ -12,6 +12,15 @@ final case class Event(ts: Timestamp, user_id: Long, value: Double)
 final case class UserState(n: Long, total: Double)
 final case class UserTotal(user_id: Long, n: Long, total: Double)
 
+final case class SessionState(
+    start: Timestamp, lastTs: Timestamp, n: Long, total: Double)
+final case class ClosedSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    sum_value: Double)
+
 /** Structured Streaming surface (SURVEY.md §2.10): the SAME window
   * expressions as the batch operators (`operators.TimeWindows`), applied
   * under `readStream` with a watermark — one definition, two execution
@@ -164,6 +173,58 @@ object EventStream {
       .withColumn("users_7d", hll_sketch_estimate(hll_union_agg(col("sk"))
         .over(w)))
       .select(col("day"), col("n_events"), col("users_1d"), col("users_7d"))
+  }
+
+  /** Closed-session emission via EVENT-TIME TIMEOUT — the state-eviction
+    * mechanism [[sessionAgg]]'s built-in `session_window` hides: one
+    * `SessionState` row per user, extended while events arrive within
+    * `gapMs`, and EMITTED (then removed) when the watermark passes the
+    * session's gap horizon — `state.setTimeoutTimestamp` + `hasTimedOut`
+    * is the lever that bounds state at 100 TB/day, and Append-mode output
+    * means a session row is written exactly once, when it can no longer
+    * change. Session bounds match the batch/session_window contract
+    * (`end = last event + gap`), pinned by the parity test. Events are
+    * processed in event-time order within each micro-batch; a session
+    * split by the gap inside one batch closes immediately, without
+    * waiting for the timeout. */
+  def closedSessions(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: SessionState): ClosedSession =
+      ClosedSession(uid, s.start, new Timestamp(s.lastTs.getTime + gapMs),
+        s.n, s.total)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(uid, s))
+          } else {
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts.getTime - s.lastTs.getTime <= gapMs =>
+                  Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= close(uid, s)
+                  Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 
   /** Custom keyed state: running per-user event count + value total via

@@ -102,4 +102,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) == ((1L, 160, 100)))   // 320x200 -> 160x100
     assert(out(2)._2 <= 160 && out(2)._3 <= 160)
   }
+
+  test("resizeImages REALLY resamples pixels: output re-decodes at the " +
+      "resizeMeta dimensions, small images pass through, corrupt flagged") {
+    val out = Multimodal.resizeImages(media, maxDim = 160)
+      .collect().map(r => r.media_id -> r).toMap
+    // 320x200 -> 160x100, and the bytes are a real PNG of that size
+    val big = out(1L)
+    assert(big.decode_ok && big.width == 160 && big.height == 100)
+    val decoded = Multimodal.sniffImage(big.content).get
+    assert(decoded.width == 160 && decoded.height == 100)
+    assert(decoded.format == "png")
+    // already inside the box: original bytes pass through untouched
+    val small = out(2L)
+    assert(small.decode_ok && small.width == 64 && small.height == 48)
+    assert(small.content.sameElements(jpg))
+    // corrupt blob -> quarantine row, not an exception
+    val bad = out(4L)
+    assert(!bad.decode_ok && bad.content.isEmpty)
+    // the resample is a real average of the source gradient: the mean
+    // luma of the resized image stays close to the original's
+    val origLuma = Multimodal.pixelFeatures(
+      ImageIO.read(new java.io.ByteArrayInputStream(png)))(3)
+    val newLuma = Multimodal.pixelFeatures(
+      ImageIO.read(new java.io.ByteArrayInputStream(big.content)))(3)
+    assert(math.abs(origLuma - newLuma) < 0.02,
+      s"resample drifted mean luma: $origLuma -> $newLuma")
+  }
 }

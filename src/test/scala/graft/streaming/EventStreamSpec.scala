@@ -118,6 +118,42 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("closedSessions: event-time timeout emits each session once, " +
+      "matching batch session_window bounds") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.closedSessions(input.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("closed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two sessions split by a 35-min gap (second closes by
+      // timeout); user 2: one session extended ACROSS micro-batches
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(Event(ts("2024-01-01 11:20:00"), 2L, 1.0))
+      q.processAllAvailable()
+      // watermark driver: a far-future event pushes event time past every
+      // open session's gap horizon, firing the timeouts
+      input.addData(Event(ts("2024-01-02 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      input.addData(Event(ts("2024-01-03 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("closed")
+        .filter($"user_id" =!= 99L)
+        .orderBy("user_id", "session_start")
+        .as[ClosedSession].collect().toSeq
+      // batch truth: same rows through the built-in session_window
+      val batch = EventStream.sessionAgg(
+          (batch1 :+ Event(ts("2024-01-01 11:20:00"), 2L, 1.0)).toDF,
+          withWatermark = false)
+        .orderBy("user_id", "session_start")
+        .as[ClosedSession].collect().toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.map(_.n_events) == Seq(1L, 1L, 2L))
+      // exactly-once: no session row was emitted twice
+      assert(got.distinct.size == got.size)
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: a replayed batch does not duplicate") {
     implicit val ctx = spark.sqlContext
     val path = java.nio.file.Files
