@@ -48,12 +48,19 @@ object Analytics {
     "q_percentile" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // one percentile BUFFER per (group, column), not per requested
+        // percentile: the array form sorts each group's values once and
+        // reads both quantiles from it (two scalar calls built two
+        // buffers and sorted twice)
         Tables.load(s, d, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            expr("percentile(l_quantity, array(0.5, 0.9))").as("p_qty"),
             expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+          .select($"l_returnflag",
+            element_at($"p_qty", 1).as("p50_qty"),
+            element_at($"p_qty", 2).as("p90_qty"),
+            $"p25_price")
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
@@ -1296,9 +1303,13 @@ object Analytics {
         import s.implicits._
         val li = Tables.load(s, d, "lineitem")
           .select($"l_returnflag", $"l_extendedprice")
+        // single percentile buffer for both bounds (array form — one
+        // per-group sort, not two; the q_percentile rationale)
         val bounds = li.groupBy($"l_returnflag")
-          .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
-            expr("percentile(l_extendedprice, 0.95)").as("hi"))
+          .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))")
+            .as("b"))
+          .select($"l_returnflag",
+            element_at($"b", 1).as("lo"), element_at($"b", 2).as("hi"))
         li.join(broadcast(bounds), "l_returnflag")
           .withColumn("w",
             when($"l_extendedprice" < $"lo", $"lo")
