@@ -2074,5 +2074,113 @@ object Analytics {
         |FROM classes CROSS JOIN t CROSS JOIN g
         |GROUP BY k ORDER BY k""".stripMargin),
       "k-anonymity / l-diversity audit over quasi-identifier classes"),
+
+    // Two-proportion A/B z-test — the experiment-readout primitive:
+    // cohorts from a deterministic user_id split (even = control,
+    // odd = treatment), conversion = "user emitted a purchase event".
+    // All counts are exact integers off ONE user-keyed partial agg; the
+    // pooled-variance z statistic is a handful of IEEE ops on those
+    // integers (sqrt is correctly rounded per IEEE-754, so both engines
+    // produce the same double), rounded at the display edge. Includes
+    // the ±1.96 significance verdict so a pipeline can gate on the
+    // boolean instead of re-deriving it.
+    "q_ab_test" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val conv = Tables.load(s, d, "events")
+          .groupBy(($"user_id" % 2 === 1).as("treat"))
+          .agg(countDistinct($"user_id").as("n"),
+            countDistinct(when($"event_type" === "purchase", $"user_id"))
+              .as("conv"))
+        val wide = conv.groupBy()
+          .agg(
+            sum(when(!$"treat", $"n")).as("n_c"),
+            sum(when(!$"treat", $"conv")).as("conv_c"),
+            sum(when($"treat", $"n")).as("n_t"),
+            sum(when($"treat", $"conv")).as("conv_t"))
+        wide.select(
+            $"n_c", $"conv_c", $"n_t", $"conv_t",
+            round($"conv_c".cast("double") / $"n_c", 6).as("rate_c"),
+            round($"conv_t".cast("double") / $"n_t", 6).as("rate_t"),
+            round(($"conv_t".cast("double") / $"n_t" -
+              $"conv_c".cast("double") / $"n_c") /
+              sqrt((($"conv_c" + $"conv_t").cast("double") /
+                ($"n_c" + $"n_t")) *
+                (lit(1.0) - ($"conv_c" + $"conv_t").cast("double") /
+                  ($"n_c" + $"n_t")) *
+                (lit(1.0) / $"n_c" + lit(1.0) / $"n_t")), 6).as("z"),
+            (abs(($"conv_t".cast("double") / $"n_t" -
+              $"conv_c".cast("double") / $"n_c") /
+              sqrt((($"conv_c" + $"conv_t").cast("double") /
+                ($"n_c" + $"n_t")) *
+                (lit(1.0) - ($"conv_c" + $"conv_t").cast("double") /
+                  ($"n_c" + $"n_t")) *
+                (lit(1.0) / $"n_c" + lit(1.0) / $"n_t"))) > 1.96)
+              .as("significant"))
+      },
+      Some("""WITH conv AS (
+        |  SELECT user_id % 2 = 1 AS treat, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN NOT treat THEN c ELSE 0 END) AS BIGINT) AS conv_c,
+        |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN treat THEN c ELSE 0 END) AS BIGINT) AS conv_t
+        |  FROM conv)
+        |SELECT n_c, conv_c, n_t, conv_t,
+        |  round(CAST(conv_c AS DOUBLE) / n_c, 6) AS rate_c,
+        |  round(CAST(conv_t AS DOUBLE) / n_t, 6) AS rate_t,
+        |  round((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+        |    / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+        |      * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+        |      * (1.0 / n_c + 1.0 / n_t)), 6) AS z,
+        |  abs((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+        |    / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+        |      * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+        |      * (1.0 / n_c + 1.0 / n_t))) > 1.96 AS significant
+        |FROM w""".stripMargin),
+      "two-proportion A/B z-test with pooled variance and 5% verdict"),
+
+    // Day-of-week seasonality profile: per-weekday event volume and its
+    // seasonal index (weekday mean / overall daily mean) — the
+    // normalization every ops dashboard and forecast baseline applies
+    // before comparing days. Exact integer counts; the two means stay
+    // integer-derived (day counts × 1 division each); the index is one
+    // IEEE division rounded at the edge. One date-keyed partial agg to
+    // the day spine, then a 7-group rollup — O(days) intermediate.
+    "q_seasonality" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val overall = daily.agg(
+          (sum($"n").cast("double") / count(lit(1))).as("daily_mean"))
+        daily
+          .groupBy(dayofweek($"day").as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum($"n").as("n_events"),
+            (sum($"n").cast("double") / count(lit(1))).as("dow_mean"))
+          .crossJoin(broadcast(overall))
+          .select($"dow", $"n_days", $"n_events",
+            round($"dow_mean", 6).as("dow_mean"),
+            round($"dow_mean" / $"daily_mean", 6).as("seasonal_index"))
+          .orderBy($"dow")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS daily_mean
+        |      FROM daily)
+        |SELECT dayofweek(day) + 1 AS dow,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS dow_mean,
+        |  round((CAST(SUM(n) AS DOUBLE) / COUNT(*)) / any_value(daily_mean),
+        |    6) AS seasonal_index
+        |FROM daily CROSS JOIN o
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "day-of-week seasonality profile with seasonal index"),
   )
 }

@@ -178,6 +178,26 @@ object Dedup {
     * collision-free unlike hashing. Exposed uncheckpointed so PlanSpec can
     * pin "no single-partition exchange" on the REAL plan (q_prefix_join
     * itself checkpoints this, which would hide the dictionary step). */
+  /** 64-bit SimHash as TWO 32-bit halves `(doc_id, fp_hi, fp_lo)`: each
+    * half runs the oracle-pinned 32-bit vote math (`simhash_pack`) over an
+    * independent md5 substring, so DuckDB can replay both without signed
+    * 64-bit overflow. Shared by `q_simhash_near` and its brute-force
+    * losslessness test. */
+  private[operators] def simhash64(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 1)
+      .withColumn("hs_lo", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("hs_hi", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT))"))
+      .select($"doc_id",
+        expr("simhash_pack(hs_hi, 32)").as("fp_hi"),
+        expr("simhash_pack(hs_lo, 32)").as("fp_lo"))
+  }
+
   private[operators] def prefixSets(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -938,45 +958,79 @@ object Dedup {
       }),
       "exactly-verified SimHash fingerprints + chunk blocking keys (extension X2)"),
 
+    // (simhash64 helper defined on the object — shared by the query and
+    // the brute-force losslessness test)
     // X2 SimHash Hamming near-dup join: candidate pairs ONLY from shared
-    // 8-bit chunks (pigeonhole: hamming <= 3 over a 32-bit fp split into
-    // 4 chunks forces >= 1 equal chunk, so the blocking is LOSSLESS for
-    // the <= 3 cut — same argument as the prefix filter), verified by
+    // 16-bit chunks of a 64-BIT fingerprint (pigeonhole: hamming <= 3
+    // over 4 chunks forces >= 1 equal chunk, so the blocking is LOSSLESS
+    // for the <= 3 cut — same argument as the prefix filter), verified by
     // bit_count(xor) on candidates. The Hamming-space sibling of
     // q_lsh_bucket_join: constant bytes/doc, chunk-keyed bucket join,
-    // never all-pairs. Both engines compute identical fps (q_simhash's
-    // oracle-pinned vote math), so pairs and distances are oracle-exact.
-    // 32 bits keeps the DuckDB vote replay tractable; a production corpus
-    // runs the identical shape at 64 bits / 16-bit chunks (simhash_pack
-    // supports it) so buckets don't saturate at billions of docs.
+    // never all-pairs. The fp is built as TWO 32-bit halves (independent
+    // md5 substrings through the oracle-pinned q_simhash vote math) so
+    // the DuckDB replay never touches signed-64 overflow. Chunk width is
+    // THE scale knob here, and the round-6 sf1 sweep proved it: the
+    // earlier 32-bit/8-bit-chunk form saturated its 256 buckets per
+    // chunk (candidates ~ n²/256 — 1.9 s at sf0.1 but 76 s at sf1, a
+    // 41x blowup for 10x docs); 65536 buckets per chunk push the
+    // quadratic term out by 256x, and a billion-doc corpus would widen
+    // chunks again (simhash_pack supports any split).
     "q_simhash_near" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val fps = Tables.load(s, d, "documents")
-          .withColumn("toks", tokens($"text"))
-          .filter(size($"toks") >= 1)
-          .withColumn("hs", expr(
-            "transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-          .select($"doc_id", expr("simhash_pack(hs, 32)").as("fp"))
-        val chunks = fps.select($"doc_id", $"fp", explode(expr(
-          "transform(sequence(0, 3), i -> struct(i AS cno, shiftright(fp, i * 8) & 255L AS ck))"))
-          .as("c"))
-          .select($"doc_id", $"fp", $"c.cno", $"c.ck")
-        chunks.as("a").join(chunks.as("b"),
+        // The quadratic step (chunk bucket join) runs over DISTINCT
+        // fingerprints, not documents — dictionary-encode-before-the-
+        // join, the same move as the prefix join's shingle dict. A
+        // low-entropy corpus (many docs sharing one fp — exactly the
+        // planted-duplicate shape a dedup corpus has) would otherwise
+        // pay bucket-size² in doc space; in fp space those docs are ONE
+        // row, and both the hamming-0 (same-fp) pairs and the cross
+        // expansion of qualifying fp pairs are output-bound, not
+        // candidate-bound. Lazily checkpointed: three consumers below
+        // share one materialization, and plan construction stays
+        // side-effect free (the q_market_basket lesson).
+        val fps = simhash64(s, d).localCheckpoint(false)
+        val g = fps.select($"fp_hi", $"fp_lo").distinct()
+        val chunks = g.select($"fp_hi", $"fp_lo", explode(expr(
+          """array(
+            |  struct(0 AS cno, fp_lo & 65535L AS ck),
+            |  struct(1 AS cno, shiftright(fp_lo, 16) & 65535L AS ck),
+            |  struct(2 AS cno, fp_hi & 65535L AS ck),
+            |  struct(3 AS cno, shiftright(fp_hi, 16) & 65535L AS ck))"""
+            .stripMargin)).as("c"))
+          .select($"fp_hi", $"fp_lo", $"c.cno", $"c.ck")
+        val fpPairs = chunks.as("a").join(chunks.as("b"),
             col("a.cno") === col("b.cno") && col("a.ck") === col("b.ck") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+              (col("a.fp_hi") < col("b.fp_hi") ||
+                (col("a.fp_hi") === col("b.fp_hi") &&
+                  col("a.fp_lo") < col("b.fp_lo"))))
+          .select(col("a.fp_hi").as("ha"), col("a.fp_lo").as("la"),
+            col("b.fp_hi").as("hb"), col("b.fp_lo").as("lb"),
+            expr("bit_count(a.fp_lo ^ b.fp_lo) + bit_count(a.fp_hi ^ b.fp_hi)")
+              .as("hamming"))
           .distinct()
           .filter($"hamming" <= 3)
-          .orderBy($"d1", $"d2")
+        val cross = fpPairs
+          .join(fps.select($"doc_id".as("da"), $"fp_hi".as("ha"),
+            $"fp_lo".as("la")), Seq("ha", "la"))
+          .join(fps.select($"doc_id".as("db"), $"fp_hi".as("hb"),
+            $"fp_lo".as("lb")), Seq("hb", "lb"))
+          .select(least($"da", $"db").as("d1"),
+            greatest($"da", $"db").as("d2"), $"hamming")
+        val same = fps.as("a").join(fps.as("b"),
+            col("a.fp_hi") === col("b.fp_hi") &&
+              col("a.fp_lo") === col("b.fp_lo") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            lit(0).as("hamming"))
+        cross.unionByName(same).orderBy($"d1", $"d2")
       },
       Some({
-        val votes = (0 until 32).map(i =>
-          s"    SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        def votes(src: String, p: String) = (0 until 32).map(i =>
+          s"    SUM(CASE WHEN ($src >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS $p$i")
           .mkString(",\n|")
-        val fpBits = (0 until 32).map(i =>
-          s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+        def fpBits(p: String) = (0 until 32).map(i =>
+          s"(CASE WHEN $p$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
           .mkString(" +\n|    ")
         s"""WITH t AS (
         |  SELECT doc_id,
@@ -985,22 +1039,31 @@ object Dedup {
         |h AS (
         |  SELECT doc_id,
         |    unnest(list_transform(toks,
-        |      t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)) AS h
+        |      t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)) AS hl,
+        |    unnest(list_transform(toks,
+        |      t -> ('0x' || substring(md5(t), 9, 8))::BIGINT)) AS hh
         |  FROM t WHERE len(toks) >= 1),
         |v AS (
         |  SELECT doc_id,
-        |$votes
+        |${votes("hl", "v")},
+        |${votes("hh", "w")}
         |  FROM h GROUP BY doc_id),
         |f AS (
         |  SELECT doc_id,
-        |    CAST($fpBits AS BIGINT) AS fp
+        |    CAST(${fpBits("v")} AS BIGINT) AS fp_lo,
+        |    CAST(${fpBits("w")} AS BIGINT) AS fp_hi
         |  FROM v),
         |ch AS (
-        |  SELECT doc_id, fp, i AS cno, (fp >> (i * 8)) & 255 AS ck
+        |  SELECT doc_id, fp_hi, fp_lo, i AS cno,
+        |    CASE i WHEN 0 THEN fp_lo & 65535
+        |           WHEN 1 THEN (fp_lo >> 16) & 65535
+        |           WHEN 2 THEN fp_hi & 65535
+        |           ELSE (fp_hi >> 16) & 65535 END AS ck
         |  FROM f, unnest(generate_series(0, 3)) AS u(i)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-        |    bit_count(xor(a.fp, b.fp)) AS hamming
+        |    bit_count(xor(a.fp_lo, b.fp_lo))
+        |      + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
         |  FROM ch a JOIN ch b ON a.cno = b.cno AND a.ck = b.ck
         |    AND a.doc_id < b.doc_id)
         |SELECT d1, d2, CAST(hamming AS INT) AS hamming

@@ -270,7 +270,35 @@ object Graph {
             col("a.s") < col("b.s"))
           .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
           .agg(count(lit(1)).as("shared"))
-        val thr = pairs.agg(expr("percentile(shared, 0.99)").as("thr"))
+        // 99th percentile of `shared` WITHOUT percentile()'s single sort
+        // buffer: the round-6 sf1 sweep showed that buffer (ALL pair rows
+        // collected into one task) was the query's superlinear stall
+        // (3.2 s -> 61 s for 10x data). `shared` is a small-integer
+        // domain, so build the exact CDF from a partial-agg histogram
+        // and interpolate order statistics k=floor(h), ceil(h) at
+        // h = 0.99*(n-1) — bit-identical to percentile()'s type-7 math
+        // (the oracle keeps quantile_cont and stays hash-green), but the
+        // only non-distributed step is a window over the DISTINCT-value
+        // histogram (bounded by the count domain, not the pair count).
+        val hist = pairs.groupBy(col("shared"))
+          .agg(count(lit(1)).as("cnt"))
+        val cdf = hist
+          .withColumn("cum", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("shared"))
+              .rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                0)))
+          .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+          .withColumn("h", (col("n") - 1).cast("double") * lit(0.99))
+        val thr = cdf.agg(
+            min(when(col("cum") >= floor(col("h")) + 1, col("shared")))
+              .as("vlo"),
+            min(when(col("cum") >= ceil(col("h")) + 1, col("shared")))
+              .as("vhi"),
+            max(col("h")).as("h"))
+          .select((col("vlo").cast("double") +
+            (col("h") - floor(col("h"))) *
+              (col("vhi") - col("vlo")).cast("double")).as("thr"))
         val edges = pairs.crossJoin(broadcast(thr))
           .filter($"shared".cast("double") > $"thr")
           .select($"s1", $"s2")

@@ -194,11 +194,14 @@ class StatQueriesSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     // pigeonhole: <=3 differing bits over 4 chunks leaves >=1 chunk equal,
     // so the bucket join must find EVERY <=3 pair the all-pairs scan finds
-    val fps = SparkEntry.queries("q_simhash")(spark, d).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    // (fingerprints from the query's own 64-bit two-half builder)
+    val fps = Dedup.simhash64(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("fp_hi"), r.getAs[Long]("fp_lo")))
     val brute = (for {
-      (a, fa) <- fps; (b, fb) <- fps if a < b
-      if java.lang.Long.bitCount(fa ^ fb) <= 3
+      (a, ha, la) <- fps; (b, hb, lb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) +
+        java.lang.Long.bitCount(la ^ lb) <= 3
     } yield (a, b)).toSet
     assert(got === brute,
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
