@@ -2075,73 +2075,84 @@ object Analytics {
         |GROUP BY k ORDER BY k""".stripMargin),
       "k-anonymity / l-diversity audit over quasi-identifier classes"),
 
-    // Two-proportion A/B z-test — the experiment-readout primitive:
-    // cohorts from a deterministic user_id split (even = control,
-    // odd = treatment), conversion = "user emitted a purchase event".
-    // All counts are exact integers off ONE user-keyed partial agg; the
-    // pooled-variance z statistic is a handful of IEEE ops on those
-    // integers (sqrt is correctly rounded per IEEE-754, so both engines
-    // produce the same double), rounded at the display edge. Includes
-    // the ±1.96 significance verdict so a pipeline can gate on the
-    // boolean instead of re-deriving it.
+    // Welch two-sample A/B z-test on mean event value — the experiment
+    // readout primitive (the PROPORTION variant degenerates on this data:
+    // every user converts, pooled variance 0, z = 0/0). Cohorts from a
+    // deterministic user_id parity split; per-cohort moments are EXACT —
+    // values to integer micro-units, Σv and Σv² summed in decimal(38,0)
+    // (the q_skew_moments power-sum recipe) — and the z statistic is a
+    // fixed sequence of IEEE ops both engines apply to those identical
+    // integers (decimal→double is correctly rounded, sqrt is correctly
+    // rounded). nullif guards the zero-variance edge to NULL on both
+    // engines. One cohort-keyed partial-agg shuffle; the ±1.96 verdict
+    // rides along so a pipeline gates on the boolean.
     "q_ab_test" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val conv = Tables.load(s, d, "events")
-          .groupBy(($"user_id" % 2 === 1).as("treat"))
-          .agg(countDistinct($"user_id").as("n"),
-            countDistinct(when($"event_type" === "purchase", $"user_id"))
-              .as("conv"))
-        val wide = conv.groupBy()
-          .agg(
-            sum(when(!$"treat", $"n")).as("n_c"),
-            sum(when(!$"treat", $"conv")).as("conv_c"),
-            sum(when($"treat", $"n")).as("n_t"),
-            sum(when($"treat", $"conv")).as("conv_t"))
-        wide.select(
-            $"n_c", $"conv_c", $"n_t", $"conv_t",
-            round($"conv_c".cast("double") / $"n_c", 6).as("rate_c"),
-            round($"conv_t".cast("double") / $"n_t", 6).as("rate_t"),
-            round(($"conv_t".cast("double") / $"n_t" -
-              $"conv_c".cast("double") / $"n_c") /
-              sqrt((($"conv_c" + $"conv_t").cast("double") /
-                ($"n_c" + $"n_t")) *
-                (lit(1.0) - ($"conv_c" + $"conv_t").cast("double") /
-                  ($"n_c" + $"n_t")) *
-                (lit(1.0) / $"n_c" + lit(1.0) / $"n_t")), 6).as("z"),
-            (abs(($"conv_t".cast("double") / $"n_t" -
-              $"conv_c".cast("double") / $"n_c") /
-              sqrt((($"conv_c" + $"conv_t").cast("double") /
-                ($"n_c" + $"n_t")) *
-                (lit(1.0) - ($"conv_c" + $"conv_t").cast("double") /
-                  ($"n_c" + $"n_t")) *
-                (lit(1.0) / $"n_c" + lit(1.0) / $"n_t"))) > 1.96)
-              .as("significant"))
+        val st = Tables.load(s, d, "events")
+          .select(($"user_id" % 2 === 1).as("treat"),
+            round($"value" * 1e6, 0)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("v"))
+          .groupBy($"treat")
+          .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+            sum($"v" * $"v").as("ss"))
+        val wide = st.groupBy().agg(
+          sum(when(!$"treat", $"n")).as("n_c"),
+          sum(when(!$"treat", $"s")).as("s_c"),
+          sum(when(!$"treat", $"ss")).as("ss_c"),
+          sum(when($"treat", $"n")).as("n_t"),
+          sum(when($"treat", $"s")).as("s_t"),
+          sum(when($"treat", $"ss")).as("ss_t"))
+        // variance in micro² units; micro factors cancel inside z
+        def variance(ss: Column, sm: Column, n: Column): Column =
+          (ss.cast("double") - sm.cast("double") * sm.cast("double") / n) /
+            (n - 1)
+        val vc = variance($"ss_c", $"s_c", $"n_c")
+        val vt = variance($"ss_t", $"s_t", $"n_t")
+        val z = ($"s_t".cast("double") / $"n_t" -
+          $"s_c".cast("double") / $"n_c") /
+          nullif(sqrt(vc / $"n_c" + vt / $"n_t"), lit(0.0))
+        wide.select($"n_c", $"n_t",
+          round($"s_c".cast("double") / $"n_c" / 1e6, 6).as("mean_c"),
+          round($"s_t".cast("double") / $"n_t" / 1e6, 6).as("mean_t"),
+          round(z, 6).as("z"),
+          (abs(z) > 1.96).as("significant"))
       },
-      Some("""WITH conv AS (
-        |  SELECT user_id % 2 = 1 AS treat, user_id,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
-        |  FROM events GROUP BY 1, 2),
+      Some("""WITH st AS (
+        |  SELECT user_id % 2 = 1 AS treat,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1000000, 0) AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(round(value * 1000000, 0) AS DECIMAL(38,0))
+        |      * CAST(round(value * 1000000, 0) AS DECIMAL(38,0))) AS ss
+        |  FROM events GROUP BY 1),
         |w AS (
         |  SELECT
-        |    CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
-        |    CAST(SUM(CASE WHEN NOT treat THEN c ELSE 0 END) AS BIGINT) AS conv_c,
-        |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
-        |    CAST(SUM(CASE WHEN treat THEN c ELSE 0 END) AS BIGINT) AS conv_t
-        |  FROM conv)
-        |SELECT n_c, conv_c, n_t, conv_t,
-        |  round(CAST(conv_c AS DOUBLE) / n_c, 6) AS rate_c,
-        |  round(CAST(conv_t AS DOUBLE) / n_t, 6) AS rate_t,
-        |  round((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
-        |    / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-        |      * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-        |      * (1.0 / n_c + 1.0 / n_t)), 6) AS z,
-        |  abs((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
-        |    / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-        |      * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-        |      * (1.0 / n_c + 1.0 / n_t))) > 1.96 AS significant
+        |    CAST(SUM(CASE WHEN NOT treat THEN n END) AS BIGINT) AS n_c,
+        |    SUM(CASE WHEN NOT treat THEN s END) AS s_c,
+        |    SUM(CASE WHEN NOT treat THEN ss END) AS ss_c,
+        |    CAST(SUM(CASE WHEN treat THEN n END) AS BIGINT) AS n_t,
+        |    SUM(CASE WHEN treat THEN s END) AS s_t,
+        |    SUM(CASE WHEN treat THEN ss END) AS ss_t
+        |  FROM st)
+        |SELECT n_c, n_t,
+        |  round(CAST(s_c AS DOUBLE) / n_c / 1e6, 6) AS mean_c,
+        |  round(CAST(s_t AS DOUBLE) / n_t / 1e6, 6) AS mean_t,
+        |  round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+        |    / nullif(sqrt(
+        |      ((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE)
+        |          * CAST(s_c AS DOUBLE) / n_c) / (n_c - 1)) / n_c
+        |      + ((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE)
+        |          * CAST(s_t AS DOUBLE) / n_t) / (n_t - 1)) / n_t), 0),
+        |    6) AS z,
+        |  abs((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+        |    / nullif(sqrt(
+        |      ((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE)
+        |          * CAST(s_c AS DOUBLE) / n_c) / (n_c - 1)) / n_c
+        |      + ((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE)
+        |          * CAST(s_t AS DOUBLE) / n_t) / (n_t - 1)) / n_t), 0))
+        |    > 1.96 AS significant
         |FROM w""".stripMargin),
-      "two-proportion A/B z-test with pooled variance and 5% verdict"),
+      "Welch two-sample A/B z-test on mean event value (exact moments)"),
 
     // Day-of-week seasonality profile: per-weekday event volume and its
     // seasonal index (weekday mean / overall daily mean) — the
