@@ -186,7 +186,12 @@ object EventStream {
     * (`end = last event + gap`), pinned by the parity test. Events are
     * processed in event-time order within each micro-batch; a session
     * split by the gap inside one batch closes immediately, without
-    * waiting for the timeout. */
+    * waiting for the timeout. Contract for cross-batch stragglers: a
+    * late event landing inside an open session's gap EXTENDS it (same
+    * as session_window), but one older than the session's start cannot
+    * rewind the recorded start — bounded staleness the watermark caps;
+    * an exact replay under arbitrary reordering would need the batch
+    * operator over the closed log. */
   def closedSessions(
       events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000,

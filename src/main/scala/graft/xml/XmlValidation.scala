@@ -138,9 +138,15 @@ object XmlValidation {
     }
   }
 
-  /** First 10 lines contain `<!DOCTYPE` (`R/schema_validator.R:142-148`). */
+  /** First 10 lines contain `<!DOCTYPE` (`R/schema_validator.R:142-148`).
+    * Decoded as ISO-8859-1: the needle is pure ASCII and every byte is a
+    * valid latin-1 char, so a UTF-8 BOM, declared non-UTF8 encodings, or
+    * stray high bytes can never throw MalformedInputException here — with
+    * the JVM-default codec one such byte in one file killed the whole
+    * distributed validation batch (caught by the BOM e2e test). */
   def hasInternalDtd(xmlFile: String): Boolean = {
-    val src = Source.fromFile(localFile(xmlFile))
+    val src = Source.fromFile(localFile(xmlFile))(
+      scala.io.Codec.ISO8859)
     try src.getLines().take(10).exists(_.contains("<!DOCTYPE"))
     finally src.close()
   }

@@ -269,6 +269,30 @@ class XmlPipelineSpec extends SparkSpec {
     assert(r.getAs[String]("mixed") == "prefix suffix bold")
   }
 
+  test("UTF-8 BOM files: probe, validation, and read all tolerate the BOM") {
+    val in = Files.createTempDirectory("graft_bom_in")
+    val out = Files.createTempDirectory("graft_bom_out")
+    val schemas = Files.createTempDirectory("graft_bom_sch")
+    val body =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<!-- Division:North -->
+        |<catalog>
+        |  <record id="7"><title>Bomful</title><price>1.5</price></record>
+        |</catalog>
+        |""".stripMargin
+    // EF BB BF prefix — what Windows editors and some exporters emit
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    Files.write(in.resolve("a.xml"),
+      bom ++ body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(XmlIngest.probeRowTag(spark, in.toString) == "record")
+    val report = XmlPipeline.process(spark, in.toString, out.toString,
+      schemas.toString, runId = 9L,
+      loadTs = java.sql.Timestamp.valueOf("2024-03-04 05:06:07"))
+    assert(report.rows == 1L, s"BOM file dropped: $report")
+    val fact = spark.read.parquet(s"$out/fact_main.parquet")
+    assert(fact.filter(col("record_id") === "7").count() == 1)
+  }
+
   test("declared non-UTF8 encoding is sniffed and honored") {
     val in = Files.createTempDirectory("graft_enc_in")
     Files.write(in.resolve("a.xml"),
