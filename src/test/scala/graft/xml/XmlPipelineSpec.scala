@@ -293,6 +293,34 @@ class XmlPipelineSpec extends SparkSpec {
     assert(fact.filter(col("record_id") === "7").count() == 1)
   }
 
+  test("degenerate corpus members: zero-byte and record-less files are " +
+      "isolated, healthy files still land") {
+    val in = Files.createTempDirectory("graft_degen_in")
+    val out = Files.createTempDirectory("graft_degen_out")
+    val schemas = Files.createTempDirectory("graft_degen_sch")
+    Files.writeString(in.resolve("a_good.xml"),
+      """<?xml version="1.0"?>
+        |<catalog>
+        |  <record id="1"><title>Ok</title><price>2.5</price></record>
+        |  <record id="2"><title>Also ok</title><price>3.5</price></record>
+        |</catalog>
+        |""".stripMargin)
+    Files.write(in.resolve("b_empty.xml"), Array.emptyByteArray) // 0 bytes
+    Files.writeString(in.resolve("c_rootonly.xml"),
+      "<?xml version=\"1.0\"?>\n<catalog></catalog>\n")
+    val report = XmlPipeline.process(spark, in.toString, out.toString,
+      schemas.toString, runId = 11L,
+      loadTs = java.sql.Timestamp.valueOf("2024-03-04 05:06:07"))
+    // zero-byte file fails well-formedness -> quarantined, not fatal;
+    // the record-less file contributes zero rows but doesn't break the
+    // schema pass; both healthy records land
+    assert(report.rows == 2L, s"expected 2 fact rows: $report")
+    assert(report.filesSkipped == 1, s"empty file not quarantined: $report")
+    val errs = spark.read.option("header", "true")
+      .csv(s"$out/processing_errors.csv")
+    assert(errs.filter(col("file").contains("b_empty.xml")).count() == 1)
+  }
+
   test("declared non-UTF8 encoding is sniffed and honored") {
     val in = Files.createTempDirectory("graft_enc_in")
     Files.write(in.resolve("a.xml"),
