@@ -44,6 +44,21 @@ class DedupClusterSpec extends SparkSpec {
     assert(fromKeeper == fromClusters.values.toSet)
   }
 
+  test("memoized indexes are keyed per session: a second SparkSession " +
+      "rebuilds and agrees instead of inheriting another session's plan") {
+    val d = "/root/testdata/sf0.001"
+    val first = graft.SparkEntry.queries("q_dup_clusters")(spark, d)
+      .collect().map(_.toSeq).toSet
+    // newSession shares the SparkContext but is a DIFFERENT session —
+    // the (session, dir) cache key must miss, rebuild cleanly, and
+    // produce the identical cluster map (ADVICE r5: a dir-only key
+    // served one session's checkpointed DataFrame to another)
+    val s2 = spark.newSession()
+    val second = graft.SparkEntry.queries("q_dup_clusters")(s2, d)
+      .collect().map(_.toSeq).toSet
+    assert(second == first)
+  }
+
   test("deduplicate keeps one canonical doc per near-dup cluster") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.01/documents.parquet")
