@@ -117,6 +117,13 @@ class GraftExtensions
         UnicodeNormalizeExpr(children.head, form)
       }))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinklerExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_pack"),
       new ExpressionInfo(classOf[SimHashPackExpr].getName, "simhash_pack"),
       (children: Seq[Expression]) => {

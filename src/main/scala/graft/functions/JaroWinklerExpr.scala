@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler name/string similarity — the record-linkage primitive
+  * (entity resolution, customer matching, fuzzy joins) that complements
+  * the edit-distance and shingle families: token order is respected but
+  * transpositions are cheap, and the Winkler prefix boost rewards the
+  * "same-entity, typo-late" shape real names have. Spark has no
+  * built-in; a Scala UDF would break whole-stage codegen on the hot
+  * match loop, so this is a native expression whose generated code
+  * calls the static matcher below (one branch-free call per row, no
+  * boxing, stays inside WholeStageCodegen spans).
+  *
+  * Semantics match DuckDB's `jaro_winkler_similarity` exactly (probed
+  * against the textbook vectors martha/marhta = 0.9611…, dixon/dicksonx
+  * = 0.8133…, CRANE/ACRE = 0.7833…): match window `max(|a|,|b|)/2 − 1`,
+  * transpositions counted over match order, either side empty → 0,
+  * prefix boost `+ l·0.1·(1−jaro)` with `l = min(4, common prefix)`
+  * applied only when jaro > 0.7 (strict), case-sensitive. Comparison is
+  * per UTF-16 unit — identical to per-codepoint for the BMP text names
+  * live in. `q_record_linkage` pins the math against DuckDB's
+  * independent (utf8proc-side) implementation.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler expects (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerExpr.similarity(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.JaroWinklerExpr.similarity(
+         |  $a.toString(), $b.toString());""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaro_winkler"
+}
+
+object JaroWinklerExpr {
+
+  /** Jaro similarity; 0 when either side is empty (DuckDB's convention). */
+  def jaro(a: String, b: String): Double = {
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    (md / l1 + md / l2 + (md - t / 2.0) / md) / 3.0
+  }
+
+  /** Jaro-Winkler: prefix boost only above the 0.7 threshold (strict). */
+  def similarity(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    if (j <= 0.7) j
+    else {
+      val max = math.min(4, math.min(a.length, b.length))
+      var p = 0
+      while (p < max && a.charAt(p) == b.charAt(p)) p += 1
+      j + p * 0.1 * (1.0 - j)
+    }
+  }
+}

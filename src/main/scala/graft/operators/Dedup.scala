@@ -453,6 +453,56 @@ object Dedup {
         |FROM p WHERE 5 * dist <= maxlen ORDER BY d1, d2""".stripMargin),
       "Levenshtein near-dup pairs via two-key capped blocking (X2)"),
 
+    // X2 record linkage via native Jaro-Winkler: the entity-resolution
+    // primitive (customer/product matching) the edit-distance family
+    // doesn't cover — transpositions are cheap and the Winkler prefix
+    // boost rewards the same-entity-typo-late shape real names have.
+    // Similarity is graft's native `jaro_winkler` codegen expression;
+    // the ORACLE is DuckDB's own independent jaro_winkler_similarity, so
+    // the match (filter, order, and 6-dp values) cross-checks two
+    // implementations of the metric. Candidates come from blocking on
+    // (brand, type, size) with the q_edit_blocking hot-block cap (>60
+    // dropped) — never all-pairs; exact-equal names are q_dedup_exact's
+    // job, so the view keeps the near-miss band [0.85, 1).
+    "q_record_linkage" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val p = Tables.load(s, d, "part")
+          .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+        val capped = p
+          .withColumn("bn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"p_brand", $"p_type", $"p_size")))
+          .filter($"bn" <= 60)
+        capped.alias("a").join(capped.alias("b"),
+            $"a.p_brand" === $"b.p_brand" && $"a.p_type" === $"b.p_type" &&
+              $"a.p_size" === $"b.p_size" &&
+              $"a.p_partkey" < $"b.p_partkey")
+          .select($"a.p_partkey".as("p1"), $"b.p_partkey".as("p2"),
+            $"a.p_name".as("name1"), $"b.p_name".as("name2"),
+            expr("jaro_winkler(a.p_name, b.p_name)").as("sim0"))
+          .filter($"sim0" >= 0.85 && $"sim0" < 1.0)
+          .select($"p1", $"p2", $"name1", $"name2",
+            round($"sim0", 6).as("sim"))
+          .orderBy($"sim".desc, $"p1", $"p2")
+          .limit(20)
+      },
+      Some("""WITH capped AS (
+        |  SELECT * FROM (
+        |    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |      COUNT(*) OVER (PARTITION BY p_brand, p_type, p_size) AS bn
+        |    FROM part) WHERE bn <= 60)
+        |SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+        |  a.p_name AS name1, b.p_name AS name2,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+        |FROM capped a JOIN capped b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |    AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        |  AND jaro_winkler_similarity(a.p_name, b.p_name) < 1.0
+        |ORDER BY sim DESC, p1, p2 LIMIT 20""".stripMargin),
+      "record linkage: blocked Jaro-Winkler name matching, near-miss band"),
+
     // X2 duplicate-cluster assignment: connected components over the
     // near-dup pair graph, so transitive chains (A~B, B~C) collapse to one
     // cluster with one canonical keeper (the min doc_id in the component).

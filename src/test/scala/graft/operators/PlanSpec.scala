@@ -484,6 +484,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q_record_linkage: blocked join only, native jaro_winkler, capped") {
+    val p = plan("q_record_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(1500))
+    assert(p.contains("jaro_winkler"), p.take(1500)) // native expr, no UDF
+    assert(p.contains("windowspecdefinition(p_brand"), p.take(1500)) // cap
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
