@@ -170,6 +170,32 @@ class XmlPipelineSpec extends SparkSpec {
     assert(v.valid.contains(false) && v.errors.nonEmpty)
   }
 
+  test("compiled-XSD cache recompiles when the schema file changes") {
+    val dir = Files.createTempDirectory("graft_xsdcache")
+    val xml = dir.resolve("doc.xml")
+    Files.writeString(xml, "<r><a>hello</a></r>\n")
+    def schema(elem: String): String =
+      s"""<?xml version="1.0"?>
+         |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+         |  <xs:element name="r"><xs:complexType><xs:sequence>
+         |    <xs:element name="$elem" type="xs:string"/>
+         |  </xs:sequence></xs:complexType></xs:element>
+         |</xs:schema>
+         |""".stripMargin
+    val xsd = dir.resolve("s.xsd")
+    Files.writeString(xsd, schema("a"))
+    assert(XmlValidation.validateXsd(xml.toString, xsd.toString)
+      .valid.contains(true))
+    // overwrite with a schema the doc violates; mtime/length key must
+    // miss and recompile — a stale cache would keep saying valid
+    Files.writeString(xsd, schema("b"))
+    Files.setLastModifiedTime(xsd,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    assert(XmlValidation.validateXsd(xml.toString, xsd.toString)
+      .valid.contains(false))
+  }
+
   private def catalogXml(ids: Range, statuses: Seq[String]): String = {
     val recs = ids.map { i =>
       val st = statuses(i % statuses.size)
