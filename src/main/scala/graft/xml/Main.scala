@@ -1,0 +1,97 @@
+package graft.xml
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point — the reference's `process_xml_to_parquet(
+  * input_folder, output_dir)` call (`R/main.R:57`) as a submittable job,
+  * so a reference user's cron line ports to:
+  *
+  * {{{
+  * spark-submit --class graft.xml.Main graft.jar \
+  *   /data/xml /data/out [/data/schemas] \
+  *   [--incremental] [--no-validate] [--run-id 42]
+  * }}}
+  *
+  * `schemaDir` defaults to the input directory (findSchemaFile also
+  * searches beside each XML file, mirroring the reference's resolution
+  * order). `--run-id` makes runs reproducible (SURVEY.md §8 Q6 — the
+  * reference stamped a random batch id); without it the wall-clock
+  * millis stand in, which is the right default for a cron job and the
+  * wrong one for tests (tests pass [[run]] an explicit id). Exit code 1
+  * when integrity violations are found, so schedulers alert. */
+object Main {
+
+  final case class Config(
+      inputDir: String,
+      outputDir: String,
+      schemaDir: String,
+      incremental: Boolean,
+      validate: Boolean,
+      runId: Option[Long])
+
+  def parse(args: Array[String]): Config = {
+    val positional = scala.collection.mutable.Buffer.empty[String]
+    var incremental = false
+    var validate = true
+    var runId: Option[Long] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--incremental" => incremental = true
+        case "--no-validate" => validate = false
+        case f if f.startsWith("--run-id=") =>
+          runId = Some(f.stripPrefix("--run-id=").toLong)
+        case "--run-id" =>
+          require(i + 1 < args.length, "--run-id needs a value")
+          runId = Some(args(i + 1).toLong)
+          i += 1
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag: $f")
+        case p => positional += p
+      }
+      i += 1
+    }
+    require(positional.length >= 2 && positional.length <= 3,
+      "usage: graft.xml.Main <inputDir> <outputDir> [schemaDir] " +
+        "[--incremental] [--no-validate] [--run-id N]")
+    Config(
+      inputDir = positional(0),
+      outputDir = positional(1),
+      schemaDir = positional.lift(2).getOrElse(positional(0)),
+      incremental = incremental,
+      validate = validate,
+      runId = runId)
+  }
+
+  /** Testable core: runs the pipeline on an existing session. */
+  def run(spark: SparkSession, cfg: Config,
+      now: () => Long = () => System.currentTimeMillis())
+      : XmlPipeline.PipelineReport = {
+    val runId = cfg.runId.getOrElse(now())
+    val loadTs = new Timestamp(now())
+    if (cfg.incremental)
+      XmlPipeline.processIncremental(spark, cfg.inputDir, cfg.outputDir,
+        cfg.schemaDir, runId, loadTs, cfg.validate)
+    else
+      XmlPipeline.process(spark, cfg.inputDir, cfg.outputDir,
+        cfg.schemaDir, runId, loadTs, cfg.validate)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val spark = SparkSession.builder()
+      .appName("graft-xml-to-parquet")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    val report = run(spark, cfg)
+    // scalastyle:off println
+    println(s"files=${report.filesTotal} skipped=${report.filesSkipped} " +
+      s"rows=${report.rows} violations=${report.violations.size}")
+    report.violations.foreach(v => println(s"violation: $v"))
+    // scalastyle:on println
+    spark.stop()
+    if (report.violations.nonEmpty) sys.exit(1)
+  }
+}

@@ -170,6 +170,34 @@ class XmlPipelineSpec extends SparkSpec {
     assert(v.valid.contains(false) && v.errors.nonEmpty)
   }
 
+  test("Main CLI: arg parsing, full + incremental runs over the entry point") {
+    val cfg = Main.parse(Array("/in", "/out", "--incremental", "--run-id", "7"))
+    assert(cfg == Main.Config("/in", "/out", "/in",
+      incremental = true, validate = true, runId = Some(7L)))
+    assert(Main.parse(Array("/in", "/out", "/sch", "--no-validate")) ==
+      Main.Config("/in", "/out", "/sch",
+        incremental = false, validate = false, runId = None))
+    intercept[IllegalArgumentException] { Main.parse(Array("/only-one")) }
+
+    val in = Files.createTempDirectory("graft_cli_in")
+    val out = Files.createTempDirectory("graft_cli_out")
+    Files.writeString(in.resolve("a.xml"), catalogXml(0 until 3, Seq("ok")))
+    val r1 = Main.run(spark,
+      Main.Config(in.toString, out.toString, in.toString,
+        incremental = false, validate = true, runId = Some(5L)),
+      now = () => 1709528767000L)
+    assert(r1.rows == 3 && r1.violations.isEmpty)
+    // second incremental run with a new file appends only the new rows
+    Files.writeString(in.resolve("b.xml"), catalogXml(3 until 5, Seq("ok")))
+    val r2 = Main.run(spark,
+      Main.Config(in.toString, out.toString, in.toString,
+        incremental = true, validate = true, runId = Some(6L)),
+      now = () => 1709528768000L)
+    assert(r2.rows == 2, s"incremental should process only b.xml: $r2")
+    val fact = spark.read.parquet(s"$out/fact_main.parquet")
+    assert(fact.count() == 5)
+  }
+
   test("compiled-XSD cache recompiles when the schema file changes") {
     val dir = Files.createTempDirectory("graft_xsdcache")
     val xml = dir.resolve("doc.xml")
