@@ -31,8 +31,14 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NullType admitted like the built-in string functions: a literal NULL
+  // argument analyzes fine and the row-level null check returns NULL
+  // (review: strict StringType-only rejected `jaro_winkler(col, NULL)`)
+  private def ok(t: DataType): Boolean =
+    t == StringType || t == org.apache.spark.sql.types.NullType
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
+    if (ok(left.dataType) && ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"jaro_winkler expects (string, string), got " +

@@ -152,8 +152,10 @@ object Multimodal {
         batch.iterator.map { row =>
           val info = sniffImage(row.content)
           val img = info.flatMap { _ =>
+            // NonFatal: see resizeImages — plugin RuntimeExceptions on
+            // corrupt bodies must quarantine, not kill the job
             try Option(ImageIO.read(new ByteArrayInputStream(row.content)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           }
           (info, img) match {
             case (Some(i), Some(bi)) =>
@@ -218,8 +220,12 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val img =
+            // NonFatal, not just IOException: ImageIO plugins throw
+            // RuntimeExceptions (CMMException, IndexOutOfBounds…) on
+            // corrupt bodies with valid magic — any of them must become
+            // a quarantine row, never a task failure (found by review)
             try Option(ImageIO.read(new ByteArrayInputStream(row.content)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           img match {
             case Some(src) if math.max(src.getWidth, src.getHeight) <= maxDim =>
               ResizedImage(row.media_id, decode_ok = true,
@@ -229,8 +235,14 @@ object Multimodal {
                 maxDim.toDouble / math.max(math.max(src.getWidth, src.getHeight), 1)
               val w = math.max(1, math.ceil(src.getWidth * scale).toInt)
               val h = math.max(1, math.ceil(src.getHeight * scale).toInt)
-              val dst = new java.awt.image.BufferedImage(w, h,
-                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              // preserve alpha: drawing a transparent PNG onto an
+              // opaque (zero-initialized = black) raster would burn the
+              // background in (found by review)
+              val imgType =
+                if (src.getColorModel.hasAlpha)
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB
+                else java.awt.image.BufferedImage.TYPE_INT_RGB
+              val dst = new java.awt.image.BufferedImage(w, h, imgType)
               val g = dst.createGraphics()
               try {
                 g.setRenderingHint(

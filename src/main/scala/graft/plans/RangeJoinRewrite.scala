@@ -66,11 +66,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Reduce `e` to (attribute, additive constant offset) in band units —
-    * micros for timestamps, the raw value for integral columns. */
+    * micros for timestamps, DAYS for dates, the raw value for integral
+    * columns. A Cast(date -> timestamp) is NOT unwrapped: the comparison
+    * then happens in micros while a DateType attribute bands in days, so
+    * folding its offsets onto the date attr would band in the wrong unit
+    * and silently drop every true pair (found by review; covered by the
+    * mixed-unit regression test). */
   private def boundOf(e: Expression): Option[(Attribute, Long)] = e match {
     case a: AttributeReference => Some((a, 0L))
     case c: Cast
-        if c.dataType == TimestampType ||
+        if (c.dataType == TimestampType &&
+            c.child.dataType != DateType) ||
           (c.dataType == LongType && c.child.dataType == IntegerType) =>
       boundOf(c.child)
     case t: TimestampAddInterval if t.interval.foldable =>

@@ -215,7 +215,13 @@ object EventStream {
             batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
               cur = cur match {
                 case Some(s) if e.ts.getTime - s.lastTs.getTime <= gapMs =>
-                  Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+                  // max(): a cross-batch straggler inside the gap joins
+                  // the session but must never REWIND lastTs — a rewound
+                  // end would fire the timeout early and could emit
+                  // session_end < session_start (found by review)
+                  Some(SessionState(s.start,
+                    if (e.ts.after(s.lastTs)) e.ts else s.lastTs,
+                    s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= close(uid, s)
                   Some(SessionState(e.ts, e.ts, 1L, e.value))

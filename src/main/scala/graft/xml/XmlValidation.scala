@@ -56,18 +56,24 @@ object XmlValidation {
     * files against one XSD must compile it once per executor, not once per
     * FILE — `javax.xml.validation.Schema` is immutable and thread-safe, so
     * tasks share it and take a fresh (cheap) Validator each. Keyed by
-    * (path, mtime, length) so an edited schema file is recompiled, never
-    * served stale. Unbounded only in the number of DISTINCT schema files —
-    * bounded by the corpus contract, like the dimension cardinality. */
+    * PATH with a (mtime, length) freshness stamp: an edited schema file
+    * REPLACES its entry (recompiled, never served stale; the old compiled
+    * schema is dropped, so re-deployed schemas don't accumulate — review
+    * caught the grow-without-bound of a stamp-in-key design). Known limit:
+    * a same-length rewrite within the filesystem's mtime granularity is
+    * indistinguishable — the standard build-cache tradeoff. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Long), javax.xml.validation.Schema]()
+      String, ((Long, Long), javax.xml.validation.Schema)]()
 
   private def compiledSchema(xsdFile: String): javax.xml.validation.Schema = {
     val f = new File(xsdFile)
-    schemaCache.computeIfAbsent((f.getAbsolutePath, f.lastModified, f.length),
-      _ => SchemaFactory.newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
+    val stamp = (f.lastModified, f.length)
+    schemaCache.compute(f.getAbsolutePath, (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else (stamp, SchemaFactory.newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
         .newSchema(new StreamSource(f)))
+    )._2
   }
 
   /** SAX parser factories, per thread: `SAXParserFactory.newInstance` runs

@@ -43,6 +43,8 @@ class JaroWinklerSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT jaro_winkler('dixon', 'dicksonx') = jaro_winkler('dicksonx', 'dixon')")
       .head().getBoolean(0))
+    // a literal NULL argument analyzes (NullType admitted) and yields NULL
+    assert(spark.sql("SELECT jaro_winkler('abc', NULL)").head().isNullAt(0))
   }
 
   test("non-string inputs are rejected at analysis") {

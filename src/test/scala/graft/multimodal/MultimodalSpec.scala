@@ -129,4 +129,24 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(origLuma - newLuma) < 0.02,
       s"resample drifted mean luma: $origLuma -> $newLuma")
   }
+
+  test("resizeImages preserves alpha: transparent regions stay transparent") {
+    // 320x200 ARGB: left half fully transparent, right half opaque red
+    val src = new BufferedImage(320, 200, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 200; x <- 160 until 320)
+      src.setRGB(x, y, 0xffff0000)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(src, "png", out)
+    val rows = Seq(MediaRow(9L, out.toByteArray,
+      MediaMeta("image", 320, 200, 0L, "png"))).toDS()
+    val resized = Multimodal.resizeImages(rows, maxDim = 160)
+      .collect().head
+    assert(resized.decode_ok && resized.width == 160 && resized.height == 100)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(resized.content))
+    assert(back.getColorModel.hasAlpha, "alpha channel dropped on resize")
+    assert(((back.getRGB(5, 50) >>> 24) & 0xff) == 0,
+      "transparent region became opaque (composited onto black)")
+    assert(((back.getRGB(150, 50) >>> 24) & 0xff) == 0xff,
+      "opaque region lost alpha")
+  }
 }

@@ -124,6 +124,28 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("date columns compared through INTERVAL (micros domain) are left " +
+      "alone — banding must never mix day and micro units") {
+    // Spark implicitly casts DATE to TIMESTAMP against an interval bound:
+    // the comparison is in micros while a date attr bands in days. The
+    // rule must NOT fire here (a mixed-unit envelope would be ~1e11 days
+    // off and return an empty join); correctness over coverage.
+    val days = (0 until 60).map(Tuple1(_)).toDF("i")
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")), $"i")
+        .as("day"))
+    val a = days.select($"day")
+    val b = days.select($"day".as("bday"))
+    def j = a.join(b,
+      $"bday".cast("timestamp") >= $"day".cast("timestamp") -
+        expr("INTERVAL 36 HOURS") &&
+      $"bday".cast("timestamp") <= $"day".cast("timestamp") -
+        expr("INTERVAL 12 HOURS"))
+    val on = withRule(on = true)(rows(j))
+    val off = withRule(on = false)(rows(j))
+    assert(on.nonEmpty && on == off,
+      s"mixed-unit rewrite corrupted results: ${on.size} vs ${off.size}")
+  }
+
   test("rewrite is idempotent: exactly one band pair in the plan") {
     withRule(on = true) {
       val plan = naiveEqui.queryExecution.optimizedPlan.treeString

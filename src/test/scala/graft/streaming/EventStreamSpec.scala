@@ -122,7 +122,7 @@ class EventStreamSpec extends SparkSpec {
       "matching batch session_window bounds") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = EventStream.closedSessions(input.toDS(), watermark = "0 seconds")
+    val q = EventStream.closedSessions(input.toDS(), watermark = "10 minutes")
       .writeStream.format("memory").queryName("closed")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -130,6 +130,12 @@ class EventStreamSpec extends SparkSpec {
       // timeout); user 2: one session extended ACROSS micro-batches
       input.addData(batch1: _*); q.processAllAvailable()
       input.addData(Event(ts("2024-01-01 11:20:00"), 2L, 1.0))
+      q.processAllAvailable()
+      // cross-batch straggler: 11:15 arrives AFTER 11:20 (inside the
+      // 10-min watermark) and inside the gap — it must extend user 2's
+      // session WITHOUT rewinding lastTs from 11:20 (a rewind would
+      // close the session at 11:45, diverging from session_window)
+      input.addData(Event(ts("2024-01-01 11:15:00"), 2L, 0.5))
       q.processAllAvailable()
       // watermark driver: a far-future event pushes event time past every
       // open session's gap horizon, firing the timeouts
@@ -143,12 +149,13 @@ class EventStreamSpec extends SparkSpec {
         .as[ClosedSession].collect().toSeq
       // batch truth: same rows through the built-in session_window
       val batch = EventStream.sessionAgg(
-          (batch1 :+ Event(ts("2024-01-01 11:20:00"), 2L, 1.0)).toDF,
+          (batch1 ++ Seq(Event(ts("2024-01-01 11:20:00"), 2L, 1.0),
+            Event(ts("2024-01-01 11:15:00"), 2L, 0.5))).toDF,
           withWatermark = false)
         .orderBy("user_id", "session_start")
         .as[ClosedSession].collect().toSeq
       assert(got == batch, s"stream $got != batch $batch")
-      assert(got.map(_.n_events) == Seq(1L, 1L, 2L))
+      assert(got.map(_.n_events) == Seq(1L, 1L, 3L))
       // exactly-once: no session row was emitted twice
       assert(got.distinct.size == got.size)
     } finally q.stop()
