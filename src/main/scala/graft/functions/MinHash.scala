@@ -80,6 +80,30 @@ object MinHash {
       .distinct()
   }
 
+  /** Signature via EXPLODE + per-seed min AGGREGATES: value-identical to
+    * [[signature]] (element i = min over shingles of `xxhash64(shingle,
+    * i)`) but the hot path is `numHashes` codegen'd min-aggregate columns
+    * with map-side partials instead of `numHashes` INTERPRETED
+    * higher-order passes over the shingle array per row — at sf1 the HOF
+    * form spent 185 s of q_minhash_lsh's 195 s in that interpreter loop
+    * (round-6 full-surface sweep); this shape runs the same hashes inside
+    * WholeStageCodegen and shuffles only (doc, 64 longs). */
+  def signatureAgg(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      shingleSize: Int,
+      numHashes: Int): DataFrame = {
+    val ex = df.select(col(idCol),
+      explode(shingles(tokensCol, shingleSize)).as("__sh"))
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__m$i"))
+    ex.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
   /** Full near-dup pass: shingle -> sign -> band -> candidate pairs ->
     * signature-estimated Jaccard filter. Returns (id1, id2, est_jaccard). */
   def nearDuplicates(
@@ -91,9 +115,7 @@ object MinHash {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val signed = df.select(
-      col(idCol),
-      signature(shingles(tokensCol, shingleSize), numHashes).as("sig"))
+    val signed = signatureAgg(df, idCol, tokensCol, shingleSize, numHashes)
       .cache()
     val pairs = candidatePairs(signed, idCol, "sig", bands, rowsPerBand)
     pairs

@@ -39,6 +39,21 @@ class DedupFunctionsSpec extends SparkSpec {
     a.intersect(b).size.toDouble / a.union(b).size
   }
 
+  test("signatureAgg is value-identical to the per-row HOF signature") {
+    // the agg path exists purely for speed (codegen mins vs interpreted
+    // HOF passes) — element i must still be min over shingles of
+    // xxhash64(shingle, i), bit for bit
+    val viaAgg = MinHash.signatureAgg(docs, "doc_id", $"toks", 3, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaHof = docs.select($"doc_id",
+        MinHash.signature(MinHash.shingles($"toks", 3), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg.keySet == viaHof.keySet)
+    viaAgg.foreach { case (id, sig) =>
+      assert(sig == viaHof(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("identical docs: est Jaccard 1.0 and always a candidate pair") {
     val dup = docs.union(docs.filter($"doc_id" === 0)
       .withColumn("doc_id", lit(999L)))
