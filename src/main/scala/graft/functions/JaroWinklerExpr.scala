@@ -22,9 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * transpositions counted over match order, either side empty → 0,
   * prefix boost `+ l·0.1·(1−jaro)` with `l = min(4, common prefix)`
   * applied only when jaro > 0.7 (strict), case-sensitive. Comparison is
-  * per UTF-16 unit — identical to per-codepoint for the BMP text names
-  * live in. `q_record_linkage` pins the math against DuckDB's
-  * independent (utf8proc-side) implementation.
+  * per UTF-8 BYTE — probed against DuckDB (ADVICE r6): its
+  * implementation runs over the raw UTF-8 buffer, so
+  * `jaro('😀bc','😀bd')` = 0.8889 (6-byte strings, 5 matches), NOT the
+  * codepoint answer 0.7778, and the prefix boost counts bytes capped at
+  * 4. Identical to per-codepoint for ASCII/BMP-1-byte text; byte access
+  * also skips the UTF8String→String decode on the hot match loop.
+  * `q_record_linkage` pins the math against DuckDB's independent
+  * implementation; a surrogate-pair golden pins the non-BMP agreement.
   */
 case class JaroWinklerExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,13 +51,13 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     JaroWinklerExpr.similarity(
-      a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+      a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""${ev.value} = graft.functions.JaroWinklerExpr.similarity(
-         |  $a.toString(), $b.toString());""".stripMargin)
+         |  $a.getBytes(), $b.getBytes());""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -63,8 +68,13 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 
 object JaroWinklerExpr {
 
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   /** Jaro similarity; 0 when either side is empty (DuckDB's convention). */
-  def jaro(a: String, b: String): Double = {
+  def jaro(a: String, b: String): Double = jaroBytes(utf8(a), utf8(b))
+
+  private def jaroBytes(a: Array[Byte], b: Array[Byte]): Double = {
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -78,7 +88,7 @@ object JaroWinklerExpr {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+        if (!m2(j) && a(i) == b(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -92,7 +102,7 @@ object JaroWinklerExpr {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -102,13 +112,18 @@ object JaroWinklerExpr {
   }
 
   /** Jaro-Winkler: prefix boost only above the 0.7 threshold (strict). */
-  def similarity(a: String, b: String): Double = {
-    val j = jaro(a, b)
+  def similarity(a: String, b: String): Double =
+    similarity(utf8(a), utf8(b))
+
+  /** Byte-array entry point — what the generated code calls (UTF8String
+    * bytes straight off the row, no String decode). */
+  def similarity(a: Array[Byte], b: Array[Byte]): Double = {
+    val j = jaroBytes(a, b)
     if (j <= 0.7) j
     else {
       val max = math.min(4, math.min(a.length, b.length))
       var p = 0
-      while (p < max && a.charAt(p) == b.charAt(p)) p += 1
+      while (p < max && a(p) == b(p)) p += 1
       j + p * 0.1 * (1.0 - j)
     }
   }

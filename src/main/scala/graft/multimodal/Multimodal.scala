@@ -233,8 +233,13 @@ object Multimodal {
             case Some(src) =>
               val scale =
                 maxDim.toDouble / math.max(math.max(src.getWidth, src.getHeight), 1)
-              val w = math.max(1, math.ceil(src.getWidth * scale).toInt)
-              val h = math.max(1, math.ceil(src.getHeight * scale).toInt)
+              // clamp to the box: fl(maxDim/d)*d can round a hair ABOVE
+              // maxDim (e.g. 7*fl(5/7) = 5.000000000000001 -> ceil 6), so
+              // ceil alone may overshoot by 1 px (ADVICE r6)
+              val w = math.min(maxDim,
+                math.max(1, math.ceil(src.getWidth * scale).toInt))
+              val h = math.min(maxDim,
+                math.max(1, math.ceil(src.getHeight * scale).toInt))
               // preserve alpha: drawing a transparent PNG onto an
               // opaque (zero-initialized = black) raster would burn the
               // background in (found by review)
@@ -271,9 +276,11 @@ object Multimodal {
       lit(maxDim) / greatest(col("meta.width"), lit(1)),
       lit(maxDim) / greatest(col("meta.height"), lit(1)),
       lit(1.0))
+    // same clamp as [[resizeImages]] (ADVICE r6): ceil of a rounded-up
+    // scale product can overshoot the box by 1 px
     df.withColumn("resized_width",
-        ceil(col("meta.width") * scale).cast("int"))
+        least(lit(maxDim), ceil(col("meta.width") * scale).cast("int")))
       .withColumn("resized_height",
-        ceil(col("meta.height") * scale).cast("int"))
+        least(lit(maxDim), ceil(col("meta.height") * scale).cast("int")))
   }
 }

@@ -169,6 +169,15 @@ object Graph {
       |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id)
       |SELECT id, round(rank, 6) AS rank2 FROM r2 ORDER BY id""".stripMargin
 
+  /** q_triangles' mega-degree cap: customers co-purchasing from more than
+    * this many suppliers are dropped before the projection self-join (the
+    * [[Contamination.MaxShingleDf]] stopword pattern — a ubiquitous key
+    * carries no similarity signal and contributes deg^2 pair rows).
+    * Mirrored verbatim in the DuckDB oracle. 64 sits above the sf0.01
+    * median (33) and below the sf1 p99 (77), so the cap demonstrably
+    * binds in tests while keeping the toy graph connected. */
+  val MaxCustDeg = 64
+
   val queries: Seq[(String, GQuery)] = Seq(
     // Centrality over the customer->supplier trade graph: 10 PageRank
     // rounds, top-20 by rank. Iterative double arithmetic at 10 rounds is
@@ -252,10 +261,15 @@ object Graph {
     // triangle enumeration is the canonical two shuffle joins
     // on oriented edges (s1 < s2 everywhere, so each triangle is counted
     // exactly once as a<b<c). At scale the projection join is the
-    // guarded step: fan-out is sum_c deg(c)^2 — bounded here by the
-    // threshold's pre-agg (counts shrink to one row per PAIR before the
-    // triangle joins), and a production run would cap/sample mega-degree
-    // customers first (the q_contamination capped-index pattern).
+    // guarded step: fan-out is sum_c deg(c)^2, and the guard is IN THE
+    // PLAN — customers co-purchasing from more than MaxCustDeg suppliers
+    // are dropped before the self-join (the q_contamination MaxShingleDf
+    // stopword cap: a ubiquitous customer carries no similarity signal,
+    // and one mega-degree customer at 100 TB is otherwise the job's
+    // serialized hot spot — deg^2 pair rows from a single key). The cap
+    // is a window count over c, whose exchange the c-keyed self-join
+    // REUSES (one shuffle, not two), and is mirrored exactly in the
+    // DuckDB oracle so the hash check proves the capped semantics.
     "q_triangles" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -265,11 +279,19 @@ object Graph {
             .select($"l_orderkey".as("o_orderkey"), $"l_suppkey".as("s")),
             "o_orderkey")
           .select($"c", $"s").distinct()
+          .withColumn("deg", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"c")))
+          .filter($"deg" <= MaxCustDeg)
+          .drop("deg")
+        // pairs feeds BOTH the threshold histogram and the edge filter:
+        // pin it once (at sf1 the projection join + agg would otherwise
+        // run twice — the round-6 sweep's residual 17x was half this)
         val pairs = co.as("a")
           .join(co.as("b"), col("a.c") === col("b.c") &&
             col("a.s") < col("b.s"))
           .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
           .agg(count(lit(1)).as("shared"))
+          .localCheckpoint()
         // 99th percentile of `shared` WITHOUT percentile()'s single sort
         // buffer: the round-6 sf1 sweep showed that buffer (ALL pair rows
         // collected into one task) was the query's superlinear stall
@@ -314,9 +336,13 @@ object Graph {
         nn.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
           .select($"n_nodes", $"n_edges", $"n_triangles")
       },
-      Some("""WITH co AS (
+      Some(s"""WITH co0 AS (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |co AS (
+        |  SELECT c, s FROM (
+        |    SELECT c, s, COUNT(*) OVER (PARTITION BY c) AS deg FROM co0)
+        |  WHERE deg <= $MaxCustDeg),
         |p AS (
         |  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
         |  FROM co a JOIN co b ON a.c = b.c AND a.s < b.s

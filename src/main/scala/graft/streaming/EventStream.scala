@@ -187,11 +187,19 @@ object EventStream {
     * processed in event-time order within each micro-batch; a session
     * split by the gap inside one batch closes immediately, without
     * waiting for the timeout. Contract for cross-batch stragglers: a
-    * late event landing inside an open session's gap EXTENDS it (same
-    * as session_window), but one older than the session's start cannot
-    * rewind the recorded start — bounded staleness the watermark caps;
-    * an exact replay under arbitrary reordering would need the batch
-    * operator over the closed log. */
+    * late event is ABSORBED into the user's open session (an event older
+    * than `lastTs` trivially passes the gap test) — it counts toward
+    * n/total but cannot rewind the recorded session start, so a
+    * straggler that batch `session_window` would assign to its own
+    * earlier-starting session (or use to drag the open session's start
+    * back) diverges in the start column only — bounded staleness the
+    * watermark caps, pinned EXPLICITLY by the divergent-straggler parity
+    * test (ADVICE r6). A post-timeout straggler inside an emitted
+    * session's span cannot produce an overlapping duplicate row: the
+    * timeout fired because watermark > lastTs + gap, so any event inside
+    * that span is below the watermark and dropped. An exact replay under
+    * arbitrary reordering would need the batch operator over the closed
+    * log. */
   def closedSessions(
       events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000,

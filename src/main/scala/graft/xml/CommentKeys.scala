@@ -64,14 +64,17 @@ object CommentKeys {
     * [[XmlValidation.validateAndScanBatch]] pass. The prefix is decoded
     * with THIS file's declared encoding when it has one (per-file, not
     * batch-wide: a corpus may mix encodings — ADVICE r2), falling back to
-    * `charset`. Also returns the declared encoding, so callers can group
-    * the later structured read by charset without another file pass. */
+    * `charset`. Also returns the declared encoding and the probed ROW TAG
+    * (the reference applies its record XPath per file,
+    * `R/xml_parser.R:98-103`), so callers can group the later structured
+    * read by (tag, charset) without another file pass. */
   private[xml] def readPrefixKey(
       file: String,
       hadoopConf: Configuration,
       patterns: Seq[String],
       charset: String,
-      maxBytes: Int = 65536): (Option[(String, String)], Option[String]) =
+      maxBytes: Int = 65536)
+      : (Option[(String, String)], Option[String], Option[String]) =
     try {
       val path = new Path(file)
       val fs = path.getFileSystem(hadoopConf)
@@ -93,9 +96,10 @@ object CommentKeys {
         } catch { case _: IllegalArgumentException =>
           new String(buf, 0, off, java.nio.charset.Charset.forName(charset))
         }
-        (extractFromContent(decoded, patterns), declared)
+        (extractFromContent(decoded, patterns), declared,
+          XmlIngest.rowTagOfPrefix(decoded))
       } finally in.close()
-    } catch { case _: java.io.IOException => (None, None) }
+    } catch { case _: java.io.IOException => (None, None, None) }
 
   /** Distributed prefix scan of every file: one output row per file that
     * carries a business key: (source_file_path, business_key_name,

@@ -49,17 +49,15 @@ object XmlIngest {
       .sorted
   }
 
-  /** Determines the row tag by streaming the first file's prefix: first
-    * element matching a candidate (anywhere, like the `.//record` XPath),
-    * else the first child-of-root element (the reference's fallback).
-    * Candidates match on LOCAL name, but the returned tag is the QUALIFIED
-    * name as written in the document (`cat:record`) — the XML source
-    * matches row tags verbatim, so a namespaced corpus needs the prefix
-    * (the reference's prefix-less `.//record` XPath would find nothing). */
-  def probeRowTag(spark: SparkSession, dir: String): String = {
-    val files = listXmlFiles(spark, dir)
-    require(files.nonEmpty, s"no *.xml files in $dir")
-    val prefix = readPrefix(spark, files.head)
+  /** Row tag of ONE document prefix, streamed with StAX: first element
+    * matching a candidate (anywhere, like the `.//record` XPath), else the
+    * first child-of-root element (the reference's fallback). Candidates
+    * match on LOCAL name, but the returned tag is the QUALIFIED name as
+    * written in the document (`cat:record`) — the XML source matches row
+    * tags verbatim, so a namespaced corpus needs the prefix (the
+    * reference's prefix-less `.//record` XPath would find nothing). None
+    * for a prefix with no second-level element (empty root / not XML). */
+  def rowTagOfPrefix(prefix: String): Option[String] = {
     val fac = XMLInputFactory.newInstance()
     fac.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     fac.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -74,7 +72,7 @@ object XmlIngest {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             depth += 1
-            if (RowTagCandidates.contains(r.getLocalName)) return qualified
+            if (RowTagCandidates.contains(r.getLocalName)) return Some(qualified)
             if (depth == 2 && firstChildOfRoot.isEmpty)
               firstChildOfRoot = Some(qualified)
           case XMLStreamConstants.END_ELEMENT => depth -= 1
@@ -85,8 +83,61 @@ object XmlIngest {
       // prefix may cut mid-document — whatever was seen is enough
       case _: javax.xml.stream.XMLStreamException =>
     } finally r.close()
-    firstChildOfRoot.getOrElse(
+    firstChildOfRoot
+  }
+
+  /** Row tag of the FIRST file in a directory (the fast single-tag path;
+    * mixed-tag corpora need [[probeRowTags]] — the reference applies its
+    * XPath PER FILE, `R/xml_parser.R:98-103`). */
+  def probeRowTag(spark: SparkSession, dir: String): String = {
+    val files = listXmlFiles(spark, dir)
+    require(files.nonEmpty, s"no *.xml files in $dir")
+    rowTagOfPrefix(readPrefix(spark, files.head)).getOrElse(
       throw new IllegalArgumentException(s"no records found in ${files.head}"))
+  }
+
+  /** Per-file row tags for a whole batch, probed DISTRIBUTED (one prefix
+    * read per file — O(files), not O(bytes)). The reference applies its
+    * record XPath per file (`R/xml_parser.R:98-103`), so a corpus mixing
+    * `<record>` files with `<item>` files parses BOTH; probing only the
+    * first file would silently drop every minority-tag file's rows. Each
+    * prefix is decoded with its own declared encoding (prolog is
+    * ASCII-safe under any declarable charset). Files with no discoverable
+    * tag (empty root, not XML) are absent from the map — callers skip
+    * them, as the reference's per-file error isolation does. */
+  def probeRowTags(spark: SparkSession, files: Seq[String])
+      : Map[String, String] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    files.toDS().mapPartitions { it =>
+      it.map { f =>
+        val tag = try {
+          val path = new org.apache.hadoop.fs.Path(f)
+          val fs = path.getFileSystem(conf.value)
+          val in = fs.open(path)
+          val raw = try {
+            val buf = new Array[Byte](65536)
+            var off = 0
+            var n = in.read(buf, off, buf.length - off)
+            while (n > 0 && off < buf.length) {
+              off += n; n = in.read(buf, off, buf.length - off)
+            }
+            java.util.Arrays.copyOf(buf, off)
+          } finally in.close()
+          val prolog = new String(raw, 0, math.min(raw.length, 256),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val cs = try {
+            java.nio.charset.Charset.forName(
+              sniffDeclaredEncoding(prolog).getOrElse("UTF-8"))
+          } catch { case _: IllegalArgumentException =>
+            java.nio.charset.StandardCharsets.UTF_8
+          }
+          rowTagOfPrefix(new String(raw, cs))
+        } catch { case _: java.io.IOException => None }
+        f -> tag
+      }
+    }.collect().collect { case (f, Some(tag)) => f -> tag }.toMap
   }
 
   private val EncodingDeclRe = "encoding=[\"']([A-Za-z0-9._-]+)[\"']".r
@@ -206,6 +257,40 @@ object XmlIngest {
       readFilesWithSchema(spark, fs, rowTag, schema, cs)
         .withColumn("source_file_path", input_file_name())
     }.reduce(_.unionByName(_))
+  }
+
+  /** Structured read of a file batch whose members may use DIFFERENT row
+    * tags (and, within a tag, different charsets): one
+    * [[readFilesGroupedByCharset]] read per distinct tag, unioned by name
+    * with missing-column fill — restoring the reference's per-file XPath
+    * semantics (`R/xml_parser.R:98-103`), where a directory mixing
+    * `<record>` files with `<item>` files parses ALL of them. Tag groups
+    * union largest-first, so the dominant tag's columns lead the schema.
+    * Files absent from `rowTags` (no discoverable records) are excluded —
+    * the caller logs them. Almost always exactly one tag group, so the
+    * single-tag corpus pays nothing beyond the per-file probe.
+    * `logInfo` receives complete messages (unlike the per-charset
+    * helper's group-list-only callback). */
+  def readFilesGrouped(
+      spark: SparkSession,
+      files: Seq[String],
+      rowTags: Map[String, String],
+      charsets: Map[String, String],
+      structureSampleFiles: Int = 16,
+      logInfo: String => Unit = _ => ()): DataFrame = {
+    val tagGroups = files.filter(rowTags.contains)
+      .groupBy(rowTags).toSeq
+      .sortBy { case (tag, fs) => (-fs.size, tag) }
+    require(tagGroups.nonEmpty,
+      s"no records found in any of ${files.size} files")
+    if (tagGroups.size > 1)
+      logInfo("mixed row tags: " + tagGroups
+        .map { case (tag, fs) => s"<$tag>(${fs.size})" }.mkString(", "))
+    tagGroups.map { case (tag, fs) =>
+      readFilesGroupedByCharset(spark, fs, tag, charsets,
+        structureSampleFiles,
+        gs => logInfo(s"mixed per-file encodings (<$tag>): $gs"))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Audit/lineage columns (`R/xml_parser.R:332-335`); the load timestamp is

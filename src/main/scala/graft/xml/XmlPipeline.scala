@@ -151,7 +151,8 @@ object XmlPipeline {
     // dedicated distributed prefix probe does the same. The resulting
     // map is driver-side, like the good-file list itself (the explicit
     // file-list read API needs paths on the driver regardless).
-    val (goodFiles, errorsDf, verdicts, scannedKeys, fileCharsets) =
+    val (goodFiles, errorsDf, verdicts, scannedKeys, fileCharsets,
+      fileRowTags) =
       if (validate) {
         import spark.implicits._
         val v = XmlValidation
@@ -171,20 +172,28 @@ object XmlPipeline {
         val charsets = v.filter(col("declared_encoding").isNotNull)
           .select("file", "declared_encoding").as[(String, String)]
           .collect().toMap
-        (good, bad, Some(v), Some(keys), charsets)
+        val rowTags = v.filter(col("row_tag").isNotNull)
+          .select("file", "row_tag").as[(String, String)]
+          .collect().toMap
+        (good, bad, Some(v), Some(keys), charsets, rowTags)
       } else (filesToProcess, spark.emptyDataFrame, None, None,
-        XmlIngest.probeEncodings(spark, filesToProcess))
+        XmlIngest.probeEncodings(spark, filesToProcess),
+        XmlIngest.probeRowTags(spark, filesToProcess))
 
     // structured read + flatten + lineage + record ids (§1.4, S15).
     // Physical structure is inferred from a bounded FILE SAMPLE (the
-    // reference's SCHEMA_SAMPLE_SIZE bound, R/main.R:19,95) and applied to
-    // the full read; files beyond the sample union-with-fill into that
-    // schema. input_file_name() must be stamped BEFORE the cache — it
-    // reads the scan node and returns "" from a cached relation.
-    val rowTag = XmlIngest.probeRowTag(spark, inputDir)
-    val raw = XmlIngest.readFilesGroupedByCharset(spark, goodFiles, rowTag,
-      fileCharsets, structureSampleFiles,
-      logMixed = gs => log.info(s"mixed per-file encodings: $gs")).cache()
+    // reference's SCHEMA_SAMPLE_SIZE bound, R/main.R:19,95) PER ROW-TAG
+    // GROUP and applied to that group's full read; files beyond the sample
+    // union-with-fill into their group's schema, tag groups union by name
+    // with missing-column fill. Row tags are per FILE (the reference's
+    // per-file XPath, R/xml_parser.R:98-103) — probing only the first file
+    // silently dropped every minority-tag file's rows. input_file_name()
+    // must be stamped BEFORE the cache — it reads the scan node and
+    // returns "" from a cached relation.
+    goodFiles.filterNot(fileRowTags.contains).take(100)
+      .foreach(f => log.error(s"no records found (empty or recordless): $f"))
+    val raw = XmlIngest.readFilesGrouped(spark, goodFiles, fileRowTags,
+      fileCharsets, structureSampleFiles, logInfo = log.info).cache()
     val flat = XmlFlatten.flatten(raw) // lineage string passes through
     val withLineage = XmlIngest.ensureRecordId(
       flat

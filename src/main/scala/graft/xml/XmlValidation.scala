@@ -227,8 +227,8 @@ object XmlValidation {
         case Some(xsd) => validateXsd(f, xsd)
         case None => validateAuto(f, schemaDir)
       }
-      val (key, declared) =
-        if (v.valid.contains(false)) (None, None) // skipped files need no key
+      val (key, declared, rowTag) =
+        if (v.valid.contains(false)) (None, None, None) // skipped: no key
         else CommentKeys.readPrefixKey(f, conf.value, keyPatterns, charset)
       (v.file,
         v.valid.map(b => if (b) "valid" else "invalid").getOrElse("no_schema"),
@@ -236,9 +236,11 @@ object XmlValidation {
         v.schemaUsed.getOrElse(""),
         key.map(_._1).orNull,
         key.map(_._2).orNull,
-        declared.orNull)
+        declared.orNull,
+        rowTag.orNull)
     }.toDF("file", "verdict", "errors", "schema_used",
-      "business_key_name", "business_key_value", "declared_encoding")
+      "business_key_name", "business_key_value", "declared_encoding",
+      "row_tag")
   }
 
   /** Verdict counts + percentage (`R/schema_validator.R:201-204`). */

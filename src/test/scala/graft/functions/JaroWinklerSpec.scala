@@ -20,7 +20,14 @@ class JaroWinklerSpec extends SparkSpec {
     // below the 0.7 boost threshold: prefix must NOT boost
     ("abcdef", "abzzzz", 0.5555555555555555, 0.5555555555555555),
     ("aaaaaa", "aaabbb", 0.6666666666666666, 0.6666666666666666),
-    ("ABCDE", "abcde", 0.0, 0.0)) // case-sensitive
+    ("ABCDE", "abcde", 0.0, 0.0), // case-sensitive
+    // non-BMP (surrogate pairs): DuckDB runs over the raw UTF-8 buffer,
+    // so these are the BYTE-level values (😀bc = SIX bytes, 5 of which
+    // match 😀bd; the codepoint answer would be 0.7778) — ADVICE r6
+    ("😀bc", "😀bd",
+      0.888888888888889, 0.9333333333333333),
+    ("ma😀tha", "mat😀ha",
+      0.9259259259259259, 0.9407407407407408))
 
   test("static matcher reproduces DuckDB's values bit-for-bit") {
     golden.foreach { case (a, b, j, jw) =>

@@ -161,6 +161,56 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closedSessions divergent straggler: absorbed into the open " +
+      "session, start not rewound — the documented batch divergence") {
+    // ADVICE r6: pin the one reachable divergence from batch
+    // session_window explicitly. A straggler that lands BETWEEN an
+    // already-emitted (in-batch gap-split) session and the open one is
+    // absorbed into the open session (older-than-lastTs passes the gap
+    // test) and cannot rewind its recorded start; batch semantics would
+    // give that straggler its own earlier session start instead.
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.closedSessions(input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("diverge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one micro-batch, 60-min gap: [10:00,10:30] emits IMMEDIATELY,
+      // 11:00 stays open
+      input.addData(Event(ts("2024-01-01 10:00:00"), 3L, 1.0),
+        Event(ts("2024-01-01 11:00:00"), 3L, 2.0))
+      q.processAllAvailable()
+      // straggler 10:40 (>= the 10:30 watermark, so NOT dropped): batch
+      // truth would start a session at 10:40 ending 11:30; the stream
+      // absorbs it into the open 11:00 session
+      input.addData(Event(ts("2024-01-01 10:40:00"), 3L, 4.0))
+      q.processAllAvailable()
+      // push the watermark far past every horizon to flush the timeout
+      input.addData(Event(ts("2024-01-02 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      input.addData(Event(ts("2024-01-03 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("diverge").filter($"user_id" === 3L)
+        .orderBy("session_start").as[ClosedSession].collect().toSeq
+      val batch = EventStream.sessionAgg(
+          Seq(Event(ts("2024-01-01 10:00:00"), 3L, 1.0),
+            Event(ts("2024-01-01 11:00:00"), 3L, 2.0),
+            Event(ts("2024-01-01 10:40:00"), 3L, 4.0)).toDF,
+          withWatermark = false)
+        .orderBy("session_start").as[ClosedSession].collect().toSeq
+      // membership, counts, totals, and session END all agree with batch
+      assert(got.size == 2 && batch.size == 2)
+      assert(got.map(_.n_events) == batch.map(_.n_events))
+      assert(got.map(_.sum_value) == batch.map(_.sum_value))
+      assert(got.map(_.session_end) == batch.map(_.session_end))
+      assert(got.head == batch.head) // the gap-split session is identical
+      // the ONE divergent column: the absorbed straggler's session start
+      // (stream keeps 11:00; batch rewinds to the straggler's 10:40)
+      assert(got(1).session_start == ts("2024-01-01 11:00:00"))
+      assert(batch(1).session_start == ts("2024-01-01 10:40:00"))
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: a replayed batch does not duplicate") {
     implicit val ctx = spark.sqlContext
     val path = java.nio.file.Files

@@ -451,6 +451,57 @@ class XmlPipelineSpec extends SparkSpec {
     assert(report.rows == 2)
   }
 
+  test("mixed row-tag corpus: per-file probe groups reads, ALL rows land") {
+    // the reference applies its record XPath PER FILE (R/xml_parser.R:98-
+    // 103): a corpus mixing <record> files with <item> files (plus a
+    // namespaced one) parses fully — probing only the first file would
+    // silently drop every minority-tag file's rows
+    val in = Files.createTempDirectory("graft_mixtag_in")
+    Files.writeString(in.resolve("a_rec.xml"),
+      """<?xml version="1.0"?>
+        |<catalog>
+        |  <record id="1"><title>A</title><price>1.5</price></record>
+        |  <record id="2"><title>B</title><price>2.5</price></record>
+        |</catalog>
+        |""".stripMargin)
+    Files.writeString(in.resolve("b_item.xml"),
+      """<?xml version="1.0"?>
+        |<inventory>
+        |  <item id="3"><title>C</title><weight>9.9</weight></item>
+        |</inventory>
+        |""".stripMargin)
+    Files.writeString(in.resolve("c_ns.xml"),
+      """<?xml version="1.0"?>
+        |<cat:catalog xmlns:cat="http://example.com/cat">
+        |  <cat:record id="4"><cat:title>D</cat:title>
+        |    <cat:price>4.5</cat:price></cat:record>
+        |</cat:catalog>
+        |""".stripMargin)
+    val files = XmlIngest.listXmlFiles(spark, in.toString)
+    val tags = XmlIngest.probeRowTags(spark, files)
+    assert(tags(files.find(_.contains("a_rec")).get) == "record")
+    assert(tags(files.find(_.contains("b_item")).get) == "item")
+    assert(tags(files.find(_.contains("c_ns")).get) == "cat:record")
+    // e2e through validation path: every file's rows land in ONE star
+    val out = Files.createTempDirectory("graft_mixtag_out")
+    val schemas = Files.createTempDirectory("graft_mixtag_sch")
+    val report = XmlPipeline.process(spark, in.toString, out.toString,
+      schemas.toString, runId = 21L, loadTs = ts)
+    assert(report.rows == 4L, s"minority-tag rows dropped: $report")
+    val fact = spark.read.parquet(s"$out/fact_main.parquet")
+    assert(fact.select("record_id").as[String].collect().toSet ==
+      Set("1", "2", "3", "4"))
+    assert(fact.select("source_file_name").distinct().count() == 3)
+    // the minority file's own column unions in (as measure or dim key)
+    assert(fact.columns.exists(c => c == "weight" || c == "weight_key"),
+      fact.columns.mkString(","))
+    // and the no-validation path probes per file too
+    val report2 = XmlPipeline.process(spark, in.toString,
+      Files.createTempDirectory("graft_mixtag_out2").toString,
+      schemas.toString, runId = 22L, loadTs = ts, validate = false)
+    assert(report2.rows == 4L, s"no-validate path dropped rows: $report2")
+  }
+
   test("DTD validation: internal DOCTYPE drives the verdict") {
     val dir = Files.createTempDirectory("graft_dtd")
     Files.writeString(dir.resolve("good.xml"),
