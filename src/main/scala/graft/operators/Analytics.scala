@@ -870,6 +870,50 @@ object Analytics {
       None,
       "theta-sketch audience difference (A-not-B), self-checked vs exact"),
 
+    // KLL quantile-sketch partials — the QUANTILE member of the stored-
+    // partials family (HLL/theta distincts, CMS heavy hitters, Bloom
+    // membership). Unlike q_approx_percentile (which rescans the corpus
+    // per question), the partials here are the STORED artifact: built
+    // map-side in one pass, rolled up per scope by a mapGroups merge,
+    // then quantiles answered from the merged sketches alone.
+    // KLL compaction flips random coins, so estimates vary run to run —
+    // no DuckDB oracle; instead the query SELF-CHECKS the published
+    // contract per (scope, p): the exact INCLUSIVE rank of the estimate
+    // (one broadcast join + avg over the corpus) must land inside
+    // [getRankLowerBound(p), getRankUpperBound(p)] (99% confidence,
+    // ~1.65% at k=200). Row count (3 scopes x 4 ranks) is deterministic
+    // for the driver's check; KllSketchSpec pins merge-vs-direct
+    // equivalence of the bound and serialization roundtrip.
+    "q_kll_quantiles" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.load(s, d, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice")
+        val ps = Seq(0.25, 0.5, 0.75, 0.95)
+        val est = graft.functions.QuantileSketch
+          .partials(li, $"l_returnflag", $"l_extendedprice")
+          .as[(String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (scope, it) =>
+            val sk = graft.functions.QuantileSketch.merge(it.map(_._2))
+            graft.functions.QuantileSketch.quantilesWithBounds(sk, ps)
+              .map { case (p, q, lb, ub) => (scope, p, q, lb, ub) }
+          }
+          .toDF("l_returnflag", "p", "kll_est", "rank_lb", "rank_ub")
+        li.join(broadcast(est), Seq("l_returnflag"))
+          .groupBy($"l_returnflag", $"p", $"kll_est", $"rank_lb", $"rank_ub")
+          .agg(avg(($"l_extendedprice" <= $"kll_est").cast("double"))
+            .as("exact_rank"))
+          .select($"l_returnflag", $"p",
+            round($"kll_est", 2).as("kll_est"),
+            round($"exact_rank", 6).as("exact_rank"),
+            ($"rank_lb" <= $"exact_rank" && $"exact_rank" <= $"rank_ub")
+              .as("kll_ok"))
+          .orderBy($"l_returnflag", $"p")
+      },
+      None,
+      "KLL quantile-sketch partials, self-checked vs exact ranks"),
+
     // approximate percentiles: the bounded-memory path q_percentile's
     // scale note promises (exact percentile buffers whole groups;
     // approx_percentile holds a fixed-size sketch per group). accuracy=

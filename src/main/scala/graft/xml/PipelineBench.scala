@@ -3,6 +3,8 @@ package graft.xml
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Reproducible end-to-end XML-pipeline benchmark against the reference's
@@ -53,10 +55,23 @@ object PipelineBench {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(100)
     val perFile = args.lift(1).map(_.toInt).getOrElse(2400)
-    val in = Files.createTempDirectory("graft_pbench_in").toString
+    // Optional 3rd arg: reuse an existing corpus dir (written by a prior
+    // run with the same nFiles/perFile) — lets memory-envelope reruns at
+    // a constrained -Xmx skip regenerating 5 GB of XML, and keeps the
+    // generator's allocation churn out of the measured JVM's peak RSS.
+    val in = args.lift(2).getOrElse(
+      Files.createTempDirectory("graft_pbench_in").toString)
     val out = Files.createTempDirectory("graft_pbench_out").toString
     val schemas = Files.createTempDirectory("graft_pbench_sch").toString
-    val bytes = writeCorpus(in, nFiles, perFile)
+    val existing: Seq[java.nio.file.Path] =
+      if (args.lift(2).isEmpty) Nil
+      else {
+        val s = Files.list(Paths.get(in))
+        try s.iterator().asScala.toVector finally s.close()
+      }
+    val bytes =
+      if (existing.nonEmpty) existing.map(Files.size(_)).sum
+      else writeCorpus(in, nFiles, perFile)
 
     val spark = SparkSession.builder()
       .appName("graft-pipeline-bench")
@@ -77,8 +92,15 @@ object PipelineBench {
     }
     val (cold, rows) = once("cold")
     val (warm, _) = once("warm")
+    // Peak RSS of the whole JVM (VmHWM is monotonic), for the like-for-like
+    // comparison against BASELINE.md's memory-peak rows (512 MB / 2 GB /
+    // 4 GB at the 100 / 1k / 10k tiers).
+    val peakMb = scala.util.Try {
+      val s = Files.readString(Paths.get("/proc/self/status"))
+      "VmHWM:\\s*(\\d+) kB".r.findFirstMatchIn(s).map(_.group(1).toLong / 1024)
+    }.toOption.flatten.getOrElse(-1L)
     // scalastyle:off println
-    println(f"""{"files":$nFiles,"bytes":$bytes,"records":$rows,"sec":$cold%.2f,"warm_sec":$warm%.2f}""")
+    println(f"""{"files":$nFiles,"bytes":$bytes,"records":$rows,"sec":$cold%.2f,"warm_sec":$warm%.2f,"peak_rss_mb":$peakMb}""")
     // scalastyle:on println
     spark.stop()
   }
