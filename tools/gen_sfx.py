@@ -118,18 +118,36 @@ write("events", {
     "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, NE)]})
 
 # --- documents: 30-word vocab, 10-100 tokens, near-dup families -------
+# Optional 3rd arg: vocabulary SIZE. Default 30 reproduces the driver's
+# observed corpus exactly (the hand-written word list). Any other value
+# builds a Zipf(s=1.1) vocabulary of that size — real text's shape — to
+# separate corpus-artifact superlinearity from algorithmic: at vocab=30
+# the shingle universe caps at ~30k and every pair-similarity candidate
+# filter saturates (prefix tokens are all frequent, shingles all shared);
+# at a Heaps-law-realistic vocab the same queries should scale linearly.
+VOCAB_N = int(sys.argv[3]) if len(sys.argv) > 3 else 30
 ND = 5000 * MULT
-vocab = np.array(["spark", "merge", "window", "customer", "part", "group",
-                  "stream", "filter", "sort", "the", "scan", "vector",
-                  "join", "query", "big", "hash", "data", "column", "agg",
-                  "table", "line", "small", "slow", "key", "fast", "order",
-                  "row", "value", "a", "batch"])
+if VOCAB_N == 30:
+    vocab = np.array(["spark", "merge", "window", "customer", "part", "group",
+                      "stream", "filter", "sort", "the", "scan", "vector",
+                      "join", "query", "big", "hash", "data", "column", "agg",
+                      "table", "line", "small", "slow", "key", "fast", "order",
+                      "row", "value", "a", "batch"])
+else:
+    vocab = np.array([f"w{i:05d}" for i in range(VOCAB_N)])
+# Zipf-weighted sampling for non-default vocabularies (rank r weight
+# r^-1.1); uniform for the default 30 to preserve the observed corpus.
+vocab_p = None
+if VOCAB_N != 30:
+    w = np.arange(1, VOCAB_N + 1, dtype=np.float64) ** -1.1
+    vocab_p = w / w.sum()
 langs = np.array(["en", "en", "zh", "es", "fr", "de"])  # en ~2x the rest
 texts = []
 doc_words = []
 for i in range(ND):
     n = rng.integers(10, 101)
-    words = vocab[rng.integers(0, len(vocab), n)]
+    words = vocab[rng.choice(len(vocab), n, p=vocab_p)] \
+        if vocab_p is not None else vocab[rng.integers(0, len(vocab), n)]
     doc_words.append(words)
     texts.append(" ".join(words))
 # plant near-duplicate families (~4% of docs copy an earlier doc with a
