@@ -96,23 +96,24 @@ object XmlIngest {
       throw new IllegalArgumentException(s"no records found in ${files.head}"))
   }
 
-  /** Per-file row tags for a whole batch, probed DISTRIBUTED (one prefix
-    * read per file — O(files), not O(bytes)). The reference applies its
-    * record XPath per file (`R/xml_parser.R:98-103`), so a corpus mixing
-    * `<record>` files with `<item>` files parses BOTH; probing only the
-    * first file would silently drop every minority-tag file's rows. Each
-    * prefix is decoded with its own declared encoding (prolog is
-    * ASCII-safe under any declarable charset). Files with no discoverable
-    * tag (empty root, not XML) are absent from the map — callers skip
-    * them, as the reference's per-file error isolation does. */
-  def probeRowTags(spark: SparkSession, files: Seq[String])
-      : Map[String, String] = {
+  /** Fused per-file prefix probe for a whole batch, run DISTRIBUTED (ONE
+    * prefix read per file — O(files), not O(bytes) — yielding BOTH facts a
+    * grouped read needs): `file -> (declared charset, row tag if any)`.
+    * The prolog is sniffed from the raw bytes (ASCII-safe under any
+    * declarable charset), then the prefix is decoded with that charset
+    * before the row-tag probe. `None` row tag means no discoverable
+    * second-level element (empty root, not XML, unreadable) — callers
+    * skip those files, as the reference's per-file error isolation does.
+    * [[probeEncodings]] / [[probeRowTags]] are views over this; the
+    * pipeline's no-validation path calls it ONCE instead of twice. */
+  def probePrefixes(spark: SparkSession, files: Seq[String])
+      : Map[String, (String, Option[String])] = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     files.toDS().mapPartitions { it =>
       it.map { f =>
-        val tag = try {
+        val (enc, tag) = try {
           val path = new org.apache.hadoop.fs.Path(f)
           val fs = path.getFileSystem(conf.value)
           val in = fs.open(path)
@@ -127,18 +128,30 @@ object XmlIngest {
           } finally in.close()
           val prolog = new String(raw, 0, math.min(raw.length, 256),
             java.nio.charset.StandardCharsets.ISO_8859_1)
+          val declared = sniffDeclaredEncoding(prolog)
           val cs = try {
-            java.nio.charset.Charset.forName(
-              sniffDeclaredEncoding(prolog).getOrElse("UTF-8"))
+            java.nio.charset.Charset.forName(declared.getOrElse("UTF-8"))
           } catch { case _: IllegalArgumentException =>
             java.nio.charset.StandardCharsets.UTF_8
           }
-          rowTagOfPrefix(new String(raw, cs))
-        } catch { case _: java.io.IOException => None }
-        f -> tag
+          (declared.getOrElse("UTF-8"), rowTagOfPrefix(new String(raw, cs)))
+        } catch { case _: java.io.IOException => ("UTF-8", None) }
+        (f, enc, tag)
       }
-    }.collect().collect { case (f, Some(tag)) => f -> tag }.toMap
+    }.collect().map { case (f, enc, tag) => f -> (enc, tag) }.toMap
   }
+
+  /** Per-file row tags for a whole batch (the reference applies its
+    * record XPath per file, `R/xml_parser.R:98-103`, so a corpus mixing
+    * `<record>` files with `<item>` files parses BOTH; probing only the
+    * first file would silently drop every minority-tag file's rows).
+    * Files with no discoverable tag are absent from the map. A view over
+    * [[probePrefixes]] — callers needing charsets too should call that
+    * once instead. */
+  def probeRowTags(spark: SparkSession, files: Seq[String])
+      : Map[String, String] =
+    probePrefixes(spark, files)
+      .collect { case (f, (_, Some(tag))) => f -> tag }
 
   private val EncodingDeclRe = "encoding=[\"']([A-Za-z0-9._-]+)[\"']".r
 
@@ -158,36 +171,14 @@ object XmlIngest {
     sniffDeclaredEncoding(head).getOrElse("UTF-8")
   }
 
-  /** Per-file declared encodings for a whole batch, sniffed DISTRIBUTED
-    * (one prefix read per file — O(files), not O(bytes)). Files without a
+  /** Per-file declared encodings for a whole batch. Files without a
     * declaration map to UTF-8. A corpus may legally mix per-file encodings
-    * (ADVICE r2): one file's declaration says nothing about its siblings. */
+    * (ADVICE r2): one file's declaration says nothing about its siblings.
+    * A view over [[probePrefixes]] — callers needing row tags too should
+    * call that once instead. */
   def probeEncodings(spark: SparkSession, files: Seq[String])
-      : Map[String, String] = {
-    import spark.implicits._
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    files.toDS().mapPartitions { it =>
-      it.map { f =>
-        val head = try {
-          val path = new org.apache.hadoop.fs.Path(f)
-          val fs = path.getFileSystem(conf.value)
-          val in = fs.open(path)
-          try {
-            val buf = new Array[Byte](256)
-            var off = 0
-            var n = in.read(buf, off, buf.length - off)
-            while (n > 0 && off < buf.length) {
-              off += n; n = in.read(buf, off, buf.length - off)
-            }
-            new String(buf, 0, off,
-              java.nio.charset.StandardCharsets.ISO_8859_1)
-          } finally in.close()
-        } catch { case _: java.io.IOException => "" }
-        f -> sniffDeclaredEncoding(head).getOrElse("UTF-8")
-      }
-    }.collect().toMap
-  }
+      : Map[String, String] =
+    probePrefixes(spark, files).map { case (f, (enc, _)) => f -> enc }
 
   /** Stringly-typed structured read of an XML directory. */
   def read(spark: SparkSession, dir: String, rowTag: String,

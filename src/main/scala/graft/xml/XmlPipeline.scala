@@ -176,9 +176,15 @@ object XmlPipeline {
           .select("file", "row_tag").as[(String, String)]
           .collect().toMap
         (good, bad, Some(v), Some(keys), charsets, rowTags)
-      } else (filesToProcess, spark.emptyDataFrame, None, None,
-        XmlIngest.probeEncodings(spark, filesToProcess),
-        XmlIngest.probeRowTags(spark, filesToProcess))
+      } else {
+        // ONE fused distributed prefix pass yields both per-file facts
+        // (charset + row tag) — two separate probes would open and read
+        // every file's prefix twice, a real cost at the 10k-file tier
+        val probed = XmlIngest.probePrefixes(spark, filesToProcess)
+        (filesToProcess, spark.emptyDataFrame, None, None,
+          probed.map { case (f, (enc, _)) => f -> enc },
+          probed.collect { case (f, (_, Some(tag))) => f -> tag })
+      }
 
     // structured read + flatten + lineage + record ids (§1.4, S15).
     // Physical structure is inferred from a bounded FILE SAMPLE (the
