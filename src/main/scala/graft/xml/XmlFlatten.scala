@@ -98,18 +98,35 @@ object XmlFlatten {
   /** Flattens one XML-source DataFrame to the reference's flat string table.
     * Array columns (repeated elements) need the max observed repetition —
     * computed in a single aggregate over all array columns. */
-  def flatten(df: DataFrame): DataFrame = {
-    val fields = df.schema.fields.toSeq
+  def flatten(df: DataFrame): DataFrame =
+    flattenWithMaxLens(df, maxRepetitions(df))
 
-    val arrayFields = fields.filter(_.dataType.isInstanceOf[ArrayType])
-    val maxLens: Map[String, Int] =
-      if (arrayFields.isEmpty) Map.empty
-      else {
-        val aggs = arrayFields.map(f =>
-          coalesce(max(size(qcol(f.name))), lit(0)).as(f.name))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        arrayFields.map(f => f.name -> row.getAs[Int](f.name)).toMap
-      }
+  /** Max observed repetition per array column (the data-dependent half of
+    * [[flatten]]): ONE aggregate job over all array columns at once.
+    * Streaming callers compute this on a bounded BATCH sample and pass it
+    * to [[flattenWithMaxLens]] — an aggregate-then-project is not
+    * expressible inside a single streaming query, and a stream needs a
+    * FIXED output schema anyway (a late file with more repetitions than
+    * the sample truncates into `name.N` columns; pick the sample to cover
+    * the schema, as the batch pipeline's structure sample does). */
+  def maxRepetitions(df: DataFrame): Map[String, Int] = {
+    val arrayFields = df.schema.fields.toSeq
+      .filter(_.dataType.isInstanceOf[ArrayType])
+    if (arrayFields.isEmpty) Map.empty
+    else {
+      val aggs = arrayFields.map(f =>
+        coalesce(max(size(qcol(f.name))), lit(0)).as(f.name))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      arrayFields.map(f => f.name -> row.getAs[Int](f.name)).toMap
+    }
+  }
+
+  /** The pure-projection half of [[flatten]]: schema-driven at plan time,
+    * no jobs, no shuffle — safe on a STREAMING DataFrame (given maxLens
+    * from a batch sample via [[maxRepetitions]]). */
+  def flattenWithMaxLens(df: DataFrame, maxLens: Map[String, Int])
+      : DataFrame = {
+    val fields = df.schema.fields.toSeq
 
     val attrCols = fields
       .filter(f => f.name.startsWith(AttributePrefix) && f.name != ValueTag)
