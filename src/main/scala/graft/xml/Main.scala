@@ -11,8 +11,12 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * spark-submit --class graft.xml.Main graft.jar \
   *   /data/xml /data/out [/data/schemas] \
-  *   [--incremental] [--no-validate] [--run-id 42]
+  *   [--incremental] [--no-validate] [--run-id 42] [--stream]
   * }}}
+  *
+  * `--stream` switches to the Structured Streaming ingest ([[XmlStream]]):
+  * each invocation drains files not yet ingested (exactly-once via the
+  * sink checkpoint) instead of the batch star-schema run.
   *
   * `schemaDir` defaults to the input directory (findSchemaFile also
   * searches beside each XML file, mirroring the reference's resolution
@@ -29,18 +33,21 @@ object Main {
       schemaDir: String,
       incremental: Boolean,
       validate: Boolean,
-      runId: Option[Long])
+      runId: Option[Long],
+      stream: Boolean = false)
 
   def parse(args: Array[String]): Config = {
     val positional = scala.collection.mutable.Buffer.empty[String]
     var incremental = false
     var validate = true
     var runId: Option[Long] = None
+    var stream = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--incremental" => incremental = true
         case "--no-validate" => validate = false
+        case "--stream" => stream = true
         case f if f.startsWith("--run-id=") =>
           runId = Some(f.stripPrefix("--run-id=").toLong)
         case "--run-id" =>
@@ -55,14 +62,15 @@ object Main {
     }
     require(positional.length >= 2 && positional.length <= 3,
       "usage: graft.xml.Main <inputDir> <outputDir> [schemaDir] " +
-        "[--incremental] [--no-validate] [--run-id N]")
+        "[--incremental] [--no-validate] [--run-id N] [--stream]")
     Config(
       inputDir = positional(0),
       outputDir = positional(1),
       schemaDir = positional.lift(2).getOrElse(positional(0)),
       incremental = incremental,
       validate = validate,
-      runId = runId)
+      runId = runId,
+      stream = stream)
   }
 
   /** Testable core: runs the pipeline on an existing session. */
@@ -79,12 +87,34 @@ object Main {
         cfg.schemaDir, runId, loadTs, cfg.validate)
   }
 
+  /** `--stream` mode: one AvailableNow drain of the drop directory into
+    * `outputDir/records` (exactly-once via the sink log under
+    * `outputDir/_checkpoint`) — the cron line stops re-reading old files.
+    * Setup (schema/tags) is re-probed per invocation from what's present;
+    * validation stays a batch-side concern ([[XmlStream]] Scaladoc). */
+  def runStream(spark: SparkSession, cfg: Config): Long = {
+    val s = XmlStream.setup(spark, cfg.inputDir)
+    val q = XmlStream.sink(
+      XmlStream.records(spark, cfg.inputDir, s),
+      s"${cfg.outputDir}/records", s"${cfg.outputDir}/_checkpoint")
+    q.awaitTermination()
+    spark.read.parquet(s"${cfg.outputDir}/records").count()
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
     val spark = SparkSession.builder()
       .appName("graft-xml-to-parquet")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
+    if (cfg.stream) {
+      val rows = runStream(spark, cfg)
+      // scalastyle:off println
+      println(s"rows=$rows (streaming drain)")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     val report = run(spark, cfg)
     // scalastyle:off println
     println(s"files=${report.filesTotal} skipped=${report.filesSkipped} " +

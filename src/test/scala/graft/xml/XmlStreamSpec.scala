@@ -84,6 +84,21 @@ class XmlStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6)
   }
 
+  test("--stream CLI mode: parse + one AvailableNow drain, idempotent " +
+      "re-invocation (the cron line)") {
+    val cfg = Main.parse(Array("/in", "/out", "--stream"))
+    assert(cfg.stream && cfg.validate)
+    val in = Files.createTempDirectory("graft_xcli_in")
+    val out = Files.createTempDirectory("graft_xcli_out").toString
+    writeFile(in, "a.xml", 1 to 4)
+    val c = Main.Config(in.toString, out, in.toString,
+      incremental = false, validate = true, runId = None, stream = true)
+    assert(Main.runStream(spark, c) == 4)
+    assert(Main.runStream(spark, c) == 4) // re-run: nothing new, no dupes
+    writeFile(in, "b.xml", 5 to 6)
+    assert(Main.runStream(spark, c) == 6)
+  }
+
   test("late file with an unsampled column fills null; extra repetitions " +
       "truncate into the fixed schema") {
     val in = Files.createTempDirectory("graft_xs3_in")
