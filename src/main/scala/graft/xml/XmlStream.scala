@@ -29,10 +29,16 @@ import org.apache.spark.sql.types.StructType
   *    but positionless — identical records within one file share an id
   *    (documented divergence; batch ingestion keeps positional ids).
   *  - single row tag + charset per stream (the file source takes one of
-  *    each): [[setup]] picks the DOMINANT (tag, charset) of the sampled
-  *    corpus; a mixed corpus runs one stream per group, mirroring the
-  *    batch [[XmlIngest.readFilesGrouped]] union (each stream's glob is
-  *    disjoint by the probe map, so no file is double-read).
+  *    each): [[setup]] picks the DOMINANT (tag, charset) of the probed
+  *    corpus and reports every minority group in [[Setup.otherGroups]] —
+  *    a minority-tag file IS read by this stream but yields zero records
+  *    (its row tag never matches), so a caller seeing a non-empty
+  *    `otherGroups` must not ignore it: either partition the drop
+  *    directory by convention so each group gets its own stream, or
+  *    route the corpus through the batch pipeline, whose grouped read
+  *    ([[XmlIngest.readFilesGrouped]]) unions all groups. Silently
+  *    dropping minority tags is the reference-divergent data-loss mode
+  *    the batch path fixed — the streaming path SURFACES it instead.
   *
   * 100 TB notes: the file-source maxFilesPerTrigger option bounds each
   * micro-batch; the parquet sink's transaction log gives exactly-once
@@ -48,7 +54,11 @@ object XmlStream {
       rowTag: String,
       charset: String,
       schema: StructType,
-      maxLens: Map[String, Int])
+      maxLens: Map[String, Int],
+      /** Minority (tag, charset) groups present at setup with their file
+        * counts — files THIS stream reads but yields no records for (see
+        * object Scaladoc). Empty for the common single-tag corpus. */
+      otherGroups: Seq[(String, String, Int)] = Nil)
 
   /** One-time stream setup from a bounded sample of the files already
     * present: dominant (row tag, charset) via the fused prefix probe,
@@ -68,7 +78,8 @@ object XmlStream {
     val ((tag, enc), groupFiles) = groups.head
     val sample = XmlIngest.readFiles(
       spark, groupFiles.take(sampleFiles), tag, enc)
-    Setup(tag, enc, sample.schema, XmlFlatten.maxRepetitions(sample))
+    Setup(tag, enc, sample.schema, XmlFlatten.maxRepetitions(sample),
+      groups.tail.map { case ((t, e), fs) => (t, e, fs.size) })
   }
 
   /** The streaming flattened-record source: one row per XML record in
@@ -107,6 +118,49 @@ object XmlStream {
       .filterNot(Set("load_timestamp").contains)
       .map(c => coalesce(col(s"`$c`").cast("string"), lit("\u0000")))
     flat.withColumn("record_id", md5(concat_ws("\u0001", dataCols.toSeq: _*)))
+  }
+
+  /** Streaming companion to [[records]] for the VALIDATION half of the
+    * batch pipeline: one verdict row per file landing in `dir`, via the
+    * same per-file `validateAuto` chain (internal-DTD sniff → 5-location
+    * XSD/DTD resolution → well-formedness fallback) the batch scan runs.
+    * Built on the binaryFile source (file-granular, like validation
+    * itself; the source's read of the bytes is the same order of work as
+    * the SAX parse). Feed it the SAME checkpoint discipline as the
+    * ingest sink and each file is validated exactly once — a standing
+    * `validation_report` that grows as files land, without the batch
+    * re-scan of old files. */
+  def validationStream(
+      spark: SparkSession,
+      dir: String,
+      schemaDir: String): DataFrame = {
+    import spark.implicits._
+    // the binaryFile source's fixed schema, stated explicitly (streaming
+    // sources don't infer); only `path` is consumed downstream
+    val binSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.xml")
+      .schema(binSchema)
+      .load(dir)
+      .select($"path")
+      .as[String]
+      .mapPartitions(_.map { p =>
+        val v = XmlValidation.validateAuto(p, schemaDir)
+        (v.file,
+          v.valid.map(b => if (b) "valid" else "invalid")
+            .getOrElse("no_schema"),
+          v.errors.mkString("; "),
+          v.schemaUsed.getOrElse(""))
+      })
+      .toDF("file", "verdict", "errors", "schema_used")
   }
 
   /** Exactly-once parquet append sink for [[records]]: the parquet sink's

@@ -99,6 +99,63 @@ class XmlStreamSpec extends SparkSpec {
     assert(Main.runStream(spark, c) == 6)
   }
 
+  test("validationStream: per-file verdicts land exactly once as files " +
+      "arrive; setup surfaces minority tag groups") {
+    val in = Files.createTempDirectory("graft_xv_in")
+    val schemas = Files.createTempDirectory("graft_xv_sch")
+    Files.writeString(schemas.resolve("default.xsd"),
+      """<?xml version="1.0"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="catalog">
+        |    <xs:complexType><xs:sequence>
+        |      <xs:element name="record" maxOccurs="unbounded">
+        |        <xs:complexType>
+        |          <xs:sequence>
+        |            <xs:element name="title" type="xs:string"/>
+        |            <xs:element name="measure" type="xs:string"
+        |              maxOccurs="unbounded"/>
+        |          </xs:sequence>
+        |          <xs:attribute name="id" type="xs:string"/>
+        |          <xs:attribute name="status" type="xs:string"/>
+        |        </xs:complexType>
+        |      </xs:element>
+        |    </xs:sequence></xs:complexType>
+        |  </xs:element>
+        |</xs:schema>
+        |""".stripMargin)
+    writeFile(in, "good.xml", 1 to 2)
+    Files.writeString(in.resolve("bad.xml"),
+      """<?xml version="1.0"?>
+        |<catalog><record id="9"><measure>no-title</measure></record>
+        |</catalog>
+        |""".stripMargin)
+    val out = Files.createTempDirectory("graft_xv_out").toString
+    val cp = Files.createTempDirectory("graft_xv_cp").toString
+    drain(XmlStream.validationStream(spark, in.toString, schemas.toString),
+      out, cp)
+    val v1 = spark.read.parquet(out)
+      .select("file", "verdict").as[(String, String)].collect()
+      .map { case (f, v) => f.split('/').last -> v }.toMap
+    assert(v1 == Map("good.xml" -> "valid", "bad.xml" -> "invalid"))
+    // a file lands later: only IT is validated on the next drain
+    writeFile(in, "later.xml", 3 to 4)
+    drain(XmlStream.validationStream(spark, in.toString, schemas.toString),
+      out, cp)
+    val v2 = spark.read.parquet(out)
+    assert(v2.count() == 3)
+    assert(v2.filter($"file".endsWith("later.xml") && $"verdict" === "valid")
+      .count() == 1)
+
+    // minority-tag surfacing: an <item> file joins the <record> corpus
+    Files.writeString(in.resolve("minority.xml"),
+      """<?xml version="1.0"?>
+        |<inventory><item id="z"><title>M</title></item></inventory>
+        |""".stripMargin)
+    val s = XmlStream.setup(spark, in.toString)
+    assert(s.rowTag == "record")
+    assert(s.otherGroups.map { case (t, _, n) => (t, n) } == Seq(("item", 1)))
+  }
+
   test("late file with an unsampled column fills null; extra repetitions " +
       "truncate into the fixed schema") {
     val in = Files.createTempDirectory("graft_xs3_in")
