@@ -84,6 +84,23 @@ class XmlStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6)
   }
 
+  test("records() is pure projection: no aggregate, join, sort, or " +
+      "repartition anywhere in the streaming plan") {
+    val in = Files.createTempDirectory("graft_xsp_in")
+    writeFile(in, "a.xml", 1 to 2)
+    val s = XmlStream.setup(spark, in.toString)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lp = XmlStream.records(spark, in.toString, s).queryExecution.logical
+    val offending = lp.collect {
+      case n: Aggregate => n
+      case n: Join => n
+      case n: Sort => n
+      case n: RepartitionOperation => n
+    }
+    assert(offending.isEmpty,
+      offending.map(_.nodeName).mkString(", "))
+  }
+
   test("--stream CLI mode: parse + one AvailableNow drain, idempotent " +
       "re-invocation (the cron line)") {
     val cfg = Main.parse(Array("/in", "/out", "--stream"))
