@@ -412,5 +412,103 @@ object Graph {
         |FROM d1 LEFT JOIN d2 ON d1.seed = d2.seed
         |ORDER BY d1.seed""".stripMargin),
       "seeded 2-hop BFS frontier expansion over the trade graph"),
+
+    // Bounded-depth HIERARCHY traversal — the recursive-CTE query family
+    // (BOM explosion, org rollups, category trees) Spark famously lacks:
+    // re-expressed as depth-many unrolled keyed self-joins, oracle-checked
+    // against DuckDB's native WITH RECURSIVE over the SAME edge table.
+    // The hierarchy is derived deterministically from the part table
+    // (parent = partkey div 10, roots = single-digit keys, max depth 4 at
+    // sf0.1), but the PLAN never exploits the arithmetic — it joins the
+    // materialized edge table like any adjacency list. Scale shape: each
+    // unrolled round is one hash join keyed on the frontier's ancestor
+    // column + a union — O(depth) shuffles of frontier-sized tables, the
+    // textbook shape for depth<=10 hierarchies (real BOMs/org charts);
+    // for DEEP chains the O(log d) pointer-jumping doubling of
+    // [[Dedup]]'s q_dup_clusters is the swap, trading rounds for a
+    // closure table that doubles per round.
+    "q_hierarchy_rollup" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val part = Tables.load(s, d, "part")
+          .select($"p_partkey".cast("long").as("id"),
+            $"p_retailprice".cast("decimal(18,2)").as("v"))
+        val edges = part.filter($"id" >= 10)
+          .select($"id".as("child"), expr("id div 10").as("parent"))
+          .localCheckpoint() // static adjacency, reused by 5 rounds
+        // ancestor closure, bounded depth 5: (node, anc) pairs
+        var frontier = part.select($"id".as("node"), $"id".as("anc"))
+        var closure = frontier
+        (1 to 5).foreach { _ =>
+          frontier = frontier
+            .join(edges, frontier("anc") === edges("child"))
+            .select($"node", $"parent".as("anc"))
+          closure = closure.union(frontier)
+        }
+        // subtree rollup at the roots: every node's value contributes to
+        // each of its ancestors; filter to root-level ancestors
+        closure.filter($"anc" <= 9)
+          .join(part.withColumnRenamed("id", "node"), "node")
+          .groupBy($"anc".as("root"))
+          .agg(count(lit(1)).as("n_desc"), sum($"v").as("subtree_value"))
+          .orderBy($"root")
+      },
+      Some("""WITH RECURSIVE
+        |p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+        |        CAST(p_retailprice AS DECIMAL(18,2)) AS v FROM part),
+        |e AS (SELECT id AS child, id // 10 AS parent FROM p WHERE id >= 10),
+        |cl AS (
+        |  SELECT id AS node, id AS anc, 0 AS k FROM p
+        |  UNION ALL
+        |  SELECT cl.node, e.parent, cl.k + 1
+        |  FROM cl JOIN e ON cl.anc = e.child WHERE cl.k < 5)
+        |SELECT cl.anc AS root, CAST(COUNT(*) AS BIGINT) AS n_desc,
+        |  SUM(p.v) AS subtree_value
+        |FROM cl JOIN p ON cl.node = p.id
+        |WHERE cl.anc <= 9
+        |GROUP BY cl.anc ORDER BY root""".stripMargin),
+      "bounded-depth subtree rollup (recursive-CTE family) vs native " +
+        "WITH RECURSIVE"),
+
+    // The materialized-path variant: top-down traversal carrying the
+    // root->node path string — level k rows exist only after k rounds,
+    // exactly a recursive CTE's iteration semantics. Same O(depth)
+    // keyed-join shape as the rollup (here keyed on parent: each round
+    // expands the current level to its children).
+    "q_hierarchy_path" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val part = Tables.load(s, d, "part")
+          .select($"p_partkey".cast("long").as("id"))
+        val edges = part.filter($"id" >= 10)
+          .select($"id".as("child"), expr("id div 10").as("parent"))
+          .localCheckpoint()
+        var level = part.filter($"id" <= 9)
+          .select($"id".as("node"), $"id".cast("string").as("path"),
+            lit(0).as("depth"))
+        var all = level
+        (1 to 5).foreach { _ =>
+          level = level.join(edges, level("node") === edges("parent"))
+            .select($"child".as("node"),
+              concat($"path", lit("/"), $"child".cast("string")).as("path"),
+              ($"depth" + 1).as("depth"))
+          all = all.union(level)
+        }
+        all.filter($"node".between(100, 199))
+          .orderBy($"node")
+      },
+      Some("""WITH RECURSIVE
+        |p AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+        |e AS (SELECT id AS child, id // 10 AS parent FROM p WHERE id >= 10),
+        |t AS (
+        |  SELECT id AS node, CAST(id AS VARCHAR) AS path, 0 AS depth
+        |  FROM p WHERE id <= 9
+        |  UNION ALL
+        |  SELECT e.child, t.path || '/' || CAST(e.child AS VARCHAR),
+        |    t.depth + 1
+        |  FROM t JOIN e ON e.parent = t.node WHERE t.depth < 5)
+        |SELECT node, path, CAST(depth AS INT) AS depth FROM t
+        |WHERE node BETWEEN 100 AND 199 ORDER BY node""".stripMargin),
+      "materialized root->node paths via bounded top-down traversal"),
   )
 }
