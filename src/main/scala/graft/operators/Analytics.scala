@@ -1144,6 +1144,103 @@ object Analytics {
         |FROM st ORDER BY c_mktsegment""".stripMargin),
       "per-segment OLS slope of monthly revenue (exact integer sums)"),
 
+    // Multiple linear regression by NORMAL EQUATIONS — the distributed
+    // closed-form fit (y ~ b0 + b1*quantity + b2*discount over lineitem):
+    // ONE pass of integer-exact sufficient statistics (n, Σx1, Σx2, Σy,
+    // Σx1², Σx2², Σx1x2, Σx1y, Σx2y — all BIGINT on cent/unit-scaled
+    // inputs, overflow-safe to ~1e9 rows at these magnitudes), then
+    // the 3x3 solve by Cramer's rule as ONE double expression written
+    // with the identical operation tree in Spark and DuckDB (same IEEE
+    // ops in the same order -> bit-identical before the 6-dp round).
+    // The shape every closed-form distributed ML fit takes at 100 TB:
+    // map-side partial sums, one scalar row out, zero iterations —
+    // the contrast to q_perceptron's 2-round iterative trainer; p
+    // features need p(p+3)/2 sums and a driver-side p x p solve (p=2
+    // here keeps the solve in-query, so the oracle can replay it).
+    "q_ols_normal" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val st = Tables.load(s, d, "lineitem")
+          .select(
+            $"l_quantity".cast("bigint").as("x1"),
+            round($"l_discount" * 100, 0).cast("bigint").as("x2"),
+            round($"l_extendedprice" * 100, 0).cast("bigint").as("y"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"y").as("sy"),
+            sum($"x1" * $"x1").as("s11"), sum($"x2" * $"x2").as("s22"),
+            sum($"x1" * $"x2").as("s12"),
+            sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+        st.selectExpr(
+          "n",
+          """round((
+            |  (CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+            |   - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+            |   + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))
+            |  / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+            |   - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+            |   + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+            |) / 100.0, 6) AS b0""".stripMargin,
+          """round((
+            |  (CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+            |   - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+            |   + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))
+            |  / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+            |   - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+            |   + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+            |) / 100.0, 6) AS b1""".stripMargin,
+          """round((
+            |  (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+            |   - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+            |   + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+            |  / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+            |   - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+            |   + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+            |) / 100.0, 6) AS b2""".stripMargin)
+      },
+      Some(s"""WITH st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        |  FROM (
+        |    SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |      CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |    FROM lineitem))
+        |SELECT n,
+        |  round((
+        |    (CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |     - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        |     + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |     - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |     + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+        |  ) / 100.0, 6) AS b0,
+        |  round((
+        |    (CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        |     - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |     + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |     - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |     + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+        |  ) / 100.0, 6) AS b1,
+        |  round((
+        |    (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |     - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |     + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |     - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |     + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+        |  ) / 100.0, 6) AS b2
+        |FROM st""".stripMargin),
+      "multiple OLS by normal equations: one-pass exact sufficient " +
+        "stats + in-query Cramer solve"),
+
     // Bucketed Lorenz curve / revenue-concentration report: how much of
     // purchase revenue the top spender bands hold (the "do 20% of users
     // drive 80% of revenue?" question; companion to q_gini's token-side
