@@ -54,9 +54,11 @@ final case class ResizedImage(
   * [[extractImageFeatures]] fully decodes to pixel statistics (mean RGB,
   * luma, quadrant lumas — a deterministic stand-in embedding). Undecodable
   * blobs surface as `decode_ok = false` rows — corrupt media is data to
-  * quarantine, not an exception to throw. Only VIDEO remains stubbed
-  * ([[sampleFrames]] synthesizes frame offsets from metadata — no video
-  * codec ships with the JDK).
+  * quarantine, not an exception to throw. Multi-frame decode is real for
+  * animated GIF ([[sampleAnimationFrames]] — the one multi-frame
+  * container with a JDK codec); for mp4/webm the JDK ships no codec, so
+  * [[sampleFrames]] plans frame offsets from metadata for an external
+  * decoder to consume (the honest remaining limitation).
   *
   * Scale notes: blobs never pass through a shuffle (all transforms are
   * map-side); partition budgets are byte-based (use
@@ -189,10 +191,12 @@ object Multimodal {
       "decode_ok", "width", "height", "channels", "format")
   }
 
-  /** Video frame sampling STUB: emits every `everyMs`-th frame offset from
-    * the metadata duration — the explode-shaped transform (1 row -> k
-    * rows) a real frame sampler would produce. The JDK ships no video
-    * codec, so this is the one remaining stub in the module. */
+  /** Frame-offset PLANNER for container formats the JDK cannot decode
+    * (mp4/webm — no JDK codec): emits every `everyMs`-th frame offset
+    * from the metadata duration, the explode-shaped transform (1 row ->
+    * k rows) a decoder plugs into. For MULTI-FRAME formats the JDK does
+    * ship a codec for (animated GIF), [[sampleAnimationFrames]] is the
+    * REAL decode path. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L)
       : Dataset[FrameSample] = {
     import media.sparkSession.implicits._
@@ -201,6 +205,72 @@ object Multimodal {
         .zipWithIndex
         .map { case (off, i) => FrameSample(row.media_id, i, off) }
     }
+  }
+
+  /** REAL multi-frame decode + sampling over animated GIF blobs (the one
+    * multi-frame container the JDK ships a codec for): every `everyNth`
+    * frame is decoded to pixel statistics — frame count from the
+    * container, per-frame width/height/mean-luma from the pixels, the
+    * 1-row -> k-rows explode a video pipeline's frame sampler performs,
+    * with the decoder amortized per blob. Rows whose bytes are not
+    * animated GIF (wrong magic, corrupt body, single-frame) yield ONE
+    * `decode_ok = false` quarantine row, never a task failure. Frames
+    * are decoded AS STORED (GIF delta frames may be smaller than the
+    * logical screen; compositing deltas onto the canvas is a renderer
+    * concern, not a sampling one). Same scale shape as every transform
+    * here: map-side only, blob dropped at output, fixed-width rows. */
+  def sampleAnimationFrames(media: Dataset[MediaRow], everyNth: Int = 1)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    val step = math.max(everyNth, 1)
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val isGif = row.content.length > 6 &&
+          row.content(0) == 'G' && row.content(1) == 'I' &&
+          row.content(2) == 'F'
+        val frames: Seq[(Int, Int, Int, Int, Double)] =
+          if (!isGif) Nil
+          else {
+            val readers = ImageIO.getImageReadersByFormatName("gif")
+            if (!readers.hasNext) Nil
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(ImageIO.createImageInputStream(
+                  new ByteArrayInputStream(row.content)))
+                val n = reader.getNumImages(true)
+                if (n < 2) Nil // not an animation
+                else (0 until n by step).map { i =>
+                  val img = reader.read(i)
+                  var luma = 0.0
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      luma += (0.299 * ((p >> 16) & 0xff) +
+                        0.587 * ((p >> 8) & 0xff) +
+                        0.114 * (p & 0xff)) / 255.0
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  (i, n, w, h, luma / math.max(w * h, 1))
+                }
+              } catch { case scala.util.control.NonFatal(_) => Nil }
+              finally reader.dispose()
+            }
+          }
+        if (frames.isEmpty)
+          Seq((row.media_id, false, -1, -1, -1, -1, -1.0))
+        else frames.map { case (i, n, w, h, luma) =>
+          (row.media_id, true, i, n, w, h,
+            math.rint(luma * 1e6) / 1e6)
+        }
+      }
+    }.toDF("media_id", "decode_ok", "frame_index", "n_frames",
+      "width", "height", "mean_luma")
   }
 
   /** REAL pixel resample into a `maxDim` bounding box (aspect preserved,

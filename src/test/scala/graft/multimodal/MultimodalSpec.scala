@@ -95,6 +95,53 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.offset_ms).sorted.toSeq == Seq(0L, 1000L, 2000L, 3000L))
   }
 
+  /** A real ANIMATED GIF via the JDK's sequence writer: `n` frames,
+    * frame i uniformly gray at level `40*i` (distinct mean luma per
+    * frame). */
+  private def animatedGif(n: Int, w: Int = 20, h: Int = 10): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until n).foreach { i =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = 40 * i
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  test("sampleAnimationFrames REALLY decodes animated-GIF frames: " +
+      "count from the container, luma from the pixels, non-GIF " +
+      "quarantined") {
+    val gif = animatedGif(5)
+    val rows = Seq(
+      MediaRow(11L, gif, MediaMeta("video", 20, 10, 500L, "gif")),
+      MediaRow(12L, junk(12, 500), MediaMeta("video", 64, 64, 900L, "h264")),
+      MediaRow(13L, png, MediaMeta("image", 320, 200, 0L, "png"))).toDS()
+    val out = Multimodal.sampleAnimationFrames(rows, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6)))
+    // the animation explodes to frames 0, 2, 4 of 5
+    val anim = out.filter(_._1 == 11L).sortBy(_._3)
+    assert(anim.map(r => (r._3, r._4, r._5, r._6)).toSeq ==
+      Seq((0, 5, 20, 10), (2, 5, 20, 10), (4, 5, 20, 10)))
+    // frame luma follows the painted gray levels (0, 80, 160)/255
+    val lumas = anim.map(_._7)
+    assert(math.abs(lumas(0) - 0.0) < 0.02)
+    assert(math.abs(lumas(1) - 80.0 / 255) < 0.02)
+    assert(math.abs(lumas(2) - 160.0 / 255) < 0.02)
+    // junk video bytes and a single-frame PNG both quarantine as 1 row
+    assert(out.filter(_._1 == 12L).toSeq == Seq((12L, false, -1, -1, -1, -1, -1.0)))
+    assert(out.filter(_._1 == 13L).toSeq == Seq((13L, false, -1, -1, -1, -1, -1.0)))
+  }
+
   test("resize metadata clamps to bounding box, keeps aspect ratio") {
     val out = Multimodal.resizeMeta(media.toDF, maxDim = 160)
       .select("media_id", "resized_width", "resized_height")
