@@ -54,11 +54,13 @@ final case class ResizedImage(
   * [[extractImageFeatures]] fully decodes to pixel statistics (mean RGB,
   * luma, quadrant lumas — a deterministic stand-in embedding). Undecodable
   * blobs surface as `decode_ok = false` rows — corrupt media is data to
-  * quarantine, not an exception to throw. Multi-frame decode is real for
-  * animated GIF ([[sampleAnimationFrames]] — the one multi-frame
-  * container with a JDK codec); for mp4/webm the JDK ships no codec, so
-  * [[sampleFrames]] plans frame offsets from metadata for an external
-  * decoder to consume (the honest remaining limitation).
+  * quarantine, not an exception to throw. AUDIO decode is real too
+  * ([[extractAudioFeatures]]: WAV/AIFF/AU via `javax.sound.sampled` —
+  * header facts + RMS/peak/zero-cross from the PCM samples), as is
+  * multi-frame decode for animated GIF ([[sampleAnimationFrames]] — the
+  * one multi-frame container with a JDK codec); for mp4/webm/mp3 the JDK
+  * ships no codec, so [[sampleFrames]] plans frame offsets from metadata
+  * for an external decoder to consume (the honest remaining limitation).
   *
   * Scale notes: blobs never pass through a shuffle (all transforms are
   * map-side); partition budgets are byte-based (use
@@ -189,6 +191,95 @@ object Multimodal {
         info.map(_.format).getOrElse(""))
     }.toDF("media_id", "declared_type", "declared_width", "declared_height",
       "decode_ok", "width", "height", "channels", "format")
+  }
+
+  /** REAL audio decode to signal features via `javax.sound.sampled` (the
+    * JDK ships WAV/AIFF/AU codecs — the audio sibling of the imageio
+    * paths): container facts from the header (sample rate, channels, bit
+    * depth, frame count -> duration) and per-blob PCM statistics from
+    * the samples — RMS energy, peak amplitude, zero-crossing rate, all
+    * normalized to [-1,1] sample space — the deterministic stand-in for
+    * a learned audio embedding, and the triage stats (silence/clipping
+    * detection) a 100 TB audio pipeline filters on before any model.
+    * Channels are averaged (mono mix) before statistics. Compressed
+    * formats (mp3/ogg — no JDK codec) and corrupt blobs quarantine as
+    * `decode_ok = false` rows. Map-side only, blob dropped at output. */
+  def extractAudioFeatures(media: Dataset[MediaRow], batchSize: Int = 32)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val decoded = try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(row.content))
+            try {
+              val fmt = in.getFormat
+              val bits = fmt.getSampleSizeInBits
+              val ch = fmt.getChannels
+              // restrict to the PCM encodings we can normalize exactly
+              val enc = fmt.getEncoding.toString
+              if (bits != 8 && bits != 16) None
+              else if (enc != "PCM_SIGNED" && enc != "PCM_UNSIGNED") None
+              else {
+                val bytes = in.readAllBytes()
+                val bytesPerFrame = fmt.getFrameSize
+                val n = bytes.length / bytesPerFrame
+                val big = fmt.isBigEndian
+                val full = (1 << (bits - 1)).toDouble
+                var sumSq = 0.0
+                var peak = 0.0
+                var crossings = 0L
+                var prevSign = 0
+                var f = 0
+                while (f < n) {
+                  var mix = 0.0
+                  var c = 0
+                  while (c < ch) {
+                    val off = f * bytesPerFrame + c * (bits / 8)
+                    val raw =
+                      if (bits == 8) {
+                        val b = bytes(off).toInt
+                        if (enc == "PCM_UNSIGNED") (b & 0xff) - 128 else b
+                      } else {
+                        val (b0, b1) =
+                          if (big) (bytes(off), bytes(off + 1))
+                          else (bytes(off + 1), bytes(off))
+                        val v = (b0 << 8) | (b1 & 0xff)
+                        if (enc == "PCM_UNSIGNED") (v & 0xffff) - 32768
+                        else v
+                      }
+                    mix += raw / full
+                    c += 1
+                  }
+                  mix /= ch
+                  sumSq += mix * mix
+                  if (math.abs(mix) > peak) peak = math.abs(mix)
+                  val sign = if (mix > 0) 1 else if (mix < 0) -1 else 0
+                  if (sign != 0 && prevSign != 0 && sign != prevSign)
+                    crossings += 1
+                  if (sign != 0) prevSign = sign
+                  f += 1
+                }
+                Some((fmt.getSampleRate.toInt, ch, bits, n.toLong,
+                  if (n == 0) 0.0 else math.sqrt(sumSq / n), peak,
+                  if (n <= 1) 0.0 else crossings.toDouble / (n - 1)))
+              }
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+          decoded match {
+            case Some((sr, ch, bits, n, rms, peak, zcr)) =>
+              (row.media_id, true, sr, ch, bits, n,
+                math.rint(n.toDouble / math.max(sr, 1) * 1000).toLong,
+                math.rint(rms * 1e6) / 1e6, math.rint(peak * 1e6) / 1e6,
+                math.rint(zcr * 1e6) / 1e6)
+            case None =>
+              (row.media_id, false, -1, -1, -1, -1L, -1L, -1.0, -1.0, -1.0)
+          }
+        }
+      }
+    }.toDF("media_id", "decode_ok", "sample_rate", "channels", "bits",
+      "n_frames", "duration_ms", "rms", "peak", "zero_cross_rate")
   }
 
   /** Frame-offset PLANNER for container formats the JDK cannot decode

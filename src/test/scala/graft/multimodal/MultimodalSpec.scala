@@ -142,6 +142,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(_._1 == 13L).toSeq == Seq((13L, false, -1, -1, -1, -1, -1.0)))
   }
 
+  /** A real WAV: 16-bit signed little-endian mono PCM through the JDK's
+    * own writer. `amp` = sine amplitude in [0,1] at `hz`. */
+  private def wav(seconds: Double, amp: Double, hz: Double,
+      rate: Float = 8000f): Array[Byte] = {
+    val n = (seconds * rate).toInt
+    val bytes = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
+      bytes(i * 2) = (v & 0xff).toByte
+      bytes(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("extractAudioFeatures REALLY decodes WAV: header facts + RMS/" +
+      "peak/zero-cross from the samples, non-audio quarantined") {
+    val rows = Seq(
+      MediaRow(21L, wav(0.5, 0.5, 440), MediaMeta("audio", 0, 0, 500L, "wav")),
+      MediaRow(22L, wav(0.25, 0.0, 440), MediaMeta("audio", 0, 0, 250L, "wav")),
+      MediaRow(23L, junk(23, 800), MediaMeta("audio", 0, 0, 100L, "mp3")))
+      .toDS()
+    val out = Multimodal.extractAudioFeatures(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sine = out(21L)
+    assert(sine.getBoolean(1))
+    assert(sine.getInt(2) == 8000 && sine.getInt(3) == 1 &&
+      sine.getInt(4) == 16)
+    assert(sine.getLong(5) == 4000 && sine.getLong(6) == 500)
+    // 440 Hz sine at amplitude 0.5: rms = 0.5/sqrt(2), peak ~ 0.5,
+    // zero-crossing rate ~ 2 * 440 / 8000 = 0.11
+    assert(math.abs(sine.getDouble(7) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(sine.getDouble(8) - 0.5) < 0.01)
+    assert(math.abs(sine.getDouble(9) - 0.11) < 0.005)
+    // silence decodes fine with zero energy
+    val silent = out(22L)
+    assert(silent.getBoolean(1) && silent.getDouble(7) == 0.0 &&
+      silent.getDouble(8) == 0.0 && silent.getDouble(9) == 0.0)
+    // junk mp3 bytes quarantine, never throw
+    assert(!out(23L).getBoolean(1) && out(23L).getInt(2) == -1)
+  }
+
   test("resize metadata clamps to bounding box, keeps aspect ratio") {
     val out = Multimodal.resizeMeta(media.toDF, maxDim = 160)
       .select("media_id", "resized_width", "resized_height")
