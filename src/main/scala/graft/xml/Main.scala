@@ -90,10 +90,20 @@ object Main {
   /** `--stream` mode: one AvailableNow drain of the drop directory into
     * `outputDir/records` (exactly-once via the sink log under
     * `outputDir/_checkpoint`) — the cron line stops re-reading old files.
-    * Setup (schema/tags) is re-probed per invocation from what's present;
-    * validation stays a batch-side concern ([[XmlStream]] Scaladoc). */
+    * The stream setup (row tag, charset, schema, max repetitions) is
+    * probed on the FIRST invocation and persisted beside the checkpoint;
+    * later invocations reuse it, so the sink schema cannot flip when
+    * late files change the corpus's dominant tag, and the per-run probe
+    * cost disappears. Schema evolution = delete the setup file and
+    * restart. Validation stays a batch-side or [[XmlStream
+    * .validationStream]] concern. */
   def runStream(spark: SparkSession, cfg: Config): Long = {
-    val s = XmlStream.setup(spark, cfg.inputDir)
+    val setupPath = s"${cfg.outputDir}/_graft_stream_setup.json"
+    val s = XmlStream.loadSetup(setupPath).getOrElse {
+      val fresh = XmlStream.setup(spark, cfg.inputDir)
+      XmlStream.saveSetup(fresh, setupPath)
+      fresh
+    }
     val q = XmlStream.sink(
       XmlStream.records(spark, cfg.inputDir, s),
       s"${cfg.outputDir}/records", s"${cfg.outputDir}/_checkpoint")

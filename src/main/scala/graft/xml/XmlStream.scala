@@ -120,6 +120,45 @@ object XmlStream {
     flat.withColumn("record_id", md5(concat_ws("\u0001", dataCols.toSeq: _*)))
   }
 
+  /** Persist a [[Setup]] as JSON (schema via Spark's own schema-JSON
+    * form) so repeated drains of the same drop directory REUSE the
+    * first run's setup instead of re-deriving it: (1) the per-invocation
+    * O(files) prefix probe disappears — a cron drain then pays only the
+    * source's own listing plus the new files' parse; (2) more
+    * importantly, the sink SCHEMA stays stable by construction — a late
+    * burst of minority-tag files could otherwise flip the dominant tag
+    * on re-probe and write a different schema into the same parquet
+    * directory. Schema evolution is an explicit operator action (delete
+    * the setup file + restart), never an accident of arrival order. */
+  def saveSetup(s: Setup, path: String): Unit = {
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("rowTag" -> s.rowTag) ~ ("charset" -> s.charset) ~
+          ("schemaJson" -> s.schema.json) ~ ("maxLens" -> s.maxLens)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** Load a [[Setup]] written by [[saveSetup]]; None when absent.
+    * `otherGroups` is deliberately NOT persisted — it is a point-in-time
+    * observation, not configuration. */
+  def loadSetup(path: String): Option[Setup] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val j = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(p))
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some(Setup(
+        (j \ "rowTag").extract[String],
+        (j \ "charset").extract[String],
+        org.apache.spark.sql.types.DataType
+          .fromJson((j \ "schemaJson").extract[String])
+          .asInstanceOf[StructType],
+        (j \ "maxLens").extract[Map[String, Int]]))
+    }
+  }
+
   /** Streaming companion to [[records]] for the VALIDATION half of the
     * batch pipeline: one verdict row per file landing in `dir`, via the
     * same per-file `validateAuto` chain (internal-DTD sniff → 5-location

@@ -114,6 +114,18 @@ class XmlStreamSpec extends SparkSpec {
     assert(Main.runStream(spark, c) == 4) // re-run: nothing new, no dupes
     writeFile(in, "b.xml", 5 to 6)
     assert(Main.runStream(spark, c) == 6)
+    // the persisted setup roundtrips and pins the sink schema: a late
+    // MAJORITY of <item> files must NOT flip the tag on re-invocation
+    val setupPath = s"$out/_graft_stream_setup.json"
+    val persisted = XmlStream.loadSetup(setupPath)
+    assert(persisted.exists(_.rowTag == "record"))
+    assert(persisted.exists(_.maxLens.values.max == 2))
+    (1 to 5).foreach(i => Files.writeString(in.resolve(s"item$i.xml"),
+      s"""<?xml version="1.0"?>
+         |<inventory><item id="i$i"><title>X</title></item></inventory>
+         |""".stripMargin))
+    assert(Main.runStream(spark, c) == 6) // item files: zero records, no flip
+    assert(XmlStream.loadSetup(setupPath).exists(_.rowTag == "record"))
   }
 
   test("validationStream: per-file verdicts land exactly once as files " +
