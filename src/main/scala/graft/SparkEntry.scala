@@ -27,7 +27,8 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.Behavior.queries ++
       operators.Bpe.queries ++
-      operators.Graph.queries
+      operators.Graph.queries ++
+      operators.MlFit.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 

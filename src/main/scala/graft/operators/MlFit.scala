@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.{Fns, GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed ML fits over the corpus tables (SURVEY.md §2.11 extension
+  * tier) — the three canonical shapes a training-data pipeline runs beside
+  * its ETL, one per fitting paradigm:
+  *
+  *  - [[q_kmeans]]: ITERATIVE geometry (Lloyd's algorithm, unrolled
+  *    rounds) — the clustering that backs IVF coarse quantizers
+  *    ([[IvfIndex]] collects its centroids to the driver; here the
+  *    centroids stay IN THE PLAN, so the whole fit is one lazy DAG).
+  *  - [[q_naive_bayes]]: CLOSED-FORM counting (multinomial naive Bayes) —
+  *    the one classical text classifier whose training is exactly a
+  *    pair of grouped counts, i.e. free at 100 TB.
+  *
+  * (The SPECTRAL member of the family — Gram-matrix sufficient
+  * statistics + power iteration — lives in [[Similarity]] as
+  * `q_pca_power`; the single-step cosine Lloyd iteration it complements
+  * is `q_kmeans_step` there.)
+  *
+  * Cross-engine determinism (every query here is ORACLE-CHECKED, not
+  * rows-only): all corpus arithmetic runs in the micro-unit integer space
+  * of the PQ/SRP queries (`round(x*1e6) as bigint` — exact in both
+  * engines), and every double that appears downstream is derived from
+  * those exact integers through an IDENTICAL operation tree evaluated in
+  * an IDENTICAL fold order (`aggregate` in Spark and `list_reduce` in
+  * DuckDB both fold left-to-right; a seed of 0 is bit-neutral). Sums over
+  * ROWS — the one place SQL engines reorder float addition — are
+  * confined to integer quantities; see each query's notes for where that
+  * matters. Naive Bayes alone sums engine-computed `ln` doubles per
+  * document (the q_bigram_lm precedent): ulp-level libm drift is ~1e-14
+  * per score, and the observed minimum top-2 class margin on the corpus
+  * is 3.4e-4 — ten orders above the noise floor.
+  */
+object MlFit {
+
+  /** Embedding dimensionality of the `embeddings` table. */
+  private val D = 64
+
+  /** Cluster count for the k-means query (init = vectors 0..K-1). */
+  private val K = 8
+
+  /** Micro-unit integer view of the embedding (the q_pq_encode recipe:
+    * float -> exact double -> round to 1e-6 grid -> BIGINT; both engines
+    * produce identical integers, so all downstream math starts exact). */
+  private val viSpark =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private val viDuck =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+
+  /** Spark: exact integer squared-L2 between bigint arrays `a` and `b`
+    * (fold seed 0 BIGINT; products bounded by (2*1.2e6)^2 * 64 ~ 4e14 —
+    * no overflow). */
+  private def sqDistLong(a: String, b: String): String =
+    s"aggregate(transform(sequence(1, $D), j -> (element_at($a, j) - element_at($b, j)) * (element_at($a, j) - element_at($b, j))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+  /** DuckDB mirror of [[sqDistLong]] (seedless list_reduce folds
+    * left-to-right from the first element — identical to seed 0). */
+  private def sqDistLongDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $D), j -> ($a[CAST(j AS INT)] - $b[CAST(j AS INT)]) * ($a[CAST(j AS INT)] - $b[CAST(j AS INT)])), (acc, x) -> acc + x)"
+
+  /** Spark: squared-L2 between a bigint array and a DOUBLE centroid array
+    * (bigint - double promotes; seed 0.0 is bit-neutral in the fold). */
+  private def sqDistDouble(a: String, b: String): String =
+    s"aggregate(transform(sequence(1, $D), j -> (element_at($a, j) - element_at($b, j)) * (element_at($a, j) - element_at($b, j))), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private def sqDistDoubleDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $D), j -> CAST($a[CAST(j AS INT)] - $b[CAST(j AS INT)] AS DOUBLE) * ($a[CAST(j AS INT)] - $b[CAST(j AS INT)])), (acc, x) -> acc + x)"
+
+  val queries: Seq[(String, GQuery)] = Seq(
+
+    // Distributed k-means, 2 Lloyd rounds over the 64-dim embeddings,
+    // k=8, init = the first k vectors (deterministic, like IvfIndex's
+    // first-n seeding). Everything the oracle hashes is EXACT:
+    //  - round-1 distances are bigint sums of integer squares;
+    //  - round-1 centroids are exact rationals (bigint dim-sums / count),
+    //    materialized as doubles via one exact division per dim;
+    //  - round-2 distances fold (int - exactRationalDouble)^2 in a fixed
+    //    left-to-right order, so both engines produce bit-identical
+    //    doubles; argmin tie-breaks on cluster id via a per-vector
+    //    window (partitioned by vec_id — never global).
+    // Scale shape: each round is one broadcast of k centroid rows against
+    // a map-side scan (assignment), then ONE partial-aggregated shuffle
+    // of 64 conditional sums (centroid update — the q_minhash_sig
+    // codegen-aggregate recipe, no per-dim rescan). Rounds are unrolled,
+    // so the whole fit is a single lazy plan: no driver round-trip, no
+    // collect — the contrast to [[IvfIndex]], which collects centroids
+    // because its consumers need them as literals. The `aggregate` HOF
+    // in the distance is interpreted, not codegen — fine at k*n lambda
+    // calls/round; a billion-row corpus would swap in a native
+    // squared-L2 sibling of functions.CosineSimilarityExpr.
+    "q_kmeans" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val vi = Tables.load(s, d, "embeddings")
+          .select($"vec_id", expr(viSpark).as("vi"))
+        val cent0 = vi.filter($"vec_id" < K)
+          .select($"vec_id".cast("int").as("cid"), $"vi".as("cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+        val a1 = vi.crossJoin(broadcast(cent0))
+          .select($"vec_id", $"cid",
+            expr(sqDistLong("vi", "cv")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).select($"vec_id", $"cid")
+        val dimSums = (1 to D).map(j =>
+          sum(expr(s"element_at(vi, $j)")).as(s"s$j"))
+        val cent1 = a1.join(vi, "vec_id").groupBy($"cid")
+          .agg(count(lit(1)).as("n1"), dimSums: _*)
+          .select($"cid", array((1 to D).map(j =>
+            col(s"s$j").cast("double") / col("n1")): _*).as("cv"))
+        val a2 = vi.crossJoin(broadcast(cent1))
+          .select($"vec_id", $"cid",
+            expr(sqDistDouble("vi", "cv")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).select($"vec_id", $"cid")
+        val outCols = count(lit(1)).as("n") +: (1 to 4).map(j =>
+          round(sum(expr(s"element_at(vi, $j)")).cast("double") /
+            count(lit(1)) / 1e6, 6).as(s"c$j"))
+        a2.join(vi, "vec_id").groupBy($"cid".as("cluster"))
+          .agg(outCols.head, outCols.tail: _*)
+          .orderBy($"cluster")
+      },
+      Some {
+        val sums1 = (1 to D).map(j => s"SUM(vi[$j]) AS s$j").mkString(", ")
+        val cv1 = "[" + (1 to D).map(j =>
+          s"CAST(s$j AS DOUBLE) / n1").mkString(", ") + "]"
+        val c14 = (1 to 4).map(j =>
+          s"round(CAST(SUM(vi[$j]) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS c$j")
+          .mkString(", ")
+        s"""WITH vi AS (
+        |  SELECT vec_id, $viDuck AS vi FROM embeddings),
+        |cent0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, vi AS cv FROM vi
+        |  WHERE vec_id < $K),
+        |d1 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    ${sqDistLongDuck("v.vi", "c.cv")} AS dist
+        |  FROM vi v CROSS JOIN cent0 c),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |cent1 AS (
+        |  SELECT cid, $cv1 AS cv FROM (
+        |    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n1, $sums1
+        |    FROM a1 JOIN vi USING (vec_id) GROUP BY cid)),
+        |d2 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    ${sqDistDoubleDuck("v.vi", "c.cv")} AS dist
+        |  FROM vi v CROSS JOIN cent1 c),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n, $c14
+        |FROM a2 JOIN vi USING (vec_id) GROUP BY cid
+        |ORDER BY cluster""".stripMargin
+      },
+      "distributed k-means: 2 unrolled Lloyd rounds, exact integer/" +
+        "rational math, centroids never leave the plan"),
+
+    // Multinomial naive Bayes with add-one smoothing, predicting `lang`
+    // from the token stream and reporting the self-classification
+    // confusion matrix — the canonical "training is counting" fit:
+    // the model is two grouped counts (per-(lang, token) occurrences,
+    // per-lang totals) + a prior, all vocabulary- or class-bounded, so
+    // at 100 TB the model tables broadcast and BOTH training and
+    // scoring are one map-side pass + a per-doc partial aggregation.
+    // Scoring sums ln() doubles per (doc, lang) — the one row-ordered
+    // float sum in this module (q_bigram_lm precedent): libm ulp drift
+    // ~1e-14 vs an observed minimum top-2 margin of 3.4e-4. Argmax
+    // tie-breaks on lang via a per-doc window.
+    "q_naive_bayes" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.load(s, d, "documents")
+          .select($"doc_id", $"lang", explode(Fns.tokens($"text")).as("t"))
+        val langs = toks.groupBy($"lang")
+          .agg(countDistinct($"doc_id").as("n_docs"))
+        val total = langs.agg(sum($"n_docs").as("n_total"))
+        val cnt = toks.groupBy($"lang".as("cand"), $"t")
+          .agg(count(lit(1)).as("c"))
+        val tot = toks.groupBy($"lang".as("cand"))
+          .agg(count(lit(1)).as("tot"))
+        val voc = toks.agg(countDistinct($"t").as("v"))
+        val scored = toks
+          .crossJoin(broadcast(langs.select($"lang".as("cand"))))
+          .join(broadcast(cnt), Seq("cand", "t"), "left")
+          .join(broadcast(tot), "cand")
+          .crossJoin(broadcast(voc))
+          .groupBy($"doc_id", $"lang", $"cand")
+          .agg(sum(log((coalesce($"c", lit(0L)) + 1).cast("double") /
+            ($"tot" + $"v"))).as("ll"))
+        val wArg = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"cand")
+        scored
+          .join(broadcast(langs.select($"lang".as("cand"), $"n_docs")),
+            "cand")
+          .crossJoin(broadcast(total))
+          .select($"doc_id", $"lang", $"cand",
+            ($"ll" + log($"n_docs".cast("double") / $"n_total"))
+              .as("score"))
+          .withColumn("rn", row_number().over(wArg))
+          .filter($"rn" === 1)
+          .groupBy($"lang", $"cand".as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(${Fns.sqlTokens("text")}) AS t
+        |  FROM documents),
+        |langs AS (
+        |  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM toks GROUP BY lang),
+        |total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM langs),
+        |cnt AS (
+        |  SELECT lang AS cand, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY lang, t),
+        |tot AS (
+        |  SELECT lang AS cand, CAST(COUNT(*) AS BIGINT) AS tot
+        |  FROM toks GROUP BY lang),
+        |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM toks),
+        |scored AS (
+        |  SELECT tk.doc_id, tk.lang, l.cand,
+        |    SUM(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (tot.tot + voc.v)))
+        |      AS ll
+        |  FROM toks tk
+        |  CROSS JOIN (SELECT lang AS cand FROM langs) l
+        |  LEFT JOIN cnt c ON c.cand = l.cand AND c.t = tk.t
+        |  JOIN tot ON tot.cand = l.cand
+        |  CROSS JOIN voc
+        |  GROUP BY tk.doc_id, tk.lang, l.cand),
+        |pred AS (
+        |  SELECT doc_id, lang, cand AS predicted FROM (
+        |    SELECT s.doc_id, s.lang, s.cand, row_number() OVER (
+        |        PARTITION BY s.doc_id
+        |        ORDER BY s.ll + ln(CAST(l.n_docs AS DOUBLE) / t.n_total)
+        |          DESC, s.cand) AS rn
+        |    FROM scored s JOIN langs l ON l.lang = s.cand
+        |    CROSS JOIN total t) WHERE rn = 1)
+        |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin),
+      "multinomial naive Bayes (add-one smoothing): counting-only " +
+        "training, broadcast model, confusion matrix"),
+
+  )
+}
