@@ -70,6 +70,28 @@ object MlFit {
   private def sqDistDoubleDuck(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, $D), j -> CAST($a[CAST(j AS INT)] - $b[CAST(j AS INT)] AS DOUBLE) * ($a[CAST(j AS INT)] - $b[CAST(j AS INT)])), (acc, x) -> acc + x)"
 
+  /** Bootstrap replicate count (CI from the sorted replicate means:
+    * elements 2 and R-1 of R — the ~3rd/97th percentiles at R=32). */
+  private val BootReps = 32
+
+  /** Cumulative Poisson(1) CDF literals (k = 0..7; the 8+ tail folds into
+    * the ELSE): ONE source interpolated into BOTH engine formulations so
+    * the inverse-CDF cut points can never drift. */
+  private val PoissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119", "0.9999897508033253")
+
+  /** Deterministic Poisson(1) weight from a pre-hoisted 52-bit uniform
+    * COLUMN `u` (an exact double in both engines), cut by the shared CDF
+    * thresholds — engine-neutral SQL, interpolated into BOTH
+    * formulations so the inverse-CDF cut points can never drift. */
+  private def poissonW(u: String): String = {
+    val cases = PoissonCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }.mkString(" ")
+    s"(CASE $cases ELSE 8 END)"
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // Distributed k-means, 2 Lloyd rounds over the 64-dim embeddings,
@@ -249,5 +271,96 @@ object MlFit {
       "multinomial naive Bayes (add-one smoothing): counting-only " +
         "training, broadcast model, confusion matrix"),
 
+    // Poisson bootstrap: a 95% confidence interval for the mean order
+    // value from ONE corpus pass — the at-scale bootstrap (Chamandy et
+    // al.'s Poisson approximation of multinomial resampling): each row
+    // carries R=32 deterministic Poisson(1) replicate weights derived
+    // from md5(row key, replicate), so the R "resampled" means are just
+    // 2R conditional sums through map-side partial aggregation (the
+    // q_minhash_sig recipe — no data is ever actually resampled or
+    // rescanned, and the shuffle carries one 2R-column partial row per
+    // partition). The percentile CI is read from the sorted replicate
+    // means in-plan. Determinism/oracle-exactness: the uniform is a
+    // 13-hex-digit (exactly 52-bit) md5 slice over 2^52 — an exact
+    // double in both engines — cut by SHARED Poisson-CDF literal
+    // thresholds (single Scala source interpolated into both
+    // formulations); weighted sums are exact cent-unit integers, means
+    // exact int/int divisions. Scale knobs: R (CI resolution ~ 1/sqrt(R))
+    // and the md5-per-row count (two 52-bit slices per hash -> R/2
+    // hashes; a billion-row corpus would swap md5 for the cheaper
+    // xxhash64 and forfeit the DuckDB replay, or keep md5 and pay
+    // ~R/2 hash evaluations per row — still embarrassingly parallel).
+    "q_bootstrap_ci" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        // The query is hash-CPU-bound (R/2 digests per row), so spread it:
+        // a small orders file scans as ONE split (openCostInBytes floors
+        // the split size above the file size), serializing all digest
+        // work on one core. The guard shuffles only the narrow
+        // (key, y) rows and ONLY when the scan under-splits — at real
+        // scale the thousands of input splits already parallelize and the
+        // guard is a no-op. Hashes and uniforms are hoisted into columns
+        // BEFORE the CASE cuts so the 8 WHEN branches can't re-evaluate
+        // the digest when codegen's subexpression elimination declines.
+        val base = Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("y"))
+        val cores = s.sparkContext.defaultParallelism
+        val spread =
+          if (base.rdd.getNumPartitions < cores) base.repartition(cores)
+          else base
+        val hashed = spread
+          .select($"y" +:
+            (0 until BootReps / 2).map(g => expr(
+              s"md5(concat(o_orderkey, '-', o_custkey, '_$g'))")
+              .as(s"h$g")): _*)
+        val uniforms = hashed.select($"y" +:
+          (0 until BootReps).map(r => expr(
+            s"CAST(conv(substring(h${r / 2}, ${1 + 13 * (r % 2)}, 13), 16, 10) AS BIGINT) / 4503599627370496.0")
+            .as(s"u$r")): _*)
+        val aggCols =
+          sum($"y").as("sy") +: count(lit(1)).as("n") +:
+            (0 until BootReps).flatMap(r => Seq(
+              sum(expr(s"${poissonW(s"u$r")} * y")).as(s"sy$r"),
+              sum(expr(poissonW(s"u$r"))).as(s"sw$r")))
+        val means = "array(" + (0 until BootReps)
+          .map(r => s"CAST(sy$r AS DOUBLE) / sw$r").mkString(", ") + ")"
+        uniforms.agg(aggCols.head, aggCols.tail: _*)
+          .select($"n", ($"sy".cast("double") / $"n").as("point"),
+            expr(s"array_sort($means)").as("rm"))
+          .select($"n", round($"point" / 100.0, 6).as("mean_est"),
+            round(expr("element_at(rm, 2)") / 100.0, 6).as("ci_lo"),
+            round(expr(s"element_at(rm, ${BootReps - 1})") / 100.0, 6)
+              .as("ci_hi"))
+      },
+      Some {
+        val hs = (0 until BootReps / 2).map(g =>
+          s"md5(o_orderkey || '-' || o_custkey || '_$g') AS h$g")
+          .mkString(", ")
+        val us = (0 until BootReps).map(r =>
+          s"(('0x' || substring(h${r / 2}, ${1 + 13 * (r % 2)}, 13))::BIGINT / 4503599627370496.0) AS u$r")
+          .mkString(", ")
+        val aggs = (0 until BootReps).map(r =>
+          s"SUM(${poissonW(s"u$r")} * y) AS sy$r, " +
+            s"SUM(${poissonW(s"u$r")}) AS sw$r").mkString(", ")
+        val means = "[" + (0 until BootReps)
+          .map(r => s"CAST(sy$r AS DOUBLE) / sw$r").mkString(", ") + "]"
+        s"""WITH hashed AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y, $hs
+        |  FROM orders),
+        |uniforms AS (SELECT y, $us FROM hashed),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy, $aggs
+        |  FROM uniforms),
+        |ms AS (SELECT n, CAST(sy AS DOUBLE) / n AS point,
+        |  list_sort($means) AS rm FROM st)
+        |SELECT n, round(point / 100.0, 6) AS mean_est,
+        |  round(rm[2] / 100.0, 6) AS ci_lo,
+        |  round(rm[${BootReps - 1}] / 100.0, 6) AS ci_hi
+        |FROM ms""".stripMargin
+      },
+      "one-pass Poisson-bootstrap 95% CI for the mean order value " +
+        "(R=32 deterministic replicate weights, no resampling pass)"),
   )
+
 }

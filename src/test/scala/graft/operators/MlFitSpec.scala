@@ -95,4 +95,40 @@ class MlFitSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(got === expected, s"got $got\nexpected $expected")
   }
+
+  test("q_bootstrap_ci matches a local MD5-replicating reimplementation") {
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+    val rows = spark.read.parquet(s"$d/orders.parquet")
+      .selectExpr("o_orderkey || '-' || o_custkey AS key",
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y")
+      .as[(String, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val r = 32
+    val sy = Array.fill(r)(0L); val sw = Array.fill(r)(0L)
+    rows.foreach { case (key, y) =>
+      (0 until r).foreach { rep =>
+        val h = md5hex(s"${key}_${rep / 2}")
+        val slice = h.substring(13 * (rep % 2), 13 * (rep % 2) + 13)
+        val u = java.lang.Long.parseLong(slice, 16) / 4503599627370496.0
+        val w = cdf.indexWhere(u < _) match { case -1 => 8; case k => k }
+        sy(rep) += w * y; sw(rep) += w.toLong
+      }
+    }
+    val means = (0 until r).map(rep => sy(rep).toDouble / sw(rep)).sorted
+    def r6(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val expected = (rows.length.toLong,
+      r6(rows.map(_._2).sum.toDouble / rows.length / 100.0),
+      r6(means(1) / 100.0), r6(means(30) / 100.0))
+    val got = SparkEntry.queries("q_bootstrap_ci")(spark, d)
+      .as[(Long, Double, Double, Double)].head()
+    assert(got === expected, s"got $got expected $expected")
+    // and the statistical sanity the CI exists to provide
+    assert(got._3 < got._2 && got._2 < got._4)
+  }
 }

@@ -492,6 +492,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(p_brand"), p.take(1500)) // cap
   }
 
+  test("q_kmeans: broadcast centroid rounds, keyed windows, no global " +
+    "exchange") {
+    val p = plan("q_kmeans")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // both assignment rounds broadcast the k centroid rows
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // argmin windows are per-vector, centroid updates partial-aggregated;
+    // nothing in the fit funnels through one partition
+    assert(!p.contains("SinglePartition"), p.take(1500))
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(1500))
+  }
+
+  test("q_naive_bayes: broadcast model tables; the only global exchanges " +
+    "are the two 1-row scalar anchors") {
+    val p = plan("q_naive_bayes")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // vocab-size V and doc-total N are lazy plan scalars (the
+    // q_market_basket anchor pattern): exactly two SinglePartition
+    // reductions, each of an already-partial-aggregated input
+    val singles = p.split("\n")
+      .count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"$singles single-partition exchanges:\n" +
+      p.take(1500))
+  }
+
+  test("q_bootstrap_ci: one pass, partial-aggregated, single scalar " +
+    "reduction") {
+    val p = plan("q_bootstrap_ci")
+    // all 2R replicate sums are map-side partials into ONE 1-row
+    // reduction — the whole bootstrap is a single scan, no resample pass
+    assert(p.contains("partial_sum"), p.take(1200))
+    val singles = p.split("\n")
+      .count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"$singles single-partition exchanges")
+    assert(p.split("FileScan").length - 1 == 1,
+      "bootstrap must scan the corpus exactly once")
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
