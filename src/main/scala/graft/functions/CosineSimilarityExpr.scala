@@ -101,6 +101,13 @@ class GraftExtensions
         CosineSimilarityExpr(children.head, children(1))
       }))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sq_l2"),
+      new ExpressionInfo(classOf[SquaredL2Expr].getName, "sq_l2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sq_l2 takes exactly 2 arguments")
+        SquaredL2Expr(children.head, children(1))
+      }))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "unicode_norm"),
       (children: Seq[Expression]) => {

@@ -54,7 +54,7 @@ object MlFit {
   /** Spark: exact integer squared-L2 between bigint arrays `a` and `b`
     * (fold seed 0 BIGINT; products bounded by (2*1.2e6)^2 * 64 ~ 4e14 —
     * no overflow). */
-  private def sqDistLong(a: String, b: String): String =
+  private[operators] def sqDistLong(a: String, b: String): String =
     s"aggregate(transform(sequence(1, $D), j -> (element_at($a, j) - element_at($b, j)) * (element_at($a, j) - element_at($b, j))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
   /** DuckDB mirror of [[sqDistLong]] (seedless list_reduce folds
@@ -64,7 +64,7 @@ object MlFit {
 
   /** Spark: squared-L2 between a bigint array and a DOUBLE centroid array
     * (bigint - double promotes; seed 0.0 is bit-neutral in the fold). */
-  private def sqDistDouble(a: String, b: String): String =
+  private[operators] def sqDistDouble(a: String, b: String): String =
     s"aggregate(transform(sequence(1, $D), j -> (element_at($a, j) - element_at($b, j)) * (element_at($a, j) - element_at($b, j))), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
   private def sqDistDoubleDuck(a: String, b: String): String =
@@ -110,10 +110,12 @@ object MlFit {
     // codegen-aggregate recipe, no per-dim rescan). Rounds are unrolled,
     // so the whole fit is a single lazy plan: no driver round-trip, no
     // collect — the contrast to [[IvfIndex]], which collects centroids
-    // because its consumers need them as literals. The `aggregate` HOF
-    // in the distance is interpreted, not codegen — fine at k*n lambda
-    // calls/round; a billion-row corpus would swap in a native
-    // squared-L2 sibling of functions.CosineSimilarityExpr.
+    // because its consumers need them as literals. Distances run through
+    // the NATIVE codegen `sq_l2` expression (functions.SquaredL2Expr —
+    // one fused loop, no per-element lambda dispatch in the k*n-per-round
+    // hot path); the HOF formulations ([[sqDistLong]]/[[sqDistDouble]])
+    // remain the executable spec, pinned value-identical by MlFitSpec's
+    // parity test and by the DuckDB oracle sharing their fold order.
     "q_kmeans" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -124,7 +126,7 @@ object MlFit {
         val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
         val a1 = vi.crossJoin(broadcast(cent0))
           .select($"vec_id", $"cid",
-            expr(sqDistLong("vi", "cv")).as("dist"))
+            expr("sq_l2(vi, cv)").as("dist"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1).select($"vec_id", $"cid")
         val dimSums = (1 to D).map(j =>
@@ -135,7 +137,7 @@ object MlFit {
             col(s"s$j").cast("double") / col("n1")): _*).as("cv"))
         val a2 = vi.crossJoin(broadcast(cent1))
           .select($"vec_id", $"cid",
-            expr(sqDistDouble("vi", "cv")).as("dist"))
+            expr("sq_l2(vi, cv)").as("dist"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1).select($"vec_id", $"cid")
         val outCols = count(lit(1)).as("n") +: (1 to 4).map(j =>

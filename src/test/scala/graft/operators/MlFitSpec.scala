@@ -96,6 +96,29 @@ class MlFitSpec extends SparkSpec {
     assert(got === expected, s"got $got\nexpected $expected")
   }
 
+  test("native sq_l2 is value-identical to the HOF executable spec " +
+    "(both signatures)") {
+    val vi = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a")
+    // long-long: pair each vector with the reversed one (distinct values)
+    val ll = vi.selectExpr("a", "reverse(a) AS b")
+      .selectExpr(s"sq_l2(a, b) AS native",
+        s"${MlFit.sqDistLong("a", "b")} AS hof")
+      .selectExpr("count(*) AS n", "sum(CAST(native != hof AS INT)) AS bad")
+      .as[(Long, Long)].head()
+    assert(ll._1 > 0 && ll._2 == 0, s"long-long mismatches: $ll")
+    // long-double: vs a rational centroid-like array (a/3 per dim)
+    val ld = vi.selectExpr("a",
+        "transform(reverse(a), x -> CAST(x AS DOUBLE) / 3) AS b")
+      .selectExpr(s"sq_l2(a, b) AS native",
+        s"${MlFit.sqDistDouble("a", "b")} AS hof")
+      // bit-identical, not approximately equal: same fold order
+      .selectExpr("count(*) AS n", "sum(CAST(native != hof AS INT)) AS bad")
+      .as[(Long, Long)].head()
+    assert(ld._1 > 0 && ld._2 == 0, s"long-double mismatches: $ld")
+  }
+
   test("q_bootstrap_ci matches a local MD5-replicating reimplementation") {
     val cdf = Seq(0.36787944117144233, 0.7357588823428847,
       0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
