@@ -320,14 +320,19 @@ object MlFit {
           (0 until BootReps).map(r => expr(
             s"CAST(conv(substring(h${r / 2}, ${1 + 13 * (r % 2)}, 13), 16, 10) AS BIGINT) / 4503599627370496.0")
             .as(s"u$r")): _*)
+        // hoist the weights too: each w feeds TWO aggregates (w*y and w),
+        // so cutting the CASE in a projection halves its evaluations
+        val weights = uniforms.select($"y" +:
+          (0 until BootReps).map(r =>
+            expr(poissonW(s"u$r")).as(s"w$r")): _*)
         val aggCols =
           sum($"y").as("sy") +: count(lit(1)).as("n") +:
             (0 until BootReps).flatMap(r => Seq(
-              sum(expr(s"${poissonW(s"u$r")} * y")).as(s"sy$r"),
-              sum(expr(poissonW(s"u$r"))).as(s"sw$r")))
+              sum(expr(s"w$r * y")).as(s"sy$r"),
+              sum(col(s"w$r")).as(s"sw$r")))
         val means = "array(" + (0 until BootReps)
           .map(r => s"CAST(sy$r AS DOUBLE) / sw$r").mkString(", ") + ")"
-        uniforms.agg(aggCols.head, aggCols.tail: _*)
+        weights.agg(aggCols.head, aggCols.tail: _*)
           .select($"n", ($"sy".cast("double") / $"n").as("point"),
             expr(s"array_sort($means)").as("rm"))
           .select($"n", round($"point" / 100.0, 6).as("mean_est"),
