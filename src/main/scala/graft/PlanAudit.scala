@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-killer scan over EVERY registered query's physical plan — the
+  * audit the round reviews run by hand, institutionalized (the sweep.sh
+  * treatment for plan shapes instead of timings):
+  *
+  * {{{ sbt "runMain graft.PlanAudit /root/testdata/sf0.001" }}}
+  *
+  * Flags, per query:
+  *  - `cartesian`   — CartesianProduct anywhere (never acceptable);
+  *  - `udf`         — ScalaUDF / BatchEvalPython (never acceptable);
+  *  - `globalwin`   — a WindowExec whose spec has no PARTITION BY (all
+  *    rows through one task). Acceptable ONLY over domain-bounded
+  *    tables (bucket/band/day/k-row); every acceptance is named in the
+  *    allowlist below WITH its bound, so a new unbounded global window
+  *    can't slip in silently;
+  *  - `singlepart`  — count of `Exchange SinglePartition` nodes beyond
+  *    the first (one 1-row scalar reduction is the lazy-anchor pattern;
+  *    more deserve a look).
+  *
+  * Exit code 1 if any query trips a flag outside the allowlist — wire
+  * it into a round's gate exactly like the scaling sweep. Plans build at
+  * sf0.001 (shape, not volume, is under audit; plan shape is
+  * SF-independent for every registered query). */
+object PlanAudit {
+
+  /** Global-window acceptances: query -> the domain bound that keeps the
+    * single partition small. EXACTLY the queries whose plans carry a
+    * global ordered window today (the audit fails on any new one), each
+    * with the bound sourced from its Scaladoc — no blanket passes. */
+  val GlobalWindowBounds: Map[String, String] = Map(
+    "q_dim_build" -> ("surrogate row_number over the DISTINCT dimension " +
+      "values — cardinality-bounded; scalable twin buildDimScalable"),
+    "q_fact_join" -> ("same dimension surrogate build as q_dim_build " +
+      "(cardinality-bounded) feeding the broadcast fact join"),
+    "q_window_rownum" -> ("the operator demo itself; the SCALE path is " +
+      "the zipRank twin asserted row-identical in the same query"),
+    "q_rfm" -> ("global ntile quintiles — exact quintile semantics need " +
+      "the total order; documented scale swap: zipRank + explicit " +
+      "ntile arithmetic over customer counts"),
+    "q_rolling_distinct" -> "7-day rolling over the bounded day table",
+    "q_rolling_distinct_exact" -> "same bounded day table",
+    "q_histogram_eqd" -> "equi-depth cuts over the bounded bucket CDF",
+    "q_pareto_front" -> "bounded price x recency bucket grid",
+    "q_lorenz" -> "bounded spender-band table",
+    "q_hill_tail" -> "top-k tail only",
+    "q_gini" -> "bounded source table",
+    "q_auc" -> "bounded score-bucket CDF table (two-phase decomposition)",
+    "q_ks_test" -> "bounded value-bucket CDF table",
+    "q_woe_iv" -> "bounded band table",
+    "q_pr_curve" -> "bounded threshold table",
+    "q_changepoint" -> "bounded day table",
+    "q_zipf_slope" -> "vocabulary-bounded rank table",
+    "q_domain_mix" -> "one row per source",
+    "q_rrf_fusion" -> "bounded fused top-k")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .appName("graft-plan-audit")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    var flagged = 0
+    SparkEntry.all.foreach { case (name, q) =>
+      val plan =
+        try q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"$name\tPLAN_ERROR\t${e.getClass.getSimpleName}")
+            failures += 1
+            ""
+        }
+      if (plan.nonEmpty) {
+        val cartesian = plan.contains("CartesianProduct")
+        val udf = plan.contains("ScalaUDF") || plan.contains("BatchEvalPython")
+        // WindowExec renders `Window [exprs], [partSpec], [orderSpec]`
+        // when fully specified but drops the empty clause: BOTH a global
+        // window (`Window [exprs], [orderSpec]`) and a partitioned
+        // no-order window (`Window [exprs], [partSpec]` — scale-safe,
+        // e.g. count(1) over (partition by fp)) render with one "], ["
+        // separator. The discriminator is the trailing spec group: order
+        // specs carry ASC/DESC, partition specs never do (empirically
+        // checked against q_rfm's global ntiles vs q_dup_spans' fp
+        // partition counts).
+        val globalWin = plan.split("\n").exists { l =>
+          if (!l.contains("Window [")) false
+          else {
+            val groups = l.split("\\], \\[")
+            groups.length == 2 &&
+              (groups(1).contains(" ASC") || groups(1).contains(" DESC"))
+          }
+        }
+        val singles =
+          plan.split("\n").count(_.contains("Exchange SinglePartition"))
+        val flags = Seq(
+          if (cartesian) Some("cartesian") else None,
+          if (udf) Some("udf") else None,
+          if (globalWin && !GlobalWindowBounds.contains(name))
+            Some("globalwin-UNBOUNDED") else None,
+          if (globalWin && GlobalWindowBounds.contains(name))
+            Some("globalwin-allowed") else None,
+          if (singles > 1) Some(s"singlepart x$singles") else None).flatten
+        if (flags.exists(f =>
+            f == "cartesian" || f == "udf" || f.contains("UNBOUNDED")))
+          failures += 1
+        if (flags.nonEmpty) {
+          flagged += 1
+          println(s"$name\t${flags.mkString(",")}")
+        }
+      }
+    }
+    println(s"== audited ${SparkEntry.all.size} plans: " +
+      s"$flagged flagged, $failures failing ==")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
