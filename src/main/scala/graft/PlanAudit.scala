@@ -37,12 +37,8 @@ object PlanAudit {
       "(cardinality-bounded) feeding the broadcast fact join"),
     "q_window_rownum" -> ("the operator demo itself; the SCALE path is " +
       "the zipRank twin asserted row-identical in the same query"),
-    "q_rfm" -> ("global ntile quintiles — exact quintile semantics need " +
-      "the total order; documented scale swap: zipRank + explicit " +
-      "ntile arithmetic over customer counts"),
     "q_rolling_distinct" -> "7-day rolling over the bounded day table",
     "q_rolling_distinct_exact" -> "same bounded day table",
-    "q_histogram_eqd" -> "equi-depth cuts over the bounded bucket CDF",
     "q_pareto_front" -> "bounded price x recency bucket grid",
     "q_lorenz" -> "bounded spender-band table",
     "q_hill_tail" -> "top-k tail only",

@@ -84,6 +84,19 @@ object Fns {
     * the scale-safe dictionary/surrogate-key assigner (same shape as
     * `star.StarTransformer.buildDimScalable`); the order columns must be a
     * total order (no ties) for the ranks to be deterministic. */
+  /** SQL-standard `ntile(k)` reconstructed from a total-order rank and the
+    * row count — the scale-safe twin of `ntile(k).over(Window.orderBy(...))`
+    * (which funnels ALL rows through one task): pair with [[zipRank]] for
+    * the rank and a lazy 1-row count anchor for `n`. Semantics are exactly
+    * ntile's: base size n/k, the first n%k buckets one larger. `rank` and
+    * `n` are column names (BIGINT); returns an INT bucket in 1..k. */
+  def ntileFromRank(rank: String, n: String, k: Int): String =
+    s"""(CASE WHEN $rank <= ($n % $k) * ($n div $k + 1)
+       | THEN CAST(($rank - 1) div ($n div $k + 1) + 1 AS INT)
+       | ELSE CAST(($n % $k) +
+       |   ($rank - ($n % $k) * ($n div $k + 1) - 1) div ($n div $k) + 1
+       |   AS INT) END)""".stripMargin.replace("\n", "")
+
   def zipRank(df: DataFrame, idxName: String, order: Column*): DataFrame = {
     // Materialize the sort once: zipWithIndex runs an internal job to
     // count per-partition rows before the indexing pass, and without the

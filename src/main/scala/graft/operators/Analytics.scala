@@ -270,8 +270,15 @@ object Analytics {
 
     // RFM segmentation: recency / frequency / monetary quintiles per
     // customer, concatenated into the classic 3-digit segment code.
-    // Quintiles via ntile over TOTAL orders (value, custkey) so bucket
-    // boundaries are engine-identical; monetary sums in exact cents.
+    // Quintile semantics are SQL ntile's over (value, custkey) — but the
+    // PLAN never runs `ntile().over(Window.orderBy(...))`, which funnels
+    // every customer through ONE task: each quintile comes from a
+    // range-partitioned total-order rank (Fns.zipRank — the q_prefix_join
+    // dictionary recipe) plus explicit ntile arithmetic
+    // (Fns.ntileFromRank) against a lazy 1-row count anchor. Value-
+    // identical to ntile (the DuckDB oracle still uses real ntile — the
+    // hash match proves the arithmetic), with no single-partition
+    // exchange at any customer count. Monetary sums in exact cents.
     // Output is the segment population summary (125 possible segments).
     "q_rfm" -> GQuery(
       (s, d) => {
@@ -285,12 +292,16 @@ object Analytics {
           .agg(min(datediff($"ref", $"day")).as("recency_days"),
             count(lit(1)).as("frequency"),
             sum($"cents").as("monetary_cents"))
-        val r = ntile(5).over(Window.orderBy($"recency_days", $"o_custkey"))
-        val f = ntile(5).over(Window.orderBy($"frequency".desc, $"o_custkey"))
-        val m = ntile(5).over(Window.orderBy($"monetary_cents".desc,
-          $"o_custkey"))
-        cust
-          .withColumn("r", r).withColumn("f", f).withColumn("m", m)
+        val nc = cust.agg(count(lit(1)).as("nc"))
+        val ranked = Fns.zipRank(
+          Fns.zipRank(
+            Fns.zipRank(cust, "r_rank", $"recency_days", $"o_custkey"),
+            "f_rank", $"frequency".desc, $"o_custkey"),
+          "m_rank", $"monetary_cents".desc, $"o_custkey")
+        ranked.crossJoin(broadcast(nc))
+          .withColumn("r", expr(Fns.ntileFromRank("r_rank", "nc", 5)))
+          .withColumn("f", expr(Fns.ntileFromRank("f_rank", "nc", 5)))
+          .withColumn("m", expr(Fns.ntileFromRank("m_rank", "nc", 5)))
           .withColumn("segment", concat($"r", $"f", $"m"))
           .groupBy($"segment")
           .agg(count(lit(1)).as("n_customers"),
@@ -327,17 +338,26 @@ object Analytics {
       "RFM quintile segmentation with segment population summary"),
 
     // Equi-depth (quantile-bucket) histogram of extended price: ntile
-    // assigns equal-population buckets, each reporting its span and
-    // count — the statistics shape optimizers and drift monitors want
+    // semantics assign equal-population buckets, each reporting its span
+    // and count — the statistics shape optimizers and drift monitors want
     // when equal-WIDTH buckets collapse under skew (cf. q_histogram).
+    // Over the FACT table, so the global `ntile().over(...)` form would
+    // be the worst single-partition window in the repo (every lineitem
+    // row through one task); instead: range-partitioned total-order rank
+    // (Fns.zipRank) + explicit ntile arithmetic (Fns.ntileFromRank) vs a
+    // lazy count anchor — the full sort equi-depth inherently needs, but
+    // distributed. DuckDB oracle keeps real ntile; the hash match proves
+    // the arithmetic.
     "q_histogram_eqd" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy($"l_extendedprice", $"l_orderkey",
-          $"l_linenumber")
-        Tables.load(s, d, "lineitem")
+        val li = Tables.load(s, d, "lineitem")
           .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-          .withColumn("bucket", ntile(10).over(w))
+        val n = li.agg(count(lit(1)).as("nr"))
+        Fns.zipRank(li, "rk", $"l_extendedprice", $"l_orderkey",
+            $"l_linenumber")
+          .crossJoin(broadcast(n))
+          .withColumn("bucket", expr(Fns.ntileFromRank("rk", "nr", 10)))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_rows"),
             min($"l_extendedprice").as("lo"),
