@@ -838,6 +838,97 @@ object Similarity {
       }),
       "PQ asymmetric-distance (ADC) top-10 search (extension X3)"),
 
+    // X3 IVF+PQ combined search — the production ANN composition (the
+    // FAISS IndexIVFPQ shape): the coarse quantizer prunes the corpus to
+    // ONE cell (q_ivf_search's centroid argmax), and candidates inside
+    // the cell are scored by PQ asymmetric distance against the QUERY'S
+    // per-subspace lookup table (8 distances x 4 subspaces, built once
+    // from the query vector — each candidate costs 4 table lookups + 3
+    // adds, never a 64-dim loop). 100 TB shape: centroids and the
+    // 32-entry query table broadcast; with codes stored partitioned by
+    // cell id the scan prunes to one partition and reads 4 SMALLINT
+    // codes per row instead of 256 bytes of floats — the two separately
+    // demonstrated halves (partition-pruned IVF scan, constant-size PQ
+    // codes) composed into the index an actual deployment runs. All math
+    // in the PQ queries' exact micro-unit integer space, so cell choice,
+    // codes, table entries, and the final ADC ranking are oracle-exact.
+    "q_ivfpq_search" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+        val best = IvfIndex.centroidsExact(s, d).crossJoin(broadcast(q))
+          .select($"label", cosine($"cvec", $"q_emb").as("ccos"))
+          .orderBy($"ccos".desc, $"label").limit(1).select($"label")
+        var qt = e.filter($"vec_id" === 0).select($"embedding")
+          .withColumn("vi", expr(pqViSpark))
+        (0 until 4).foreach(m =>
+          qt = qt.withColumn(s"qd${m + 1}", expr(pqDistsSpark(m))))
+        val qtab = qt.select($"qd1", $"qd2", $"qd3", $"qd4")
+        var cell = e.join(broadcast(best), "label")
+          .filter($"vec_id" =!= 0)
+          .withColumn("vi", expr(pqViSpark))
+        (0 until 4).foreach(m =>
+          cell = cell.withColumn(s"d${m + 1}", expr(pqDistsSpark(m))))
+        cell.select($"vec_id",
+            array_position($"d1", array_min($"d1")).cast("int").as("c1"),
+            array_position($"d2", array_min($"d2")).cast("int").as("c2"),
+            array_position($"d3", array_min($"d3")).cast("int").as("c3"),
+            array_position($"d4", array_min($"d4")).cast("int").as("c4"))
+          .crossJoin(broadcast(qtab))
+          .select($"vec_id",
+            (element_at($"qd1", $"c1") + element_at($"qd2", $"c2") +
+              element_at($"qd3", $"c3") + element_at($"qd4", $"c4"))
+              .cast("bigint").as("adc"))
+          .orderBy($"adc", $"vec_id")
+          .limit(10)
+      },
+      Some {
+        val dists = (0 until 4).map(m => s"${pqDistsDuck(m)} AS d${m + 1}")
+          .mkString(",\n|    ")
+        val viSql =
+          "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        s"""WITH x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / COUNT(*) AS cv
+        |  FROM x GROUP BY 1, 2),
+        |centa AS (
+        |  SELECT label, list(cv ORDER BY pos) AS cvec FROM cent
+        |  GROUP BY label),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |best AS (
+        |  SELECT label FROM centa, q
+        |  ORDER BY list_cosine_similarity(cvec, CAST(q_emb AS DOUBLE[]))
+        |    DESC, label
+        |  LIMIT 1),
+        |qt AS (
+        |  SELECT $dists
+        |  FROM (SELECT $viSql AS vi
+        |    FROM (SELECT q_emb AS embedding FROM q))),
+        |cell AS (
+        |  SELECT e.vec_id, $viSql AS vi
+        |  FROM embeddings e JOIN best USING (label) WHERE e.vec_id <> 0),
+        |enc AS (
+        |  SELECT vec_id,
+        |    CAST(list_position(d1, list_min(d1)) AS INT) AS c1,
+        |    CAST(list_position(d2, list_min(d2)) AS INT) AS c2,
+        |    CAST(list_position(d3, list_min(d3)) AS INT) AS c3,
+        |    CAST(list_position(d4, list_min(d4)) AS INT) AS c4
+        |  FROM (SELECT vec_id, $dists FROM cell))
+        |SELECT enc.vec_id,
+        |  CAST(qt.d1[enc.c1] + qt.d2[enc.c2] + qt.d3[enc.c3]
+        |    + qt.d4[enc.c4] AS BIGINT) AS adc
+        |FROM enc CROSS JOIN qt
+        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+      },
+      "IVF coarse prune + PQ ADC scoring within the probed cell — the " +
+        "combined production ANN index (extension X3)"),
+
     // X2/X3 SemDeDup-style semantic deduplication: embedding-space
     // near-duplicates found WITHIN clusters only (here the label column;
     // production uses k-means cells exactly like IvfIndex) — the
