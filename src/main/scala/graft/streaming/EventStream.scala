@@ -159,6 +159,47 @@ object EventStream {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** Incremental KLL QUANTILE partials — the quantile member of the
+    * stored-partials family beside [[sketchPartials]]' HLL distincts
+    * (the streaming producer of the same artifact batch
+    * `q_kll_quantiles` builds): each micro-batch lands per-day
+    * `(day, kll binary, n_events)` rows in its own `batch_id=`
+    * partition (dynamic overwrite → replay-idempotent). KLL merge
+    * preserves the published rank-error bound, so any later percentile
+    * question over any day range is answered from the stored partials
+    * by [[quantilesFromPartials]] — the raw values are never rescanned. */
+  def kllPartials(batch: DataFrame, batchId: Long, path: String): Unit =
+    graft.functions.QuantileSketch
+      .partials(batch, to_date(col("ts")), col("value"))
+      .withColumnRenamed("scope", "day")
+      // ALL (input partition × day) sketch rows land — merging here
+      // would need a sketch-merge aggregate; the reader merges instead,
+      // and KLL merge keeps the error bound either way
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Quantiles (+ the published rank-confidence envelope) for each
+    * requested rank over a DAY RANGE, answered purely from stored
+    * [[kllPartials]] — merge is a driver-side fold over the (small)
+    * per-day × per-batch sketch rows, ~3 KB each. */
+  def quantilesFromPartials(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ps: Seq[Double],
+      fromDay: Option[String] = None,
+      toDay: Option[String] = None): Seq[(Double, Double, Double, Double)] = {
+    import spark.implicits._
+    var df = spark.read.parquet(path)
+    fromDay.foreach(f => df = df.filter(col("day") >= lit(f).cast("date")))
+    toDay.foreach(t => df = df.filter(col("day") <= lit(t).cast("date")))
+    val parts = df.select(col("kll")).as[Array[Byte]].collect()
+    graft.functions.QuantileSketch.quantilesWithBounds(
+      graft.functions.QuantileSketch.merge(parts.iterator), ps)
+  }
+
   /** Roll stored partials up to per-day totals (merging across batches),
     * plus the 7-day rolling distinct — no event rescan. */
   def rollupPartials(spark: org.apache.spark.sql.SparkSession, path: String)

@@ -64,4 +64,38 @@ class SketchPartialsSpec extends SparkSpec {
         s"$day: distinct est $ru vs exact $u")
     }
   }
+
+  test("streamed KLL partials answer quantiles within the published " +
+    "rank envelope; replay is idempotent") {
+    val path = Files.createTempDirectory("graft_kll_partials").toString
+    val batches = Seq(
+      events.filter($"user_id" % 3 === 0),
+      events.filter($"user_id" % 3 === 1),
+      events.filter($"user_id" % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EventStream.kllPartials(b, i.toLong, path)
+    }
+    // replay batch 1 — dynamic overwrite must replace, not duplicate
+    EventStream.kllPartials(batches(1), 1L, path)
+
+    val ps = Seq(0.25, 0.5, 0.9)
+    val got = EventStream.quantilesFromPartials(spark, path, ps)
+    // exact ranks of the estimates over ALL values must land inside the
+    // merged sketch's published [rank_lb, rank_ub] envelope (the
+    // q_kll_quantiles self-check, against the STREAMED store)
+    val values = events.select($"value".cast("double"))
+      .as[Double].collect().sorted
+    got.foreach { case (p, est, lb, ub) =>
+      val rank = values.count(_ <= est).toDouble / values.length
+      assert(rank >= lb && rank <= ub,
+        s"p=$p est=$est exact-rank=$rank outside [$lb, $ub]")
+    }
+    // a replay that duplicated partials would double every weight but
+    // keep ranks intact; pin idempotence via the partial-row count:
+    // 3 batches x (partitions x days) rows, batch 1 replaced not added
+    val rows = spark.read.parquet(path)
+      .groupBy($"batch_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.keySet == Set(0L, 1L, 2L), s"batches: ${rows.keySet}")
+  }
 }
