@@ -97,5 +97,23 @@ class SketchPartialsSpec extends SparkSpec {
       .groupBy($"batch_id").count()
       .as[(Long, Long)].collect().toMap
     assert(rows.keySet == Set(0L, 1L, 2L), s"batches: ${rows.keySet}")
+
+    // day-range filter: a range covering every stored day must satisfy
+    // the same envelope (NOT equality — KLL merge itself flips coins, so
+    // two merges of identical partials legitimately differ in estimate);
+    // an empty range holds nothing
+    val days = spark.read.parquet(path).select($"day")
+      .as[String].collect().sorted
+    val ranged = EventStream.quantilesFromPartials(spark, path, ps,
+      fromDay = Some(days.head), toDay = Some(days.last))
+    ranged.foreach { case (p, est, lb, ub) =>
+      val rank = values.count(_ <= est).toDouble / values.length
+      assert(rank >= lb && rank <= ub,
+        s"full-range p=$p est=$est exact-rank=$rank outside [$lb, $ub]")
+    }
+    val empty = scala.util.Try(EventStream.quantilesFromPartials(
+      spark, path, ps, fromDay = Some("2099-01-01")))
+    assert(empty.isFailure || empty.get.isEmpty,
+      "empty day range must not fabricate quantiles")
   }
 }
