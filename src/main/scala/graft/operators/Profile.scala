@@ -132,5 +132,68 @@ object Profile {
         |  n_violations, n_violations = 0 FROM f2
         |ORDER BY audit""".stripMargin),
       "key-candidate + functional-dependency data-quality audit"),
+
+    // Declarative data-quality CONTRACT over orders via
+    // [[graft.profile.Expectations]] — the deequ/Great-Expectations
+    // shape as one aggregate pass (every check compiles to metric
+    // columns of a single agg; map-side partials, one scan however many
+    // checks). The report itself is the query output, so the whole API
+    // — metric math, null semantics, verdicts — is oracle-gated: DuckDB
+    // recomputes every metric independently. Contract chosen to exercise
+    // both verdicts (one deliberately failing range check).
+    "q_expectations" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        import graft.profile.Expectations._
+        val report = check(Tables.load(s, d, "orders"), Seq(
+          NotNull("o_orderkey"),
+          Unique(Seq("o_orderkey")),
+          InRange("o_totalprice", 0.0, 1e9),
+          InRange("o_totalprice", 0.0, 1000.0),
+          InSet("o_orderstatus", Seq("O", "F", "P")),
+          MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$")))
+        report.select($"expectation", round($"metric", 6).as("metric"),
+            $"threshold", $"passed")
+          .orderBy($"expectation")
+      },
+      Some("""WITH st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    AVG(CASE WHEN o_orderkey IS NULL THEN 1.0 ELSE 0.0 END)
+        |      AS null_frac,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS nd,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nn,
+        |    AVG(CASE WHEN o_totalprice IS NULL THEN NULL
+        |      WHEN o_totalprice BETWEEN 0.0 AND 1e9 THEN 1.0
+        |      ELSE 0.0 END) AS r1,
+        |    AVG(CASE WHEN o_totalprice IS NULL THEN NULL
+        |      WHEN o_totalprice BETWEEN 0.0 AND 1000.0 THEN 1.0
+        |      ELSE 0.0 END) AS r2,
+        |    AVG(CASE WHEN o_orderstatus IS NULL THEN NULL
+        |      WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1.0
+        |      ELSE 0.0 END) AS s1,
+        |    AVG(CASE WHEN o_orderpriority IS NULL THEN NULL
+        |      WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+        |      THEN 1.0 ELSE 0.0 END) AS m1
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'not_null(o_orderkey)' AS expectation,
+        |    round(null_frac, 6) AS metric, CAST(0.0 AS DOUBLE) AS threshold,
+        |    null_frac <= 0.0 AS passed FROM st
+        |  UNION ALL SELECT 'unique(o_orderkey)',
+        |    round(CASE WHEN nn = 0 THEN 0.0 ELSE 1.0 - nd / nn END, 6),
+        |    CAST(0.0 AS DOUBLE),
+        |    (CASE WHEN nn = 0 THEN 0.0 ELSE 1.0 - nd / nn END) = 0.0
+        |  FROM st
+        |  UNION ALL SELECT 'in_range(o_totalprice,0.0,1.0E9)',
+        |    round(r1, 6), CAST(1.0 AS DOUBLE), r1 >= 1.0 FROM st
+        |  UNION ALL SELECT 'in_range(o_totalprice,0.0,1000.0)',
+        |    round(r2, 6), CAST(1.0 AS DOUBLE), r2 >= 1.0 FROM st
+        |  UNION ALL SELECT 'in_set(o_orderstatus)',
+        |    round(s1, 6), CAST(1.0 AS DOUBLE), s1 >= 1.0 FROM st
+        |  UNION ALL SELECT 'matches_regex(o_orderpriority)',
+        |    round(m1, 6), CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM st)
+        |ORDER BY expectation""".stripMargin),
+      "one-pass declarative data-quality contract report (deequ shape)"),
   )
 }

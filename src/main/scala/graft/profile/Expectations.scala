@@ -1,0 +1,136 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality contract, evaluated in ONE corpus pass — the
+  * check suite a pipeline runs before publishing a table (the
+  * deequ/Great-Expectations shape, Spark-first): every expectation
+  * compiles to aggregate METRIC columns of a single `agg`, so the whole
+  * contract costs one scan with map-side partials regardless of how many
+  * checks it carries (`Unique` adds Spark's multi-count-distinct Expand,
+  * the same plan a manual `countDistinct` would make). The report is a
+  * DataFrame — store it next to the data, diff it across snapshots, gate
+  * the publish on `failed == 0`.
+  *
+  * Checks are threshold-based rather than boolean (a 100 TB corpus is
+  * never perfectly clean): `NotNull(c, maxNullFrac)` passes while the
+  * null fraction stays under budget, `MatchesRegex(c, re, minFrac)`
+  * while the match rate stays above it, and so on. Exact-decimal checks
+  * deliberately avoided: metrics here are doubles for REPORTING, the
+  * pass verdict compares against the caller's threshold only.
+  */
+object Expectations {
+
+  sealed trait Expectation {
+    /** Stable row id in the report. */
+    def label: String
+  }
+
+  /** Null fraction of `col` must be ≤ `maxNullFrac`. */
+  final case class NotNull(col: String, maxNullFrac: Double = 0.0)
+      extends Expectation {
+    def label = s"not_null($col)"
+  }
+
+  /** The column combination must be unique (distinct count == row count,
+    * null rows excluded from both sides). */
+  final case class Unique(cols: Seq[String]) extends Expectation {
+    def label = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Fraction of non-null values inside [lo, hi] must be ≥ `minFrac`. */
+  final case class InRange(col: String, lo: Double, hi: Double,
+      minFrac: Double = 1.0) extends Expectation {
+    def label = s"in_range($col,$lo,$hi)"
+  }
+
+  /** Fraction of non-null values in the allowed set must be ≥ `minFrac`. */
+  final case class InSet(col: String, values: Seq[String],
+      minFrac: Double = 1.0) extends Expectation {
+    def label = s"in_set($col)"
+  }
+
+  /** Fraction of non-null values matching `re` must be ≥ `minFrac`. */
+  final case class MatchesRegex(col: String, re: String,
+      minFrac: Double = 1.0) extends Expectation {
+    def label = s"matches_regex($col)"
+  }
+
+  /** Total row count must land in [lo, hi]. */
+  final case class RowCountBetween(lo: Long, hi: Long) extends Expectation {
+    def label = s"row_count_between($lo,$hi)"
+  }
+
+  /** The observed metric (fraction or count), its threshold, and the
+    * verdict — one report row per expectation. */
+  private def metricCols(e: Expectation): Seq[Column] = e match {
+    case NotNull(c, _) =>
+      Seq(avg(col(c).isNull.cast("double")))
+    case Unique(cs) =>
+      val nonNull = cs.map(col(_).isNotNull).reduce(_ && _)
+      Seq(countDistinct(cs.head, cs.tail: _*).cast("double"),
+        sum(nonNull.cast("long")).cast("double"))
+    case InRange(c, lo, hi, _) =>
+      Seq(avg(when(col(c).isNotNull,
+        col(c).between(lo, hi).cast("double"))))
+    case InSet(c, vs, _) =>
+      Seq(avg(when(col(c).isNotNull,
+        col(c).cast("string").isin(vs: _*).cast("double"))))
+    case MatchesRegex(c, re, _) =>
+      Seq(avg(when(col(c).isNotNull,
+        col(c).cast("string").rlike(re).cast("double"))))
+    case RowCountBetween(_, _) =>
+      Seq(count(lit(1)).cast("double"))
+  }
+
+  private def verdict(e: Expectation, ms: Seq[Double])
+      : (Double, Double, Boolean) = e match {
+    case NotNull(_, maxNull) =>
+      val nf = if (ms.head.isNaN) 0.0 else ms.head
+      (nf, maxNull, nf <= maxNull)
+    case Unique(_) =>
+      // metric reported as the duplicate fraction (0 = unique); an empty
+      // (or all-null-key) frame has no rows to collide — NaN denominator
+      val dup =
+        if (ms(1).isNaN || ms(1) == 0.0) 0.0 else 1.0 - ms.head / ms(1)
+      (dup, 0.0, dup == 0.0)
+    case InRange(_, _, _, minFrac) =>
+      val f = if (ms.head.isNaN) 1.0 else ms.head
+      (f, minFrac, f >= minFrac)
+    case InSet(_, _, minFrac) =>
+      val f = if (ms.head.isNaN) 1.0 else ms.head
+      (f, minFrac, f >= minFrac)
+    case MatchesRegex(_, _, minFrac) =>
+      val f = if (ms.head.isNaN) 1.0 else ms.head
+      (f, minFrac, f >= minFrac)
+    case RowCountBetween(lo, hi) =>
+      (ms.head, lo.toDouble, ms.head >= lo && ms.head <= hi)
+  }
+
+  /** Evaluate the contract: one aggregate job over `df`, one report row
+    * per expectation: (expectation, metric, threshold, passed). */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "empty contract")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = expectations.flatMap(metricCols)
+      .zipWithIndex.map { case (c, i) => c.as(s"m$i") }
+    val row = df.agg(cols.head, cols.tail: _*).head()
+    var idx = 0
+    expectations.map { e =>
+      val n = metricCols(e).size
+      val ms = (0 until n).map { j =>
+        val v = row.get(idx + j)
+        if (v == null) Double.NaN else v.asInstanceOf[Double]
+      }
+      idx += n
+      val (metric, threshold, ok) = verdict(e, ms)
+      (e.label, metric, threshold, ok)
+    }.toDF("expectation", "metric", "threshold", "passed")
+  }
+
+  /** True when every expectation in the report passed — the publish gate. */
+  def allPassed(report: DataFrame): Boolean =
+    report.filter(!col("passed")).isEmpty
+}
