@@ -17,15 +17,15 @@ class HierarchyOlsSpec extends SparkSpec {
     // subtree values must sum to total retail price (each node counts
     // toward exactly one root).
     val got = SparkEntry.queries("q_hierarchy_rollup")(spark, d)
-      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .as[(Long, Long, Long)].collect()
     val parts = spark.read.parquet(s"$d/part.parquet")
       .selectExpr("CAST(p_partkey AS BIGINT) AS id",
-        "CAST(p_retailprice AS DECIMAL(18,2)) AS v")
-      .as[(Long, java.math.BigDecimal)].collect()
+        "CAST(round(CAST(p_retailprice AS DOUBLE) * 100) AS BIGINT) AS v")
+      .as[(Long, Long)].collect()
     assert(got.map(_._2).sum == parts.length,
       s"root descendant counts ${got.map(_._2).sum} != ${parts.length}")
-    val totGot = got.map(r => BigDecimal(r._3)).sum
-    val totAll = parts.map(r => BigDecimal(r._2)).sum
+    val totGot = got.map(_._3).sum
+    val totAll = parts.map(_._2).sum
     assert(totGot == totAll, s"subtree value $totGot != corpus $totAll")
     // roots are exactly the single-digit ids present
     assert(got.map(_._1).toSet == parts.map(_._1).filter(_ <= 9).toSet)
