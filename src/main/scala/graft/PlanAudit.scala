@@ -52,6 +52,21 @@ object PlanAudit {
     "q_domain_mix" -> "one row per source",
     "q_rrf_fusion" -> "bounded fused top-k")
 
+  /** True when the physical-plan string contains a WindowExec with an
+    * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.
+    * String-split heuristic over Spark's plan rendering; pinned by
+    * PlanAuditSpec against one live plan of each shape so a format
+    * change in a future Spark breaks the test, not the gate. */
+  def hasGlobalOrderedWindow(plan: String): Boolean =
+    plan.split("\n").exists { l =>
+      if (!l.contains("Window [")) false
+      else {
+        val groups = l.split("\\], \\[")
+        groups.length == 2 &&
+          (groups(1).contains(" ASC") || groups(1).contains(" DESC"))
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -86,16 +101,14 @@ object PlanAudit {
         // e.g. count(1) over (partition by fp)) render with one "], ["
         // separator. The discriminator is the trailing spec group: order
         // specs carry ASC/DESC, partition specs never do (empirically
-        // checked against q_rfm's global ntiles vs q_dup_spans' fp
-        // partition counts).
-        val globalWin = plan.split("\n").exists { l =>
-          if (!l.contains("Window [")) false
-          else {
-            val groups = l.split("\\], \\[")
-            groups.length == 2 &&
-              (groups(1).contains(" ASC") || groups(1).contains(" DESC"))
-          }
-        }
+        // checked against q_window_rownum's allowlisted global
+        // row_number — q_rfm's former global ntiles, the original
+        // evidence, were replaced by zipRank arithmetic — vs
+        // q_dup_spans' fp partition counts; PlanAuditSpec pins the
+        // discriminator against one plan of each shape so a future
+        // plan-string format change fails loudly instead of silently
+        // blinding the gate).
+        val globalWin = hasGlobalOrderedWindow(plan)
         val singles =
           plan.split("\n").count(_.contains("Exchange SinglePartition"))
         val flags = Seq(

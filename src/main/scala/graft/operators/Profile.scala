@@ -189,9 +189,9 @@ object Profile {
         |    round(r1, 6), CAST(1.0 AS DOUBLE), r1 >= 1.0 FROM st
         |  UNION ALL SELECT 'in_range(o_totalprice,0.0,1000.0)',
         |    round(r2, 6), CAST(1.0 AS DOUBLE), r2 >= 1.0 FROM st
-        |  UNION ALL SELECT 'in_set(o_orderstatus)',
+        |  UNION ALL SELECT 'in_set(o_orderstatus,{O|F|P})',
         |    round(s1, 6), CAST(1.0 AS DOUBLE), s1 >= 1.0 FROM st
-        |  UNION ALL SELECT 'matches_regex(o_orderpriority)',
+        |  UNION ALL SELECT 'matches_regex(o_orderpriority,^[1-5]-[A-Z ]+$)',
         |    round(m1, 6), CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM st)
         |ORDER BY expectation""".stripMargin),
       "one-pass declarative data-quality contract report (deequ shape)"),

@@ -23,9 +23,21 @@ import org.apache.spark.sql.functions._
 object Expectations {
 
   sealed trait Expectation {
-    /** Stable row id in the report. */
+    /** Stable row id in the report. Labels carry the expectation's
+      * PARAMETERS (value set, pattern, interval), not just the column —
+      * two checks on the same column with different parameters must
+      * produce distinguishable report rows (ADVICE r7). Long payloads
+      * collapse to a short content hash so the label stays readable. */
     def label: String
   }
+
+  /** Inline `payload` into a label when short; otherwise a stable 8-hex
+    * md5 prefix — same distinguishing power, bounded width. */
+  private def short(payload: String): String =
+    if (payload.length <= 40) payload
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
 
   /** Null fraction of `col` must be ≤ `maxNullFrac`. */
   final case class NotNull(col: String, maxNullFrac: Double = 0.0)
@@ -48,16 +60,18 @@ object Expectations {
   /** Fraction of non-null values in the allowed set must be ≥ `minFrac`. */
   final case class InSet(col: String, values: Seq[String],
       minFrac: Double = 1.0) extends Expectation {
-    def label = s"in_set($col)"
+    def label = s"in_set($col,{${short(values.mkString("|"))}})"
   }
 
   /** Fraction of non-null values matching `re` must be ≥ `minFrac`. */
   final case class MatchesRegex(col: String, re: String,
       minFrac: Double = 1.0) extends Expectation {
-    def label = s"matches_regex($col)"
+    def label = s"matches_regex($col,${short(re)})"
   }
 
-  /** Total row count must land in [lo, hi]. */
+  /** Total row count must land in [lo, hi]. The report's numeric
+    * `threshold` column holds `lo`; the FULL interval lives in the label
+    * (the report schema keeps one double threshold per row). */
   final case class RowCountBetween(lo: Long, hi: Long) extends Expectation {
     def label = s"row_count_between($lo,$hi)"
   }

@@ -163,7 +163,8 @@ object EventStream {
     * stored-partials family beside [[sketchPartials]]' HLL distincts
     * (the streaming producer of the same artifact batch
     * `q_kll_quantiles` builds): each micro-batch lands per-day
-    * `(day, kll binary, n_events)` rows in its own `batch_id=`
+    * `(day, kll binary)` rows — one per (input partition, day), no
+    * event counts — in its own `batch_id=`
     * partition (dynamic overwrite → replay-idempotent). KLL merge
     * preserves the published rank-error bound, so any later percentile
     * question over any day range is answered from the stored partials
@@ -184,7 +185,10 @@ object EventStream {
   /** Quantiles (+ the published rank-confidence envelope) for each
     * requested rank over a DAY RANGE, answered purely from stored
     * [[kllPartials]] — merge is a driver-side fold over the (small)
-    * per-day × per-batch sketch rows, ~3 KB each. */
+    * per-day × per-batch sketch rows, ~3 KB each. A range matching no
+    * stored day returns `Seq.empty` (a quantile of zero observations is
+    * undefined; Datasketches would otherwise throw from the empty
+    * sketch — ADVICE r7). */
   def quantilesFromPartials(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -196,8 +200,9 @@ object EventStream {
     fromDay.foreach(f => df = df.filter(col("day") >= lit(f).cast("date")))
     toDay.foreach(t => df = df.filter(col("day") <= lit(t).cast("date")))
     val parts = df.select(col("kll")).as[Array[Byte]].collect()
-    graft.functions.QuantileSketch.quantilesWithBounds(
-      graft.functions.QuantileSketch.merge(parts.iterator), ps)
+    val merged = graft.functions.QuantileSketch.merge(parts.iterator)
+    if (merged.isEmpty) Seq.empty
+    else graft.functions.QuantileSketch.quantilesWithBounds(merged, ps)
   }
 
   /** Roll stored partials up to per-day totals (merging across batches),

@@ -32,8 +32,8 @@ class ExpectationsSpec extends SparkSpec {
     assert(report("in_range(o_totalprice,0.0,1.0E9)")._2)
     val (inCheap, cheapOk) = report("in_range(o_totalprice,0.0,100.0)")
     assert(!cheapOk && inCheap < 0.5, s"frac=$inCheap")
-    assert(report("in_set(o_orderstatus)")._2)
-    assert(report("matches_regex(o_orderdate)")._2)
+    assert(report("in_set(o_orderstatus,{O|F|P})")._2)
+    assert(report("matches_regex(o_orderdate,^\\d{4}-\\d{2}-\\d{2})")._2)
     assert(report(s"row_count_between($n,$n)") == ((n.toDouble, true)))
     assert(!report(s"row_count_between(${n + 1},${n + 2})")._2)
   }
@@ -47,8 +47,19 @@ class ExpectationsSpec extends SparkSpec {
       docs.filter($"lang".isNotNull).count()
     val got = report.collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(math.abs(got("in_set(lang)") - langFrac) < 1e-9)
+    assert(math.abs(got("in_set(lang,{en|zh})") - langFrac) < 1e-9)
     assert(allPassed(report) == (langFrac >= 0.4))
+  }
+
+  test("labels distinguish same-column checks with different parameters") {
+    // ADVICE r7: in_set/matches_regex labels used to omit their payload,
+    // so two different contracts on one column collided in the report
+    assert(InSet("c", Seq("a", "b")).label != InSet("c", Seq("a")).label)
+    assert(MatchesRegex("c", "^a").label != MatchesRegex("c", "^b").label)
+    // long payloads hash instead of exploding the label width
+    val long = InSet("c", (1 to 100).map(_.toString)).label
+    assert(long.length < 30, s"expected hashed label, got $long")
+    assert(long != InSet("c", (1 to 99).map(_.toString)).label)
   }
 
   test("all-null and empty-frame edges do not crash or mis-verdict") {

@@ -111,9 +111,9 @@ class SketchPartialsSpec extends SparkSpec {
       assert(rank >= lb && rank <= ub,
         s"full-range p=$p est=$est exact-rank=$rank outside [$lb, $ub]")
     }
-    val empty = scala.util.Try(EventStream.quantilesFromPartials(
-      spark, path, ps, fromDay = Some("2099-01-01")))
-    assert(empty.isFailure || empty.get.isEmpty,
-      "empty day range must not fabricate quantiles")
+    val empty = EventStream.quantilesFromPartials(
+      spark, path, ps, fromDay = Some("2099-01-01"))
+    assert(empty.isEmpty,
+      "empty day range must return Seq.empty, not fabricate or throw")
   }
 }
