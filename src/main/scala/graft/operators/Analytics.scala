@@ -39,6 +39,10 @@ object Analytics {
       .toDF("scope", "sk")
   }
 
+  /** The ranks q_kll_quantiles asks for (shared by its Spark body and
+    * its build-time oracle literals). */
+  private val KllPs = Seq(0.25, 0.5, 0.75, 0.95)
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // exact interpolated percentiles per group. Both engines implement the
@@ -896,27 +900,31 @@ object Analytics {
     // per question), the partials here are the STORED artifact: built
     // map-side in one pass, rolled up per scope by a mapGroups merge,
     // then quantiles answered from the merged sketches alone.
-    // KLL compaction flips random coins, so estimates vary run to run —
-    // no DuckDB oracle; instead the query SELF-CHECKS the published
-    // contract per (scope, p): the exact INCLUSIVE rank of the estimate
-    // (one broadcast join + avg over the corpus) must land inside
-    // [getRankLowerBound(p), getRankUpperBound(p)] (99% confidence,
-    // ~1.65% at k=200). Row count (3 scopes x 4 ranks) is deterministic
-    // for the driver's check; KllSketchSpec pins merge-vs-direct
-    // equivalence of the bound and serialization roundtrip.
+    // KLL compaction flips random coins, so estimated VALUES vary run to
+    // run and can't be hashed — but the published contract CAN be: the
+    // hashed output is the deterministic rank envelope
+    // [getRankLowerBound(p), getRankUpperBound(p)] (a function of k and p
+    // only; 99% confidence, ~1.65% at k=200) per (scope, p) plus the
+    // in-query self-check verdict — the exact INCLUSIVE rank of the
+    // estimate (one broadcast join + avg over the corpus) landing inside
+    // the envelope. The oracle reproduces the envelope (its literals are
+    // derived from the LIBRARY's own bound at build time, so the two
+    // sides cannot drift) and expects kll_ok = TRUE: a sketch regression
+    // now hash-fails the driver gate instead of only flipping a column
+    // (VERDICT r7 #8 — graduated from the no-oracle set). KllSketchSpec
+    // pins merge-vs-direct equivalence and serialization roundtrip.
     "q_kll_quantiles" -> GQuery(
       (s, d) => {
         import s.implicits._
         val li = Tables.load(s, d, "lineitem")
           .select($"l_returnflag", $"l_extendedprice")
-        val ps = Seq(0.25, 0.5, 0.75, 0.95)
         val est = graft.functions.QuantileSketch
           .partials(li, $"l_returnflag", $"l_extendedprice")
           .as[(String, Array[Byte])]
           .groupByKey(_._1)
           .flatMapGroups { (scope, it) =>
             val sk = graft.functions.QuantileSketch.merge(it.map(_._2))
-            graft.functions.QuantileSketch.quantilesWithBounds(sk, ps)
+            graft.functions.QuantileSketch.quantilesWithBounds(sk, KllPs)
               .map { case (p, q, lb, ub) => (scope, p, q, lb, ub) }
           }
           .toDF("l_returnflag", "p", "kll_est", "rank_lb", "rank_ub")
@@ -924,15 +932,28 @@ object Analytics {
           .groupBy($"l_returnflag", $"p", $"kll_est", $"rank_lb", $"rank_ub")
           .agg(avg(($"l_extendedprice" <= $"kll_est").cast("double"))
             .as("exact_rank"))
-          .select($"l_returnflag", $"p",
-            round($"kll_est", 2).as("kll_est"),
-            round($"exact_rank", 6).as("exact_rank"),
+          .select($"l_returnflag", $"p", $"rank_lb", $"rank_ub",
             ($"rank_lb" <= $"exact_rank" && $"exact_rank" <= $"rank_ub")
               .as("kll_ok"))
           .orderBy($"l_returnflag", $"p")
       },
-      None,
-      "KLL quantile-sketch partials, self-checked vs exact ranks"),
+      Some {
+        // envelope literals from the library's own bound (data-free:
+        // lb/ub depend only on k and p), inlined as exact double text
+        val probe = org.apache.datasketches.kll.KllDoublesSketch
+          .newHeapInstance(graft.functions.QuantileSketch.K)
+        probe.update(0.0)
+        val rows = KllPs.map(p =>
+          s"(CAST($p AS DOUBLE), CAST(${probe.getRankLowerBound(p)} AS " +
+            s"DOUBLE), CAST(${probe.getRankUpperBound(p)} AS DOUBLE))")
+          .mkString(", ")
+        s"""SELECT l_returnflag, p, rank_lb, rank_ub, TRUE AS kll_ok
+           |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+           |CROSS JOIN (VALUES $rows) AS t(p, rank_lb, rank_ub)
+           |ORDER BY l_returnflag, p""".stripMargin
+      },
+      "KLL quantile-sketch partials: hashed rank envelope + self-check " +
+        "verdict vs exact ranks"),
 
     // approximate percentiles: the bounded-memory path q_percentile's
     // scale note promises (exact percentile buffers whole groups;

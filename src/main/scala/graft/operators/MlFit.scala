@@ -92,6 +92,64 @@ object MlFit {
     s"(CASE $cases ELSE 8 END)"
   }
 
+  /** Multinomial naive Bayes (add-one smoothing) over (doc_id, lang,
+    * text), returning the self-classification confusion matrix.
+    *
+    * `broadcastModel` picks the join strategy for the model tables. The
+    * per-(class, token) count table is VOCABULARY × CLASSES rows — the
+    * stated bound for the default broadcast is ~10M rows (≈ a few hundred
+    * MB serialized: a 1M-token vocab × 10 classes, generous for any
+    * curated-corpus classifier, far under it here where PlanSpec pins the
+    * broadcast). At OPEN-WEB vocabularies (URLs, typos, code — 100M+
+    * distinct tokens) that table no longer fits an executor, so pass
+    * `broadcastModel = false`: the hint is dropped and the score join
+    * shuffles both sides on (cand, t) — Catalyst/AQE may still broadcast
+    * from runtime statistics when the actual model turns out small.
+    * Results are strategy-independent (pinned by MlFitSpec). */
+  def naiveBayesConfusion(
+      docs: org.apache.spark.sql.DataFrame,
+      broadcastModel: Boolean): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def hint(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastModel) broadcast(df) else df
+    val toks = docs
+      .select($"doc_id", $"lang", explode(Fns.tokens($"text")).as("t"))
+    val langs = toks.groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    val total = langs.agg(sum($"n_docs").as("n_total"))
+    val cnt = toks.groupBy($"lang".as("cand"), $"t")
+      .agg(count(lit(1)).as("c"))
+    val tot = toks.groupBy($"lang".as("cand"))
+      .agg(count(lit(1)).as("tot"))
+    val voc = toks.agg(countDistinct($"t").as("v"))
+    // class list / per-class totals / vocab size are CLASS-bounded (tiny
+    // at any scale) — always broadcast; only the vocab-sized `cnt` obeys
+    // the switch
+    val scored = toks
+      .crossJoin(broadcast(langs.select($"lang".as("cand"))))
+      .join(hint(cnt), Seq("cand", "t"), "left")
+      .join(broadcast(tot), "cand")
+      .crossJoin(broadcast(voc))
+      .groupBy($"doc_id", $"lang", $"cand")
+      .agg(sum(log((coalesce($"c", lit(0L)) + 1).cast("double") /
+        ($"tot" + $"v"))).as("ll"))
+    val wArg = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"cand")
+    scored
+      .join(broadcast(langs.select($"lang".as("cand"), $"n_docs")),
+        "cand")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"lang", $"cand",
+        ($"ll" + log($"n_docs".cast("double") / $"n_total"))
+          .as("score"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter($"rn" === 1)
+      .groupBy($"lang", $"cand".as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // Distributed k-means, 2 Lloyd rounds over the 64-dim embeddings,
@@ -200,41 +258,8 @@ object MlFit {
     // ~1e-14 vs an observed minimum top-2 margin of 3.4e-4. Argmax
     // tie-breaks on lang via a per-doc window.
     "q_naive_bayes" -> GQuery(
-      (s, d) => {
-        import s.implicits._
-        val toks = Tables.load(s, d, "documents")
-          .select($"doc_id", $"lang", explode(Fns.tokens($"text")).as("t"))
-        val langs = toks.groupBy($"lang")
-          .agg(countDistinct($"doc_id").as("n_docs"))
-        val total = langs.agg(sum($"n_docs").as("n_total"))
-        val cnt = toks.groupBy($"lang".as("cand"), $"t")
-          .agg(count(lit(1)).as("c"))
-        val tot = toks.groupBy($"lang".as("cand"))
-          .agg(count(lit(1)).as("tot"))
-        val voc = toks.agg(countDistinct($"t").as("v"))
-        val scored = toks
-          .crossJoin(broadcast(langs.select($"lang".as("cand"))))
-          .join(broadcast(cnt), Seq("cand", "t"), "left")
-          .join(broadcast(tot), "cand")
-          .crossJoin(broadcast(voc))
-          .groupBy($"doc_id", $"lang", $"cand")
-          .agg(sum(log((coalesce($"c", lit(0L)) + 1).cast("double") /
-            ($"tot" + $"v"))).as("ll"))
-        val wArg = Window.partitionBy($"doc_id")
-          .orderBy($"score".desc, $"cand")
-        scored
-          .join(broadcast(langs.select($"lang".as("cand"), $"n_docs")),
-            "cand")
-          .crossJoin(broadcast(total))
-          .select($"doc_id", $"lang", $"cand",
-            ($"ll" + log($"n_docs".cast("double") / $"n_total"))
-              .as("score"))
-          .withColumn("rn", row_number().over(wArg))
-          .filter($"rn" === 1)
-          .groupBy($"lang", $"cand".as("predicted"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy($"lang", $"predicted")
-      },
+      (s, d) => naiveBayesConfusion(
+        Tables.load(s, d, "documents"), broadcastModel = true),
       Some(s"""WITH toks AS (
         |  SELECT doc_id, lang, unnest(${Fns.sqlTokens("text")}) AS t
         |  FROM documents),

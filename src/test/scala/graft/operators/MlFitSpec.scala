@@ -96,6 +96,31 @@ class MlFitSpec extends SparkSpec {
     assert(got === expected, s"got $got\nexpected $expected")
   }
 
+  test("naive Bayes shuffle-join fallback matches the broadcast path " +
+      "and actually drops the hint") {
+    // the open-web-vocabulary path (model too big to broadcast): same
+    // confusion matrix, different join strategy
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val b = MlFit.naiveBayesConfusion(docs, broadcastModel = true)
+      .as[(String, String, Long)].collect().toSeq
+    val s = MlFit.naiveBayesConfusion(docs, broadcastModel = false)
+      .as[(String, String, Long)].collect().toSeq
+    assert(b === s, s"broadcast vs shuffle diverged:\n$b\n$s")
+    // the fallback's LOGICAL plan carries no broadcast hint on the
+    // vocab-sized model join (AQE may still pick broadcast from runtime
+    // stats — that's the point — so assert on the analyzed plan, which
+    // records only what we requested)
+    val analyzed = MlFit.naiveBayesConfusion(docs, broadcastModel = false)
+      .queryExecution.analyzed.toString
+    val broadcastCount = "ResolvedHint".r.findAllIn(analyzed).length
+    val withHint = MlFit.naiveBayesConfusion(docs, broadcastModel = true)
+      .queryExecution.analyzed.toString
+    val broadcastCountHinted = "ResolvedHint".r.findAllIn(withHint).length
+    assert(broadcastCountHinted == broadcastCount + 1,
+      s"expected exactly one extra broadcast hint on the model join " +
+        s"(got $broadcastCountHinted vs $broadcastCount)")
+  }
+
   test("native sq_l2 is value-identical to the HOF executable spec " +
     "(both signatures)") {
     val vi = spark.read.parquet(s"$d/embeddings.parquet")
