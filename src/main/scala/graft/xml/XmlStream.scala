@@ -32,13 +32,15 @@ import org.apache.spark.sql.types.StructType
   *    each): [[setup]] picks the DOMINANT (tag, charset) of the probed
   *    corpus and reports every minority group in [[Setup.otherGroups]] —
   *    a minority-tag file IS read by this stream but yields zero records
-  *    (its row tag never matches), so a caller seeing a non-empty
-  *    `otherGroups` must not ignore it: either partition the drop
-  *    directory by convention so each group gets its own stream, or
-  *    route the corpus through the batch pipeline, whose grouped read
-  *    ([[XmlIngest.readFilesGrouped]]) unions all groups. Silently
-  *    dropping minority tags is the reference-divergent data-loss mode
-  *    the batch path fixed — the streaming path SURFACES it instead.
+  *    (its row tag never matches). A caller seeing a non-empty
+  *    `otherGroups` runs the PER-GROUP path instead: [[setupGroups]] +
+  *    [[drainGroups]] spawn one records+sink pair per (tag, charset)
+  *    group under shared output/checkpoint roots, reaching parity with
+  *    the batch grouped read ([[XmlIngest.readFilesGrouped]]);
+  *    [[readGroups]] reunifies the group sinks by name with null fill.
+  *    Silently dropping minority tags is the reference-divergent
+  *    data-loss mode the batch path fixed — the streaming path covers
+  *    it per group, and the single-group setup still SURFACES it.
   *
   * 100 TB notes: the file-source maxFilesPerTrigger option bounds each
   * micro-batch; the parquet sink's transaction log gives exactly-once
@@ -67,6 +69,19 @@ object XmlStream {
     * repetitions from the same sample read. */
   def setup(spark: SparkSession, dir: String, sampleFiles: Int = 16)
       : Setup = {
+    val groups = probeGroups(spark, dir)
+    val ((tag, enc), groupFiles) = groups.head
+    val sample = XmlIngest.readFiles(
+      spark, groupFiles.take(sampleFiles), tag, enc)
+    Setup(tag, enc, sample.schema, XmlFlatten.maxRepetitions(sample),
+      groups.tail.map { case ((t, e), fs) => (t, e, fs.size) })
+  }
+
+  /** The (tag, charset) groups present in `dir`, dominant first, with
+    * their member files — the shared probe behind [[setup]] (dominant
+    * group only) and [[setupGroups]] (all of them). */
+  private def probeGroups(spark: SparkSession, dir: String)
+      : Seq[((String, String), Seq[String])] = {
     val files = XmlIngest.listXmlFiles(spark, dir)
     require(files.nonEmpty, s"no *.xml files in $dir to sample a schema from")
     val probed = XmlIngest.probePrefixes(spark, files)
@@ -75,11 +90,28 @@ object XmlStream {
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
       .sortBy { case ((tag, enc), fs) => (-fs.size, tag, enc) }
     require(groups.nonEmpty, s"no records found in any of ${files.size} files")
-    val ((tag, enc), groupFiles) = groups.head
-    val sample = XmlIngest.readFiles(
-      spark, groupFiles.take(sampleFiles), tag, enc)
-    Setup(tag, enc, sample.schema, XmlFlatten.maxRepetitions(sample),
-      groups.tail.map { case ((t, e), fs) => (t, e, fs.size) })
+    groups
+  }
+
+  /** One [[Setup]] PER (tag, charset) group in the directory — the
+    * streaming twin of the batch grouped read
+    * ([[XmlIngest.readFilesGrouped]]), closing the mixed-corpus gap the
+    * single-group [[setup]] only SURFACES via `otherGroups`: drive each
+    * returned setup through its own [[records]]+[[sink]] pair (see
+    * [[drainGroups]]) and every record in a mixed drop directory lands,
+    * exactly like the batch path. Each setup's `otherGroups` lists its
+    * siblings, so per-group monitoring keeps the full picture. */
+  def setupGroups(spark: SparkSession, dir: String, sampleFiles: Int = 16)
+      : Seq[Setup] = {
+    val groups = probeGroups(spark, dir)
+    groups.map { case ((tag, enc), groupFiles) =>
+      val sample = XmlIngest.readFiles(
+        spark, groupFiles.take(sampleFiles), tag, enc)
+      Setup(tag, enc, sample.schema, XmlFlatten.maxRepetitions(sample),
+        groups.collect { case ((t, e), fs) if (t, e) != ((tag, enc)) =>
+          (t, e, fs.size)
+        })
+    }
   }
 
   /** The streaming flattened-record source: one row per XML record in
@@ -218,5 +250,62 @@ object XmlStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
     (if (continuous) w else w.trigger(Trigger.AvailableNow())).start()
+  }
+
+  /** Filesystem-safe directory name for a (tag, charset) group. */
+  def groupId(s: Setup): String =
+    s"${s.rowTag}_${s.charset}".map(c => if (c.isLetterOrDigit) c else '_')
+
+  /** One [[records]]+[[sink]] pair PER group under shared output /
+    * checkpoint roots: group g writes `outRoot/groupId(g)` with
+    * checkpoint `checkpointRoot/groupId(g)` — separate sinks because
+    * each group has its own fixed schema (a parquet streaming sink must
+    * not see two); separate checkpoints because a checkpoint belongs to
+    * exactly one query. Together the streams reach batch-read parity on
+    * a mixed drop directory: every record of every group lands
+    * exactly-once ([[readGroups]] reunifies them).
+    *
+    * Cost note, stated rather than hidden: the XML file source cannot
+    * pre-filter by row tag, so each group's stream reads EVERY file and
+    * discards non-matching ones — a G-group corpus pays G file scans.
+    * Real mixed corpora have single-digit G; at larger G (or huge
+    * files), partition the drop directory by convention so each stream
+    * gets its own subdirectory, or run the batch grouped read.
+    *
+    * Returns the started queries paired with their setups; with the
+    * default AvailableNow trigger, `awaitTermination()` each to complete
+    * the drain. */
+  def drainGroups(
+      spark: SparkSession,
+      dir: String,
+      setups: Seq[Setup],
+      outRoot: String,
+      checkpointRoot: String,
+      maxFilesPerTrigger: Int = 0,
+      continuous: Boolean = false): Seq[(Setup, StreamingQuery)] =
+    setups.map { s =>
+      val gid = groupId(s)
+      (s, sink(records(spark, dir, s, maxFilesPerTrigger),
+        s"$outRoot/$gid", s"$checkpointRoot/$gid", continuous))
+    }
+
+  /** Batch-parity union read over every group sink under `outRoot`:
+    * union-by-name with null fill across the per-group schemas — the
+    * same shape [[XmlIngest.readFilesGrouped]] produces for the batch
+    * path. Group subdirectories that exist but have produced no data
+    * yet are skipped. */
+  def readGroups(spark: SparkSession, outRoot: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(outRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+      .sorted
+      .flatMap { p =>
+        try Some(spark.read.parquet(p))
+        catch { case scala.util.control.NonFatal(_) => None } // empty sink
+      }
+    require(parts.nonEmpty, s"no group outputs under $outRoot")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

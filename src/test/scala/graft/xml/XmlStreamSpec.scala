@@ -210,4 +210,57 @@ class XmlStreamSpec extends SparkSpec {
     assert(got.toSeq == Seq(("w1", "w2"))) // third repetition truncated
     assert(!spark.read.parquet(out).columns.contains("extra"))
   }
+
+  test("mixed-tag drop directory: per-group streams land EVERY row, " +
+      "reaching batch grouped-read parity") {
+    val in = Files.createTempDirectory("graft_xs4_in")
+    // dominant group: <record> (2 files, 5 rows)
+    writeFile(in, "a.xml", 1 to 3)
+    writeFile(in, "b.xml", 4 to 5)
+    // minority group: <item> rows with a DIFFERENT shape (3 rows)
+    Files.writeString(in.resolve("items.xml"),
+      """<?xml version="1.0"?>
+        |<inventory>
+        |  <item sku="s1"><qty>7</qty></item>
+        |  <item sku="s2"><qty>8</qty></item>
+        |  <item sku="s3"><qty>9</qty></item>
+        |</inventory>
+        |""".stripMargin)
+
+    val setups = XmlStream.setupGroups(spark, in.toString)
+    assert(setups.map(_.rowTag) == Seq("record", "item"), // dominant first
+      setups.map(s => (s.rowTag, s.charset)).toString)
+    // each setup names its sibling group
+    assert(setups.head.otherGroups.map(g => (g._1, g._3)) == Seq(("item", 1)))
+    assert(setups(1).otherGroups.map(g => (g._1, g._3)) ==
+      Seq(("record", 2)))
+
+    val outRoot = Files.createTempDirectory("graft_xs4_out").toString
+    val cpRoot = Files.createTempDirectory("graft_xs4_cp").toString
+    XmlStream.drainGroups(spark, in.toString, setups, outRoot, cpRoot)
+      .foreach(_._2.awaitTermination())
+
+    // every row of BOTH groups landed, in its group's own schema
+    val rec = spark.read.parquet(
+      s"$outRoot/${XmlStream.groupId(setups.head)}")
+    val itm = spark.read.parquet(
+      s"$outRoot/${XmlStream.groupId(setups(1))}")
+    assert(rec.count() == 5 && itm.count() == 3,
+      s"rec=${rec.count()} itm=${itm.count()}")
+    assert(itm.columns.contains("att_sku") || itm.columns.contains("sku"),
+      itm.columns.mkString(","))
+
+    // the union reader reaches the batch grouped read's shape: all 8
+    // rows, columns null-filled across group schemas
+    val all = XmlStream.readGroups(spark, outRoot)
+    assert(all.count() == 8)
+    assert(all.filter($"title".isNotNull).count() == 5)
+    assert(all.filter($"qty".isNotNull).count() == 3)
+
+    // a replayed drain of either group appends nothing (exactly-once per
+    // group checkpoint)
+    XmlStream.drainGroups(spark, in.toString, setups, outRoot, cpRoot)
+      .foreach(_._2.awaitTermination())
+    assert(XmlStream.readGroups(spark, outRoot).count() == 8)
+  }
 }
