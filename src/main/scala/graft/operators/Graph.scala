@@ -565,5 +565,206 @@ object Graph {
         |SELECT node, path, CAST(depth AS INT) AS depth FROM t
         |WHERE node BETWEEN 100 AND 199 ORDER BY node""".stripMargin),
       "materialized root->node paths via bounded top-down traversal"),
+
+    // Synchronous min-label propagation over the UNDIRECTED trade graph,
+    // 3 unrolled rounds — the bounded-round connected-components /
+    // community primitive (each node repeatedly adopts the smallest
+    // label in its closed neighborhood; labels are monotone
+    // non-increasing, so the fixed point is the component minimum).
+    // Deterministic — min over strings — hence fully oracle-checkable,
+    // unlike float-iterating PageRank. Scale shape: each round is ONE
+    // keyed join of the (node, label) table against the static
+    // undirected edge list + a partial-agg min — O(edges) map work,
+    // O(nodes) shuffled bytes, the q_pagerank economics; round count
+    // bounds label distance, so 3 rounds answer "components of diameter
+    // <= 6" and FULL CC on a long-chain graph is [[Dedup]]'s
+    // q_dup_clusters pointer-jumping (O(log d) rounds), not more of
+    // these. Output: the 20 largest label groups after round 3.
+    "q_label_prop" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        // the SPARSE high-quantity trade subgraph (not the memoized dense
+        // one): the dense bipartite graph collapses to one giant
+        // component in 3 rounds — a 1-row result that exercises nothing;
+        // rare edges leave a real component structure for the hash to pin
+        val e = Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey")
+          .join(Tables.load(s, d, "lineitem")
+            .filter($"l_quantity" >= 45)
+            .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+            "o_orderkey")
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+        val und = e.select($"src".as("a"), $"dst".as("b"))
+          .union(e.select($"dst".as("a"), $"src".as("b")))
+        var lab = und.select($"a".as("id")).distinct()
+          .select($"id", $"id".as("lbl"))
+        (1 to 3).foreach { _ =>
+          val nb = und.join(lab.withColumnRenamed("id", "b")
+              .withColumnRenamed("lbl", "nlbl"), "b")
+            .groupBy($"a".as("id")).agg(min($"nlbl").as("nb"))
+          lab = lab.join(nb, Seq("id"), "left")
+            .select($"id",
+              least($"lbl", coalesce($"nb", $"lbl")).as("lbl"))
+        }
+        lab.groupBy($"lbl".as("component"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy($"n_nodes".desc, $"component")
+          .limit(20)
+      },
+      Some {
+        def rnd(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT p.id, LEAST(p.lbl, COALESCE(m.nb, p.lbl)) AS lbl
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT u.a AS id, MIN(l.lbl) AS nb
+             |    FROM u JOIN $prev l ON l.id = u.b GROUP BY u.a) m
+             |  ON m.id = p.id)"""
+        s"""WITH e AS (
+           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  WHERE l_quantity >= 45),
+           |u AS (SELECT src AS a, dst AS b FROM e
+           |      UNION ALL SELECT dst, src FROM e),
+           |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM u),
+           |${rnd("l0", "l1")},
+           |${rnd("l1", "l2")},
+           |${rnd("l2", "l3")}
+           |SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM l3 GROUP BY lbl
+           |ORDER BY n_nodes DESC, component LIMIT 20""".stripMargin
+      },
+      "bounded-round min-label propagation (connected components) vs " +
+        "unrolled DuckDB CTEs"),
+
+    // PERSONALIZED PageRank, 2 unrolled rounds: teleport mass restricted
+    // to a seed set (customers 1..25) — the "related to THESE nodes"
+    // variant behind personalized recommendations and seed-expanded
+    // crawl frontiers. Rank stays EXACTLY zero outside the seeds'
+    // forward k-hop cone, so the output is the seeds' neighborhood with
+    // scores — at 100 TB the frontier-proportional cost story of
+    // [[pageRank]] tightens further: only reachable-node rows ever carry
+    // mass (the rank table starts |S| rows, not |V|). Same memoized
+    // prepared graph, same per-round join shapes, 6-dp rounded for the
+    // cross-engine hash (the q_pagerank2 precedent).
+    "q_ppr" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val g = tradeGraph(s, d)
+        val seedCond: org.apache.spark.sql.Column =
+          $"id".startsWith("c") &&
+            substring($"id", 2, 20).cast("long").between(1, 25)
+        val nsDf = g.nodes.filter(seedCond)
+          .agg(count(lit(1)).cast("double").as("ns"))
+        var r = g.nodes.filter(seedCond)
+          .crossJoin(broadcast(nsDf))
+          .select($"id", (lit(1.0) / $"ns").as("rank"))
+        (1 to 2).foreach { _ =>
+          val contribs = g.eDeg
+            .join(r.withColumnRenamed("id", "src"), "src")
+            .select($"dst".as("id"), ($"rank" * $"w").as("cc"))
+            .groupBy($"id").agg(sum($"cc").as("m"))
+          r = g.nodes.crossJoin(broadcast(nsDf))
+            .join(contribs, Seq("id"), "left")
+            .select($"id",
+              (when(seedCond, (lit(1.0) - lit(0.85)) / $"ns")
+                .otherwise(lit(0.0)) +
+                lit(0.85) * coalesce($"m", lit(0.0))).as("rank"))
+        }
+        r.filter($"rank" > 0)
+          .select($"id", round($"rank", 6).as("ppr2"))
+          .orderBy($"id")
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT id FROM nodes
+        |  WHERE id LIKE 'c%' AND CAST(SUBSTR(id, 2) AS BIGINT)
+        |    BETWEEN 1 AND 25),
+        |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1.0 / ns.ns AS rank FROM seeds, ns),
+        |c1 AS (
+        |  SELECT e.dst AS id, SUM(r0.rank / deg.out_deg) AS m
+        |  FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.id = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.id,
+        |    (CASE WHEN n.id LIKE 'c%'
+        |       AND CAST(SUBSTR(n.id, 2) AS BIGINT) BETWEEN 1 AND 25
+        |     THEN (1.0 - 0.85) / ns.ns ELSE 0.0 END)
+        |    + 0.85 * COALESCE(c1.m, 0.0) AS rank
+        |  FROM nodes n CROSS JOIN ns LEFT JOIN c1 ON c1.id = n.id),
+        |c2 AS (
+        |  SELECT e.dst AS id, SUM(r1.rank / deg.out_deg) AS m
+        |  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.id,
+        |    (CASE WHEN n.id LIKE 'c%'
+        |       AND CAST(SUBSTR(n.id, 2) AS BIGINT) BETWEEN 1 AND 25
+        |     THEN (1.0 - 0.85) / ns.ns ELSE 0.0 END)
+        |    + 0.85 * COALESCE(c2.m, 0.0) AS rank
+        |  FROM nodes n CROSS JOIN ns LEFT JOIN c2 ON c2.id = n.id)
+        |SELECT id, round(rank, 6) AS ppr2 FROM r2
+        |WHERE rank > 0 ORDER BY id""".stripMargin),
+      "personalized PageRank (seed-restricted teleport), 2 unrolled " +
+        "rounds vs DuckDB CTEs"),
+
+    // HITS hubs & authorities, 2 unrolled rounds with L2 normalization —
+    // the OTHER classical link-analysis fixed point (Kleinberg), whose
+    // mutual hub<->authority recursion PageRank's single score can't
+    // express; on the bipartite trade graph hubs are customers and
+    // authorities suppliers, so the top-20 authorities are the suppliers
+    // most endorsed by well-connected customers. Scale shape: each
+    // half-round is one keyed join of the score table against the
+    // static edge list + partial-agg sum (O(edges)); each L2 norm is a
+    // one-row broadcast anchor (never an eager collect). 6-dp rounding
+    // + id tie-break make the top-20 cut deterministic across engines.
+    "q_hits" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = tradeEdges(s, d)
+        // h0 = 1 everywhere, so auth1_raw(v) = in-degree(v)
+        val a1r = e.groupBy($"dst".as("id"))
+          .agg(count(lit(1)).cast("double").as("ar"))
+        val na1 = a1r.agg(sqrt(sum($"ar" * $"ar")).as("na"))
+        val a1 = a1r.crossJoin(broadcast(na1))
+          .select($"id", ($"ar" / $"na").as("a"))
+        val h1r = e.join(a1.withColumnRenamed("id", "dst"), "dst")
+          .groupBy($"src".as("id")).agg(sum($"a").as("hr"))
+        val nh1 = h1r.agg(sqrt(sum($"hr" * $"hr")).as("nh"))
+        val h1 = h1r.crossJoin(broadcast(nh1))
+          .select($"id", ($"hr" / $"nh").as("h"))
+        val a2r = e.join(h1.withColumnRenamed("id", "src"), "src")
+          .groupBy($"dst".as("id")).agg(sum($"h").as("ar"))
+        val na2 = a2r.agg(sqrt(sum($"ar" * $"ar")).as("na"))
+        a2r.crossJoin(broadcast(na2))
+          .select($"id", round($"ar" / $"na", 6).as("authority"))
+          .orderBy($"authority".desc, $"id")
+          .limit(20)
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |a1r AS (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS ar
+        |        FROM e GROUP BY dst),
+        |na1 AS (SELECT sqrt(SUM(ar * ar)) AS na FROM a1r),
+        |a1 AS (SELECT id, ar / na1.na AS a FROM a1r, na1),
+        |h1r AS (SELECT e.src AS id, SUM(a1.a) AS hr
+        |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+        |nh1 AS (SELECT sqrt(SUM(hr * hr)) AS nh FROM h1r),
+        |h1 AS (SELECT id, hr / nh1.nh AS h FROM h1r, nh1),
+        |a2r AS (SELECT e.dst AS id, SUM(h1.h) AS ar
+        |        FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+        |na2 AS (SELECT sqrt(SUM(ar * ar)) AS na FROM a2r)
+        |SELECT id, round(ar / na2.na, 6) AS authority FROM a2r, na2
+        |ORDER BY authority DESC, id LIMIT 20""".stripMargin),
+      "HITS hubs/authorities, 2 L2-normalized rounds vs DuckDB CTEs"),
   )
 }

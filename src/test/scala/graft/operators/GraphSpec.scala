@@ -112,4 +112,62 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(v - sparse(k)) < 1e-12, s"node $k")
     }
   }
+
+  // The three round-8 link-analysis queries are DETERMINISTIC and fully
+  // oracle-checked against DuckDB (unlike 10-round pagerank); these pins
+  // assert the semantic invariants a hash match alone doesn't explain.
+  private val d001 = "/root/testdata/sf0.001"
+
+  test("q_label_prop: labels are node ids, sizes positive, order pinned") {
+    val rows = graft.SparkEntry.queries("q_label_prop")(spark, d001)
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (comp, n) =>
+      assert(comp.matches("^[cs]\\d+$"), s"label $comp not a node id")
+      assert(n >= 1)
+    }
+    // a min-label component is led by a 'c' id ('c...' < 's...' in every
+    // mixed component; bipartite edges mean no component is s-only
+    // unless it's a singleton, impossible here since every node has an
+    // edge)
+    rows.foreach { case (comp, _) =>
+      assert(comp.startsWith("c"), s"component label $comp not a min c-id")
+    }
+    assert(rows.sortBy { case (c, n) => (-n, c) }.toSeq == rows.toSeq)
+  }
+
+  test("q_ppr: mass only in the seeds' forward cone; all seeds present") {
+    val rows = graft.SparkEntry.queries("q_ppr")(spark, d001)
+      .as[(String, Double)].collect()
+    val byId = rows.toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, p) =>
+      assert(p >= 0, s"$id rank $p")
+      assert(id.matches("^[cs]\\d+$"))
+    }
+    // every seed that exists in the graph holds at least the teleport
+    // share (customers 1..25; 6-dp rounded)
+    val seedIds = byId.keySet.filter(id =>
+      id.startsWith("c") && id.drop(1).toLong <= 25)
+    assert(seedIds.nonEmpty, "no seeds reached the output")
+    seedIds.foreach { sId =>
+      assert(byId(sId) > 0, s"seed $sId has zero rank")
+    }
+    // seeds teleport every round, so total seed mass dominates any
+    // single non-seed authority's 2-hop share
+    val nonSeedMax = (byId -- seedIds).values.foldLeft(0.0)(math.max)
+    assert(seedIds.map(byId).sum > nonSeedMax)
+  }
+
+  test("q_hits: top authorities are suppliers with L2-bounded scores") {
+    val rows = graft.SparkEntry.queries("q_hits")(spark, d001)
+      .as[(String, Double)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (id, a) =>
+      assert(id.startsWith("s"), s"authority $id on a c->s graph")
+      assert(a > 0 && a <= 1.0, s"$id authority $a outside (0,1]")
+    }
+    // sorted by authority desc with id tie-break
+    assert(rows.sortBy { case (id, a) => (-a, id) }.toSeq == rows.toSeq)
+  }
 }
