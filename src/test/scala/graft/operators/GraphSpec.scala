@@ -145,24 +145,25 @@ class GraphSpec extends SparkSpec {
       assert(p >= 0, s"$id rank $p")
       assert(id.matches("^[cs]\\d+$"))
     }
-    // every seed that exists in the graph holds at least the teleport
-    // share (customers 1..25; 6-dp rounded)
-    val seedIds = byId.keySet.filter(id =>
-      id.startsWith("c") && id.drop(1).toLong <= 25)
-    assert(seedIds.nonEmpty, "no seeds reached the output")
-    seedIds.foreach { sId =>
-      assert(byId(sId) > 0, s"seed $sId has zero rank")
+    // edges point c->s only, so customers receive NO propagated mass:
+    // every customer row must be a seed (c1..c25) holding exactly the
+    // teleport share — one identical positive value across all of them
+    val custRanks = rows.collect { case (id, p) if id.startsWith("c") =>
+      assert(id.drop(1).toLong <= 25, s"non-seed customer $id has mass")
+      p
     }
-    // seeds teleport every round, so total seed mass dominates any
-    // single non-seed authority's 2-hop share
-    val nonSeedMax = (byId -- seedIds).values.foldLeft(0.0)(math.max)
-    assert(seedIds.map(byId).sum > nonSeedMax)
+    assert(custRanks.nonEmpty, "no seeds reached the output")
+    assert(custRanks.toSet.size == 1 && custRanks.head > 0,
+      s"seeds must share the pure teleport share: ${custRanks.toSet}")
+    // and some supplier actually received propagated mass
+    assert(rows.exists { case (id, p) => id.startsWith("s") && p > 0 })
   }
 
   test("q_hits: top authorities are suppliers with L2-bounded scores") {
     val rows = graft.SparkEntry.queries("q_hits")(spark, d001)
       .as[(String, Double)].collect()
-    assert(rows.length == 20)
+    // top-20 cut; the sf0.001 graph has only 10 suppliers
+    assert(rows.nonEmpty && rows.length <= 20)
     rows.foreach { case (id, a) =>
       assert(id.startsWith("s"), s"authority $id on a c->s graph")
       assert(a > 0 && a <= 1.0, s"$id authority $a outside (0,1]")
