@@ -393,6 +393,53 @@ object MlFit {
       },
       "one-pass Poisson-bootstrap 95% CI for the mean order value " +
         "(R=32 deterministic replicate weights, no resampling pass)"),
+
+    // FEATURE HASHING (the hashing trick, Weinberger et al. 2009): the
+    // vocabulary-free featurizer that turns tokens into a fixed
+    // 64-bucket signed-count vector — bucket = md5(token) mod 64, sign =
+    // one more md5 bit (sign-splitting keeps collision noise zero-mean,
+    // the property that makes hashed features usable by linear models).
+    // The at-scale contrast to q_naive_bayes' model tables: NO
+    // vocabulary table exists at all — no distinct-token pass, no
+    // model join, nothing to broadcast or shuffle-join; featurization is
+    // a map-side projection plus ONE partial-aggregated shuffle keyed
+    // (doc, bucket), with fixed output dimension regardless of corpus
+    // vocabulary. md5 on both engines makes every bucket and sign
+    // bit-identical (the q_sample_hash recipe), so the vectors are
+    // oracle-exact. Output: nonzero entries for the first 20 docs.
+    "q_feature_hash" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.load(s, d, "documents")
+          .filter($"doc_id" < 20)
+          .select($"doc_id", explode(Fns.tokens($"text")).as("t"))
+        toks
+          .select($"doc_id",
+            pmod(conv(substring(md5($"t"), 1, 8), 16, 10), lit(64))
+              .cast("long").as("bucket"),
+            when(conv(substring(md5($"t"), 9, 1), 16, 10)
+              .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+              .as("sign"))
+          .groupBy($"doc_id", $"bucket")
+          .agg(sum($"sign").as("feat"))
+          .filter($"feat" =!= 0)
+          .orderBy($"doc_id", $"bucket")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, unnest(${Fns.sqlTokens("text")}) AS t
+        |  FROM documents WHERE doc_id < 20),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+        |    CASE WHEN ('0x' || substring(md5(t), 9, 1))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM toks)
+        |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS feat
+        |FROM h GROUP BY doc_id, bucket
+        |HAVING SUM(sign) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin),
+      "hashing-trick featurizer: md5-bucketed signed token counts, " +
+        "vocabulary-free, fixed 64-dim output"),
   )
 
 }
