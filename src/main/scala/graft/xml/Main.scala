@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   * `--stream` switches to the Structured Streaming ingest ([[XmlStream]]):
   * each invocation drains files not yet ingested (exactly-once via the
   * sink checkpoint) instead of the batch star-schema run.
+  * `--stream-groups` is its mixed-corpus variant: one stream per
+  * (row tag, charset) group ([[XmlStream.drainGroups]]), reaching batch
+  * grouped-read parity when the drop directory mixes record shapes.
   *
   * `schemaDir` defaults to the input directory (findSchemaFile also
   * searches beside each XML file, mirroring the reference's resolution
@@ -34,7 +37,8 @@ object Main {
       incremental: Boolean,
       validate: Boolean,
       runId: Option[Long],
-      stream: Boolean = false)
+      stream: Boolean = false,
+      streamGroups: Boolean = false)
 
   def parse(args: Array[String]): Config = {
     val positional = scala.collection.mutable.Buffer.empty[String]
@@ -42,12 +46,14 @@ object Main {
     var validate = true
     var runId: Option[Long] = None
     var stream = false
+    var streamGroups = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--incremental" => incremental = true
         case "--no-validate" => validate = false
         case "--stream" => stream = true
+        case "--stream-groups" => streamGroups = true
         case f if f.startsWith("--run-id=") =>
           runId = Some(f.stripPrefix("--run-id=").toLong)
         case "--run-id" =>
@@ -62,7 +68,8 @@ object Main {
     }
     require(positional.length >= 2 && positional.length <= 3,
       "usage: graft.xml.Main <inputDir> <outputDir> [schemaDir] " +
-        "[--incremental] [--no-validate] [--run-id N] [--stream]")
+        "[--incremental] [--no-validate] [--run-id N] [--stream] " +
+        "[--stream-groups]")
     Config(
       inputDir = positional(0),
       outputDir = positional(1),
@@ -70,7 +77,8 @@ object Main {
       incremental = incremental,
       validate = validate,
       runId = runId,
-      stream = stream)
+      stream = stream,
+      streamGroups = streamGroups)
   }
 
   /** Testable core: runs the pipeline on an existing session. */
@@ -111,12 +119,58 @@ object Main {
     spark.read.parquet(s"${cfg.outputDir}/records").count()
   }
 
+  /** `--stream-groups` mode: the mixed-corpus twin of [[runStream]] —
+    * one exactly-once drain per (tag, charset) group under
+    * `outputDir/records/<groupId>` with per-group checkpoints. Group
+    * setups are probed once and persisted (manifest + one setup JSON
+    * per group), so later invocations reuse schemas and a late burst of
+    * files cannot flip any group's sink schema; NEW groups appearing
+    * after first setup require deleting the manifest (an explicit
+    * operator action, like single-stream schema evolution). */
+  def runStreamGroups(spark: SparkSession, cfg: Config): Long = {
+    val manifest = java.nio.file.Paths.get(
+      s"${cfg.outputDir}/_graft_stream_groups.txt")
+    val setups =
+      if (java.nio.file.Files.exists(manifest)) {
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(manifest)).asScala.toSeq
+          .filter(_.nonEmpty)
+          .map { gid =>
+            XmlStream.loadSetup(
+              s"${cfg.outputDir}/_graft_stream_setup_$gid.json")
+              .getOrElse(throw new IllegalStateException(
+                s"manifest names group $gid but its setup file is missing"))
+          }
+      } else {
+        val fresh = XmlStream.setupGroups(spark, cfg.inputDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(cfg.outputDir))
+        fresh.foreach(st => XmlStream.saveSetup(st,
+          s"${cfg.outputDir}/_graft_stream_setup_${XmlStream.groupId(st)}.json"))
+        java.nio.file.Files.writeString(manifest,
+          fresh.map(XmlStream.groupId).mkString("\n"))
+        fresh
+      }
+    XmlStream.drainGroups(spark, cfg.inputDir, setups,
+        s"${cfg.outputDir}/records", s"${cfg.outputDir}/_checkpoint")
+      .foreach(_._2.awaitTermination())
+    XmlStream.readGroups(spark, s"${cfg.outputDir}/records").count()
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
     val spark = SparkSession.builder()
       .appName("graft-xml-to-parquet")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
+    if (cfg.streamGroups) {
+      val rows = runStreamGroups(spark, cfg)
+      // scalastyle:off println
+      println(s"rows=$rows (per-group streaming drain)")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     if (cfg.stream) {
       val rows = runStream(spark, cfg)
       // scalastyle:off println

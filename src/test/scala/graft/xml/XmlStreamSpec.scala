@@ -128,6 +128,31 @@ class XmlStreamSpec extends SparkSpec {
     assert(XmlStream.loadSetup(setupPath).exists(_.rowTag == "record"))
   }
 
+  test("--stream-groups CLI mode: per-group drain of a mixed corpus, " +
+      "idempotent, setups persisted per group") {
+    val cfg = Main.parse(Array("/in", "/out", "--stream-groups"))
+    assert(cfg.streamGroups && !cfg.stream)
+    val in = Files.createTempDirectory("graft_xgcli_in")
+    val out = Files.createTempDirectory("graft_xgcli_out").toString
+    writeFile(in, "a.xml", 1 to 4)
+    Files.writeString(in.resolve("items.xml"),
+      """<?xml version="1.0"?>
+        |<inventory><item sku="s1"><qty>7</qty></item>
+        |<item sku="s2"><qty>8</qty></item></inventory>
+        |""".stripMargin)
+    val c = Main.Config(in.toString, out, in.toString,
+      incremental = false, validate = true, runId = None,
+      streamGroups = true)
+    assert(Main.runStreamGroups(spark, c) == 6) // 4 records + 2 items
+    assert(Main.runStreamGroups(spark, c) == 6) // idempotent re-drain
+    // late files of BOTH groups picked up by their streams
+    writeFile(in, "b.xml", 5 to 6)
+    assert(Main.runStreamGroups(spark, c) == 8)
+    // the manifest + per-group setups persisted
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$out/_graft_stream_groups.txt")))
+  }
+
   test("validationStream: per-file verdicts land exactly once as files " +
       "arrive; setup surfaces minority tag groups") {
     val in = Files.createTempDirectory("graft_xv_in")
