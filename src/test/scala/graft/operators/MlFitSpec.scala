@@ -144,6 +144,32 @@ class MlFitSpec extends SparkSpec {
     assert(ld._1 > 0 && ld._2 == 0, s"long-double mismatches: $ld")
   }
 
+  test("sq_l2 rejects malformed vectors instead of silently coercing") {
+    // ADVICE r7: length mismatch used to min-truncate and null elements
+    // read as 0 — both now throw (the fixed-D embedding contract)
+    def causeChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val mismatch = intercept[Exception] {
+      spark.sql("SELECT sq_l2(array(1L, 2L), array(1L, 2L, 3L))").head()
+    }
+    assert(causeChain(mismatch).exists(_.contains("length mismatch")),
+      causeChain(mismatch).mkString(" | "))
+    val nul = intercept[Exception] {
+      spark.sql(
+        "SELECT sq_l2(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))")
+        .head()
+    }
+    assert(causeChain(nul).exists(_.contains("null element")),
+      causeChain(nul).mkString(" | "))
+    // and the happy path still computes (both signatures)
+    assert(spark.sql("SELECT sq_l2(array(1L, 2L), array(3L, 4L))")
+      .head().getLong(0) == 8L)
+    assert(spark.sql(
+      "SELECT sq_l2(array(1L, 2L), array(CAST(3 AS DOUBLE), 4.0))")
+      .head().getDouble(0) == 8.0)
+  }
+
   test("q_bootstrap_ci matches a local MD5-replicating reimplementation") {
     val cdf = Seq(0.36787944117144233, 0.7357588823428847,
       0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
