@@ -181,6 +181,29 @@ object Graph {
     graphCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d",
       _ => prepareGraph(tradeEdges(s, d)))
 
+  /** The SPARSE (high-quantity) trade subgraph q_label_prop propagates
+    * over, memoized + checkpointed like [[tradeEdges]]: without this the
+    * label-propagation plan re-runs the orders x lineitem join + distinct
+    * once per round (the plan tree references the edge table 4 times). */
+  private val sparseEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def sparseTradeEdges(s: SparkSession, d: String): DataFrame =
+    sparseEdgeCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d",
+      _ => {
+        import s.implicits._
+        Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey")
+          .join(Tables.load(s, d, "lineitem")
+            .filter($"l_quantity" >= 45)
+            .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+            "o_orderkey")
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+          .localCheckpoint()
+      })
+
   /** The q_pagerank2 oracle: 2 damped iterations unrolled as plain SQL
     * CTEs — rank values after two rounds, rounded to 6 dp on both engines
     * (the q_pmi/q_zipf recipe: double-sum order drift across engines is
@@ -583,19 +606,11 @@ object Graph {
     "q_label_prop" -> GQuery(
       (s, d) => {
         import s.implicits._
-        // the SPARSE high-quantity trade subgraph (not the memoized dense
+        // the SPARSE high-quantity trade subgraph (not the dense memoized
         // one): the dense bipartite graph collapses to one giant
         // component in 3 rounds — a 1-row result that exercises nothing;
         // rare edges leave a real component structure for the hash to pin
-        val e = Tables.load(s, d, "orders")
-          .select($"o_orderkey", $"o_custkey")
-          .join(Tables.load(s, d, "lineitem")
-            .filter($"l_quantity" >= 45)
-            .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
-            "o_orderkey")
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
-          .distinct()
+        val e = sparseTradeEdges(s, d)
         val und = e.select($"src".as("a"), $"dst".as("b"))
           .union(e.select($"dst".as("a"), $"src".as("b")))
         var lab = und.select($"a".as("id")).distinct()

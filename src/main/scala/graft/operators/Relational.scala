@@ -510,6 +510,53 @@ object Relational {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
       "TPC-H Q5 local-supplier volume (six-table join)"),
 
+    // TPC-H Q3 shipping-priority: the OTHER canonical multi-join shape
+    // (selective dim filter -> two fact joins -> high-cardinality
+    // groupBy -> top-10), complementing Q5's star. o_orderpriority
+    // stands in for o_shippriority (the synthetic orders table carries
+    // no shippriority column — stated substitution, same query shape).
+    // Revenue uses the q_tpch_q5 decimal recipe (exact decimal products
+    // summed, one double cast at the end); the top-10 cut orders by the
+    // exact DECIMAL revenue before the cast, so the boundary cannot
+    // move with float rounding. Scale shape: customer filter prunes
+    // ~4/5 of customers BEFORE the o_custkey shuffle join; the l/o join
+    // shuffles on orderkey; TakeOrderedAndProject replaces a global
+    // sort for the top-10.
+    "q_tpch_q3" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cut = lit("1996-06-30").cast("timestamp")
+        t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+          .join(t(s, d, "orders").filter($"o_orderdate" < cut),
+            $"c_custkey" === $"o_custkey")
+          .join(t(s, d, "lineitem").filter($"l_shipdate" > cut),
+            $"o_orderkey" === $"l_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum($"l_extendedprice".cast(D18_2) *
+            (lit(1.0) - $"l_discount").cast(D18_8)).as("rev"))
+          .orderBy($"rev".desc, $"l_orderkey")
+          .limit(10)
+          .select($"l_orderkey", $"rev".cast("double").as("revenue"),
+            $"o_orderdate", $"o_orderpriority")
+      },
+      Some("""SELECT l_orderkey,
+        |  CAST(rev AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(1.0 - l_discount AS DECIMAL(18,8))) AS rev
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+        |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin),
+      "TPC-H Q3 shipping-priority (selective dim filter, two fact " +
+        "joins, exact-decimal top-10)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._
