@@ -440,6 +440,82 @@ object MlFit {
         |ORDER BY doc_id, bucket""".stripMargin),
       "hashing-trick featurizer: md5-bucketed signed token counts, " +
         "vocabulary-free, fixed 64-dim output"),
+
+    // FEATURE SELECTION by mutual information: I(token-presence; label)
+    // per token, the statistic that ranks vocabulary features for a
+    // classifier (the filter-method complement to q_feature_hash's
+    // featurizer and q_naive_bayes' fit). All counts are document-level
+    // presence counts (distinct doc x token), so the whole statistic is
+    // three grouped counts + a (vocab x classes) grid join — the grid IS
+    // the naive-Bayes model-table shape, classes-bounded per token, and
+    // every term is computed from exact integers with one ln() per
+    // (token, class) cell; the <= |classes| per-token sum is rounded to
+    // 6 dp (drift ~1e-16, the q_pmi recipe). Zero cells contribute zero
+    // by the 0·ln(0) = 0 convention, handled identically in both
+    // engines via CASE. Output: top-20 tokens by MI.
+    "q_feature_mi" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pres = Tables.load(s, d, "documents")
+          .select($"doc_id", $"lang", explode(Fns.tokens($"text")).as("t"))
+          .distinct()
+        val docs = Tables.load(s, d, "documents")
+          .select($"doc_id", $"lang")
+        val nTot = docs.agg(count(lit(1)).cast("double").as("nn"))
+        val byClass = docs.groupBy($"lang")
+          .agg(count(lit(1)).as("n_l"))
+        val byToken = pres.select($"t", $"doc_id").distinct()
+          .groupBy($"t").agg(count(lit(1)).as("n_w"))
+        val joint = pres.groupBy($"t", $"lang")
+          .agg(count(lit(1)).as("n_wl"))
+        val grid = byToken.crossJoin(broadcast(byClass))
+          .join(joint, Seq("t", "lang"), "left")
+          .na.fill(0L, Seq("n_wl"))
+          .crossJoin(broadcast(nTot))
+        val present = when($"n_wl" > 0,
+          ($"n_wl" / $"nn") * log(($"nn" * $"n_wl") / ($"n_w" * $"n_l")))
+          .otherwise(lit(0.0))
+        val absent = when($"n_l" - $"n_wl" > 0 && $"nn" - $"n_w" > 0,
+          (($"n_l" - $"n_wl") / $"nn") *
+            log(($"nn" * ($"n_l" - $"n_wl")) / (($"nn" - $"n_w") * $"n_l")))
+          .otherwise(lit(0.0))
+        grid.groupBy($"t")
+          .agg(round(sum(present + absent), 6).as("mi"),
+            max($"n_w").as("n_docs"))
+          .orderBy($"mi".desc, $"t")
+          .limit(20)
+      },
+      Some(s"""WITH pres AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(${Fns.sqlTokens("text")}) AS t
+        |  FROM documents),
+        |docs AS (SELECT doc_id, lang FROM documents),
+        |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM docs),
+        |bc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+        |       FROM docs GROUP BY lang),
+        |bt AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_w
+        |       FROM pres GROUP BY t),
+        |j AS (SELECT t, lang, CAST(COUNT(*) AS BIGINT) AS n_wl
+        |      FROM pres GROUP BY t, lang),
+        |grid AS (
+        |  SELECT bt.t, bc.lang, bt.n_w, bc.n_l,
+        |    COALESCE(j.n_wl, 0) AS n_wl, nt.nn
+        |  FROM bt CROSS JOIN bc
+        |  LEFT JOIN j ON j.t = bt.t AND j.lang = bc.lang
+        |  CROSS JOIN nt)
+        |SELECT t,
+        |  round(SUM(
+        |    (CASE WHEN n_wl > 0
+        |      THEN (n_wl / nn) * ln((nn * n_wl) / (n_w * n_l))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN n_l - n_wl > 0 AND nn - n_w > 0
+        |      THEN ((n_l - n_wl) / nn) *
+        |        ln((nn * (n_l - n_wl)) / ((nn - n_w) * n_l))
+        |      ELSE 0.0 END)), 6) AS mi,
+        |  MAX(n_w) AS n_docs
+        |FROM grid GROUP BY t
+        |ORDER BY mi DESC, t LIMIT 20""".stripMargin),
+      "per-token mutual information with the class label (filter-method " +
+        "feature selection; vocab x classes grid, no collect)"),
   )
 
 }
