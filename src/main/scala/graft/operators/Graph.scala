@@ -204,6 +204,33 @@ object Graph {
           .localCheckpoint()
       })
 
+  /** Synchronous min-label propagation over UNDIRECTED `edges`
+    * (columns `src`, `dst`), `rounds` rounds: every node repeatedly
+    * adopts the smallest label in its closed neighborhood (labels start
+    * as the node's own id). Deterministic — min over the label type's
+    * ordering — and monotone non-increasing, so the fixed point is the
+    * connected component's minimum id; `rounds` bounds the label travel
+    * distance (component diameter ≤ 2·rounds fully converges). Returns
+    * (id, lbl). Per round: ONE keyed join of the (node, label) table
+    * against the static edge list + a partial-agg min — O(edges) map
+    * work, O(nodes) shuffled bytes; for long-chain graphs use
+    * [[Dedup]]'s O(log d) pointer jumping instead. */
+  def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    var lab = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      val nb = und.join(lab.withColumnRenamed("id", "b")
+          .withColumnRenamed("lbl", "nlbl"), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("nb"))
+      lab = lab.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+    }
+    lab
+  }
+
   /** The q_pagerank2 oracle: 2 damped iterations unrolled as plain SQL
     * CTEs — rank values after two rounds, rounded to 6 dp on both engines
     * (the q_pmi/q_zipf recipe: double-sum order drift across engines is
@@ -610,20 +637,8 @@ object Graph {
         // one): the dense bipartite graph collapses to one giant
         // component in 3 rounds — a 1-row result that exercises nothing;
         // rare edges leave a real component structure for the hash to pin
-        val e = sparseTradeEdges(s, d)
-        val und = e.select($"src".as("a"), $"dst".as("b"))
-          .union(e.select($"dst".as("a"), $"src".as("b")))
-        var lab = und.select($"a".as("id")).distinct()
-          .select($"id", $"id".as("lbl"))
-        (1 to 3).foreach { _ =>
-          val nb = und.join(lab.withColumnRenamed("id", "b")
-              .withColumnRenamed("lbl", "nlbl"), "b")
-            .groupBy($"a".as("id")).agg(min($"nlbl").as("nb"))
-          lab = lab.join(nb, Seq("id"), "left")
-            .select($"id",
-              least($"lbl", coalesce($"nb", $"lbl")).as("lbl"))
-        }
-        lab.groupBy($"lbl".as("component"))
+        labelProp(sparseTradeEdges(s, d), rounds = 3)
+          .groupBy($"lbl".as("component"))
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy($"n_nodes".desc, $"component")
           .limit(20)

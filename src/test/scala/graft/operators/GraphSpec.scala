@@ -118,6 +118,46 @@ class GraphSpec extends SparkSpec {
   // assert the semantic invariants a hash match alone doesn't explain.
   private val d001 = "/root/testdata/sf0.001"
 
+  test("labelProp matches a local reference on randomized graphs, " +
+      "including bounded-round partial convergence") {
+    def localLabelProp(edges: Seq[(String, String)], rounds: Int)
+        : Map[String, String] = {
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keySet.map(v => v -> v).toMap
+      for (_ <- 1 to rounds)
+        lbl = lbl.map { case (v, l) =>
+          v -> (adj(v).map(lbl) :+ l).min
+        }
+      lbl
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val n = 12 + rnd.nextInt(8)
+      val edges = (1 to n).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(4) // includes NOT-yet-converged runs
+        val got = Graph.labelProp(edges.toDF("src", "dst"), rounds)
+          .as[(String, String)].collect().toMap
+        val want = localLabelProp(edges, rounds)
+        assert(got == want, s"trial $trial rounds $rounds:\n" +
+          s"edges=$edges\ngot=$got\nwant=$want")
+      }
+    }
+    // a path graph longer than 2*rounds must NOT have fully converged
+    // (pins that `rounds` genuinely bounds label travel distance)
+    val chain = (0 until 9).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val partial = Graph.labelProp(chain.toDF("src", "dst"), rounds = 2)
+      .as[(String, String)].collect().toMap
+    assert(partial("n09") == "n07", // label moved exactly 2 hops
+      s"expected bounded travel, got ${partial("n09")}")
+    val full = Graph.labelProp(chain.toDF("src", "dst"), rounds = 10)
+      .as[(String, String)].collect().toMap
+    assert(full.values.toSet == Set("n00"), s"chain must converge: $full")
+  }
+
   test("q_label_prop: labels are node ids, sizes positive, order pinned") {
     val rows = graft.SparkEntry.queries("q_label_prop")(spark, d001)
       .as[(String, Long)].collect()
