@@ -789,10 +789,23 @@ object Analytics {
           .withColumn("hll_ok",
             abs($"approx_custkeys" - $"exact_custkeys") /
               $"exact_custkeys" <= lit(3.0 * rsd))
+          // hashed output = exact counts + the contract verdict (the
+          // q_kll_quantiles graduation, round 8): the estimate itself is
+          // engine-specific (DuckDB's HLL is a different implementation)
+          // so it stays behind the flag rather than in the hash
+          .select($"scope", $"exact_custkeys", $"hll_ok")
           .orderBy($"scope")
       },
-      None,
-      "HLL sketch partials + union rollup, self-checked vs exact counts"),
+      Some("""SELECT o_orderpriority AS scope,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+        |  TRUE AS hll_ok
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT '_global', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE
+        |FROM orders
+        |ORDER BY scope""".stripMargin),
+      "HLL sketch partials + union rollup: hashed exact counts + " +
+        "self-check verdict vs the sketch estimate"),
 
     // THETA-sketch audience overlap: distinct users who performed BOTH
     // event types, for every type pair — the intersection query HLL
@@ -809,10 +822,11 @@ object Analytics {
     // distinct self-join (≤ C(6,2) pairs per user), and the query
     // SELF-CHECKS the sketch contract the q_hll_distinct way: theta_ok
     // asserts exact ∈ [lb, ub] at 3 std dev, so a sketch regression
-    // flips booleans instead of drifting. No DuckDB oracle (sketch
-    // internals are engine-specific); the driver's rows-only check sees
-    // a deterministic row set, and ThetaSketchSpec pins
-    // partition-invariance + accuracy.
+    // flips booleans instead of drifting — and since round 8 those
+    // booleans (plus the exact overlaps) ARE the hashed output, so the
+    // regression hash-fails the driver gate (sketch internals stay
+    // engine-specific, so the estimate itself lives behind the flag).
+    // ThetaSketchSpec pins partition-invariance + accuracy.
     "q_theta_overlap" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -837,16 +851,25 @@ object Analytics {
             $"y.event_type".as("type_b"))
           .agg(countDistinct($"x.user_id").as("exact_overlap"))
         exact.join(broadcast(est), Seq("type_a", "type_b"))
+          // hashed output = exact overlaps + the contract verdict
+          // (estimate/bounds are sketch-state-dependent and have no
+          // cross-engine twin — the q_kll_quantiles graduation)
           .select($"type_a", $"type_b", $"exact_overlap",
-            round($"est", 2).as("theta_est"),
-            round(abs($"est" - $"exact_overlap") /
-              $"exact_overlap".cast("double"), 6).as("rel_err"),
             ($"lb" <= $"exact_overlap" && $"exact_overlap" <= $"ub")
               .as("theta_ok"))
           .orderBy($"type_a", $"type_b")
       },
-      None,
-      "theta-sketch pairwise audience overlap, self-checked vs exact"),
+      Some("""WITH ue AS (
+        |  SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS exact_overlap,
+        |  TRUE AS theta_ok
+        |FROM ue x JOIN ue y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY x.event_type, y.event_type
+        |ORDER BY type_a, type_b""".stripMargin),
+      "theta-sketch pairwise audience overlap: hashed exact overlaps + " +
+        "self-check verdict"),
 
     // THETA-sketch set DIFFERENCE (A \ B): "users who did A but never
     // B" — the unconverted-audience query (viewed but never purchased)
@@ -885,14 +908,31 @@ object Analytics {
           .select($"type_a", $"type_b",
             ($"n_a" - $"n_both").as("exact_diff"))
           .join(broadcast(est), Seq("type_a", "type_b"))
+          // hashed output = exact diffs + the contract verdict (the
+          // q_kll_quantiles graduation; see q_theta_overlap)
           .select($"type_a", $"type_b", $"exact_diff",
-            round($"est", 2).as("theta_est"),
             ($"lb" <= $"exact_diff" && $"exact_diff" <= $"ub")
               .as("diff_ok"))
           .orderBy($"type_a", $"type_b")
       },
-      None,
-      "theta-sketch audience difference (A-not-B), self-checked vs exact"),
+      Some("""WITH ue AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (
+        |  SELECT event_type AS type_a,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_a
+        |  FROM ue GROUP BY event_type),
+        |ov AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS n_both
+        |  FROM ue x JOIN ue y
+        |    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+        |  GROUP BY x.event_type, y.event_type)
+        |SELECT ov.type_a, ov.type_b, tot.n_a - ov.n_both AS exact_diff,
+        |  TRUE AS diff_ok
+        |FROM tot JOIN ov ON tot.type_a = ov.type_a
+        |ORDER BY ov.type_a, ov.type_b""".stripMargin),
+      "theta-sketch audience difference (A-not-B): hashed exact diffs + " +
+        "self-check verdict"),
 
     // KLL quantile-sketch partials — the QUANTILE member of the stored-
     // partials family (HLL/theta distincts, CMS heavy hitters, Bloom
