@@ -745,16 +745,21 @@ object Graph {
       "personalized PageRank (seed-restricted teleport), 2 unrolled " +
         "rounds vs DuckDB CTEs"),
 
-    // HITS hubs & authorities, 2 unrolled rounds with L2 normalization —
-    // the OTHER classical link-analysis fixed point (Kleinberg), whose
-    // mutual hub<->authority recursion PageRank's single score can't
-    // express; on the bipartite trade graph hubs are customers and
-    // authorities suppliers, so the top-20 authorities are the suppliers
-    // most endorsed by well-connected customers. Scale shape: each
-    // half-round is one keyed join of the score table against the
-    // static edge list + partial-agg sum (O(edges)); each L2 norm is a
-    // one-row broadcast anchor (never an eager collect). 6-dp rounding
-    // + id tie-break make the top-20 cut deterministic across engines.
+    // HITS hubs & authorities, 2 unrolled rounds — the OTHER classical
+    // link-analysis fixed point (Kleinberg), whose mutual
+    // hub<->authority recursion PageRank's single score can't express;
+    // on the bipartite trade graph hubs are customers and authorities
+    // suppliers, so the top-20 authorities are the suppliers most
+    // endorsed by well-connected customers. Intermediate L2 norms are
+    // DROPPED on both sides: normalization is a per-round scalar, and
+    // scalars commute through the linear updates, so normalizing once
+    // at the end yields the identical final authority vector — removing
+    // two scalar-anchor stages (and their broadcasts) from the plan.
+    // Scale shape: each half-round is one keyed join of the score table
+    // against the static edge list + partial-agg sum (O(edges)); the
+    // single final norm is a one-row broadcast anchor (never an eager
+    // collect). 6-dp rounding + id tie-break make the top-20 cut
+    // deterministic across engines.
     "q_hits" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -762,16 +767,10 @@ object Graph {
         // h0 = 1 everywhere, so auth1_raw(v) = in-degree(v)
         val a1r = e.groupBy($"dst".as("id"))
           .agg(count(lit(1)).cast("double").as("ar"))
-        val na1 = a1r.agg(sqrt(sum($"ar" * $"ar")).as("na"))
-        val a1 = a1r.crossJoin(broadcast(na1))
-          .select($"id", ($"ar" / $"na").as("a"))
-        val h1r = e.join(a1.withColumnRenamed("id", "dst"), "dst")
-          .groupBy($"src".as("id")).agg(sum($"a").as("hr"))
-        val nh1 = h1r.agg(sqrt(sum($"hr" * $"hr")).as("nh"))
-        val h1 = h1r.crossJoin(broadcast(nh1))
-          .select($"id", ($"hr" / $"nh").as("h"))
-        val a2r = e.join(h1.withColumnRenamed("id", "src"), "src")
-          .groupBy($"dst".as("id")).agg(sum($"h").as("ar"))
+        val h1r = e.join(a1r.withColumnRenamed("id", "dst"), "dst")
+          .groupBy($"src".as("id")).agg(sum($"ar").as("hr"))
+        val a2r = e.join(h1r.withColumnRenamed("id", "src"), "src")
+          .groupBy($"dst".as("id")).agg(sum($"hr").as("ar"))
         val na2 = a2r.agg(sqrt(sum($"ar" * $"ar")).as("na"))
         a2r.crossJoin(broadcast(na2))
           .select($"id", round($"ar" / $"na", 6).as("authority"))
@@ -784,17 +783,14 @@ object Graph {
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
         |a1r AS (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS ar
         |        FROM e GROUP BY dst),
-        |na1 AS (SELECT sqrt(SUM(ar * ar)) AS na FROM a1r),
-        |a1 AS (SELECT id, ar / na1.na AS a FROM a1r, na1),
-        |h1r AS (SELECT e.src AS id, SUM(a1.a) AS hr
-        |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
-        |nh1 AS (SELECT sqrt(SUM(hr * hr)) AS nh FROM h1r),
-        |h1 AS (SELECT id, hr / nh1.nh AS h FROM h1r, nh1),
-        |a2r AS (SELECT e.dst AS id, SUM(h1.h) AS ar
-        |        FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+        |h1r AS (SELECT e.src AS id, SUM(a1r.ar) AS hr
+        |        FROM e JOIN a1r ON a1r.id = e.dst GROUP BY e.src),
+        |a2r AS (SELECT e.dst AS id, SUM(h1r.hr) AS ar
+        |        FROM e JOIN h1r ON h1r.id = e.src GROUP BY e.dst),
         |na2 AS (SELECT sqrt(SUM(ar * ar)) AS na FROM a2r)
         |SELECT id, round(ar / na2.na, 6) AS authority FROM a2r, na2
         |ORDER BY authority DESC, id LIMIT 20""".stripMargin),
-      "HITS hubs/authorities, 2 L2-normalized rounds vs DuckDB CTEs"),
+      "HITS hubs/authorities, 2 rounds, end-normalized (scalars commute " +
+        "through the linear updates) vs DuckDB CTEs"),
   )
 }
