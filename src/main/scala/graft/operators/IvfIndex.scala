@@ -151,6 +151,48 @@ object IvfIndex {
       .take(nprobe).map(_._1).toSeq
   }
 
+  /** Incremental INSERT into an existing cell-partitioned layout — the
+    * FAISS `add()` shape: new vectors are assigned to the EXISTING
+    * centroids (no refit) and appended into their cells' directories;
+    * a batch touches only the partitions its vectors land in, and
+    * `searchCellPartitioned` sees the inserts on its next scan with no
+    * index rebuild. This is what makes the IVF layout maintainable
+    * under streaming embedding ingest at 100 TB: insert cost is
+    * O(batch), independent of corpus size.
+    *
+    * Returns per-cell insert statistics `(cell_id, n_inserted,
+    * mean_cos)` — the drift monitor: a falling mean assignment cosine
+    * means the frozen centroids no longer describe the incoming
+    * distribution, and the OFFLINE answer is a rebuild
+    * ([[writeCellPartitioned]] with refreshed centroids), not an online
+    * refit. (The returned stats aggregate the same assignment the write
+    * used — one extra job over the batch, none over the corpus.) */
+  def appendVectors(
+      newVectors: DataFrame,
+      centroids: DataFrame,
+      path: String): DataFrame = {
+    import graft.functions.VectorOps.cosine
+    val scored = newVectors
+      .crossJoin(broadcast(centroids.select(
+        col("label").as("cell_id"), col("cvec"))))
+      .withColumn("cell_cos", cosine(col("embedding"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cvec")
+      .localCheckpoint() // one materialization serves the write + stats
+    assigned.drop("cell_cos")
+      .write.mode("append").partitionBy("cell_id")
+      .option("compression", "snappy").parquet(path)
+    assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_inserted"),
+        round(avg(col("cell_cos")), 6).as("mean_cos"))
+      .orderBy(col("cell_id"))
+  }
+
   /** Test hook: drop cached centroids (e.g. between suites). */
   def clear(): Unit = cache.clear()
 }

@@ -64,4 +64,49 @@ class IvfLayoutSpec extends SparkSpec {
       .select($"vec_id", $"cos").as[(Long, Double)].collect()
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("appendVectors: incremental inserts land in their cells, become " +
+      "searchable, and report drift stats — no rebuild") {
+    val corpus = graft.Tables.load(spark, sf, "embeddings")
+    val cents = IvfIndex.centroidsExact(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString + "/idx"
+    IvfIndex.writeCellPartitioned(corpus, cents, dir)
+    val before = spark.read.parquet(dir).count()
+
+    // batch of new vectors: exact copies of three existing embeddings
+    // under fresh ids — each must join its twin's cell and, being
+    // cosine-identical to its twin, rank beside it in a search
+    val seed = corpus.orderBy($"vec_id").limit(3)
+      .select($"vec_id", $"embedding", $"label").collect()
+    val newRows = seed.zipWithIndex.map { case (r, i) =>
+      (900000L + i, r.getSeq[Float](1), r.getInt(2))
+    }.toSeq
+    val batch = newRows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+
+    val stats = IvfIndex.appendVectors(batch, cents, dir)
+      .as[(Int, Long, Double)].collect()
+    assert(stats.map(_._2).sum == 3, stats.mkString(","))
+    // exact copies sit exactly where their twins sit: cos ~ 1 of their
+    // own cell's centroid is not guaranteed, but assignment must match
+    // the twin's cell
+    val twinCells = IvfIndex.assignCells(corpus, cents)
+      .filter($"vec_id".isin(seed.map(_.getLong(0)): _*))
+      .select($"cell_id").distinct().as[Int].collect().toSet
+    assert(stats.map(_._1).toSet == twinCells,
+      s"insert cells ${stats.map(_._1).toSet} vs twin cells $twinCells")
+
+    // the layout grew by exactly the batch, in place
+    assert(spark.read.parquet(dir).count() == before + 3)
+
+    // the inserted copy is immediately searchable: querying with a
+    // twin's embedding must return the new id in the top-k (identical
+    // cosine, ranked right after/with the twin)
+    val q = seed.head.getSeq[Float](1).toArray
+    val hits = IvfIndex
+      .searchCellPartitioned(spark, dir, cents, q, k = 5, nprobe = 2)
+      .select($"vec_id").as[Long].collect()
+    assert(hits.contains(900000L), s"inserted vector missing from $hits")
+  }
 }
