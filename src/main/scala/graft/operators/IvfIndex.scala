@@ -193,6 +193,56 @@ object IvfIndex {
       .orderBy(col("cell_id"))
   }
 
+  /** Replay-IDEMPOTENT insert for streaming ingest: like
+    * [[appendVectors]] but the batch lands under its own
+    * `batch_id=<id>/cell_id=<cell>` partitions via dynamic overwrite, so
+    * re-processing a micro-batch after a failure REPLACES its own
+    * partitions instead of duplicating rows (the
+    * `writeBatchIdempotent` recipe from the XML stream sink, applied to
+    * the ANN layout). An index meant for streaming ingest should be
+    * BOOTSTRAPPED through this method too (batch_id = -1, outside
+    * foreachBatch's 0-based id space) so every file
+    * lives under the two-level layout — partition discovery requires a
+    * uniform directory shape, and `searchCellPartitioned`'s cell filter
+    * prunes identically with `batch_id` as the outer level. */
+  def appendVectorsIdempotent(
+      newVectors: DataFrame,
+      batchId: Long,
+      centroids: DataFrame,
+      path: String): Unit =
+    assignCells(newVectors, centroids)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell_id")
+      .option("compression", "snappy").parquet(path)
+
+  /** Continuous vector ingest: every micro-batch of `vectors` (a
+    * STREAMING DataFrame of (vec_id, embedding, …)) is assigned to the
+    * frozen centroids and landed exactly-once — foreachBatch supplies
+    * the batch id, [[appendVectorsIdempotent]] makes the replay safe,
+    * and the checkpoint makes a restarted query resume instead of
+    * re-ingest. The centroids stay fixed for the stream's lifetime
+    * (the frozen-coarse-quantizer contract; re-training mid-stream
+    * would silently re-route cells — rebuild offline instead, exactly
+    * like [[appendVectors]]' drift note). */
+  def vectorSink(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      path: String,
+      checkpointDir: String,
+      continuous: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendVectorsIdempotent(batch, batchId, centroids, path)
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (continuous) w
+     else w.trigger(
+       org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
+  }
+
   /** Test hook: drop cached centroids (e.g. between suites). */
   def clear(): Unit = cache.clear()
 }

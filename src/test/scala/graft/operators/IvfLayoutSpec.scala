@@ -109,4 +109,56 @@ class IvfLayoutSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect()
     assert(hits.contains(900000L), s"inserted vector missing from $hits")
   }
+
+  test("streaming vector ingest: exactly-once into the layout, replay " +
+      "replaces instead of duplicating, search sees the stream") {
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.Tables.load(spark, sf, "embeddings")
+    val cents = IvfIndex.centroidsExact(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    val dir = s"$root/idx"
+    val cp = s"$root/cp"
+    // bootstrap through the idempotent path so the layout is uniform;
+    // batch_id = -1 stays outside the streaming id space (foreachBatch
+    // ids start at 0 — a 0 bootstrap would be overwritten by the
+    // stream's first batch)
+    IvfIndex.appendVectorsIdempotent(corpus, -1L, cents, dir)
+    val base = spark.read.parquet(dir).count()
+
+    val seed = corpus.orderBy($"vec_id").limit(2)
+      .select($"vec_id", $"embedding", $"label").collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float], Int)]
+    val stream = input.toDF.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+
+    input.addData(seed.zipWithIndex.map { case (r, i) =>
+      (910000L + i, r.getSeq[Float](1), r.getInt(2))
+    }.toSeq: _*)
+    IvfIndex.vectorSink(stream, cents, dir, cp).awaitTermination()
+    assert(spark.read.parquet(dir).count() == base + 2)
+
+    // manual replay of the SAME batch (same id, same rows — the
+    // failure-retry path foreachBatch exercises) must REPLACE its
+    // partitions, not duplicate
+    val replay = seed.zipWithIndex.map { case (r, i) =>
+      (910000L + i, r.getSeq[Float](1), r.getInt(2))
+    }.toSeq.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+    IvfIndex.appendVectorsIdempotent(replay, 0L, cents, dir)
+    assert(spark.read.parquet(dir).count() == base + 2,
+      "replayed batch must overwrite its own partitions")
+
+    // a restarted drain with the same checkpoint ingests nothing new
+    IvfIndex.vectorSink(stream, cents, dir, cp).awaitTermination()
+    assert(spark.read.parquet(dir).count() == base + 2)
+
+    // the streamed vector is searchable through the pruned path
+    val q0 = seed.head.getSeq[Float](1).toArray
+    val hits = IvfIndex
+      .searchCellPartitioned(spark, dir, cents, q0, k = 5, nprobe = 2)
+      .select($"vec_id").as[Long].collect()
+    assert(hits.contains(910000L), s"streamed vector missing from $hits")
+  }
 }
