@@ -147,4 +147,50 @@ object Expectations {
   /** True when every expectation in the report passed — the publish gate. */
   def allPassed(report: DataFrame): Boolean =
     report.filter(!col("passed")).isEmpty
+
+  /** ZERO-extra-pass variant of [[check]] via Spark's `observe()`: the
+    * contract's metric columns ride the caller's OWN action (typically
+    * the table write), collected by accumulators during that job — at
+    * 100 TB the difference between [[check]] and this is one full
+    * corpus scan. Usage:
+    *
+    * {{{
+    * val (instrumented, report) = Expectations.observed(df, contract)
+    * instrumented.write.parquet(out)   // the action you were running anyway
+    * val rep = report()                // metrics from THAT job, no rescan
+    * }}}
+    *
+    * `report()` throws if no action has run yet. Inherited restriction
+    * from Observation: distinct aggregates are not allowed in observed
+    * metrics, so [[Unique]] contracts are rejected here — route those
+    * through [[check]] (its countDistinct genuinely needs the shuffle a
+    * passive observation cannot perform). */
+  def observed(df: DataFrame, expectations: Seq[Expectation])
+      : (DataFrame, () => DataFrame) = {
+    require(expectations.nonEmpty, "empty contract")
+    require(!expectations.exists(_.isInstanceOf[Unique]),
+      "Unique needs countDistinct, which observe() cannot collect — " +
+        "run Unique contracts through check()")
+    val spark = df.sparkSession
+    val cols = expectations.flatMap(metricCols)
+      .zipWithIndex.map { case (c, i) => c.as(s"m$i") }
+    val obs = org.apache.spark.sql.Observation()
+    val instrumented = df.observe(obs, cols.head, cols.tail: _*)
+    val report = () => {
+      val row = obs.get // blocks until the observed action completes
+      import spark.implicits._
+      var idx = 0
+      expectations.map { e =>
+        val n = metricCols(e).size
+        val ms = (0 until n).map { j =>
+          val v = row.get(s"m${idx + j}").orNull
+          if (v == null) Double.NaN else v.asInstanceOf[Double]
+        }
+        idx += n
+        val (metric, threshold, ok) = verdict(e, ms)
+        (e.label, metric, threshold, ok)
+      }.toDF("expectation", "metric", "threshold", "passed")
+    }
+    (instrumented, report)
+  }
 }

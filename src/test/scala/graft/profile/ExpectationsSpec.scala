@@ -51,6 +51,36 @@ class ExpectationsSpec extends SparkSpec {
     assert(allPassed(report) == (langFrac >= 0.4))
   }
 
+  test("observed(): metrics ride the caller's own action — report " +
+      "matches check() with no second scan; Unique rejected") {
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val n = orders.count()
+    val contract = Seq(
+      NotNull("o_orderkey"),
+      InRange("o_totalprice", 0.0, 1e9),
+      InRange("o_totalprice", 0.0, 100.0), // FAIL
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      MatchesRegex("o_orderdate", "^\\d{4}-\\d{2}-\\d{2}"),
+      RowCountBetween(n, n))
+    val (instrumented, report) = Expectations.observed(orders, contract)
+    // the action we were running anyway: a sink write (noop = executors
+    // consume every row, same shape as a parquet write)
+    instrumented.write.format("noop").mode("overwrite").save()
+    val obsRows = report().collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(3))).toSet
+    val checkRows = check(orders, contract).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(3))).toSet
+    assert(obsRows == checkRows, s"observed:\n$obsRows\ncheck:\n$checkRows")
+    assert(obsRows.exists { case (l, _, ok) =>
+      l.startsWith("in_range(o_totalprice,0.0,100.0") && !ok })
+
+    // Unique needs countDistinct — observe() cannot collect it
+    val rejected = intercept[IllegalArgumentException] {
+      Expectations.observed(orders, Seq(Unique(Seq("o_orderkey"))))
+    }
+    assert(rejected.getMessage.contains("Unique"))
+  }
+
   test("labels distinguish same-column checks with different parameters") {
     // ADVICE r7: in_set/matches_regex labels used to omit their payload,
     // so two different contracts on one column collided in the report
