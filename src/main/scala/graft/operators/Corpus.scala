@@ -560,5 +560,193 @@ object Corpus {
         |    AS cum_token_share
         |FROM s, t ORDER BY n_tokens DESC, source""".stripMargin),
       "per-source corpus mixture report with cumulative token coverage"),
+
+    // The CAPSTONE composition: the full pretraining-prep funnel as ONE
+    // lazy plan — exact dedup → length gate → language filter → MinHash
+    // near-dup drop → train/heldout split → n-gram decontamination —
+    // with a per-stage (n_docs, sum_tokens) yield row, the table a data
+    // lead reads before committing a 100 TB prep run. Every stage is a
+    // recipe already oracle-proven in isolation (q_corpus_prep's keeper
+    // window, q_lsh_bucket_join's md5-minhash bands + exact verify,
+    // q_sample_hash's md5 split, q_contamination's shingle screen), so
+    // the DuckDB side replays the ENTIRE funnel and the hash proves the
+    // composition, not just the parts. Scale shape: one fingerprint
+    // window + one signature partial-agg + band-keyed candidate join
+    // (verify touches candidates only) + two anti-joins — no stage
+    // rescans a previous stage's input, and stage stats ride the same
+    // lazy plan (six 1-row aggs, no collects). A real 100 TB prep run
+    // would MATERIALIZE each stage's survivor table (they are the
+    // pipeline's products, not intermediates) — as one plan here, the
+    // multiply-referenced shingle tables are recomputed per consumer;
+    // checkpointing them is the production knob, skipped so plan
+    // construction stays side-effect-free per bench rep.
+    "q_prep_funnel" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+          .withColumn("toks", tokens($"text"))
+          .withColumn("n_tokens", size($"toks").cast("long"))
+        val w = Window.partitionBy($"fp").orderBy($"doc_id")
+        val s1 = docs
+          .withColumn("fp", md5(regexp_replace(lower($"text"), "\\s+", " ")))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).drop("fp", "rn")
+        val s2 = s1.filter($"n_tokens" >= 20)
+        val s3 = s2.filter($"lang".isin("en", "zh", "de"))
+        // near-dup over SURVIVORS only (the production order: cheap
+        // exact/gate stages shrink the expensive pair stage's input)
+        val sh = s3.select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+            .as("sg"))
+          .withColumn("h",
+            conv(substring(md5($"sg"), 1, 8), 16, 10).cast("long"))
+          .select($"doc_id", $"h").distinct()
+        val mins = Dedup.mhPerms.zipWithIndex.map { case ((a, b), i) =>
+          min(pmod(lit(a) * $"h" + lit(b), lit(Dedup.MhPrime)))
+            .as(s"m${i + 1}")
+        }
+        val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+        val bands = sig.select($"doc_id", lit(1).as("band_no"),
+            md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
+          .union(sig.select($"doc_id", lit(2).as("band_no"),
+            md5(concat_ws("|", $"m5", $"m6", $"m7", $"m8")).as("bk")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band_no") === col("y.band_no") &&
+              col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val dropNear = cand
+          .join(sh.select($"doc_id".as("d1"), $"h"), "d1")
+          .join(sh.select($"doc_id".as("d2"), $"h"), Seq("d2", "h"))
+          .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+          .join(cnt.select($"doc_id".as("d1"), $"nsh".as("n1")), "d1")
+          .join(cnt.select($"doc_id".as("d2"), $"nsh".as("n2")), "d2")
+          .filter($"inter".cast("double") /
+            ($"n1" + $"n2" - $"inter") >= 0.7)
+          .select($"d2".as("doc_id")).distinct()
+        val s4 = s3.join(dropNear, Seq("doc_id"), "left_anti")
+        val s4b = s4.withColumn("bucket",
+          pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+            16, 10), lit(100)))
+        // decontamination screens on LONG (8-gram) shingles — its own
+        // table, not the near-dup 3-grams: short grams are common
+        // phrases (on this corpus they'd wipe the training split —
+        // measured: 3-gram screen left 2 docs, 8-gram flags exactly the
+        // 4 planted cross-split leaks), long grams are verbatim leakage
+        val sh8 = s4b.filter(size($"toks") >= 8)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks)-7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+            .as("sg"))
+          .select($"doc_id", md5($"sg").as("h8")).distinct()
+        val heldSh = s4b.filter($"bucket" >= 80)
+          .select($"doc_id").join(sh8, "doc_id")
+          .select($"h8").distinct()
+        val contaminated = sh8.join(heldSh, "h8")
+          .select($"doc_id").distinct()
+        val s5 = s4b.filter($"bucket" < 80)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        def st(no: Int, name: String,
+            df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum($"n_tokens"), lit(0L)).as("sum_tokens"))
+            .select(lit(no).as("stage_no"), lit(name).as("stage"),
+              $"n_docs", $"sum_tokens")
+        st(0, "raw", docs)
+          .unionByName(st(1, "exact_dedup", s1))
+          .unionByName(st(2, "quality_min20", s2))
+          .unionByName(st(3, "lang_en_zh_de", s3))
+          .unionByName(st(4, "near_dedup_j07", s4))
+          .unionByName(st(5, "train_decontaminated", s5))
+          .orderBy($"stage_no")
+      },
+      Some {
+        val minExprs = Dedup.mhPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"    MIN(($a * h + $b) % ${Dedup.MhPrime}) AS m${i + 1}"
+        }.mkString(",\n|")
+        s"""WITH meas AS (
+        |  SELECT doc_id, lang, text, ${sqlTokens("text")} AS toks,
+        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s1 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn FROM meas) WHERE rn = 1),
+        |s2 AS (SELECT * FROM s1 WHERE n_tokens >= 20),
+        |s3 AS (SELECT * FROM s2 WHERE lang IN ('en', 'zh', 'de')),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(sg), 1, 8))::BIGINT AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(toks)-2),
+        |        i -> array_to_string(toks[i:i+2], ' '))) AS sg
+        |    FROM s3 WHERE len(toks) >= 3)),
+        |m AS (
+        |  SELECT doc_id,
+        |$minExprs
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 1 AS band_no,
+        |    md5(m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR
+        |      || '|' || m4::VARCHAR) AS bk FROM m
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    md5(m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR
+        |      || '|' || m8::VARCHAR) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y ON x.band_no = y.band_no
+        |    AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        |c AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        |dropnear AS (
+        |  SELECT DISTINCT i.d2 AS doc_id FROM (
+        |    SELECT cand.d1, cand.d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |    FROM cand JOIN sh a ON a.doc_id = cand.d1
+        |      JOIN sh b ON b.doc_id = cand.d2 AND b.h = a.h
+        |    GROUP BY 1, 2) i
+        |  JOIN c c1 ON i.d1 = c1.doc_id JOIN c c2 ON i.d2 = c2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (c1.nsh + c2.nsh - inter) >= 0.7),
+        |s4 AS (SELECT * FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropnear)),
+        |s4b AS (SELECT *,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS bucket
+        |  FROM s4),
+        |sh8 AS (
+        |  SELECT DISTINCT doc_id, md5(sg) AS h8 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(toks)-7),
+        |        i -> array_to_string(toks[i:i+7], ' '))) AS sg
+        |    FROM s4b WHERE len(toks) >= 8)),
+        |held AS (
+        |  SELECT DISTINCT sh8.h8 FROM s4b JOIN sh8 ON sh8.doc_id = s4b.doc_id
+        |  WHERE s4b.bucket >= 80),
+        |contaminated AS (
+        |  SELECT DISTINCT sh8.doc_id FROM sh8 JOIN held ON held.h8 = sh8.h8),
+        |s5 AS (SELECT * FROM s4b WHERE bucket < 80
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_no, 'raw' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS sum_tokens
+        |  FROM meas
+        |  UNION ALL SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'quality_min20', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'lang_en_zh_de', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, 'near_dedup_j07', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 5, 'train_decontaminated',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s5)
+        |ORDER BY stage_no""".stripMargin
+      },
+      "the composed pretraining-prep funnel: dedup -> gates -> near-dup " +
+        "-> split -> decontamination, per-stage yields, oracle-replayed " +
+        "end to end"),
   )
 }
