@@ -516,6 +516,71 @@ object MlFit {
         |ORDER BY mi DESC, t LIMIT 20""".stripMargin),
       "per-token mutual information with the class label (filter-method " +
         "feature selection; vocab x classes grid, no collect)"),
+
+    // k-NN CLASSIFICATION — the third classical classifier beside naive
+    // Bayes (counting) and the perceptron (linear): predict each query
+    // vector's label by majority vote of its 5 nearest neighbors under
+    // the EXACT integer squared-L2 of the micro-unit space (the
+    // codegen sq_l2 hot loop), reporting the confusion matrix over a
+    // 64-query batch. Fully oracle-exact: distances are bigints, rank
+    // ties break on vec_id, vote ties on the smaller label — no floats
+    // anywhere. Scale shape: the query batch broadcasts (serving-time
+    // classification against a labeled corpus), distances are one
+    // map-side pass over the corpus, and the only shuffles are the
+    // per-query rank window (partitioned by q_id — never global) and
+    // two bounded aggregations; corpus size enters linearly. For
+    // sub-linear serving swap the scan for the IVF cell probe — the
+    // vote/argmax tail is unchanged.
+    "q_knn_classify" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val vi = Tables.load(s, d, "embeddings")
+          .select($"vec_id", $"label", expr(viSpark).as("vi"))
+        val q = vi.filter($"vec_id" < 64)
+          .select($"vec_id".as("q_id"), $"label".as("true_label"),
+            $"vi".as("qv"))
+        val wnn = Window.partitionBy($"q_id").orderBy($"dist", $"vec_id")
+        val nn = vi.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"true_label", $"vec_id",
+            $"label".as("n_label"), expr("sq_l2(vi, qv)").as("dist"))
+          .withColumn("rn", row_number().over(wnn))
+          .filter($"rn" <= 5)
+        val wv = Window.partitionBy($"q_id")
+          .orderBy($"votes".desc, $"n_label")
+        nn.groupBy($"q_id", $"true_label", $"n_label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rv", row_number().over(wv))
+          .filter($"rv" === 1)
+          .groupBy($"true_label".as("label"),
+            $"n_label".as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"label", $"predicted")
+      },
+      Some(s"""WITH vi AS (
+        |  SELECT vec_id, label, $viDuck AS vi FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, vi AS qv
+        |      FROM vi WHERE vec_id < 64),
+        |dst AS (
+        |  SELECT q.q_id, q.true_label, v.vec_id, v.label AS n_label,
+        |    ${sqDistLongDuck("v.vi", "q.qv")} AS dist
+        |  FROM vi v, q WHERE v.vec_id <> q.q_id),
+        |nn AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+        |    FROM dst) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT q_id, true_label, n_label, COUNT(*) AS votes
+        |  FROM nn GROUP BY 1, 2, 3),
+        |pred AS (SELECT q_id, true_label, n_label AS predicted FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY votes DESC, n_label) AS rv
+        |    FROM votes) WHERE rv = 1)
+        |SELECT true_label AS label, predicted,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin),
+      "5-NN majority-vote classification over exact integer distances " +
+        "(confusion matrix; broadcast query batch, linear corpus pass)"),
   )
 
 }
