@@ -2192,6 +2192,58 @@ object Analytics {
     // thresholding. α = 0.5 over a 30-CALENDAR-DAY window, as a range
     // self-join on the day spine (not a positional lag: a gap day must
     // decay the average, not shift it — the q_yoy_growth lesson). The
+    // TIME-WEIGHTED average value per event type (TWAP — the
+    // irregular-sampling mean: each observation holds until the next
+    // one, so its weight is its holding duration; a plain mean
+    // over-counts bursts). Exactness recipe: timestamps as µs BIGINTs
+    // (unix_micros ≡ epoch_us), values in micro-units, per-type lead()
+    // for the holding interval with (ts, event_id) tie-break, and the
+    // value×duration products summed in DECIMAL(38,0) (vm·Δt can pass
+    // 2^63) — both engines reduce exact integers and perform ONE
+    // identical double division at the end. The last observation per
+    // type has no successor and drops out (standard left-closed TWAP).
+    // Scale shape: one type-keyed window (partitioned — never global)
+    // + one grouped aggregation.
+    "q_twap" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "events")
+          .select($"event_type", expr("unix_micros(ts)").as("us"),
+            $"event_id",
+            expr("CAST(round(value * 1e6) AS BIGINT)").as("vm"))
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"us", $"event_id")
+        val d2 = e
+          .withColumn("dt", lead($"us", 1).over(w) - $"us")
+          .filter($"dt".isNotNull)
+        d2.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            round((sum(($"vm".cast("decimal(38,0)") * $"dt"))
+                .cast("double") / sum($"dt").cast("double")) / 1e6, 6)
+              .as("twap"),
+            round(sum($"vm").cast("double") / count(lit(1)) / 1e6, 6)
+              .as("plain_mean"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events),
+        |iv AS (
+        |  SELECT event_type, vm,
+        |    lead(us) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) - us AS dt
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  round(CAST(SUM(CAST(vm AS DECIMAL(38,0)) * dt) AS DOUBLE)
+        |    / CAST(SUM(dt) AS DOUBLE) / 1e6, 6) AS twap,
+        |  round(CAST(SUM(vm) AS DOUBLE) / COUNT(*) / 1e6, 6)
+        |    AS plain_mean
+        |FROM iv WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "time-weighted average value per event type (TWAP; exact integer " +
+        "micro-unit x microsecond products in DECIMAL(38,0))"),
+
     // dyadic α makes the whole query cross-engine EXACT: every term
     // n·0.5^δ (δ ≤ 29, n < 2^23) is a dyadic rational spanning < 53
     // mantissa bits, so the sums are exact doubles in ANY addition order
