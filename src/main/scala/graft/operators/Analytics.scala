@@ -2187,23 +2187,20 @@ object Analytics {
         |FROM cum ORDER BY bin DESC""".stripMargin),
       "precision-recall operating points at 20 descending score thresholds"),
 
-    // Exponentially weighted moving average of daily event volume — the
-    // smoothing telemetry dashboards and drift monitors run before
-    // thresholding. α = 0.5 over a 30-CALENDAR-DAY window, as a range
-    // self-join on the day spine (not a positional lag: a gap day must
-    // decay the average, not shift it — the q_yoy_growth lesson). The
-    // TIME-WEIGHTED average value per event type (TWAP — the
+    // Time-weighted average value per event type (TWAP) — the
     // irregular-sampling mean: each observation holds until the next
     // one, so its weight is its holding duration; a plain mean
-    // over-counts bursts). Exactness recipe: timestamps as µs BIGINTs
+    // over-counts bursts. Exactness recipe: timestamps as µs BIGINTs
     // (unix_micros ≡ epoch_us), values in micro-units, per-type lead()
     // for the holding interval with (ts, event_id) tie-break, and the
     // value×duration products summed in DECIMAL(38,0) (vm·Δt can pass
-    // 2^63) — both engines reduce exact integers and perform ONE
-    // identical double division at the end. The last observation per
-    // type has no successor and drops out (standard left-closed TWAP).
-    // Scale shape: one type-keyed window (partitioned — never global)
-    // + one grouped aggregation.
+    // 2^63; the plain-mean Σvm rides the same decimal so Spark's
+    // silently-wrapping non-ANSI long sum can never diverge from
+    // DuckDB's HUGEINT widening at scale) — both engines reduce exact
+    // integers and perform ONE identical double division at the end.
+    // The last observation per type has no successor and drops out
+    // (standard left-closed TWAP). Scale shape: one type-keyed window
+    // (partitioned — never global) + one grouped aggregation.
     "q_twap" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -2221,7 +2218,8 @@ object Analytics {
             round((sum(($"vm".cast("decimal(38,0)") * $"dt"))
                 .cast("double") / sum($"dt").cast("double")) / 1e6, 6)
               .as("twap"),
-            round(sum($"vm").cast("double") / count(lit(1)) / 1e6, 6)
+            round(sum($"vm".cast("decimal(38,0)")).cast("double")
+                / count(lit(1)) / 1e6, 6)
               .as("plain_mean"))
           .orderBy($"event_type")
       },
@@ -2237,13 +2235,18 @@ object Analytics {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
         |  round(CAST(SUM(CAST(vm AS DECIMAL(38,0)) * dt) AS DOUBLE)
         |    / CAST(SUM(dt) AS DOUBLE) / 1e6, 6) AS twap,
-        |  round(CAST(SUM(vm) AS DOUBLE) / COUNT(*) / 1e6, 6)
-        |    AS plain_mean
+        |  round(CAST(SUM(CAST(vm AS DECIMAL(38,0))) AS DOUBLE)
+        |    / COUNT(*) / 1e6, 6) AS plain_mean
         |FROM iv WHERE dt IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
       "time-weighted average value per event type (TWAP; exact integer " +
         "micro-unit x microsecond products in DECIMAL(38,0))"),
 
+    // Exponentially weighted moving average of daily event volume — the
+    // smoothing telemetry dashboards and drift monitors run before
+    // thresholding. α = 0.5 over a 30-CALENDAR-DAY window, as a range
+    // self-join on the day spine (not a positional lag: a gap day must
+    // decay the average, not shift it — the q_yoy_growth lesson). The
     // dyadic α makes the whole query cross-engine EXACT: every term
     // n·0.5^δ (δ ≤ 29, n < 2^23) is a dyadic rational spanning < 53
     // mantissa bits, so the sums are exact doubles in ANY addition order

@@ -225,7 +225,12 @@ object IvfIndex {
     * re-ingest. The centroids stay fixed for the stream's lifetime
     * (the frozen-coarse-quantizer contract; re-training mid-stream
     * would silently re-route cells — rebuild offline instead, exactly
-    * like [[appendVectors]]' drift note). */
+    * like [[appendVectors]]' drift note).
+    *
+    * `continuous = true` selects an UNBOUNDED MICRO-BATCH stream (the
+    * default ProcessingTime(0) trigger — it merely omits AvailableNow),
+    * NOT `Trigger.Continuous`: continuous processing does not support
+    * foreachBatch sinks at all. Same convention as `XmlStream.sink`. */
   def vectorSink(
       vectors: DataFrame,
       centroids: DataFrame,

@@ -160,7 +160,10 @@ object Expectations {
     * val rep = report()                // metrics from THAT job, no rescan
     * }}}
     *
-    * `report()` throws if no action has run yet. Inherited restriction
+    * `report()` BLOCKS until the first action over the instrumented
+    * frame completes (`Observation.get` waits indefinitely) — run the
+    * write before calling it, or a caller that forgot the action hangs
+    * rather than failing fast. Inherited restriction
     * from Observation: distinct aggregates are not allowed in observed
     * metrics, so [[Unique]] contracts are rejected here — route those
     * through [[check]] (its countDistinct genuinely needs the shuffle a

@@ -239,7 +239,9 @@ object XmlStream {
     * batches across restarts. `Trigger.AvailableNow` drains everything
     * currently in the directory then stops — the cron-shaped deployment
     * (the reference's scheduled re-run, minus its re-parse of old
-    * files); omit it (`continuous = true`) for a long-running ingest. */
+    * files); omit it (`continuous = true`) for a long-running ingest.
+    * Note `continuous = true` means an UNBOUNDED MICRO-BATCH stream
+    * (default ProcessingTime(0) trigger), not `Trigger.Continuous`. */
   def sink(
       df: DataFrame,
       outDir: String,
@@ -252,9 +254,21 @@ object XmlStream {
     (if (continuous) w else w.trigger(Trigger.AvailableNow())).start()
   }
 
-  /** Filesystem-safe directory name for a (tag, charset) group. */
-  def groupId(s: Setup): String =
-    s"${s.rowTag}_${s.charset}".map(c => if (c.isLetterOrDigit) c else '_')
+  /** Filesystem-safe directory name for a (tag, charset) group. The
+    * sanitized name alone can collide across distinct groups (tag "a-b"
+    * charset "c" and tag "a" charset "b-c" both sanitize to `a_b_c`, and
+    * a collision would silently share one sink directory AND checkpoint
+    * between two streams), so an 8-hex md5 of the RAW pair — injective
+    * up to hash collision — is appended to keep ids distinct. */
+  def groupId(s: Setup): String = {
+    val raw = s"${s.rowTag} ${s.charset}"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val sane =
+      s"${s.rowTag}_${s.charset}".map(c => if (c.isLetterOrDigit) c else '_')
+    s"${sane}_$h"
+  }
 
   /** One [[records]]+[[sink]] pair PER group under shared output /
     * checkpoint roots: group g writes `outRoot/groupId(g)` with

@@ -288,4 +288,15 @@ class XmlStreamSpec extends SparkSpec {
       .foreach(_._2.awaitTermination())
     assert(XmlStream.readGroups(spark, outRoot).count() == 8)
   }
+
+  test("groupId is collision-proof across distinct (tag, charset) pairs") {
+    import org.apache.spark.sql.types.StructType
+    // both sanitize to a_b_c_ prefix-wise; the raw-pair hash must split them
+    val g1 = XmlStream.Setup("a-b", "c", new StructType(), Map.empty)
+    val g2 = XmlStream.Setup("a", "b-c", new StructType(), Map.empty)
+    assert(XmlStream.groupId(g1) != XmlStream.groupId(g2))
+    // deterministic and filesystem-safe
+    assert(XmlStream.groupId(g1) == XmlStream.groupId(g1))
+    assert(XmlStream.groupId(g1).forall(c => c.isLetterOrDigit || c == '_'))
+  }
 }
