@@ -21,10 +21,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bucketed tables live in the catalog (`saveAsTable`, not bare
   * parquet paths), and both sides must agree on (key, n).
   *
+  * This is the ONE bucketing module (the former `graft.io.Bucketing`
+  * duplicate was consolidated here in round 9 — same feature had been
+  * implemented twice with neither module referencing the other).
+  * `XmlPipeline.process` exposes the lever on the reference-derived
+  * path via its `bucketFact` knob (fact bucketed by the busiest dim
+  * key).
+  *
   * BucketedSpec pins the contract on live plans: zero
-  * `Exchange hashpartitioning` in the co-located join while the plain
-  * path-based join of the same data shows two, with row-identical
-  * results.
+  * `Exchange hashpartitioning` in the co-located join AND in the
+  * on-key groupBy, while the plain path-based join of the same data
+  * shows the shuffles — with row-identical results.
   */
 object Bucketed {
 
@@ -45,4 +52,11 @@ object Bucketed {
       spark: SparkSession, left: String, right: String, key: String)
       : DataFrame =
     spark.table(left).hint("merge").join(spark.table(right), key)
+
+  /** True when the executed plan of `df` contains no shuffle exchange —
+    * the property bucketed co-located joins are meant to buy. Shared
+    * assertion helper for specs and plan audits. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning")
 }

@@ -55,4 +55,70 @@ class BucketedSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  // folded in from the former graft.io.BucketingSpec when the duplicate
+  // module was consolidated (round 9): same contract over synthetic data,
+  // exercised through the shared isShuffleFree helper
+  test("synthetic co-bucketed join is shuffle-free; unbucketed twin is not") {
+    val left = (1L to 5000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 5000L).map(i => (i, i * 2.0)).toDF("k", "rv")
+    Bucketed.writeBucketed(left, "bkt_left", "k", 4)
+    Bucketed.writeBucketed(right, "bkt_right", "k", 4)
+    try {
+      val joined = Bucketed.coLocatedJoin(spark, "bkt_left", "bkt_right", "k")
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        assert(Bucketed.isShuffleFree(joined),
+          joined.queryExecution.executedPlan.toString.take(2000))
+        assert(joined.count() == 5000)
+        assert(!Bucketed.isShuffleFree(left.join(right.hint("merge"), Seq("k"))))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  // the lever on the reference-derived path: XmlPipeline's bucketFact knob
+  test("XmlPipeline bucketFact knob: groupBy on the bucketed dim key " +
+      "plans zero Exchange") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_bkt_in")
+    val out = Files.createTempDirectory("graft_bkt_out")
+    val schemas = Files.createTempDirectory("graft_bkt_sch")
+    val recs = (1 to 40).map { i =>
+      val st = Seq("active", "retired", "pending")(i % 3)
+      s"""  <record id="$i" status="$st"><title>T$i</title>""" +
+        s"<price>${i}.50</price></record>"
+    }.mkString("\n")
+    Files.writeString(in.resolve("a.xml"),
+      s"<?xml version=\"1.0\"?>\n<catalog>\n$recs\n</catalog>\n")
+    try {
+      val report = graft.xml.XmlPipeline.process(spark, in.toString,
+        out.toString, schemas.toString, runId = 7L,
+        loadTs = java.sql.Timestamp.valueOf("2024-03-04 05:06:07"),
+        bucketFact = Some(("fact_bucketed_t", "status_key", 4)))
+      assert(report.rows == 40)
+      // the parquet layout still landed (reference parity)...
+      assert(spark.read.parquet(s"$out/fact_main.parquet").count() == 40)
+      // ...and the bucketed copy aggregates on its key with no shuffle
+      val agg = spark.table("fact_bucketed_t").groupBy($"status_key")
+        .agg(count(lit(1)).as("n"))
+      assert(Bucketed.isShuffleFree(agg),
+        agg.queryExecution.executedPlan.toString.take(2000))
+      assert(agg.collect().map(_.getLong(1)).sum == 40L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fact_bucketed_t")
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
