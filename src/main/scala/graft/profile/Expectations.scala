@@ -31,6 +31,12 @@ object Expectations {
     def label: String
   }
 
+  /** Column reference by LITERAL name: flattened sources produce columns
+    * with dots in their names (`detail.total` collapse), which a bare
+    * `col(...)` would mis-parse as struct-field extraction. */
+  private def qcol(c: String): Column =
+    col(s"`${c.replace("`", "``")}`")
+
   /** Inline `payload` into a label when short; otherwise a stable 8-hex
     * md5 prefix — same distinguishing power, bounded width. */
   private def short(payload: String): String =
@@ -80,20 +86,20 @@ object Expectations {
     * verdict — one report row per expectation. */
   private def metricCols(e: Expectation): Seq[Column] = e match {
     case NotNull(c, _) =>
-      Seq(avg(col(c).isNull.cast("double")))
+      Seq(avg(qcol(c).isNull.cast("double")))
     case Unique(cs) =>
-      val nonNull = cs.map(col(_).isNotNull).reduce(_ && _)
-      Seq(countDistinct(cs.head, cs.tail: _*).cast("double"),
+      val nonNull = cs.map(qcol(_).isNotNull).reduce(_ && _)
+      Seq(countDistinct(qcol(cs.head), cs.tail.map(qcol): _*).cast("double"),
         sum(nonNull.cast("long")).cast("double"))
     case InRange(c, lo, hi, _) =>
-      Seq(avg(when(col(c).isNotNull,
-        col(c).between(lo, hi).cast("double"))))
+      Seq(avg(when(qcol(c).isNotNull,
+        qcol(c).between(lo, hi).cast("double"))))
     case InSet(c, vs, _) =>
-      Seq(avg(when(col(c).isNotNull,
-        col(c).cast("string").isin(vs: _*).cast("double"))))
+      Seq(avg(when(qcol(c).isNotNull,
+        qcol(c).cast("string").isin(vs: _*).cast("double"))))
     case MatchesRegex(c, re, _) =>
-      Seq(avg(when(col(c).isNotNull,
-        col(c).cast("string").rlike(re).cast("double"))))
+      Seq(avg(when(qcol(c).isNotNull,
+        qcol(c).cast("string").rlike(re).cast("double"))))
     case RowCountBetween(_, _) =>
       Seq(count(lit(1)).cast("double"))
   }
@@ -170,18 +176,33 @@ object Expectations {
     * passive observation cannot perform). */
   def observed(df: DataFrame, expectations: Seq[Expectation])
       : (DataFrame, () => DataFrame) = {
+    val spark = df.sparkSession
+    val (instrumented, rows) = observedRows(df, expectations)
+    val report = () => {
+      import spark.implicits._
+      rows().toDF("expectation", "metric", "threshold", "passed")
+    }
+    (instrumented, report)
+  }
+
+  /** Like [[observed]] but the report comes back as LOCAL tuples — the
+    * shape a caller uses to land the verdicts entirely driver-side
+    * (e.g. a small CSV next to the data) without ANY follow-up Spark
+    * job. `Observation.get` itself is accumulator-backed: the metrics
+    * were collected by the caller's own action, and materializing them
+    * here is a driver-memory read. */
+  def observedRows(df: DataFrame, expectations: Seq[Expectation])
+      : (DataFrame, () => Seq[(String, Double, Double, Boolean)]) = {
     require(expectations.nonEmpty, "empty contract")
     require(!expectations.exists(_.isInstanceOf[Unique]),
       "Unique needs countDistinct, which observe() cannot collect — " +
         "run Unique contracts through check()")
-    val spark = df.sparkSession
     val cols = expectations.flatMap(metricCols)
       .zipWithIndex.map { case (c, i) => c.as(s"m$i") }
     val obs = org.apache.spark.sql.Observation()
     val instrumented = df.observe(obs, cols.head, cols.tail: _*)
-    val report = () => {
+    val rows = () => {
       val row = obs.get // blocks until the observed action completes
-      import spark.implicits._
       var idx = 0
       expectations.map { e =>
         val n = metricCols(e).size
@@ -192,8 +213,8 @@ object Expectations {
         idx += n
         val (metric, threshold, ok) = verdict(e, ms)
         (e.label, metric, threshold, ok)
-      }.toDF("expectation", "metric", "threshold", "passed")
+      }
     }
-    (instrumented, report)
+    (instrumented, rows)
   }
 }

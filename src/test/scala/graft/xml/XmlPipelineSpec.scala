@@ -629,4 +629,67 @@ class XmlPipelineSpec extends SparkSpec {
       .isEmpty)
     tagged.unpersist()
   }
+
+  test("fact write carries a zero-extra-pass observed data contract") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+    val jobCount = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    // listener events are async — wait until the count is stable
+    def quiesce(): Int = {
+      var last = -1
+      var cur = jobCount.get
+      var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur; Thread.sleep(200); cur = jobCount.get; spins += 1
+      }
+      cur
+    }
+    def countJobs(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try { quiesce(); jobCount.set(0); f; quiesce() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    def runOnce(contract: Option[Seq[graft.profile.Expectations.Expectation]])
+        : XmlPipeline.PipelineReport = {
+      val (in, out, schemas) = mkPipelineDirs()
+      XmlPipeline.process(spark, in.toString, out.toString, schemas.toString,
+        runId = 11L, loadTs = ts, factContract = contract)
+    }
+
+    // warmup absorbs first-run-only costs (XSD/compile caches, codegen)
+    runOnce(None)
+    var withReport: XmlPipeline.PipelineReport = null
+    val jobsWith = countJobs { withReport = runOnce(None) }
+    val jobsWithout = countJobs { runOnce(Some(Seq.empty)) }
+
+    // the contract produced verdicts, riding the fact write...
+    assert(withReport.contract.nonEmpty)
+    val byLabel = withReport.contract.map(c => c._1 -> c).toMap
+    assert(byLabel.contains("not_null(record_id)"))
+    assert(byLabel("not_null(record_id)")._4, byLabel.toString)
+    assert(withReport.contract.forall(_._4), withReport.contract.toString)
+    // row_count metric equals the actual fact rows
+    val rc = withReport.contract.find(_._1.startsWith("row_count_between"))
+    assert(rc.exists(_._2 == withReport.rows.toDouble), rc.toString)
+
+    // ...and cost ZERO additional Spark jobs vs the contract-free run
+    assert(jobsWith <= jobsWithout,
+      s"contract added jobs: with=$jobsWith without=$jobsWithout")
+
+    // the verdicts landed as a driver-written csv in the output layout
+    val (in2, out2, schemas2) = mkPipelineDirs()
+    XmlPipeline.process(spark, in2.toString, out2.toString,
+      schemas2.toString, runId = 12L, loadTs = ts)
+    val csv = spark.read.option("header", "true")
+      .csv(s"$out2/fact_contract.csv")
+    assert(csv.count() >= 2) // not_null + row_count (+ measures)
+    assert(csv.filter(col("passed") === "false").isEmpty)
+  }
 }
