@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.functions.MinHash
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate detection against a PERSISTED banded
+  * MinHash signature store — the production shape a daily-batch corpus
+  * pipeline needs: a new batch deduplicates against everything already
+  * ingested in O(batch · bucket-occupancy), never O(corpus). The batch
+  * MinHash/LSH family ([[Dedup.deduplicate]], `q_lsh_bucket_join`)
+  * recomputes signatures for the WHOLE corpus per run; this module is its
+  * standing-store twin, mirroring [[IvfIndex.appendVectorsIdempotent]]'s
+  * replay-idempotent append pattern exactly. Reference anchor: the
+  * reference's incremental contract is audit-column reprocessing
+  * avoidance (reference README.md:241 — "skip files already processed");
+  * the rebuild honors it for XML ingest (`XmlPipeline.processIncremental`)
+  * and, with this module, for near-dup screening too.
+  *
+  * == Semantics (order-invariant, hence batch≡incremental provable) ==
+  * A document is DROPPED iff it has an LSH candidate pair (shares at
+  * least one band bucket) with estimated Jaccard >= threshold against any
+  * document SEEN before it — store docs count as earlier than every
+  * batch doc (arrival order), and within a batch seniority is `idCol`
+  * order. Dropped docs' signatures are STORED TOO (marked `kept=false`):
+  * "seen" means seen, so a chain d1~d2, d2~d3 collapses to {d1} no matter
+  * how the corpus is split into batches. Feeding a corpus in k
+  * idCol-ordered batches therefore keeps EXACTLY the docs the one-shot
+  * batch rule ("drop every doc appearing as the larger side of a
+  * candidate pair") keeps — pinned by DedupStoreSpec.
+  *
+  * == Store layout ==
+  * {{{
+  * path/sigs/batch_id=N/            (doc_id, sig: array<long>, kept)
+  * path/bands/batch_id=N/pfx=P/     (doc_id, band, h)
+  * path/store_meta.txt              signature parameters, checked on append
+  * }}}
+  * Both tables are written with dynamic partition overwrite keyed by the
+  * batch id, so a replayed batch (foreachBatch failure-retry) REPLACES its
+  * own partitions instead of duplicating rows; store reads inside
+  * [[appendBatch]] exclude the batch's own id, so the replay also cannot
+  * self-match. `pfx = h mod numPfx` is the pruning dimension: the
+  * candidate join carries it as a join key, so with a broadcast batch side
+  * Spark's dynamic partition pruning skips standing `pfx` directories the
+  * batch never hashes into.
+  *
+  * == 100 TB shapes ==
+  * Per batch: one doc-keyed partial agg builds signatures (constant
+  * 8·numHashes bytes/doc rides the shuffle — [[MinHash.signatureAgg]]'s
+  * codegen'd min-columns), the standing side is SCANNED but never
+  * shuffled (batch side broadcast into the bucket join; candidates and
+  * their signature join-backs are candidate-count-sized), and the store
+  * append touches only the new batch's partitions. The standing scan
+  * reads three narrow columns of the bands table — ~100 B/doc regardless
+  * of document size. For batches too large to broadcast, set
+  * `broadcastBatch=false` (sort-merge join; the store-side shuffle is the
+  * price, and persisting the store bucketed-by-`h` via
+  * [[Bucketed.writeBucketed]] is the documented way to pre-pay it). */
+object DedupStore {
+
+  /** Signature parameters — must be identical across every append to a
+    * store (checked against `store_meta.txt`). */
+  final case class Params(
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      numPfx: Int = 16) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Per-append outcome. `nIn` counts batch rows; docs producing no
+    * shingles (empty text) pass trivially and are not stored. A doc
+    * near-dup of both the store and an in-batch senior is attributed to
+    * the store. */
+  final case class BatchStats(
+      batchId: Long,
+      nIn: Long,
+      nDroppedVsStore: Long,
+      nDroppedIntra: Long,
+      nKept: Long)
+
+  private def metaPath(path: String) = s"$path/store_meta.txt"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMetaIfAbsent(
+      spark: SparkSession, path: String, p: Params): Unit = {
+    val f = fs(spark, path)
+    val mp = new Path(metaPath(path))
+    if (!f.exists(mp)) {
+      val os = f.create(mp, false)
+      os.write((s"shingleSize=${p.shingleSize}\nnumHashes=${p.numHashes}\n" +
+        s"bands=${p.bands}\nthreshold=${p.threshold}\nnumPfx=${p.numPfx}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      os.close()
+    } else {
+      val in = f.open(mp)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      val kv = bytes.toString("UTF-8").linesIterator
+        .filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v
+        }.toMap
+      val stored = Params(kv("shingleSize").toInt, kv("numHashes").toInt,
+        kv("bands").toInt, kv("threshold").toDouble, kv("numPfx").toInt)
+      require(stored == p,
+        s"store at $path was built with $stored; refusing append with $p")
+    }
+  }
+
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** Standing banded buckets, the batch's own partitions excluded (replay
+    * safety). Columns: (old_id, band, h, pfx). */
+  private def standingBands(
+      spark: SparkSession, path: String, batchId: Long): Option[DataFrame] =
+    if (!hasData(spark, s"$path/bands")) None
+    else Some(spark.read.parquet(s"$path/bands")
+      .filter(col("batch_id") =!= batchId)
+      .select(col("doc_id").as("old_id"), col("band"), col("h"), col("pfx")))
+
+  /** Standing signatures (kept AND dropped — "seen" means seen), the
+    * batch's own partitions excluded. Columns: (old_id, old_sig). */
+  private def standingSigs(
+      spark: SparkSession, path: String, batchId: Long): Option[DataFrame] =
+    if (!hasData(spark, s"$path/sigs")) None
+    else Some(spark.read.parquet(s"$path/sigs")
+      .filter(col("batch_id") =!= batchId)
+      .select(col("doc_id").as("old_id"), col("sig").as("old_sig")))
+
+  /** Banded bucket rows for a signed batch: (doc_id, band, h, pfx). */
+  private def bandRows(sigs: DataFrame, idCol: String, p: Params): DataFrame =
+    sigs.select(col(idCol),
+        explode(MinHash.bandHashes(col("sig"), p.bands, p.rowsPerBand))
+          .as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.h").as("h"))
+      .withColumn("pfx", pmod(col("h"), lit(p.numPfx)).cast("int"))
+
+  /** Lazy (new_id, old_id, est_jaccard) pairs of batch docs vs the
+    * standing store — exposed for the plan pin in DedupStoreSpec: with
+    * `broadcastBatch` the standing bands side is scanned once and never
+    * shuffled (BroadcastHashJoin, batch side built), and `pfx` rides the
+    * join keys so DPP can prune standing partitions. */
+  private[operators] def candidatesVsStore(
+      spark: SparkSession,
+      sigsB: DataFrame,
+      bandsB: DataFrame,
+      idCol: String,
+      path: String,
+      batchId: Long,
+      p: Params,
+      broadcastBatch: Boolean): Option[DataFrame] =
+    standingBands(spark, path, batchId).map { standing =>
+      val batchSide0 = bandsB.select(
+        col(idCol).as("new_id"), col("band"), col("h"), col("pfx"))
+      val batchSide =
+        if (broadcastBatch) broadcast(batchSide0) else batchSide0
+      val cand = standing.join(batchSide, Seq("pfx", "band", "h"))
+        .select(col("new_id"), col("old_id")).distinct()
+      // signature join-backs are candidate-count-sized; the standing sigs
+      // scan is filtered by the (small) candidate id set via broadcast
+      val oldSigs = standingSigs(spark, path, batchId).get
+      cand
+        .join(oldSigs, Seq("old_id"))
+        .join(sigsB.select(col(idCol).as("new_id"), col("sig").as("new_sig")),
+          Seq("new_id"))
+        .select(col("new_id"), col("old_id"),
+          MinHash.estJaccard(col("old_sig"), col("new_sig"))
+            .as("est_jaccard"))
+    }
+
+  /** Ingest one batch: near-dups against the standing store and against
+    * in-batch seniors are dropped; ALL signed docs (kept and dropped) are
+    * appended to the store under this batch's partitions (dynamic
+    * overwrite — replaying the same batchId replaces, never duplicates).
+    * Returns the drop/keep accounting. Bootstrap an empty store through
+    * this method with `batchId = -1` (outside foreachBatch's 0-based id
+    * space, the [[IvfIndex.appendVectorsIdempotent]] convention). */
+  def appendBatch(
+      docs: DataFrame,
+      batchId: Long,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      params: Params = Params(),
+      broadcastBatch: Boolean = true): BatchStats = {
+    val spark = docs.sparkSession
+    writeMetaIfAbsent(spark, path, params)
+    val nIn = docs.count()
+
+    // one materialization serves the candidate joins, both writes, and
+    // the stats agg (the appendVectors recipe)
+    val sigsB = MinHash.signatureAgg(docs, idCol,
+        graft.Fns.tokens(col(textCol)), params.shingleSize,
+        params.numHashes)
+      .localCheckpoint()
+    val bandsB = bandRows(sigsB, idCol, params)
+
+    val droppedStore = candidatesVsStore(spark, sigsB, bandsB, idCol, path,
+        batchId, params, broadcastBatch)
+      .map(_.filter(col("est_jaccard") >= params.threshold)
+        .select(col("new_id").as(idCol)).distinct())
+
+    // in-batch: same banding, same estimator; "larger id drops" needs no
+    // recursion because dropped docs still count as seen
+    val intraPairs = MinHash.candidatePairs(sigsB, idCol, "sig",
+      params.bands, params.rowsPerBand, maxBucketSize = Int.MaxValue)
+    val droppedIntra = intraPairs
+      .join(sigsB.select(col(idCol).as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigsB.select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")
+      .filter(MinHash.estJaccard(col("sig1"), col("sig2"))
+        >= params.threshold)
+      .select(col("id2").as(idCol)).distinct()
+
+    val flagged = {
+      val ds = droppedStore.getOrElse(spark.emptyDataFrame
+          .withColumn(idCol, lit(null).cast("long")))
+        .withColumn("__ds", lit(true))
+      val di = droppedIntra.withColumn("__di", lit(true))
+      sigsB.join(ds, Seq(idCol), "left").join(di, Seq(idCol), "left")
+        .withColumn("__ds", coalesce(col("__ds"), lit(false)))
+        .withColumn("__di", coalesce(col("__di"), lit(false)))
+        .withColumn("kept", !col("__ds") && !col("__di"))
+        .localCheckpoint()
+    }
+
+    flagged.select(col(idCol).as("doc_id"), col("sig"), col("kept"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .option("compression", "snappy").parquet(s"$path/sigs")
+    bandsB.select(col(idCol).as("doc_id"), col("band"), col("h"), col("pfx"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "pfx")
+      .option("compression", "snappy").parquet(s"$path/bands")
+
+    val row = flagged.agg(
+        coalesce(sum(col("__ds").cast("long")), lit(0L)).as("ds"),
+        coalesce(sum((col("__di") && !col("__ds")).cast("long")), lit(0L))
+          .as("di"))
+      .collect()(0)
+    val ds = row.getLong(0)
+    val di = row.getLong(1)
+    BatchStats(batchId, nIn, ds, di, nIn - ds - di)
+  }
+
+  /** The surviving corpus: (doc_id, batch_id) of every kept doc. */
+  def keptDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sigs")
+      .filter(col("kept"))
+      .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+
+  /** Continuous near-dup screening: every micro-batch of `docs` (a
+    * STREAMING DataFrame carrying `idCol` + `textCol`) is deduplicated
+    * against the standing store and appended exactly-once — foreachBatch
+    * supplies the batch id, [[appendBatch]]'s dynamic overwrite makes the
+    * replay safe, and the checkpoint makes a restarted query resume
+    * instead of re-ingest. Bootstrap the store with `batchId = -1` before
+    * starting the stream. `unbounded = true` selects an unbounded
+    * micro-batch stream (default ProcessingTime(0) trigger) rather than
+    * AvailableNow — the [[IvfIndex.vectorSink]] convention. */
+  def docSink(
+      docs: DataFrame,
+      path: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      params: Params = Params(),
+      unbounded: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, path, idCol, textCol, params)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (unbounded) w
+     else w.trigger(
+       org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
+  }
+}
