@@ -76,6 +76,22 @@ object Fns {
   def sqlTokens(c: String): String =
     s"list_filter(string_split_regex(lower(trim($c)), '\\s+'), t -> t != '')"
 
+  /** Spread guard for CPU-bound work downstream of a SMALL scan: a file
+    * under `maxPartitionBytes` scans as ONE split (openCostInBytes floors
+    * the split size), serializing all per-row CPU (shingle explodes, hash
+    * batteries) on one core until the first shuffle. The guard shuffles
+    * the narrow input rows across the cores ONLY when the scan
+    * under-splits — at real scale the thousands of input splits already
+    * parallelize and this is a no-op (the q_bootstrap_ci recipe, shared
+    * by the shingle-family queries). Deterministic for the queries that
+    * use it: everything downstream is per-row + keyed aggregation, so
+    * row placement cannot change values. */
+  def spread(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Distributed dense 1-based rank over a total order: identical values to
     * `row_number().over(Window.orderBy(order))` but WITHOUT the
     * single-partition exchange that window needs — the sort is a

@@ -28,7 +28,9 @@ object Contamination {
   /** Distinct 5-token shingles per doc: (doc_id, source, shingle). */
   private def shingles(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    // spread BEFORE the explode: the sf-scale documents file is a single
+    // scan split, which would serialize the shingle battery on one core
+    spread(docs.select($"doc_id", $"source", $"text"))
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= 5)
       .select($"doc_id", $"source", explode(array_distinct(expr(

@@ -248,7 +248,8 @@ object Dedup {
     // the scan + explode + df-window pipeline would run twice — once for
     // the dict, once for the rank join below. (Production materializes
     // the shingle table next to the corpus for the same reason.)
-    val sh = Tables.load(s, d, "documents")
+    val sh = spread(Tables.load(s, d, "documents")
+          .select($"doc_id", $"text"))
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(array_distinct(expr(
@@ -279,7 +280,8 @@ object Dedup {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
     val wsh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
-    val sh = Tables.load(s, d, "documents")
+    val sh = spread(Tables.load(s, d, "documents")
+          .select($"doc_id", $"text"))
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(array_distinct(expr(
@@ -589,7 +591,10 @@ object Dedup {
     "q_minhash_lsh" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val docs = Tables.load(s, d, "documents")
+        // spread guard: the signature battery (64 hashes × shingles) is
+        // the CPU; a one-split documents scan would serialize it
+        val docs = spread(Tables.load(s, d, "documents")
+            .select($"doc_id", $"text"))
           .withColumn("toks", tokens($"text"))
         graft.functions.MinHash
           .nearDuplicates(docs, "doc_id", $"toks", threshold = 0.7)
@@ -754,7 +759,8 @@ object Dedup {
     "q_minhash_sig" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val sh = Tables.load(s, d, "documents")
+        val sh = spread(Tables.load(s, d, "documents")
+              .select($"doc_id", $"text"))
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 3)
           .select($"doc_id", explode(expr(
@@ -814,7 +820,8 @@ object Dedup {
     "q_lsh_bucket_join" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val sh = Tables.load(s, d, "documents")
+        val sh = spread(Tables.load(s, d, "documents")
+              .select($"doc_id", $"text"))
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 3)
           .select($"doc_id", explode(expr(
@@ -1191,7 +1198,8 @@ object Dedup {
     "q_ngram_novelty" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val sh = Tables.load(s, d, "documents")
+        val sh = spread(Tables.load(s, d, "documents")
+              .select($"doc_id", $"text"))
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 3)
           .select($"doc_id", explode(expr(
