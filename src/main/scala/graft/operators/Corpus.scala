@@ -17,6 +17,117 @@ import org.apache.spark.sql.functions._
 object Corpus {
   import Fns._
 
+  /** The q_prep_funnel stage chain, parameterized by a per-stage
+    * `persist` hook so the SAME stage recipes serve both consumers:
+    * the verified query passes identity (ONE lazy plan, side-effect-free
+    * per bench rep), and [[prepFunnelMaterialized]] passes write+re-read
+    * (the production knob the query's doc comment promises — each
+    * survivor table is a product, and downstream stages resume from the
+    * parquet on disk, which is what makes a 100 TB funnel
+    * checkpoint-safe). CorpusFunnelSpec pins row-for-row parity of the
+    * two modes' yield tables. */
+  private[operators] def prepFunnel(
+      s: SparkSession,
+      d: String,
+      persist: (String, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, d, "documents")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    val s1 = persist("s1_exact_dedup", docs
+      .withColumn("fp", md5(regexp_replace(lower($"text"), "\\s+", " ")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("fp", "rn"))
+    val s2 = persist("s2_quality_min20", s1.filter($"n_tokens" >= 20))
+    val s3 = persist("s3_lang", s2.filter($"lang".isin("en", "zh", "de")))
+    // near-dup over SURVIVORS only (the production order: cheap
+    // exact/gate stages shrink the expensive pair stage's input)
+    val sh = s3.select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("sg"))
+      .withColumn("h",
+        conv(substring(md5($"sg"), 1, 8), 16, 10).cast("long"))
+      .select($"doc_id", $"h").distinct()
+    val mins = Dedup.mhPerms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * $"h" + lit(b), lit(Dedup.MhPrime)))
+        .as(s"m${i + 1}")
+    }
+    val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val bands = sig.select($"doc_id", lit(1).as("band_no"),
+        md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
+      .union(sig.select($"doc_id", lit(2).as("band_no"),
+        md5(concat_ws("|", $"m5", $"m6", $"m7", $"m8")).as("bk")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val dropNear = cand
+      .join(sh.select($"doc_id".as("d1"), $"h"), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"h"), Seq("d2", "h"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+      .join(cnt.select($"doc_id".as("d1"), $"nsh".as("n1")), "d1")
+      .join(cnt.select($"doc_id".as("d2"), $"nsh".as("n2")), "d2")
+      .filter($"inter".cast("double") /
+        ($"n1" + $"n2" - $"inter") >= 0.7)
+      .select($"d2".as("doc_id")).distinct()
+    val s4 = persist("s4_near_dedup",
+      s3.join(dropNear, Seq("doc_id"), "left_anti"))
+    val s4b = s4.withColumn("bucket",
+      pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+        16, 10), lit(100)))
+    // decontamination screens on LONG (8-gram) shingles — its own
+    // table, not the near-dup 3-grams: short grams are common
+    // phrases (on this corpus they'd wipe the training split —
+    // measured: 3-gram screen left 2 docs, 8-gram flags exactly the
+    // 4 planted cross-split leaks), long grams are verbatim leakage
+    val sh8 = s4b.filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+        .as("sg"))
+      .select($"doc_id", md5($"sg").as("h8")).distinct()
+    val heldSh = s4b.filter($"bucket" >= 80)
+      .select($"doc_id").join(sh8, "doc_id")
+      .select($"h8").distinct()
+    val contaminated = sh8.join(heldSh, "h8")
+      .select($"doc_id").distinct()
+    val s5 = persist("s5_train_decontaminated", s4b.filter($"bucket" < 80)
+      .join(contaminated, Seq("doc_id"), "left_anti"))
+    def st(no: Int, name: String,
+        df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_tokens"), lit(0L)).as("sum_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          $"n_docs", $"sum_tokens")
+    st(0, "raw", docs)
+      .unionByName(st(1, "exact_dedup", s1))
+      .unionByName(st(2, "quality_min20", s2))
+      .unionByName(st(3, "lang_en_zh_de", s3))
+      .unionByName(st(4, "near_dedup_j07", s4))
+      .unionByName(st(5, "train_decontaminated", s5))
+      .orderBy($"stage_no")
+  }
+
+  /** The funnel with every stage's survivor table WRITTEN to
+    * `$outDir/<stage>` and re-read before the next stage consumes it —
+    * the checkpoint-safe production mode (a failed 100 TB run resumes
+    * from the last landed stage; each product is independently
+    * queryable). Returns the same 6-row yield table as `q_prep_funnel`,
+    * row for row (CorpusFunnelSpec). */
+  def prepFunnelMaterialized(
+      s: SparkSession, d: String, outDir: String)
+      : org.apache.spark.sql.DataFrame =
+    prepFunnel(s, d, (name, df) => {
+      val p = s"$outDir/$name"
+      df.write.mode("overwrite")
+        .option("compression", "snappy").parquet(p)
+      s.read.parquet(p)
+    })
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // deterministic 1-in-10 hash sample: bucket = first 8 md5 hex digits of
@@ -581,86 +692,10 @@ object Corpus {
     // checkpointing them is the production knob, skipped so plan
     // construction stays side-effect-free per bench rep.
     "q_prep_funnel" -> GQuery(
-      (s, d) => {
-        import s.implicits._
-        val docs = Tables.load(s, d, "documents")
-          .withColumn("toks", tokens($"text"))
-          .withColumn("n_tokens", size($"toks").cast("long"))
-        val w = Window.partitionBy($"fp").orderBy($"doc_id")
-        val s1 = docs
-          .withColumn("fp", md5(regexp_replace(lower($"text"), "\\s+", " ")))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1).drop("fp", "rn")
-        val s2 = s1.filter($"n_tokens" >= 20)
-        val s3 = s2.filter($"lang".isin("en", "zh", "de"))
-        // near-dup over SURVIVORS only (the production order: cheap
-        // exact/gate stages shrink the expensive pair stage's input)
-        val sh = s3.select($"doc_id", explode(expr(
-            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-            .as("sg"))
-          .withColumn("h",
-            conv(substring(md5($"sg"), 1, 8), 16, 10).cast("long"))
-          .select($"doc_id", $"h").distinct()
-        val mins = Dedup.mhPerms.zipWithIndex.map { case ((a, b), i) =>
-          min(pmod(lit(a) * $"h" + lit(b), lit(Dedup.MhPrime)))
-            .as(s"m${i + 1}")
-        }
-        val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-        val bands = sig.select($"doc_id", lit(1).as("band_no"),
-            md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
-          .union(sig.select($"doc_id", lit(2).as("band_no"),
-            md5(concat_ws("|", $"m5", $"m6", $"m7", $"m8")).as("bk")))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band_no") === col("y.band_no") &&
-              col("x.bk") === col("y.bk") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
-        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-        val dropNear = cand
-          .join(sh.select($"doc_id".as("d1"), $"h"), "d1")
-          .join(sh.select($"doc_id".as("d2"), $"h"), Seq("d2", "h"))
-          .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
-          .join(cnt.select($"doc_id".as("d1"), $"nsh".as("n1")), "d1")
-          .join(cnt.select($"doc_id".as("d2"), $"nsh".as("n2")), "d2")
-          .filter($"inter".cast("double") /
-            ($"n1" + $"n2" - $"inter") >= 0.7)
-          .select($"d2".as("doc_id")).distinct()
-        val s4 = s3.join(dropNear, Seq("doc_id"), "left_anti")
-        val s4b = s4.withColumn("bucket",
-          pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
-            16, 10), lit(100)))
-        // decontamination screens on LONG (8-gram) shingles — its own
-        // table, not the near-dup 3-grams: short grams are common
-        // phrases (on this corpus they'd wipe the training split —
-        // measured: 3-gram screen left 2 docs, 8-gram flags exactly the
-        // 4 planted cross-split leaks), long grams are verbatim leakage
-        val sh8 = s4b.filter(size($"toks") >= 8)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(1, size(toks)-7), i -> concat_ws(' ', slice(toks, i, 8)))"))
-            .as("sg"))
-          .select($"doc_id", md5($"sg").as("h8")).distinct()
-        val heldSh = s4b.filter($"bucket" >= 80)
-          .select($"doc_id").join(sh8, "doc_id")
-          .select($"h8").distinct()
-        val contaminated = sh8.join(heldSh, "h8")
-          .select($"doc_id").distinct()
-        val s5 = s4b.filter($"bucket" < 80)
-          .join(contaminated, Seq("doc_id"), "left_anti")
-        def st(no: Int, name: String,
-            df: org.apache.spark.sql.DataFrame) =
-          df.agg(count(lit(1)).as("n_docs"),
-              coalesce(sum($"n_tokens"), lit(0L)).as("sum_tokens"))
-            .select(lit(no).as("stage_no"), lit(name).as("stage"),
-              $"n_docs", $"sum_tokens")
-        st(0, "raw", docs)
-          .unionByName(st(1, "exact_dedup", s1))
-          .unionByName(st(2, "quality_min20", s2))
-          .unionByName(st(3, "lang_en_zh_de", s3))
-          .unionByName(st(4, "near_dedup_j07", s4))
-          .unionByName(st(5, "train_decontaminated", s5))
-          .orderBy($"stage_no")
-      },
+      // ONE lazy plan: identity persist — plan construction stays
+      // side-effect-free per bench rep (the materialized twin is
+      // prepFunnelMaterialized, parity-pinned by CorpusFunnelSpec)
+      (s, d) => prepFunnel(s, d, (_, df) => df),
       Some {
         val minExprs = Dedup.mhPerms.zipWithIndex.map { case ((a, b), i) =>
           s"    MIN(($a * h + $b) % ${Dedup.MhPrime}) AS m${i + 1}"
