@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming decontamination screen: a STANDING heldout n-gram shingle
+  * store that train-side batches are checked against ON INGEST — the
+  * streaming twin of `q_prep_funnel`'s stage 5 (one-shot batch screen)
+  * and a sibling of [[DedupStore]]'s signature-store plumbing. A 100 TB
+  * pipeline cannot re-run the batch decontamination join every time new
+  * training data arrives; it lands the eval/heldout suite's shingles
+  * once, then screens each incoming batch in O(batch) against the
+  * standing store.
+  *
+  * == Semantics ==
+  * A train doc is CONTAMINATED iff any of its n-gram (default 8-token)
+  * shingles appears in the heldout store — exactly the funnel's stage-5
+  * rule (long grams are verbatim leakage; short grams are common
+  * phrases, measured at `q_prep_funnel`), so screening k ingest batches
+  * keeps exactly the docs the one-shot screen keeps (no cross-batch
+  * state beyond the store itself — the screen is per-doc, order-free).
+  *
+  * == Store layout ==
+  * {{{
+  * path/grams/batch_id=N/pfx=P/   (h8)   — md5 of each heldout shingle
+  * }}}
+  * Heldout appends ride [[DedupStore]]'s dynamic-overwrite recipe
+  * (replay replaces, never duplicates); duplicate grams across heldout
+  * batches are harmless (the screen is a semi-join). `pfx = first
+  * md5 byte mod numPfx` partitions the store so a broadcast batch side
+  * lets dynamic partition pruning skip gram directories the batch never
+  * hashes into — the [[DedupStore.candidatesVsStore]] shape.
+  *
+  * == 100 TB shapes ==
+  * The standing side is scanned (one narrow md5 column), never
+  * shuffled: the batch's shingles broadcast into the semi-join. The
+  * heldout suite is eval-sized (millions of grams, not corpus-sized),
+  * so the broadcast-threshold concern of [[DedupStore]] does not arise
+  * on the batch side either way; `broadcastBatch=false` falls back to a
+  * sort-merge screen for pathological batch sizes. */
+object DecontamStore {
+
+  /** n-gram md5 shingles: (idCol, h8, pfx). */
+  private def grams(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPfx: Int): DataFrame =
+    docs.select(col(idCol), graft.Fns.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__toks)-${n - 1}), " +
+          s"i -> concat_ws(' ', slice(__toks, i, $n)))")).as("__sg"))
+      .select(col(idCol), md5(col("__sg")).as("h8")).distinct()
+      .withColumn("pfx",
+        pmod(conv(substring(col("h8"), 1, 2), 16, 10), lit(numPfx))
+          .cast("int"))
+
+  /** Land one heldout batch's distinct n-gram shingles into the standing
+    * store (replay-idempotent: dynamic overwrite keyed by `batchId`).
+    * Returns the number of gram rows written. */
+  def appendHeldout(
+      docs: DataFrame,
+      batchId: Long,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      numPfx: Int = 16): Long = {
+    val g = grams(docs, idCol, textCol, n, numPfx)
+      .select(col("h8"), col("pfx")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint()
+    g.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "pfx")
+      .option("compression", "snappy").parquet(s"$path/grams")
+    g.count()
+  }
+
+  private def hasStore(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/grams")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** LAZY per-doc screen of a train batch against the standing store:
+    * the input rows plus a `contaminated` flag. The standing grams side
+    * is scanned once and never shuffled (batch grams broadcast; `pfx`
+    * rides the join keys for DPP) — pinned in DecontamStoreSpec. */
+  def screenBatch(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      numPfx: Int = 16,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    if (!hasStore(spark, path)) return docs.withColumn("contaminated", lit(false))
+    val g0 = grams(docs, idCol, textCol, n, numPfx)
+    val g = if (broadcastBatch) broadcast(g0) else g0
+    val standing = spark.read.parquet(s"$path/grams")
+      .select(col("h8"), col("pfx"))
+    val contaminated = standing.join(g, Seq("pfx", "h8"))
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    docs.join(contaminated, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
+  /** Continuous decontaminated ingest: each micro-batch of `docs` (a
+    * STREAMING DataFrame) is screened against the standing heldout store
+    * and its SURVIVORS land exactly-once under
+    * `survivorsPath/batch_id=N` (dynamic overwrite + checkpoint — the
+    * [[DedupStore.docSink]] recipe). Contaminated docs are dropped, not
+    * landed. The heldout store may keep growing between micro-batches
+    * (new eval suites via [[appendHeldout]]); each batch screens against
+    * the store as of its own execution. */
+  def ingestSink(
+      docs: DataFrame,
+      storePath: String,
+      survivorsPath: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      numPfx: Int = 16,
+      unbounded: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenBatch(batch, storePath, idCol, textCol, n, numPfx)
+          .filter(!col("contaminated")).drop("contaminated")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .option("compression", "snappy").parquet(survivorsPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (unbounded) w
+     else w.trigger(
+       org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
+  }
+}
