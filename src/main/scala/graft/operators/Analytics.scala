@@ -2288,6 +2288,69 @@ object Analytics {
         |FROM j ORDER BY day""".stripMargin),
       "calendar-window EWMA of daily volume (dyadic α, cross-engine exact)"),
 
+    // Brown's double exponential smoothing (trend-aware forecast): the
+    // EWMA-of-the-EWMA gives level = 2·s1 − s2 and, at α = 1/2, trend =
+    // s1 − s2, so next-day forecast = 3·s1 − 2·s2 — the one-parameter
+    // trend extension of q_ewma, composed from the SAME banded-window
+    // closed form (explicit 30-day dyadic-weight sums, no recursion, so
+    // both engines evaluate the identical expression tree; round 6
+    // absorbs ~1e-15 double-sum drift). Scale shape: the only O(data)
+    // work is the daily partial-agg; both band self-joins run over the
+    // calendar-days table (bounded by the date span, not row count),
+    // identical to q_ewma's shape plus one more tiny band join.
+    "q_double_ewma" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val b = daily.select($"day".as("bday"), $"n".as("bn"))
+        val s1 = daily.join(b,
+            $"bday" >= date_sub($"day", 29) && $"bday" <= $"day")
+          .groupBy($"day", $"n")
+          .agg((sum($"bn" * pow(lit(0.5), datediff($"day", $"bday"))) /
+            sum(pow(lit(0.5), datediff($"day", $"bday")))).as("s1"))
+        val s1b = s1.select($"day".as("bday"), $"s1".as("bs1"))
+        s1.join(s1b,
+            $"bday" >= date_sub($"day", 29) && $"bday" <= $"day")
+          .groupBy($"day", $"n", $"s1")
+          .agg((sum($"bs1" * pow(lit(0.5), datediff($"day", $"bday"))) /
+            sum(pow(lit(0.5), datediff($"day", $"bday")))).as("s2"))
+          .select($"day", $"n".as("n_events"),
+            round($"s1", 6).as("s1"),
+            round($"s2", 6).as("s2"),
+            round(lit(2.0) * $"s1" - $"s2", 6).as("level"),
+            round($"s1" - $"s2", 6).as("trend"),
+            round(lit(3.0) * $"s1" - lit(2.0) * $"s2", 6)
+              .as("forecast_next"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |s1 AS (
+        |  SELECT a.day, a.n,
+        |    SUM(b.n * power(0.5, date_diff('day', b.day, a.day))) /
+        |      SUM(power(0.5, date_diff('day', b.day, a.day))) AS s1
+        |  FROM daily a JOIN daily b
+        |    ON b.day >= a.day - INTERVAL 29 DAY AND b.day <= a.day
+        |  GROUP BY a.day, a.n),
+        |s2 AS (
+        |  SELECT a.day, a.n, a.s1,
+        |    SUM(b.s1 * power(0.5, date_diff('day', b.day, a.day))) /
+        |      SUM(power(0.5, date_diff('day', b.day, a.day))) AS s2
+        |  FROM s1 a JOIN s1 b
+        |    ON b.day >= a.day - INTERVAL 29 DAY AND b.day <= a.day
+        |  GROUP BY a.day, a.n, a.s1)
+        |SELECT day, CAST(n AS BIGINT) AS n_events,
+        |  round(s1, 6) AS s1, round(s2, 6) AS s2,
+        |  round(2.0 * s1 - s2, 6) AS level,
+        |  round(s1 - s2, 6) AS trend,
+        |  round(3.0 * s1 - 2.0 * s2, 6) AS forecast_next
+        |FROM s2 ORDER BY day""".stripMargin),
+      "Brown's double exponential smoothing: level/trend/one-step " +
+        "forecast from the banded dyadic EWMA-of-EWMA (cross-engine)"),
+
     // k-anonymity / l-diversity audit over quasi-identifiers — the privacy
     // gate a training corpus passes before release: any combination of
     // QI values identifying fewer than k individuals is a re-identification

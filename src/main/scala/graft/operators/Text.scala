@@ -1479,5 +1479,101 @@ object Text {
         |ORDER BY bucket""".stripMargin),
       "2-round batch-perceptron training, integer-exact (trains the " +
         "hashed linear filter the serving queries score with)"),
+
+    // X4 TextRank keyword extraction: 2-round WEIGHTED PageRank over the
+    // word co-occurrence graph (adjacent content-word bigrams, undirected,
+    // weight = corpus co-occurrence count) — the graph-based keyword
+    // scorer from Mihalcea & Tarau (2004), composed from two recipes this
+    // engine already oracle-proves: q_bigram_lm's zipped-bigram explode
+    // and q_pagerank2's unrolled damped power iteration (literals written
+    // identically in both engines; round 6 absorbs double-sum order
+    // drift). "Content word" = length >= 4, a deterministic stopword
+    // stand-in both engines evaluate identically. Scale shape: the only
+    // corpus-sized work is the bigram explode + one (a,b)-keyed
+    // partial-agg shuffle; everything after is VOCAB-bounded (Heaps-
+    // sublinear in corpus size), so the 2 power-iteration rounds cost
+    // O(vocab-edges) regardless of corpus scale — the same reason
+    // production TextRank runs per-document or per-corpus-slice without
+    // touching documents again after the count pass.
+    "q_textrank" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d).select($"doc_id", tokens($"text").as("toks"))
+        val bg = toks.filter(size($"toks") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks)-1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))"))
+            .as("bg"))
+          .select($"bg.w1", $"bg.w2")
+          .filter(length($"w1") >= 4 && length($"w2") >= 4 &&
+            $"w1" =!= $"w2")
+        val und = bg.select(least($"w1", $"w2").as("a"),
+            greatest($"w1", $"w2").as("b"))
+          .groupBy($"a", $"b").agg(count(lit(1)).as("wt"))
+        val e = und.select($"a".as("src"), $"b".as("dst"), $"wt")
+          .unionByName(und.select($"b".as("src"), $"a".as("dst"), $"wt"))
+        val wdeg = e.groupBy($"src").agg(sum($"wt").as("wd"))
+        val nodes = e.select($"src".as("id")).distinct()
+        val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+        val c1 = e.join(wdeg, "src").crossJoin(broadcast(nn))
+          .groupBy($"dst")
+          .agg(sum(($"wt".cast("double") / $"wd") / $"n").as("m"))
+        val r1 = nodes.crossJoin(broadcast(nn))
+          .join(c1, $"id" === $"dst", "left")
+          .select($"id",
+            ((lit(1.0) - lit(0.85)) / $"n" +
+              lit(0.85) * coalesce($"m", lit(0.0))).as("rank"))
+        val c2 = e.join(wdeg, "src")
+          .join(r1.withColumnRenamed("id", "src"), "src")
+          .groupBy($"dst")
+          .agg(sum($"rank" * $"wt".cast("double") / $"wd").as("m"))
+        nodes.crossJoin(broadcast(nn))
+          .join(c2, $"id" === $"dst", "left")
+          .select($"id".as("word"),
+            round((lit(1.0) - lit(0.85)) / $"n" +
+              lit(0.85) * coalesce($"m", lit(0.0)), 6).as("rank2"))
+          .orderBy($"word")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |bg AS (
+        |  SELECT toks[CAST(i AS INT)] AS w1,
+        |         toks[CAST(i AS INT)+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |f AS (SELECT w1, w2 FROM bg
+        |  WHERE len(w1) >= 4 AND len(w2) >= 4 AND w1 != w2),
+        |und AS (
+        |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+        |    COUNT(*) AS wt
+        |  FROM f GROUP BY 1, 2),
+        |e AS (SELECT a AS src, b AS dst, wt FROM und
+        |  UNION ALL SELECT b, a, wt FROM und),
+        |wdeg AS (SELECT src, SUM(wt) AS wd FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS id,
+        |    SUM((CAST(e.wt AS DOUBLE) / wdeg.wd) / nn.n) AS m
+        |  FROM e JOIN wdeg ON e.src = wdeg.src CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT nodes.id,
+        |    (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c1.m, 0.0) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (
+        |  SELECT e.dst AS id,
+        |    SUM(r1.rank * CAST(e.wt AS DOUBLE) / wdeg.wd) AS m
+        |  FROM e JOIN wdeg ON e.src = wdeg.src
+        |    JOIN r1 ON r1.id = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT nodes.id,
+        |    (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.m, 0.0) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id)
+        |SELECT id AS word, round(rank, 6) AS rank2
+        |FROM r2 ORDER BY word""".stripMargin),
+      "TextRank keyword scores: 2-round weighted PageRank over the " +
+        "word co-occurrence graph (X4, vocab-bounded after one count pass)"),
   )
 }
