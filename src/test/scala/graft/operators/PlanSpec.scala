@@ -469,6 +469,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1500)) // daily rollup partials
   }
 
+  test("q_double_ewma: both band joins rewritten, no nested loop") {
+    val p = plan("q_double_ewma")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("__graft_band"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500)) // daily rollup partials
+  }
+
+  test("q_textrank: bigram partial-agg; rank rounds are keyed joins only") {
+    val p = plan("q_textrank")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500)) // (a,b) edge counts
+    // the two 1-row node-count anchors broadcast; rank messages join on
+    // src/dst hash keys, never all-pairs
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
   test("q_k_anonymity: class table partial-aggs; thresholds + minima broadcast") {
     val p = plan("q_k_anonymity")
     assert(p.contains("partial_count"), p.take(1500))
