@@ -54,7 +54,13 @@ object Corpus {
       min(pmod(lit(a) * $"h" + lit(b), lit(Dedup.MhPrime)))
         .as(s"m${i + 1}")
     }
-    val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    // ONE doc-keyed aggregation carries the 8 signature mins AND the
+    // shingle count: nsh used to be its own groupBy over a second
+    // build of the shingle table — fusing it drops a full
+    // scan+explode+distinct+shuffle from the plan (same values: both
+    // aggregate the same distinct (doc_id, h) rows)
+    val sig = sh.groupBy($"doc_id")
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
     val bands = sig.select($"doc_id", lit(1).as("band_no"),
         md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
       .union(sig.select($"doc_id", lit(2).as("band_no"),
@@ -65,7 +71,7 @@ object Corpus {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val cnt = sig.select($"doc_id", $"nsh")
     val dropNear = cand
       .join(sh.select($"doc_id".as("d1"), $"h"), "d1")
       .join(sh.select($"doc_id".as("d2"), $"h"), Seq("d2", "h"))

@@ -834,7 +834,13 @@ object Dedup {
         // serves both the signatures and the exact-Jaccard verify stage.
         val mins = mhPerms.zipWithIndex.map { case ((a, b), i) =>
           min(pmod(lit(a) * $"h" + lit(b), lit(MhPrime))).as(s"m${i + 1}") }
-        val sig = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+        // the 8 mins AND the per-doc shingle count ride ONE doc-keyed
+        // aggregation (nsh was its own groupBy over a second build of
+        // the shingle table; fused, the plan drops a full
+        // scan+explode+distinct+shuffle — identical values, both
+        // aggregate the same distinct (doc_id, h) rows)
+        val sig = sh.groupBy($"doc_id")
+          .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
         val bands = sig.select($"doc_id", lit(1).as("band_no"),
             md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
           .union(sig.select($"doc_id", lit(2).as("band_no"),
@@ -845,7 +851,7 @@ object Dedup {
               col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("n_bands"))
-        val c = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val c = sig.select($"doc_id", $"nsh")
         cand.join(sh.select($"doc_id".as("d1"), $"h"), "d1")
           .join(sh.select($"doc_id".as("d2"), $"h"), Seq("d2", "h"))
           .groupBy($"d1", $"d2", $"n_bands").agg(count(lit(1)).as("inter"))
