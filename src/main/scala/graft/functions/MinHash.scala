@@ -64,13 +64,17 @@ object MinHash {
       .select(col(idCol), explode(bandHashes(col(sigCol), bands, rowsPerBand))
         .as("bh"))
       .select(col(idCol), col("bh.band").as("band"), col("bh.h").as("h"))
-    // cap pathological buckets (boilerplate shingle sets) before pairing
-    val capped = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "h")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // cap pathological buckets (boilerplate shingle sets) before pairing;
+    // an Int.MaxValue cap can never bind, so skip the window entirely
+    // rather than paying its shuffle+sort to evaluate a vacuous filter
+    val capped =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets
+        .withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "h")))
+        .filter(col("bucket_n") <= maxBucketSize)
+        .drop("bucket_n")
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b,

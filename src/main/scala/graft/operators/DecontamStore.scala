@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,6 +40,11 @@ import org.apache.spark.sql.functions._
   * sort-merge screen for pathological batch sizes. */
 object DecontamStore {
 
+  private def metaPath(path: String) = s"$path/store_meta.txt"
+
+  private def metaKv(n: Int, numPfx: Int): Seq[(String, String)] =
+    Seq("n" -> n.toString, "numPfx" -> numPfx.toString)
+
   /** n-gram md5 shingles: (idCol, h8, pfx). */
   private def grams(
       docs: DataFrame, idCol: String, textCol: String,
@@ -66,6 +70,8 @@ object DecontamStore {
       textCol: String = "text",
       n: Int = 8,
       numPfx: Int = 16): Long = {
+    StoreLayout.checkOrWriteMeta(docs.sparkSession, metaPath(path),
+      metaKv(n, numPfx))
     val g = grams(docs, idCol, textCol, n, numPfx)
       .select(col("h8"), col("pfx")).distinct()
       .withColumn("batch_id", lit(batchId))
@@ -77,16 +83,12 @@ object DecontamStore {
     g.count()
   }
 
-  private def hasStore(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(s"$path/grams")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   /** LAZY per-doc screen of a train batch against the standing store:
     * the input rows plus a `contaminated` flag. The standing grams side
     * is scanned once and never shuffled (batch grams broadcast; `pfx`
-    * rides the join keys for DPP) — pinned in DecontamStoreSpec. */
+    * rides the join keys for DPP) — pinned in DecontamStoreSpec.
+    * Screening with parameters differing from the store's is REFUSED
+    * (a mismatched `n` or `numPfx` would silently miss every leak). */
   def screenBatch(
       docs: DataFrame,
       path: String,
@@ -96,7 +98,9 @@ object DecontamStore {
       numPfx: Int = 16,
       broadcastBatch: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
-    if (!hasStore(spark, path)) return docs.withColumn("contaminated", lit(false))
+    if (!StoreLayout.hasBatchData(spark, s"$path/grams"))
+      return docs.withColumn("contaminated", lit(false))
+    StoreLayout.checkMeta(spark, metaPath(path), metaKv(n, numPfx))
     val g0 = grams(docs, idCol, textCol, n, numPfx)
     val g = if (broadcastBatch) broadcast(g0) else g0
     val standing = spark.read.parquet(s"$path/grams")
@@ -126,11 +130,13 @@ object DecontamStore {
       textCol: String = "text",
       n: Int = 8,
       numPfx: Int = 16,
-      unbounded: Boolean = false)
+      unbounded: Boolean = false,
+      broadcastBatch: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        screenBatch(batch, storePath, idCol, textCol, n, numPfx)
+        screenBatch(batch, storePath, idCol, textCol, n, numPfx,
+          broadcastBatch)
           .filter(!col("contaminated")).drop("contaminated")
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.MinHash
-import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,48 +84,18 @@ object DedupStore {
 
   private def metaPath(path: String) = s"$path/store_meta.txt"
 
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def writeMetaIfAbsent(
-      spark: SparkSession, path: String, p: Params): Unit = {
-    val f = fs(spark, path)
-    val mp = new Path(metaPath(path))
-    if (!f.exists(mp)) {
-      val os = f.create(mp, false)
-      os.write((s"shingleSize=${p.shingleSize}\nnumHashes=${p.numHashes}\n" +
-        s"bands=${p.bands}\nthreshold=${p.threshold}\nnumPfx=${p.numPfx}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      os.close()
-    } else {
-      val in = f.open(mp)
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      val kv = bytes.toString("UTF-8").linesIterator
-        .filter(_.contains("=")).map { l =>
-          val Array(k, v) = l.split("=", 2); k -> v
-        }.toMap
-      val stored = Params(kv("shingleSize").toInt, kv("numHashes").toInt,
-        kv("bands").toInt, kv("threshold").toDouble, kv("numPfx").toInt)
-      require(stored == p,
-        s"store at $path was built with $stored; refusing append with $p")
-    }
-  }
-
-  private def hasData(spark: SparkSession, dir: String): Boolean = {
-    val f = fs(spark, dir)
-    val p = new Path(dir)
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
-  }
+  private def metaKv(p: Params): Seq[(String, String)] = Seq(
+    "shingleSize" -> p.shingleSize.toString,
+    "numHashes" -> p.numHashes.toString,
+    "bands" -> p.bands.toString,
+    "threshold" -> p.threshold.toString,
+    "numPfx" -> p.numPfx.toString)
 
   /** Standing banded buckets, the batch's own partitions excluded (replay
     * safety). Columns: (old_id, band, h, pfx). */
   private def standingBands(
       spark: SparkSession, path: String, batchId: Long): Option[DataFrame] =
-    if (!hasData(spark, s"$path/bands")) None
+    if (!StoreLayout.hasBatchData(spark, s"$path/bands")) None
     else Some(spark.read.parquet(s"$path/bands")
       .filter(col("batch_id") =!= batchId)
       .select(col("doc_id").as("old_id"), col("band"), col("h"), col("pfx")))
@@ -134,7 +104,7 @@ object DedupStore {
     * batch's own partitions excluded. Columns: (old_id, old_sig). */
   private def standingSigs(
       spark: SparkSession, path: String, batchId: Long): Option[DataFrame] =
-    if (!hasData(spark, s"$path/sigs")) None
+    if (!StoreLayout.hasBatchData(spark, s"$path/sigs")) None
     else Some(spark.read.parquet(s"$path/sigs")
       .filter(col("batch_id") =!= batchId)
       .select(col("doc_id").as("old_id"), col("sig").as("old_sig")))
@@ -196,12 +166,18 @@ object DedupStore {
       params: Params = Params(),
       broadcastBatch: Boolean = true): BatchStats = {
     val spark = docs.sparkSession
-    writeMetaIfAbsent(spark, path, params)
+    StoreLayout.checkOrWriteMeta(spark, metaPath(path), metaKv(params))
     val nIn = docs.count()
 
     // one materialization serves the candidate joins, both writes, and
-    // the stats agg (the appendVectors recipe)
-    val sigsB = MinHash.signatureAgg(docs, idCol,
+    // the stats agg (the appendVectors recipe). Token-less docs are
+    // excluded BEFORE signing — MinHash.shingles clamps an empty token
+    // array to one empty-string shingle, which would make every empty
+    // doc a perfect near-dup of every other; the documented contract is
+    // that they pass trivially and are not stored (a quality gate, not
+    // the dedup tier, owns empty docs).
+    val sigsB = MinHash.signatureAgg(
+        docs.filter(size(graft.Fns.tokens(col(textCol))) > 0), idCol,
         graft.Fns.tokens(col(textCol)), params.shingleSize,
         params.numHashes)
       .localCheckpoint()
@@ -272,7 +248,9 @@ object DedupStore {
     * instead of re-ingest. Bootstrap the store with `batchId = -1` before
     * starting the stream. `unbounded = true` selects an unbounded
     * micro-batch stream (default ProcessingTime(0) trigger) rather than
-    * AvailableNow — the [[IvfIndex.vectorSink]] convention. */
+    * AvailableNow — the [[IvfIndex.vectorSink]] convention.
+    * `broadcastBatch=false` selects [[appendBatch]]'s sort-merge
+    * fallback for micro-batches too large to broadcast. */
   def docSink(
       docs: DataFrame,
       path: String,
@@ -280,11 +258,13 @@ object DedupStore {
       idCol: String = "doc_id",
       textCol: String = "text",
       params: Params = Params(),
-      unbounded: Boolean = false)
+      unbounded: Boolean = false,
+      broadcastBatch: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, path, idCol, textCol, params)
+        appendBatch(batch, batchId, path, idCol, textCol, params,
+          broadcastBatch)
         ()
       }
       .option("checkpointLocation", checkpointDir)

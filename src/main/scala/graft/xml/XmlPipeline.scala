@@ -345,7 +345,9 @@ object XmlPipeline {
       val os = cfs.create(p, true)
       val body = "expectation,metric,threshold,passed\n" +
         contractVerdicts.map { case (e, m, t, ok) =>
-          s""""$e",$m,$t,$ok"""
+          // RFC 4180: double any quote inside the quoted label (custom
+          // contracts can carry regex/set literals containing quotes)
+          s""""${e.replace("\"", "\"\"")}",$m,$t,$ok"""
         }.mkString("", "\n", "\n")
       os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       os.close()

@@ -40,9 +40,28 @@ class CorpusFunnelSpec extends SparkSpec {
       assert(n == yields(stage), s"$dir: parquet=$n yield=${yields(stage)}")
     }
 
-    // resume-from-checkpoint: the final stage re-derives from the landed
-    // s4 product alone (no upstream recompute) and agrees with the yield
+    // resume-from-checkpoint: re-derive stage 5 from the LANDED s4
+    // product alone (split buckets + 8-gram decontamination, the same
+    // recipe the funnel runs) and require it to reproduce the stage-5
+    // yield — the thing a restarted run that lost stages 5+ would do
     val s4 = spark.read.parquet(s"$out/s4_near_dedup")
-    assert(s4.columns.contains("n_tokens") && s4.columns.contains("toks"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+          16, 10), lit(100)))
+    val sh8 = s4.filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+        .as("sg"))
+      .select($"doc_id", md5($"sg").as("h8")).distinct()
+    val heldSh = s4.filter($"bucket" >= 80)
+      .select($"doc_id").join(sh8, "doc_id").select($"h8").distinct()
+    val contaminated = sh8.join(heldSh, "h8").select($"doc_id").distinct()
+    val resumed = s4.filter($"bucket" < 80)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)), coalesce(sum($"n_tokens"), lit(0L)))
+      .collect()(0)
+    val s5Row = onePlan.find(_(1) == "train_decontaminated").get
+    assert(resumed.getLong(0) == s5Row(2) && resumed.getLong(1) == s5Row(3),
+      s"resumed=(${resumed.getLong(0)},${resumed.getLong(1)}) yield=$s5Row")
   }
 }

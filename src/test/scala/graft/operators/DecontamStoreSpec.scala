@@ -128,6 +128,22 @@ class DecontamStoreSpec extends SparkSpec {
       s"standing scan shuffled:\n$plan")
   }
 
+  test("append or screen with mismatched parameters is refused") {
+    val (train, held) = fixtures()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_decontam_param").toString
+    val store = s"$root/store"
+    DecontamStore.appendHeldout(held, -1L, store)
+    val e1 = intercept[IllegalArgumentException] {
+      DecontamStore.screenBatch(train.limit(5), store, n = 5)
+    }
+    assert(e1.getMessage.contains("refusing"))
+    val e2 = intercept[IllegalArgumentException] {
+      DecontamStore.appendHeldout(held.limit(5), 0L, store, numPfx = 8)
+    }
+    assert(e2.getMessage.contains("refusing"))
+  }
+
   test("screen with no store yet flags nothing") {
     val (train, _) = fixtures()
     val root = java.nio.file.Files

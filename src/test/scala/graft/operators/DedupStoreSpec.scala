@@ -139,6 +139,18 @@ class DedupStoreSpec extends SparkSpec {
       s"store scan shuffled:\n$plan")
   }
 
+  test("token-less docs pass trivially and are not stored") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dstore_empty").toString
+    val batch = Seq((1L, "real content words here for a doc"),
+      (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val st = DedupStore.appendBatch(batch, -1L, root)
+    // the two empty docs are NOT near-dups of each other: they pass,
+    // uncounted as drops, and leave no signature rows behind
+    assert(st == DedupStore.BatchStats(-1L, 3L, 0L, 0L, 3L), st.toString)
+    assert(spark.read.parquet(s"$root/sigs").count() == 1L)
+  }
+
   test("append with mismatched parameters is refused") {
     val docs = docsWithDups().limit(10)
     val root = java.nio.file.Files
@@ -148,7 +160,7 @@ class DedupStoreSpec extends SparkSpec {
       DedupStore.appendBatch(docs, 0L, root,
         params = DedupStore.Params(numHashes = 32, bands = 8))
     }
-    assert(e.getMessage.contains("refusing append"))
+    assert(e.getMessage.contains("refusing"))
   }
 
   test("streaming docSink drains exactly-once and matches batch semantics") {
