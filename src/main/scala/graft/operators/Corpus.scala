@@ -789,5 +789,106 @@ object Corpus {
       "the composed pretraining-prep funnel: dedup -> gates -> near-dup " +
         "-> split -> decontamination, per-stage yields, oracle-replayed " +
         "end to end"),
+
+    // DSIR-style data selection via importance resampling (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling"): score each raw-pool document by how much its hashed
+    // n-gram distribution looks like a TARGET domain (here src0, the
+    // curated-slice stand-in) vs the raw pool itself, then keep the
+    // top-k. Features are hashed BIGRAMS in 64 md5 buckets (the
+    // q_perceptron / q_feature_hash hashing, applied to q_textrank's
+    // zipped-bigram explode); the per-bucket log importance ratio is
+    // Laplace-smoothed ln[(ct_T+1)/(N_T+64) / ((ct_S+1)/(N_S+64))],
+    // frozen to MICRO-LOG-UNITS (round(ln(r)*1e6) as BIGINT, the
+    // engine's micro-unit recipe) so each document's weight is an exact
+    // INTEGER dot product n_b . lr6_b — both engines take ln of the same
+    // rational number, and a 1-ulp ln divergence sits ~1e-9 away from
+    // any rounding boundary. Scale shape: ONE corpus-sized bigram
+    // explode feeds (a) two 64-row bucket marginals + two 1-row totals
+    // (broadcast-sized model state — this IS DSIR's draw: the importance
+    // model is a fixed-width table, never corpus-sized), and (b) a
+    // (doc,bucket) partial-agg; scoring is a broadcast join + one
+    // doc-keyed sum; the top-k cut is TakeOrderedAndProject, no global
+    // sort. At 100 TB the only shuffle that grows with the corpus is the
+    // (doc,bucket) aggregation — bounded at 64 rows per document.
+    "q_dsir" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val fb = spread(Tables.load(s, d, "documents"))
+          .select($"doc_id", $"source", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", $"source", explode(expr(
+            "transform(sequence(1, size(toks)-1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+            .as("bg"))
+          .withColumn("bucket",
+            pmod(conv(substring(md5($"bg"), 1, 8), 16, 10).cast("long"),
+              lit(64L)))
+        val tgt = fb.filter($"source" === "src0")
+        val raw = fb.filter($"source" =!= "src0")
+        val tc = tgt.groupBy($"bucket").agg(count(lit(1)).as("ct"))
+        val sc = raw.groupBy($"bucket").agg(count(lit(1)).as("cs"))
+        val nt = tgt.agg(count(lit(1)).cast("double").as("n_t"))
+        val ns = raw.agg(count(lit(1)).cast("double").as("n_s"))
+        val lr = s.range(64).toDF("bucket")
+          .join(tc, Seq("bucket"), "left")
+          .join(sc, Seq("bucket"), "left")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+          .select($"bucket",
+            round(log(
+              (coalesce($"ct", lit(0L)).cast("double") + lit(1.0)) /
+                ($"n_t" + lit(64.0)) *
+                (($"n_s" + lit(64.0)) /
+                  (coalesce($"cs", lit(0L)).cast("double") + lit(1.0)))) *
+              lit(1e6), 0).cast("long").as("lr6"))
+        raw.groupBy($"doc_id", $"source", $"bucket")
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(lr), "bucket")
+          .groupBy($"doc_id", $"source")
+          .agg(sum($"n" * $"lr6").as("dsir_w6"))
+          .orderBy($"dsir_w6".desc, $"doc_id")
+          .limit(50)
+          .select($"doc_id", $"source", $"dsir_w6")
+      },
+      Some(s"""WITH fb AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5(bg), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] AS bg
+        |    FROM (SELECT doc_id, source, ${sqlTokens("text")} AS toks
+        |          FROM documents) t,
+        |      unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |    WHERE len(toks) >= 2)),
+        |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+        |       FROM fb WHERE source = 'src0' GROUP BY 1),
+        |sc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs
+        |       FROM fb WHERE source <> 'src0' GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_t
+        |       FROM fb WHERE source = 'src0'),
+        |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_s
+        |       FROM fb WHERE source <> 'src0'),
+        |lr AS (
+        |  SELECT r.range AS bucket,
+        |    CAST(round(ln(
+        |      (CAST(COALESCE(tc.ct, 0) AS DOUBLE) + 1.0) / (nt.n_t + 64.0)
+        |        * ((ns.n_s + 64.0) /
+        |           (CAST(COALESCE(sc.cs, 0) AS DOUBLE) + 1.0))) * 1e6, 0)
+        |      AS BIGINT) AS lr6
+        |  FROM range(64) r
+        |  LEFT JOIN tc ON tc.bucket = r.range
+        |  LEFT JOIN sc ON sc.bucket = r.range
+        |  CROSS JOIN nt CROSS JOIN ns),
+        |db AS (
+        |  SELECT doc_id, any_value(source) AS source, bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM fb WHERE source <> 'src0' GROUP BY doc_id, bucket)
+        |SELECT db.doc_id, any_value(db.source) AS source,
+        |  CAST(SUM(db.n * lr.lr6) AS BIGINT) AS dsir_w6
+        |FROM db JOIN lr USING (bucket)
+        |GROUP BY db.doc_id
+        |ORDER BY dsir_w6 DESC, db.doc_id LIMIT 50""".stripMargin),
+      "DSIR importance-resampling selection: hashed-bigram importance " +
+        "weights vs a target domain, integer-exact top-k"),
   )
 }

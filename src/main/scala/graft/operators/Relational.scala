@@ -557,6 +557,52 @@ object Relational {
       "TPC-H Q3 shipping-priority (selective dim filter, two fact " +
         "joins, exact-decimal top-10)"),
 
+    // TPC-H Q18 large-volume customers: the HAVING-on-a-fact-aggregate
+    // shape the suite didn't cover yet — qualify orderkeys by an
+    // aggregate predicate (sum(l_quantity) > 300), then join the
+    // qualifying set back through orders to customers. The qualifying
+    // set is tiny BY CONSTRUCTION (the HAVING cut is highly selective:
+    // 46 keys at sf0.1's row counts), so it is explicitly broadcast —
+    // the second lineitem pass never reshuffles on orderkey; at 100 TB
+    // the only corpus-scale shuffle is the one quantity aggregation.
+    // Quantities sum through DECIMAL(18,2) (the q_tpch_q5 recipe), so
+    // the HAVING boundary and the output sums are exact in both
+    // engines; the top-100 orders by (o_totalprice, o_orderdate,
+    // o_orderkey) — a total order, so the cut is deterministic — via
+    // TakeOrderedAndProject, no global sort.
+    "q_tpch_q18" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val big = li.groupBy($"l_orderkey")
+          .agg(sum($"l_quantity".cast(D18_2)).as("qs"))
+          .filter($"qs" > lit(300).cast(D18_2))
+          .select($"l_orderkey".as("bigkey"))
+        li.join(broadcast(big), $"l_orderkey" === $"bigkey")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_name", $"c_custkey", $"o_orderkey",
+            $"o_orderdate", $"o_totalprice")
+          .agg(sum($"l_quantity".cast(D18_2)).cast("double").as("sum_qty"))
+          .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin),
+      "TPC-H Q18 large-volume customers (aggregate-qualified semi join, " +
+        "broadcast qualifying set)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._

@@ -551,6 +551,26 @@ class PlanSpec extends SparkSpec {
       "bootstrap must scan the corpus exactly once")
   }
 
+  test("q_dsir: 64-row ratio model broadcasts; doc scoring is partial-agg " +
+    "+ top-k, no global sort") {
+    val p = plan("q_dsir")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the importance model (64 log-ratio rows) attaches by broadcast —
+    // the doc-side (doc,bucket) counts never reshuffle to meet it
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q_tpch_q18: qualifying-order set broadcasts; top-100 via " +
+    "TakeOrderedAndProject") {
+    val p = plan("q_tpch_q18")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

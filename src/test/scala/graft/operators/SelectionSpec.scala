@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Independent local reimplementations (plain Scala, no Spark operators)
+  * of the round-9 additions — the MlFitSpec golden pattern: recompute the
+  * full result on collected sf0.001 rows and compare row-for-row, so the
+  * distributed formulation is checked against straight-line scalar code
+  * in addition to the DuckDB oracle. */
+class SelectionSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  test("q_dsir matches a straight-line scalar reimplementation") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, d, "documents")
+      .select($"doc_id", $"source", $"text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // (doc, source, bucket) occurrences over hashed bigrams
+    val occ = docs.flatMap { case (id, src, text) =>
+      val t = toks(text)
+      if (t.length < 2) Array.empty[(Long, String, Long)]
+      else t.sliding(2).map { bg =>
+        val b = java.lang.Long.parseLong(
+          md5hex(bg(0) + " " + bg(1)).take(8), 16) % 64
+        (id, src, b)
+      }.toArray
+    }
+    val tgt = occ.filter(_._2 == "src0")
+    val raw = occ.filter(_._2 != "src0")
+    val tc = tgt.groupBy(_._3).map { case (b, v) => b -> v.length.toLong }
+    val sc = raw.groupBy(_._3).map { case (b, v) => b -> v.length.toLong }
+    val (nT, nS) = (tgt.length.toDouble, raw.length.toDouble)
+    val lr6 = (0L until 64L).map { b =>
+      val x = (tc.getOrElse(b, 0L).toDouble + 1.0) / (nT + 64.0) *
+        ((nS + 64.0) / (sc.getOrElse(b, 0L).toDouble + 1.0))
+      b -> BigDecimal(math.log(x) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val want = raw.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((id, src), v) => (id, src, v.map(r => lr6(r._3)).sum) }
+      .sortBy { case (id, _, w) => (-w, id) }
+      .take(50)
+    val got = SparkEntry.queries("q_dsir")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q18 matches a straight-line scalar reimplementation") {
+    import spark.implicits._
+    def dec2(x: Double): BigDecimal = BigDecimal(x).setScale(2)
+    val li = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_orderkey", $"l_quantity").collect()
+      .map(r => (r.getLong(0), dec2(r.getDouble(1))))
+    val orders = graft.Tables.load(spark, d, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3)))
+    val cust = graft.Tables.load(spark, d, "customer")
+      .select($"c_custkey", $"c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val qsum = li.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sum
+    }
+    val bigKeys = qsum.filter(_._2 > BigDecimal(300)).keySet
+    val want = orders.filter(o => bigKeys.contains(o._1))
+      .map { case (ok, ck, od, tp) =>
+        (cust(ck), ck, ok, od, tp, qsum(ok).toDouble)
+      }
+      .sortBy { case (_, _, ok, od, tp, _) =>
+        (-tp, od.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, ok)
+      }
+      .take(100).toSeq
+    val got = SparkEntry.queries("q_tpch_q18")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[java.time.LocalDateTime](3), r.getDouble(4),
+        r.getDouble(5)))
+      .toSeq
+    assert(got === want)
+  }
+}
