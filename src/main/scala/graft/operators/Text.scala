@@ -851,7 +851,9 @@ object Text {
     "q_repetition_gate" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val t = docs(s, d)
+        // spread: two n-gram explodes off one narrow scan; counts are
+        // integer so the guard is value-neutral
+        val t = spread(docs(s, d))
           .select($"doc_id", tokens($"text").as("toks"))
           .filter(size($"toks") >= 3)
         def grams(k: Int) = t.select($"doc_id", explode(expr(
@@ -1416,7 +1418,9 @@ object Text {
     "q_perceptron" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val tb = docs(s, d)
+        // spread: token explode + md5 bucketing dominate; all downstream
+        // aggregation is integer, so the guard cannot change values
+        val tb = spread(docs(s, d))
           .select($"doc_id",
             when($"lang" === "en", 1L).otherwise(-1L).as("y"),
             explode(tokens($"text")).as("tok"))
@@ -1498,7 +1502,11 @@ object Text {
     "q_textrank" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val toks = docs(s, d).select($"doc_id", tokens($"text").as("toks"))
+        // spread: the bigram explode is the only corpus-sized work —
+        // parallelize it when the scan under-splits (integer counts
+        // downstream, so row placement cannot change values)
+        val toks = spread(docs(s, d))
+          .select($"doc_id", tokens($"text").as("toks"))
         val bg = toks.filter(size($"toks") >= 2)
           .select(explode(expr(
             "transform(sequence(1, size(toks)-1), " +
