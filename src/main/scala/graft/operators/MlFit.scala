@@ -581,6 +581,160 @@ object MlFit {
         |FROM pred GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin),
       "5-NN majority-vote classification over exact integer distances " +
         "(confusion matrix; broadcast query batch, linear corpus pass)"),
+
+    // The LEARNING CURVE: held-out loss as a function of training-data
+    // fraction — the plot a pretraining team draws before committing to
+    // more data. Five NESTED train subsets (md5 row-hash bucket < 16/32/
+    // 48/64/80 of 100 — nested by construction, the q_sample_hash
+    // determinism) each get a closed-form y~x fit (price ~ quantity, the
+    // q_ols_normal sufficient-statistics recipe), and every fit is scored
+    // on the SAME disjoint held-out set (bucket >= 80) — not on its own
+    // training rows. The held-out MSE is computed from the test set's
+    // OWN sufficient statistics (SSE = Syy - 2b0*Sy - 2b1*Sxy + n*b0^2 +
+    // 2*b0*b1*Sx + b1^2*Sxx), so no per-row residual pass exists and the
+    // double arithmetic is an order-insensitive fixed expression tree —
+    // bit-identical in both engines before the 6-dp round. Scale shape:
+    // ONE corpus scan with 31 conditional map-side partial sums into a
+    // single 1-row reduction (no 5x fan-out grid join, no second pass —
+    // adding a fraction tier costs five more counters, not a scan), then
+    // a 5-row stack and scalar math. Syy sums through DECIMAL(38,0)
+    // (y-cents squared overflows BIGINT near 1e9 rows; DuckDB's HUGEINT
+    // sum is exact by default).
+    "q_learning_curve" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.load(s, d, "lineitem")
+          .select(
+            pmod(conv(substring(md5(concat(
+              $"l_orderkey".cast("string"), lit("-"),
+              $"l_linenumber".cast("string"))), 1, 8), 16, 10)
+              .cast("long"), lit(100L)).as("bucket"),
+            $"l_quantity".cast("bigint").as("x"),
+            round($"l_extendedprice" * 100, 0).cast("bigint").as("y"))
+        val ts = Seq(16, 32, 48, 64, 80)
+        val trainAggs = ts.flatMap { t =>
+          Seq(
+            sum(when($"bucket" < t, 1L).otherwise(0L)).as(s"n_$t"),
+            sum(when($"bucket" < t, $"x").otherwise(0L)).as(s"sx_$t"),
+            sum(when($"bucket" < t, $"y").otherwise(0L)).as(s"sy_$t"),
+            sum(when($"bucket" < t, $"x" * $"x").otherwise(0L))
+              .as(s"sxx_$t"),
+            sum(when($"bucket" < t, $"x" * $"y").otherwise(0L))
+              .as(s"sxy_$t"))
+        }
+        val testAggs = Seq(
+          sum(when($"bucket" >= 80, 1L).otherwise(0L)).as("tn"),
+          sum(when($"bucket" >= 80, $"x").otherwise(0L)).as("tsx"),
+          sum(when($"bucket" >= 80, $"y").otherwise(0L)).as("tsy"),
+          sum(when($"bucket" >= 80, $"x" * $"x").otherwise(0L)).as("tsxx"),
+          sum(when($"bucket" >= 80, $"x" * $"y").otherwise(0L)).as("tsxy"),
+          sum(when($"bucket" >= 80, ($"y" * $"y").cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("tsyy"))
+        val all = trainAggs ++ testAggs
+        val st = rows.agg(all.head, all.tail: _*)
+        val stackArgs = ts.zip(Seq(20, 40, 60, 80, 100)).map {
+          case (t, p) =>
+            s"CAST($p AS BIGINT), n_$t, sx_$t, sy_$t, sxx_$t, sxy_$t"
+        }.mkString(", ")
+        st.selectExpr(
+            s"stack(5, $stackArgs) AS (pct, n, sx, sy, sxx, sxy)",
+            "tn", "tsx", "tsy", "tsxx", "tsxy", "tsyy")
+          .selectExpr("*",
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+              "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1")
+          .selectExpr("*",
+            "(CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) / " +
+              "CAST(n AS DOUBLE) AS b0")
+          .selectExpr(
+            "pct", "n AS n_train",
+            "round(b0 / 100.0, 6) AS intercept",
+            "round(b1 / 100.0, 6) AS slope",
+            "round(((((((CAST(tsyy AS DOUBLE) " +
+              "- 2.0 * b0 * CAST(tsy AS DOUBLE)) " +
+              "- 2.0 * b1 * CAST(tsxy AS DOUBLE)) " +
+              "+ CAST(tn AS DOUBLE) * b0 * b0) " +
+              "+ 2.0 * b0 * b1 * CAST(tsx AS DOUBLE)) " +
+              "+ b1 * b1 * CAST(tsxx AS DOUBLE)) " +
+              "/ CAST(tn AS DOUBLE)) / 10000.0, 6) AS test_mse")
+          .orderBy($"pct")
+      },
+      Some("""WITH r AS (
+        |  SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+        |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS bucket,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (SELECT
+        |    CAST(SUM(CASE WHEN bucket < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_16,
+        |    CAST(SUM(CASE WHEN bucket < 16 THEN x ELSE 0 END) AS BIGINT) AS sx_16,
+        |    CAST(SUM(CASE WHEN bucket < 16 THEN y ELSE 0 END) AS BIGINT) AS sy_16,
+        |    CAST(SUM(CASE WHEN bucket < 16 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_16,
+        |    CAST(SUM(CASE WHEN bucket < 16 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_16,
+        |    CAST(SUM(CASE WHEN bucket < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_32,
+        |    CAST(SUM(CASE WHEN bucket < 32 THEN x ELSE 0 END) AS BIGINT) AS sx_32,
+        |    CAST(SUM(CASE WHEN bucket < 32 THEN y ELSE 0 END) AS BIGINT) AS sy_32,
+        |    CAST(SUM(CASE WHEN bucket < 32 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_32,
+        |    CAST(SUM(CASE WHEN bucket < 32 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_32,
+        |    CAST(SUM(CASE WHEN bucket < 48 THEN 1 ELSE 0 END) AS BIGINT) AS n_48,
+        |    CAST(SUM(CASE WHEN bucket < 48 THEN x ELSE 0 END) AS BIGINT) AS sx_48,
+        |    CAST(SUM(CASE WHEN bucket < 48 THEN y ELSE 0 END) AS BIGINT) AS sy_48,
+        |    CAST(SUM(CASE WHEN bucket < 48 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_48,
+        |    CAST(SUM(CASE WHEN bucket < 48 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_48,
+        |    CAST(SUM(CASE WHEN bucket < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_64,
+        |    CAST(SUM(CASE WHEN bucket < 64 THEN x ELSE 0 END) AS BIGINT) AS sx_64,
+        |    CAST(SUM(CASE WHEN bucket < 64 THEN y ELSE 0 END) AS BIGINT) AS sy_64,
+        |    CAST(SUM(CASE WHEN bucket < 64 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_64,
+        |    CAST(SUM(CASE WHEN bucket < 64 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_64,
+        |    CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_80,
+        |    CAST(SUM(CASE WHEN bucket < 80 THEN x ELSE 0 END) AS BIGINT) AS sx_80,
+        |    CAST(SUM(CASE WHEN bucket < 80 THEN y ELSE 0 END) AS BIGINT) AS sy_80,
+        |    CAST(SUM(CASE WHEN bucket < 80 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_80,
+        |    CAST(SUM(CASE WHEN bucket < 80 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_80,
+        |    CAST(SUM(CASE WHEN bucket >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN bucket >= 80 THEN x ELSE 0 END) AS BIGINT) AS tsx,
+        |    CAST(SUM(CASE WHEN bucket >= 80 THEN y ELSE 0 END) AS BIGINT) AS tsy,
+        |    CAST(SUM(CASE WHEN bucket >= 80 THEN x * x ELSE 0 END) AS BIGINT) AS tsxx,
+        |    CAST(SUM(CASE WHEN bucket >= 80 THEN x * y ELSE 0 END) AS BIGINT) AS tsxy,
+        |    SUM(CASE WHEN bucket >= 80 THEN y * y ELSE 0 END) AS tsyy
+        |  FROM r),
+        |lng AS (
+        |  SELECT CAST(20 AS BIGINT) AS pct, n_16 AS n, sx_16 AS sx,
+        |    sy_16 AS sy, sxx_16 AS sxx, sxy_16 AS sxy,
+        |    tn, tsx, tsy, tsxx, tsxy, tsyy FROM st
+        |  UNION ALL SELECT CAST(40 AS BIGINT), n_32, sx_32, sy_32,
+        |    sxx_32, sxy_32, tn, tsx, tsy, tsxx, tsxy, tsyy FROM st
+        |  UNION ALL SELECT CAST(60 AS BIGINT), n_48, sx_48, sy_48,
+        |    sxx_48, sxy_48, tn, tsx, tsy, tsxx, tsxy, tsyy FROM st
+        |  UNION ALL SELECT CAST(80 AS BIGINT), n_64, sx_64, sy_64,
+        |    sxx_64, sxy_64, tn, tsx, tsy, tsxx, tsxy, tsyy FROM st
+        |  UNION ALL SELECT CAST(100 AS BIGINT), n_80, sx_80, sy_80,
+        |    sxx_80, sxy_80, tn, tsx, tsy, tsxx, tsxy, tsyy FROM st),
+        |f1 AS (
+        |  SELECT *, (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1
+        |  FROM lng),
+        |f2 AS (
+        |  SELECT *, (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) /
+        |    CAST(n AS DOUBLE) AS b0
+        |  FROM f1)
+        |SELECT pct, n AS n_train,
+        |  round(b0 / 100.0, 6) AS intercept,
+        |  round(b1 / 100.0, 6) AS slope,
+        |  round(((((((CAST(tsyy AS DOUBLE)
+        |    - 2.0 * b0 * CAST(tsy AS DOUBLE))
+        |    - 2.0 * b1 * CAST(tsxy AS DOUBLE))
+        |    + CAST(tn AS DOUBLE) * b0 * b0)
+        |    + 2.0 * b0 * b1 * CAST(tsx AS DOUBLE))
+        |    + b1 * b1 * CAST(tsxx AS DOUBLE))
+        |    / CAST(tn AS DOUBLE)) / 10000.0, 6) AS test_mse
+        |FROM f2 ORDER BY pct""".stripMargin),
+      "learning curve: held-out MSE vs nested training-data fractions, " +
+        "one scan of conditional sufficient statistics"),
   )
 
 }

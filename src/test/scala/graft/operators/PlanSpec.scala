@@ -571,6 +571,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("q_learning_curve: one corpus scan, conditional partial sums, " +
+    "single scalar reduction") {
+    val p = plan("q_learning_curve")
+    assert(p.split("FileScan").length - 1 == 1,
+      "all five fractions + the test set must share ONE scan")
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val singles = p.split("\n").count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"$singles single-partition exchanges")
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

@@ -55,6 +55,43 @@ class SelectionSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q_learning_curve matches a per-row-residual scalar reimplementation") {
+    import spark.implicits._
+    // Independent formulation on BOTH axes: fits recomputed from raw
+    // doubles (not integer sufficient stats), and held-out MSE as an
+    // explicit per-row residual mean (not the expanded SSE identity).
+    val rows = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+      .collect()
+      .map { r =>
+        val bucket = java.lang.Long.parseLong(
+          md5hex(r.getLong(0).toString + "-" + r.getInt(1).toString)
+            .take(8), 16) % 100
+        (bucket, r.getDouble(2).toLong, math.round(r.getDouble(3) * 100))
+      }
+    val test = rows.filter(_._1 >= 80)
+    val got = SparkEntry.queries("q_learning_curve")(spark, d).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(20L, 40L, 60L, 80L, 100L))
+    got.zip(Seq(16, 32, 48, 64, 80)).foreach { case (r, t) =>
+      val tr = rows.filter(_._1 < t)
+      assert(r.getLong(1) === tr.length.toLong)
+      val n = tr.length.toDouble
+      val (sx, sy) = (tr.map(_._2).sum.toDouble, tr.map(_._3).sum.toDouble)
+      val sxx = tr.map(v => v._2 * v._2).sum.toDouble
+      val sxy = tr.map(v => v._2 * v._3).sum.toDouble
+      val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val b0 = (sy - b1 * sx) / n
+      val mse = test.map { case (_, x, y) =>
+        val e = y - b0 - b1 * x; e * e
+      }.sum / test.length / 10000.0
+      assert(math.abs(r.getAs[Double]("slope") - b1 / 100.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("intercept") - b0 / 100.0) < 1e-4)
+      assert(math.abs(r.getAs[Double]("test_mse") - mse) <
+        1e-6 * math.max(1.0, mse))
+    }
+  }
+
   test("q_tpch_q18 matches a straight-line scalar reimplementation") {
     import spark.implicits._
     def dec2(x: Double): BigDecimal = BigDecimal(x).setScale(2)
