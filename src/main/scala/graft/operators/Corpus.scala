@@ -292,6 +292,11 @@ object Corpus {
     // over per-source token counts. Token counts are exact integer sums;
     // the power/normalize math is the identical double formula on both
     // engines. Two tiny aggregations — the second is a broadcast scalar.
+    // The normalizer z = SUM(scaled) is a ~10-double sum whose ADDITION
+    // ORDER varies with parallel group arrival in BOTH engines (1-ulp
+    // run-to-run flap at significant digit 15, caught by the %.15g local
+    // gate in round 10), so the weights are emitted as integer
+    // micro-units — round-to-integer absorbs the 1e-16-relative noise.
     "q_mix_temperature" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -304,8 +309,10 @@ object Corpus {
         val total = scaled.agg(sum($"scaled").as("z"))
         scaled.crossJoin(total)
           .select($"source", $"n_tokens",
-            ($"scaled" / $"z").as("weight"),
-            ($"scaled" / $"z" * lit(100000.0)).as("expected_draws"))
+            expr("CAST(round(scaled / z * 1000000.0, 0) AS BIGINT)")
+              .as("weight_micro"),
+            expr("CAST(round(scaled / z * 100000.0 * 1000000.0, 0) " +
+              "AS BIGINT)").as("draws_micro"))
           .orderBy($"source")
       },
       Some(s"""WITH c AS (
@@ -314,8 +321,11 @@ object Corpus {
         |  FROM documents GROUP BY source),
         |s AS (SELECT source, n_tokens,
         |    power(CAST(n_tokens AS DOUBLE), 0.7) AS scaled FROM c)
-        |SELECT source, n_tokens, scaled / (SELECT SUM(scaled) FROM s) AS weight,
-        |  scaled / (SELECT SUM(scaled) FROM s) * 100000.0 AS expected_draws
+        |SELECT source, n_tokens,
+        |  CAST(round(scaled / (SELECT SUM(scaled) FROM s) * 1000000.0, 0)
+        |    AS BIGINT) AS weight_micro,
+        |  CAST(round(scaled / (SELECT SUM(scaled) FROM s) * 100000.0
+        |    * 1000000.0, 0) AS BIGINT) AS draws_micro
         |FROM s ORDER BY source""".stripMargin),
       "temperature-scaled (alpha=0.7) source mixing weights"),
 

@@ -60,14 +60,28 @@ import org.apache.spark.sql.functions._
 object DedupStore {
 
   /** Signature parameters — must be identical across every append to a
-    * store (checked against `store_meta.txt`). */
+    * store (checked against `store_meta.txt`).
+    *
+    * `maxBucketSize` is the hot-bucket occupancy guard, the same knob as
+    * [[MinHash.candidatePairs]]'s: a band bucket whose occupancy exceeds
+    * it is SKIPPED for candidate generation (boilerplate-heavy corpora
+    * otherwise make candidates quadratic in occupancy — 1M standing docs
+    * sharing one bucket with 1k batch docs is 1e9 candidate rows). The
+    * rule is deterministic per path: the intra-batch path counts BATCH
+    * occupancy, the vs-store path counts STANDING occupancy (a function
+    * of store content only, so replaying a batch sees the same verdict).
+    * Capping is CONSERVATIVE — it can only suppress candidate pairs,
+    * i.e. keep docs the uncapped rule would drop, never drop extra —
+    * pinned by DedupStoreSpec's boilerplate stress test. */
   final case class Params(
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      numPfx: Int = 16) {
+      numPfx: Int = 16,
+      maxBucketSize: Int = 1000) {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
     def rowsPerBand: Int = numHashes / bands
   }
 
@@ -89,7 +103,8 @@ object DedupStore {
     "numHashes" -> p.numHashes.toString,
     "bands" -> p.bands.toString,
     "threshold" -> p.threshold.toString,
-    "numPfx" -> p.numPfx.toString)
+    "numPfx" -> p.numPfx.toString,
+    "maxBucketSize" -> p.maxBucketSize.toString)
 
   /** Standing banded buckets, the batch's own partitions excluded (replay
     * safety). Columns: (old_id, band, h, pfx). */
@@ -131,11 +146,37 @@ object DedupStore {
       batchId: Long,
       p: Params,
       broadcastBatch: Boolean): Option[DataFrame] =
-    standingBands(spark, path, batchId).map { standing =>
+    standingBands(spark, path, batchId).map { standing0 =>
       val batchSide0 = bandsB.select(
         col(idCol).as("new_id"), col("band"), col("h"), col("pfx"))
       val batchSide =
         if (broadcastBatch) broadcast(batchSide0) else batchSide0
+      // Hot-bucket occupancy guard: skip standing buckets whose STANDING
+      // occupancy exceeds the cap — deterministic given store content, so
+      // a replayed batch reaches the same verdict. The hot-key set is
+      // computed in a SIDE branch (standing rows of batch-touched buckets
+      // only — a broadcast semi-join, then a partial-agg count whose
+      // output is one row per touched bucket) and anti-joined back as a
+      // broadcast, so the standing spine that feeds the candidate join is
+      // still scanned, never shuffled. Work stays O(batch · occupancy):
+      // the semi-join is linear in touched-bucket occupancy, and the
+      // quadratic pairing below it never sees an over-cap bucket.
+      val standing =
+        if (p.maxBucketSize == Int.MaxValue) standing0
+        else {
+          val touchedKeys0 = bandsB
+            .select(col("pfx"), col("band"), col("h")).distinct()
+          val touchedKeys =
+            if (broadcastBatch) broadcast(touchedKeys0) else touchedKeys0
+          val hotKeys = standing0
+            .join(touchedKeys, Seq("pfx", "band", "h"), "leftsemi")
+            .groupBy(col("pfx"), col("band"), col("h"))
+            .agg(count(lit(1)).as("__occ"))
+            .filter(col("__occ") > p.maxBucketSize)
+            .select(col("pfx"), col("band"), col("h"))
+          standing0.join(broadcast(hotKeys), Seq("pfx", "band", "h"),
+            "left_anti")
+        }
       val cand = standing.join(batchSide, Seq("pfx", "band", "h"))
         .select(col("new_id"), col("old_id")).distinct()
       // signature join-backs are candidate-count-sized; the standing sigs
@@ -189,9 +230,11 @@ object DedupStore {
         .select(col("new_id").as(idCol)).distinct())
 
     // in-batch: same banding, same estimator; "larger id drops" needs no
-    // recursion because dropped docs still count as seen
+    // recursion because dropped docs still count as seen. The hot-bucket
+    // cap applies here too (batch-occupancy rule, candidatePairs' own).
     val intraPairs = MinHash.candidatePairs(sigsB, idCol, "sig",
-      params.bands, params.rowsPerBand, maxBucketSize = Int.MaxValue)
+      params.bands, params.rowsPerBand,
+      maxBucketSize = params.maxBucketSize)
     val droppedIntra = intraPairs
       .join(sigsB.select(col(idCol).as("id1"), col("sig").as("sig1")), "id1")
       .join(sigsB.select(col(idCol).as("id2"), col("sig").as("sig2")), "id2")

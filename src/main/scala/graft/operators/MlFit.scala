@@ -593,7 +593,13 @@ object MlFit {
     // OWN sufficient statistics (SSE = Syy - 2b0*Sy - 2b1*Sxy + n*b0^2 +
     // 2*b0*b1*Sx + b1^2*Sxx), so no per-row residual pass exists and the
     // double arithmetic is an order-insensitive fixed expression tree —
-    // bit-identical in both engines before the 6-dp round. Scale shape:
+    // bit-identical in both engines, so the outputs are emitted as
+    // integer MICRO-UNITS (CAST(round(x * 1e6, 0) AS BIGINT), the
+    // q_dsir recipe): round-to-integer of a bit-identical double is
+    // deterministic across engines, whereas round(double, 6) at the
+    // 11-15 significant digits these magnitudes reach diverges by
+    // 1 ulp between Spark (BigDecimal HALF_UP over the shortest
+    // decimal string) and DuckDB (binary scale-divide). Scale shape:
     // ONE corpus scan with 31 conditional map-side partial sums into a
     // single 1-row reduction (no 5x fan-out grid join, no second pass —
     // adding a fraction tier costs five more counters, not a scan), then
@@ -649,15 +655,16 @@ object MlFit {
               "CAST(n AS DOUBLE) AS b0")
           .selectExpr(
             "pct", "n AS n_train",
-            "round(b0 / 100.0, 6) AS intercept",
-            "round(b1 / 100.0, 6) AS slope",
-            "round(((((((CAST(tsyy AS DOUBLE) " +
+            "CAST(round(b0 * 10000.0, 0) AS BIGINT) AS intercept_micro",
+            "CAST(round(b1 * 10000.0, 0) AS BIGINT) AS slope_micro",
+            "CAST(round((((((((CAST(tsyy AS DOUBLE) " +
               "- 2.0 * b0 * CAST(tsy AS DOUBLE)) " +
               "- 2.0 * b1 * CAST(tsxy AS DOUBLE)) " +
               "+ CAST(tn AS DOUBLE) * b0 * b0) " +
               "+ 2.0 * b0 * b1 * CAST(tsx AS DOUBLE)) " +
               "+ b1 * b1 * CAST(tsxx AS DOUBLE)) " +
-              "/ CAST(tn AS DOUBLE)) / 10000.0, 6) AS test_mse")
+              "/ CAST(tn AS DOUBLE)) / 10000.0) * 1000000.0, 0) " +
+              "AS BIGINT) AS mse_micro")
           .orderBy($"pct")
       },
       Some("""WITH r AS (
@@ -723,15 +730,16 @@ object MlFit {
         |    CAST(n AS DOUBLE) AS b0
         |  FROM f1)
         |SELECT pct, n AS n_train,
-        |  round(b0 / 100.0, 6) AS intercept,
-        |  round(b1 / 100.0, 6) AS slope,
-        |  round(((((((CAST(tsyy AS DOUBLE)
+        |  CAST(round(b0 * 10000.0, 0) AS BIGINT) AS intercept_micro,
+        |  CAST(round(b1 * 10000.0, 0) AS BIGINT) AS slope_micro,
+        |  CAST(round((((((((CAST(tsyy AS DOUBLE)
         |    - 2.0 * b0 * CAST(tsy AS DOUBLE))
         |    - 2.0 * b1 * CAST(tsxy AS DOUBLE))
         |    + CAST(tn AS DOUBLE) * b0 * b0)
         |    + 2.0 * b0 * b1 * CAST(tsx AS DOUBLE))
         |    + b1 * b1 * CAST(tsxx AS DOUBLE))
-        |    / CAST(tn AS DOUBLE)) / 10000.0, 6) AS test_mse
+        |    / CAST(tn AS DOUBLE)) / 10000.0) * 1000000.0, 0)
+        |    AS BIGINT) AS mse_micro
         |FROM f2 ORDER BY pct""".stripMargin),
       "learning curve: held-out MSE vs nested training-data fractions, " +
         "one scan of conditional sufficient statistics"),

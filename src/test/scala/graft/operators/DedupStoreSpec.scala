@@ -151,6 +151,58 @@ class DedupStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/sigs").count() == 1L)
   }
 
+  test("hot-bucket cap bounds candidates on boilerplate buckets, " +
+      "conservatively (keeps, never drops)") {
+    val boiler = "exactly the same boilerplate sentence stamped into " +
+      "every single document of this entire corpus shard"
+    val P2 = DedupStore.Params(maxBucketSize = 50)
+    def clones(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n)
+        .select($"id".as("doc_id"), lit(boiler).as("text"))
+
+    // vs-store path: 120 identical standing docs -> every band bucket
+    // has standing occupancy 120 > 50, so a batch of 10 more clones
+    // must see ZERO candidates (bounded, not 120*10) and keep all 10.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dstore_hot").toString
+    DedupStore.appendBatch(clones(0L, 50L), -1L, root, params = P2)
+    DedupStore.appendBatch(clones(1000L, 70L), 0L, root, params = P2)
+    val batch = clones(5000L, 10L).localCheckpoint()
+    val sigsB = MinHash.signatureAgg(batch, "doc_id",
+      graft.Fns.tokens(col("text")), P2.shingleSize, P2.numHashes)
+    val bandsB = sigsB.select($"doc_id",
+        explode(MinHash.bandHashes($"sig", P2.bands, P2.rowsPerBand))
+          .as("bh"))
+      .select($"doc_id", $"bh.band".as("band"), $"bh.h".as("h"))
+      .withColumn("pfx", pmod($"h", lit(P2.numPfx)).cast("int"))
+    val cand = DedupStore.candidatesVsStore(spark, sigsB, bandsB,
+      "doc_id", root, 1L, P2, broadcastBatch = true).get
+    assert(cand.count() == 0L, "over-cap standing bucket must be skipped")
+    // no store drops (conservative); the 10-clone batch still intra-
+    // dedups among itself (its own bucket occupancy 10 <= cap)
+    val st = DedupStore.appendBatch(batch, 1L, root, params = P2)
+    assert(st.nDroppedVsStore == 0L && st.nDroppedIntra == 9L &&
+      st.nKept == 1L, st.toString)
+
+    // intra path: 60 identical docs in ONE batch (> cap) generate no
+    // intra pairs; 40 (<= cap) deduplicate down to the senior doc.
+    val rootBig = java.nio.file.Files
+      .createTempDirectory("graft_dstore_hot2").toString
+    val stBig = DedupStore.appendBatch(clones(0L, 60L), -1L, rootBig,
+      params = P2)
+    assert(stBig.nDroppedIntra == 0L && stBig.nKept == 60L, stBig.toString)
+    val rootSmall = java.nio.file.Files
+      .createTempDirectory("graft_dstore_hot3").toString
+    val stSmall = DedupStore.appendBatch(clones(0L, 40L), -1L, rootSmall,
+      params = P2)
+    assert(stSmall.nDroppedIntra == 39L && stSmall.nKept == 1L,
+      stSmall.toString)
+
+    // determinism: replaying the capped batch reproduces its accounting
+    val replay = DedupStore.appendBatch(batch, 1L, root, params = P2)
+    assert(replay == st, s"replay=$replay first=$st")
+  }
+
   test("append with mismatched parameters is refused") {
     val docs = docsWithDups().limit(10)
     val root = java.nio.file.Files

@@ -85,10 +85,13 @@ class SelectionSpec extends SparkSpec {
       val mse = test.map { case (_, x, y) =>
         val e = y - b0 - b1 * x; e * e
       }.sum / test.length / 10000.0
-      assert(math.abs(r.getAs[Double]("slope") - b1 / 100.0) < 1e-5)
-      assert(math.abs(r.getAs[Double]("intercept") - b0 / 100.0) < 1e-4)
-      assert(math.abs(r.getAs[Double]("test_mse") - mse) <
-        1e-6 * math.max(1.0, mse))
+      // Micro-unit BIGINT outputs (x * 1e6 integer space); tolerances
+      // are the old double tolerances scaled into micro-units.
+      assert(math.abs(r.getAs[Long]("slope_micro") - b1 * 10000.0) < 10.0)
+      assert(math.abs(
+        r.getAs[Long]("intercept_micro") - b0 * 10000.0) < 100.0)
+      assert(math.abs(r.getAs[Long]("mse_micro") - mse * 1e6) <
+        1e-6 * math.max(1.0, mse) * 1e6 + 1.0)
     }
   }
 

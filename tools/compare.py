@@ -21,7 +21,15 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # %.15g — calibrated against the driver's hash (round 10):
+        # the driver PASSED q_agg_basic/q_kll_quantiles/q_skew_moments
+        # for 9 rounds despite stable 1-ulp divergences at significant
+        # digit 16, but FAILED q_learning_curve on a digit-11
+        # divergence that the old %.10g canon could not see. 15 digits
+        # (float64's guaranteed decimal round-trip precision) is the
+        # tightest local gate consistent with both observations; %.17g
+        # also flaps on DuckDB parallel-sum reruns (q_mix_temperature).
+        return f"{v:.15g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
