@@ -72,6 +72,10 @@ object DecontamStore {
       numPfx: Int = 16): Long = {
     StoreLayout.checkOrWriteMeta(docs.sparkSession, metaPath(path),
       metaKv(n, numPfx))
+    require(
+      !StoreLayout.compactedIds(docs.sparkSession, path).contains(batchId),
+      s"heldout batch $batchId was compacted into a generation; use a " +
+        "fresh batch id")
     val g = grams(docs, idCol, textCol, n, numPfx)
       .select(col("h8"), col("pfx")).distinct()
       .withColumn("batch_id", lit(batchId))
@@ -103,7 +107,9 @@ object DecontamStore {
     StoreLayout.checkMeta(spark, metaPath(path), metaKv(n, numPfx))
     val g0 = grams(docs, idCol, textCol, n, numPfx)
     val g = if (broadcastBatch) broadcast(g0) else g0
-    val standing = spark.read.parquet(s"$path/grams")
+    val standing = StoreLayout.excludeCompacted(
+        spark.read.parquet(s"$path/grams"),
+        StoreLayout.compactedIds(spark, path).keySet)
       .select(col("h8"), col("pfx"))
     val contaminated = standing.join(g, Seq("pfx", "h8"))
       .select(col(idCol)).distinct()
@@ -121,6 +127,38 @@ object DecontamStore {
     * landed. The heldout store may keep growing between micro-batches
     * (new eval suites via [[appendHeldout]]); each batch screens against
     * the store as of its own execution. */
+  /** Store lifecycle: consolidates every heldout gram partition with
+    * `-1 <= batch_id <= upToBatchId` into one generation partition
+    * (`grams/batch_id=G/pfx=P`, sorted by h8) and deletes the sources —
+    * [[DedupStore.compactStore]]'s single-table sibling; same crash
+    * safety (the screen is a semi-join, so the generation/source
+    * coexistence window cannot change any verdict) and the same
+    * replay fence (a compacted heldout batch id is refused forever).
+    * Returns None when fewer than two source partitions qualify. */
+  def compactStore(
+      spark: SparkSession,
+      path: String,
+      upToBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[DedupStore.CompactionResult] = {
+    val all = StoreLayout.listBatchIds(spark, s"$path/grams")
+    val log = StoreLayout.compactedIds(spark, path)
+    StoreLayout.deleteBatchDirs(spark, s"$path/grams",
+      all.filter(log.contains))
+    val ids = all
+      .filter(id => id >= -1L && id <= upToBatchId && !log.contains(id))
+      .sorted
+    if (ids.size < 2) None
+    else {
+      val genId = -2L - log.values.toSet.size
+      StoreLayout.compactTable(spark, path, "grams", ids, genId,
+        Seq("pfx"), Seq("h8"), targetFileBytes)
+      StoreLayout.recordCompaction(spark, path, genId, ids)
+      StoreLayout.deleteBatchDirs(spark, s"$path/grams", ids)
+      Some(DedupStore.CompactionResult(genId, ids))
+    }
+  }
+
   def ingestSink(
       docs: DataFrame,
       storePath: String,

@@ -111,7 +111,9 @@ object DedupStore {
   private def standingBands(
       spark: SparkSession, path: String, batchId: Long): Option[DataFrame] =
     if (!StoreLayout.hasBatchData(spark, s"$path/bands")) None
-    else Some(spark.read.parquet(s"$path/bands")
+    else Some(StoreLayout.excludeCompacted(
+        spark.read.parquet(s"$path/bands"),
+        StoreLayout.compactedIds(spark, path).keySet)
       .filter(col("batch_id") =!= batchId)
       .select(col("doc_id").as("old_id"), col("band"), col("h"), col("pfx")))
 
@@ -120,7 +122,9 @@ object DedupStore {
   private def standingSigs(
       spark: SparkSession, path: String, batchId: Long): Option[DataFrame] =
     if (!StoreLayout.hasBatchData(spark, s"$path/sigs")) None
-    else Some(spark.read.parquet(s"$path/sigs")
+    else Some(StoreLayout.excludeCompacted(
+        spark.read.parquet(s"$path/sigs"),
+        StoreLayout.compactedIds(spark, path).keySet)
       .filter(col("batch_id") =!= batchId)
       .select(col("doc_id").as("old_id"), col("sig").as("old_sig")))
 
@@ -208,6 +212,10 @@ object DedupStore {
       broadcastBatch: Boolean = true): BatchStats = {
     val spark = docs.sparkSession
     StoreLayout.checkOrWriteMeta(spark, metaPath(path), metaKv(params))
+    require(!StoreLayout.compactedIds(spark, path).contains(batchId),
+      s"batch $batchId was compacted into a generation; replaying it " +
+        "cannot exclude its own rows from the standing side — use a " +
+        "fresh batch id")
     val nIn = docs.count()
 
     // one materialization serves the candidate joins, both writes, and
@@ -277,11 +285,66 @@ object DedupStore {
     BatchStats(batchId, nIn, ds, di, nIn - ds - di)
   }
 
-  /** The surviving corpus: (doc_id, batch_id) of every kept doc. */
+  /** The surviving corpus: (doc_id, batch_id) of every kept doc. After
+    * a [[compactStore]] pass, compacted docs report their GENERATION id
+    * (negative below -1) — per-batch provenance coarsens to the
+    * generation; the kept doc_id set is unchanged. */
   def keptDocs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sigs")
+    StoreLayout.excludeCompacted(
+        spark.read.parquet(s"$path/sigs"),
+        StoreLayout.compactedIds(spark, path).keySet)
       .filter(col("kept"))
       .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+
+  /** Outcome of one [[compactStore]] pass. */
+  final case class CompactionResult(generationId: Long, batchIds: Seq[Long])
+
+  /** Store lifecycle: rewrites every source partition with
+    * `-1 <= batch_id <= upToBatchId` (bootstrap included, generations
+    * excluded) into ONE consolidated generation partition per table —
+    * `sigs/batch_id=G` sorted by doc_id, `bands/batch_id=G/pfx=P` sorted
+    * by (band, h) — then deletes the sources. At daily cadence this
+    * bounds the standing scan's directory/file count by generations run,
+    * not batches ingested (the small-file decay [[graft.io.Compaction]]
+    * exists for). Screens and dedups are UNCHANGED by the pass (pinned in
+    * DedupStoreSpec), and every step is idempotent: an interrupted pass
+    * is finished by the next call, and the coexistence window is
+    * verdict-neutral because candidates are `.distinct()`ed (see
+    * [[StoreLayout]]'s compaction model).
+    *
+    * `upToBatchId` is the caller's replay-safety fence: pass the newest
+    * batch id known FINAL (e.g. `lastCompletedBatch - 1` under a running
+    * [[docSink]] — a compacted batch id can never be appended again).
+    * Returns None when fewer than two source partitions qualify. */
+  def compactStore(
+      spark: SparkSession,
+      path: String,
+      upToBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[CompactionResult] = {
+    val all = StoreLayout.listBatchIds(spark, s"$path/sigs") ++
+      StoreLayout.listBatchIds(spark, s"$path/bands")
+    val log = StoreLayout.compactedIds(spark, path)
+    // finish any interrupted deletion before measuring what's left
+    val stale = all.distinct.filter(log.contains)
+    StoreLayout.deleteBatchDirs(spark, s"$path/sigs", stale)
+    StoreLayout.deleteBatchDirs(spark, s"$path/bands", stale)
+    val ids = all.distinct
+      .filter(id => id >= -1L && id <= upToBatchId && !log.contains(id))
+      .sorted
+    if (ids.size < 2) None
+    else {
+      val genId = -2L - log.values.toSet.size
+      StoreLayout.compactTable(spark, path, "sigs", ids, genId,
+        Nil, Seq("doc_id"), targetFileBytes)
+      StoreLayout.compactTable(spark, path, "bands", ids, genId,
+        Seq("pfx"), Seq("band", "h"), targetFileBytes)
+      StoreLayout.recordCompaction(spark, path, genId, ids)
+      StoreLayout.deleteBatchDirs(spark, s"$path/sigs", ids)
+      StoreLayout.deleteBatchDirs(spark, s"$path/bands", ids)
+      Some(CompactionResult(genId, ids))
+    }
+  }
 
   /** Continuous near-dup screening: every micro-batch of `docs` (a
     * STREAMING DataFrame carrying `idCol` + `textCol`) is deduplicated

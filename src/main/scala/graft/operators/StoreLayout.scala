@@ -1,12 +1,30 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Shared plumbing for the standing-store modules ([[DedupStore]],
-  * [[DecontamStore]]): batch-partitioned-data presence probe and the
+  * [[DecontamStore]]): batch-partitioned-data presence probe, the
   * parameter-metadata file that makes mismatched append/screen
-  * parameters a loud refusal instead of a silent miss. */
+  * parameters a loud refusal instead of a silent miss, and the
+  * GENERATION COMPACTION machinery that keeps a daily-cadence store from
+  * degrading into thousands of tiny `batch_id=N` directories.
+  *
+  * == Compaction model ==
+  * A compaction pass rewrites the rows of a chosen set of source batch
+  * partitions into ONE consolidated "generation" partition whose id is
+  * NEGATIVE below -1 (-2, -3, ... — outside both foreachBatch's 0-based
+  * replayable id space and the -1 bootstrap convention), then deletes the
+  * sources. The pass is crash-safe without a transaction because standing-
+  * store READ semantics are duplicate-insensitive (dedup candidates are
+  * `.distinct()`ed, decontamination is a semi-join), so the window where
+  * generation and source rows coexist changes no screen/dedup verdict;
+  * `compaction_log.txt` records which source ids belong to which
+  * generation so (a) an interrupted deletion is finished by the next pass,
+  * (b) readers exclude logged-but-not-yet-deleted sources, and (c) appends
+  * REFUSE a logged batch id — a replay of a compacted batch can no longer
+  * exclude its own rows from the standing side, so it must not run. */
 private[operators] object StoreLayout {
 
   private def fs(spark: SparkSession, p: String) =
@@ -62,5 +80,124 @@ private[operators] object StoreLayout {
     require(fs(spark, metaPath).exists(new Path(metaPath)),
       s"no store metadata at $metaPath")
     checkOrWriteMeta(spark, metaPath, params)
+  }
+
+  /** `batch_id` partition values present under `dir` (empty if absent). */
+  def listBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+  }
+
+  private def logPath(storePath: String) = s"$storePath/compaction_log.txt"
+
+  /** Compacted source batch id -> generation id, from the store's
+    * compaction log (empty if no compaction ever ran). */
+  def compactedIds(spark: SparkSession, storePath: String): Map[Long, Long] = {
+    val f = fs(spark, storePath)
+    val lp = new Path(logPath(storePath))
+    if (!f.exists(lp)) Map.empty
+    else {
+      val in = f.open(lp)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      bytes.toString("UTF-8").linesIterator
+        .filter(_.startsWith("gen=")).flatMap { l =>
+          val Array(g, ids) = l.split(" ", 2)
+          val gen = g.stripPrefix("gen=").toLong
+          ids.stripPrefix("ids=").split(",").filter(_.nonEmpty)
+            .map(_.toLong -> gen)
+        }.toMap
+    }
+  }
+
+  /** Appends one `gen=<G> ids=a,b,c` line to the compaction log (read +
+    * full rewrite — portable where FS append is not). */
+  def recordCompaction(
+      spark: SparkSession, storePath: String,
+      genId: Long, ids: Seq[Long]): Unit = {
+    val f = fs(spark, storePath)
+    val lp = new Path(logPath(storePath))
+    val prior =
+      if (!f.exists(lp)) ""
+      else {
+        val in = f.open(lp)
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        bytes.toString("UTF-8")
+      }
+    val os = f.create(lp, true)
+    os.write((prior + s"gen=$genId ids=${ids.mkString(",")}\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+  }
+
+  /** Deletes the listed `batch_id=N` partition directories of a table. */
+  def deleteBatchDirs(
+      spark: SparkSession, tableDir: String, ids: Seq[Long]): Unit = {
+    val f = fs(spark, tableDir)
+    ids.foreach(id => f.delete(new Path(s"$tableDir/batch_id=$id"), true))
+  }
+
+  /** Reader-side guard for the compaction crash window: drop rows of
+    * source partitions already logged as compacted (their authoritative
+    * copy lives in a generation; the dirs are normally already gone, so
+    * this partition-column filter prunes to nothing). */
+  def excludeCompacted(df: DataFrame, compacted: Set[Long]): DataFrame =
+    if (compacted.isEmpty) df
+    else df.filter(!col("batch_id").isin(compacted.toSeq: _*))
+
+  /** Rewrites the rows of `ids`' partitions of `storePath/tableName` into
+    * one `batch_id=<genId>` generation partition with ~`targetFileBytes`
+    * files, range-clustered and sorted on `subPart ++ sortCols` (the
+    * [[graft.io.Compaction]] recipe — bounded file count plus row-group
+    * min/max selectivity). Writes to a sibling tmp dir, then renames the
+    * generation into place (Spark refuses to overwrite a path it reads;
+    * the rename is O(1) per directory). Idempotent: a re-run replaces
+    * the same generation partition. */
+  def compactTable(
+      spark: SparkSession,
+      storePath: String,
+      tableName: String,
+      ids: Seq[Long],
+      genId: Long,
+      subPart: Seq[String],
+      sortCols: Seq[String],
+      targetFileBytes: Long): Unit = {
+    val tableDir = s"$storePath/$tableName"
+    val tmpDir = s"$storePath/_compact_tmp/$tableName"
+    val f = fs(spark, tableDir)
+    val bytes = ids.map { id =>
+      val p = new Path(s"$tableDir/batch_id=$id")
+      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    }.sum
+    val nFiles =
+      math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cluster = (subPart ++ sortCols).map(col)
+    spark.read.parquet(tableDir)
+      .filter(col("batch_id").isin(ids: _*))
+      .withColumn("batch_id", lit(genId))
+      .repartitionByRange(nFiles, cluster: _*)
+      .sortWithinPartitions(cluster: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch_id" +: subPart: _*)
+      .option("compression", "snappy")
+      .parquet(tmpDir)
+    val src = new Path(s"$tmpDir/batch_id=$genId")
+    val dst = new Path(s"$tableDir/batch_id=$genId")
+    if (f.exists(dst)) f.delete(dst, true)
+    // an empty selection writes no partition dir — nothing to move
+    if (f.exists(src))
+      require(f.rename(src, dst), s"rename $src -> $dst failed")
+    f.delete(new Path(s"$storePath/_compact_tmp"), true)
   }
 }

@@ -144,6 +144,51 @@ class DecontamStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("refusing"))
   }
 
+  test("compactStore consolidates heldout batches without changing " +
+      "the screen") {
+    val (train, held) = fixtures()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_decontam_compact").toString
+    val store = s"$root/store"
+    val hIds = held.select($"doc_id").as[Long].collect().sorted
+    val h1 = held.filter($"doc_id" <= hIds(hIds.length / 3))
+    val h2 = held.filter($"doc_id" > hIds(hIds.length / 3) &&
+      $"doc_id" <= hIds(2 * hIds.length / 3))
+    val h3 = held.filter($"doc_id" > hIds(2 * hIds.length / 3))
+    DecontamStore.appendHeldout(h1, -1L, store)
+    DecontamStore.appendHeldout(h2, 0L, store)
+    DecontamStore.appendHeldout(h3, 1L, store)
+
+    val before = DecontamStore.screenBatch(train, store)
+      .filter($"contaminated").select($"doc_id").as[Long].collect().toSet
+    def files(): Long = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$store/grams"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val filesBefore = files()
+    val res = DecontamStore.compactStore(spark, store, upToBatchId = 1L)
+    assert(res.contains(DedupStore.CompactionResult(-2L, Seq(-1L, 0L, 1L))))
+    assert(files() < filesBefore, s"${files()} !< $filesBefore")
+    val dirs = new java.io.File(s"$store/grams").listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("batch_id="))
+    assert(dirs == Seq("batch_id=-2"), dirs.toString)
+
+    val after = DecontamStore.screenBatch(train, store)
+      .filter($"contaminated").select($"doc_id").as[Long].collect().toSet
+    assert(after == before,
+      s"missing=${(before -- after).take(5)} extra=${(after -- before).take(5)}")
+    assert(after == batchScreen(train, held))
+
+    // replay fence + nothing further to consolidate
+    val e = intercept[IllegalArgumentException] {
+      DecontamStore.appendHeldout(h2, 0L, store)
+    }
+    assert(e.getMessage.contains("compacted"))
+    assert(DecontamStore.compactStore(spark, store, 5L).isEmpty)
+  }
+
   test("screen with no store yet flags nothing") {
     val (train, _) = fixtures()
     val root = java.nio.file.Files

@@ -203,6 +203,84 @@ class DedupStoreSpec extends SparkSpec {
     assert(replay == st, s"replay=$replay first=$st")
   }
 
+  private def parquetFiles(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+  }
+
+  private def batchDirs(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (!f.exists()) Seq.empty
+    else f.listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted
+  }
+
+  test("compactStore consolidates batches into a generation without " +
+      "changing dedup results") {
+    val docs = docsWithDups().localCheckpoint()
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val qs = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4))
+    val bs = Seq(
+      docs.filter($"doc_id" <= qs(0)),
+      docs.filter($"doc_id" > qs(0) && $"doc_id" <= qs(1)),
+      docs.filter($"doc_id" > qs(1) && $"doc_id" <= qs(2)),
+      docs.filter($"doc_id" > qs(2)))
+
+    // reference: four batches, never compacted
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft_dstore_ca").toString
+    DedupStore.appendBatch(bs(0), -1L, rootA)
+    DedupStore.appendBatch(bs(1), 0L, rootA)
+    DedupStore.appendBatch(bs(2), 1L, rootA)
+    val lastA = DedupStore.appendBatch(bs(3), 2L, rootA)
+    val keptA = DedupStore.keptDocs(spark, rootA)
+      .select($"doc_id").as[Long].collect().toSet
+
+    // same ingest, but the first three batches are compacted mid-stream
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft_dstore_cb").toString
+    DedupStore.appendBatch(bs(0), -1L, rootB)
+    DedupStore.appendBatch(bs(1), 0L, rootB)
+    DedupStore.appendBatch(bs(2), 1L, rootB)
+    val filesBefore =
+      parquetFiles(s"$rootB/sigs") + parquetFiles(s"$rootB/bands")
+    val res = DedupStore.compactStore(spark, rootB, upToBatchId = 1L)
+    assert(res.contains(DedupStore.CompactionResult(-2L, Seq(-1L, 0L, 1L))))
+    // file-count assertion: one generation dir per table, fewer files
+    assert(batchDirs(s"$rootB/sigs") == Seq("batch_id=-2"))
+    assert(batchDirs(s"$rootB/bands") == Seq("batch_id=-2"))
+    val filesAfter =
+      parquetFiles(s"$rootB/sigs") + parquetFiles(s"$rootB/bands")
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+
+    // the post-compaction append sees identical standing semantics
+    val lastB = DedupStore.appendBatch(bs(3), 2L, rootB)
+    assert(lastB == lastA, s"compacted=$lastB reference=$lastA")
+    val keptB = DedupStore.keptDocs(spark, rootB)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptB == keptA,
+      s"only-compacted=${(keptB -- keptA).take(5)} " +
+        s"only-ref=${(keptA -- keptB).take(5)}")
+    // compacted docs report the generation id; batch 2 keeps its own
+    val bids = DedupStore.keptDocs(spark, rootB)
+      .select($"batch_id").distinct().as[Long].collect().toSet
+    assert(bids == Set(-2L, 2L), bids.toString)
+
+    // a compacted batch id can never be appended (replay fence)
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.appendBatch(bs(1), 0L, rootB)
+    }
+    assert(e.getMessage.contains("compacted"))
+    // nothing left to consolidate: generation + one live batch
+    assert(DedupStore.compactStore(spark, rootB, upToBatchId = 2L).isEmpty)
+  }
+
   test("append with mismatched parameters is refused") {
     val docs = docsWithDups().limit(10)
     val root = java.nio.file.Files
