@@ -76,6 +76,9 @@ object Fns {
   def sqlTokens(c: String): String =
     s"list_filter(string_split_regex(lower(trim($c)), '\\s+'), t -> t != '')"
 
+  private val splitEstimates =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Spread guard for CPU-bound work downstream of a SMALL scan: a file
     * under `maxPartitionBytes` scans as ONE split (openCostInBytes floors
     * the split size), serializing all per-row CPU (shingle explodes, hash
@@ -85,11 +88,44 @@ object Fns {
     * parallelize and this is a no-op (the q_bootstrap_ci recipe, shared
     * by the shingle-family queries). Deterministic for the queries that
     * use it: everything downstream is per-row + keyed aggregation, so
-    * row placement cannot change values. */
+    * row placement cannot change values.
+    *
+    * The under-split probe is PLAN-DERIVED and memoized, not
+    * `df.rdd.getNumPartitions`: the RDD probe forced full physical
+    * planning plus an RDD conversion at query-CONSTRUCTION time, a
+    * 0.2-0.5 s eager tax paid per bench rep that showed up as a 20-31%
+    * isolated-bench regression on the shingle family in round 9. Here
+    * the file sizes come from the scan relation's (already-listed) file
+    * index and the split count replicates Spark's own
+    * `FilePartition.maxSplitBytes` formula; the estimate is cached per
+    * (root paths, parallelism), so repeat constructions cost a map hit.
+    * Inputs that are not file scans (memory streams, checkpoints) pass
+    * through unchanged — their partitioning already reflects upstream
+    * parallelism. */
   def spread(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => Seq(h)
+        case _ => Seq.empty
+      }
+    }.flatten
+    if (rels.isEmpty) return df
+    val key = rels.flatMap(_.location.rootPaths).mkString("|") + s"#$cores"
+    val splits = splitEstimates.computeIfAbsent(key, _ => {
+      val conf = spark.sessionState.conf
+      val openCost = conf.filesOpenCostInBytes
+      val sizes = rels.flatMap(
+        _.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen)))
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, sizes.map(_ + openCost).sum / math.max(1L, cores)))
+      sizes.map(s => math.max(1L, (s + maxSplit - 1) / maxSplit)).sum
+    })
+    if (splits < cores) df.repartition(cores.toInt) else df
   }
 
   /** Distributed dense 1-based rank over a total order: identical values to

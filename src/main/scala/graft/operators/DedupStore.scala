@@ -216,6 +216,30 @@ object DedupStore {
       s"batch $batchId was compacted into a generation; replaying it " +
         "cannot exclude its own rows from the standing side — use a " +
         "fresh batch id")
+
+    // Self-heal torn appends: a crash between the sigs and bands writes
+    // (outside a retried foreachBatch — e.g. a manual bootstrap that was
+    // not re-run) leaves a batch present in sigs but absent from bands,
+    // and its docs would silently never surface as near-dup candidates.
+    // Bands are a pure function of sigs, so rebuild the missing
+    // partitions here instead of requiring a commit marker. Generations
+    // (< -1) are left to compactStore's own idempotent re-run.
+    val sigIds = StoreLayout.listBatchIds(spark, s"$path/sigs").toSet
+    val bandIds = StoreLayout.listBatchIds(spark, s"$path/bands").toSet
+    val torn = ((sigIds -- bandIds) - batchId).filter(_ >= -1L) --
+      StoreLayout.compactedIds(spark, path).keySet
+    torn.foreach { tid =>
+      val tornSigs = spark.read.parquet(s"$path/sigs")
+        .filter(col("batch_id") === tid)
+        .select(col("doc_id"), col("sig"))
+      bandRows(tornSigs, "doc_id", params)
+        .withColumn("batch_id", lit(tid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "pfx")
+        .option("compression", "snappy").parquet(s"$path/bands")
+    }
+
     val nIn = docs.count()
 
     // one materialization serves the candidate joins, both writes, and

@@ -166,18 +166,19 @@ object Expectations {
     * val rep = report()                // metrics from THAT job, no rescan
     * }}}
     *
-    * `report()` BLOCKS until the first action over the instrumented
-    * frame completes (`Observation.get` waits indefinitely) — run the
-    * write before calling it, or a caller that forgot the action hangs
-    * rather than failing fast. Inherited restriction
+    * `report()` waits (bounded, 60 s) for the first action over the
+    * instrumented frame to complete — run the write before calling it;
+    * a caller that forgot the action gets a descriptive error instead
+    * of an indefinite `Observation.get` hang. Inherited restriction
     * from Observation: distinct aggregates are not allowed in observed
     * metrics, so [[Unique]] contracts are rejected here — route those
     * through [[check]] (its countDistinct genuinely needs the shuffle a
     * passive observation cannot perform). */
-  def observed(df: DataFrame, expectations: Seq[Expectation])
+  def observed(df: DataFrame, expectations: Seq[Expectation],
+      timeoutSec: Long = 60L)
       : (DataFrame, () => DataFrame) = {
     val spark = df.sparkSession
-    val (instrumented, rows) = observedRows(df, expectations)
+    val (instrumented, rows) = observedRows(df, expectations, timeoutSec)
     val report = () => {
       import spark.implicits._
       rows().toDF("expectation", "metric", "threshold", "passed")
@@ -191,7 +192,8 @@ object Expectations {
     * job. `Observation.get` itself is accumulator-backed: the metrics
     * were collected by the caller's own action, and materializing them
     * here is a driver-memory read. */
-  def observedRows(df: DataFrame, expectations: Seq[Expectation])
+  def observedRows(df: DataFrame, expectations: Seq[Expectation],
+      timeoutSec: Long = 60L)
       : (DataFrame, () => Seq[(String, Double, Double, Boolean)]) = {
     require(expectations.nonEmpty, "empty contract")
     require(!expectations.exists(_.isInstanceOf[Unique]),
@@ -202,7 +204,30 @@ object Expectations {
     val obs = org.apache.spark.sql.Observation()
     val instrumented = df.observe(obs, cols.head, cols.tail: _*)
     val rows = () => {
-      val row = obs.get // blocks until the observed action completes
+      // bounded wait: Observation.get blocks FOREVER when no action has
+      // run over the instrumented frame (and its non-blocking readers
+      // are private[sql]) — wait on a disposable daemon thread and fail
+      // with a usable message instead of hanging the caller
+      val row = {
+        val holder = new java.util.concurrent
+          .ArrayBlockingQueue[Map[String, Any]](1)
+        val waiter = new Thread(() => {
+          try holder.put(obs.get)
+          catch { case _: InterruptedException => }
+        })
+        waiter.setDaemon(true)
+        waiter.start()
+        val m = holder.poll(timeoutSec,
+          java.util.concurrent.TimeUnit.SECONDS)
+        if (m == null) {
+          waiter.interrupt()
+          throw new IllegalStateException(
+            s"no observed metrics after ${timeoutSec}s — run an action " +
+              "(write/count) over the INSTRUMENTED DataFrame before " +
+              "reading the report")
+        }
+        m
+      }
       var idx = 0
       expectations.map { e =>
         val n = metricCols(e).size

@@ -261,7 +261,7 @@ object XmlStream {
     * between two streams), so an 8-hex md5 of the RAW pair — injective
     * up to hash collision — is appended to keep ids distinct. */
   def groupId(s: Setup): String = {
-    val raw = s"${s.rowTag} ${s.charset}"
+    val raw = s"${s.rowTag}\u0000${s.charset}"
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString

@@ -220,6 +220,39 @@ class DedupStoreSpec extends SparkSpec {
       .filter(_.startsWith("batch_id=")).sorted
   }
 
+  test("torn append (sigs without bands) self-heals on the next append") {
+    val docs = docsWithDups().localCheckpoint()
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val b0 = docs.filter($"doc_id" <= cut)
+    val b1 = docs.filter($"doc_id" > cut)
+
+    // reference: clean two-batch ingest
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft_dstore_heal_a").toString
+    DedupStore.appendBatch(b0, -1L, rootA)
+    val ref = DedupStore.appendBatch(b1, 0L, rootA)
+
+    // torn bootstrap: bands partition lost after the sigs write
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft_dstore_heal_b").toString
+    DedupStore.appendBatch(b0, -1L, rootB)
+    val bandDir = new java.io.File(s"$rootB/bands/batch_id=-1")
+    assert(bandDir.exists())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(bandDir)
+    assert(!bandDir.exists())
+
+    // the next append rebuilds the torn bands from the stored sigs, so
+    // cross-batch candidates (and the accounting) match the clean run
+    val healed = DedupStore.appendBatch(b1, 0L, rootB)
+    assert(healed == ref, s"healed=$healed reference=$ref")
+    assert(bandDir.exists(), "torn bands partition must be rebuilt")
+    assert(ref.nDroppedVsStore > 0, "fixture must exercise the store path")
+  }
+
   test("compactStore consolidates batches into a generation without " +
       "changing dedup results") {
     val docs = docsWithDups().localCheckpoint()

@@ -79,6 +79,14 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.observed(orders, Seq(Unique(Seq("o_orderkey"))))
     }
     assert(rejected.getMessage.contains("Unique"))
+
+    // a report read WITHOUT having run the action fails fast with a
+    // descriptive error (bounded wait) instead of hanging forever
+    val (_, forgotten) =
+      Expectations.observed(orders, Seq(NotNull("o_orderkey")),
+        timeoutSec = 2L)
+    val hung = intercept[IllegalStateException] { forgotten() }
+    assert(hung.getMessage.contains("run an action"))
   }
 
   test("labels distinguish same-column checks with different parameters") {
