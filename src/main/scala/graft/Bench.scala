@@ -50,21 +50,49 @@ object Bench {
     val tailReps = math.max(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_REPS", reps.toString).toInt, 1)
     val coreN = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORE_N", "40").toInt
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+    // Optional per-rep JVM profile (SPARK_GRAFT_BENCH_PROFILE=<file>):
+    // one TSV row per rep — query, rep index, elapsed, GC-time delta,
+    // JIT-compilation-time delta, post-rep heap — the instrumentation
+    // the round-9 verdict asked for to attribute late-full-run inflation
+    // (GC pressure? JIT re-compilation? neither?) with data.
+    val profileOut = sys.env.get("SPARK_GRAFT_BENCH_PROFILE").map { p =>
+      val w = new java.io.PrintWriter(new java.io.FileWriter(p))
+      w.println("query\trep\telapsed_s\tgc_delta_ms\tjit_delta_ms\theap_mb")
+      w
+    }
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def jitMs: Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
+    val repIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String = ""): Double = {
+      val (g0, j0) = (gcMs, jitMs)
       val t0 = System.nanoTime()
       try sink(fn(spark, sfDir)) catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      profileOut.foreach { w =>
+        val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+          .getHeapMemoryUsage.getUsed / (1024 * 1024)
+        w.println(f"$name\t${repIdx.getAndIncrement()}\t$dt%.3f\t" +
+          s"${gcMs - g0}\t${jitMs - j0}\t$heap")
+        w.flush()
+      }
+      dt
     }
     val firstRep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-      .map { case (name, fn) => (name, fn, time(fn)) }
+      .map { case (name, fn) => (name, fn, time(fn, name)) }
     val core: Set[String] =
       if (tailReps >= reps) firstRep.map(_._1).toSet // everyone is core
       else firstRep.sortBy(-_._3).take(coreN).map(_._1).toSet
     val results = firstRep.map { case (name, fn, t1) =>
       val extra = (if (core(name)) math.max(reps, 1) else tailReps) - 1
-      name -> (t1 +: (1 to extra).map(_ => time(fn))).min
+      name -> (t1 +: (1 to extra).map(_ => time(fn, name))).min
     }
     // The driver records only the final ~2000 chars of combined output and
     // parses the JSON line out of that window. A 100-query map at full

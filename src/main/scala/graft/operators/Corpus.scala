@@ -900,5 +900,107 @@ object Corpus {
         |ORDER BY dsir_w6 DESC, db.doc_id LIMIT 50""".stripMargin),
       "DSIR importance-resampling selection: hashed-bigram importance " +
         "weights vs a target domain, integer-exact top-k"),
+
+    // Sequence packing (GPT-style concat-and-chunk): the step between a
+    // cleaned corpus and a training run — documents are concatenated in
+    // a deterministic order and cut into fixed 2048-token blocks, and
+    // the packing report says how many blocks each source yields, how
+    // many docs straddle a block boundary (attention-mask pollution
+    // unless the loader resets), and how much tail padding the last
+    // block carries. Per-source token streams (the sharding real
+    // loaders use); doc offsets are a cumulative sum over a KEYED
+    // window (partitioned by source — never a single global ordered
+    // window), and every output is an exact integer. Scale shape: one
+    // scan, one keyed-window shuffle, one per-source aggregation; at
+    // 100 TB sources sub-shard and the window key carries the shard.
+    "q_seq_packing" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val C = 2048L
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        Tables.load(s, d, "documents")
+          .select($"doc_id", $"source",
+            size(tokens($"text")).cast("long").as("n"))
+          .filter($"n" > 0)
+          .withColumn("cum", sum($"n").over(w))
+          .withColumn("first_b", expr(s"(cum - n) div $C"))
+          .withColumn("last_b", expr(s"(cum - 1) div $C"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n").as("n_tokens"),
+            (max($"last_b") + 1L).as("n_blocks"),
+            sum(($"last_b" > $"first_b").cast("long")).as("n_straddle"),
+            ((max($"last_b") + 1L) * C - max($"cum")).as("pad_tokens"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n
+        |  FROM documents),
+        |offs AS (
+        |  SELECT source, n,
+        |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM docs WHERE n > 0)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(MAX((cum - 1) // 2048) + 1 AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN (cum - 1) // 2048 > (cum - n) // 2048
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+        |  CAST((MAX((cum - 1) // 2048) + 1) * 2048 - MAX(cum) AS BIGINT)
+        |    AS pad_tokens
+        |FROM offs GROUP BY source ORDER BY source""".stripMargin),
+      "sequence packing report: concat-and-chunk 2048-token blocks per " +
+        "source, straddle and padding accounting"),
+
+    // Sliding-window chunking (the RAG / embedding-index prep op):
+    // size-256 stride-192 windows over each doc's token stream. The
+    // chunk count and the emitted-token total have ALL-INTEGER closed
+    // forms (c = (n-65) div 192 + 1 for n > 256, i.e. ceil((n-256)/192)
+    // + 1; emitted = n + 64*(c-1) — each extra chunk re-emits the
+    // 64-token overlap), so the whole report is one scan + per-source
+    // aggregation of integer per-row expressions: no explode, no
+    // window, nothing grows with chunk count. The duplication factor
+    // (emitted/input) is the index-size multiplier chunking costs,
+    // emitted in micro-units.
+    "q_chunk_overlap" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select($"source", size(tokens($"text")).cast("long").as("n"))
+          .filter($"n" > 0)
+          .withColumn("c",
+            when($"n" <= 256L, 1L)
+              .otherwise(expr("(n - 65) div 192 + 1")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n").as("tokens_in"),
+            sum($"c").as("n_chunks"),
+            sum($"n" + ($"c" - 1L) * 64L).as("tokens_emitted"))
+          .withColumn("dup_factor_micro",
+            expr("CAST(round(CAST(tokens_emitted AS DOUBLE) / " +
+              "CAST(tokens_in AS DOUBLE) * 1000000.0, 0) AS BIGINT)"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n
+        |  FROM documents),
+        |ch AS (
+        |  SELECT source, n,
+        |    CASE WHEN n <= 256 THEN 1
+        |      ELSE (n - 65) // 192 + 1 END AS c
+        |  FROM docs WHERE n > 0)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS tokens_in,
+        |  CAST(SUM(c) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n + 64 * (c - 1)) AS BIGINT) AS tokens_emitted,
+        |  CAST(round(CAST(SUM(n + 64 * (c - 1)) AS DOUBLE) /
+        |    CAST(SUM(n) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS dup_factor_micro
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin),
+      "sliding-window chunking report: 256/192 windows, closed-form " +
+        "chunk and overlap accounting"),
   )
 }

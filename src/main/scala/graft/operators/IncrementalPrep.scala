@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * fingerprint ledger, (2) length + language gates, (3) near-dup drop
   * against [[DedupStore]]'s banded signature store, (4) deterministic
   * train/heldout split with heldout shingles landed into
-  * [[DecontamStore]], (5) decontamination screen, survivors landed under
+  * [[DecontamStore]], (5) decontamination screen, and — when a fitted
+  * [[DsirSelect]] model is supplied — (6) DSIR data selection against
+  * the frozen importance table, survivors landed under
   * `train/batch_id=N`. Every store append and the train landing use the
   * dynamic-overwrite replay-idempotent recipe, so a failed batch retries
   * cleanly end to end.
@@ -36,7 +38,10 @@ import org.apache.spark.sql.functions._
   * path is O(corpus) except narrow standing scans. */
 object IncrementalPrep {
 
-  /** Per-batch yield accounting, one count per funnel stage. */
+  /** Per-batch yield accounting, one count per funnel stage.
+    * `nSelectDropped` (stage 6, appended last for source compatibility)
+    * counts screen survivors the DSIR selector rejected; 0 when no
+    * selection model is configured. */
   final case class BatchStats(
       batchId: Long,
       nIn: Long,
@@ -45,7 +50,8 @@ object IncrementalPrep {
       nNearDupDropped: Long,
       nHeldout: Long,
       nScreenDropped: Long,
-      nLanded: Long)
+      nLanded: Long,
+      nSelectDropped: Long = 0L)
 
   /** q_prep_funnel's stage-1 fingerprint: whitespace-normalized lowered
     * text. */
@@ -62,7 +68,9 @@ object IncrementalPrep {
       params: DedupStore.Params = DedupStore.Params(threshold = 0.7),
       minTokens: Int = 20,
       langs: Seq[String] = Seq("en", "zh", "de"),
-      heldoutBucket: Int = 80): BatchStats = {
+      heldoutBucket: Int = 80,
+      selectModelPath: Option[String] = None,
+      selectMinAvgMicro: Long = 0L): BatchStats = {
     val spark = docs.sparkSession
     val base = docs.select(col("doc_id"), col("lang"), col("text"))
       .withColumn("fp", fpCol)
@@ -125,21 +133,41 @@ object IncrementalPrep {
     val nHeld = held.count()
     if (nHeld > 0)
       DecontamStore.appendHeldout(held, batchId, s"$root/decontam")
-    val survivors = DecontamStore
+    val screened = DecontamStore
       .screenBatch(s4.filter(col("bucket") < heldoutBucket),
         s"$root/decontam")
       .filter(!col("contaminated"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("text"))
-      .withColumn("batch_id", lit(batchId))
-      .localCheckpoint()
+
+    // stage 6 (optional): DSIR selection against the frozen importance
+    // model — per-doc and stateless given the model, so replay and
+    // batch-split invariance come for free ([[DsirSelect]]'s rule)
+    val (survivors, nScreened) = selectModelPath match {
+      case None =>
+        val s = screened.withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        (s, -1L)
+      case Some(mp) =>
+        val scr = screened.localCheckpoint()
+        val n5 = scr.count()
+        val s = DsirSelect.selectBatch(scr, mp, selectMinAvgMicro)
+          .filter(col("selected"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("text"))
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        (s, n5)
+    }
     survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .option("compression", "snappy").parquet(s"$root/train")
     val nLanded = survivors.count()
+    val nSelDropped = if (nScreened < 0) 0L else nScreened - nLanded
+    val nScreenDropped =
+      nS4 - nHeld - (if (nScreened < 0) nLanded else nScreened)
 
     BatchStats(batchId, nIn, nIn - nAfterExact, nAfterExact - nGated,
-      nGated - nS4, nHeld, nS4 - nHeld - nLanded, nLanded)
+      nGated - nS4, nHeld, nScreenDropped, nLanded, nSelDropped)
   }
 
   /** The settlement pass: re-screen every landed survivor against the
@@ -164,12 +192,14 @@ object IncrementalPrep {
       minTokens: Int = 20,
       langs: Seq[String] = Seq("en", "zh", "de"),
       heldoutBucket: Int = 80,
-      unbounded: Boolean = false)
+      unbounded: Boolean = false,
+      selectModelPath: Option[String] = None,
+      selectMinAvgMicro: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, root, params, minTokens, langs,
-          heldoutBucket)
+          heldoutBucket, selectModelPath, selectMinAvgMicro)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -743,6 +743,69 @@ object MlFit {
         |FROM f2 ORDER BY pct""".stripMargin),
       "learning curve: held-out MSE vs nested training-data fractions, " +
         "one scan of conditional sufficient statistics"),
+
+    // Calibration / reliability report (the model-eval counterpart of
+    // the fit tier): bucket a score into 10 equal-width bins and compare
+    // per-bin confidence (mean score) against per-bin accuracy (outcome
+    // rate) — the reliability diagram + per-bin ECE gaps an eval
+    // pipeline runs on every classifier. The score is a min-max
+    // normalized o_totalprice (exact same subtract/divide doubles in
+    // both engines — deliberately NO exp/ln: per-row transcendentals
+    // are 1-ulp engine-divergent), frozen per row to MICRO-UNITS so
+    // binning and the per-bin sums are all-integer; outcome y =
+    // (o_orderstatus = 'F'). Scale shape: one scan, a broadcast 1-row
+    // min/max anchor, one 10-row aggregation — confidence sums ride
+    // BIGINT micro-units, never order-sensitive double adds.
+    "q_calibration_ece" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "orders")
+        val bounds = o.agg(min($"o_totalprice").as("mn"),
+          max($"o_totalprice").as("mx"))
+        o.crossJoin(broadcast(bounds))
+          .select(
+            expr("CAST(round((o_totalprice - mn) / (mx - mn) " +
+              "* 1000000.0, 0) AS BIGINT)").as("p6"),
+            when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+          .withColumn("bin", least(expr("p6 div 100000"), lit(9L)))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+            sum($"p6").as("sp6"))
+          .select($"bin", $"n",
+            expr("CAST(round(CAST(sp6 AS DOUBLE) / CAST(n AS DOUBLE), 0) " +
+              "AS BIGINT)").as("conf_micro"),
+            expr("CAST(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("acc_micro"))
+          .withColumn("gap_micro", abs($"acc_micro" - $"conf_micro"))
+          .orderBy($"bin")
+      },
+      Some("""WITH b AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders),
+        |r AS (
+        |  SELECT
+        |    CAST(round((o_totalprice - mn) / (mx - mn) * 1000000.0, 0)
+        |      AS BIGINT) AS p6,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders CROSS JOIN b),
+        |g AS (
+        |  SELECT LEAST(p6 // 100000, 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(p6) AS BIGINT) AS sp6
+        |  FROM r GROUP BY 1)
+        |SELECT bin, n,
+        |  CAST(round(CAST(sp6 AS DOUBLE) / CAST(n AS DOUBLE), 0)
+        |    AS BIGINT) AS conf_micro,
+        |  CAST(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) AS acc_micro,
+        |  abs(CAST(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) -
+        |    CAST(round(CAST(sp6 AS DOUBLE) / CAST(n AS DOUBLE), 0)
+        |      AS BIGINT)) AS gap_micro
+        |FROM g ORDER BY bin""".stripMargin),
+      "reliability diagram: 10-bin confidence vs outcome rate with " +
+        "per-bin ECE gaps, all-integer micro-unit bins"),
   )
 
 }

@@ -603,6 +603,55 @@ object Relational {
       "TPC-H Q18 large-volume customers (aggregate-qualified semi join, " +
         "broadcast qualifying set)"),
 
+    // TPC-H Q10 returned-item reporting: the selective-fact-filter ->
+    // customer-grain rollup -> top-k shape (complements Q5's star and
+    // Q18's HAVING-qualified semi join). Both fact filters PUSH to the
+    // scans (l_returnflag = 'R' keeps ~1/4 of lineitem, the quarter
+    // date window prunes orders before any join); nation broadcasts;
+    // the only corpus-scale shuffles are the two fact joins and the
+    // customer-grain aggregation. Revenue sums through exact decimals
+    // (the q_tpch_q5 recipe), the top-20 cut orders by the EXACT
+    // decimal revenue with c_custkey as the total-order tie-break, and
+    // TakeOrderedAndProject replaces a global sort.
+    "q_tpch_q10" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem").filter($"l_returnflag" === "R")
+          .join(t(s, d, "orders")
+              .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+                && $"o_orderdate" < lit("1996-07-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, d, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          .agg(sum($"l_extendedprice".cast(D18_2) *
+            (lit(1.0) - $"l_discount").cast(D18_8)).as("rev_exact"))
+          .orderBy($"rev_exact".desc, $"c_custkey")
+          .limit(20)
+          .select($"c_custkey", $"c_name",
+            $"rev_exact".cast("double").as("revenue"),
+            $"c_acctbal", $"n_name")
+      },
+      Some("""SELECT c_custkey, c_name,
+        |  CAST(rev_exact AS DOUBLE) AS revenue, c_acctbal, n_name
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(1.0 - l_discount AS DECIMAL(18,8))) AS rev_exact
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |  ORDER BY rev_exact DESC, c_custkey LIMIT 20)
+        |ORDER BY rev_exact DESC, c_custkey""".stripMargin),
+      "TPC-H Q10 returned-item reporting (pushed fact filters, " +
+        "customer-grain rollup, exact-decimal top-20)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._

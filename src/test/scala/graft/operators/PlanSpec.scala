@@ -582,6 +582,46 @@ class PlanSpec extends SparkSpec {
     assert(singles == 1, s"$singles single-partition exchanges")
   }
 
+  test("q_tpch_q10: pushed fact filters, broadcast nation, top-20 via " +
+    "TakeOrderedAndProject") {
+    val p = plan("q_tpch_q10")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the returnflag filter must reach the lineitem scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "EqualTo(l_returnflag,R)") ||
+      p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
+  }
+
+  test("q_seq_packing: keyed window (never a global ordered window), " +
+    "one scan") {
+    val p = plan("q_seq_packing")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1, "one documents scan")
+    // the cumulative sum partitions by source — no single-partition sort
+    assert(p.contains("hashpartitioning(source"), p.take(3000))
+  }
+
+  test("q_chunk_overlap: closed-form chunk math — no explode, no window") {
+    val p = plan("q_chunk_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.toLowerCase.contains("generate"),
+      "chunk accounting must not explode chunk rows")
+    assert(!p.contains("Window"), "closed form needs no window")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q_calibration_ece: one scan + broadcast 1-row bounds + " +
+    "10-row integer agg") {
+    val p = plan("q_calibration_ece")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
