@@ -122,7 +122,16 @@ object IvfIndex {
       nprobe: Int): DataFrame = {
     import graft.functions.VectorOps.cosine
     val probe = probeCells(centroids, query, nprobe)
-    spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
+    // exclude compacted-but-not-yet-deleted source partitions (the
+    // compactIndex crash window): search is duplicate-sensitive, so a
+    // vector must never be visible in both its source batch and its
+    // generation. No-op for the flat (non-batch) layout.
+    val base =
+      if (!raw.columns.contains("batch_id")) raw
+      else StoreLayout.excludeCompacted(raw,
+        StoreLayout.compactedIds(spark, path).keySet)
+    base
       .filter(col("cell_id").isin(probe: _*))
       .withColumn("cos", cosine(col("embedding"), typedlit(query)))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -209,13 +218,54 @@ object IvfIndex {
       newVectors: DataFrame,
       batchId: Long,
       centroids: DataFrame,
-      path: String): Unit =
+      path: String): Unit = {
+    require(!StoreLayout.compactedIds(newVectors.sparkSession, path)
+        .contains(batchId),
+      s"batch $batchId was compacted into a generation; replaying it " +
+        "would duplicate its vectors — use a fresh batch id")
     assignCells(newVectors, centroids)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cell_id")
       .option("compression", "snappy").parquet(path)
+  }
+
+  /** Store lifecycle for the streaming-ingest layout: consolidates every
+    * `batch_id` partition with `-1 <= id <= upToBatchId` into ONE
+    * generation partition (negative below -1, outside the replayable id
+    * space) that keeps the `cell_id` sub-partitioning — probe-time
+    * partition pruning is unchanged, but the directory/file count is
+    * bounded by compactions run, not micro-batches ingested (a
+    * minutes-cadence stream otherwise decays into thousands of
+    * `batch_id=N/cell_id=C` dirs). [[DedupStore.compactStore]]'s recipe
+    * with one difference in WHY the log matters: search is
+    * duplicate-SENSITIVE, so the crash window between generation rename
+    * and source deletion is covered by [[searchCellPartitioned]]'s
+    * logged-source exclusion rather than by semantics. Returns None when
+    * fewer than two source partitions qualify. */
+  def compactIndex(
+      spark: SparkSession,
+      path: String,
+      upToBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[DedupStore.CompactionResult] = {
+    val all = StoreLayout.listBatchIds(spark, path)
+    val log = StoreLayout.compactedIds(spark, path)
+    StoreLayout.deleteBatchDirs(spark, path, all.filter(log.contains))
+    val ids = all
+      .filter(id => id >= -1L && id <= upToBatchId && !log.contains(id))
+      .sorted
+    if (ids.size < 2) None
+    else {
+      val genId = -2L - log.values.toSet.size
+      StoreLayout.compactTable(spark, path, "", ids, genId,
+        Seq("cell_id"), Seq("vec_id"), targetFileBytes)
+      StoreLayout.recordCompaction(spark, path, genId, ids)
+      StoreLayout.deleteBatchDirs(spark, path, ids)
+      Some(DedupStore.CompactionResult(genId, ids))
+    }
+  }
 
   /** Continuous vector ingest: every micro-batch of `vectors` (a
     * STREAMING DataFrame of (vec_id, embedding, …)) is assigned to the

@@ -652,6 +652,85 @@ object Relational {
       "TPC-H Q10 returned-item reporting (pushed fact filters, " +
         "customer-grain rollup, exact-decimal top-20)"),
 
+    // TPC-H Q6 forecasting-revenue change: the pure scan-and-filter
+    // aggregate — no join at all, so the whole query is "how much of
+    // the fact table did the scan avoid reading". All three predicates
+    // (date window, discount band, quantity cap) PUSH to the parquet
+    // scan as min/max row-group filters (pinned in PlanSpec), the
+    // revenue product rides exact decimals, and the output is a single
+    // map-side-combined row. At 100 TB this is the query shape that
+    // proves predicate pushdown works: a wrong plan reads every byte.
+    "q_tpch_q6" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+            $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+            $"l_quantity" < 24)
+          .agg(sum($"l_extendedprice".cast(D18_2) *
+            $"l_discount".cast(D18_8)).cast("double").as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin),
+      "TPC-H Q6 forecasting revenue (pure pushed-filter scan, " +
+        "single-row exact-decimal aggregate)"),
+
+    // TPC-H Q14 promotion effect: the conditional-share-of-revenue
+    // shape — a month of lineitem joined to the part dim, with the
+    // promo share computed as a ratio of two exact decimal sums (one
+    // CASE-gated). The part side broadcasts (it is a dim by
+    // construction); the date window prunes the fact before the join;
+    // the ratio's double division happens once, on bit-identical
+    // decimal-sourced doubles. (The synthetic p_type carries exact
+    // category values, so the PROMO% prefix match of spec Q14 becomes
+    // an equality — stated substitution, same shape.)
+    "q_tpch_q14" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(t(s, d, "part")),
+            $"l_partkey" === $"p_partkey")
+          .agg(
+            sum(when($"p_type" === "PROMO",
+              $"l_extendedprice".cast(D18_2) *
+                (lit(1.0) - $"l_discount").cast(D18_8))).as("promo"),
+            sum($"l_extendedprice".cast(D18_2) *
+              (lit(1.0) - $"l_discount").cast(D18_8)).as("total"))
+          .select(
+            expr("CAST(round(CAST(promo AS DOUBLE) / " +
+              "CAST(total AS DOUBLE) * 100.0 * 1000000.0, 0) AS BIGINT)")
+              .as("promo_pct_micro"),
+            $"promo".cast("double").as("promo_revenue"),
+            $"total".cast("double").as("total_revenue"))
+      },
+      Some("""WITH a AS (
+        |  SELECT
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(1.0 - l_discount AS DECIMAL(18,8))
+        |      END) AS promo,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1.0 - l_discount AS DECIMAL(18,8))) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT
+        |  CAST(round(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 100.0 * 1000000.0, 0) AS BIGINT) AS promo_pct_micro,
+        |  CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(total AS DOUBLE) AS total_revenue
+        |FROM a""".stripMargin),
+      "TPC-H Q14 promotion effect (broadcast part dim, CASE-gated " +
+        "exact-decimal revenue share)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions.{col, lit}
   * generation so (a) an interrupted deletion is finished by the next pass,
   * (b) readers exclude logged-but-not-yet-deleted sources, and (c) appends
   * REFUSE a logged batch id — a replay of a compacted batch can no longer
-  * exclude its own rows from the standing side, so it must not run. */
+  * exclude its own rows from the standing side, so it must not run.
+  * (For duplicate-SENSITIVE readers like [[IvfIndex]]'s search, the (b)
+  * exclusion is what carries crash safety.) */
 private[operators] object StoreLayout {
 
   private def fs(spark: SparkSession, p: String) =
@@ -92,7 +94,11 @@ private[operators] object StoreLayout {
       .map(_.stripPrefix("batch_id=").toLong)
   }
 
-  private def logPath(storePath: String) = s"$storePath/compaction_log.txt"
+  // underscore prefix: Spark's partition discovery ignores _-prefixed
+  // entries, so the log may live INSIDE a partitioned table directory
+  // (the IvfIndex layout, where the store root IS the table)
+  private def logPath(storePath: String) =
+    s"$storePath/_compaction_log.txt"
 
   /** Compacted source batch id -> generation id, from the store's
     * compaction log (empty if no compaction ever ran). */
@@ -173,8 +179,11 @@ private[operators] object StoreLayout {
       subPart: Seq[String],
       sortCols: Seq[String],
       targetFileBytes: Long): Unit = {
-    val tableDir = s"$storePath/$tableName"
-    val tmpDir = s"$storePath/_compact_tmp/$tableName"
+    // tableName == "" means the store root IS the table (IvfIndex)
+    val tableDir =
+      if (tableName.isEmpty) storePath else s"$storePath/$tableName"
+    val tmpDir = s"$storePath/_compact_tmp" +
+      (if (tableName.isEmpty) "" else s"/$tableName")
     val f = fs(spark, tableDir)
     val bytes = ids.map { id =>
       val p = new Path(s"$tableDir/batch_id=$id")

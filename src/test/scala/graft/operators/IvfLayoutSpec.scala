@@ -161,4 +161,50 @@ class IvfLayoutSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect()
     assert(hits.contains(910000L), s"streamed vector missing from $hits")
   }
+
+  test("compactIndex consolidates micro-batches without changing search") {
+    val corpus = graft.Tables.load(spark, sf, "embeddings")
+      .localCheckpoint()
+    val cents = IvfIndex.centroidsExact(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact").toString
+    val dir = s"$root/idx"
+    val ids = corpus.select($"vec_id").as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    IvfIndex.appendVectorsIdempotent(
+      corpus.filter($"vec_id" <= c1), -1L, cents, dir)
+    IvfIndex.appendVectorsIdempotent(
+      corpus.filter($"vec_id" > c1 && $"vec_id" <= c2), 0L, cents, dir)
+    IvfIndex.appendVectorsIdempotent(
+      corpus.filter($"vec_id" > c2), 1L, cents, dir)
+
+    val q = corpus.orderBy($"vec_id").limit(1)
+      .select($"embedding").as[Seq[Float]].collect().head.toArray
+    def search() = IvfIndex
+      .searchCellPartitioned(spark, dir, cents, q, k = 10, nprobe = 3)
+      .select($"vec_id").as[Long].collect().toSeq
+    val before = search()
+    def files(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val filesBefore = files()
+
+    val res = IvfIndex.compactIndex(spark, dir, upToBatchId = 1L)
+    assert(res.contains(DedupStore.CompactionResult(-2L, Seq(-1L, 0L, 1L))))
+    val dirs = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("batch_id="))
+    assert(dirs == Seq("batch_id=-2"), dirs.toString)
+    assert(files() < filesBefore, s"${files()} !< $filesBefore")
+    assert(search() == before, "search results must be unchanged")
+    assert(spark.read.parquet(dir).count() == corpus.count())
+
+    // replay fence + nothing further to consolidate
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.appendVectorsIdempotent(corpus.limit(2), 0L, cents, dir)
+    }
+    assert(e.getMessage.contains("compacted"))
+    assert(IvfIndex.compactIndex(spark, dir, 5L).isEmpty)
+  }
 }

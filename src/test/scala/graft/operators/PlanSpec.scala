@@ -622,6 +622,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p.take(1500))
   }
 
+  test("q_tpch_q6: all three predicates pushed to the scan, no join, " +
+    "single-row map-combined agg") {
+    val p = plan("q_tpch_q6")
+    assert(!p.contains("Join"), "Q6 must not join")
+    assert(p.split("FileScan").length - 1 == 1, "one lineitem scan")
+    assert(p.contains("PushedFilters"), p.take(3000))
+    for (f <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.replaceAll("\n", " ")
+        .matches(s".*PushedFilters[^\\]]*$f.*"), s"$f not pushed")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q_tpch_q14: part dim broadcasts; date window pushed") {
+    val p = plan("q_tpch_q14")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*l_shipdate.*"), "date not pushed")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
