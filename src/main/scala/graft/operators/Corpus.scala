@@ -901,6 +901,116 @@ object Corpus {
       "DSIR importance-resampling selection: hashed-bigram importance " +
         "weights vs a target domain, integer-exact top-k"),
 
+    // The DSIR SELECTION REPORT: q_dsir ranks documents; this query
+    // applies the production selection RULE (keep a doc iff its mean
+    // per-bigram importance clears a threshold — the all-integer
+    // `w6 >= thr * n_bigrams` comparison [[DsirSelect]] uses) and
+    // reports per-source yields: how many docs each source would
+    // contribute post-selection and at what mean importance — the knob
+    // table a data lead reads before committing a mixture. Same frozen
+    // 64-bucket model and integer dot products as q_dsir (identical
+    // determinism story); the report adds only a per-source rollup, so
+    // the corpus-scale work is unchanged: one bigram explode + one
+    // (doc,bucket) agg.
+    "q_dsir_select" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val fb = spread(Tables.load(s, d, "documents"))
+          .select($"doc_id", $"source", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", $"source", explode(expr(
+            "transform(sequence(1, size(toks)-1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+            .as("bg"))
+          .withColumn("bucket",
+            pmod(conv(substring(md5($"bg"), 1, 8), 16, 10).cast("long"),
+              lit(64L)))
+        val tgt = fb.filter($"source" === "src0")
+        val raw = fb.filter($"source" =!= "src0")
+        val tc = tgt.groupBy($"bucket").agg(count(lit(1)).as("ct"))
+        val sc = raw.groupBy($"bucket").agg(count(lit(1)).as("cs"))
+        val nt = tgt.agg(count(lit(1)).cast("double").as("n_t"))
+        val ns = raw.agg(count(lit(1)).cast("double").as("n_s"))
+        val lr = s.range(64).toDF("bucket")
+          .join(tc, Seq("bucket"), "left")
+          .join(sc, Seq("bucket"), "left")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+          .select($"bucket",
+            round(log(
+              (coalesce($"ct", lit(0L)).cast("double") + lit(1.0)) /
+                ($"n_t" + lit(64.0)) *
+                (($"n_s" + lit(64.0)) /
+                  (coalesce($"cs", lit(0L)).cast("double") + lit(1.0)))) *
+              lit(1e6), 0).cast("long").as("lr6"))
+        raw.groupBy($"doc_id", $"source", $"bucket")
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(lr), "bucket")
+          .groupBy($"doc_id", $"source")
+          .agg(sum($"n" * $"lr6").as("w6"), sum($"n").as("nb"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"w6" >= lit(100L) * $"nb").cast("long"))
+              .as("n_selected"),
+            sum($"w6").as("sw6"), sum($"nb").as("snb"))
+          .select($"source", $"n_docs", $"n_selected",
+            expr("CAST(round(CAST(sw6 AS DOUBLE) / CAST(snb AS DOUBLE), " +
+              "0) AS BIGINT)").as("mean_w_micro"),
+            expr("CAST(round(CAST(n_selected AS DOUBLE) / " +
+              "CAST(n_docs AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("sel_pct_micro"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH fb AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5(bg), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] AS bg
+        |    FROM (SELECT doc_id, source, ${sqlTokens("text")} AS toks
+        |          FROM documents) t,
+        |      unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |    WHERE len(toks) >= 2)),
+        |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+        |       FROM fb WHERE source = 'src0' GROUP BY 1),
+        |sc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs
+        |       FROM fb WHERE source <> 'src0' GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_t
+        |       FROM fb WHERE source = 'src0'),
+        |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_s
+        |       FROM fb WHERE source <> 'src0'),
+        |lr AS (
+        |  SELECT r.range AS bucket,
+        |    CAST(round(ln(
+        |      (CAST(COALESCE(tc.ct, 0) AS DOUBLE) + 1.0) / (nt.n_t + 64.0)
+        |        * ((ns.n_s + 64.0) /
+        |           (CAST(COALESCE(sc.cs, 0) AS DOUBLE) + 1.0))) * 1e6, 0)
+        |      AS BIGINT) AS lr6
+        |  FROM range(64) r
+        |  LEFT JOIN tc ON tc.bucket = r.range
+        |  LEFT JOIN sc ON sc.bucket = r.range
+        |  CROSS JOIN nt CROSS JOIN ns),
+        |db AS (
+        |  SELECT doc_id, any_value(source) AS source, bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM fb WHERE source <> 'src0' GROUP BY doc_id, bucket),
+        |ds AS (
+        |  SELECT db.doc_id, any_value(db.source) AS source,
+        |    CAST(SUM(db.n * lr.lr6) AS BIGINT) AS w6,
+        |    CAST(SUM(db.n) AS BIGINT) AS nb
+        |  FROM db JOIN lr USING (bucket) GROUP BY db.doc_id)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN w6 >= 100 * nb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(round(CAST(SUM(w6) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE),
+        |    0) AS BIGINT) AS mean_w_micro,
+        |  CAST(round(CAST(SUM(CASE WHEN w6 >= 100 * nb THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0)
+        |    AS BIGINT) AS sel_pct_micro
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin),
+      "DSIR selection-yield report: per-source kept counts and mean " +
+        "importance under the thresholded integer rule"),
+
     // Sequence packing (GPT-style concat-and-chunk): the step between a
     // cleaned corpus and a training run — documents are concatenated in
     // a deterministic order and cut into fixed 2048-token blocks, and
