@@ -100,51 +100,58 @@ private[operators] object StoreLayout {
   private def logPath(storePath: String) =
     s"$storePath/_compaction_log.txt"
 
+  private def readText(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = in.read(buf)
+    while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    bytes.toString("UTF-8")
+  }
+
   /** Compacted source batch id -> generation id, from the store's
-    * compaction log (empty if no compaction ever ran). */
+    * compaction log (empty if no compaction ever ran). Falls back to the
+    * `.next` temp file when the main log is missing — the window of
+    * [[recordCompaction]]'s delete-then-rename step. */
   def compactedIds(spark: SparkSession, storePath: String): Map[Long, Long] = {
     val f = fs(spark, storePath)
     val lp = new Path(logPath(storePath))
-    if (!f.exists(lp)) Map.empty
-    else {
-      val in = f.open(lp)
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      bytes.toString("UTF-8").linesIterator
-        .filter(_.startsWith("gen=")).flatMap { l =>
-          val Array(g, ids) = l.split(" ", 2)
-          val gen = g.stripPrefix("gen=").toLong
-          ids.stripPrefix("ids=").split(",").filter(_.nonEmpty)
-            .map(_.toLong -> gen)
-        }.toMap
-    }
+    val tp = new Path(logPath(storePath) + ".next")
+    val text =
+      if (f.exists(lp)) readText(f, lp)
+      else if (f.exists(tp)) readText(f, tp)
+      else ""
+    text.linesIterator
+      .filter(_.startsWith("gen=")).flatMap { l =>
+        val Array(g, ids) = l.split(" ", 2)
+        val gen = g.stripPrefix("gen=").toLong
+        ids.stripPrefix("ids=").split(",").filter(_.nonEmpty)
+          .map(_.toLong -> gen)
+      }.toMap
   }
 
-  /** Appends one `gen=<G> ids=a,b,c` line to the compaction log (read +
-    * full rewrite — portable where FS append is not). */
+  /** Appends one `gen=<G> ids=a,b,c` line to the compaction log. The
+    * rewrite goes through a `.next` temp file + rename (never a
+    * truncate-in-place of the only copy): a torn in-place rewrite could
+    * LOSE history, silently re-opening compacted batch ids for appends
+    * that would duplicate their rows against the generation. At every
+    * crash point at least one complete copy exists; [[compactedIds]]
+    * reads `.next` when the main file is mid-swap. */
   def recordCompaction(
       spark: SparkSession, storePath: String,
       genId: Long, ids: Seq[Long]): Unit = {
     val f = fs(spark, storePath)
     val lp = new Path(logPath(storePath))
-    val prior =
-      if (!f.exists(lp)) ""
-      else {
-        val in = f.open(lp)
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        in.close()
-        bytes.toString("UTF-8")
-      }
-    val os = f.create(lp, true)
+    val tp = new Path(logPath(storePath) + ".next")
+    val prior = if (f.exists(lp)) readText(f, lp) else ""
+    val os = f.create(tp, true)
     os.write((prior + s"gen=$genId ids=${ids.mkString(",")}\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     os.close()
+    if (f.exists(lp)) f.delete(lp, false)
+    require(f.rename(tp, lp), s"rename $tp -> $lp failed")
   }
 
   /** Deletes the listed `batch_id=N` partition directories of a table. */

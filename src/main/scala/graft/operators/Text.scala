@@ -444,9 +444,12 @@ object Text {
             round(log($"n".cast("double")), 9)
               .cast("decimal(12,9)").as("y"))
         // sums stay decimal-EXACT; each sum converts to double once and
-        // the slope is pure IEEE double arithmetic — identical on both
-        // engines (a decimal division would hit the engines' different
-        // result-scale clamping rules instead)
+        // the slope is pure IEEE double arithmetic. The OUTPUT is
+        // integer micro-units: the 9-dp ln freeze can still flip one
+        // row's rounding when Spark's and DuckDB's libm ln differ by
+        // 1 ulp right at a 0.5e-9 boundary (observed once at sf0.1's
+        // vocabulary — a digit-12 slope divergence), and micro-rounding
+        // sits 12 orders of magnitude away from that noise.
         ranked.agg(
           count(lit(1)).as("k"),
           sum($"x").cast("double").as("sx"),
@@ -454,8 +457,9 @@ object Text {
           sum($"x" * $"x").cast("double").as("sxx"),
           sum($"x" * $"y").cast("double").as("sxy"))
           .select($"k",
-            (($"k" * $"sxy" - $"sx" * $"sy") /
-              ($"k" * $"sxx" - $"sx" * $"sx")).as("zipf_slope"))
+            expr("CAST(round((k * sxy - sx * sy) / " +
+              "(k * sxx - sx * sx) * 1000000.0, 0) AS BIGINT)")
+              .as("slope_micro"))
       },
       Some(s"""WITH wc AS (
         |  SELECT tok, COUNT(*) AS n
@@ -471,7 +475,8 @@ object Text {
         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
         |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(x*y) AS DOUBLE) AS sxy
         |  FROM r)
-        |SELECT k, (k * sxy - sx * sy) / (k * sxx - sx * sx) AS zipf_slope
+        |SELECT k, CAST(round((k * sxy - sx * sy) / (k * sxx - sx * sx)
+        |  * 1000000.0, 0) AS BIGINT) AS slope_micro
         |FROM s""".stripMargin),
       "Zipf law slope over the frequency-rank distribution (extension X4)"),
 
