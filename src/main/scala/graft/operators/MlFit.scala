@@ -806,6 +806,74 @@ object MlFit {
         |FROM g ORDER BY bin""".stripMargin),
       "reliability diagram: 10-bin confidence vs outcome rate with " +
         "per-bin ECE gaps, all-integer micro-unit bins"),
+
+    // pass@k — the unbiased combinatorial estimator every code/eval
+    // pipeline computes (1 - C(n-c,k)/C(n,k) per task, averaged over
+    // tasks): tasks are users, attempts are their events, success is a
+    // deterministic md5 predicate (exact 52-bit-uniform recipe). The
+    // ratio of binomials is evaluated as a FIXED LEFT-TO-RIGHT fold of
+    // k factor ratios (Spark `aggregate` with 1.0 seed ≡ DuckDB
+    // `list_reduce` with 1.0 prepended — the repo's fold recipe), each
+    // factor parenthesized as one division so both engines run the
+    // identical IEEE sequence; n-c < k short-circuits to 1 (cannot draw
+    // k failures). Per-task values freeze to micro-units BEFORE the
+    // cross-task mean, so the final average is an integer sum. Scale
+    // shape: one scan, one task-keyed agg (the corpus-scale shuffle),
+    // then a k-exploded bounded table; nothing downstream is
+    // attempt-scale.
+    "q_pass_at_k" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .select($"user_id".as("task"),
+            (pmod(conv(substring(md5($"event_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(5L)) === 0L)
+              .cast("long").as("ok"))
+          .groupBy($"task")
+          .agg(count(lit(1)).as("n"), sum($"ok").as("c"))
+          .filter($"n" >= 10)
+          .select($"task", $"n", $"c",
+            explode(array(lit(1), lit(5), lit(10))).as("k"))
+          .withColumn("p6", expr(
+            "CAST(round((CASE WHEN n - c < k THEN CAST(1.0 AS DOUBLE) " +
+              "ELSE CAST(1.0 AS DOUBLE) - aggregate(sequence(0, k - 1), " +
+              "CAST(1.0 AS DOUBLE), (acc, i) -> acc * " +
+              "(CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))) " +
+              "END) * 1000000.0, 0) AS BIGINT)"))
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n_tasks"),
+            expr("CAST(round(CAST(SUM(p6) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)")
+              .as("mean_pass_micro"))
+          .orderBy($"k")
+      },
+      Some("""WITH a AS (
+        |  SELECT user_id AS task,
+        |    CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS ok
+        |  FROM events),
+        |t AS (
+        |  SELECT task, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ok) AS BIGINT) AS c
+        |  FROM a GROUP BY task),
+        |t2 AS (SELECT * FROM t WHERE n >= 10),
+        |kk AS (SELECT unnest([1, 5, 10]) AS k),
+        |sc AS (
+        |  SELECT k, CAST(round((CASE WHEN n - c < k THEN 1.0
+        |    ELSE 1.0 - list_reduce(
+        |      list_prepend(CAST(1.0 AS DOUBLE),
+        |        list_transform(generate_series(0, k - 1),
+        |          i -> (CAST(n - c - i AS DOUBLE) /
+        |            CAST(n - i AS DOUBLE)))),
+        |      (acc, x) -> acc * x)
+        |    END) * 1000000.0, 0) AS BIGINT) AS p6
+        |  FROM t2 CROSS JOIN kk)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |  CAST(round(CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    0) AS BIGINT) AS mean_pass_micro
+        |FROM sc GROUP BY k ORDER BY k""".stripMargin),
+      "pass@k: unbiased 1 - C(n-c,k)/C(n,k) estimator per task, " +
+        "fixed-fold exact, micro-frozen before the cross-task mean"),
   )
 
 }

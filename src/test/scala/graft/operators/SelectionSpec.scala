@@ -128,4 +128,42 @@ class SelectionSpec extends SparkSpec {
       .toSeq
     assert(got === want)
   }
+
+  test("q_pass_at_k matches an exact-BigInt combinatorial " +
+      "reimplementation") {
+    import spark.implicits._
+    // success predicate + grouping recomputed from raw events; pass@k
+    // from EXACT BigInt binomials (not the query's double fold), so the
+    // fold's arithmetic is checked against the true estimator
+    val ev = graft.Tables.load(spark, d, "events")
+      .select($"event_id", $"user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byTask = ev.groupBy(_._2).map { case (task, rows) =>
+      val n = rows.length
+      val c = rows.count { case (eid, _) =>
+        java.lang.Long.parseLong(md5hex(eid.toString).take(8), 16) % 5 == 0
+      }
+      (task, n, c)
+    }.filter(_._2 >= 10).toSeq
+    def choose(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0 until k).foldLeft(BigInt(1))((a, i) => a * (n - i) / (i + 1))
+    def passAtK(n: Int, c: Int, k: Int): Double =
+      if (n - c < k) 1.0
+      else 1.0 - (BigDecimal(choose(n - c, k)) /
+        BigDecimal(choose(n, k))).toDouble
+    val got = SparkEntry.queries("q_pass_at_k")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1, 5, 10))
+    got.foreach { case (k, nTasks, meanMicro) =>
+      assert(nTasks == byTask.size.toLong)
+      val want = byTask.map { case (_, n, c) =>
+        math.round(passAtK(n, c, k) * 1e6).toDouble
+      }.sum / byTask.size
+      // the query's per-factor double fold vs the exact rational: each
+      // task can differ by <1 micro-unit of rounding; the mean by less
+      assert(math.abs(meanMicro - want) <= 2.0,
+        s"k=$k got=$meanMicro want=$want")
+    }
+  }
 }
