@@ -874,6 +874,97 @@ object MlFit {
         |FROM sc GROUP BY k ORDER BY k""".stripMargin),
       "pass@k: unbiased 1 - C(n-c,k)/C(n,k) estimator per task, " +
         "fixed-fold exact, micro-frozen before the cross-task mean"),
+
+    // Bradley-Terry preference strengths — the model behind pairwise
+    // preference data (RLHF comparisons, arena rankings): items are
+    // part brands, a "match" is two different-brand lines in the same
+    // order with STRICTLY ordered line numbers (the synthetic table
+    // reuses line numbers; same-number lines are parallel entries and
+    // do not pair), and the higher-priced line wins. Two minorization-
+    // maximization rounds of s_i = W_i / sum_j n_ij/(s_i+s_j), with the
+    // pagerank2 freeze discipline: round 1 collapses to the CLOSED FORM
+    // 2*W_i/N_i (all strengths start at 1), is frozen to micro-units,
+    // and round 2's per-term division n*1e6/(s1m_i+s1m_j) runs over
+    // INTEGER micro sums — both engines compute identical terms, and
+    // the one order-sensitive double sum per item sits 10 orders of
+    // magnitude from the final micro rounding. Scale shape: the only
+    // corpus-scale work is the orderkey self-join (pairs bounded by
+    // per-order line count) and one (i,j) partial agg; everything
+    // after lives on the <=K^2 brand-pair table.
+    "q_bradley_terry" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val lines = Tables.load(s, d, "lineitem")
+          .join(broadcast(Tables.load(s, d, "part")),
+            $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+            $"l_extendedprice".as("price"), $"p_brand".as("brand"))
+        val a = lines.select($"ok", $"ln".as("ln_a"),
+          $"price".as("pa"), $"brand".as("ba"))
+        val b = lines.select($"ok", $"ln".as("ln_b"),
+          $"price".as("pb"), $"brand".as("bb"))
+        val pairs = a.join(b, Seq("ok"))
+          .filter($"ln_a" < $"ln_b" && $"ba" =!= $"bb" && $"pa" =!= $"pb")
+        val directed = pairs.select($"ba".as("i"), $"bb".as("j"),
+            ($"pa" > $"pb").cast("long").as("w"))
+          .unionByName(pairs.select($"bb".as("i"), $"ba".as("j"),
+            ($"pb" > $"pa").cast("long").as("w")))
+        val ij = directed.groupBy($"i", $"j")
+          .agg(count(lit(1)).as("n"), sum($"w").as("wi"))
+        val tot = ij.groupBy($"i")
+          .agg(sum($"n").as("n_total"), sum($"wi").as("w_total"))
+          .withColumn("s1m", expr(
+            "CAST(round(2.0 * CAST(w_total AS DOUBLE) / " +
+              "CAST(n_total AS DOUBLE) * 1000000.0, 0) AS BIGINT)"))
+        val s1i = tot.select($"i", $"s1m")
+        val s1j = tot.select($"i".as("j"), $"s1m".as("s1m_j"))
+        val den = ij.join(s1i, "i").join(s1j, "j")
+          .groupBy($"i")
+          .agg(sum(expr("CAST(n AS DOUBLE) * 1000000.0 / " +
+            "CAST(s1m + s1m_j AS DOUBLE)")).as("den"))
+        tot.join(den, "i")
+          .select($"i".as("brand"), $"n_total".as("n_matches"),
+            $"w_total".as("wins"),
+            expr("CAST(round(CAST(w_total AS DOUBLE) / den * 1000000.0, " +
+              "0) AS BIGINT)").as("s2_micro"))
+          .orderBy($"s2_micro".desc, $"brand")
+      },
+      Some("""WITH lines AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    l_extendedprice AS price, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (
+        |  SELECT a.brand AS ba, b.brand AS bb, a.price AS pa, b.price AS pb
+        |  FROM lines a JOIN lines b ON a.ok = b.ok AND a.ln < b.ln
+        |  WHERE a.brand <> b.brand AND a.price <> b.price),
+        |directed AS (
+        |  SELECT ba AS i, bb AS j,
+        |    CASE WHEN pa > pb THEN 1 ELSE 0 END AS w FROM pairs
+        |  UNION ALL
+        |  SELECT bb, ba, CASE WHEN pb > pa THEN 1 ELSE 0 END FROM pairs),
+        |ij AS (
+        |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w) AS BIGINT) AS wi
+        |  FROM directed GROUP BY i, j),
+        |tot AS (
+        |  SELECT i, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(wi) AS BIGINT) AS w_total,
+        |    CAST(round(2.0 * CAST(SUM(wi) AS DOUBLE) /
+        |      CAST(SUM(n) AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS s1m
+        |  FROM ij GROUP BY i),
+        |den AS (
+        |  SELECT ij.i,
+        |    SUM(CAST(ij.n AS DOUBLE) * 1000000.0 /
+        |      CAST(ti.s1m + tj.s1m AS DOUBLE)) AS den
+        |  FROM ij JOIN tot ti ON ti.i = ij.i JOIN tot tj ON tj.i = ij.j
+        |  GROUP BY ij.i)
+        |SELECT tot.i AS brand, n_total AS n_matches, w_total AS wins,
+        |  CAST(round(CAST(w_total AS DOUBLE) / den.den * 1000000.0, 0)
+        |    AS BIGINT) AS s2_micro
+        |FROM tot JOIN den ON den.i = tot.i
+        |ORDER BY s2_micro DESC, brand""".stripMargin),
+      "Bradley-Terry pairwise preference strengths: two MM rounds with " +
+        "micro-unit freeze between rounds (closed-form round 1)"),
   )
 
 }

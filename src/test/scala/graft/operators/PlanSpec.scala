@@ -643,6 +643,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p.take(1500))
   }
 
+  test("q_pass_at_k: one events scan, task-keyed agg, bounded k-explode") {
+    val p = plan("q_pass_at_k")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1, "one events scan")
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q_bradley_terry: broadcast part dim, no cartesian; pair join " +
+    "keyed on orderkey") {
+    val p = plan("q_bradley_terry")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("hashpartitioning(ok"), p.take(3000))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

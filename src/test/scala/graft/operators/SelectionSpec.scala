@@ -166,4 +166,50 @@ class SelectionSpec extends SparkSpec {
         s"k=$k got=$meanMicro want=$want")
     }
   }
+
+  test("q_bradley_terry matches a scalar two-round MM reimplementation") {
+    import spark.implicits._
+    val li = graft.Tables.load(spark, d, "lineitem")
+      .join(org.apache.spark.sql.functions.broadcast(
+        graft.Tables.load(spark, d, "part")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        $"p_brand")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3)))
+    // pair rule mirrors the query: STRICT line-number inequality (the
+    // synthetic table reuses line numbers within an order; same-number
+    // lines are parallel entries and do not pair with each other)
+    val pairs = li.toSeq.groupBy(_._1).values.toSeq.flatMap { g =>
+      for {
+        a <- g; b <- g if a._2 < b._2
+        if a._4 != b._4 && a._3 != b._3
+      } yield (a._4, b._4, a._3 > b._3)
+    }
+    val dirAll = pairs.flatMap { case (i, j, aw) =>
+      Seq((i, j, if (aw) 1L else 0L), (j, i, if (aw) 0L else 1L))
+    }
+    val ij = dirAll.groupBy(p => (p._1, p._2)).map { case ((i, j), g) =>
+      (i, j, g.size.toLong, g.map(_._3).sum)
+    }.toSeq
+    val tot = ij.groupBy(_._1).map { case (i, g) =>
+      i -> (g.map(_._3).sum, g.map(_._4).sum)
+    }
+    val s1m = tot.map { case (i, (n, w)) =>
+      i -> math.round(2.0 * w / n * 1e6)
+    }
+    val s2 = tot.map { case (i, (_, w)) =>
+      val den = ij.filter(_._1 == i)
+        .map(e => e._3.toDouble * 1e6 / (s1m(i) + s1m(e._2)).toDouble).sum
+      i -> math.round(w.toDouble / den * 1e6)
+    }
+    val got = SparkEntry.queries("q_bradley_terry")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == s2.size)
+    got.foreach { case (brand, n, w, s2m) =>
+      assert((n, w) == (tot(brand)._1, tot(brand)._2), brand)
+      // the engine's den-sum order may differ from this fold's: +-1 micro
+      assert(math.abs(s2m - s2(brand)) <= 1L, s"$brand $s2m ${s2(brand)}")
+    }
+  }
 }
