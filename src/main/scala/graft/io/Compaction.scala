@@ -33,8 +33,13 @@ object Compaction {
       inputPath: String,
       outputPath: String,
       sortCols: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val df = spark.read.parquet(inputPath)
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      mergeSchema: Boolean = false): Int = {
+    // mergeSchema: a table grown by schema-evolution appends must be
+    // read as the UNION schema or the rewrite silently drops evolved
+    // columns (a plain parquet read takes one file's schema)
+    val df = spark.read
+      .option("mergeSchema", mergeSchema.toString).parquet(inputPath)
     val bytes = sizeOf(df, inputPath)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     df.repartitionByRange(nFiles, sortCols.map(col): _*)

@@ -436,4 +436,44 @@ object XmlPipeline {
       contractVerdicts)
   }
   // scalastyle:on method.length
+
+  /** Maintenance pass for the incrementally-appended fact table: every
+    * [[processIncremental]] run appends task-count files to
+    * `fact_main.parquet` forever (the reference's append-mode manifest
+    * has the same unbounded-growth shape), so at daily cadence the fact
+    * scan decays into a small-file problem. This rewrites the table to
+    * ~`targetFileBytes` files range-clustered on `sortCols` (default:
+    * batch then record id — run pruning plus id lookups both get
+    * row-group min/max selectivity) via [[graft.io.Compaction.compact]]
+    * with a mergeSchema read, so columns added by schema-evolution
+    * appends survive the rewrite null-filled on old rows — and plain
+    * reads see the full union schema afterwards without mergeSchema.
+    *
+    * Swap discipline (run in a maintenance window, not under concurrent
+    * readers/writers): the rewrite lands in `_fact_compact_tmp`, the
+    * live table renames to `_fact_main_old`, the rewrite renames into
+    * place, then the old copy is deleted. A crash leaves at least one
+    * complete copy: if `fact_main.parquet` is missing, rename
+    * `_fact_main_old` back; if both exist, delete `_fact_main_old`.
+    * Returns the output file count. */
+  def compactFacts(
+      spark: SparkSession,
+      outputDir: String,
+      sortCols: Seq[String] = Seq("batch_id", "record_id"),
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val factPath = s"$outputDir/fact_main.parquet"
+    val tmpPath = s"$outputDir/_fact_compact_tmp"
+    val oldPath = s"$outputDir/_fact_main_old"
+    val n = graft.io.Compaction.compact(spark, factPath, tmpPath, sortCols,
+      targetFileBytes, mergeSchema = true)
+    val fs = new Path(factPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(oldPath))) fs.delete(new Path(oldPath), true)
+    require(fs.rename(new Path(factPath), new Path(oldPath)),
+      s"rename $factPath -> $oldPath failed")
+    require(fs.rename(new Path(tmpPath), new Path(factPath)),
+      s"rename $tmpPath -> $factPath failed")
+    fs.delete(new Path(oldPath), true)
+    n
+  }
 }

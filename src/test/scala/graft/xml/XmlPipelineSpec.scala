@@ -270,6 +270,60 @@ class XmlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/fact_main.parquet").count() == 50)
   }
 
+  test("compactFacts: fewer files, identical content incl. evolved " +
+      "columns, appends keep working") {
+    val in = Files.createTempDirectory("graft_cf_in")
+    val out = Files.createTempDirectory("graft_cf_out")
+    val schemas = Files.createTempDirectory("graft_cf_sch")
+    Files.writeString(in.resolve("a.xml"),
+      catalogXml(1 to 30, Seq("active", "retired")))
+    XmlPipeline.process(spark, in.toString, out.toString,
+      schemas.toString, runId = 1L, loadTs = ts)
+    // evolving append: run 2 carries a column run 1 never had
+    val recs = (31 to 40).map { i =>
+      s"""  <record id="$i" status="active"><title>T$i</title><price>${i * 1.5}</price><weight>${i * 0.25}</weight></record>"""
+    }
+    Files.writeString(in.resolve("b.xml"),
+      s"""<?xml version="1.0"?>\n<catalog>\n${recs.mkString("\n")}\n</catalog>\n""")
+    XmlPipeline.processIncremental(spark, in.toString, out.toString,
+      schemas.toString, runId = 2L, loadTs = ts)
+
+    val factPath = s"$out/fact_main.parquet"
+    def files(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(factPath))
+      // isRegularFile: the table DIRECTORY itself ends in ".parquet"
+      try s.filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p)).count()
+      finally s.close()
+    }
+    def content(mergeSchema: Boolean) = spark.read
+      .option("mergeSchema", mergeSchema.toString).parquet(factPath)
+      .select(col("record_id"), col("batch_id"), col("price"),
+        col("weight"))
+      .collect()
+      .map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).sortBy(_._1.toString)
+    val before = content(mergeSchema = true)
+    val filesBefore = files()
+
+    val n = XmlPipeline.compactFacts(spark, out.toString)
+    assert(files() < filesBefore, s"${files()} !< $filesBefore")
+    assert(files() == n.toLong)
+    // identical rows, and the union schema now surfaces WITHOUT
+    // mergeSchema (the rewrite null-filled evolved columns everywhere)
+    assert(content(mergeSchema = false).toSeq == before.toSeq)
+    assert(!new java.io.File(s"$out/_fact_main_old").exists())
+    assert(!new java.io.File(s"$out/_fact_compact_tmp").exists())
+
+    // a post-compaction incremental run still appends cleanly
+    Files.writeString(in.resolve("c.xml"),
+      catalogXml(41 to 45, Seq("active")))
+    val r3 = XmlPipeline.processIncremental(spark, in.toString,
+      out.toString, schemas.toString, runId = 3L, loadTs = ts)
+    assert(r3.rows == 5)
+    assert(spark.read.option("mergeSchema", "true").parquet(factPath)
+      .count() == 45)
+  }
+
   test("incremental schema evolution: new column appends, old rows null") {
     val in = Files.createTempDirectory("graft_evo_in")
     val out = Files.createTempDirectory("graft_evo_out")
