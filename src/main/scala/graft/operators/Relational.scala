@@ -731,6 +731,341 @@ object Relational {
       "TPC-H Q14 promotion effect (broadcast part dim, CASE-gated " +
         "exact-decimal revenue share)"),
 
+    // TPC-H Q4 order-priority checking, adapted to the synthetic schema:
+    // lineitem carries no l_commitdate/l_receiptdate, so the spec's
+    // "receipt after commit" EXISTS becomes "shipped >30 days after the
+    // order date" — same correlated-EXISTS-with-inequality shape, stated
+    // substitution. The plan computes EXISTS as broadcast-inner + distinct
+    // instead of a semi join: Spark can only broadcast the RIGHT side of
+    // a left-semi, which here would be the fact table — so instead the
+    // quarter's orders (window-bounded: 1/27 of the orders table)
+    // broadcast INTO one lineitem scan, and the distinct runs on
+    // qualifying (orderkey, priority) pairs, bounded by the quarter, not
+    // the fact. lineitem itself never shuffles. Past the scale where a
+    // quarter of orders fits in broadcast memory, drop the hint and let
+    // AQE pick a shuffle semi join — the plan is otherwise unchanged.
+    "q_tpch_q4" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val oq = t(s, d, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        t(s, d, "lineitem").select($"l_orderkey", $"l_shipdate")
+          .join(broadcast(oq), $"l_orderkey" === $"o_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+          .select($"o_orderkey", $"o_orderpriority").distinct()
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "TPC-H Q4 order-priority checking (correlated EXISTS as " +
+        "broadcast-inner + bounded distinct; late-ship substitution)"),
+
+    // TPC-H Q7 volume shipping between two nations: the symmetric
+    // nation-pair filter. The win at scale is pushing the pair predicate
+    // INTO the dimension sides before any fact join: supplier and
+    // customer are each pre-filtered to the two nations (2/25 of rows),
+    // so the lineitem⋈supplier broadcast join prunes the fact to ~8%
+    // before the orders shuffle, and the customer join moves the
+    // already-pruned stream. Only the cross-pair filter (FR→DE or DE→FR,
+    // rejecting same-nation pairs) remains post-join. Revenue rides
+    // exact decimals; year() is integer in both engines.
+    "q_tpch_q7" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = t(s, d, "nation").filter($"n_name".isin(pair: _*))
+          .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))
+        val n2 = t(s, d, "nation").filter($"n_name".isin(pair: _*))
+          .select($"n_nationkey".as("cnk"), $"n_name".as("cust_nation"))
+        val sup = t(s, d, "supplier").join(broadcast(n1),
+          $"s_nationkey" === $"snk").select($"s_suppkey", $"supp_nation")
+        val cus = t(s, d, "customer").join(broadcast(n2),
+          $"c_nationkey" === $"cnk").select($"c_custkey", $"cust_nation")
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(cus, $"o_custkey" === $"c_custkey")
+          .filter(($"supp_nation" === "NATION_1" &&
+            $"cust_nation" === "NATION_2") ||
+            ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").as("l_year"))
+          .agg(sum($"l_extendedprice".cast(D18_2) *
+            (lit(1.0) - $"l_discount").cast(D18_8))
+            .cast("double").as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin),
+      "TPC-H Q7 volume shipping (nation-pair predicate pushed into both " +
+        "dim sides before the fact joins)"),
+
+    // TPC-H Q8 national market share: share of one supplier nation in a
+    // customer region's order volume for one part type, by year. Part is
+    // filtered (1/6 of the dim) and broadcast, so the fact prunes on
+    // partkey before any shuffle; the customer side pre-joins
+    // nation⋈region (both broadcast) and filters to the region before
+    // the fact join. The share is a ratio of two same-group sums, so it
+    // divides once per year on exact-decimal-sourced doubles; the ratio
+    // is emitted in integer micro-units (the cross-engine recipe) with
+    // the raw numerator/denominator alongside as doubles.
+    "q_tpch_q8" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pf = broadcast(t(s, d, "part")
+          .filter($"p_type" === "ECONOMY").select($"p_partkey"))
+        val sup = broadcast(t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("supp_nation")))
+        val cus = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+            .join(broadcast(t(s, d, "region")),
+              $"n_regionkey" === $"r_regionkey")
+            .filter($"r_name" === "ASIA").select($"n_nationkey")),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey")
+        val vol = ($"l_extendedprice".cast(D18_2) *
+          (lit(1.0) - $"l_discount").cast(D18_8))
+        t(s, d, "lineitem")
+          .join(pf, $"l_partkey" === $"p_partkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
+          .join(t(s, d, "orders")
+            .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(cus, $"o_custkey" === $"c_custkey")
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg(
+            sum(when($"supp_nation" === "NATION_3", vol)).as("nat"),
+            sum(vol).as("tot"))
+          .select($"o_year",
+            expr("CAST(round(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("mkt_share_micro"),
+            $"nat".cast("double").as("nation_volume"),
+            $"tot".cast("double").as("total_volume"))
+          .orderBy($"o_year")
+      },
+      Some("""WITH v AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(1.0 - l_discount AS DECIMAL(18,8)) END) AS nat,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1.0 - l_discount AS DECIMAL(18,8))) AS tot
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT o_year,
+        |  CAST(round(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) AS mkt_share_micro,
+        |  CAST(nat AS DOUBLE) AS nation_volume,
+        |  CAST(tot AS DOUBLE) AS total_volume
+        |FROM v ORDER BY o_year""".stripMargin),
+      "TPC-H Q8 national market share (filtered-dim broadcasts, " +
+        "CASE-gated share in micro-units)"),
+
+    // TPC-H Q13 customer order-count distribution: the two-level
+    // aggregation — a corpus-scale count per customer (left join keeps
+    // zero-order customers), then a tiny histogram over the counts. The
+    // spec's o_comment NOT LIKE filter has no column here; the stated
+    // substitution is o_orderpriority <> '1-URGENT' (same selectivity
+    // class, same join-condition placement: the filter must ride the
+    // JOIN CONDITION, not a WHERE, or zero-order customers vanish).
+    // Sort (custdist DESC, c_count DESC) is a total order because
+    // c_count is unique per histogram row.
+    "q_tpch_q13" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+          .filter($"o_orderpriority" =!= "1-URGENT")
+          .select($"o_custkey", $"o_orderkey")
+        t(s, d, "customer").select($"c_custkey")
+          .join(o, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      "TPC-H Q13 order-count distribution (filter on the join condition, " +
+        "two-level aggregation)"),
+
+    // TPC-H Q17 small-quantity-order revenue: the correlated
+    // avg-per-group threshold. Both lineitem passes are pre-pruned by
+    // the broadcast brand+type part slice (~1/150 of parts), so the
+    // per-part average aggregates the pruned subset only — never the
+    // whole fact. The threshold compare (l_quantity < 0.2 * avg) is
+    // deterministic cross-engine because the average is exact-decimal
+    // sum / count surfaced as double and 0.2*x is one IEEE multiply;
+    // the oracle mirrors that formula rather than DuckDB's avg().
+    "q_tpch_q17" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pf = broadcast(t(s, d, "part")
+          .filter($"p_brand" === "Brand#12" && $"p_type" === "SMALL")
+          .select($"p_partkey"))
+        val li = t(s, d, "lineitem")
+          .join(pf, $"l_partkey" === $"p_partkey")
+          .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        val avgq = li.groupBy($"l_partkey".as("pk"))
+          .agg((dsum2($"l_quantity") / count(lit(1))).as("avg_qty"))
+        li.join(broadcast(avgq), $"l_partkey" === $"pk")
+          .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+          .agg((dsum2($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+      },
+      Some("""WITH pf AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#12' AND p_type = 'SMALL'),
+        |li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN pf ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS avg_qty
+        |  FROM li GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_small
+        |FROM li JOIN a ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin),
+      "TPC-H Q17 small-quantity revenue (correlated per-part average " +
+        "over the broadcast-pruned subset)"),
+
+    // TPC-H Q19 discounted revenue: the disjunctive multi-attribute
+    // predicate — three (brand, size band, quantity band) conjuncts
+    // OR-ed together, with attributes split across the fact and the
+    // dim. The OR blocks per-conjunct scan pushdown (no single range
+    // survives the union), so the plan's job is to keep the predicate
+    // INSIDE the whole-stage-codegen span after the broadcast part
+    // join — no shuffle happens at all: scan → broadcast hash join →
+    // filter → partial agg → 1-row exchange.
+    "q_tpch_q19" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")),
+            $"l_partkey" === $"p_partkey")
+          .filter(
+            ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+              $"l_quantity".between(1, 11)) ||
+            ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+              $"l_quantity".between(10, 20)) ||
+            ($"p_brand" === "Brand#4" && $"p_size".between(1, 15) &&
+              $"l_quantity".between(20, 30)))
+          .agg(sum($"l_extendedprice".cast(D18_2) *
+            (lit(1.0) - $"l_discount").cast(D18_8))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+      "TPC-H Q19 discounted revenue (disjunctive predicate inside the " +
+        "codegen span after a broadcast join; zero shuffles)"),
+
+    // TPC-H Q22 global-sales opportunity: a scalar-subquery threshold
+    // (global positive-balance average) + an anti join against recent
+    // orders. The 1-row average rides a broadcast nested-loop join
+    // (the q_textrank 1-row crossJoin pattern — constant-bounded, not
+    // a real cartesian); the anti join's right side is date-pruned
+    // before the shuffle. The spec's phone-prefix country code has no
+    // column here; stated substitution: c_nationkey IN (0..6). Account
+    // balances aggregate through exact decimals.
+    "q_tpch_q22" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val avgbal = t(s, d, "customer").filter($"c_acctbal" > 0)
+          .agg((dsum2($"c_acctbal") / count(lit(1))).as("ab"))
+        t(s, d, "customer")
+          .filter($"c_nationkey".isin(0, 1, 2, 3, 4, 5, 6))
+          .crossJoin(broadcast(avgbal))
+          .filter($"c_acctbal" > $"ab")
+          .join(t(s, d, "orders")
+            .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+            .select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            dsum2($"c_acctbal").as("totacctbal"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer, ab
+        |WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+        |  AND c_acctbal > ab
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin),
+      "TPC-H Q22 sales opportunity (scalar-subquery threshold + " +
+        "date-pruned anti join)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._

@@ -658,6 +658,79 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(ok"), p.take(3000))
   }
 
+  test("q_tpch_q4: quarter orders broadcast into one lineitem scan; " +
+    "EXISTS never shuffles the fact") {
+    val p = plan("q_tpch_q4")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 2, "one scan per table")
+    // lineitem must not be exchanged BEFORE the join: the only hash
+    // exchanges are the post-join distinct + priority agg (both bounded
+    // by the quarter's orders)
+    assert(!p.contains("hashpartitioning(l_orderkey"),
+      "fact shuffled before the broadcast join")
+  }
+
+  test("q_tpch_q7: nation-pair filter pushed into both dim sides; " +
+    "supplier slice broadcasts") {
+    val p = plan("q_tpch_q7")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    // the nation IN-pair predicate must reach the supplier/customer scans
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*n_name.*"), "pair filter not pushed")
+  }
+
+  test("q_tpch_q8: filtered part dim broadcasts; date window pushed to " +
+    "the orders scan") {
+    val p = plan("q_tpch_q8")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*o_orderdate.*"), "date not pushed")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q_tpch_q13: priority filter rides the join condition; " +
+    "two-level aggregation") {
+    val p = plan("q_tpch_q13")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // zero-order customers must survive: outer join, not inner
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q_tpch_q17: both lineitem passes pruned by the broadcast part " +
+    "slice; per-part avg joins back via broadcast") {
+    val p = plan("q_tpch_q17")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "every join here is broadcast-size by construction")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q_tpch_q19: disjunctive predicate stays inside the codegen " +
+    "span — zero hash exchanges") {
+    val p = plan("q_tpch_q19")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "Q19 must not shuffle: scan -> broadcast join -> filter -> agg")
+    val singles = p.split("\n").count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"$singles single-partition exchanges (want 1)")
+  }
+
+  test("q_tpch_q22: 1-row threshold via broadcast nested loop; " +
+    "date-pruned anti join") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*o_orderdate.*"),
+      "anti-join side not date-pruned at the scan")
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
