@@ -965,6 +965,247 @@ object MlFit {
         |ORDER BY s2_micro DESC, brand""".stripMargin),
       "Bradley-Terry pairwise preference strengths: two MM rounds with " +
         "micro-unit freeze between rounds (closed-form round 1)"),
+
+    // Cohen's kappa between two REAL quality raters — the agreement
+    // check a labeling pipeline runs before trusting auto-labels: rater
+    // A is the char-length gate, rater B the token-count gate (both
+    // from the quality-heuristic family of q_text_quality). Chance-
+    // corrected agreement comes entirely from the four confusion cells
+    // — exact BIGINTs from one conditional-sum pass over one scan — and
+    // the kappa arithmetic is the same short double expression tree
+    // over those integers in both engines (each division and multiply
+    // is one IEEE op on identical inputs). Scale: one corpus scan, one
+    // 1-row reduction; nothing is per-pair.
+    "q_cohen_kappa" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select(
+            ($"n_chars" >= 400).cast("long").as("a"),
+            (size(Fns.tokens($"text")) >= 60).cast("long").as("b"))
+          .agg(
+            sum($"a" * $"b").as("n11"),
+            sum($"a" * (lit(1L) - $"b")).as("n10"),
+            sum((lit(1L) - $"a") * $"b").as("n01"),
+            sum((lit(1L) - $"a") * (lit(1L) - $"b")).as("n00"))
+          .select($"n11", $"n10", $"n01", $"n00",
+            expr(
+              "CAST(round((" +
+                "(CAST(n11 + n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)" +
+                " - (CAST(n11+n10 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)" +
+                "    * CAST(n11+n01 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)" +
+                "  + CAST(n01+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)" +
+                "    * CAST(n10+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE))" +
+                ") / (1.0" +
+                " - (CAST(n11+n10 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)" +
+                "    * CAST(n11+n01 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)" +
+                "  + CAST(n01+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)" +
+                "    * CAST(n10+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE))" +
+                ")) * 1000000.0, 0) AS BIGINT)").as("kappa_micro"))
+      },
+      Some(s"""WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(${Fns.sqlTokens("text")}) >= 60
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+        |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM r)
+        |SELECT n11, n10, n01, n00,
+        |  CAST(round(((CAST(n11 + n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE) - (CAST(n11+n10 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE) * CAST(n11+n01 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE) + CAST(n01+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE) * CAST(n10+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE))) / (1.0 - (CAST(n11+n10 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE) * CAST(n11+n01 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE) + CAST(n01+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE) * CAST(n10+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE)))) * 1000000.0, 0) AS BIGINT) AS kappa_micro
+        |FROM c""".stripMargin),
+      "Cohen's kappa between the char-length and token-count quality " +
+        "raters (chance-corrected agreement from exact confusion cells)"),
+
+    // Majority-vote self-consistency — the sampling-time accuracy
+    // booster (sample k answers, keep the mode): tasks are event
+    // groups, each attempt's answer is an md5-derived category with a
+    // PLANTED 1-in-3 bias toward the task's reference answer, so the
+    // vote beats the 1/8 chance baseline by construction and the
+    // measured lift is the query's payload. Votes are each task's
+    // FIRST 8 attempts (deterministic on the unique event id) — an
+    // uncapped sample saturates accuracy at 1.0 once tasks have tens
+    // of attempts, and k=8 is the regime where self-consistency is
+    // actually run. The mode's tie-break is total (count desc, answer
+    // asc). Per-task top-vote shares freeze to micro-units BEFORE the
+    // cross-task mean (the q_pass_at_k discipline). Scale: one scan,
+    // one task-keyed window (shared by the cut and the mode), one
+    // (task, answer) partial agg over k-bounded rows, 1-row reduce.
+    "q_majority_vote" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val byTask = Window.partitionBy($"task")
+        val ev = Tables.load(s, d, "events")
+          .select($"user_id".as("task"), $"event_id",
+            pmod(conv(substring(md5($"user_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(8L)).as("ref"),
+            when(pmod(conv(substring(md5($"event_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(3L)) === 0L,
+              pmod(conv(substring(md5($"user_id".cast("string")), 1, 8),
+                16, 10).cast("long"), lit(8L)))
+              .otherwise(pmod(conv(substring(md5($"event_id".cast("string")),
+                1, 8), 16, 10).cast("long"), lit(8L))).as("ans"))
+          .withColumn("rn", row_number().over(byTask.orderBy($"event_id")))
+          .filter($"rn" <= 8)
+          .drop("rn", "event_id")
+        val rk = Window.partitionBy($"task")
+          .orderBy($"cnt".desc, $"ans".asc)
+        ev.groupBy($"task", $"ref", $"ans")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n", sum($"cnt").over(byTask))
+          .withColumn("rn", row_number().over(rk))
+          .filter($"rn" === 1)
+          .select(
+            ($"ans" === $"ref").cast("long").as("correct"),
+            expr("CAST(round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("share6"))
+          .agg(count(lit(1)).as("n_tasks"),
+            sum($"correct").as("n_correct"),
+            expr("CAST(round(CAST(SUM(correct) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("acc_micro"),
+            expr("CAST(round(CAST(SUM(share6) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)")
+              .as("mean_top_share_micro"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id AS task, event_id,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 8 AS ref,
+        |    CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 3 = 0
+        |      THEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 8
+        |      ELSE ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 8 END AS ans
+        |  FROM events),
+        |cut AS (
+        |  SELECT task, ref, ans FROM (
+        |    SELECT task, ref, ans, ROW_NUMBER() OVER (
+        |      PARTITION BY task ORDER BY event_id) AS rn
+        |    FROM ev)
+        |  WHERE rn <= 8),
+        |c AS (
+        |  SELECT task, ref, ans, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM cut GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT task, ref, ans, cnt,
+        |    SUM(cnt) OVER (PARTITION BY task) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY task
+        |      ORDER BY cnt DESC, ans ASC) AS rn
+        |  FROM c),
+        |top AS (
+        |  SELECT CASE WHEN ans = ref THEN 1 ELSE 0 END AS correct,
+        |    CAST(round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * 1000000.0, 0) AS BIGINT) AS share6
+        |  FROM w WHERE rn = 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |  CAST(SUM(correct) AS BIGINT) AS n_correct,
+        |  CAST(round(CAST(SUM(correct) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS acc_micro,
+        |  CAST(round(CAST(SUM(share6) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+        |    AS mean_top_share_micro
+        |FROM top""".stripMargin),
+      "majority-vote self-consistency: mode-vs-reference accuracy with " +
+        "planted agreement, per-task shares micro-frozen before the mean"),
+
+    // Fleiss' kappa — multi-rater chance-corrected agreement (the k>2
+    // generalization a rating pipeline needs when every item gets n
+    // ratings): items are event groups, the raters are each item's
+    // FIRST 12 attempts (row_number over the task partition — Fleiss
+    // requires equal n, and the first-n cut is deterministic on the
+    // unique event id), categories are md5-derived with the same
+    // planted 1-in-3 bias as q_majority_vote. Everything that sums
+    // over the corpus is an exact integer (per-item sum of squared
+    // category counts; global category totals); P-bar, P-expected and
+    // kappa are one short double expression over those integers,
+    // identical in both engines. The 4-category space is FIXED, so the
+    // per-item category counts are four conditional sums in ONE
+    // task-keyed aggregation — a naive (task, cat) agg that later
+    // branches into per-item and per-category rollups would execute
+    // the corpus scan + window twice (Catalyst does not reuse an
+    // uncached branch point). Scale: one scan, one task-keyed window
+    // (co-partitioned with the agg), one 1-row reduce.
+    "q_fleiss_kappa" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val n = 12
+        val byTask = Window.partitionBy($"task")
+        val ev = Tables.load(s, d, "events")
+          .select($"user_id".as("task"), $"event_id",
+            when(pmod(conv(substring(md5($"event_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(3L)) === 0L,
+              pmod(conv(substring(md5($"user_id".cast("string")), 1, 8),
+                16, 10).cast("long"), lit(4L)))
+              .otherwise(pmod(conv(substring(md5($"event_id".cast("string")),
+                1, 8), 16, 10).cast("long"), lit(4L))).as("cat"))
+          .withColumn("rn",
+            row_number().over(byTask.orderBy($"event_id")))
+          .withColumn("tot", count(lit(1)).over(byTask))
+          .filter($"tot" >= n && $"rn" <= n)
+        val cs = (0 to 3).map(c =>
+          sum(when($"cat" === c.toLong, 1L).otherwise(0L)).as(s"c$c"))
+        ev.groupBy($"task").agg(cs.head, cs.tail: _*)
+          .agg(count(lit(1)).as("m"),
+            sum($"c0" * $"c0" + $"c1" * $"c1" + $"c2" * $"c2" +
+              $"c3" * $"c3" - lit(n.toLong)).as("s_num"),
+            sum($"c0").as("t0"), sum($"c1").as("t1"),
+            sum($"c2").as("t2"), sum($"c3").as("t3"))
+          .select($"m", $"s_num",
+            ($"t0" * $"t0" + $"t1" * $"t1" + $"t2" * $"t2" +
+              $"t3" * $"t3").as("sq"))
+          .select($"m", $"s_num", $"sq",
+            expr(s"CAST(round(((CAST(s_num AS DOUBLE) / " +
+              s"(CAST(m AS DOUBLE) * ${n * (n - 1)}.0)) - " +
+              s"(CAST(sq AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)" +
+              s" * ${n * n}.0))) / (1.0 - (CAST(sq AS DOUBLE) / " +
+              s"(CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * ${n * n}.0))) " +
+              "* 1000000.0, 0) AS BIGINT)").as("fleiss_micro"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id AS task, event_id,
+        |    CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 3 = 0
+        |      THEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 4
+        |      ELSE ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 4 END AS cat
+        |  FROM events),
+        |w AS (
+        |  SELECT task, cat,
+        |    ROW_NUMBER() OVER (PARTITION BY task ORDER BY event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY task) AS tot
+        |  FROM ev),
+        |kept AS (SELECT task, cat FROM w WHERE tot >= 12 AND rn <= 12),
+        |pt AS (
+        |  SELECT task,
+        |    CAST(SUM(CASE WHEN cat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN cat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN cat = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN cat = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        |  FROM kept GROUP BY task),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(c0*c0 + c1*c1 + c2*c2 + c3*c3 - 12) AS BIGINT)
+        |      AS s_num,
+        |    CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1,
+        |    CAST(SUM(c2) AS BIGINT) AS t2, CAST(SUM(c3) AS BIGINT) AS t3
+        |  FROM pt)
+        |SELECT m, s_num, t0*t0 + t1*t1 + t2*t2 + t3*t3 AS sq,
+        |  CAST(round(((CAST(s_num AS DOUBLE) / (CAST(m AS DOUBLE) * 132.0))
+        |    - (CAST(t0*t0 + t1*t1 + t2*t2 + t3*t3 AS DOUBLE)
+        |      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * 144.0)))
+        |    / (1.0 - (CAST(t0*t0 + t1*t1 + t2*t2 + t3*t3 AS DOUBLE)
+        |      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * 144.0)))
+        |    * 1000000.0, 0) AS BIGINT) AS fleiss_micro
+        |FROM a""".stripMargin),
+      "Fleiss' kappa over first-12 ratings per item (equal-n multi-rater " +
+        "agreement, exact integer sufficient statistics)"),
   )
 
 }

@@ -731,6 +731,35 @@ class PlanSpec extends SparkSpec {
       "anti-join side not date-pruned at the scan")
   }
 
+  test("q_cohen_kappa: one documents scan, conditional partial sums, " +
+    "single 1-row reduction") {
+    val p = plan("q_cohen_kappa")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1, "one documents scan")
+    assert(p.contains("partial_sum"), p.take(1500))
+    val singles = p.split("\n").count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"$singles single-partition exchanges (want 1)")
+  }
+
+  test("q_majority_vote: one events scan, task-keyed window shared by " +
+    "cut and mode, no cartesian") {
+    val p = plan("q_majority_vote")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1, "one events scan")
+    assert(p.contains("hashpartitioning(task"), p.take(3000))
+  }
+
+  test("q_fleiss_kappa: ONE events scan (the branch-free conditional-sum " +
+    "formulation), one task window, 1-row reduce") {
+    val p = plan("q_fleiss_kappa")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1,
+      "the (task,cat) branch point would scan events twice")
+    assert(p.contains("hashpartitioning(task"), p.take(3000))
+    val singles = p.split("\n").count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"$singles single-partition exchanges (want 1)")
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
