@@ -1066,6 +1066,147 @@ object Relational {
       "TPC-H Q22 sales opportunity (scalar-subquery threshold + " +
         "date-pruned anti join)"),
 
+    // TPC-H Q9 product-type profit, adapted: the synthetic schema has no
+    // partsupp, so ps_supplycost becomes p_retailprice (stated cost
+    // proxy; same shape — a second price column entering the profit
+    // expression from the broadcast dim side). The '%red%' name filter
+    // keeps ~13% of parts and prunes the fact through the broadcast
+    // join; supplier⋈nation broadcasts whole (supplier is dim-sized by
+    // construction). Profit = extprice*(1-disc) - retailprice*qty, both
+    // terms exact decimals summed exactly, surfaced as double per
+    // (nation, year) group.
+    "q_tpch_q9" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pf = broadcast(t(s, d, "part")
+          .filter($"p_name".like("%red%"))
+          .select($"p_partkey", $"p_retailprice"))
+        val sup = broadcast(t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("nation")))
+        t(s, d, "lineitem")
+          .join(pf, $"l_partkey" === $"p_partkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
+          .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"nation", year($"o_orderdate").as("o_year"))
+          .agg((sum($"l_extendedprice".cast(D18_2) *
+            (lit(1.0) - $"l_discount").cast(D18_8)) -
+            sum($"p_retailprice".cast(D18_2) * $"l_quantity".cast(D18_2)))
+            .cast("double").as("sum_profit"))
+          .orderBy($"nation", $"o_year".desc)
+      },
+      Some("""SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1.0 - l_discount AS DECIMAL(18,8))) -
+        |    SUM(CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin),
+      "TPC-H Q9 product profit (cost proxy from the broadcast part dim; " +
+        "exact-decimal profit per nation-year)"),
+
+    // TPC-H Q15 top supplier: the aggregate-then-threshold-on-its-own-
+    // max shape (the spec's revenue view + scalar subquery). One
+    // corpus-scale supplier aggregation; the max rides a 1-row
+    // broadcast nested loop back onto the 100-row aggregate (never the
+    // fact), and the equality threshold compares EXACT decimals — ties
+    // (the spec orders by suppkey for exactly that case) are
+    // deterministic, not float-lucky.
+    "q_tpch_q15" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rev = t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .groupBy($"l_suppkey")
+          .agg(sum($"l_extendedprice".cast(D18_2) *
+            (lit(1.0) - $"l_discount").cast(D18_8)).as("total_rev"))
+        val top = rev.agg(max($"total_rev").as("max_rev"))
+        rev.crossJoin(broadcast(top))
+          .filter($"total_rev" === $"max_rev")
+          .join(broadcast(t(s, d, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name",
+            $"total_rev".cast("double").as("total_revenue"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1.0 - l_discount AS DECIMAL(18,8))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin),
+      "TPC-H Q15 top supplier (scalar-max threshold on exact decimals " +
+        "over the supplier-grain aggregate)"),
+
+    // TPC-H Q21 suppliers who kept orders waiting, adapted (no
+    // commit/receipt dates: "late" = shipped >60 days after the order
+    // date) — and REFORMULATED: the spec's EXISTS + NOT EXISTS pair of
+    // correlated self-joins collapses into order-grain aggregates. Per
+    // (order, supplier) compute a late flag; per order count suppliers
+    // and late suppliers; a supplier "kept the order waiting" iff it is
+    // late (late=1), the order is multi-supplier (n_supp >= 2), and it
+    // is the ONLY late one (n_late = 1) — exactly the spec's two
+    // correlated predicates, with zero self-joins: the order-keyed
+    // window shares the partitioning of the (order, supplier) agg, so
+    // the whole query is one fact shuffle plus a supplier-grain count.
+    "q_tpch_q21" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val byOrder = Window.partitionBy($"l_orderkey")
+        t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+          .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max(($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+            .cast("long")).as("late"))
+          .withColumn("n_supp", count(lit(1)).over(byOrder))
+          .withColumn("n_late", sum($"late").over(byOrder))
+          .filter($"late" === 1L && $"n_supp" >= 2L && $"n_late" === 1L)
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(t(s, d, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_name", $"numwait")
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(20)
+      },
+      Some("""WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_suppkey, late,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+        |  FROM ls)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin),
+      "TPC-H Q21 waiting suppliers (double correlated EXISTS collapsed " +
+        "into order-grain aggregates; zero self-joins)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._

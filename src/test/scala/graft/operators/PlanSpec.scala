@@ -731,6 +731,39 @@ class PlanSpec extends SparkSpec {
       "anti-join side not date-pruned at the scan")
   }
 
+  test("q_tpch_q9: name-filtered part and supplier-nation broadcast; " +
+    "no cartesian") {
+    val p = plan("q_tpch_q9")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*p_name.*"), "name filter not pushed")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q_tpch_q15: scalar max rides a 1-row broadcast onto the " +
+    "supplier-grain aggregate, never the fact") {
+    val p = plan("q_tpch_q15")
+    // Catalyst turns the crossJoin + equality filter into a broadcast
+    // HASH join keyed on the max — assert the broadcast family and the
+    // absence of a real cartesian
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*l_shipdate.*"), "date not pushed")
+  }
+
+  test("q_tpch_q21: double EXISTS as order-grain aggregates — no self " +
+    "join; window shares the agg's order partitioning") {
+    val p = plan("q_tpch_q21")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 3,
+      "one scan per table: the EXISTS pair must not rescan lineitem")
+    assert(p.contains("hashpartitioning(l_orderkey"), p.take(3000))
+  }
+
   test("q_cohen_kappa: one documents scan, conditional partial sums, " +
     "single 1-row reduction") {
     val p = plan("q_cohen_kappa")
