@@ -1207,6 +1207,88 @@ object Relational {
       "TPC-H Q21 waiting suppliers (double correlated EXISTS collapsed " +
         "into order-grain aggregates; zero self-joins)"),
 
+    // TPC-H Q12 shipping-mode priority counts, adapted: no l_shipmode /
+    // commit / receipt columns, so the group key becomes l_linestatus
+    // and "arrived late" becomes shipped >30 days after the order date
+    // (stated substitutions; the aggregate structure — CASE-gated
+    // priority-class counts per category after a fact⋈orders join — is
+    // the spec's). The ship-year window pushes to the lineitem scan;
+    // the late predicate compares two columns so it rides the join
+    // output inside codegen.
+    "q_tpch_q12" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate",
+            $"o_orderpriority"), $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority" === "1-URGENT" ||
+              $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when($"o_orderpriority" =!= "1-URGENT" &&
+              $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+        |    AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin),
+      "TPC-H Q12 late-line priority counts (CASE-gated class counts per " +
+        "category; linestatus/late-ship substitutions)"),
+
+    // TPC-H Q16 supplier-count by part attributes, adapted: the
+    // part-supplier relation is DISTINCT (l_partkey, l_suppkey) from
+    // the fact table (no partsupp in the synthetic schema) and the
+    // "complaints" exclusion becomes s_acctbal < 0 (stated
+    // substitutions). The spec's NOT IN subquery is an anti join —
+    // exactly equivalent here because supplier keys are non-null — and
+    // the excluded-supplier set broadcasts. The one corpus-scale
+    // shuffle is the pair distinct; everything after is
+    // part-dimension-bounded. Sort is total: count ties break on the
+    // full attribute triple.
+    "q_tpch_q16" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val bad = t(s, d, "supplier").filter($"s_acctbal" < 0)
+          .select($"s_suppkey")
+        val pf = broadcast(t(s, d, "part")
+          .filter($"p_brand" =!= "Brand#1" &&
+            $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size"))
+        t(s, d, "lineitem").select($"l_partkey", $"l_suppkey").distinct()
+          .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+          .join(pf, $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      "TPC-H Q16 supplier count by part attributes (fact-derived " +
+        "part-supplier pairs, NOT IN as broadcast anti join)"),
+
     "q_join_multi" -> GQuery(
       (s, d) => {
         import s.implicits._

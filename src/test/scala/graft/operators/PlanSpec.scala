@@ -764,6 +764,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(l_orderkey"), p.take(3000))
   }
 
+  test("q_tpch_q12: ship-year window pushed to the scan; CASE counts " +
+    "after one fact join") {
+    val p = plan("q_tpch_q12")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*l_shipdate.*"), "date not pushed")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q_tpch_q16: NOT IN as broadcast anti join; one pair-distinct " +
+    "shuffle") {
+    val p = plan("q_tpch_q16")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q_cohen_kappa: one documents scan, conditional partial sums, " +
     "single 1-row reduction") {
     val p = plan("q_cohen_kappa")
