@@ -1206,6 +1206,146 @@ object MlFit {
         |FROM a""".stripMargin),
       "Fleiss' kappa over first-12 ratings per item (equal-n multi-rater " +
         "agreement, exact integer sufficient statistics)"),
+
+    // The EVAL-TIER capstone (the q_prep_funnel pattern applied to
+    // post-training evaluation): the attempt-quality funnel as ONE lazy
+    // plan — raw attempts → task qualification (≥60 attempts; the
+    // synthetic per-task attempt counts run 45-99 across SFs, so 60
+    // BINDS at every tier — a ≥10 cut would be a no-op stage) →
+    // first-8 vote sample → pass@1 over the qualified pool →
+    // majority-vote accuracy over the sample — with a per-stage
+    // (n_tasks, n_attempts, metric) yield row, the table an eval lead
+    // reads before trusting a benchmark number. Every stage recipe is
+    // already oracle-proven in isolation (q_pass_at_k's success flag
+    // and qualification cut, q_majority_vote's first-k mode with total
+    // tie-break); the DuckDB side replays the ENTIRE funnel so the
+    // hash proves the composition. Per-task rates freeze to micro-units
+    // before cross-task means (house discipline). Scale shape: one
+    // events scan per stage branch (the one-plan form trades re-scan
+    // for side-effect-free construction, exactly like q_prep_funnel —
+    // materializing the qualified pool is the production knob), one
+    // task-keyed window, task-bounded aggregates; no collects.
+    "q_eval_funnel" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val byTask = Window.partitionBy($"task")
+        val ev = Tables.load(s, d, "events")
+          .select($"user_id".as("task"), $"event_id",
+            (pmod(conv(substring(md5($"event_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(5L)) === 0L)
+              .cast("long").as("ok"),
+            pmod(conv(substring(md5($"user_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(8L)).as("ref"),
+            when(pmod(conv(substring(md5($"event_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(3L)) === 0L,
+              pmod(conv(substring(md5($"user_id".cast("string")), 1, 8),
+                16, 10).cast("long"), lit(8L)))
+              .otherwise(pmod(conv(substring(md5($"event_id".cast("string")),
+                1, 8), 16, 10).cast("long"), lit(8L))).as("ans"))
+          .withColumn("tot", count(lit(1)).over(byTask))
+          .withColumn("rn", row_number().over(byTask.orderBy($"event_id")))
+        val s1 = ev.filter($"tot" >= 60L)
+        val s2 = s1.filter($"rn" <= 8L)
+        val nullMetric = lit(null).cast("long").as("metric_micro")
+        def pool(df: org.apache.spark.sql.DataFrame, no: Int, nm: String) =
+          df.agg(countDistinct($"task").as("n_tasks"),
+            count(lit(1)).as("n_attempts"))
+            .select(lit(no).as("stage_no"), lit(nm).as("stage"),
+              $"n_tasks", $"n_attempts", nullMetric)
+        val pass1 = s1.groupBy($"task")
+          .agg(count(lit(1)).as("n"), sum($"ok").as("c"))
+          .select($"n", expr("CAST(round(CAST(c AS DOUBLE) / " +
+            "CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("p6"))
+          .agg(count(lit(1)).as("n_tasks"), sum($"n").as("n_attempts"),
+            expr("CAST(round(CAST(SUM(p6) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)").as("metric_micro"))
+          .select(lit(3).as("stage_no"), lit("pass_at_1").as("stage"),
+            $"n_tasks", $"n_attempts", $"metric_micro")
+        val rk = Window.partitionBy($"task").orderBy($"cnt".desc, $"ans".asc)
+        val vote = s2.groupBy($"task", $"ref", $"ans")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n", sum($"cnt").over(byTask))
+          .withColumn("rn2", row_number().over(rk))
+          .filter($"rn2" === 1)
+          .select($"n", ($"ans" === $"ref").cast("long").as("correct"))
+          .agg(count(lit(1)).as("n_tasks"), sum($"n").as("n_attempts"),
+            expr("CAST(round(CAST(SUM(correct) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("metric_micro"))
+          .select(lit(4).as("stage_no"), lit("majority_vote").as("stage"),
+            $"n_tasks", $"n_attempts", $"metric_micro")
+        pool(ev, 0, "raw")
+          .unionByName(pool(s1, 1, "qualified_min60"))
+          .unionByName(pool(s2, 2, "vote_sample_k8"))
+          .unionByName(pass1)
+          .unionByName(vote)
+          .orderBy($"stage_no")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id AS task, event_id,
+        |    CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS ok,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 8 AS ref,
+        |    CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 3 = 0
+        |      THEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 8
+        |      ELSE ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 8 END AS ans
+        |  FROM events),
+        |w AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY task) AS tot,
+        |    ROW_NUMBER() OVER (PARTITION BY task ORDER BY event_id) AS rn
+        |  FROM ev),
+        |s1 AS (SELECT * FROM w WHERE tot >= 60),
+        |s2 AS (SELECT * FROM s1 WHERE rn <= 8),
+        |p1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |    CAST(SUM(n) AS BIGINT) AS n_attempts,
+        |    CAST(round(CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |      0) AS BIGINT) AS metric_micro
+        |  FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(round(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |        * 1000000.0, 0) AS BIGINT) AS p6
+        |    FROM s1 GROUP BY task)),
+        |mv AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |    CAST(SUM(n) AS BIGINT) AS n_attempts,
+        |    CAST(round(CAST(SUM(correct) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |      AS metric_micro
+        |  FROM (
+        |    SELECT n, CASE WHEN ans = ref THEN 1 ELSE 0 END AS correct
+        |    FROM (
+        |      SELECT task, ref, ans, cnt,
+        |        SUM(cnt) OVER (PARTITION BY task) AS n,
+        |        ROW_NUMBER() OVER (PARTITION BY task
+        |          ORDER BY cnt DESC, ans ASC) AS rn2
+        |      FROM (
+        |        SELECT task, ref, ans, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM s2 GROUP BY 1, 2, 3))
+        |    WHERE rn2 = 1))
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_no, 'raw' AS stage,
+        |    CAST(COUNT(DISTINCT task) AS BIGINT) AS n_tasks,
+        |    CAST(COUNT(*) AS BIGINT) AS n_attempts,
+        |    CAST(NULL AS BIGINT) AS metric_micro
+        |  FROM ev
+        |  UNION ALL SELECT 1, 'qualified_min60',
+        |    CAST(COUNT(DISTINCT task) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'vote_sample_k8',
+        |    CAST(COUNT(DISTINCT task) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'pass_at_1', n_tasks, n_attempts,
+        |    metric_micro FROM p1
+        |  UNION ALL SELECT 4, 'majority_vote', n_tasks, n_attempts,
+        |    metric_micro FROM mv)
+        |ORDER BY stage_no""".stripMargin),
+      "eval-tier capstone: qualification -> vote sample -> pass@1 -> " +
+        "majority vote as one lazy plan with per-stage yield rows"),
   )
 
 }

@@ -810,6 +810,17 @@ class PlanSpec extends SparkSpec {
     assert(singles == 1, s"$singles single-partition exchanges (want 1)")
   }
 
+  test("q_eval_funnel: task-keyed windows, no cartesian, no global " +
+    "ordered window") {
+    val p = plan("q_eval_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("hashpartitioning(task"), p.take(3000))
+    // every window is task-partitioned — a global ordered window would
+    // appear as an empty partition spec
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      "global ordered window found")
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
