@@ -1346,6 +1346,75 @@ object MlFit {
         |ORDER BY stage_no""".stripMargin),
       "eval-tier capstone: qualification -> vote sample -> pass@1 -> " +
         "majority vote as one lazy plan with per-stage yield rows"),
+
+    // Length-bias audit of preference pairs — the verbosity-bias
+    // diagnostic run over the SAME match data as q_bradley_terry (a
+    // reward model that prefers longer answers is the classic failure;
+    // this table is how it's caught): for each within-order pair, the
+    // higher-quantity line is the "longer response"; the audit buckets
+    // pairs by quantity delta and reports the longer side's win rate
+    // per bucket — a flat ~50% is unbiased, monotone drift is bias.
+    // Pairs with equal quantity (no longer side) or equal price (no
+    // winner) are excluded, strict inequalities only (the synthetic
+    // table reuses line numbers; same-number lines never pair). Scale
+    // shape: one orderkey self-join (pairs bounded by per-order line
+    // count), one bucket-grain agg — nothing downstream is pair-scale.
+    "q_length_bias" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val lines = Tables.load(s, d, "lineitem")
+          .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+            $"l_extendedprice".as("price"), $"l_quantity".as("qty"))
+        val a = lines.select($"ok", $"ln".as("ln_a"),
+          $"price".as("pa"), $"qty".as("qa"))
+        val b = lines.select($"ok", $"ln".as("ln_b"),
+          $"price".as("pb"), $"qty".as("qb"))
+        a.join(b, Seq("ok"))
+          .filter($"ln_a" < $"ln_b" && $"qa" =!= $"qb" && $"pa" =!= $"pb")
+          .select(
+            (abs($"qa" - $"qb")).as("delta"),
+            (($"qa" > $"qb" && $"pa" > $"pb") ||
+              ($"qb" > $"qa" && $"pb" > $"pa")).cast("long")
+              .as("longer_won"))
+          .select(
+            when($"delta" <= 5, "d01_1_5")
+              .when($"delta" <= 15, "d02_6_15")
+              .otherwise("d03_16_plus").as("delta_bucket"),
+            $"longer_won")
+          .groupBy($"delta_bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"longer_won").as("longer_wins"),
+            expr("CAST(round(CAST(SUM(longer_won) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("win_rate_micro"))
+          .orderBy($"delta_bucket")
+      },
+      Some("""WITH p AS (
+        |  SELECT abs(a.l_quantity - b.l_quantity) AS delta,
+        |    CASE WHEN (a.l_quantity > b.l_quantity
+        |        AND a.l_extendedprice > b.l_extendedprice)
+        |      OR (b.l_quantity > a.l_quantity
+        |        AND b.l_extendedprice > a.l_extendedprice)
+        |      THEN 1 ELSE 0 END AS longer_won
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber < b.l_linenumber
+        |  WHERE a.l_quantity <> b.l_quantity
+        |    AND a.l_extendedprice <> b.l_extendedprice),
+        |bk AS (
+        |  SELECT CASE WHEN delta <= 5 THEN 'd01_1_5'
+        |    WHEN delta <= 15 THEN 'd02_6_15'
+        |    ELSE 'd03_16_plus' END AS delta_bucket, longer_won
+        |  FROM p)
+        |SELECT delta_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(longer_won) AS BIGINT) AS longer_wins,
+        |  CAST(round(CAST(SUM(longer_won) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS win_rate_micro
+        |FROM bk GROUP BY delta_bucket
+        |ORDER BY delta_bucket""".stripMargin),
+      "length-bias audit of preference pairs: longer-side win rate by " +
+        "length-delta bucket (verbosity-bias diagnostic)"),
   )
 
 }

@@ -821,6 +821,14 @@ class PlanSpec extends SparkSpec {
       "global ordered window found")
   }
 
+  test("q_length_bias: pair join keyed on orderkey, bucket-grain agg, " +
+    "no cartesian") {
+    val p = plan("q_length_bias")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("hashpartitioning(ok"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
