@@ -825,7 +825,11 @@ class PlanSpec extends SparkSpec {
     "no cartesian") {
     val p = plan("q_length_bias")
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("hashpartitioning(ok"), p.take(3000))
+    // the self-join must be KEYED on orderkey — broadcast at plan-spec
+    // scale, shuffle hash at corpus scale; either way never a loop join
+    assert(p.contains("BroadcastHashJoin [ok") ||
+      p.contains("hashpartitioning(ok"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
     assert(p.contains("partial_sum"), p.take(1500))
   }
 
