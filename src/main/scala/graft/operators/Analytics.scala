@@ -2533,5 +2533,75 @@ object Analytics {
         |FROM daily CROSS JOIN o
         |GROUP BY 1 ORDER BY 1""".stripMargin),
       "day-of-week seasonality profile with seasonal index"),
+
+    // One-way ANOVA F-statistic for value by event type — the classical
+    // "do the groups differ in mean" test beside q_chi2 (independence)
+    // and q_ks_test (distribution). Sufficient statistics are EXACT:
+    // per-group n, Σv (DECIMAL 18,6) and Σv² (the 18,6×18,6 product is
+    // an exact 37,12 decimal), so SSB/SSW derive from integers and
+    // exactly-cast doubles. The one order-sensitive float reduction —
+    // summing the per-group S_g²/n_g terms — runs over micro-FROZEN
+    // integers (each term is one IEEE square-and-divide on an
+    // exact-decimal-sourced double, frozen to a BIGINT before the
+    // 5-row sum), the house discipline for cross-engine float sums.
+    // Scale: one scan, one 5-group partial agg, 1-row reduce.
+    "q_anova" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("ng"),
+            sum($"value".cast(Fns.D18_6)).as("sg"),
+            sum($"value".cast(Fns.D18_6) * $"value".cast(Fns.D18_6))
+              .as("qg"))
+          .select($"ng", $"qg",
+            expr("CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / " +
+              "CAST(ng AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("tg"),
+            $"sg")
+          .agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+            sum($"sg").as("s"), sum($"qg").as("q"), sum($"tg").as("tb"))
+          .select($"k", $"n",
+            // ssb = Σ S_g²/n_g − S²/n ; ssw = Q − Σ S_g²/n_g (micros)
+            ($"tb" - expr("CAST(round(CAST(s AS DOUBLE) * " +
+              "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)")).as("ssb_micro"),
+            (expr("CAST(round(CAST(q AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)") - $"tb").as("ssw_micro"))
+          .select($"k", $"n", $"ssb_micro", $"ssw_micro",
+            expr("CAST(round((CAST(ssb_micro AS DOUBLE) / " +
+              "CAST(k - 1 AS DOUBLE)) / (CAST(ssw_micro AS DOUBLE) / " +
+              "CAST(n - k AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("f_micro"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sg,
+        |    SUM(CAST(value AS DECIMAL(18,6)) *
+        |      CAST(value AS DECIMAL(18,6))) AS qg
+        |  FROM events GROUP BY event_type),
+        |t AS (
+        |  SELECT ng, qg, sg,
+        |    CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |      CAST(ng AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS tg
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT)
+        |      AS n,
+        |    SUM(sg) AS s, SUM(qg) AS q, CAST(SUM(tg) AS BIGINT) AS tb
+        |  FROM t),
+        |b AS (
+        |  SELECT k, n,
+        |    tb - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ssb_micro,
+        |    CAST(round(CAST(q AS DOUBLE) * 1000000.0, 0) AS BIGINT) - tb
+        |      AS ssw_micro
+        |  FROM a)
+        |SELECT k, n, ssb_micro, ssw_micro,
+        |  CAST(round((CAST(ssb_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |    / (CAST(ssw_micro AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT) AS f_micro
+        |FROM b""".stripMargin),
+      "one-way ANOVA F over exact group sufficient statistics " +
+        "(micro-frozen between-group terms)"),
   )
 }

@@ -1415,6 +1415,140 @@ object MlFit {
         |ORDER BY delta_bucket""".stripMargin),
       "length-bias audit of preference pairs: longer-side win rate by " +
         "length-delta bucket (verbosity-bias diagnostic)"),
+
+    // McNemar's test — the PAIRED model comparison (two models scored
+    // on the SAME items; the unpaired chi2 would overstate
+    // significance): planted per-doc truth with model A wrong on an
+    // md5-derived 20% and model B on an independent 30% (salted
+    // hashes), the test statistic uses ONLY the discordant cells
+    // b = A right/B wrong, c = A wrong/B right — exact BIGINTs from
+    // one conditional-sum pass — with the continuity-corrected
+    // (|b-c|-1)²/(b+c). Scale: one scan, 1-row reduce.
+    "q_mcnemar" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def pct(salt: String, m: Int): org.apache.spark.sql.Column =
+          pmod(conv(substring(md5(concat($"doc_id".cast("string"),
+            lit(salt))), 1, 8), 16, 10).cast("long"), lit(m.toLong))
+        Tables.load(s, d, "documents")
+          .select(
+            (pct("a", 5) === 0L).cast("long").as("wa"),
+            (pct("b", 10) < 3L).cast("long").as("wb"))
+          .agg(count(lit(1)).as("n"),
+            sum((lit(1L) - $"wa") * $"wb").as("b"),
+            sum($"wa" * (lit(1L) - $"wb")).as("c"))
+          .select($"n", $"b", $"c",
+            expr("CAST(round((CAST(abs(b - c) - 1 AS DOUBLE) * " +
+              "CAST(abs(b - c) - 1 AS DOUBLE)) / CAST(b + c AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("chi2_micro"))
+      },
+      Some("""WITH r AS (
+        |  SELECT
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |      || 'a'), 1, 8))::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS wa,
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |      || 'b'), 1, 8))::BIGINT % 10 < 3 THEN 1 ELSE 0 END AS wb
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((1 - wa) * wb) AS BIGINT) AS b,
+        |    CAST(SUM(wa * (1 - wb)) AS BIGINT) AS c
+        |  FROM r)
+        |SELECT n, b, c,
+        |  CAST(round((CAST(abs(b - c) - 1 AS DOUBLE) *
+        |    CAST(abs(b - c) - 1 AS DOUBLE)) / CAST(b + c AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) AS chi2_micro
+        |FROM a""".stripMargin),
+      "McNemar's paired model comparison: continuity-corrected chi2 " +
+        "from the exact discordant cells"),
+
+    // Krippendorff's alpha (nominal) — the agreement coefficient for
+    // VARIABLE rater counts, the case q_fleiss_kappa's equal-n design
+    // cannot handle: every attempt rates its task (no first-n cut; the
+    // per-task counts run 45-99 and all of them count). Per-item
+    // disagreement d_i = (n_i² - Σ_c n_ic²)/(n_i - 1) is one IEEE
+    // division on exact integers, micro-FROZEN per item before the
+    // order-sensitive cross-item sum (house discipline); the expected
+    // disagreement comes from the exact global category marginals in
+    // the final 1-row expression. Same planted 1-in-3 agreement bias
+    // as the rest of the rating family. Scale: one scan, one task-keyed
+    // conditional-sum agg, 1-row reduce.
+    "q_krippendorff" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .select($"user_id".as("task"),
+            when(pmod(conv(substring(md5($"event_id".cast("string")), 1, 8),
+              16, 10).cast("long"), lit(3L)) === 0L,
+              pmod(conv(substring(md5($"user_id".cast("string")), 1, 8),
+                16, 10).cast("long"), lit(4L)))
+              .otherwise(pmod(conv(substring(md5($"event_id".cast("string")),
+                1, 8), 16, 10).cast("long"), lit(4L))).as("cat"))
+        val cs = (0 to 3).map(c =>
+          sum(when($"cat" === c.toLong, 1L).otherwise(0L)).as(s"c$c"))
+        ev.groupBy($"task").agg(cs.head, cs.tail: _*)
+          .withColumn("ni",
+            $"c0" + $"c1" + $"c2" + $"c3")
+          .filter($"ni" >= 2L)
+          .select($"ni", $"c0", $"c1", $"c2", $"c3",
+            expr("CAST(round(CAST(ni * ni - " +
+              "(c0*c0 + c1*c1 + c2*c2 + c3*c3) AS DOUBLE) / " +
+              "CAST(ni - 1 AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("d6"))
+          .agg(count(lit(1)).as("m"), sum($"ni").as("n"),
+            sum($"d6").as("do_sum6"),
+            sum($"c0").as("t0"), sum($"c1").as("t1"),
+            sum($"c2").as("t2"), sum($"c3").as("t3"))
+          .select($"m", $"n", $"do_sum6",
+            ($"t0" * $"t0" + $"t1" * $"t1" + $"t2" * $"t2" +
+              $"t3" * $"t3").as("sq"))
+          .select($"m", $"n", $"do_sum6", $"sq",
+            // alpha = 1 - Do/De ; Do = do_sum/1e6/n ;
+            // De = (n² - Σ n_c²) / (n(n-1))
+            expr("CAST(round((1.0 - (CAST(do_sum6 AS DOUBLE) / 1000000.0 " +
+              "/ CAST(n AS DOUBLE)) / (CAST(n * n - sq AS DOUBLE) / " +
+              "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) " +
+              "* 1000000.0, 0) AS BIGINT)").as("alpha_micro"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id AS task,
+        |    CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 3 = 0
+        |      THEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 4
+        |      ELSE ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 4 END AS cat
+        |  FROM events),
+        |pt AS (
+        |  SELECT task,
+        |    CAST(SUM(CASE WHEN cat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN cat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN cat = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN cat = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        |  FROM ev GROUP BY task),
+        |pi AS (
+        |  SELECT c0 + c1 + c2 + c3 AS ni, c0, c1, c2, c3,
+        |    CAST(round(CAST((c0+c1+c2+c3) * (c0+c1+c2+c3) -
+        |      (c0*c0 + c1*c1 + c2*c2 + c3*c3) AS DOUBLE) /
+        |      CAST(c0+c1+c2+c3 - 1 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |      AS d6
+        |  FROM pt WHERE c0 + c1 + c2 + c3 >= 2),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(ni) AS BIGINT)
+        |      AS n,
+        |    CAST(SUM(d6) AS BIGINT) AS do_sum6,
+        |    CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1,
+        |    CAST(SUM(c2) AS BIGINT) AS t2, CAST(SUM(c3) AS BIGINT) AS t3
+        |  FROM pi)
+        |SELECT m, n, do_sum6, t0*t0 + t1*t1 + t2*t2 + t3*t3 AS sq,
+        |  CAST(round((1.0 - (CAST(do_sum6 AS DOUBLE) / 1000000.0
+        |    / CAST(n AS DOUBLE)) / (CAST(n * n -
+        |      (t0*t0 + t1*t1 + t2*t2 + t3*t3) AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+        |    * 1000000.0, 0) AS BIGINT) AS alpha_micro
+        |FROM a""".stripMargin),
+      "Krippendorff's alpha (nominal, variable rater counts): per-item " +
+        "disagreement micro-frozen, expected from exact marginals"),
   )
 
 }

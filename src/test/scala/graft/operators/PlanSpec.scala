@@ -833,6 +833,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p.take(1500))
   }
 
+  test("q_anova, q_mcnemar, q_krippendorff: one scan each, conditional " +
+    "partial sums, no cartesian") {
+    for (q <- Seq("q_anova", "q_mcnemar", "q_krippendorff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(p.split("FileScan").length - 1 == 1, s"$q: one scan")
+      assert(p.contains("partial_sum"), s"$q: ${p.take(800)}")
+    }
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
