@@ -1549,6 +1549,61 @@ object MlFit {
         |FROM a""".stripMargin),
       "Krippendorff's alpha (nominal, variable rater counts): per-item " +
         "disagreement micro-frozen, expected from exact marginals"),
+
+    // Cochran's Q — the k-model extension of q_mcnemar (do k models
+    // have equal accuracy on the SAME items?): three planted models
+    // with md5-derived error rates (20/30/25%) scored per document,
+    // Q = k(k-1) Σ_j (T_j - ΣR/k)² / (k ΣR - ΣR²) where T_j are the
+    // per-model success totals and R_i the per-item success counts —
+    // every term an exact integer from one conditional-sum pass
+    // (Σ(T_j - ΣR/k)² multiplies through by k² to stay integral:
+    // Σ(k·T_j - ΣR)² / k²). Scale: one scan, 1-row reduce.
+    "q_cochran_q" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def right(salt: String, m: Int, bad: Int): org.apache.spark.sql.Column =
+          (pmod(conv(substring(md5(concat($"doc_id".cast("string"),
+            lit(salt))), 1, 8), 16, 10).cast("long"), lit(m.toLong))
+            >= bad.toLong).cast("long")
+        Tables.load(s, d, "documents")
+          .select(right("a", 5, 1).as("ra"), right("b", 10, 3).as("rb"),
+            right("c", 4, 1).as("rc"))
+          .select($"ra", $"rb", $"rc",
+            ($"ra" + $"rb" + $"rc").as("ri"))
+          .agg(count(lit(1)).as("n"),
+            sum($"ra").as("t1"), sum($"rb").as("t2"), sum($"rc").as("t3"),
+            sum($"ri").as("sr"), sum($"ri" * $"ri").as("sr2"))
+          .select($"n", $"t1", $"t2", $"t3", $"sr", $"sr2",
+            // Q = (k-1) * Σ(k·T_j − ΣR)² / (k·(k·ΣR − ΣR²)), k = 3
+            expr("CAST(round(2.0 * CAST((3*t1 - sr)*(3*t1 - sr) + " +
+              "(3*t2 - sr)*(3*t2 - sr) + (3*t3 - sr)*(3*t3 - sr) " +
+              "AS DOUBLE) / (3.0 * CAST(3*sr - sr2 AS DOUBLE)) " +
+              "* 1000000.0, 0) AS BIGINT)").as("q_micro"))
+      },
+      Some("""WITH r AS (
+        |  SELECT
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |      || 'a'), 1, 8))::BIGINT % 5 >= 1 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |      || 'b'), 1, 8))::BIGINT % 10 >= 3 THEN 1 ELSE 0 END AS rb,
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |      || 'c'), 1, 8))::BIGINT % 4 >= 1 THEN 1 ELSE 0 END AS rc
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ra) AS BIGINT) AS t1, CAST(SUM(rb) AS BIGINT) AS t2,
+        |    CAST(SUM(rc) AS BIGINT) AS t3,
+        |    CAST(SUM(ra + rb + rc) AS BIGINT) AS sr,
+        |    CAST(SUM((ra + rb + rc) * (ra + rb + rc)) AS BIGINT) AS sr2
+        |  FROM r)
+        |SELECT n, t1, t2, t3, sr, sr2,
+        |  CAST(round(2.0 * CAST((3*t1 - sr)*(3*t1 - sr) +
+        |    (3*t2 - sr)*(3*t2 - sr) + (3*t3 - sr)*(3*t3 - sr)
+        |    AS DOUBLE) / (3.0 * CAST(3*sr - sr2 AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT) AS q_micro
+        |FROM a""".stripMargin),
+      "Cochran's Q: k-model paired accuracy comparison from exact " +
+        "integer sufficient statistics"),
   )
 
 }
