@@ -50,7 +50,10 @@ object PlanAudit {
     "q_changepoint" -> "bounded day table",
     "q_zipf_slope" -> "vocabulary-bounded rank table",
     "q_domain_mix" -> "one row per source",
-    "q_rrf_fusion" -> "bounded fused top-k")
+    "q_rrf_fusion" -> "bounded fused top-k",
+    "q_mannwhitney" -> ("running rank sum over the value-grain table — " +
+      "l_quantity lives on a 0.01 grid in [1, 50], <= 4901 rows at any " +
+      "corpus size"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

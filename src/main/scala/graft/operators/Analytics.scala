@@ -2603,5 +2603,161 @@ object Analytics {
         |FROM b""".stripMargin),
       "one-way ANOVA F over exact group sufficient statistics " +
         "(micro-frozen between-group terms)"),
+
+    // Mann-Whitney U (rank-sum) for l_quantity between return flags A
+    // and R — the NONPARAMETRIC two-sample test beside q_welch_t's
+    // parametric one. The scale trick: ranks are NEVER assigned per row
+    // — quantities live on a fixed 0.01 grid (<= 4901 distinct values
+    // at ANY corpus size), so the plan aggregates per-value group
+    // counts (the one corpus-scale shuffle, key-bounded) and computes
+    // average ranks on that bounded table with one running-sum window
+    // (allowlisted in PlanAudit with this bound). Tie-aware throughout:
+    // DOUBLED rank sums keep the .5 average ranks integral, so U and
+    // the tie-corrected variance derive from exact BIGINTs (per-value
+    // counts stay far below the long-overflow line at these SFs; the
+    // DECIMAL(38,0) upgrade is the 100 TB knob), and the z-score is one
+    // IEEE expression — sqrt is correctly rounded by IEEE 754, unlike
+    // ln/exp, so it is cross-engine safe.
+    "q_mannwhitney" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val byQty = Window.orderBy($"qty")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, d, "lineitem")
+          .filter($"l_returnflag".isin("A", "R"))
+          .groupBy($"l_quantity".as("qty"))
+          .agg(
+            sum(when($"l_returnflag" === "A", 1L).otherwise(0L)).as("na"),
+            sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("nb"))
+          .withColumn("t", $"na" + $"nb")
+          .withColumn("cum", sum($"t").over(byQty))
+          // doubled average rank of value v: 2*(cum-t) + t + 1 (integer)
+          .select($"na", $"nb", $"t",
+            ($"na" * (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L)))
+              .as("r1_2term"),
+            ($"t" * $"t" * $"t" - $"t").as("tie3"))
+          .agg(sum($"na").as("n1"), sum($"nb").as("n2"),
+            sum($"r1_2term").as("r1_2"), sum($"tie3").as("ties"))
+          // doubled U = 2*R1 - n1*(n1+1); z from exact integers
+          .select($"n1", $"n2",
+            ($"r1_2" - $"n1" * ($"n1" + lit(1L))).as("u2"),
+            $"ties")
+          .select($"n1", $"n2", $"u2",
+            expr("CAST(round((CAST(u2 - n1 * n2 AS DOUBLE) / 2.0) / " +
+              "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
+              "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / " +
+              "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) " +
+              "* 1000000.0, 0) AS BIGINT)").as("z_micro"))
+      },
+      Some("""WITH vg AS (
+        |  SELECT l_quantity AS qty,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |  GROUP BY l_quantity),
+        |w AS (
+        |  SELECT na, nb, na + nb AS t,
+        |    SUM(na + nb) OVER (ORDER BY qty
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM vg),
+        |a AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n1,
+        |    CAST(SUM(nb) AS BIGINT) AS n2,
+        |    CAST(SUM(na * (2 * (cum - t) + t + 1)) AS BIGINT) AS r1_2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM w),
+        |b AS (
+        |  SELECT n1, n2, r1_2 - n1 * (n1 + 1) AS u2, ties FROM a)
+        |SELECT n1, n2, u2,
+        |  CAST(round((CAST(u2 - n1 * n2 AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |    (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+        |    (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+        |    * 1000000.0, 0) AS BIGINT) AS z_micro
+        |FROM b""".stripMargin),
+      "Mann-Whitney U with tie correction over the bounded value-grain " +
+        "rank table (never a per-row global sort)"),
+
+    // Welch's t — the unequal-variance two-sample mean test (the
+    // 2-group member beside q_anova's k-group F): exact decimal group
+    // sums of v and v² make the means and variances doubles derived
+    // from exact values through one identical expression tree; t and
+    // the Welch-Satterthwaite df are emitted in micro-units. One scan,
+    // two conditional partial sums, 1-row reduce.
+    "q_welch_t" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def cnt(tp: String) =
+          sum(when($"event_type" === tp, 1L).otherwise(0L))
+        def sv(tp: String) =
+          sum(when($"event_type" === tp, $"value".cast(Fns.D18_6)))
+        def sq(tp: String) =
+          sum(when($"event_type" === tp,
+            $"value".cast(Fns.D18_6) * $"value".cast(Fns.D18_6)))
+        Tables.load(s, d, "events")
+          .filter($"event_type".isin("click", "error"))
+          .agg(cnt("click").as("n1"), cnt("error").as("n2"),
+            sv("click").as("s1"), sv("error").as("s2"),
+            sq("click").as("q1"), sq("error").as("q2"))
+          // named standard-error components: one identical expression
+          // tree per engine, squares written as x*x (pow is libm and
+          // NOT correctly rounded; * and sqrt are)
+          .select($"n1", $"n2",
+            expr("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+              "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))").as("md"),
+            expr("((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+              "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / " +
+              "CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)").as("se1"),
+            expr("((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * " +
+              "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / " +
+              "CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)").as("se2"))
+          .select($"n1", $"n2",
+            expr("CAST(round(md / sqrt(se1 + se2) * 1000000.0, 0) " +
+              "AS BIGINT)").as("t_micro"),
+            expr("CAST(round((se1 + se2) * (se1 + se2) / " +
+              "(se1 * se1 / CAST(n1 - 1 AS DOUBLE) + " +
+              "se2 * se2 / CAST(n2 - 1 AS DOUBLE)) * 1000000.0, 0) " +
+              "AS BIGINT)").as("df_micro"))
+      },
+      Some("""WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
+        |    SUM(CASE WHEN event_type = 'error'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS s2,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS q1,
+        |    SUM(CASE WHEN event_type = 'error'
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS q2
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |b AS (
+        |  SELECT n1, n2,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS md,
+        |    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |      CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS se1,
+        |    ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |      CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS se2
+        |  FROM a)
+        |SELECT n1, n2,
+        |  CAST(round(md / sqrt(se1 + se2) * 1000000.0, 0) AS BIGINT)
+        |    AS t_micro,
+        |  CAST(round((se1 + se2) * (se1 + se2) /
+        |    (se1 * se1 / CAST(n1 - 1 AS DOUBLE) +
+        |     se2 * se2 / CAST(n2 - 1 AS DOUBLE)) * 1000000.0, 0)
+        |    AS BIGINT) AS df_micro
+        |FROM b""".stripMargin),
+      "Welch's unequal-variance t and Satterthwaite df from exact " +
+        "decimal group moments"),
   )
 }

@@ -836,7 +836,7 @@ class PlanSpec extends SparkSpec {
   test("q_anova, q_mcnemar, q_krippendorff: one scan each, conditional " +
     "partial sums, no cartesian") {
     for (q <- Seq("q_anova", "q_mcnemar", "q_krippendorff",
-      "q_cochran_q")) {
+      "q_cochran_q", "q_mannwhitney", "q_welch_t")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
       assert(p.split("FileScan").length - 1 == 1, s"$q: one scan")
