@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Independent golden checks for the statistical-test and agreement
+  * family (the MlFitSpec/SelectionSpec pattern): the DuckDB oracle
+  * SHARES each query's formula, so a wrong formula would pass the
+  * differential gate on both engines — these tests recompute every
+  * statistic from the raw rows in plain Scala, straight from the
+  * textbook definition, and compare against the live query. The
+  * Mann-Whitney check is the strongest: the query never materializes
+  * per-row ranks (value-grain doubled-rank formulation), while the
+  * reimplementation sorts rows and assigns average ranks directly. */
+class StatTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h8(s: String, m: Long): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16) % m
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** attempt category with the planted 1-in-3 bias (4 categories) */
+  private def cat4(eventId: Long, userId: Long): Long =
+    if (h8(eventId.toString, 3L) == 0L) h8(userId.toString, 4L)
+    else h8(eventId.toString, 4L)
+
+  /** attempt answer with the planted 1-in-3 bias (8 answers) */
+  private def ans8(eventId: Long, userId: Long): Long =
+    if (h8(eventId.toString, 3L) == 0L) h8(userId.toString, 8L)
+    else h8(eventId.toString, 8L)
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, d)
+
+  private lazy val docs = graft.Tables.load(spark, d, "documents")
+    .select($"doc_id", $"text", $"n_chars")
+    .as[(Long, String, Long)].collect()
+
+  private lazy val attempts = graft.Tables.load(spark, d, "events")
+    .select($"event_id", $"user_id").as[(Long, Long)].collect()
+
+  test("q_cohen_kappa matches the textbook kappa over recounted cells") {
+    val cells = docs.map { case (_, text, nChars) =>
+      (if (nChars >= 400) 1 else 0, if (toks(text).length >= 60) 1 else 0)
+    }
+    val n11 = cells.count(c => c._1 == 1 && c._2 == 1).toLong
+    val n10 = cells.count(c => c._1 == 1 && c._2 == 0).toLong
+    val n01 = cells.count(c => c._1 == 0 && c._2 == 1).toLong
+    val n00 = cells.count(c => c._1 == 0 && c._2 == 0).toLong
+    val n = (n11 + n10 + n01 + n00).toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) / n) * ((n11 + n01) / n) +
+      ((n01 + n00) / n) * ((n10 + n00) / n)
+    val kappa = (po - pe) / (1.0 - pe)
+    val row = q("q_cohen_kappa")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row == ((n11, n10, n01, n00, math.round(kappa * 1e6))),
+      s"query $row vs recount ($n11,$n10,$n01,$n00,$kappa)")
+  }
+
+  test("q_fleiss_kappa matches the textbook multi-rater kappa") {
+    val byTask = attempts.groupBy(_._2).filter(_._2.length >= 12)
+      .map { case (u, evs) =>
+        evs.sortBy(_._1).take(12).map(e => cat4(e._1, u))
+      }.toSeq
+    val m = byTask.size
+    val counts = byTask.map(cs => (0 to 3).map(c => cs.count(_ == c)))
+    val pbar = counts.map(cs =>
+      (cs.map(x => x * x).sum - 12).toDouble / (12 * 11)).sum / m
+    val tot = (0 to 3).map(c => counts.map(_(c)).sum)
+    val pe = tot.map(t => math.pow(t.toDouble / (12.0 * m), 2)).sum
+    val kappa = (pbar - pe) / (1.0 - pe)
+    val got = q("q_fleiss_kappa").select($"fleiss_micro")
+      .as[Long].collect().head
+    assert(math.abs(got - math.round(kappa * 1e6)) <= 2,
+      s"query $got vs recount ${kappa * 1e6}")
+  }
+
+  test("q_krippendorff matches the textbook nominal alpha") {
+    val byTask = attempts.groupBy(_._2).values
+      .map(evs => evs.map(e => cat4(e._1, e._2)))
+      .filter(_.length >= 2).toSeq
+    val n = byTask.map(_.length).sum.toDouble
+    val dObs = byTask.map { cs =>
+      val ni = cs.length
+      val ss = (0 to 3).map(c => { val k = cs.count(_ == c); k * k }).sum
+      (ni.toLong * ni - ss).toDouble / (ni - 1)
+    }.sum / n
+    val tot = (0 to 3).map(c => byTask.map(_.count(_ == c)).sum.toLong)
+    val dExp = (n * n - tot.map(t => (t * t).toDouble).sum) / (n * (n - 1))
+    val alpha = 1.0 - dObs / dExp
+    val got = q("q_krippendorff").select($"alpha_micro")
+      .as[Long].collect().head
+    assert(math.abs(got - math.round(alpha * 1e6)) <= 2,
+      s"query $got vs recount ${alpha * 1e6}")
+  }
+
+  test("q_majority_vote matches a direct first-8 mode recount") {
+    // .toSeq BEFORE map: mapping the Map directly to non-pair tuples
+    // rebuilds into a deduplicating collection and collapses the tasks
+    val perTask = attempts.groupBy(_._2).toSeq.map { case (u, evs) =>
+      val sample = evs.sortBy(_._1).take(8).map(e => ans8(e._1, u))
+      val mode = sample.groupBy(identity).toSeq
+        .map { case (a, g) => (a, g.length) }
+        .minBy { case (a, c) => (-c, a) }._1
+      (mode == h8(u.toString, 8L), sample.length)
+    }
+    val nTasks = perTask.size.toLong
+    val nCorrect = perTask.count(_._1).toLong
+    val row = q("q_majority_vote")
+      .select($"n_tasks", $"n_correct", $"acc_micro")
+      .as[(Long, Long, Long)].collect().head
+    assert(row._1 == nTasks && row._2 == nCorrect, s"$row vs ($nTasks, $nCorrect)")
+    assert(row._3 == math.round(nCorrect.toDouble / nTasks * 1e6))
+  }
+
+  test("q_mcnemar and q_cochran_q match exact cell recounts") {
+    val flags = docs.map { case (id, _, _) =>
+      (h8(id.toString + "a", 5L) == 0L, h8(id.toString + "b", 10L) < 3L,
+        h8(id.toString + "c", 4L) == 0L)
+    }
+    val b = flags.count(f => !f._1 && f._2).toLong
+    val c = flags.count(f => f._1 && !f._2).toLong
+    val chi2 = math.pow(math.abs(b - c) - 1.0, 2) / (b + c)
+    val mc = q("q_mcnemar").select($"b", $"c", $"chi2_micro")
+      .as[(Long, Long, Long)].collect().head
+    assert(mc._1 == b && mc._2 == c, s"$mc vs ($b, $c)")
+    assert(math.abs(mc._3 - math.round(chi2 * 1e6)) <= 2)
+
+    // Cochran: models are RIGHT when the hash misses the error band
+    val rights = flags.map(f => (!f._1, !f._2, !f._3))
+    val t1 = rights.count(_._1).toLong
+    val t2 = rights.count(_._2).toLong
+    val t3 = rights.count(_._3).toLong
+    val ri = rights.map(r =>
+      Seq(r._1, r._2, r._3).count(identity).toLong)
+    val sr = ri.sum
+    val sr2 = ri.map(x => x * x).sum
+    val qStat = 2.0 * Seq(t1, t2, t3)
+      .map(t => math.pow(3.0 * t - sr, 2)).sum / (3.0 * (3 * sr - sr2))
+    val cq = q("q_cochran_q")
+      .select($"t1", $"t2", $"t3", $"q_micro")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert((cq._1, cq._2, cq._3) == ((t1, t2, t3)))
+    assert(math.abs(cq._4 - math.round(qStat * 1e6)) <= 2)
+  }
+
+  test("q_anova matches a direct F computation from the raw rows") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val groups = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = rows.length
+    val k = groups.size
+    val grand = rows.map(_._2).sum / n
+    val ssb = groups.map(g => {
+      val m = g.sum / g.length; g.length * (m - grand) * (m - grand)
+    }).sum
+    val ssw = groups.map(g => {
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val got = q("q_anova").select($"f_micro").as[Long].collect().head
+    assert(math.abs(got / 1e6 - f) < 1e-4, s"query ${got / 1e6} vs direct $f")
+  }
+
+  test("q_welch_t matches a direct t/df computation") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .filter($"event_type".isin("click", "error"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val g1 = rows.filter(_._1 == "click").map(_._2)
+    val g2 = rows.filter(_._1 == "error").map(_._2)
+    def meanVar(g: Array[Double]) = {
+      val m = g.sum / g.length
+      (m, g.map(v => (v - m) * (v - m)).sum / (g.length - 1))
+    }
+    val (m1, v1) = meanVar(g1); val (m2, v2) = meanVar(g2)
+    val se1 = v1 / g1.length; val se2 = v2 / g2.length
+    val t = (m1 - m2) / math.sqrt(se1 + se2)
+    val df = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (g1.length - 1) + se2 * se2 / (g2.length - 1))
+    val row = q("q_welch_t").select($"t_micro", $"df_micro")
+      .as[(Long, Long)].collect().head
+    assert(math.abs(row._1 / 1e6 - t) < 1e-4, s"t ${row._1 / 1e6} vs $t")
+    assert(math.abs(row._2 / 1e6 - df) < 1e-2, s"df ${row._2 / 1e6} vs $df")
+  }
+
+  test("q_mannwhitney matches per-row average ranks assigned directly") {
+    val rows = graft.Tables.load(spark, d, "lineitem")
+      .filter($"l_returnflag".isin("A", "R"))
+      .select($"l_returnflag", $"l_quantity")
+      .as[(String, Double)].collect()
+    // direct ranking: sort ALL observations, average ranks over ties
+    val sorted = rows.sortBy(_._2)
+    val ranks = new Array[Double](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      val avg = (i + 1 + j).toDouble / 2.0 // mean of ranks i+1..j
+      (i until j).foreach(x => ranks(x) = avg)
+      i = j
+    }
+    val n1 = rows.count(_._1 == "A").toLong
+    val n2 = rows.count(_._1 == "R").toLong
+    val r1 = sorted.zip(ranks).filter(_._1._1 == "A").map(_._2).sum
+    val u = r1 - n1 * (n1 + 1) / 2.0
+    val tieTerm = sorted.groupBy(_._2).values
+      .map(g => { val t = g.length.toLong; (t * t * t - t).toDouble }).sum
+    val nn = (n1 + n2).toDouble
+    val z = (u - n1 * n2 / 2.0) /
+      math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - tieTerm / (nn * (nn - 1))))
+    val row = q("q_mannwhitney")
+      .select($"n1", $"n2", $"u2", $"z_micro")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == n1 && row._2 == n2)
+    // u2 is the DOUBLED U — integer-exact across formulations
+    assert(row._3 == math.round(2.0 * u),
+      s"doubled U ${row._3} vs direct ${2.0 * u}")
+    assert(math.abs(row._4 / 1e6 - z) < 1e-4, s"z ${row._4 / 1e6} vs $z")
+  }
+}
