@@ -968,21 +968,31 @@ object MlFit {
 
     // Cohen's kappa between two REAL quality raters — the agreement
     // check a labeling pipeline runs before trusting auto-labels: rater
-    // A is the char-length gate, rater B the token-count gate (both
-    // from the quality-heuristic family of q_text_quality). Chance-
-    // corrected agreement comes entirely from the four confusion cells
-    // — exact BIGINTs from one conditional-sum pass over one scan — and
-    // the kappa arithmetic is the same short double expression tree
-    // over those integers in both engines (each division and multiply
-    // is one IEEE op on identical inputs). Scale: one corpus scan, one
-    // 1-row reduction; nothing is per-pair.
+    // A is the char-length gate, rater B a composite "substantial OR
+    // lexically rich" gate (token count >= 75, or average token length
+    // >= 5 — both from the quality-heuristic family of q_text_quality;
+    // thresholds chosen so ALL FOUR confusion cells bind on the
+    // synthetic corpus at every SF — a token gate the length gate
+    // implies would leave a structurally-empty cell). Chance-corrected
+    // agreement comes entirely from the four confusion cells — exact
+    // BIGINTs from one conditional-sum pass over one scan — and the
+    // kappa arithmetic is the same short double expression tree over
+    // those integers in both engines (each division and multiply is
+    // one IEEE op on identical inputs). The avg-length disjunct is
+    // guarded on nonempty token lists so no NULL can leak into the
+    // cells. Scale: one corpus scan, one 1-row reduction.
     "q_cohen_kappa" -> GQuery(
       (s, d) => {
         import s.implicits._
         Tables.load(s, d, "documents")
+          .withColumn("toks", Fns.tokens($"text"))
           .select(
             ($"n_chars" >= 400).cast("long").as("a"),
-            (size(Fns.tokens($"text")) >= 60).cast("long").as("b"))
+            (size($"toks") >= 75 ||
+              (size($"toks") > 0 &&
+                aggregate($"toks", lit(0L), (acc, x) => acc + length(x))
+                  .cast("double") / size($"toks") >= 5.0))
+              .cast("long").as("b"))
           .agg(
             sum($"a" * $"b").as("n11"),
             sum($"a" * (lit(1L) - $"b")).as("n10"),
@@ -1003,11 +1013,16 @@ object MlFit {
                 "    * CAST(n10+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE))" +
                 ")) * 1000000.0, 0) AS BIGINT)").as("kappa_micro"))
       },
-      Some(s"""WITH r AS (
-        |  SELECT CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
-        |    CASE WHEN len(${Fns.sqlTokens("text")}) >= 60
-        |      THEN 1 ELSE 0 END AS b
+      Some(s"""WITH t AS (
+        |  SELECT n_chars, ${Fns.sqlTokens("text")} AS toks
         |  FROM documents),
+        |r AS (
+        |  SELECT CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(toks) >= 75 OR (len(toks) > 0 AND
+        |      CAST(list_sum(list_transform(toks, x -> len(x)))
+        |        AS DOUBLE) / len(toks) >= 5.0)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM t),
         |c AS (
         |  SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
         |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,

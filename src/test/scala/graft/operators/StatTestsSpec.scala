@@ -48,7 +48,10 @@ class StatTestsSpec extends SparkSpec {
 
   test("q_cohen_kappa matches the textbook kappa over recounted cells") {
     val cells = docs.map { case (_, text, nChars) =>
-      (if (nChars >= 400) 1 else 0, if (toks(text).length >= 60) 1 else 0)
+      val ts = toks(text)
+      val rich = ts.length >= 75 ||
+        (ts.nonEmpty && ts.map(_.length).sum.toDouble / ts.length >= 5.0)
+      (if (nChars >= 400) 1 else 0, if (rich) 1 else 0)
     }
     val n11 = cells.count(c => c._1 == 1 && c._2 == 1).toLong
     val n10 = cells.count(c => c._1 == 1 && c._2 == 0).toLong
