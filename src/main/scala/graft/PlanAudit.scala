@@ -53,7 +53,10 @@ object PlanAudit {
     "q_rrf_fusion" -> "bounded fused top-k",
     "q_mannwhitney" -> ("running rank sum over the value-grain table — " +
       "l_quantity lives on a 0.01 grid in [1, 50], <= 4901 rows at any " +
-      "corpus size"))
+      "corpus size"),
+    "q_spearman" -> ("two running rank sums over the value-grain " +
+      "tables — quantity and discount grids are <= 4901 and <= 11 rows " +
+      "at any corpus size"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

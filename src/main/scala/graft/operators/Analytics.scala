@@ -2759,5 +2759,80 @@ object Analytics {
         |FROM b""".stripMargin),
       "Welch's unequal-variance t and Satterthwaite df from exact " +
         "decimal group moments"),
+
+    // Spearman rank correlation between quantity and discount — the
+    // rank-based sibling of q_covar_corr's Pearson, built on the
+    // q_mannwhitney value-grain machinery: BOTH variables live on tiny
+    // fixed grids (50 quantities, 11 discounts), so tie-aware DOUBLED
+    // average ranks come from two bounded rank maps (one running-sum
+    // window each, allowlisted) that BROADCAST back onto the fact rows
+    // — ranks are never assigned by sorting the corpus. The Pearson
+    // moments over doubled ranks accumulate as exact DECIMAL(38,0)
+    // (row products fit a long up to ~1.5e9 rows — the decimal upgrade
+    // point is the 100 TB knob), and the classic cancellation trap —
+    // n·Σxy − Σx·Σy with both terms ~1e23 — is computed IN decimal,
+    // exactly, before the one cast-to-double and sqrt. Expected ~0
+    // here (the generator draws the columns independently); the value
+    // is the machinery, proven by the direct-ranking golden spec.
+    "q_spearman" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.load(s, d, "lineitem")
+          .select($"l_quantity".as("x"), $"l_discount".as("y"))
+        def rankMap(c: String) = {
+          val w = Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          li.groupBy(col(c)).agg(count(lit(1)).as("t"))
+            .withColumn("cum", sum($"t").over(w))
+            .select(col(c), (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L))
+              .as(s"dr$c"))
+        }
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        li.join(broadcast(rankMap("x")), "x")
+          .join(broadcast(rankMap("y")), "y")
+          .agg(count(lit(1)).as("n"),
+            sum($"drx".cast(d38)).as("sx"),
+            sum($"dry".cast(d38)).as("sy"),
+            sum(($"drx" * $"drx").cast(d38)).as("sxx"),
+            sum(($"dry" * $"dry").cast(d38)).as("syy"),
+            sum(($"drx" * $"dry").cast(d38)).as("sxy"))
+          .select($"n",
+            expr("CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - " +
+              "sx * sy AS DOUBLE) / sqrt(CAST(CAST(n AS DECIMAL(38,0)) " +
+              "* sxx - sx * sx AS DOUBLE)) / " +
+              "sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy " +
+              "AS DOUBLE)) * 1000000.0, 0) AS BIGINT)").as("rho_micro"))
+      },
+      Some("""WITH li AS (
+        |  SELECT l_quantity AS x, l_discount AS y FROM lineitem),
+        |rx AS (
+        |  SELECT x, 2 * (cum - t) + t + 1 AS drx FROM (
+        |    SELECT x, t, SUM(t) OVER (ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS t
+        |      FROM li GROUP BY x))),
+        |ry AS (
+        |  SELECT y, 2 * (cum - t) + t + 1 AS dry FROM (
+        |    SELECT y, t, SUM(t) OVER (ORDER BY y
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t
+        |      FROM li GROUP BY y))),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(drx AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(dry AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(drx * drx AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(dry * dry AS DECIMAL(38,0))) AS syy,
+        |    SUM(CAST(drx * dry AS DECIMAL(38,0))) AS sxy
+        |  FROM li JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n,
+        |  CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * sxy -
+        |    sx * sy AS DOUBLE) / sqrt(CAST(CAST(n AS DECIMAL(38,0))
+        |    * sxx - sx * sx AS DOUBLE)) /
+        |    sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+        |    AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS rho_micro
+        |FROM m""".stripMargin),
+      "Spearman rank correlation via broadcast value-grain rank maps " +
+        "and exact-decimal moments (cancellation computed in decimal)"),
   )
 }

@@ -844,6 +844,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_spearman: rank maps broadcast onto the fact — ranks never " +
+    "sort the corpus") {
+    val p = plan("q_spearman")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "rank maps must broadcast")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

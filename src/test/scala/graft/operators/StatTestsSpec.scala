@@ -194,6 +194,38 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(row._2 / 1e6 - df) < 1e-2, s"df ${row._2 / 1e6} vs $df")
   }
 
+  test("q_spearman matches direct per-row ranks with BigInt moments") {
+    val rows = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_quantity", $"l_discount").as[(Double, Double)].collect()
+    // doubled tie-average ranks assigned directly per row
+    def dranks(vs: Array[Double]): Array[Long] = {
+      val byV = vs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Long](vs.length)
+      var i = 0
+      while (i < byV.length) {
+        var j = i
+        while (j < byV.length && byV(j)._1 == byV(i)._1) j += 1
+        val dr = (i + 1 + j).toLong // 2 * average rank
+        (i until j).foreach(x => out(byV(x)._2) = dr)
+        i = j
+      }
+      out
+    }
+    val dx = dranks(rows.map(_._1)); val dy = dranks(rows.map(_._2))
+    val n = BigInt(rows.length)
+    val sx = dx.map(BigInt(_)).sum; val sy = dy.map(BigInt(_)).sum
+    val sxx = dx.map(v => BigInt(v) * v).sum
+    val syy = dy.map(v => BigInt(v) * v).sum
+    val sxy = dx.zip(dy).map { case (a, b) => BigInt(a) * b }.sum
+    val rho = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble) /
+      math.sqrt((n * syy - sy * sy).toDouble)
+    val row = q("q_spearman").as[(Long, Long)].collect().head
+    assert(row._1 == rows.length.toLong)
+    assert(math.abs(row._2 / 1e6 - rho) < 1e-4,
+      s"rho ${row._2 / 1e6} vs direct $rho")
+  }
+
   test("q_mannwhitney matches per-row average ranks assigned directly") {
     val rows = graft.Tables.load(spark, d, "lineitem")
       .filter($"l_returnflag".isin("A", "R"))
