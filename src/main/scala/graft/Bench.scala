@@ -8,6 +8,35 @@ object Bench {
   private def sink(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Runs one query to the noop sink. A THROW returns `Left(err)` instead
+    * of a timing: the old swallow-everything behavior recorded a broken
+    * query as a ~0.01 s entry indistinguishable from a fast one, which
+    * could mask a real failure for a whole round because Bench and Verify
+    * run on different SFs (VERDICT r10 "What's missing" #3). */
+  def runOne(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Either[String, Double] = {
+    val t0 = System.nanoTime()
+    try {
+      sink(fn(spark, sfDir))
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse("").replace('\n', ' ')
+        Left(s"${e.getClass.getSimpleName}: ${msg.take(200)}")
+    }
+  }
+
+  /** Minimal JSON string escaping for error messages (timings never need
+    * it; query names are identifier-safe by construction). */
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,17 +97,30 @@ object Bench {
     def jitMs: Long =
       java.lang.management.ManagementFactory.getCompilationMXBean
         .getTotalCompilationTime
-    val repIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+    // per-query rep index (a single global counter was a run-wide sequence
+    // number that defeated the per-query GC/JIT attribution the profile
+    // TSV exists for — ADVICE r10)
+    val repIdx = scala.collection.mutable.Map.empty[String, Int]
+    // first error per query; errored queries are EXCLUDED from the timing
+    // map and reported under "errors" so a thrown query can never
+    // masquerade as a fast one
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String = ""): Double = {
       val (g0, j0) = (gcMs, jitMs)
       val t0 = System.nanoTime()
-      try sink(fn(spark, sfDir)) catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val res = runOne(spark, sfDir, fn)
+      val dt = res.getOrElse((System.nanoTime() - t0) / 1e9)
+      res.left.foreach { err =>
+        if (!errors.contains(name)) errors(name) = err
+        System.err.println(s"BENCH_ERR $name: $err")
+      }
       profileOut.foreach { w =>
         val heap = java.lang.management.ManagementFactory.getMemoryMXBean
           .getHeapMemoryUsage.getUsed / (1024 * 1024)
-        w.println(f"$name\t${repIdx.getAndIncrement()}\t$dt%.3f\t" +
+        val rep = repIdx.getOrElse(name, 0)
+        repIdx(name) = rep + 1
+        w.println(f"$name\t$rep\t$dt%.3f\t" +
           s"${gcMs - g0}\t${jitMs - j0}\t$heap")
         w.flush()
       }
@@ -87,13 +129,14 @@ object Bench {
     val firstRep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) => (name, fn, time(fn, name)) }
+      .filter { case (name, _, _) => !errors.contains(name) }
     val core: Set[String] =
       if (tailReps >= reps) firstRep.map(_._1).toSet // everyone is core
       else firstRep.sortBy(-_._3).take(coreN).map(_._1).toSet
     val results = firstRep.map { case (name, fn, t1) =>
       val extra = (if (core(name)) math.max(reps, 1) else tailReps) - 1
       name -> (t1 +: (1 to extra).map(_ => time(fn, name))).min
-    }
+    }.filter { case (name, _) => !errors.contains(name) }
     // The driver records only the final ~2000 chars of combined output and
     // parses the JSON line out of that window. A 100-query map at full
     // double precision is a ~4 KB line, so its head fell off the front of
@@ -108,13 +151,18 @@ object Bench {
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""BENCH_FULL {"queries":${qmap(results)}}""")
+    // thrown queries surface as a first-class JSON key, never a timing
+    val errJson =
+      if (errors.isEmpty) ""
+      else s""","errors":${errors.map { case (k, v) =>
+        s""""$k":${jsonStr(v)}""" }.mkString("{", ",", "}")}"""
+    println(s"""BENCH_FULL {"queries":${qmap(results)}$errJson}""")
     spark.stop()
     val top = results.sortBy(-_._2).take(30)
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_are_slowest":${top.size},"queries":${qmap(top)}}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_are_slowest":${top.size},"queries":${qmap(top)}$errJson}"""
     // Persist the full record for humans/diffing, independent of what the
     // driver's tail window captures.
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${qmap(results)}}"""
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${qmap(results)}$errJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

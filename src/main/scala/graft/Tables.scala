@@ -115,7 +115,18 @@ object Fns {
       }
     }.flatten
     if (rels.isEmpty) return df
-    val key = rels.flatMap(_.location.rootPaths).mkString("|") + s"#$cores"
+    // Freshness component in the memo key (ADVICE r10): a store that is
+    // appended to or compacted in a long-lived session changes its root
+    // dirs' modification times, so the stale split estimate cannot
+    // silently skip the repartition. One FileSystem stat per root per
+    // construction — negligible next to planning.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val mtimes = rels.flatMap(_.location.rootPaths).map { p =>
+      try p.getFileSystem(hconf).getFileStatus(p).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    }.sum
+    val key = rels.flatMap(_.location.rootPaths).mkString("|") +
+      s"#$cores#$mtimes"
     val splits = splitEstimates.computeIfAbsent(key, _ => {
       val conf = spark.sessionState.conf
       val openCost = conf.filesOpenCostInBytes

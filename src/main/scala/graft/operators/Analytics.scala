@@ -2613,14 +2613,18 @@ object Analytics {
     // average ranks on that bounded table with one running-sum window
     // (allowlisted in PlanAudit with this bound). Tie-aware throughout:
     // DOUBLED rank sums keep the .5 average ranks integral, so U and
-    // the tie-corrected variance derive from exact BIGINTs (per-value
-    // counts stay far below the long-overflow line at these SFs; the
-    // DECIMAL(38,0) upgrade is the 100 TB knob), and the z-score is one
-    // IEEE expression — sqrt is correctly rounded by IEEE 754, unlike
-    // ln/exp, so it is cross-engine safe.
+    // the tie-corrected variance derive from exact integers formed AS
+    // decimals — every product whose magnitude grows with corpus size
+    // (na·rank ~ 2N², t³) casts its operands to DECIMAL before the
+    // multiply (ADVICE r11; a BIGINT product throws under ANSI past
+    // ~2e9 rows while DuckDB raises differently) — and the z-score is
+    // one IEEE expression — sqrt is correctly rounded by IEEE 754,
+    // unlike ln/exp, so it is cross-engine safe.
     "q_mannwhitney" -> GQuery(
       (s, d) => {
         import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
         val byQty = Window.orderBy($"qty")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.load(s, d, "lineitem")
@@ -2631,19 +2635,25 @@ object Analytics {
             sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("nb"))
           .withColumn("t", $"na" + $"nb")
           .withColumn("cum", sum($"t").over(byQty))
-          // doubled average rank of value v: 2*(cum-t) + t + 1 (integer)
+          // doubled average rank of value v: 2*(cum-t) + t + 1 (integer);
+          // products formed in DECIMAL so no BIGINT can overflow
           .select($"na", $"nb", $"t",
-            ($"na" * (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L)))
+            ($"na".cast(d19) *
+              (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L)).cast(d19))
               .as("r1_2term"),
-            ($"t" * $"t" * $"t" - $"t").as("tie3"))
+            ($"t".cast(d12) * $"t".cast(d12) * $"t".cast(d12) -
+              $"t".cast(d12)).as("tie3"))
           .agg(sum($"na").as("n1"), sum($"nb").as("n2"),
             sum($"r1_2term").as("r1_2"), sum($"tie3").as("ties"))
-          // doubled U = 2*R1 - n1*(n1+1); z from exact integers
+          // doubled U = 2*R1 - n1*(n1+1); exact decimal arithmetic
           .select($"n1", $"n2",
-            ($"r1_2" - $"n1" * ($"n1" + lit(1L))).as("u2"),
+            ($"r1_2" - $"n1".cast(d19) * ($"n1" + lit(1L)).cast(d19))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .as("u2"),
             $"ties")
           .select($"n1", $"n2", $"u2",
-            expr("CAST(round((CAST(u2 - n1 * n2 AS DOUBLE) / 2.0) / " +
+            expr("CAST(round((CAST(u2 - CAST(n1 AS DECIMAL(19,0)) * " +
+              "CAST(n2 AS DECIMAL(19,0)) AS DOUBLE) / 2.0) / " +
               "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
               "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / " +
               "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) " +
@@ -2665,13 +2675,20 @@ object Analytics {
         |a AS (
         |  SELECT CAST(SUM(na) AS BIGINT) AS n1,
         |    CAST(SUM(nb) AS BIGINT) AS n2,
-        |    CAST(SUM(na * (2 * (cum - t) + t + 1)) AS BIGINT) AS r1_2,
-        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |    SUM(CAST(na AS DECIMAL(19,0)) *
+        |      CAST(2 * (cum - t) + t + 1 AS DECIMAL(19,0))) AS r1_2,
+        |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) *
+        |      CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0)))
+        |      AS ties
         |  FROM w),
         |b AS (
-        |  SELECT n1, n2, r1_2 - n1 * (n1 + 1) AS u2, ties FROM a)
+        |  SELECT n1, n2,
+        |    CAST(r1_2 - CAST(n1 AS DECIMAL(19,0)) *
+        |      CAST(n1 + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS u2,
+        |    ties FROM a)
         |SELECT n1, n2, u2,
-        |  CAST(round((CAST(u2 - n1 * n2 AS DOUBLE) / 2.0) /
+        |  CAST(round((CAST(u2 - CAST(n1 AS DECIMAL(19,0)) *
+        |    CAST(n2 AS DECIMAL(19,0)) AS DOUBLE) / 2.0) /
         |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
         |    (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
         |    (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
@@ -2768,8 +2785,9 @@ object Analytics {
     // window each, allowlisted) that BROADCAST back onto the fact rows
     // — ranks are never assigned by sorting the corpus. The Pearson
     // moments over doubled ranks accumulate as exact DECIMAL(38,0)
-    // (row products fit a long up to ~1.5e9 rows — the decimal upgrade
-    // point is the 100 TB knob), and the classic cancellation trap —
+    // with the row products formed AS decimals — (19,0)x(19,0)
+    // operand casts, so no BIGINT intermediate can overflow at any
+    // corpus size — and the classic cancellation trap —
     // n·Σxy − Σx·Σy with both terms ~1e23 — is computed IN decimal,
     // exactly, before the one cast-to-double and sqrt. Expected ~0
     // here (the generator draws the columns independently); the value
@@ -2788,14 +2806,18 @@ object Analytics {
               .as(s"dr$c"))
         }
         val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        // operands cast to decimal BEFORE the product (ADVICE r11): a
+        // BIGINT drx*drx wraps/throws past ~1.5e9 rows; (19,0)x(19,0)
+        // products stay exact in both engines' (38,0) result type
         li.join(broadcast(rankMap("x")), "x")
           .join(broadcast(rankMap("y")), "y")
           .agg(count(lit(1)).as("n"),
             sum($"drx".cast(d38)).as("sx"),
             sum($"dry".cast(d38)).as("sy"),
-            sum(($"drx" * $"drx").cast(d38)).as("sxx"),
-            sum(($"dry" * $"dry").cast(d38)).as("syy"),
-            sum(($"drx" * $"dry").cast(d38)).as("sxy"))
+            sum($"drx".cast(d19) * $"drx".cast(d19)).as("sxx"),
+            sum($"dry".cast(d19) * $"dry".cast(d19)).as("syy"),
+            sum($"drx".cast(d19) * $"dry".cast(d19)).as("sxy"))
           .select($"n",
             expr("CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - " +
               "sx * sy AS DOUBLE) / sqrt(CAST(CAST(n AS DECIMAL(38,0)) " +
@@ -2821,9 +2843,12 @@ object Analytics {
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(CAST(drx AS DECIMAL(38,0))) AS sx,
         |    SUM(CAST(dry AS DECIMAL(38,0))) AS sy,
-        |    SUM(CAST(drx * drx AS DECIMAL(38,0))) AS sxx,
-        |    SUM(CAST(dry * dry AS DECIMAL(38,0))) AS syy,
-        |    SUM(CAST(drx * dry AS DECIMAL(38,0))) AS sxy
+        |    SUM(CAST(drx AS DECIMAL(19,0)) * CAST(drx AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(dry AS DECIMAL(19,0)) * CAST(dry AS DECIMAL(19,0)))
+        |      AS syy,
+        |    SUM(CAST(drx AS DECIMAL(19,0)) * CAST(dry AS DECIMAL(19,0)))
+        |      AS sxy
         |  FROM li JOIN rx USING (x) JOIN ry USING (y))
         |SELECT n,
         |  CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * sxy -

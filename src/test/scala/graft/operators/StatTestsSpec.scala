@@ -251,8 +251,10 @@ class StatTestsSpec extends SparkSpec {
     val nn = (n1 + n2).toDouble
     val z = (u - n1 * n2 / 2.0) /
       math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - tieTerm / (nn * (nn - 1))))
+    // u2 is DECIMAL(38,0) since the ADVICE-r11 overflow-proofing; the
+    // cast back to long is exact at spec scale
     val row = q("q_mannwhitney")
-      .select($"n1", $"n2", $"u2", $"z_micro")
+      .select($"n1", $"n2", $"u2".cast("long"), $"z_micro")
       .as[(Long, Long, Long, Long)].collect().head
     assert(row._1 == n1 && row._2 == n2)
     // u2 is the DOUBLED U — integer-exact across formulations
