@@ -21,6 +21,52 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  // ------------------------------------------------------------------
+  // Derived-partsupp twin (VERDICT r10 ask #4): the synthetic schema has
+  // no partsupp table, which blocked TPC-H Q2/Q11/Q20 and spec-form Q16.
+  // Derive one both engines compute IDENTICALLY: the pair set is
+  // DISTINCT (l_partkey, l_suppkey) from the fact, and the two spec
+  // columns are md5-derived deterministic uniforms (two 8-hex-digit
+  // slices = exact 32-bit uniforms in both engines — the pass@k recipe):
+  //   ps_availqty   = slice(1,8) % 9999 + 1             (1..9999, spec range)
+  //   ps_supplycost = (slice(9,8) % 100000 + 100)/100.0 (1.00..1001.99, 2dp)
+  // The division is ONE IEEE op on identical integers, so the doubles
+  // are bit-identical across engines; queries needing exact sums derive
+  // integer cents via round(cost*100) exactly like the other 2-dp money
+  // columns. Memoized per (session, dir) with localCheckpoint so the
+  // pair distinct — the one corpus-scale shuffle — is paid once per
+  // corpus, not once per query (the Graph.tradeEdges pattern).
+  private val psCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def psTwin(s: SparkSession, d: String): DataFrame =
+    psCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+      import s.implicits._
+      val hx = md5(concat($"ps_partkey".cast("string"), lit("|"),
+        $"ps_suppkey".cast("string")))
+      t(s, d, "lineitem")
+        .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_availqty",
+          conv(substring(hx, 1, 8), 16, 10).cast("long") % 9999 + 1)
+        .withColumn("ps_supplycost",
+          (conv(substring(hx, 9, 8), 16, 10).cast("long") % 100000 + 100)
+            .cast("double") / 100.0)
+        .localCheckpoint()
+    })
+
+  /** DuckDB CTE body mirroring [[psTwin]] column-for-column. */
+  private val psSql =
+    """ps AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    ('0x' || substring(md5(CAST(ps_partkey AS VARCHAR) || '|' ||
+      |      CAST(ps_suppkey AS VARCHAR)), 1, 8))::BIGINT % 9999 + 1
+      |      AS ps_availqty,
+      |    CAST(('0x' || substring(md5(CAST(ps_partkey AS VARCHAR) || '|' ||
+      |      CAST(ps_suppkey AS VARCHAR)), 9, 8))::BIGINT % 100000 + 100
+      |      AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |    l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
+
   // DuckDB fragments for q_array_funcs (token list + probe vocabulary)
   private val sqlToks =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
@@ -1288,6 +1334,221 @@ object Relational {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
       "TPC-H Q16 supplier count by part attributes (fact-derived " +
         "part-supplier pairs, NOT IN as broadcast anti join)"),
+
+    // TPC-H Q2 minimum-cost supplier over the derived-partsupp twin.
+    // Stated substitutions: p_type = 'STANDARD' for the spec's '%BRASS'
+    // suffix match, a size BAND (<= 25) for the spec's exact size so the
+    // part filter binds at sf0.001's 200-part dimension, and p_brand in
+    // the output for the absent p_mfgr. Shape is the spec's: region-
+    // filtered suppliers, part-filtered partsupp, then the correlated
+    // min-cost-per-part subquery — here a partial agg on the pruned ps
+    // rows joined back as a BROADCAST (the min table is filtered-part-
+    // sized, never corpus-sized). Cost equality compares bit-identical
+    // doubles (psTwin's construction), so ties are deterministic and the
+    // spec's ORDER BY ... LIMIT 100 is total ((s_name, p_partkey) is
+    // unique per row).
+    "q_tpch_q2" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val sup = broadcast(t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region").filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name"))
+        val pf = broadcast(t(s, d, "part")
+          .filter($"p_size" <= 25 && $"p_type" === "STANDARD")
+          .select($"p_partkey", $"p_brand"))
+        val j = psTwin(s, d)
+          .join(pf, $"ps_partkey" === $"p_partkey")
+          .join(sup, $"ps_suppkey" === $"s_suppkey")
+        val minCost = j.groupBy($"p_partkey".as("mk"))
+          .agg(min($"ps_supplycost").as("min_cost"))
+        j.join(broadcast(minCost),
+            $"p_partkey" === $"mk" && $"ps_supplycost" === $"min_cost")
+          .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+            $"p_brand")
+          .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+          .limit(100)
+      },
+      Some(s"""WITH $psSql,
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |pf AS (
+        |  SELECT p_partkey, p_brand FROM part
+        |  WHERE p_size <= 25 AND p_type = 'STANDARD'),
+        |j AS (
+        |  SELECT * FROM ps
+        |  JOIN pf ON ps_partkey = p_partkey
+        |  JOIN sup ON ps_suppkey = s_suppkey),
+        |m AS (
+        |  SELECT p_partkey AS mk, MIN(ps_supplycost) AS min_cost
+        |  FROM j GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM j JOIN m ON p_partkey = mk AND ps_supplycost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+      "TPC-H Q2 min-cost supplier (derived-partsupp twin; broadcast " +
+        "min-per-part join-back, bit-identical cost equality)"),
+
+    // TPC-H Q11 important stock over the derived-partsupp twin. Stated
+    // adaptations: one nation = nationkey 3 (keyed, not named — the
+    // sf-extrapolated sweep corpora zero-pad nation NAMES), and the
+    // spec's 0.0001/SF
+    // fraction becomes the SCALE-FREE rule value > 1.2 x mean part
+    // value — the spec divides by SF for exactly this reason (a fixed
+    // fraction stops binding as the part dimension grows); the mean
+    // form binds identically at every SF. All value arithmetic is
+    // integer CENTS (round(cost*100) on bit-identical doubles), and the
+    // threshold comparison value*n*10 > total*12 runs in DECIMAL(38,0)
+    // so no BIGINT product can overflow at any corpus size. One
+    // corpus-scale shuffle (the part-grain agg); the nation supplier
+    // set and the 1-row total both broadcast.
+    "q_tpch_q11" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val sup7 = broadcast(t(s, d, "supplier")
+          .filter($"s_nationkey" === 3)
+          .select($"s_suppkey"))
+        val pv = psTwin(s, d)
+          .join(sup7, $"ps_suppkey" === $"s_suppkey")
+          .withColumn("cents",
+            expr("CAST(round(ps_supplycost * 100, 0) AS BIGINT)"))
+          .groupBy($"ps_partkey")
+          .agg(sum($"ps_availqty" * $"cents").as("value_cents"))
+        val tot = pv.agg(sum($"value_cents").as("total_cents"),
+          count(lit(1)).as("n_parts"))
+        pv.crossJoin(broadcast(tot))
+          .filter($"value_cents".cast(d38) * $"n_parts" * lit(10) >
+            $"total_cents".cast(d38) * lit(12))
+          .select($"ps_partkey", $"value_cents")
+          .orderBy($"value_cents".desc, $"ps_partkey")
+      },
+      Some(s"""WITH $psSql,
+        |pv AS (
+        |  SELECT ps_partkey,
+        |    CAST(SUM(ps_availqty *
+        |      CAST(round(ps_supplycost * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM ps
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  WHERE s_nationkey = 3
+        |  GROUP BY ps_partkey),
+        |tot AS (
+        |  SELECT SUM(value_cents) AS total_cents,
+        |    COUNT(*) AS n_parts FROM pv)
+        |SELECT ps_partkey, value_cents
+        |FROM pv, tot
+        |WHERE CAST(value_cents AS DECIMAL(38,0)) * n_parts * 10 >
+        |  CAST(total_cents AS DECIMAL(38,0)) * 12
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin),
+      "TPC-H Q11 important stock (derived-partsupp twin; integer-cents " +
+        "value, scale-free 1.2x-mean threshold in exact decimal)"),
+
+    // TPC-H Q20 potential part promotion over the derived-partsupp
+    // twin. Stated substitutions: p_name LIKE 'hot%' for the spec's
+    // 'forest%' (the synthetic adjective vocabulary), region ASIA for
+    // the spec's single nation (so the supplier filter binds at
+    // sf0.001's 10-supplier dimension). Shape is the spec's nested
+    // semi-join chain: per-(part, supplier) 1995 shipped quantity from
+    // one fact partial agg, availqty > half of it as the exact integer
+    // rule 2*availqty > qty (l_quantity is 0-dp by construction, so the
+    // BIGINT cast is exact), then the qualifying supplier id set
+    // distinct-ed and joined to the region-filtered supplier dim. The
+    // ps-side join prunes through the broadcast 'hot%' part filter; the
+    // only corpus-scale shuffles are the fact agg and the pair
+    // distinct inside psTwin (paid once, memoized).
+    "q_tpch_q20" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pf = broadcast(t(s, d, "part")
+          .filter($"p_name".like("hot%")).select($"p_partkey"))
+        val shipped = t(s, d, "lineitem")
+          .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum($"l_quantity".cast("bigint")).as("qty"))
+        val okSupp = psTwin(s, d)
+          .join(pf, $"ps_partkey" === $"p_partkey")
+          .join(shipped,
+            $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey")
+          .filter($"ps_availqty" * 2 > $"qty")
+          .select($"ps_suppkey").distinct()
+        t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region").filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .join(okSupp, $"s_suppkey" === $"ps_suppkey", "left_semi")
+          .select($"s_suppkey", $"s_name")
+          .orderBy($"s_name")
+      },
+      Some(s"""WITH $psSql,
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |ok AS (
+        |  SELECT DISTINCT ps_suppkey FROM ps
+        |  JOIN part ON ps_partkey = p_partkey
+        |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE p_name LIKE 'hot%' AND ps_availqty * 2 > qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_suppkey IN (SELECT ps_suppkey FROM ok)
+        |ORDER BY s_name""".stripMargin),
+      "TPC-H Q20 part promotion (derived-partsupp twin; exact integer " +
+        "availqty-vs-half-demand rule, nested semi-join chain)"),
+
+    // TPC-H Q16 in SPEC form over the derived-partsupp twin (the
+    // adapted q_tpch_q16 above keeps the original fact-derived shape;
+    // this one adds the spec's second part predicate — a NOT LIKE type
+    // exclusion — and counts from ps). Same anti-join treatment of the
+    // "complaints" supplier exclusion (s_acctbal < 0, stated). Constants
+    // differ from the adapted row so the two queries cannot shadow each
+    // other's results.
+    "q_tpch_q16_ps" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val bad = t(s, d, "supplier").filter($"s_acctbal" < 0)
+          .select($"s_suppkey")
+        val pf = broadcast(t(s, d, "part")
+          .filter($"p_brand" =!= "Brand#5" &&
+            !$"p_type".like("PROMO%") &&
+            $"p_size".isin(2, 6, 10, 14, 18, 22, 26, 30))
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size"))
+        psTwin(s, d)
+          .join(broadcast(bad), $"ps_suppkey" === $"s_suppkey", "left_anti")
+          .join(pf, $"ps_partkey" === $"p_partkey")
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+      },
+      Some(s"""WITH $psSql
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps
+        |JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (2, 6, 10, 14, 18, 22, 26, 30)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      "TPC-H Q16 spec form (derived-partsupp twin; NOT-LIKE type " +
+        "exclusion + broadcast anti join supplier screen)"),
 
     "q_join_multi" -> GQuery(
       (s, d) => {

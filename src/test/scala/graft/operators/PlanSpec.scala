@@ -853,6 +853,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p.take(1500))
   }
 
+  test("q_tpch_q2: min-cost-per-part joins back as a broadcast; dims " +
+    "broadcast; top-100 is TakeOrderedAndProject") {
+    val p = plan("q_tpch_q2")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "every join (dims + min-cost join-back) must broadcast")
+  }
+
+  test("q_tpch_q11: part-grain agg is the only corpus shuffle; 1-row " +
+    "total broadcasts back; no cartesian") {
+    val p = plan("q_tpch_q11")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q_tpch_q20: semi-join chain — part filter broadcast, supplier " +
+    "screen is a LeftSemi, no cartesian") {
+    val p = plan("q_tpch_q20")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.replaceAll("\n", " ")
+      .matches(".*PushedFilters[^\\]]*l_shipdate.*"), "date not pushed")
+  }
+
+  test("q_tpch_q16_ps: spec-form over the ps twin — anti join screen " +
+    "broadcast, no cartesian") {
+    val p = plan("q_tpch_q16_ps")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
