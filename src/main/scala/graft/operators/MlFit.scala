@@ -1235,11 +1235,20 @@ object MlFit {
     // and qualification cut, q_majority_vote's first-k mode with total
     // tie-break); the DuckDB side replays the ENTIRE funnel so the
     // hash proves the composition. Per-task rates freeze to micro-units
-    // before cross-task means (house discipline). Scale shape: one
-    // events scan per stage branch (the one-plan form trades re-scan
-    // for side-effect-free construction, exactly like q_prep_funnel —
-    // materializing the qualified pool is the production knob), one
-    // task-keyed window, task-bounded aggregates; no collects.
+    // before cross-task means (house discipline).
+    //
+    // Scale shape (CONSOLIDATED, VERDICT r10 ask #5 — was 5 global
+    // 1-row reduces): the three pool-count stages collapse into ONE
+    // task-grain aggregate (count/sum per task, then conditional sums —
+    // tot>=60 qualification and the first-8 sample size min(tot,8) are
+    // pure functions of the per-task count, so no window and no
+    // distinct-expand are needed), and pass@1 + majority-vote reduce
+    // TOGETHER from a union of their task-grain rows. 2 single-
+    // partition exchanges total (each over task-grain input), 3 events
+    // scans instead of 5, and only the vote branch pays the task
+    // window (the pool/pass branches replaced theirs with groupBy).
+    // The 1-row aggregates fan back out to stage rows via explode-of-
+    // struct-array — a 1-row operation, no exchange.
     "q_eval_funnel" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -1257,44 +1266,71 @@ object MlFit {
                 16, 10).cast("long"), lit(8L)))
               .otherwise(pmod(conv(substring(md5($"event_id".cast("string")),
                 1, 8), 16, 10).cast("long"), lit(8L))).as("ans"))
+        val nullMetric = lit(null).cast("long")
+        // stages 0-2 from one task-grain count table: a task qualifies
+        // iff its count >= 60, and its first-8 sample holds min(tot, 8)
+        // rows — identical to filtering the windowed rows, without the
+        // window
+        val pools = ev.groupBy($"task").agg(count(lit(1)).as("tot2"))
+          .agg(count(lit(1)).as("t0"), sum($"tot2").as("a0"),
+            sum(($"tot2" >= 60L).cast("long")).as("t1"),
+            coalesce(sum(when($"tot2" >= 60L, $"tot2")), lit(0L)).as("a1"),
+            coalesce(sum(when($"tot2" >= 60L, least($"tot2", lit(8L)))),
+              lit(0L)).as("a2"))
+          .select(explode(array(
+            struct(lit(0).as("stage_no"), lit("raw").as("stage"),
+              $"t0".as("n_tasks"), $"a0".as("n_attempts"),
+              nullMetric.as("metric_micro")),
+            struct(lit(1).as("stage_no"), lit("qualified_min60").as("stage"),
+              $"t1".as("n_tasks"), $"a1".as("n_attempts"),
+              nullMetric.as("metric_micro")),
+            struct(lit(2).as("stage_no"), lit("vote_sample_k8").as("stage"),
+              $"t1".as("n_tasks"), $"a2".as("n_attempts"),
+              nullMetric.as("metric_micro")))).as("r"))
+          .select($"r.*")
+        // pass@1 task rows need no window either: qualification is a
+        // HAVING on the task count
+        val passTask = ev.groupBy($"task")
+          .agg(count(lit(1)).as("n"), sum($"ok").as("c"))
+          .filter($"n" >= 60L)
+          .select(lit("p").as("src"), $"n",
+            expr("CAST(round(CAST(c AS DOUBLE) / " +
+              "CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("v"))
+        // majority vote keeps the task window (first-8 needs rn)
+        val rk = Window.partitionBy($"task").orderBy($"cnt".desc, $"ans".asc)
+        val voteTask = ev
           .withColumn("tot", count(lit(1)).over(byTask))
           .withColumn("rn", row_number().over(byTask.orderBy($"event_id")))
-        val s1 = ev.filter($"tot" >= 60L)
-        val s2 = s1.filter($"rn" <= 8L)
-        val nullMetric = lit(null).cast("long").as("metric_micro")
-        def pool(df: org.apache.spark.sql.DataFrame, no: Int, nm: String) =
-          df.agg(countDistinct($"task").as("n_tasks"),
-            count(lit(1)).as("n_attempts"))
-            .select(lit(no).as("stage_no"), lit(nm).as("stage"),
-              $"n_tasks", $"n_attempts", nullMetric)
-        val pass1 = s1.groupBy($"task")
-          .agg(count(lit(1)).as("n"), sum($"ok").as("c"))
-          .select($"n", expr("CAST(round(CAST(c AS DOUBLE) / " +
-            "CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("p6"))
-          .agg(count(lit(1)).as("n_tasks"), sum($"n").as("n_attempts"),
-            expr("CAST(round(CAST(SUM(p6) AS DOUBLE) / " +
-              "CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)").as("metric_micro"))
-          .select(lit(3).as("stage_no"), lit("pass_at_1").as("stage"),
-            $"n_tasks", $"n_attempts", $"metric_micro")
-        val rk = Window.partitionBy($"task").orderBy($"cnt".desc, $"ans".asc)
-        val vote = s2.groupBy($"task", $"ref", $"ans")
+          .filter($"tot" >= 60L && $"rn" <= 8L)
+          .groupBy($"task", $"ref", $"ans")
           .agg(count(lit(1)).as("cnt"))
           .withColumn("n", sum($"cnt").over(byTask))
           .withColumn("rn2", row_number().over(rk))
           .filter($"rn2" === 1)
-          .select($"n", ($"ans" === $"ref").cast("long").as("correct"))
-          .agg(count(lit(1)).as("n_tasks"), sum($"n").as("n_attempts"),
-            expr("CAST(round(CAST(SUM(correct) AS DOUBLE) / " +
-              "CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
-              .as("metric_micro"))
-          .select(lit(4).as("stage_no"), lit("majority_vote").as("stage"),
-            $"n_tasks", $"n_attempts", $"metric_micro")
-        pool(ev, 0, "raw")
-          .unionByName(pool(s1, 1, "qualified_min60"))
-          .unionByName(pool(s2, 2, "vote_sample_k8"))
-          .unionByName(pass1)
-          .unionByName(vote)
-          .orderBy($"stage_no")
+          .select(lit("v").as("src"), $"n",
+            ($"ans" === $"ref").cast("long").as("v"))
+        // ONE reduce serves both metric stages
+        val metrics = passTask.unionByName(voteTask)
+          .agg(
+            sum(when($"src" === "p", 1L)).as("pt"),
+            sum(when($"src" === "p", $"n")).as("pa"),
+            expr("CAST(round(CAST(SUM(CASE WHEN src = 'p' THEN v END) " +
+              "AS DOUBLE) / CAST(SUM(CASE WHEN src = 'p' THEN 1 END) " +
+              "AS DOUBLE), 0) AS BIGINT)").as("pm"),
+            sum(when($"src" === "v", 1L)).as("vt"),
+            sum(when($"src" === "v", $"n")).as("va"),
+            expr("CAST(round(CAST(SUM(CASE WHEN src = 'v' THEN v END) " +
+              "AS DOUBLE) / CAST(SUM(CASE WHEN src = 'v' THEN 1 END) " +
+              "AS DOUBLE) * 1000000.0, 0) AS BIGINT)").as("vm"))
+          .select(explode(array(
+            struct(lit(3).as("stage_no"), lit("pass_at_1").as("stage"),
+              $"pt".as("n_tasks"), $"pa".as("n_attempts"),
+              $"pm".as("metric_micro")),
+            struct(lit(4).as("stage_no"), lit("majority_vote").as("stage"),
+              $"vt".as("n_tasks"), $"va".as("n_attempts"),
+              $"vm".as("metric_micro")))).as("r"))
+          .select($"r.*")
+        pools.unionByName(metrics).orderBy($"stage_no")
       },
       Some("""WITH ev AS (
         |  SELECT user_id AS task, event_id,

@@ -811,7 +811,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_eval_funnel: task-keyed windows, no cartesian, no global " +
-    "ordered window") {
+    "ordered window; consolidated to <=2 single-partition reduces") {
     val p = plan("q_eval_funnel")
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(p.contains("hashpartitioning(task"), p.take(3000))
@@ -819,6 +819,11 @@ class PlanSpec extends SparkSpec {
     // appear as an empty partition spec
     assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
       "global ordered window found")
+    // VERDICT r10 ask #5: the five per-stage 1-row reduces are
+    // consolidated — one task-grain pool aggregate + one shared
+    // pass@1/majority-vote reduce
+    val singles = p.split("\n").count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"$singles single-partition exchanges (want <=2)")
   }
 
   test("q_length_bias: pair join keyed on orderkey, bucket-grain agg, " +
