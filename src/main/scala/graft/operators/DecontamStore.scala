@@ -73,7 +73,8 @@ object DecontamStore {
     StoreLayout.checkOrWriteMeta(docs.sparkSession, metaPath(path),
       metaKv(n, numPfx))
     require(
-      !StoreLayout.compactedIds(docs.sparkSession, path).contains(batchId),
+      !StoreLayout.effectiveCompacted(docs.sparkSession, path,
+        Seq(s"$path/grams")).contains(batchId),
       s"heldout batch $batchId was compacted into a generation; use a " +
         "fresh batch id")
     val g = grams(docs, idCol, textCol, n, numPfx)
@@ -109,7 +110,8 @@ object DecontamStore {
     val g = if (broadcastBatch) broadcast(g0) else g0
     val standing = StoreLayout.excludeCompacted(
         spark.read.parquet(s"$path/grams"),
-        StoreLayout.compactedIds(spark, path).keySet)
+        StoreLayout.effectiveCompacted(spark, path,
+          Seq(s"$path/grams")).keySet)
       .select(col("h8"), col("pfx"))
     val contaminated = standing.join(g, Seq("pfx", "h8"))
       .select(col(idCol)).distinct()
@@ -143,14 +145,23 @@ object DecontamStore {
       : Option[DedupStore.CompactionResult] = {
     val all = StoreLayout.listBatchIds(spark, s"$path/grams")
     val log = StoreLayout.compactedIds(spark, path)
+    // heal the rename-to-log crash window from the generation manifests
+    // (single table, so a present generation is always a complete pass)
+    val man = StoreLayout.manifestIds(spark, s"$path/grams")
+    man.filter { case (src, _) => !log.contains(src) }
+      .groupBy(_._2).foreach { case (gen, m) =>
+        StoreLayout.recordCompaction(spark, path, gen, m.keys.toSeq.sorted)
+      }
+    val known = log ++ man
     StoreLayout.deleteBatchDirs(spark, s"$path/grams",
-      all.filter(log.contains))
+      all.filter(known.contains))
     val ids = all
-      .filter(id => id >= -1L && id <= upToBatchId && !log.contains(id))
+      .filter(id => id >= -1L && id <= upToBatchId && !known.contains(id))
       .sorted
     if (ids.size < 2) None
     else {
-      val genId = -2L - log.values.toSet.size
+      val genId = (all.filter(_ < -1L) ++ known.values.toSeq :+ -1L)
+        .min - 1L
       StoreLayout.compactTable(spark, path, "grams", ids, genId,
         Seq("pfx"), Seq("h8"), targetFileBytes)
       StoreLayout.recordCompaction(spark, path, genId, ids)

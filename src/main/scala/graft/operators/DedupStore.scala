@@ -98,6 +98,27 @@ object DedupStore {
 
   private def metaPath(path: String) = s"$path/store_meta.txt"
 
+  /** Compacted ids the APPEND FENCE (and torn-append repair) must
+    * honor: log UNION per-generation manifests of both tables — the
+    * conservative set, because replaying any id a generation anywhere
+    * claims would self-match against the generation copy (covers the
+    * rename-to-log crash window — see [[StoreLayout]]'s compaction
+    * model). */
+  private def effective(spark: SparkSession, path: String): Map[Long, Long] =
+    StoreLayout.effectiveCompacted(spark, path,
+      Seq(s"$path/sigs", s"$path/bands"))
+
+  /** Compacted ids a READER of one table must exclude: log UNION that
+    * table's OWN manifests only. Per-table on purpose — during the
+    * window where the sigs generation exists but the bands pass has not
+    * run yet, excluding the sources from the bands scan would LOSE
+    * their bucket rows (no bands generation holds them yet); each
+    * table's manifest is authoritative for that table alone. */
+  private def effectiveFor(
+      spark: SparkSession, path: String, table: String): Map[Long, Long] =
+    StoreLayout.compactedIds(spark, path) ++
+      StoreLayout.manifestIds(spark, s"$path/$table")
+
   private def metaKv(p: Params): Seq[(String, String)] = Seq(
     "shingleSize" -> p.shingleSize.toString,
     "numHashes" -> p.numHashes.toString,
@@ -113,7 +134,7 @@ object DedupStore {
     if (!StoreLayout.hasBatchData(spark, s"$path/bands")) None
     else Some(StoreLayout.excludeCompacted(
         spark.read.parquet(s"$path/bands"),
-        StoreLayout.compactedIds(spark, path).keySet)
+        effectiveFor(spark, path, "bands").keySet)
       .filter(col("batch_id") =!= batchId)
       .select(col("doc_id").as("old_id"), col("band"), col("h"), col("pfx")))
 
@@ -124,7 +145,7 @@ object DedupStore {
     if (!StoreLayout.hasBatchData(spark, s"$path/sigs")) None
     else Some(StoreLayout.excludeCompacted(
         spark.read.parquet(s"$path/sigs"),
-        StoreLayout.compactedIds(spark, path).keySet)
+        effectiveFor(spark, path, "sigs").keySet)
       .filter(col("batch_id") =!= batchId)
       .select(col("doc_id").as("old_id"), col("sig").as("old_sig")))
 
@@ -212,7 +233,7 @@ object DedupStore {
       broadcastBatch: Boolean = true): BatchStats = {
     val spark = docs.sparkSession
     StoreLayout.checkOrWriteMeta(spark, metaPath(path), metaKv(params))
-    require(!StoreLayout.compactedIds(spark, path).contains(batchId),
+    require(!effective(spark, path).contains(batchId),
       s"batch $batchId was compacted into a generation; replaying it " +
         "cannot exclude its own rows from the standing side — use a " +
         "fresh batch id")
@@ -227,7 +248,7 @@ object DedupStore {
     val sigIds = StoreLayout.listBatchIds(spark, s"$path/sigs").toSet
     val bandIds = StoreLayout.listBatchIds(spark, s"$path/bands").toSet
     val torn = ((sigIds -- bandIds) - batchId).filter(_ >= -1L) --
-      StoreLayout.compactedIds(spark, path).keySet
+      effective(spark, path).keySet
     torn.foreach { tid =>
       val tornSigs = spark.read.parquet(s"$path/sigs")
         .filter(col("batch_id") === tid)
@@ -316,7 +337,7 @@ object DedupStore {
   def keptDocs(spark: SparkSession, path: String): DataFrame =
     StoreLayout.excludeCompacted(
         spark.read.parquet(s"$path/sigs"),
-        StoreLayout.compactedIds(spark, path).keySet)
+        effectiveFor(spark, path, "sigs").keySet)
       .filter(col("kept"))
       .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
 
@@ -349,16 +370,42 @@ object DedupStore {
     val all = StoreLayout.listBatchIds(spark, s"$path/sigs") ++
       StoreLayout.listBatchIds(spark, s"$path/bands")
     val log = StoreLayout.compactedIds(spark, path)
+    // finish-on-next-call recovery (rename-to-log crash window). Two
+    // crash shapes, read off the per-table manifests:
+    //  - HALF-DONE pass (sigs generation renamed, crash before the
+    //    bands pass): the orphan generation is deleted outright — its
+    //    sources all still exist, so nothing is lost — and the sources
+    //    re-enter `ids` for a fresh whole pass. (Healing the log
+    //    instead would make readers drop bands rows that no bands
+    //    generation holds yet.)
+    //  - COMPLETE pass, log write never happened (both generations
+    //    present): heal the missing log line, then treat as compacted.
+    val sigMan0 = StoreLayout.manifestIds(spark, s"$path/sigs")
+    val bandMan0 = StoreLayout.manifestIds(spark, s"$path/bands")
+    val orphanGens = (sigMan0.values.toSet union bandMan0.values.toSet) --
+      (sigMan0.values.toSet intersect bandMan0.values.toSet) -- log.values
+    StoreLayout.deleteBatchDirs(spark, s"$path/sigs", orphanGens.toSeq)
+    StoreLayout.deleteBatchDirs(spark, s"$path/bands", orphanGens.toSeq)
+    val sigMan = sigMan0.filter { case (_, g) => !orphanGens(g) }
+    val bandMan = bandMan0.filter { case (_, g) => !orphanGens(g) }
+    val complete = log ++ sigMan ++ bandMan
+    (sigMan ++ bandMan).filter { case (src, _) => !log.contains(src) }
+      .groupBy(_._2).foreach { case (gen, m) =>
+        StoreLayout.recordCompaction(spark, path, gen, m.keys.toSeq.sorted)
+      }
     // finish any interrupted deletion before measuring what's left
-    val stale = all.distinct.filter(log.contains)
+    val stale = all.distinct.filter(complete.contains)
     StoreLayout.deleteBatchDirs(spark, s"$path/sigs", stale)
     StoreLayout.deleteBatchDirs(spark, s"$path/bands", stale)
     val ids = all.distinct
-      .filter(id => id >= -1L && id <= upToBatchId && !log.contains(id))
+      .filter(id => id >= -1L && id <= upToBatchId && !complete.contains(id))
       .sorted
     if (ids.size < 2) None
     else {
-      val genId = -2L - log.values.toSet.size
+      // one below every generation this store has ever produced (log,
+      // manifests, or a bare on-disk generation dir)
+      val genId = (all.filter(_ < -1L) ++ log.values.toSeq ++
+        sigMan.values.toSeq ++ bandMan.values.toSeq :+ -1L).min - 1L
       StoreLayout.compactTable(spark, path, "sigs", ids, genId,
         Nil, Seq("doc_id"), targetFileBytes)
       StoreLayout.compactTable(spark, path, "bands", ids, genId,

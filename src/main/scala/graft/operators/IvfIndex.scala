@@ -126,11 +126,15 @@ object IvfIndex {
     // exclude compacted-but-not-yet-deleted source partitions (the
     // compactIndex crash window): search is duplicate-sensitive, so a
     // vector must never be visible in both its source batch and its
-    // generation. No-op for the flat (non-batch) layout.
+    // generation. The LOG UNION MANIFESTS is what makes this crash-safe
+    // (ADVICE r10): a crash between generation rename and log write
+    // leaves the log empty, but the generation's own `_sources.txt`
+    // manifest — visible from the same atomic rename — still names the
+    // sources to drop. No-op for the flat (non-batch) layout.
     val base =
       if (!raw.columns.contains("batch_id")) raw
       else StoreLayout.excludeCompacted(raw,
-        StoreLayout.compactedIds(spark, path).keySet)
+        StoreLayout.effectiveCompacted(spark, path, Seq(path)).keySet)
     base
       .filter(col("cell_id").isin(probe: _*))
       .withColumn("cos", cosine(col("embedding"), typedlit(query)))
@@ -219,8 +223,8 @@ object IvfIndex {
       batchId: Long,
       centroids: DataFrame,
       path: String): Unit = {
-    require(!StoreLayout.compactedIds(newVectors.sparkSession, path)
-        .contains(batchId),
+    require(!StoreLayout.effectiveCompacted(
+        newVectors.sparkSession, path, Seq(path)).contains(batchId),
       s"batch $batchId was compacted into a generation; replaying it " +
         "would duplicate its vectors — use a fresh batch id")
     assignCells(newVectors, centroids)
@@ -239,11 +243,15 @@ object IvfIndex {
     * bounded by compactions run, not micro-batches ingested (a
     * minutes-cadence stream otherwise decays into thousands of
     * `batch_id=N/cell_id=C` dirs). [[DedupStore.compactStore]]'s recipe
-    * with one difference in WHY the log matters: search is
-    * duplicate-SENSITIVE, so the crash window between generation rename
-    * and source deletion is covered by [[searchCellPartitioned]]'s
-    * logged-source exclusion rather than by semantics. Returns None when
-    * fewer than two source partitions qualify. */
+    * with one difference in WHY the bookkeeping matters: search is
+    * duplicate-SENSITIVE, so the whole rename-to-deletion span is
+    * covered by [[searchCellPartitioned]]'s exclusion of log UNION
+    * per-generation manifests ([[StoreLayout.effectiveCompacted]]) —
+    * the manifest lands inside the generation dir in the same atomic
+    * rename, so even a crash BEFORE the log write leaves no window in
+    * which a vector is visible twice; this method heals the missing log
+    * line on its next call. Returns None when fewer than two source
+    * partitions qualify. */
   def compactIndex(
       spark: SparkSession,
       path: String,
@@ -252,13 +260,25 @@ object IvfIndex {
       : Option[DedupStore.CompactionResult] = {
     val all = StoreLayout.listBatchIds(spark, path)
     val log = StoreLayout.compactedIds(spark, path)
-    StoreLayout.deleteBatchDirs(spark, path, all.filter(log.contains))
+    // finish-on-next-call recovery for the rename-to-log crash window:
+    // a generation whose manifest names sources the log does not know
+    // gets its log line healed FIRST, then its sources deleted with the
+    // rest of the stale dirs
+    val manifests = StoreLayout.manifestIds(spark, path)
+    manifests.filter { case (src, _) => !log.contains(src) }
+      .groupBy(_._2).foreach { case (gen, m) =>
+        StoreLayout.recordCompaction(spark, path, gen, m.keys.toSeq.sorted)
+      }
+    val known = log ++ manifests
+    StoreLayout.deleteBatchDirs(spark, path, all.filter(known.contains))
     val ids = all
-      .filter(id => id >= -1L && id <= upToBatchId && !log.contains(id))
+      .filter(id => id >= -1L && id <= upToBatchId && !known.contains(id))
       .sorted
     if (ids.size < 2) None
     else {
-      val genId = -2L - log.values.toSet.size
+      // next generation id: one below every generation this store has
+      // ever produced (log, manifests, or a bare on-disk gen dir)
+      val genId = (all.filter(_ < -1L) ++ known.values.toSeq :+ -1L).min - 1L
       StoreLayout.compactTable(spark, path, "", ids, genId,
         Seq("cell_id"), Seq("vec_id"), targetFileBytes)
       StoreLayout.recordCompaction(spark, path, genId, ids)

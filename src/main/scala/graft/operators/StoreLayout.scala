@@ -25,8 +25,20 @@ import org.apache.spark.sql.functions.{col, lit}
   * (b) readers exclude logged-but-not-yet-deleted sources, and (c) appends
   * REFUSE a logged batch id — a replay of a compacted batch can no longer
   * exclude its own rows from the standing side, so it must not run.
-  * (For duplicate-SENSITIVE readers like [[IvfIndex]]'s search, the (b)
-  * exclusion is what carries crash safety.) */
+  *
+  * The log alone leaves one crash window (ADVICE r10): [[compactTable]]
+  * renames the generation into place BEFORE [[recordCompaction]] writes
+  * the log, so a crash between the two leaves generation AND sources
+  * visible with nothing recording their relationship — harmless for
+  * duplicate-insensitive screens, but a duplicate-SENSITIVE reader
+  * ([[IvfIndex]]'s top-k search) would return doubled hits until a
+  * compaction pass happens to re-run. Closed by a per-generation
+  * MANIFEST: compactTable writes `_sources.txt` (same `gen=` line
+  * format) INSIDE the generation directory before the rename, so the
+  * instant a generation is visible its source list is too —
+  * [[manifestIds]] recovers it, [[effectiveCompacted]] unions it with
+  * the log for readers and append fences, and the next compaction pass
+  * heals the log from it. */
 private[operators] object StoreLayout {
 
   private def fs(spark: SparkSession, p: String) =
@@ -154,6 +166,45 @@ private[operators] object StoreLayout {
     require(f.rename(tp, lp), s"rename $tp -> $lp failed")
   }
 
+  /** Compacted source batch id -> generation id recovered from the
+    * `_sources.txt` manifests inside a TABLE's generation directories
+    * (`batch_id=G` with G < -1). Covers the rename-to-log crash window:
+    * a generation present on disk is authoritative about its sources
+    * even when the log write never happened. Underscore prefix keeps
+    * the file invisible to Spark's file listing. */
+  def manifestIds(spark: SparkSession, tableDir: String): Map[Long, Long] = {
+    val f = fs(spark, tableDir)
+    val p = new Path(tableDir)
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+      .filter(_ < -1L)
+      .flatMap { gen =>
+        val mp = new Path(s"$tableDir/batch_id=$gen/_sources.txt")
+        if (!f.exists(mp)) Seq.empty
+        else readText(f, mp).linesIterator
+          .filter(_.startsWith("gen=")).flatMap { l =>
+            val Array(_, ids) = l.split(" ", 2)
+            ids.stripPrefix("ids=").split(",").filter(_.nonEmpty)
+              .map(_.toLong -> gen)
+          }.toSeq
+      }.toMap
+  }
+
+  /** The union a READER or APPEND FENCE must consult: log entries plus
+    * every generation manifest of the store's table dirs. The log can
+    * lag the manifests by exactly one crash window; the manifests can
+    * never lag the log (the manifest is written before the generation
+    * becomes visible, and generations are never deleted). */
+  def effectiveCompacted(
+      spark: SparkSession,
+      storePath: String,
+      tableDirs: Seq[String]): Map[Long, Long] =
+    tableDirs.foldLeft(compactedIds(spark, storePath)) { (acc, td) =>
+      acc ++ manifestIds(spark, td)
+    }
+
   /** Deletes the listed `batch_id=N` partition directories of a table. */
   def deleteBatchDirs(
       spark: SparkSession, tableDir: String, ids: Seq[Long]): Unit = {
@@ -212,8 +263,16 @@ private[operators] object StoreLayout {
     val dst = new Path(s"$tableDir/batch_id=$genId")
     if (f.exists(dst)) f.delete(dst, true)
     // an empty selection writes no partition dir — nothing to move
-    if (f.exists(src))
+    if (f.exists(src)) {
+      // per-generation manifest BEFORE the rename: the generation and
+      // its source list become visible in the same atomic move, closing
+      // the rename-to-log crash window for duplicate-sensitive readers
+      val os = f.create(new Path(src, "_sources.txt"), true)
+      os.write(s"gen=$genId ids=${ids.mkString(",")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      os.close()
       require(f.rename(src, dst), s"rename $src -> $dst failed")
+    }
     f.delete(new Path(s"$storePath/_compact_tmp"), true)
   }
 }
