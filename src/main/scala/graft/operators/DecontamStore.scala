@@ -61,7 +61,14 @@ object DecontamStore {
 
   /** Land one heldout batch's distinct n-gram shingles into the standing
     * store (replay-idempotent: dynamic overwrite keyed by `batchId`).
-    * Returns the number of gram rows written. */
+    * Returns the number of gram rows written.
+    *
+    * `autoCompactAfter > 0` makes maintenance self-driving (VERDICT r10
+    * ask #3): when more than that many uncompacted source partitions
+    * exist after the append, [[compactStore]] runs with
+    * `upToBatchId = batchId - 1` — the id just appended stays
+    * replayable, everything older consolidates. Screens are unchanged
+    * by the pass (semi-join semantics). */
   def appendHeldout(
       docs: DataFrame,
       batchId: Long,
@@ -69,7 +76,8 @@ object DecontamStore {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 8,
-      numPfx: Int = 16): Long = {
+      numPfx: Int = 16,
+      autoCompactAfter: Int = 0): Long = {
     StoreLayout.checkOrWriteMeta(docs.sparkSession, metaPath(path),
       metaKv(n, numPfx))
     require(
@@ -85,6 +93,12 @@ object DecontamStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "pfx")
       .option("compression", "snappy").parquet(s"$path/grams")
+    if (autoCompactAfter > 0 &&
+        StoreLayout.listBatchIds(docs.sparkSession, s"$path/grams")
+          .count(_ >= -1L) > autoCompactAfter) {
+      compactStore(docs.sparkSession, path, upToBatchId = batchId - 1)
+      ()
+    }
     g.count()
   }
 
