@@ -122,4 +122,41 @@ class DsirSelectSpec extends SparkSpec {
         s"only-direct=${(keptBySelector -- landedB).take(5)}")
     assert(landedB.subsetOf(landedA))
   }
+
+  test("selectSink streams selection at batch parity, exactly-once") {
+    implicit val ctx = spark.sqlContext
+    val (target, pool) = corpus()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dsir_sink").toString
+    DsirSelect.fitModel(target, pool, s"$root/model")
+    val thr = 100L
+    val expected = DsirSelect.selectBatch(pool, s"$root/model", thr)
+      .filter($"selected").select($"doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty, "threshold must bind for the pin to mean " +
+      "anything")
+
+    val rows = pool.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    chunks.foreach { c =>
+      input.addData(c: _*)
+      DsirSelect.selectSink(stream, s"$root/model", s"$root/out",
+        s"$root/cp", thr).awaitTermination()
+    }
+    def landed(): Set[Long] = spark.read.parquet(s"$root/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(landed() == expected,
+      s"only-stream=${(landed() -- expected).take(5)} " +
+        s"only-batch=${(expected -- landed()).take(5)}")
+
+    // a restarted drain with the same checkpoint lands nothing new
+    val n = spark.read.parquet(s"$root/out").count()
+    DsirSelect.selectSink(stream, s"$root/model", s"$root/out",
+      s"$root/cp", thr).awaitTermination()
+    assert(spark.read.parquet(s"$root/out").count() == n)
+    assert(landed() == expected)
+  }
 }
