@@ -56,7 +56,11 @@ object PlanAudit {
       "corpus size"),
     "q_spearman" -> ("two running rank sums over the value-grain " +
       "tables — quantity and discount grids are <= 4901 and <= 11 rows " +
-      "at any corpus size"))
+      "at any corpus size"),
+    "q_kruskal_wallis" -> ("running rank sum over the value-grain " +
+      "table — l_quantity grid is <= 4901 rows at any corpus size"),
+    "q_kaplan_meier" -> ("reverse running sum over the duration-day " +
+      "table — bounded by the observation window's day count"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

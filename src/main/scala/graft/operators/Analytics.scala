@@ -2859,5 +2859,280 @@ object Analytics {
         |FROM m""".stripMargin),
       "Spearman rank correlation via broadcast value-grain rank maps " +
         "and exact-decimal moments (cancellation computed in decimal)"),
+
+    // Kendall's tau-b between quantity and discount — the third rank
+    // correlation beside q_spearman/q_covar_corr, and the one whose
+    // naive form is O(N²) row pairs. The scale trick: both variables
+    // live on tiny fixed grids, so ALL pair counting happens on the
+    // ≤ 550-cell contingency GRID (memoized one corpus shuffle) — a
+    // grid-cell pair (a, b) with a.x < b.x contributes n_a·n_b
+    // concordant or discordant pairs wholesale, and the tie terms are
+    // marginal sums. The cell-pair join is grid² ≈ 150k combinations
+    // at ANY corpus size (broadcast nested loop over the checkpointed
+    // 550-row table, never the fact). DOUBLED tie-form denominators
+    // (n0d = n(n-1) etc.) keep everything integer; products form in
+    // DECIMAL so nothing overflows; tau = 2(C-D)/sqrt((n0d-n1d)(n0d-
+    // n2d)) is one IEEE expression (sqrt is correctly rounded).
+    "q_kendall_tau" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val g = kendallGrid(s, d)
+        val a = g.select($"x".as("xa"), $"y".as("ya"), $"n".as("na"))
+        val b = g.select($"x".as("xb"), $"y".as("yb"), $"n".as("nb"))
+        val zero = lit(0L).cast(d19)
+        val pairs = a.join(b, $"xa" < $"xb")
+          .agg(
+            coalesce(sum(when($"ya" < $"yb",
+              $"na".cast(d19) * $"nb".cast(d19)).otherwise(zero)), zero)
+              .cast(d38).as("conc"),
+            coalesce(sum(when($"ya" > $"yb",
+              $"na".cast(d19) * $"nb".cast(d19)).otherwise(zero)), zero)
+              .cast(d38).as("disc"))
+        val totals = g.agg(sum($"n").as("n"))
+        val tx = g.groupBy($"x").agg(sum($"n").as("t"))
+          .agg(sum($"t".cast(d19) * ($"t" - lit(1L)).cast(d19)).as("n1d"))
+        val uy = g.groupBy($"y").agg(sum($"n").as("t"))
+          .agg(sum($"t".cast(d19) * ($"t" - lit(1L)).cast(d19)).as("n2d"))
+        pairs.crossJoin(broadcast(totals))
+          .crossJoin(broadcast(tx)).crossJoin(broadcast(uy))
+          .select($"n", $"conc", $"disc",
+            expr("CAST(round(2.0 * CAST(conc - disc AS DOUBLE) / " +
+              "sqrt(CAST(CAST(n AS DECIMAL(19,0)) * " +
+              "CAST(n - 1 AS DECIMAL(19,0)) - n1d AS DOUBLE) * " +
+              "CAST(CAST(n AS DECIMAL(19,0)) * " +
+              "CAST(n - 1 AS DECIMAL(19,0)) - n2d AS DOUBLE)) " +
+              "* 1000000.0, 0) AS BIGINT)").as("tau_micro"))
+      },
+      Some("""WITH g AS (
+        |  SELECT l_quantity AS x, l_discount AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN a.y < b.y
+        |      THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END), 0) AS DECIMAL(38,0))
+        |      AS conc,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y > b.y
+        |      THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END), 0) AS DECIMAL(38,0))
+        |      AS disc
+        |  FROM g a JOIN g b ON a.x < b.x),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM g),
+        |mx AS (
+        |  SELECT SUM(CAST(t AS DECIMAL(19,0)) *
+        |    CAST(t - 1 AS DECIMAL(19,0))) AS n1d
+        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g GROUP BY x)),
+        |my AS (
+        |  SELECT SUM(CAST(t AS DECIMAL(19,0)) *
+        |    CAST(t - 1 AS DECIMAL(19,0))) AS n2d
+        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g GROUP BY y))
+        |SELECT n, conc, disc,
+        |  CAST(round(2.0 * CAST(conc - disc AS DOUBLE) /
+        |    sqrt(CAST(CAST(n AS DECIMAL(19,0)) *
+        |    CAST(n - 1 AS DECIMAL(19,0)) - n1d AS DOUBLE) *
+        |    CAST(CAST(n AS DECIMAL(19,0)) *
+        |    CAST(n - 1 AS DECIMAL(19,0)) - n2d AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT) AS tau_micro
+        |FROM p, tot, mx, my""".stripMargin),
+      "Kendall's tau-b via wholesale pair counting on the bounded " +
+        "value-grain contingency grid (never row pairs)"),
+
+    // Kruskal-Wallis H across the three return-flag groups — the
+    // k-group generalization of q_mannwhitney (one-way ANOVA on ranks,
+    // the nonparametric sibling of q_anova), on the same value-grain
+    // machinery: per-quantity conditional group counts, one bounded
+    // running-sum window for DOUBLED average ranks (allowlisted,
+    // ≤ 4901 rows at any corpus size), doubled rank sums per group as
+    // exact decimals, then H = 3/(N(N+1))·Σ R2_g²/n_g − 3(N+1) with
+    // the tie correction 1 − Σ(t³−t)/(N³−N) — one identical double
+    // expression tree over exact integers in both engines.
+    "q_kruskal_wallis" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+        val byQty = Window.orderBy($"qty")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def cnt(f: String) =
+          sum(when($"l_returnflag" === f, 1L).otherwise(0L))
+        Tables.load(s, d, "lineitem")
+          .groupBy($"l_quantity".as("qty"))
+          .agg(cnt("A").as("na"), cnt("N").as("nn"), cnt("R").as("nr"))
+          .withColumn("t", $"na" + $"nn" + $"nr")
+          .withColumn("cum", sum($"t").over(byQty))
+          .withColumn("dr",
+            (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L)).cast(d19))
+          .agg(sum($"t").as("n"),
+            sum($"na").as("n1"), sum($"nn").as("n2"), sum($"nr").as("n3"),
+            sum($"na".cast(d19) * $"dr").as("r1"),
+            sum($"nn".cast(d19) * $"dr").as("r2"),
+            sum($"nr".cast(d19) * $"dr").as("r3"),
+            sum($"t".cast(d12) * $"t".cast(d12) * $"t".cast(d12) -
+              $"t".cast(d12)).as("ties"))
+          .select($"n", $"n1", $"n2", $"n3",
+            expr("CAST(round((3.0 / (CAST(n AS DOUBLE) * " +
+              "CAST(n + 1 AS DOUBLE)) * " +
+              "(CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) / " +
+              "CAST(n1 AS DOUBLE) + " +
+              "CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / " +
+              "CAST(n2 AS DOUBLE) + " +
+              "CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE) / " +
+              "CAST(n3 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) / " +
+              "(1.0 - CAST(ties AS DOUBLE) / " +
+              "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+              "CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) " +
+              "* 1000000.0, 0) AS BIGINT)").as("h_micro"))
+      },
+      Some("""WITH vg AS (
+        |  SELECT l_quantity AS qty,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nr
+        |  FROM lineitem GROUP BY l_quantity),
+        |w AS (
+        |  SELECT na, nn, nr, na + nn + nr AS t,
+        |    SUM(na + nn + nr) OVER (ORDER BY qty
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM vg),
+        |w2 AS (
+        |  SELECT na, nn, nr, t,
+        |    CAST(2 * (cum - t) + t + 1 AS DECIMAL(19,0)) AS dr
+        |  FROM w),
+        |a AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(na) AS BIGINT) AS n1,
+        |    CAST(SUM(nn) AS BIGINT) AS n2,
+        |    CAST(SUM(nr) AS BIGINT) AS n3,
+        |    SUM(CAST(na AS DECIMAL(19,0)) * dr) AS r1,
+        |    SUM(CAST(nn AS DECIMAL(19,0)) * dr) AS r2,
+        |    SUM(CAST(nr AS DECIMAL(19,0)) * dr) AS r3,
+        |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) *
+        |      CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0)))
+        |      AS ties
+        |  FROM w2)
+        |SELECT n, n1, n2, n3,
+        |  CAST(round((3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) *
+        |    (CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) /
+        |    CAST(n1 AS DOUBLE) +
+        |    CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) /
+        |    CAST(n2 AS DOUBLE) +
+        |    CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE) /
+        |    CAST(n3 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) /
+        |    (1.0 - CAST(ties AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |    CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |    * 1000000.0, 0) AS BIGINT) AS h_micro
+        |FROM a""".stripMargin),
+      "Kruskal-Wallis H with tie correction over the bounded " +
+        "value-grain rank table (k-group rank test, never a corpus sort)"),
+
+    // Kaplan-Meier survival for time-to-first-qualifying-purchase —
+    // the product-limit estimator a growth team runs where
+    // q_retention's fixed cohorts stop: per user, the clock starts at
+    // the first observed event and "death" is the first purchase with
+    // value > 100 (the synthetic value distribution is right-skewed,
+    // median ~35 — the cut keeps ~10% of purchases qualifying); users
+    // who never make one are CENSORED at their last
+    // observed day (the right-censoring KM exists for — a fixed-cohort
+    // rate would silently treat them as failures). The qualifying rate
+    // makes BOTH classes bind at every SF. The curve
+    // lives on the bounded duration-day table (≤ observation window
+    // days at any corpus size): deaths and at-risk counts from one
+    // user-grain agg + one reverse running sum (allowlisted), and each
+    // day's survival probability is a FIXED LEFT-TO-RIGHT product fold
+    // over the day-ordered factor array (the q_bigram_lm ln-sum
+    // precedent: identical fold order ⇒ identical doubles in both
+    // engines; ≤ 31 factors, micro-rounded at the end).
+    "q_kaplan_meier" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val dayIdx = datediff(to_date($"ts"), lit("2024-01-01"))
+        val byDayDesc = Window.orderBy($"day".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dt = Tables.load(s, d, "events")
+          .select($"user_id", dayIdx.as("day"),
+            ($"event_type" === "purchase" && $"value" > 100.0).as("q"))
+          .groupBy($"user_id")
+          .agg(min($"day").as("fd"), max($"day").as("ld"),
+            min(when($"q", $"day")).as("dd"))
+          .select((coalesce($"dd", $"ld") - $"fd").as("dur"),
+            $"dd".isNotNull.cast("long").as("event"))
+          .groupBy($"dur".as("day"))
+          .agg(sum($"event").as("deaths"), count(lit(1)).as("cnt"))
+          .withColumn("at_risk", sum($"cnt").over(byDayDesc))
+          .select($"day", $"at_risk", $"deaths",
+            (lit(1.0) - $"deaths".cast("double") /
+              $"at_risk".cast("double")).as("f"))
+        val arr = dt.agg(
+          sort_array(collect_list(struct($"day", $"f"))).as("arr"))
+        dt.crossJoin(broadcast(arr))
+          .select($"day", $"at_risk", $"deaths",
+            expr("CAST(round(aggregate(filter(arr, e -> e.day <= day), " +
+              "CAST(1.0 AS DOUBLE), (acc, e) -> acc * e.f) " +
+              "* 1000000.0, 0) AS BIGINT)").as("surv_micro"))
+          .orderBy($"day")
+      },
+      Some("""WITH ud AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS fd,
+        |    max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS ld,
+        |    min(CASE WHEN event_type = 'purchase' AND value > 100.0
+        |      THEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      END) AS dd
+        |  FROM events GROUP BY user_id),
+        |dt AS (
+        |  SELECT COALESCE(dd, ld) - fd AS day,
+        |    CAST(SUM(CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS deaths,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ud GROUP BY 1),
+        |dt2 AS (
+        |  SELECT day, deaths,
+        |    CAST(SUM(cnt) OVER (ORDER BY day DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk
+        |  FROM dt),
+        |dt3 AS (
+        |  SELECT day, at_risk, deaths,
+        |    1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE) AS f
+        |  FROM dt2),
+        |ar AS (
+        |  SELECT list(struct_pack(day := day, f := f) ORDER BY day)
+        |    AS arr FROM dt3)
+        |SELECT day, at_risk, deaths,
+        |  CAST(round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(list_filter(arr, e -> e.day <= day),
+        |      e -> e.f)),
+        |    (acc, x) -> acc * x) * 1000000.0, 0) AS BIGINT)
+        |    AS surv_micro
+        |FROM dt3, ar ORDER BY day""".stripMargin),
+      "Kaplan-Meier product-limit survival with 7-day censoring over " +
+        "the bounded duration-day table (fixed-order product fold)"),
   )
+
+  /** Memoized (session, dir) value-grain contingency grid for
+    * q_kendall_tau: (quantity, discount, count) — ≤ 50 × 11 cells at
+    * any corpus size; the localCheckpoint pays the one corpus shuffle
+    * once per corpus, not once per construction (the tradeEdges
+    * pattern). */
+  private val kendallCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+  private def kendallGrid(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    kendallCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d", _ => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .groupBy($"l_quantity".as("x"), $"l_discount".as("y"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+      })
 }

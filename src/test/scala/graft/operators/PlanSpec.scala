@@ -894,6 +894,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q_kendall_tau: pair counting on the memoized grid — NO fact " +
+    "scan in the plan, no cartesian") {
+    val p = plan("q_kendall_tau")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the grid is a checkpointed RDD: the corpus is never rescanned by
+    // the O(grid^2) pair join
+    assert(p.split("FileScan").length - 1 == 0,
+      "pair counting must run on the checkpointed grid, not the fact")
+  }
+
+  test("q_kruskal_wallis: one lineitem scan, partial conditional sums, " +
+    "value-grain window only") {
+    val p = plan("q_kruskal_wallis")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1, "one lineitem scan")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q_kaplan_meier: day-table windows, broadcast factor array, " +
+    "no cartesian") {
+    val p = plan("q_kaplan_meier")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      p.take(1500))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
