@@ -3115,6 +3115,153 @@ object Analytics {
         |FROM dt3, ar ORDER BY day""".stripMargin),
       "Kaplan-Meier product-limit survival with 7-day censoring over " +
         "the bounded duration-day table (fixed-order product fold)"),
+
+    // Friedman test — the BLOCKED nonparametric k-treatment test that
+    // completes the rank-test family (q_mannwhitney two-sample,
+    // q_kruskal_wallis k-group, q_spearman/q_kendall_tau correlation):
+    // blocks are users, treatments the three interaction types, the
+    // measurement each block×treatment's EXACT DECIMAL value sum (sums,
+    // not means — decimal sums compare identically in both engines,
+    // while mean ratios would need cross-multiplied comparisons). Only
+    // complete blocks (all 3 treatments) rank; ranks 1..3 come from a
+    // BLOCK-partitioned window ordered by (sum, treatment) — the
+    // treatment tie-break makes exact-decimal ties deterministic, and
+    // continuous value sums make real ties measure-zero, so the
+    // strict-rank Friedman form applies. chi2_F = sum(Rj^2)/n - 12n for
+    // k=3, exact integers until one final double expression. Scale:
+    // one (user, type) partial agg, block-bounded windows, 3-row reduce.
+    "q_friedman" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val byUser = Window.partitionBy($"user_id")
+        val su = Tables.load(s, d, "events")
+          .filter($"event_type".isin("click", "view", "error"))
+          .groupBy($"user_id", $"event_type")
+          .agg(sum($"value".cast(D18_6)).as("sv"))
+          .withColumn("kk", count(lit(1)).over(byUser))
+          .filter($"kk" === 3)
+          .withColumn("rnk", row_number().over(
+            byUser.orderBy($"sv", $"event_type")).cast("long"))
+        def rsum(tp: String) =
+          sum(when($"event_type" === tp, $"rnk").otherwise(0L))
+        su.agg((count(lit(1)) / 3).cast("long").as("n_blocks"),
+            rsum("click").as("r1"), rsum("view").as("r2"),
+            rsum("error").as("r3"))
+          .select($"n_blocks", $"r1", $"r2", $"r3",
+            expr("CAST(round((CAST(CAST(r1 AS DECIMAL(19,0)) * " +
+              "CAST(r1 AS DECIMAL(19,0)) + CAST(r2 AS DECIMAL(19,0)) * " +
+              "CAST(r2 AS DECIMAL(19,0)) + CAST(r3 AS DECIMAL(19,0)) * " +
+              "CAST(r3 AS DECIMAL(19,0)) AS DOUBLE) / " +
+              "CAST(n_blocks AS DOUBLE) - 12.0 * " +
+              "CAST(n_blocks AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("chi2_micro"))
+      },
+      Some("""WITH su AS (
+        |  SELECT user_id, event_type,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |  FROM events WHERE event_type IN ('click', 'view', 'error')
+        |  GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT user_id, event_type, sv,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS kk
+        |  FROM su),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY sv, event_type) AS BIGINT) AS rnk
+        |  FROM cb WHERE kk = 3),
+        |a AS (
+        |  SELECT CAST(COUNT(*) / 3 AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN rnk ELSE 0 END)
+        |      AS BIGINT) AS r1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN rnk ELSE 0 END)
+        |      AS BIGINT) AS r2,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN rnk ELSE 0 END)
+        |      AS BIGINT) AS r3
+        |  FROM r)
+        |SELECT n_blocks, r1, r2, r3,
+        |  CAST(round((CAST(CAST(r1 AS DECIMAL(19,0)) *
+        |    CAST(r1 AS DECIMAL(19,0)) + CAST(r2 AS DECIMAL(19,0)) *
+        |    CAST(r2 AS DECIMAL(19,0)) + CAST(r3 AS DECIMAL(19,0)) *
+        |    CAST(r3 AS DECIMAL(19,0)) AS DOUBLE) /
+        |    CAST(n_blocks AS DOUBLE) - 12.0 *
+        |    CAST(n_blocks AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS chi2_micro
+        |FROM a""".stripMargin),
+      "Friedman blocked rank test over complete user blocks (exact " +
+        "decimal measurements, block-bounded rank windows)"),
+
+    // t-closeness — the third privacy metric beside q_k_anonymity's
+    // k/l pair: a small equivalence class can be l-diverse yet still
+    // leak if its sensitive-value DISTRIBUTION diverges from the
+    // population's. Per QI class, total-variation distance between the
+    // class's account-band distribution and the global one, computed
+    // EXACTLY: TVD_c = sum_b |n_cb*N - n_b*n_c| / (2*n_c*N), with the
+    // numerator summed as exact decimals (operand casts before the
+    // products) and ONE double division at the end. Reports the 10
+    // worst classes. Scale: one (class, band) partial-agg shuffle
+    // (bounded by QI x band cardinality); margins ride as broadcasts.
+    "q_t_closeness" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val cb = Tables.load(s, d, "customer")
+          .groupBy($"c_nationkey", $"c_mktsegment",
+            floor($"c_acctbal" / 1000).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_cb"))
+        val cls = cb.groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(sum($"n_cb").as("n_c"))
+        val bands = cb.groupBy($"band").agg(sum($"n_cb").as("n_b"))
+        val tot = cb.agg(sum($"n_cb").as("nn"))
+        // every (class, band) combination, including class-absent bands
+        // (they contribute |0 - n_b*n_c|)
+        cls.crossJoin(broadcast(bands))
+          .join(cb, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+          .withColumn("n_cb", coalesce($"n_cb", lit(0L)))
+          .crossJoin(broadcast(tot))
+          .groupBy($"c_nationkey", $"c_mktsegment", $"n_c", $"nn")
+          .agg(sum(abs($"n_cb".cast(d19) * $"nn".cast(d19) -
+            $"n_b".cast(d19) * $"n_c".cast(d19))).as("num"))
+          .select($"c_nationkey", $"c_mktsegment", $"n_c".as("n"),
+            expr("CAST(round(CAST(num AS DOUBLE) / (2.0 * " +
+              "CAST(n_c AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000000.0, " +
+              "0) AS BIGINT)").as("t_micro"))
+          .orderBy($"t_micro".desc, $"c_nationkey", $"c_mktsegment")
+          .limit(10)
+      },
+      Some("""WITH cb AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cb
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(n_cb) AS BIGINT)
+        |    AS n_c
+        |  FROM cb GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT band, CAST(SUM(n_cb) AS BIGINT) AS n_b
+        |  FROM cb GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_cb) AS BIGINT) AS nn FROM cb),
+        |x AS (
+        |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, nn,
+        |    COALESCE(cb.n_cb, 0) AS n_cb, bands.n_b
+        |  FROM cls CROSS JOIN bands CROSS JOIN tot
+        |  LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+        |    AND cb.c_mktsegment = cls.c_mktsegment
+        |    AND cb.band = bands.band)
+        |SELECT c_nationkey, c_mktsegment, any_value(n_c) AS n,
+        |  CAST(round(CAST(SUM(ABS(CAST(n_cb AS DECIMAL(19,0)) *
+        |    CAST(nn AS DECIMAL(19,0)) - CAST(n_b AS DECIMAL(19,0)) *
+        |    CAST(n_c AS DECIMAL(19,0)))) AS DOUBLE) / (2.0 *
+        |    CAST(any_value(n_c) AS DOUBLE) * CAST(any_value(nn) AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT)
+        |    AS t_micro
+        |FROM x GROUP BY 1, 2
+        |ORDER BY t_micro DESC, c_nationkey, c_mktsegment
+        |LIMIT 10""".stripMargin),
+      "t-closeness: exact integer cross-multiplied TVD between class " +
+        "and global sensitive distributions; 10 worst classes"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

@@ -1134,5 +1134,63 @@ object Similarity {
         |  AS loading
         |FROM v2, mx2 ORDER BY i""".stripMargin),
       "dominant PCA direction via 2 oracle-exact power-iteration steps"),
+
+    // Mean reciprocal rank over a FIXED 8-probe panel — the retrieval-
+    // eval metric beside q_ndcg/q_ivf_recall/q_rrf_fusion: for each
+    // probe vector, rank the candidate pool by cosine and take the
+    // reciprocal rank of the first SAME-LABEL hit. The fixed panel is
+    // what keeps the shape linear: 8·N cosines in one broadcast pass at
+    // any corpus size (a %-of-corpus probe set would be quadratic).
+    // rank = 1 + |{candidates with cos > best same-label cos}| — exact
+    // on bit-identical doubles (the q_similarity cosine contract), so
+    // no per-probe sort is needed; per-probe reciprocal ranks freeze to
+    // micro-units before the cross-probe mean (house discipline).
+    // Probes with no same-label candidate drop out (inner join).
+    "q_mrr" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.VectorOps
+        val e = emb(s, d)
+        val probes = broadcast(e.filter($"vec_id" < 8)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"embedding".as("q_emb")))
+        val scored = e.filter($"vec_id" >= 8).crossJoin(probes)
+          .select($"q_id", $"q_label", $"label",
+            expr("cosine_sim(embedding, q_emb)").as("cos"))
+        val best = scored.filter($"label" === $"q_label")
+          .groupBy($"q_id").agg(max($"cos").as("best"))
+        scored.join(broadcast(best), "q_id")
+          .groupBy($"q_id")
+          .agg((sum(($"cos" > $"best").cast("long")) + lit(1L)).as("rnk"))
+          .select(expr("CAST(round(1000000.0 / CAST(rnk AS DOUBLE), 0) " +
+            "AS BIGINT)").as("rr6"))
+          .agg(count(lit(1)).as("n_probes"),
+            expr("CAST(round(CAST(SUM(rr6) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)").as("mrr_micro"))
+      },
+      Some(s"""WITH p AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT q_id, q_label, e.label,
+        |    ${duckCos("e.embedding", "q_emb")} AS cos
+        |  FROM embeddings e, p WHERE e.vec_id >= 8),
+        |b AS (
+        |  SELECT q_id, MAX(cos) AS best FROM sc
+        |  WHERE label = q_label GROUP BY q_id),
+        |r AS (
+        |  SELECT sc.q_id,
+        |    CAST(SUM(CASE WHEN cos > best THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS rnk
+        |  FROM sc JOIN b ON sc.q_id = b.q_id GROUP BY 1),
+        |rr AS (
+        |  SELECT CAST(round(1000000.0 / CAST(rnk AS DOUBLE), 0)
+        |    AS BIGINT) AS rr6 FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(round(CAST(SUM(rr6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    0) AS BIGINT) AS mrr_micro
+        |FROM rr""".stripMargin),
+      "mean reciprocal rank of first same-label hit over a fixed " +
+        "8-probe panel (count-based ranks on bit-identical cosines)"),
   )
 }

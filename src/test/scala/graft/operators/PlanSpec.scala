@@ -920,6 +920,31 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q_friedman: one events scan, block-partitioned rank windows, " +
+    "no cartesian") {
+    val p = plan("q_friedman")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1, "one events scan")
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+  }
+
+  test("q_t_closeness: bounded class/band aggregates, broadcast " +
+    "margins, top-10 via TakeOrderedAndProject") {
+    val p = plan("q_t_closeness")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(1500))
+  }
+
+  test("q_mrr: fixed probe panel broadcast onto the corpus; best-hit " +
+    "table broadcasts back; no sort-merge join") {
+    val p = plan("q_mrr")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "probe-sized tables must broadcast")
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

@@ -124,4 +124,98 @@ class RankSurvSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "no deaths — curve degenerate")
     assert(got.map(_._3).sum < perUser.length, "no censored users")
   }
+
+  test("q_friedman matches directly-ranked complete blocks") {
+    val sums = graft.Tables.load(spark, d, "events")
+      .filter($"event_type".isin("click", "view", "error"))
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((u, t), rs) =>
+        (u, t, rs.map(r => BigDecimal(r._3).setScale(6)).sum)
+      }
+    val blocks = sums.groupBy(_._1).toSeq
+      .filter(_._2.map(_._2).toSet.size == 3)
+    val rj = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    blocks.foreach { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._2)).zipWithIndex.foreach {
+        case ((_, t, _), i) => rj(t) += (i + 1).toLong
+      }
+    }
+    val n = blocks.length.toDouble
+    val chi2 = Seq("click", "view", "error")
+      .map(t => rj(t).toDouble * rj(t)).sum / n - 12.0 * n
+
+    val row = q("q_friedman")
+      .select($"n_blocks", $"r1", $"r2", $"r3", $"chi2_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row._1 == blocks.length.toLong)
+    assert((row._2, row._3, row._4) ==
+      (rj("click"), rj("view"), rj("error")),
+      s"rank sums ${(row._2, row._3, row._4)} vs " +
+        s"${(rj("click"), rj("view"), rj("error"))}")
+    assert(math.abs(row._5 / 1e6 - chi2) < 1e-3,
+      s"chi2 ${row._5 / 1e6} vs direct $chi2")
+  }
+
+  test("q_mrr matches sort-based first-relevant ranks") {
+    val vecs = graft.Tables.load(spark, d, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = vecs.filter(_._1 >= 8)
+    val rrs = vecs.filter(_._1 < 8).flatMap { case (_, ql, qe) =>
+      val scored = cands.map(c => (cos(qe, c._3), c._2))
+        .sortBy(-_._1)
+      val firstRel = scored.indexWhere(_._2 == ql)
+      if (firstRel < 0) None
+      else Some(math.round(1e6 / (firstRel + 1)).toLong)
+    }
+    val mrr = math.round(rrs.sum.toDouble / rrs.length)
+
+    val row = q("q_mrr").select($"n_probes", $"mrr_micro")
+      .as[(Long, Long)].collect().head
+    assert(row._1 == rrs.length.toLong)
+    assert(math.abs(row._2 - mrr) <= 1,
+      s"mrr ${row._2} vs direct $mrr")
+  }
+
+  test("q_t_closeness matches exact-rational per-class TVD") {
+    val rows = graft.Tables.load(spark, d, "customer")
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS band")
+      .as[(Int, String, Long)].collect()
+    val nn = BigInt(rows.length)
+    val byBand = rows.groupBy(_._3).map { case (b, rs) =>
+      b -> BigInt(rs.length)
+    }
+    val want = rows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((nk, seg), rs) =>
+        val nC = BigInt(rs.length)
+        val cb = rs.groupBy(_._3).map { case (b, g) =>
+          b -> BigInt(g.length)
+        }
+        // .toSeq BEFORE .map: Set#map deduplicates equal |...| terms
+        val num = byBand.keys.toSeq.map { b =>
+          (cb.getOrElse(b, BigInt(0)) * nn - byBand(b) * nC).abs
+        }.sum
+        val t = math.round(num.toDouble /
+          (2.0 * nC.toDouble * nn.toDouble) * 1e6)
+        (nk, seg, rs.length.toLong, t)
+      }
+      .sortBy(r => (-r._4, r._1.toLong, r._2)).take(10)
+
+    val got = q("q_t_closeness")
+      .select($"c_nationkey", $"c_mktsegment", $"n", $"t_micro")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+  }
 }
