@@ -60,7 +60,13 @@ object PlanAudit {
     "q_kruskal_wallis" -> ("running rank sum over the value-grain " +
       "table — l_quantity grid is <= 4901 rows at any corpus size"),
     "q_kaplan_meier" -> ("reverse running sum over the duration-day " +
-      "table — bounded by the observation window's day count"))
+      "table — bounded by the observation window's day count"),
+    "q_wilcoxon" -> ("running midrank sum over the |diff| value-grain " +
+      "table — diffs live on the 0.01 quantity grid bounded by " +
+      "max-lines-per-order x qty range, not by corpus size"),
+    "q_cliff_delta" -> ("running dominance sum over the l_quantity " +
+      "value-grain table — <= 4901 rows at any corpus size (the " +
+      "q_mannwhitney bound)"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

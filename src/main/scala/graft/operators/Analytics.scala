@@ -3262,6 +3262,352 @@ object Analytics {
         |LIMIT 10""".stripMargin),
       "t-closeness: exact integer cross-multiplied TVD between class " +
         "and global sensitive distributions; 10 worst classes"),
+
+    // Wilcoxon signed-rank — the PAIRED member of the rank-test family
+    // (q_mannwhitney is the unpaired two-sample, q_friedman the blocked
+    // k-treatment): per order, the paired measurements are the odd-
+    // linenumber and even-linenumber quantity sums (orders with both);
+    // the signed difference lives EXACTLY on the 0.01 quantity grid —
+    // per-item cents (round once per bounded grid value) summed as
+    // BIGINT, so engines can never disagree on a boundary round of a
+    // float sum. Zero diffs drop (standard signed-rank), |d| midranks
+    // come from the bounded value-grain table (grid step 0.01, |d| <=
+    // max-lines-per-order x qty range — domain-bounded at any corpus
+    // size) via the doubled-midrank running sum (q_mannwhitney
+    // precedent: 2*midrank stays integral), W+ doubled likewise, and
+    // the tie-corrected normal z is one identical double expression.
+    // Scale: one order-grain partial agg, a grid-bounded window, 1-row
+    // reduce. BIGINT horizon: w2_plus <= n*(2n+1) wraps past n ~ 1.5e9
+    // pairs (DuckDB raises first — same documented horizon as
+    // q_mannwhitney's rank sums).
+    "q_wilcoxon" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+        val od = Tables.load(s, d, "lineitem")
+          .select($"l_orderkey", ($"l_linenumber" % 2 === 1).as("odd"),
+            expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").as("qc"))
+          .groupBy($"l_orderkey")
+          .agg(sum(when($"odd", $"qc").otherwise(0L)).as("so"),
+            sum(when(!$"odd", $"qc").otherwise(0L)).as("se"),
+            sum(when($"odd", 1L).otherwise(0L)).as("no_"),
+            sum(when(!$"odd", 1L).otherwise(0L)).as("ne_"))
+          .filter($"no_" >= 1 && $"ne_" >= 1 && $"so" =!= $"se")
+          .select(($"so" - $"se").as("cents"))
+        val g2 = od.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+          .groupBy(abs($"cents").as("ac"))
+          .agg(sum(when($"cents" > 0, $"cnt").otherwise(0L)).as("np"),
+            sum($"cnt").as("t"))
+        val w = Window.orderBy($"ac")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g2.withColumn("cum", sum($"t").over(w))
+          .agg(sum($"t").as("n"),
+            sum($"np".cast(d19) *
+              (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L)).cast(d19))
+              .as("w2p"),
+            sum($"t".cast(d12) * $"t".cast(d12) * $"t".cast(d12) -
+              $"t".cast(d12)).as("tie3"))
+          .select($"n", $"w2p".cast("long").as("w2_plus"),
+            expr("CAST(round((CAST(w2p * 2 - CAST(n AS DECIMAL(19,0)) * " +
+              "CAST(n + 1 AS DECIMAL(19,0)) AS DOUBLE) / 4.0) / " +
+              "sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) * " +
+              "CAST(2 * n + 1 AS DOUBLE) / 24.0 - " +
+              "CAST(tie3 AS DOUBLE) / 48.0) * 1000000.0, 0) AS BIGINT)")
+              .as("z_micro"))
+      },
+      Some("""WITH od AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 1
+        |      THEN CAST(round(l_quantity * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS so,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 0
+        |      THEN CAST(round(l_quantity * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS se,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS no_,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ne_
+        |  FROM lineitem GROUP BY 1),
+        |vg AS (
+        |  SELECT so - se AS cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM od WHERE no_ >= 1 AND ne_ >= 1 AND so <> se GROUP BY 1),
+        |g2 AS (
+        |  SELECT abs(cents) AS ac,
+        |    CAST(SUM(CASE WHEN cents > 0 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS np,
+        |    CAST(SUM(cnt) AS BIGINT) AS t
+        |  FROM vg GROUP BY 1),
+        |w AS (
+        |  SELECT np, t,
+        |    SUM(t) OVER (ORDER BY ac ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g2),
+        |a AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    SUM(CAST(np AS DECIMAL(19,0)) *
+        |      CAST(2 * (cum - t) + t + 1 AS DECIMAL(19,0))) AS w2p,
+        |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) *
+        |      CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0)))
+        |      AS tie3
+        |  FROM w)
+        |SELECT n, CAST(w2p AS BIGINT) AS w2_plus,
+        |  CAST(round((CAST(w2p * 2 - CAST(n AS DECIMAL(19,0)) *
+        |    CAST(n + 1 AS DECIMAL(19,0)) AS DOUBLE) / 4.0) /
+        |    sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) *
+        |    CAST(2 * n + 1 AS DOUBLE) / 24.0 -
+        |    CAST(tie3 AS DOUBLE) / 48.0) * 1000000.0, 0) AS BIGINT)
+        |    AS z_micro
+        |FROM a""".stripMargin),
+      "Wilcoxon signed-rank (paired, tie-corrected) over the grid-" +
+        "bounded |diff| value-grain midrank table"),
+
+    // Brown-Forsythe Levene test — variance-homogeneity across the
+    // three return-flag groups, the assumption check that sits beside
+    // q_anova (which assumes it) and q_welch_t (which drops it):
+    // W = ((N-k)/(k-1)) * sum_i n_i(zbar_i - zbar)^2 / sum_ij (z_ij -
+    // zbar_i)^2 with z = |x - median_i| (the median form — robust, the
+    // recommended default). Medians are exact interpolated percentiles
+    // (engine-identical per the q_percentile contract); each |x - med|
+    // freezes to micro-units ONCE per row (deterministic double ->
+    // BIGINT), so the group sums of z and z^2 are exact decimals and W
+    // is one identical expression tree over them. Scale: one
+    // percentile pass + one conditional-agg pass, both partial-agg
+    // shuffles on the 3-value flag; the z^2 DECIMAL(38,0) sums carry
+    // ~1e32 at 100 TB row counts — no overflow.
+    "q_levene" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val li = Tables.load(s, d, "lineitem")
+          .select($"l_returnflag".as("f"), $"l_extendedprice".as("x"))
+        val med = li.groupBy($"f")
+          .agg(expr("percentile(x, 0.5)").as("med"))
+        def n(fl: String) = sum(when($"f" === fl, 1L).otherwise(0L))
+        def sz(fl: String) = sum(when($"f" === fl, $"zm".cast(d19)))
+        def qz(fl: String) =
+          sum(when($"f" === fl, $"zm".cast(d19) * $"zm".cast(d19)))
+        li.join(broadcast(med), "f")
+          .select($"f",
+            expr("CAST(round(abs(x - med) * 1000000.0, 0) AS BIGINT)")
+              .as("zm"))
+          .agg(n("A").as("n1"), n("N").as("n2"), n("R").as("n3"),
+            sz("A").as("s1"), sz("N").as("s2"), sz("R").as("s3"),
+            qz("A").as("q1"), qz("N").as("q2"), qz("R").as("q3"))
+          .select($"n1", $"n2", $"n3",
+            expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("m1"),
+            expr("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)").as("m2"),
+            expr("CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)").as("m3"),
+            expr("CAST(s1 + s2 + s3 AS DOUBLE) / " +
+              "CAST(n1 + n2 + n3 AS DOUBLE)").as("g"),
+            expr("(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+              "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) + " +
+              "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * " +
+              "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) + " +
+              "(CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * " +
+              "CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE))").as("den"))
+          .select($"n1", $"n2", $"n3",
+            expr("CAST(round((CAST(n1 + n2 + n3 - 3 AS DOUBLE) / 2.0) " +
+              "* (CAST(n1 AS DOUBLE) * (m1 - g) * (m1 - g) + " +
+              "CAST(n2 AS DOUBLE) * (m2 - g) * (m2 - g) + " +
+              "CAST(n3 AS DOUBLE) * (m3 - g) * (m3 - g)) / den " +
+              "* 1000000.0, 0) AS BIGINT)").as("w_micro"))
+      },
+      Some("""WITH med AS (
+        |  SELECT l_returnflag AS f, quantile_cont(l_extendedprice, 0.5)
+        |    AS med
+        |  FROM lineitem GROUP BY 1),
+        |z AS (
+        |  SELECT l.l_returnflag AS f,
+        |    CAST(round(abs(l.l_extendedprice - m.med) * 1000000.0, 0)
+        |      AS BIGINT) AS zm
+        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.f),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n3,
+        |    SUM(CASE WHEN f = 'A' THEN CAST(zm AS DECIMAL(19,0)) END)
+        |      AS s1,
+        |    SUM(CASE WHEN f = 'N' THEN CAST(zm AS DECIMAL(19,0)) END)
+        |      AS s2,
+        |    SUM(CASE WHEN f = 'R' THEN CAST(zm AS DECIMAL(19,0)) END)
+        |      AS s3,
+        |    SUM(CASE WHEN f = 'A' THEN CAST(zm AS DECIMAL(19,0)) *
+        |      CAST(zm AS DECIMAL(19,0)) END) AS q1,
+        |    SUM(CASE WHEN f = 'N' THEN CAST(zm AS DECIMAL(19,0)) *
+        |      CAST(zm AS DECIMAL(19,0)) END) AS q2,
+        |    SUM(CASE WHEN f = 'R' THEN CAST(zm AS DECIMAL(19,0)) *
+        |      CAST(zm AS DECIMAL(19,0)) END) AS q3
+        |  FROM z),
+        |b AS (
+        |  SELECT n1, n2, n3,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS m3,
+        |    CAST(s1 + s2 + s3 AS DOUBLE) / CAST(n1 + n2 + n3 AS DOUBLE)
+        |      AS g,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) +
+        |    (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) *
+        |      CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)) AS den
+        |  FROM a)
+        |SELECT n1, n2, n3,
+        |  CAST(round((CAST(n1 + n2 + n3 - 3 AS DOUBLE) / 2.0)
+        |    * (CAST(n1 AS DOUBLE) * (m1 - g) * (m1 - g) +
+        |    CAST(n2 AS DOUBLE) * (m2 - g) * (m2 - g) +
+        |    CAST(n3 AS DOUBLE) * (m3 - g) * (m3 - g)) / den
+        |    * 1000000.0, 0) AS BIGINT) AS w_micro
+        |FROM b""".stripMargin),
+      "Brown-Forsythe Levene variance-homogeneity W over micro-frozen " +
+        "|x - group median| (exact decimal z and z^2 sums)"),
+
+    // Cliff's delta — the ordinal effect size that partners
+    // q_mannwhitney (same comparison structure, but reports HOW
+    // SEPARATED the samples are instead of whether the separation is
+    // significant): delta = (#{a > r} - #{a < r}) / (n1*n2), computed
+    // EXACTLY from the bounded value-grain table — gt = sum_v
+    // na(v)*cum_nb(<v) and the tie mass via one running sum, never the
+    // n1 x n2 pair materialization. lt falls out as n1*n2 - gt - ties,
+    // so delta = (2*gt + ties - n1*n2)/(n1*n2) with every operand an
+    // exact DECIMAL(38,0). Scale: one value-grain partial agg (<= 4901
+    // rows at any corpus size) + grid-bounded window + 1-row reduce;
+    // the products carry ~4e18 at 2e9-row groups — the same documented
+    // BIGINT horizon as q_mannwhitney, raised to DECIMAL(38,0) here.
+    "q_cliff_delta" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val vg = Tables.load(s, d, "lineitem")
+          .filter($"l_returnflag".isin("A", "R"))
+          .groupBy($"l_quantity".as("qty"))
+          .agg(sum(when($"l_returnflag" === "A", 1L).otherwise(0L))
+              .as("na"),
+            sum(when($"l_returnflag" === "R", 1L).otherwise(0L))
+              .as("nb"))
+        val w = Window.orderBy($"qty")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        vg.withColumn("cb", coalesce(sum($"nb").over(w), lit(0L)))
+          .agg(sum($"na").as("n1"), sum($"nb").as("n2"),
+            sum($"na".cast(d19) * $"cb".cast(d19)).as("gt"),
+            sum($"na".cast(d19) * $"nb".cast(d19)).as("ties"))
+          .select($"n1", $"n2",
+            expr("CAST(round((2.0 * CAST(gt AS DOUBLE) + " +
+              "CAST(ties AS DOUBLE) - CAST(n1 AS DOUBLE) * " +
+              "CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * " +
+              "CAST(n2 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("delta_micro"))
+      },
+      Some("""WITH vg AS (
+        |  SELECT l_quantity AS qty,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |w AS (
+        |  SELECT na, nb,
+        |    COALESCE(SUM(nb) OVER (ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM vg),
+        |a AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n1,
+        |    CAST(SUM(nb) AS BIGINT) AS n2,
+        |    SUM(CAST(na AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0)))
+        |      AS gt,
+        |    SUM(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)))
+        |      AS ties
+        |  FROM w)
+        |SELECT n1, n2,
+        |  CAST(round((2.0 * CAST(gt AS DOUBLE) +
+        |    CAST(ties AS DOUBLE) - CAST(n1 AS DOUBLE) *
+        |    CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) *
+        |    CAST(n2 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS delta_micro
+        |FROM a""".stripMargin),
+      "Cliff's delta ordinal effect size from the bounded value-grain " +
+        "dominance counts (exact integers, no pair materialization)"),
+
+    // Cohen's d / Hedges' g — the standardized mean-difference effect
+    // sizes that partner q_welch_t exactly as q_cliff_delta partners
+    // q_mannwhitney: a significant t at 100 TB row counts is near-
+    // guaranteed, so the EFFECT SIZE is the number that decides whether
+    // a difference matters. Pooled-SD d from the same exact DECIMAL
+    // sums of v and v^2 as q_welch_t (one scan, conditional partials),
+    // Hedges' g = d * (1 - 3/(4N - 9)) — the small-sample bias
+    // correction — in the same expression tree. 1-row reduce; micro
+    // outputs.
+    "q_cohens_d" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def cnt(tp: String) =
+          sum(when($"event_type" === tp, 1L).otherwise(0L))
+        def sv(tp: String) =
+          sum(when($"event_type" === tp, $"value".cast(Fns.D18_6)))
+        def sq(tp: String) =
+          sum(when($"event_type" === tp,
+            $"value".cast(Fns.D18_6) * $"value".cast(Fns.D18_6)))
+        Tables.load(s, d, "events")
+          .filter($"event_type".isin("click", "error"))
+          .agg(cnt("click").as("n1"), cnt("error").as("n2"),
+            sv("click").as("s1"), sv("error").as("s2"),
+            sq("click").as("q1"), sq("error").as("q2"))
+          .select($"n1", $"n2",
+            expr("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+              "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))").as("md"),
+            expr("((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+              "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) + " +
+              "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * " +
+              "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) / " +
+              "CAST(n1 + n2 - 2 AS DOUBLE)").as("sp2"))
+          .select($"n1", $"n2",
+            expr("CAST(round(md / sqrt(sp2) * 1000000.0, 0) AS BIGINT)")
+              .as("d_micro"),
+            expr("CAST(round(md / sqrt(sp2) * (1.0 - 3.0 / " +
+              "(4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) * 1000000.0, 0) " +
+              "AS BIGINT)").as("g_micro"))
+      },
+      Some("""WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
+        |    SUM(CASE WHEN event_type = 'error'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS s2,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS q1,
+        |    SUM(CASE WHEN event_type = 'error'
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS q2
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |b AS (
+        |  SELECT n1, n2,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS md,
+        |    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |      (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+        |      CAST(n1 + n2 - 2 AS DOUBLE) AS sp2
+        |  FROM a)
+        |SELECT n1, n2,
+        |  CAST(round(md / sqrt(sp2) * 1000000.0, 0) AS BIGINT)
+        |    AS d_micro,
+        |  CAST(round(md / sqrt(sp2) * (1.0 - 3.0 /
+        |    (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) * 1000000.0, 0)
+        |    AS BIGINT) AS g_micro
+        |FROM b""".stripMargin),
+      "Cohen's d and Hedges' g pooled-SD effect sizes from exact " +
+        "decimal conditional sums (one scan, 1-row reduce)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

@@ -262,4 +262,115 @@ class StatTestsSpec extends SparkSpec {
       s"doubled U ${row._3} vs direct ${2.0 * u}")
     assert(math.abs(row._4 / 1e6 - z) < 1e-4, s"z ${row._4 / 1e6} vs $z")
   }
+
+  test("q_wilcoxon matches per-pair average ranks assigned directly") {
+    val rows = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .as[(Long, Int, Double)].collect()
+    val diffs = rows.groupBy(_._1).toSeq.flatMap { case (_, ls) =>
+      val odd = ls.filter(_._2 % 2 == 1)
+      val even = ls.filter(_._2 % 2 == 0)
+      if (odd.isEmpty || even.isEmpty) None
+      else {
+        val c = odd.map(l => math.round(l._3 * 100)).sum -
+          even.map(l => math.round(l._3 * 100)).sum
+        if (c == 0L) None else Some(c)
+      }
+    }
+    // direct ranking of |d|, average ranks over ties
+    val sorted = diffs.map(c => (math.abs(c), c > 0)).sortBy(_._1)
+    val ranks = new Array[Double](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val avg = (i + 1 + j).toDouble / 2.0
+      (i until j).foreach(x => ranks(x) = avg)
+      i = j
+    }
+    val n = sorted.length.toLong
+    val wPlus = sorted.zip(ranks).filter(_._1._2).map(_._2).sum
+    val tie3 = sorted.groupBy(_._1).values
+      .map(g => { val t = g.length.toLong; (t * t * t - t).toDouble }).sum
+    val z = (wPlus - n * (n + 1) / 4.0) /
+      math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0)
+    val row = q("q_wilcoxon").select($"n", $"w2_plus", $"z_micro")
+      .as[(Long, Long, Long)].collect().head
+    assert(row._1 == n, s"n ${row._1} vs $n")
+    assert(row._2 == math.round(2.0 * wPlus),
+      s"doubled W+ ${row._2} vs direct ${2.0 * wPlus}")
+    assert(math.abs(row._3 / 1e6 - z) < 1e-4, s"z ${row._3 / 1e6} vs $z")
+  }
+
+  test("q_levene matches the textbook Brown-Forsythe W") {
+    val rows = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+      .as[(String, Double)].collect()
+    // exact interpolated median, the (n-1)*p convention both engines use
+    def med(vs: Array[Double]): Double = {
+      val s = vs.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val groups = rows.groupBy(_._1).map { case (f, g) =>
+      val m = med(g.map(_._2))
+      // the query's micro-freeze is part of its definition; in units of
+      // micro the W statistic is scale-invariant
+      f -> g.map(r => math.round(math.abs(r._2 - m) * 1e6).toDouble)
+    }
+    val n = rows.length
+    val k = groups.size
+    val grand = groups.values.map(_.sum).sum / n
+    val num = groups.values.map(g => {
+      val m = g.sum / g.length; g.length * (m - grand) * (m - grand)
+    }).sum
+    val den = groups.values.map(g => {
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }).sum
+    val w = ((n - k).toDouble / (k - 1)) * num / den
+    val got = q("q_levene").select($"w_micro").as[Long].collect().head
+    assert(math.abs(got / 1e6 - w) < 1e-4, s"W ${got / 1e6} vs direct $w")
+  }
+
+  test("q_cliff_delta matches the all-pairs dominance recount") {
+    val rows = graft.Tables.load(spark, d, "lineitem")
+      .filter($"l_returnflag".isin("A", "R"))
+      .select($"l_returnflag", $"l_quantity")
+      .as[(String, Double)].collect()
+    val a = rows.filter(_._1 == "A").map(_._2)
+    val r = rows.filter(_._1 == "R").map(_._2)
+    // literal quadratic dominance count — the definition the query's
+    // value-grain running sums must reproduce exactly
+    var gt = 0L; var lt = 0L
+    a.foreach(x => r.foreach { y =>
+      if (x > y) gt += 1 else if (x < y) lt += 1
+    })
+    val delta = (gt - lt).toDouble / (a.length.toLong * r.length)
+    val row = q("q_cliff_delta").select($"n1", $"n2", $"delta_micro")
+      .as[(Long, Long, Long)].collect().head
+    assert(row._1 == a.length.toLong && row._2 == r.length.toLong)
+    assert(row._3 == math.round(delta * 1e6),
+      s"delta ${row._3 / 1e6} vs direct $delta")
+  }
+
+  test("q_cohens_d matches a direct pooled-SD effect size") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .filter($"event_type".isin("click", "error"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val g1 = rows.filter(_._1 == "click").map(_._2)
+    val g2 = rows.filter(_._1 == "error").map(_._2)
+    def ssq(g: Array[Double]) = {
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }
+    val sp2 = (ssq(g1) + ssq(g2)) / (g1.length + g2.length - 2)
+    val dEff = (g1.sum / g1.length - g2.sum / g2.length) / math.sqrt(sp2)
+    val gEff = dEff * (1.0 - 3.0 / (4.0 * (g1.length + g2.length) - 9.0))
+    val row = q("q_cohens_d").select($"d_micro", $"g_micro")
+      .as[(Long, Long)].collect().head
+    assert(math.abs(row._1 / 1e6 - dEff) < 1e-4,
+      s"d ${row._1 / 1e6} vs $dEff")
+    assert(math.abs(row._2 / 1e6 - gEff) < 1e-4,
+      s"g ${row._2 / 1e6} vs $gEff")
+  }
 }
