@@ -66,7 +66,12 @@ object PlanAudit {
       "max-lines-per-order x qty range, not by corpus size"),
     "q_cliff_delta" -> ("running dominance sum over the l_quantity " +
       "value-grain table — <= 4901 rows at any corpus size (the " +
-      "q_mannwhitney bound)"))
+      "q_mannwhitney bound)"),
+    "q_logrank" -> ("two reverse running sums over the duration-day " +
+      "table — bounded by the observation window's day count (the " +
+      "q_kaplan_meier bound)"),
+    "q_durbin_watson" -> ("lag window over the daily-residual table — " +
+      "bounded by the calendar window's day count"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

@@ -3608,6 +3608,209 @@ object Analytics {
         |FROM b""".stripMargin),
       "Cohen's d and Hedges' g pooled-SD effect sizes from exact " +
         "decimal conditional sums (one scan, 1-row reduce)"),
+
+    // Log-rank test — the two-group survival comparison that gives
+    // q_kaplan_meier its hypothesis test: do even- and odd-id user
+    // cohorts reach a qualifying purchase at the same rate, with the
+    // same right-censoring discipline as the KM curve? Per event day j:
+    // observed group-1 deaths d1j vs expected e1j = dj*n1j/nj under the
+    // null, hypergeometric variance vj; chi2 = (sum(O-E))^2 / sum(V).
+    // The day-grain table is bounded by the observation window, and
+    // each day's (O-E) and V freeze to nano-units (deterministic
+    // double -> BIGINT per day), so the cross-day sums are exact
+    // integers — engines cannot disagree on summation order. Scale:
+    // one user-grain partial agg, two reverse running sums over the
+    // bounded day table, 1-row reduce.
+    "q_logrank" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val dayIdx = datediff(to_date($"ts"), lit("2024-01-01"))
+        val byDayDesc = Window.orderBy($"day".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ud = Tables.load(s, d, "events")
+          .select($"user_id", dayIdx.as("day"),
+            ($"event_type" === "purchase" && $"value" > 100.0).as("q"))
+          .groupBy($"user_id")
+          .agg(min($"day").as("fd"), max($"day").as("ld"),
+            min(when($"q", $"day")).as("dd"))
+          .select(pmod($"user_id", lit(2L)).as("grp"),
+            (coalesce($"dd", $"ld") - $"fd").as("dur"),
+            $"dd".isNotNull.cast("long").as("event"))
+        val dg = ud.groupBy($"dur".as("day"))
+          .agg(sum(when($"grp" === 0L, $"event").otherwise(0L)).as("d1"),
+            sum($"event").as("dj"),
+            sum(when($"grp" === 0L, 1L).otherwise(0L)).as("c1"),
+            count(lit(1)).as("ct"))
+          .withColumn("n1", sum($"c1").over(byDayDesc))
+          .withColumn("nn", sum($"ct").over(byDayDesc))
+          .filter($"dj" > 0 && $"nn" > 1)
+          .select($"d1",
+            expr("CAST(round((CAST(d1 AS DOUBLE) - CAST(dj AS DOUBLE) * " +
+              "CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE)) * " +
+              "1000000000.0, 0) AS BIGINT)").as("ome_nano"),
+            expr("CAST(round(CAST(dj AS DOUBLE) * (CAST(n1 AS DOUBLE) / " +
+              "CAST(nn AS DOUBLE)) * (1.0 - CAST(n1 AS DOUBLE) / " +
+              "CAST(nn AS DOUBLE)) * (CAST(nn AS DOUBLE) - " +
+              "CAST(dj AS DOUBLE)) / CAST(nn - 1 AS DOUBLE) * " +
+              "1000000000.0, 0) AS BIGINT)").as("v_nano"))
+        dg.agg(count(lit(1)).as("n_days"), sum($"d1").as("o1"),
+            sum($"ome_nano").as("soe"), sum($"v_nano").as("sv"))
+          .select($"n_days", $"o1",
+            expr("CAST(round((CAST(soe AS DOUBLE) / 1000000000.0) * " +
+              "(CAST(soe AS DOUBLE) / 1000000000.0) / " +
+              "(CAST(sv AS DOUBLE) / 1000000000.0) * 1000000.0, 0) " +
+              "AS BIGINT)").as("chi2_micro"))
+      },
+      Some("""WITH ud AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS fd,
+        |    max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS ld,
+        |    min(CASE WHEN event_type = 'purchase' AND value > 100.0
+        |      THEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      END) AS dd
+        |  FROM events GROUP BY user_id),
+        |ug AS (
+        |  SELECT user_id % 2 AS grp, COALESCE(dd, ld) - fd AS dur,
+        |    CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM ud),
+        |dg AS (
+        |  SELECT dur AS day,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN event ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(SUM(event) AS BIGINT) AS dj,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM ug GROUP BY 1),
+        |rr AS (
+        |  SELECT day, d1, dj,
+        |    CAST(SUM(c1) OVER (ORDER BY day DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1,
+        |    CAST(SUM(ct) OVER (ORDER BY day DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nn
+        |  FROM dg),
+        |t AS (
+        |  SELECT d1,
+        |    CAST(round((CAST(d1 AS DOUBLE) - CAST(dj AS DOUBLE) *
+        |      CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |      1000000000.0, 0) AS BIGINT) AS ome_nano,
+        |    CAST(round(CAST(dj AS DOUBLE) * (CAST(n1 AS DOUBLE) /
+        |      CAST(nn AS DOUBLE)) * (1.0 - CAST(n1 AS DOUBLE) /
+        |      CAST(nn AS DOUBLE)) * (CAST(nn AS DOUBLE) -
+        |      CAST(dj AS DOUBLE)) / CAST(nn - 1 AS DOUBLE) *
+        |      1000000000.0, 0) AS BIGINT) AS v_nano
+        |  FROM rr WHERE dj > 0 AND nn > 1),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(ome_nano) AS BIGINT) AS soe,
+        |    CAST(SUM(v_nano) AS BIGINT) AS sv
+        |  FROM t)
+        |SELECT n_days, o1,
+        |  CAST(round((CAST(soe AS DOUBLE) / 1000000000.0) *
+        |    (CAST(soe AS DOUBLE) / 1000000000.0) /
+        |    (CAST(sv AS DOUBLE) / 1000000000.0) * 1000000.0, 0)
+        |    AS BIGINT) AS chi2_micro
+        |FROM a""".stripMargin),
+      "log-rank two-cohort survival test over the bounded day table " +
+        "(nano-frozen per-day O-E and V, exact integer cross-day sums)"),
+
+    // Durbin-Watson — serial-correlation diagnostic on the residuals of
+    // the daily-revenue OLS trend (the q_trend fit family's assumption
+    // check: a DW far from 2 says the trend's error bars are wrong).
+    // The daily series is exact (per-order cents frozen per row, BIGINT
+    // day sums); the OLS slope/intercept come from exact decimal normal-
+    // equation sums (the q_trend recipe); each day's residual freezes
+    // to hundredth-cents ONCE (deterministic double -> BIGINT), and
+    // DW = sum((e_t - e_{t-1})^2) / sum(e_t^2) is then EXACT decimal
+    // arithmetic — no order-sensitive double sums anywhere. Scale: one
+    // date-keyed partial agg; everything after lives on the bounded
+    // day table (lag window included).
+    "q_durbin_watson" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val daily = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("yc"))
+        val m = daily.agg(min($"day").as("d0"))
+        val idx = daily.crossJoin(broadcast(m))
+          .select(datediff($"day", $"d0").cast("long").as("t"), $"yc")
+        val st = idx.agg(count(lit(1)).as("n"), sum($"t").as("sx"),
+          sum($"yc").as("sy"),
+          sum($"t".cast(d19) * $"t".cast(d19)).as("sxx"),
+          sum($"t".cast(d19) * $"yc".cast(d19)).as("sxy"))
+        val w = Window.orderBy($"t")
+        idx.crossJoin(broadcast(st))
+          .withColumn("b1",
+            expr("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+              "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+          .select($"t",
+            expr("CAST(round((CAST(yc AS DOUBLE) - " +
+              "((CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) / " +
+              "CAST(n AS DOUBLE) + b1 * CAST(t AS DOUBLE))) * 100.0, " +
+              "0) AS BIGINT)").as("em"))
+          .withColumn("ep", lag($"em", 1).over(w))
+          .agg(count(lit(1)).as("n_days"),
+            sum(when($"ep".isNotNull,
+              ($"em".cast(d19) - $"ep".cast(d19)) *
+                ($"em".cast(d19) - $"ep".cast(d19)))).as("num"),
+            sum($"em".cast(d19) * $"em".cast(d19)).as("den"))
+          .select($"n_days",
+            expr("CAST(round(CAST(num AS DOUBLE) / " +
+              "CAST(den AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("dw_micro"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (
+        |  SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t, yc
+        |  FROM daily, m),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+        |    SUM(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(t AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM idx),
+        |f AS (
+        |  SELECT t, yc,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1,
+        |    n, sx, sy
+        |  FROM idx, st),
+        |e AS (
+        |  SELECT t,
+        |    CAST(round((CAST(yc AS DOUBLE) -
+        |      ((CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) /
+        |      CAST(n AS DOUBLE) + b1 * CAST(t AS DOUBLE))) * 100.0, 0)
+        |      AS BIGINT) AS em
+        |  FROM f),
+        |l AS (
+        |  SELECT em, lag(em) OVER (ORDER BY t) AS ep FROM e)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(round(CAST(SUM(CASE WHEN ep IS NOT NULL THEN
+        |    (CAST(em AS DECIMAL(19,0)) - CAST(ep AS DECIMAL(19,0))) *
+        |    (CAST(em AS DECIMAL(19,0)) - CAST(ep AS DECIMAL(19,0)))
+        |    END) AS DOUBLE) /
+        |    CAST(SUM(CAST(em AS DECIMAL(19,0)) *
+        |    CAST(em AS DECIMAL(19,0))) AS DOUBLE) * 1000000.0, 0)
+        |    AS BIGINT) AS dw_micro
+        |FROM l""".stripMargin),
+      "Durbin-Watson serial-correlation statistic on daily-revenue OLS " +
+        "residuals (exact decimal sums over the bounded day table)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

@@ -1655,6 +1655,114 @@ object MlFit {
         |FROM a""".stripMargin),
       "Cochran's Q: k-model paired accuracy comparison from exact " +
         "integer sufficient statistics"),
+
+    // Brier score — the PROPER scoring rule behind q_calibration_ece's
+    // reliability diagram (ECE can be gamed by a constant predictor;
+    // the Brier score cannot): mean((p - y)^2) over the same min-max
+    // normalized score and F-status outcome. p freezes to micro-units
+    // per row, so each (p6 - y*1e6)^2 is an exact integer and the
+    // corpus sum rides DECIMAL(38,0) — the mean is one final double
+    // division. Scale: one scan + broadcast 1-row bounds, 1-row reduce.
+    "q_brier" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val o = Tables.load(s, d, "orders")
+        val bounds = o.agg(min($"o_totalprice").as("mn"),
+          max($"o_totalprice").as("mx"))
+        o.crossJoin(broadcast(bounds))
+          .select(
+            expr("CAST(round((o_totalprice - mn) / (mx - mn) " +
+              "* 1000000.0, 0) AS BIGINT)").as("p6"),
+            when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+          .select((($"p6" - $"y" * lit(1000000L)).cast(d19) *
+            ($"p6" - $"y" * lit(1000000L)).cast(d19)).as("t2"))
+          .agg(count(lit(1)).as("n"), sum($"t2").as("ss"))
+          .select($"n",
+            expr("CAST(round(CAST(ss AS DOUBLE) / " +
+              "(CAST(n AS DOUBLE) * 1000000.0), 0) AS BIGINT)")
+              .as("brier_micro"))
+      },
+      Some("""WITH b AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders),
+        |r AS (
+        |  SELECT
+        |    CAST(round((o_totalprice - mn) / (mx - mn) * 1000000.0, 0)
+        |      AS BIGINT) AS p6,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders CROSS JOIN b),
+        |t AS (
+        |  SELECT CAST(p6 - y * 1000000 AS DECIMAL(19,0)) *
+        |    CAST(p6 - y * 1000000 AS DECIMAL(19,0)) AS t2
+        |  FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(round(CAST(SUM(t2) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 0) AS BIGINT)
+        |    AS brier_micro
+        |FROM t""".stripMargin),
+      "Brier proper scoring rule over the micro-frozen score (exact " +
+        "integer squared errors, one corpus scan)"),
+
+    // Log-loss — the second proper scoring rule (punishes confident
+    // wrong predictions exponentially where Brier is quadratic).
+    // Per-row ln is 1-ulp engine-divergent in the last bits, but the
+    // term lives in [-13.9, 0] so a 9-dp round (the q_hill_tail
+    // exact-log recipe, applied per ROW here) absorbs the divergence
+    // with ~1e6x margin; the rounded DECIMAL(12,9) terms then sum
+    // exactly in DECIMAL(38,9) — no value-grain detour, no order-
+    // sensitive double adds. p clamps to [1e-6, 1 - 1e-6] (standard
+    // epsilon clip — the boundary rows are exactly the min/max anchor
+    // orders, where ln(0) would diverge). Scale: one scan + broadcast
+    // 1-row bounds, 1-row reduce — the same shape as q_brier (an
+    // earlier value-grain formulation measured 10x at 10x data from
+    // its near-row-cardinality groupBy; this one resweeps linear).
+    "q_log_loss" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.load(s, d, "orders")
+        val bounds = o.agg(min($"o_totalprice").as("mn"),
+          max($"o_totalprice").as("mx"))
+        o.crossJoin(broadcast(bounds))
+          .select(
+            expr("LEAST(GREATEST(CAST(round((o_totalprice - mn) / " +
+              "(mx - mn) * 1000000.0, 0) AS BIGINT), 1), 999999)")
+              .as("p6"),
+            when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+          .select(
+            when($"y" === 1L,
+              round(log($"p6".cast("double") / 1000000.0), 9))
+              .otherwise(
+                round(log(lit(1.0) - $"p6".cast("double") / 1000000.0), 9))
+              .cast("decimal(12,9)").as("term"))
+          .agg(count(lit(1)).as("n"),
+            sum($"term".cast("decimal(38,9)")).as("s"))
+          .select($"n",
+            expr("CAST(round(-CAST(s AS DOUBLE) / CAST(n AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("logloss_micro"))
+      },
+      Some("""WITH b AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders),
+        |r AS (
+        |  SELECT
+        |    LEAST(GREATEST(CAST(round((o_totalprice - mn) / (mx - mn)
+        |      * 1000000.0, 0) AS BIGINT), 1), 999999) AS p6,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders CROSS JOIN b),
+        |t AS (
+        |  SELECT CAST(CASE WHEN y = 1
+        |    THEN round(ln(CAST(p6 AS DOUBLE) / 1000000.0), 9)
+        |    ELSE round(ln(1.0 - CAST(p6 AS DOUBLE) / 1000000.0), 9)
+        |    END AS DECIMAL(12,9)) AS term
+        |  FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(round(-CAST(SUM(CAST(term AS DECIMAL(38,9)))
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0, 0)
+        |    AS BIGINT) AS logloss_micro
+        |FROM t""".stripMargin),
+      "log-loss proper scoring rule with per-row 9-dp frozen logs " +
+        "(exact decimal sum, one scan)"),
   )
 
 }

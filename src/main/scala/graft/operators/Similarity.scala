@@ -1192,5 +1192,88 @@ object Similarity {
         |FROM rr""".stripMargin),
       "mean reciprocal rank of first same-label hit over a fixed " +
         "8-probe panel (count-based ranks on bit-identical cosines)"),
+
+    // Average precision @ 10 per probe — the retrieval metric between
+    // q_mrr (first hit only) and q_ndcg (graded positions): AP@10 =
+    // mean over relevant hits in the top-10 of precision-at-that-rank,
+    // normalized by min(R, 10) where R is the probe's total same-label
+    // pool. Same fixed 8-probe panel as q_mrr (8*N cosines in one
+    // broadcast pass at any corpus size); ranks come from q_id-
+    // partitioned windows on bit-identical cosines (the q_ndcg
+    // convention), per-hit precisions freeze to micro-units before the
+    // per-probe mean (house discipline), and probes with no top-10 hit
+    // report ap_micro = 0 via the left join against the R table.
+    "q_map" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val probes = broadcast(e.filter($"vec_id" < 8)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"embedding".as("q_emb")))
+        val scored = e.filter($"vec_id" >= 8).crossJoin(probes)
+          .select($"q_id", $"q_label", $"vec_id", $"label",
+            expr("cosine_sim(embedding, q_emb)").as("cos"))
+        val rtot = scored.filter($"label" === $"q_label")
+          .groupBy($"q_id").agg(count(lit(1)).as("r_tot"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc, $"vec_id")
+        val wc = Window.partitionBy($"q_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hits = scored
+          .withColumn("pos", row_number().over(w)).filter($"pos" <= 10)
+          .select($"q_id", $"pos",
+            ($"label" === $"q_label").cast("long").as("rel"))
+          .withColumn("cumrel", sum($"rel").over(wc))
+          .filter($"rel" === 1L)
+          .select($"q_id",
+            expr("CAST(round(CAST(cumrel AS DOUBLE) / " +
+              "CAST(pos AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("p6"))
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_hits"), sum($"p6").as("sp"))
+        rtot.join(hits, Seq("q_id"), "left")
+          .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+            $"r_tot",
+            coalesce(expr("CAST(round(CAST(sp AS DOUBLE) / " +
+              "CAST(LEAST(r_tot, 10) AS DOUBLE), 0) AS BIGINT)"),
+              lit(0L)).as("ap_micro"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH p AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT q_id, q_label, e.vec_id, e.label,
+        |    ${duckCos("e.embedding", "q_emb")} AS cos
+        |  FROM embeddings e, p WHERE e.vec_id >= 8),
+        |rt AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS r_tot FROM sc
+        |  WHERE label = q_label GROUP BY 1),
+        |top AS (
+        |  SELECT q_id, pos,
+        |    CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+        |  FROM (
+        |    SELECT q_id, q_label, label, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, vec_id) AS pos
+        |    FROM sc) WHERE pos <= 10),
+        |h AS (
+        |  SELECT q_id,
+        |    CAST(round(CAST(SUM(rel) OVER (PARTITION BY q_id
+        |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |      CAST(pos AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS p6,
+        |    rel
+        |  FROM top),
+        |ha AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |    CAST(SUM(p6) AS BIGINT) AS sp
+        |  FROM h WHERE rel = 1 GROUP BY 1)
+        |SELECT rt.q_id, COALESCE(ha.n_hits, 0) AS n_hits, rt.r_tot,
+        |  COALESCE(CAST(round(CAST(ha.sp AS DOUBLE) /
+        |    CAST(LEAST(rt.r_tot, 10) AS DOUBLE), 0) AS BIGINT), 0)
+        |    AS ap_micro
+        |FROM rt LEFT JOIN ha ON rt.q_id = ha.q_id
+        |ORDER BY rt.q_id""".stripMargin),
+      "average precision @ 10 per probe over the fixed 8-probe panel " +
+        "(micro-frozen per-hit precisions, left-join zero for no-hit)"),
   )
 }

@@ -205,4 +205,77 @@ class MlFitSpec extends SparkSpec {
     // and the statistical sanity the CI exists to provide
     assert(got._3 < got._2 && got._2 < got._4)
   }
+
+  test("q_brier matches a direct mean-squared-error recount") {
+    val rows = graft.Tables.load(spark, d, "orders")
+      .select($"o_totalprice",
+        ($"o_orderstatus" === "F").cast("long"))
+      .as[(Double, Long)].collect()
+    val mn = rows.map(_._1).min; val mx = rows.map(_._1).max
+    val terms = rows.map { case (p, y) =>
+      val p6 = math.round((p - mn) / (mx - mn) * 1e6)
+      val diff = p6 - y * 1000000L
+      BigInt(diff) * BigInt(diff)
+    }
+    val brier = (terms.sum.toDouble / terms.length) / 1e12
+    val got = SparkEntry.queries("q_brier")(spark, d)
+      .as[(Long, Long)].head()
+    assert(got._1 == rows.length.toLong)
+    assert(math.abs(got._2 - math.round(brier * 1e6)) <= 1,
+      s"brier ${got._2 / 1e6.toDouble} vs $brier")
+  }
+
+  test("q_log_loss matches a direct clipped cross-entropy recount") {
+    val rows = graft.Tables.load(spark, d, "orders")
+      .select($"o_totalprice",
+        ($"o_orderstatus" === "F").cast("long"))
+      .as[(Double, Long)].collect()
+    val mn = rows.map(_._1).min; val mx = rows.map(_._1).max
+    val terms = rows.map { case (p, y) =>
+      val p6 = math.min(math.max(
+        math.round((p - mn) / (mx - mn) * 1e6), 1L), 999999L)
+      val pr = p6 / 1e6
+      if (y == 1L) math.log(pr) else math.log(1.0 - pr)
+    }
+    val ll = -terms.sum / terms.length
+    val got = SparkEntry.queries("q_log_loss")(spark, d)
+      .as[(Long, Long)].head()
+    assert(got._1 == rows.length.toLong)
+    assert(math.abs(got._2 / 1e6 - ll) < 1e-4,
+      s"logloss ${got._2 / 1e6} vs $ll")
+  }
+
+  test("q_map matches a direct AP@10 recount on the query's cosines") {
+    // the cosines come from the same codegen expression (that contract
+    // is q_similarity's); the recount exercises the AP composition —
+    // ranks, cumulative precision, normalization, zero-hit probes
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val probes = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"))
+    val scored = e.filter($"vec_id" >= 8)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(probes))
+      .select($"q_id", $"q_label", $"vec_id", $"label",
+        expr("cosine_sim(embedding, q_emb)").as("cos"))
+      .as[(Long, Int, Long, Int, Double)].collect()
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+      val qlabel = rs.head._2
+      val rTot = rs.count(_._4 == qlabel).toLong
+      if (rTot == 0L) None
+      else {
+        val top = rs.sortBy(r => (-r._5, r._3)).take(10)
+        var cum = 0L; var sp = 0L; var nh = 0L
+        top.zipWithIndex.foreach { case (r, i) =>
+          if (r._4 == qlabel) {
+            cum += 1; nh += 1
+            sp += math.round(cum.toDouble / (i + 1) * 1e6)
+          }
+        }
+        Some((qid, nh, rTot, math.round(sp.toDouble / math.min(rTot, 10L))))
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_map")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
 }

@@ -373,4 +373,64 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(row._2 / 1e6 - gEff) < 1e-4,
       s"g ${row._2 / 1e6} vs $gEff")
   }
+
+  test("q_logrank matches the textbook two-group statistic") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .select($"user_id",
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date($"ts"),
+          org.apache.spark.sql.functions.lit("2024-01-01")).as("day"),
+        ($"event_type" === "purchase" && $"value" > 100.0).as("qq"))
+      .as[(Long, Int, Boolean)].collect()
+    val byUser = rows.groupBy(_._1).toSeq.map { case (u, evs) =>
+      val fd = evs.map(_._2).min
+      val ld = evs.map(_._2).max
+      val dd = evs.filter(_._3).map(_._2).minOption
+      (u % 2, dd.getOrElse(ld) - fd, dd.isDefined)
+    }
+    var num = 0.0; var varSum = 0.0; var o1 = 0L; var nDays = 0L
+    byUser.map(_._2).distinct.sorted.foreach { t =>
+      val atRisk = byUser.filter(_._2 >= t)
+      val nn = atRisk.size.toDouble
+      val n1 = atRisk.count(_._1 == 0L).toDouble
+      val d1 = byUser.count(x => x._2 == t && x._3 && x._1 == 0L)
+      val dj = byUser.count(x => x._2 == t && x._3).toDouble
+      if (dj > 0 && nn > 1) {
+        num += d1 - dj * n1 / nn
+        varSum += dj * (n1 / nn) * (1 - n1 / nn) * (nn - dj) / (nn - 1)
+        o1 += d1; nDays += 1
+      }
+    }
+    val chi2 = num * num / varSum
+    val row = q("q_logrank").select($"n_days", $"o1", $"chi2_micro")
+      .as[(Long, Long, Long)].collect().head
+    assert(row._1 == nDays && row._2 == o1, s"$row vs ($nDays, $o1)")
+    assert(math.abs(row._3 / 1e6 - chi2) < 1e-3,
+      s"chi2 ${row._3 / 1e6} vs $chi2")
+  }
+
+  test("q_durbin_watson matches a direct OLS-residual recount") {
+    val rows = graft.Tables.load(spark, d, "orders")
+      .select(org.apache.spark.sql.functions.to_date($"o_orderdate")
+        .as("day"), $"o_totalprice")
+      .as[(java.sql.Date, Double)].collect()
+    val daily = rows.groupBy(_._1).toSeq.map { case (day, g) =>
+      (day.toLocalDate.toEpochDay, g.map(r => math.round(r._2 * 100)).sum)
+    }.sortBy(_._1)
+    val d0 = daily.map(_._1).min
+    val pts = daily.map { case (ep, yc) => ((ep - d0).toDouble, yc.toDouble) }
+    val n = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b0 = (sy - b1 * sx) / n
+    val e = pts.map { case (t, y) => y - (b0 + b1 * t) }
+    val numDW = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+    val dw = numDW / e.map(v => v * v).sum
+    val row = q("q_durbin_watson").as[(Long, Long)].collect().head
+    assert(row._1 == n.toLong, s"n_days ${row._1} vs $n")
+    assert(math.abs(row._2 / 1e6 - dw) < 1e-3,
+      s"DW ${row._2 / 1e6} vs $dw")
+  }
 }
