@@ -3811,6 +3811,215 @@ object Analytics {
         |FROM l""".stripMargin),
       "Durbin-Watson serial-correlation statistic on daily-revenue OLS " +
         "residuals (exact decimal sums over the bounded day table)"),
+
+    // Holt-Winters additive triple smoothing — the seasonal member that
+    // completes the smoothing ladder (q_ewma level, q_double_ewma
+    // level+trend, this one level+trend+weekly season) and yields the
+    // 7-day forecast a capacity dashboard actually wants. The recursion
+    // is inherently sequential, but the state walk runs over the
+    // BOUNDED day table (the q_kaplan_meier fold argument): per-day
+    // counts are exact integers, init is a literal first/second-week
+    // expression, and the level/trend/season update is a FIXED
+    // LEFT-TO-RIGHT fold whose state is a PLAIN 9-double array
+    // [l, b, s1..s7] — Spark `aggregate` ≡ DuckDB `list_reduce`,
+    // identical IEEE sequence, so the folded doubles match bit-for-bit
+    // and freeze to micro-units at the end. The array state is
+    // deliberate: DuckDB 1.0's list_reduce MIS-EVALUATES a repeated
+    // subexpression inside a STRUCT-state lambda (the 'b' field read a
+    // corrupted acc.s[1] from step 2 on — reproduced minimally during
+    // this build), while the flat-list form is correct and was pinned
+    // against an independent sequential recount. alpha/beta/gamma
+    // fixed at 0.3/0.1/0.2. Scale: one date-keyed partial-agg shuffle;
+    // everything after is O(days).
+    "q_holt_winters" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val lnew = "0.3 * (yv - element_at(acc, 3)) + " +
+          "0.7 * (element_at(acc, 1) + element_at(acc, 2))"
+        Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .agg(sort_array(collect_list(struct($"day", $"y"))).as("dy"))
+          .select(expr("transform(dy, e -> e.y)").as("ys"))
+          .select($"ys",
+            expr("(element_at(ys,1)+element_at(ys,2)+element_at(ys,3)+" +
+              "element_at(ys,4)+element_at(ys,5)+element_at(ys,6)+" +
+              "element_at(ys,7)) / 7.0").as("l0"))
+          .select($"ys", $"l0",
+            expr("((element_at(ys,8)+element_at(ys,9)+element_at(ys,10)+" +
+              "element_at(ys,11)+element_at(ys,12)+element_at(ys,13)+" +
+              "element_at(ys,14)) / 7.0 - l0) / 7.0").as("b0"),
+            expr("transform(slice(ys, 1, 7), v -> v - l0)").as("s0"))
+          .select(expr(
+            "aggregate(slice(ys, 8, size(ys) - 7), " +
+              "concat(array(l0, b0), s0), " +
+              "(acc, yv) -> concat(" +
+              s"array($lnew, " +
+              s"0.1 * (($lnew) - element_at(acc, 1)) + " +
+              "0.9 * element_at(acc, 2)), " +
+              "slice(acc, 4, 6), " +
+              s"array(0.2 * (yv - ($lnew)) + " +
+              "0.8 * element_at(acc, 3))))").as("fin"))
+          .select(explode(expr("sequence(1, 7)")).as("h"), $"fin")
+          .select($"h".cast("long").as("h"),
+            expr("CAST(round((element_at(fin, 1) + CAST(h AS DOUBLE) * " +
+              "element_at(fin, 2) + element_at(fin, 2 + h)) " +
+              "* 1000000.0, 0) AS BIGINT)").as("fc_micro"),
+            expr("CAST(round(element_at(fin, 1) * 1000000.0, 0) " +
+              "AS BIGINT)").as("level_micro"),
+            expr("CAST(round(element_at(fin, 2) * 1000000.0, 0) " +
+              "AS BIGINT)").as("trend_micro"))
+          .orderBy($"h")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT list(y ORDER BY day) AS ys FROM daily),
+        |i AS (
+        |  SELECT ys,
+        |    (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7])/7.0 AS l0
+        |  FROM a),
+        |i2 AS (
+        |  SELECT ys, l0,
+        |    ((ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13]+ys[14])/7.0
+        |      - l0)/7.0 AS b0,
+        |    list_transform(ys[1:7], v -> v - l0) AS s0
+        |  FROM i),
+        |f AS (
+        |  SELECT list_reduce(
+        |    list_prepend(list_concat([l0, b0], s0),
+        |      list_transform(ys[8:len(ys)],
+        |        yv -> [yv, 0, 0, 0, 0, 0, 0, 0, 0])),
+        |    (acc, e) -> list_concat(list_concat(
+        |      [0.3 * (e[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
+        |       0.1 * ((0.3 * (e[1] - acc[3]) + 0.7 * (acc[1] +
+        |         acc[2])) - acc[1]) + 0.9 * acc[2]],
+        |      acc[4:9]),
+        |      [0.2 * (e[1] - (0.3 * (e[1] - acc[3]) + 0.7 * (acc[1] +
+        |        acc[2]))) + 0.8 * acc[3]])) AS fin
+        |  FROM i2)
+        |SELECT CAST(h AS BIGINT) AS h,
+        |  CAST(round((fin[1] + h * fin[2] + fin[2 + h]) * 1000000.0, 0)
+        |    AS BIGINT) AS fc_micro,
+        |  CAST(round(fin[1] * 1000000.0, 0) AS BIGINT) AS level_micro,
+        |  CAST(round(fin[2] * 1000000.0, 0) AS BIGINT) AS trend_micro
+        |FROM f, (SELECT unnest(generate_series(1, 7)) AS h)
+        |ORDER BY h""".stripMargin),
+      "Holt-Winters additive level/trend/weekly-season smoothing with " +
+        "7-day forecast (fixed struct-state fold over the day table)"),
+
+    // Tukey-Kramer HSD — the post-hoc that answers what q_anova's
+    // significant F leaves open: WHICH group pairs differ. Studentized-
+    // range statistic per pair, q_pq = |m_p - m_q| /
+    // sqrt(MSE/2 * (1/n_p + 1/n_q)) (the Kramer form for unequal n),
+    // with MSE from the same exact decimal conditional sums as q_anova
+    // — one scan, one 1-row reduce, then the three pair rows unfold
+    // from literal structs (no join). All doubles derive from exact
+    // decimals through one identical expression tree per pair.
+    "q_tukey_hsd" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def cnt(tp: String) =
+          sum(when($"event_type" === tp, 1L).otherwise(0L))
+        def sv(tp: String) =
+          sum(when($"event_type" === tp, $"value".cast(Fns.D18_6)))
+        def sq(tp: String) =
+          sum(when($"event_type" === tp,
+            $"value".cast(Fns.D18_6) * $"value".cast(Fns.D18_6)))
+        def qexpr(i: Int, j: Int) =
+          s"CAST(round(abs(CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) - " +
+            s"CAST(s$j AS DOUBLE) / CAST(n$j AS DOUBLE)) / " +
+            "sqrt(mse / 2.0 * " +
+            s"(1.0 / CAST(n$i AS DOUBLE) + 1.0 / CAST(n$j AS DOUBLE))) " +
+            "* 1000000.0, 0) AS BIGINT)"
+        Tables.load(s, d, "events")
+          .filter($"event_type".isin("click", "error", "view"))
+          .agg(cnt("click").as("n1"), cnt("error").as("n2"),
+            cnt("view").as("n3"),
+            sv("click").as("s1"), sv("error").as("s2"),
+            sv("view").as("s3"),
+            sq("click").as("q1"), sq("error").as("q2"),
+            sq("view").as("q3"))
+          .withColumn("mse",
+            expr("((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+              "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) + " +
+              "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * " +
+              "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) + " +
+              "(CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * " +
+              "CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE))) / " +
+              "CAST(n1 + n2 + n3 - 3 AS DOUBLE)"))
+          .select(explode(array(
+            struct(lit("click").as("g1"), lit("error").as("g2"),
+              expr(qexpr(1, 2)).as("q_micro")),
+            struct(lit("click").as("g1"), lit("view").as("g2"),
+              expr(qexpr(1, 3)).as("q_micro")),
+            struct(lit("error").as("g1"), lit("view").as("g2"),
+              expr(qexpr(2, 3)).as("q_micro")))).as("p"))
+          .select($"p.g1".as("g1"), $"p.g2".as("g2"),
+            $"p.q_micro".as("q_micro"))
+          .orderBy($"g1", $"g2")
+      },
+      Some("""WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
+        |    SUM(CASE WHEN event_type = 'error'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS s2,
+        |    SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS s3,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS q1,
+        |    SUM(CASE WHEN event_type = 'error'
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS q2,
+        |    SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS q3
+        |  FROM events WHERE event_type IN ('click', 'error', 'view')),
+        |m AS (
+        |  SELECT *,
+        |    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) +
+        |    (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) *
+        |      CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE))) /
+        |      CAST(n1 + n2 + n3 - 3 AS DOUBLE) AS mse
+        |  FROM a)
+        |SELECT g1, g2, q_micro FROM (
+        |  SELECT 'click' AS g1, 'error' AS g2,
+        |    CAST(round(abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |      sqrt(mse / 2.0 * (1.0 / CAST(n1 AS DOUBLE) +
+        |      1.0 / CAST(n2 AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+        |      AS q_micro
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'click' AS g1, 'view' AS g2,
+        |    CAST(round(abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)) /
+        |      sqrt(mse / 2.0 * (1.0 / CAST(n1 AS DOUBLE) +
+        |      1.0 / CAST(n3 AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+        |      AS q_micro
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'error' AS g1, 'view' AS g2,
+        |    CAST(round(abs(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+        |      CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)) /
+        |      sqrt(mse / 2.0 * (1.0 / CAST(n2 AS DOUBLE) +
+        |      1.0 / CAST(n3 AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+        |      AS q_micro
+        |  FROM m)
+        |ORDER BY g1, g2""".stripMargin),
+      "Tukey-Kramer HSD pairwise studentized-range statistics from the " +
+        "ANOVA sufficient statistics (one scan, three literal pair rows)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

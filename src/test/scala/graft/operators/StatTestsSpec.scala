@@ -433,4 +433,57 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(row._2 / 1e6 - dw) < 1e-3,
       s"DW ${row._2 / 1e6} vs $dw")
   }
+
+  test("q_holt_winters matches an imperative sequential recount") {
+    // CRITICAL golden: both engines run the same declarative fold (and
+    // DuckDB 1.0's struct-state list_reduce is provably buggy — see the
+    // query's Scaladoc), so only an independent imperative walk pins
+    // the recursion itself
+    val rows = graft.Tables.load(spark, d, "events")
+      .select(org.apache.spark.sql.functions.to_date($"ts").as("day"))
+      .groupBy($"day").count()
+      .orderBy($"day")
+      .select($"count".cast("double")).as[Double].collect()
+    val l0 = rows.take(7).sum / 7.0
+    val b0 = (rows.slice(7, 14).sum / 7.0 - l0) / 7.0
+    var s = rows.take(7).map(_ - l0).toList
+    var l = l0; var b = b0
+    rows.drop(7).foreach { yv =>
+      val ln = 0.3 * (yv - s.head) + 0.7 * (l + b)
+      val bn = 0.1 * (ln - l) + 0.9 * b
+      val sn = 0.2 * (yv - ln) + 0.8 * s.head
+      s = s.tail :+ sn; l = ln; b = bn
+    }
+    val expected = (1 to 7).map(h =>
+      (h.toLong, math.round((l + h * b + s(h - 1)) * 1e6),
+        math.round(l * 1e6), math.round(b * 1e6)))
+    val got = q("q_holt_winters")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q_tukey_hsd matches direct pairwise studentized-range stats") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .filter($"event_type".isin("click", "error", "view"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val gs = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def ssq(g: Array[Double]) = {
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }
+    val n = rows.length
+    val mse = gs.values.map(ssq).sum / (n - 3)
+    def qstat(a: String, bb: String): Long = {
+      val ga = gs(a); val gb = gs(bb)
+      val stat = math.abs(ga.sum / ga.length - gb.sum / gb.length) /
+        math.sqrt(mse / 2.0 * (1.0 / ga.length + 1.0 / gb.length))
+      math.round(stat * 1e6)
+    }
+    val got = q("q_tukey_hsd").as[(String, String, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("click", "error"), ("click", "view"), ("error", "view")))
+    got.foreach { case (g1, g2, qm) =>
+      assert(math.abs(qm - qstat(g1, g2)) <= 2,
+        s"($g1,$g2) $qm vs ${qstat(g1, g2)}")
+    }
+  }
 }
