@@ -4020,6 +4020,105 @@ object Analytics {
         |ORDER BY g1, g2""".stripMargin),
       "Tukey-Kramer HSD pairwise studentized-range statistics from the " +
         "ANOVA sufficient statistics (one scan, three literal pair rows)"),
+
+    // Permutation test — the distribution-free member of the two-sample
+    // family (q_welch_t assumes normal-ish tails, q_mannwhitney only
+    // ranks; this one tests the MEAN DIFFERENCE itself with no
+    // distributional assumption): 32 deterministic label permutations
+    // via the md5 recipe (each row re-assigned to pseudo-group 1 when
+    // h(event_id, b) falls under the group-1 rate — the Monte-Carlo
+    // binomial variant of label shuffling, stated: pseudo-group sizes
+    // vary binomially around n1 rather than being exactly n1), p =
+    // (#{|stat_b| >= |obs|} + 1)/(B + 1). Values freeze to micro-units
+    // per row, so every permutation's sums are exact integers and the
+    // >= comparisons happen between micro-frozen BIGINTs — replay-
+    // stable on both engines. Scale: one scan with a 32-way explode
+    // into a 32-cell partial agg (map-side combine keeps the shuffle at
+    // 32 x partitions rows), one broadcast 1-row observed anchor.
+    "q_permutation_test" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .filter($"event_type".isin("click", "error"))
+          .select(($"event_type" === "click").as("g1"), $"event_id",
+            expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").as("v6"))
+        val obs = ev.agg(
+          sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+          count(lit(1)).as("nn"),
+          sum(when($"g1", $"v6")).as("s1"), sum($"v6").as("st"))
+          .select($"n1", $"nn",
+            expr("n1 * 1000000 DIV nn").as("thr"),
+            expr("CAST(round(abs(CAST(s1 AS DOUBLE) / " +
+              "CAST(n1 AS DOUBLE) - CAST(st - s1 AS DOUBLE) / " +
+              "CAST(nn - n1 AS DOUBLE)), 0) AS BIGINT)").as("obs_micro"))
+        val stats = ev.select($"event_id", $"v6",
+            explode(expr("sequence(0, 31)")).as("b"))
+          .crossJoin(broadcast(obs))
+          .withColumn("a",
+            expr("pmod(CAST(conv(substring(md5(concat(" +
+              "CAST(event_id AS STRING), '_p', CAST(b AS STRING))), " +
+              "1, 8), 16, 10) AS BIGINT), 1000000) < thr"))
+          .groupBy($"b")
+          .agg(sum(when($"a", 1L).otherwise(0L)).as("n1b"),
+            count(lit(1)).as("nb"),
+            sum(when($"a", $"v6")).as("s1b"), sum($"v6").as("sb"))
+          .select(expr("CAST(round(abs(CAST(s1b AS DOUBLE) / " +
+            "CAST(n1b AS DOUBLE) - CAST(sb - s1b AS DOUBLE) / " +
+            "CAST(nb - n1b AS DOUBLE)), 0) AS BIGINT)").as("stat_micro"))
+        stats.crossJoin(broadcast(obs))
+          .agg(max($"n1").as("n1"), (max($"nn") - max($"n1")).as("n2"),
+            max($"obs_micro").as("obs_micro"),
+            sum(($"stat_micro" >= $"obs_micro").cast("long")).as("n_ge"))
+          .select($"n1", $"n2", $"obs_micro", $"n_ge",
+            expr("CAST(round(CAST(n_ge + 1 AS DOUBLE) / 33.0 " +
+              "* 1000000.0, 0) AS BIGINT)").as("p_micro"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type = 'click' AS g1, event_id,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS v6
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |o AS (
+        |  SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN g1 THEN v6 END) AS BIGINT) AS s1,
+        |    CAST(SUM(v6) AS BIGINT) AS st
+        |  FROM ev),
+        |ob AS (
+        |  SELECT n1, nn, n1 * 1000000 // nn AS thr,
+        |    CAST(round(abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(st - s1 AS DOUBLE) / CAST(nn - n1 AS DOUBLE)), 0)
+        |      AS BIGINT) AS obs_micro
+        |  FROM o),
+        |p AS (
+        |  SELECT b.b, ev.v6,
+        |    ('0x' || substring(md5(CAST(ev.event_id AS VARCHAR) || '_p'
+        |      || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |      < ob.thr AS a
+        |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+        |    b CROSS JOIN ob),
+        |g AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1b,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN a THEN v6 END) AS BIGINT) AS s1b,
+        |    CAST(SUM(v6) AS BIGINT) AS sb
+        |  FROM p GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(round(abs(CAST(s1b AS DOUBLE) /
+        |    CAST(n1b AS DOUBLE) - CAST(sb - s1b AS DOUBLE) /
+        |    CAST(nb - n1b AS DOUBLE)), 0) AS BIGINT) AS stat_micro
+        |  FROM g)
+        |SELECT MAX(n1) AS n1, MAX(nn) - MAX(n1) AS n2,
+        |  MAX(obs_micro) AS obs_micro,
+        |  CAST(SUM(CASE WHEN stat_micro >= obs_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ge,
+        |  CAST(round(CAST(SUM(CASE WHEN stat_micro >= obs_micro
+        |    THEN 1 ELSE 0 END) + 1 AS DOUBLE) / 33.0 * 1000000.0, 0)
+        |    AS BIGINT) AS p_micro
+        |FROM st CROSS JOIN ob""".stripMargin),
+      "Monte-Carlo permutation test of the mean difference (32 md5 " +
+        "label permutations, exact micro sums, integer comparisons)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

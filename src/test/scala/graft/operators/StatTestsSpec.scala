@@ -486,4 +486,30 @@ class StatTestsSpec extends SparkSpec {
         s"($g1,$g2) $qm vs ${qstat(g1, g2)}")
     }
   }
+
+  test("q_permutation_test matches a direct md5-permutation recount") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .filter($"event_type".isin("click", "error"))
+      .select($"event_id", $"event_type" === "click", $"value")
+      .as[(Long, Boolean, Double)].collect()
+    val v6 = rows.map(r => (r._1, r._2, math.round(r._3 * 1e6)))
+    val n1 = v6.count(_._2).toLong; val nn = v6.length.toLong
+    val s1 = v6.filter(_._2).map(_._3).sum; val st = v6.map(_._3).sum
+    val obs = math.round(math.abs(
+      s1.toDouble / n1 - (st - s1).toDouble / (nn - n1)))
+    val thr = n1 * 1000000L / nn
+    val nGe = (0 until 32).count { b =>
+      val asg = v6.map(r => (h8(s"${r._1}_p$b", 1000000L) < thr, r._3))
+      val n1b = asg.count(_._1).toLong; val nb = asg.length.toLong
+      val s1b = asg.filter(_._1).map(_._2).sum
+      val sb = asg.map(_._2).sum
+      math.round(math.abs(
+        s1b.toDouble / n1b - (sb - s1b).toDouble / (nb - n1b))) >= obs
+    }.toLong
+    val row = q("q_permutation_test")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row == ((n1, nn - n1, obs, nGe,
+      math.round((nGe + 1).toDouble / 33.0 * 1e6))),
+      s"query $row vs recount ($n1, ${nn - n1}, $obs, $nGe)")
+  }
 }
