@@ -4119,6 +4119,75 @@ object Analytics {
         |FROM st CROSS JOIN ob""".stripMargin),
       "Monte-Carlo permutation test of the mean difference (32 md5 " +
         "label permutations, exact micro sums, integer comparisons)"),
+
+    // Theil-Sen robust slope — the median-of-pairwise-slopes twin of
+    // q_trend's OLS (one wild day cannot drag it, unlike least
+    // squares; the robust default for monitoring trends): slopes over
+    // ALL day pairs of the daily-revenue series. O(days^2) pairs is the
+    // deliberate cost and it is BOUNDED by the calendar window (~465
+    // pairs for a month) at any corpus size — the q_ewma banded
+    // self-join argument; the corpus-scale work is one date-keyed
+    // partial agg. Each pairwise slope is a double from exact integer
+    // cents (identical division both engines); the median is the exact
+    // interpolated percentile (the q_percentile contract), applied
+    // twice: once for the slope, once for the per-day intercepts
+    // against it.
+    "q_theil_sen" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("yc"))
+        val m = daily.agg(min($"day").as("d0"))
+        val idx = daily.crossJoin(broadcast(m))
+          .select(datediff($"day", $"d0").cast("long").as("t"), $"yc")
+        val a = idx.select($"t".as("ta"), $"yc".as("ya"))
+        val b = idx.select($"t".as("tb"), $"yc".as("yb"))
+        val sl = a.join(b, $"tb" > $"ta")
+          .select(expr("CAST(yb - ya AS DOUBLE) / CAST(tb - ta AS DOUBLE)")
+            .as("slope"))
+          .agg(expr("percentile(slope, 0.5)").as("ms"),
+            count(lit(1)).as("n_pairs"))
+        idx.crossJoin(broadcast(sl))
+          .select($"ms", $"n_pairs",
+            expr("CAST(yc AS DOUBLE) - ms * CAST(t AS DOUBLE)")
+              .as("ic"))
+          .groupBy($"ms", $"n_pairs")
+          .agg(count(lit(1)).as("n_days"),
+            expr("percentile(ic, 0.5)").as("mi"))
+          .select($"n_days", $"n_pairs",
+            expr("CAST(round(ms * 1000000.0, 0) AS BIGINT)")
+              .as("slope_micro"),
+            expr("CAST(round(mi * 100.0, 0) AS BIGINT)")
+              .as("intercept_microdollar"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (
+        |  SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t, yc
+        |  FROM daily, m),
+        |sl AS (
+        |  SELECT quantile_cont(CAST(b.yc - a.yc AS DOUBLE) /
+        |      CAST(b.t - a.t AS DOUBLE), 0.5) AS ms,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM idx a JOIN idx b ON b.t > a.t),
+        |ic AS (
+        |  SELECT ms, n_pairs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    quantile_cont(CAST(yc AS DOUBLE) - ms * CAST(t AS DOUBLE),
+        |      0.5) AS mi
+        |  FROM idx, sl GROUP BY 1, 2)
+        |SELECT n_days, n_pairs,
+        |  CAST(round(ms * 1000000.0, 0) AS BIGINT) AS slope_micro,
+        |  CAST(round(mi * 100.0, 0) AS BIGINT) AS intercept_microdollar
+        |FROM ic""".stripMargin),
+      "Theil-Sen robust slope + intercept: exact interpolated medians " +
+        "of bounded day-pair slopes (the OLS trend's robust twin)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

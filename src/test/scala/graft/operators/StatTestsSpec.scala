@@ -512,4 +512,35 @@ class StatTestsSpec extends SparkSpec {
       math.round((nGe + 1).toDouble / 33.0 * 1e6))),
       s"query $row vs recount ($n1, ${nn - n1}, $obs, $nGe)")
   }
+
+  test("q_theil_sen matches a direct pairwise-slope median recount") {
+    val rows = graft.Tables.load(spark, d, "orders")
+      .select(org.apache.spark.sql.functions.to_date($"o_orderdate")
+        .as("day"), $"o_totalprice")
+      .as[(java.sql.Date, Double)].collect()
+    val daily = rows.groupBy(_._1).toSeq.map { case (day, g) =>
+      (day.toLocalDate.toEpochDay, g.map(r => math.round(r._2 * 100)).sum)
+    }.sortBy(_._1)
+    val d0 = daily.map(_._1).min
+    val pts = daily.map { case (ep, yc) => ((ep - d0).toDouble, yc.toDouble) }
+    def medInterp(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val slopes = for {
+      i <- pts.indices; j <- pts.indices if pts(j)._1 > pts(i)._1
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+    val ms = medInterp(slopes)
+    val mi = medInterp(pts.map { case (t, y) => y - ms * t })
+    val row = q("q_theil_sen")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == pts.length.toLong)
+    assert(row._2 == slopes.length.toLong)
+    assert(math.abs(row._3 - math.round(ms * 1e6)) <= 1,
+      s"slope ${row._3} vs ${ms * 1e6}")
+    assert(math.abs(row._4 - math.round(mi * 100)) <= 1,
+      s"intercept ${row._4} vs ${mi * 100}")
+  }
 }
