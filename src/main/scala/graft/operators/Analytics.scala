@@ -4121,22 +4121,27 @@ object Analytics {
         "label permutations, exact micro sums, integer comparisons)"),
 
     // Theil-Sen robust slope — the median-of-pairwise-slopes twin of
-    // q_trend's OLS (one wild day cannot drag it, unlike least
+    // q_trend's OLS (one wild week cannot drag it, unlike least
     // squares; the robust default for monitoring trends): slopes over
-    // ALL day pairs of the daily-revenue series. O(days^2) pairs is the
-    // deliberate cost and it is BOUNDED by the calendar window (~465
-    // pairs for a month) at any corpus size — the q_ewma banded
-    // self-join argument; the corpus-scale work is one date-keyed
-    // partial agg. Each pairwise slope is a double from exact integer
-    // cents (identical division both engines); the median is the exact
-    // interpolated percentile (the q_percentile contract), applied
-    // twice: once for the slope, once for the per-day intercepts
-    // against it.
+    // ALL week pairs of the weekly-revenue series. O(weeks^2) pairs is
+    // the deliberate cost and it is BOUNDED by the calendar window
+    // (~59k pairs for the ~345-week synthetic range) at any corpus
+    // size — the q_ewma banded self-join argument; the corpus-scale
+    // work is one date-keyed partial agg. The WEEK grain is itself a
+    // measured choice: the day-grain first draft made 2.9M pairs from
+    // the 2405-day range and spent 12.8 s inside Spark's
+    // TypedImperativeAggregate percentile buffer — calendar-bounded
+    // but a silly constant (SCALE.md round 11). Each pairwise slope is
+    // a double from exact integer cents (identical division both
+    // engines); the median is the exact interpolated percentile (the
+    // q_percentile contract), applied twice: once for the slope, once
+    // for the per-week intercepts against it.
     "q_theil_sen" -> GQuery(
       (s, d) => {
         import s.implicits._
         val daily = Tables.load(s, d, "orders")
-          .groupBy(to_date($"o_orderdate").as("day"))
+          .groupBy(date_trunc("week", $"o_orderdate").cast("date")
+            .as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
             .as("yc"))
         val m = daily.agg(min($"day").as("d0"))
@@ -4163,7 +4168,7 @@ object Analytics {
               .as("intercept_microdollar"))
       },
       Some("""WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS day,
         |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |      AS BIGINT) AS yc
         |  FROM orders GROUP BY 1),
@@ -4187,7 +4192,7 @@ object Analytics {
         |  CAST(round(mi * 100.0, 0) AS BIGINT) AS intercept_microdollar
         |FROM ic""".stripMargin),
       "Theil-Sen robust slope + intercept: exact interpolated medians " +
-        "of bounded day-pair slopes (the OLS trend's robust twin)"),
+        "of bounded week-pair slopes (the OLS trend's robust twin)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

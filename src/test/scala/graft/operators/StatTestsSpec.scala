@@ -515,7 +515,8 @@ class StatTestsSpec extends SparkSpec {
 
   test("q_theil_sen matches a direct pairwise-slope median recount") {
     val rows = graft.Tables.load(spark, d, "orders")
-      .select(org.apache.spark.sql.functions.to_date($"o_orderdate")
+      .select(org.apache.spark.sql.functions
+        .date_trunc("week", $"o_orderdate").cast("date")
         .as("day"), $"o_totalprice")
       .as[(java.sql.Date, Double)].collect()
     val daily = rows.groupBy(_._1).toSeq.map { case (day, g) =>
