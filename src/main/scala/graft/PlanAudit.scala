@@ -71,7 +71,11 @@ object PlanAudit {
       "table — bounded by the observation window's day count (the " +
       "q_kaplan_meier bound)"),
     "q_durbin_watson" -> ("lag window over the daily-residual table — " +
-      "bounded by the calendar window's day count"))
+      "bounded by the calendar window's day count"),
+    "q_cusum" -> ("two running sums over the bounded day table — the " +
+      "q_changepoint bound"),
+    "q_stump" -> ("two running sums over the n_chars value grain — " +
+      "bounded by the doc-length domain, not corpus size"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

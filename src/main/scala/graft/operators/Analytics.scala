@@ -4193,6 +4193,79 @@ object Analytics {
         |FROM ic""".stripMargin),
       "Theil-Sen robust slope + intercept: exact interpolated medians " +
         "of bounded week-pair slopes (the OLS trend's robust twin)"),
+
+    // CUSUM chart — the ONLINE change detector beside q_changepoint's
+    // offline split scan: S_t = max(0, S_{t-1} + (x_t - mu - k*sigma))
+    // over the daily count series, alarm when S_t clears h*sigma
+    // (k=0.5, h=4 — the textbook defaults). The recursion dissolves
+    // into TWO running aggregates via the reflection identity
+    // S_t = P_t - min(0, min_{j<=t} P_j) with P the prefix sum of the
+    // micro-frozen deviations — so the whole chart is integer running
+    // sums over the bounded day table, no fold, no state. mu/sigma
+    // come from exact decimal day-count moments. Scale: one date-keyed
+    // partial agg; two windows over O(days) rows.
+    "q_cusum" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val mo = daily.agg(count(lit(1)).as("nd"), sum($"x").as("sx"),
+          sum($"x".cast(d19) * $"x".cast(d19)).as("sxx"))
+          .select(
+            expr("CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)").as("mu"),
+            expr("sqrt(CAST(sxx AS DOUBLE) / CAST(nd AS DOUBLE) - " +
+              "(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)) * " +
+              "(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)))").as("sg"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(mo))
+          .select($"day", $"x",
+            expr("CAST(round((CAST(x AS DOUBLE) - mu - 0.5 * sg) " +
+              "* 1000000.0, 0) AS BIGINT)").as("dm"),
+            expr("CAST(round(4.0 * sg * 1000000.0, 0) AS BIGINT)")
+              .as("hm"))
+          .withColumn("p", sum($"dm").over(w))
+          .withColumn("s_micro",
+            $"p" - least(lit(0L), min($"p").over(w)))
+          .select($"day", $"x", $"s_micro",
+            ($"s_micro" > $"hm").as("alarm"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |mo AS (
+        |  SELECT CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      AS mu,
+        |    sqrt(CAST(SUM(CAST(x AS DECIMAL(19,0)) *
+        |      CAST(x AS DECIMAL(19,0))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) -
+        |      (CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) *
+        |      (CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+        |      AS sg
+        |  FROM daily),
+        |f AS (
+        |  SELECT day, x,
+        |    CAST(round((CAST(x AS DOUBLE) - mu - 0.5 * sg)
+        |      * 1000000.0, 0) AS BIGINT) AS dm,
+        |    CAST(round(4.0 * sg * 1000000.0, 0) AS BIGINT) AS hm
+        |  FROM daily, mo),
+        |c AS (
+        |  SELECT day, x, hm,
+        |    CAST(SUM(dm) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS p
+        |  FROM f),
+        |r AS (
+        |  SELECT day, x, hm, p,
+        |    LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS mn
+        |  FROM c)
+        |SELECT day, x, p - mn AS s_micro, p - mn > hm AS alarm
+        |FROM r ORDER BY day""".stripMargin),
+      "one-sided CUSUM chart via the reflection identity (two integer " +
+        "running sums over the bounded day table, no recursion)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

@@ -1763,6 +1763,84 @@ object MlFit {
         |FROM t""".stripMargin),
       "log-loss proper scoring rule with per-row 9-dp frozen logs " +
         "(exact decimal sum, one scan)"),
+
+    // Decision stump — the fourth classical classifier beside naive
+    // Bayes, the perceptron, and k-NN: the single split over doc
+    // length that best separates lang=en by Gini impurity, i.e. depth-1
+    // of every tree ensemble, trained EXACTLY. Candidate thresholds
+    // are the n_chars value grain (bounded by the doc-length domain,
+    // not corpus size); per threshold the left/right class counts fall
+    // out of two running sums, the weighted Gini is one double
+    // expression over exact integers, frozen to micro-units for a
+    // deterministic (gini, threshold) argmin. The stump's training
+    // accuracy (majority class each side) rides along. Scale: one scan
+    // to the value grain, grid-bounded windows, top-1 reduce.
+    "q_stump" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val vg = Tables.load(s, d, "documents")
+          .groupBy($"n_chars".as("score"))
+          .agg(count(lit(1)).as("n"),
+            sum(when($"lang" === "en", 1L).otherwise(0L)).as("p"))
+        val w = Window.orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = vg.agg(sum($"n").as("nn"), sum($"p").as("pp"))
+        vg.withColumn("cn", sum($"n").over(w))
+          .withColumn("cp", sum($"p").over(w))
+          .crossJoin(broadcast(tot))
+          .filter($"cn" < $"nn")
+          .select($"score".as("threshold"), $"nn",
+            expr("CAST(round((CAST(cn AS DOUBLE) * (2.0 * " +
+              "(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) * (1.0 - " +
+              "CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))) + " +
+              "CAST(nn - cn AS DOUBLE) * (2.0 * " +
+              "(CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE)) * " +
+              "(1.0 - CAST(pp - cp AS DOUBLE) / " +
+              "CAST(nn - cn AS DOUBLE)))) / CAST(nn AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("gini_micro"),
+            expr("CAST(round(CAST(GREATEST(cp, cn - cp) + " +
+              "GREATEST(pp - cp, (nn - cn) - (pp - cp)) AS DOUBLE) / " +
+              "CAST(nn AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("acc_micro"))
+          .orderBy($"gini_micro", $"threshold").limit(1)
+          .select($"threshold", $"gini_micro", $"acc_micro",
+            $"nn".as("n"))
+      },
+      Some("""WITH vg AS (
+        |  SELECT n_chars AS score, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(p) AS BIGINT) AS pp
+        |  FROM vg),
+        |c AS (
+        |  SELECT score,
+        |    CAST(SUM(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cn,
+        |    CAST(SUM(p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cp
+        |  FROM vg),
+        |g AS (
+        |  SELECT score AS threshold, nn,
+        |    CAST(round((CAST(cn AS DOUBLE) * (2.0 *
+        |      (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) * (1.0 -
+        |      CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))) +
+        |      CAST(nn - cn AS DOUBLE) * (2.0 *
+        |      (CAST(pp - cp AS DOUBLE) / CAST(nn - cn AS DOUBLE)) *
+        |      (1.0 - CAST(pp - cp AS DOUBLE) /
+        |      CAST(nn - cn AS DOUBLE)))) / CAST(nn AS DOUBLE)
+        |      * 1000000.0, 0) AS BIGINT) AS gini_micro,
+        |    CAST(round(CAST(GREATEST(cp, cn - cp) +
+        |      GREATEST(pp - cp, (nn - cn) - (pp - cp)) AS DOUBLE) /
+        |      CAST(nn AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |      AS acc_micro
+        |  FROM c, tot WHERE cn < nn)
+        |SELECT threshold, gini_micro, acc_micro, nn AS n
+        |FROM g ORDER BY gini_micro, threshold LIMIT 1""".stripMargin),
+      "depth-1 decision stump: exact Gini-impurity argmin over the " +
+        "doc-length value grain (two running sums, top-1 reduce)"),
   )
 
 }

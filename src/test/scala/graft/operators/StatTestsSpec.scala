@@ -544,4 +544,59 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(row._4 - math.round(mi * 100)) <= 1,
       s"intercept ${row._4} vs ${mi * 100}")
   }
+
+  test("q_cusum matches the direct max(0, S + d) recursion") {
+    // the query computes the chart via the reflection identity
+    // S_t = P_t - min(0, min P_k); this recount runs the textbook
+    // recursion itself, so a wrong identity cannot pass
+    val daily = graft.Tables.load(spark, d, "events")
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").as("day"))
+      .count().orderBy($"day")
+      .select($"day".cast("string"), $"count")
+      .as[(String, Long)].collect()
+    val n = daily.length
+    val mu = daily.map(_._2).sum.toDouble / n
+    val sg = math.sqrt(
+      daily.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble / n -
+        mu * mu)
+    val hm = math.round(4.0 * sg * 1e6)
+    var s = 0L
+    val expected = daily.map { case (day, x) =>
+      val dm = math.round((x - mu - 0.5 * sg) * 1e6)
+      s = math.max(0L, s + dm)
+      (day, x, s, s > hm)
+    }.toSeq
+    val got = q("q_cusum")
+      .select($"day".cast("string"), $"x", $"s_micro", $"alarm")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q_stump matches a brute-force threshold scan") {
+    val rows = graft.Tables.load(spark, d, "documents")
+      .select($"n_chars", ($"lang" === "en").cast("long"))
+      .as[(Long, Long)].collect()
+    val nn = rows.length.toLong
+    val grain = rows.groupBy(_._1).toSeq.map { case (sc, g) =>
+      (sc, g.length.toLong, g.map(_._2).sum)
+    }.sortBy(_._1)
+    var cn = 0L; var cp = 0L
+    val pp = grain.map(_._3).sum
+    val cands = grain.init.map { case (sc, gn, gp) =>
+      cn += gn; cp += gp
+      val nl = cn.toDouble; val nr = (nn - cn).toDouble
+      val pl = cp / nl; val pr = (pp - cp) / nr
+      val gini = (nl * (2 * pl * (1 - pl)) + nr * (2 * pr * (1 - pr))) / nn
+      val acc = (math.max(cp, cn - cp) +
+        math.max(pp - cp, (nn - cn) - (pp - cp))).toDouble / nn
+      (sc, math.round(gini * 1e6), math.round(acc * 1e6))
+    }
+    // account for the last grain value consumed by init vs filter:
+    // query filters cn < nn which also drops exactly the last row
+    val best = cands.minBy(c => (c._2, c._1))
+    val row = q("q_stump")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row == ((best._1, best._2, best._3, nn)),
+      s"query $row vs recount $best (n=$nn)")
+  }
 }
