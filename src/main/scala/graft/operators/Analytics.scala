@@ -4266,6 +4266,106 @@ object Analytics {
         |FROM r ORDER BY day""".stripMargin),
       "one-sided CUSUM chart via the reflection identity (two integer " +
         "running sums over the bounded day table, no recursion)"),
+
+    // Difference-in-differences — the quasi-experimental estimator for
+    // when you CANNOT randomize (a feature shipped to one cohort on a
+    // date): treated = odd-id users, post = second half of the
+    // observation window, outcome = mean event value; the DiD estimate
+    // (m_t1 - m_t0) - (m_c1 - m_c0) removes both the cohort's level
+    // difference and the common time trend. All four cell moments are
+    // exact decimal conditional sums (the q_welch_t battery doubled),
+    // the estimate and its pooled standard error one expression tree.
+    // One scan, 1-row reduce.
+    "q_did" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.load(s, d, "events")
+          .select(
+            (pmod($"user_id", lit(2L)) === 1L).as("t"),
+            (datediff(to_date($"ts"), lit("2024-01-01")) >= 15).as("po"),
+            $"value".cast(Fns.D18_6).as("v"))
+        def cell(t: Boolean, po: Boolean) = {
+          val c = $"t" === t && $"po" === po
+          (sum(when(c, 1L).otherwise(0L)),
+            sum(when(c, $"v")),
+            sum(when(c, $"v" * $"v")))
+        }
+        val Seq(c00, c01, c10, c11) = Seq((false, false), (false, true),
+          (true, false), (true, true)).map { case (t, po) => cell(t, po) }
+        base.agg(
+          c00._1.as("n00"), c00._2.as("s00"), c00._3.as("q00"),
+          c01._1.as("n01"), c01._2.as("s01"), c01._3.as("q01"),
+          c10._1.as("n10"), c10._2.as("s10"), c10._3.as("q10"),
+          c11._1.as("n11"), c11._2.as("s11"), c11._3.as("q11"))
+          .select($"n00", $"n01", $"n10", $"n11",
+            expr("CAST(round(((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)" +
+              " - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) - " +
+              "(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) - " +
+              "CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))) " +
+              "* 1000000.0, 0) AS BIGINT)").as("did_micro"),
+            expr("CAST(round(sqrt(" +
+              "(CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * " +
+              "CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / " +
+              "(CAST(n00 - 1 AS DOUBLE) * CAST(n00 AS DOUBLE)) + " +
+              "(CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * " +
+              "CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / " +
+              "(CAST(n01 - 1 AS DOUBLE) * CAST(n01 AS DOUBLE)) + " +
+              "(CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * " +
+              "CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / " +
+              "(CAST(n10 - 1 AS DOUBLE) * CAST(n10 AS DOUBLE)) + " +
+              "(CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * " +
+              "CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / " +
+              "(CAST(n11 - 1 AS DOUBLE) * CAST(n11 AS DOUBLE))) " +
+              "* 1000000.0, 0) AS BIGINT)").as("se_micro"))
+      },
+      Some("""WITH b AS (
+        |  SELECT user_id % 2 = 1 AS t,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15
+        |      AS po,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT t AND NOT po THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00,
+        |    SUM(CASE WHEN NOT t AND NOT po THEN v END) AS s00,
+        |    SUM(CASE WHEN NOT t AND NOT po THEN v * v END) AS q00,
+        |    CAST(SUM(CASE WHEN NOT t AND po THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    SUM(CASE WHEN NOT t AND po THEN v END) AS s01,
+        |    SUM(CASE WHEN NOT t AND po THEN v * v END) AS q01,
+        |    CAST(SUM(CASE WHEN t AND NOT po THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    SUM(CASE WHEN t AND NOT po THEN v END) AS s10,
+        |    SUM(CASE WHEN t AND NOT po THEN v * v END) AS q10,
+        |    CAST(SUM(CASE WHEN t AND po THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    SUM(CASE WHEN t AND po THEN v END) AS s11,
+        |    SUM(CASE WHEN t AND po THEN v * v END) AS q11
+        |  FROM b)
+        |SELECT n00, n01, n10, n11,
+        |  CAST(round(((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+        |    - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) -
+        |    (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) -
+        |    CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+        |    * 1000000.0, 0) AS BIGINT) AS did_micro,
+        |  CAST(round(sqrt(
+        |    (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) *
+        |    CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) /
+        |    (CAST(n00 - 1 AS DOUBLE) * CAST(n00 AS DOUBLE)) +
+        |    (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) *
+        |    CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) /
+        |    (CAST(n01 - 1 AS DOUBLE) * CAST(n01 AS DOUBLE)) +
+        |    (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) *
+        |    CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) /
+        |    (CAST(n10 - 1 AS DOUBLE) * CAST(n10 AS DOUBLE)) +
+        |    (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) *
+        |    CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) /
+        |    (CAST(n11 - 1 AS DOUBLE) * CAST(n11 AS DOUBLE)))
+        |    * 1000000.0, 0) AS BIGINT) AS se_micro
+        |FROM a""".stripMargin),
+      "difference-in-differences estimate + pooled SE from four exact " +
+        "decimal cell moments (one scan, 1-row reduce)"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

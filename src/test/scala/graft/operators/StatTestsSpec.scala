@@ -599,4 +599,33 @@ class StatTestsSpec extends SparkSpec {
     assert(row == ((best._1, best._2, best._3, nn)),
       s"query $row vs recount $best (n=$nn)")
   }
+
+  test("q_did matches a direct four-cell recount") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .select($"user_id",
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date($"ts"),
+          org.apache.spark.sql.functions.lit("2024-01-01")),
+        $"value")
+      .as[(Long, Int, Double)].collect()
+    def cell(t: Boolean, po: Boolean) =
+      rows.filter(r => (r._1 % 2 == 1) == t && (r._2 >= 15) == po)
+        .map(_._3)
+    def mv(g: Array[Double]) = {
+      val m = g.sum / g.length
+      (m, g.map(v => (v - m) * (v - m)).sum / (g.length - 1) / g.length)
+    }
+    val (m00, v00) = mv(cell(false, false))
+    val (m01, v01) = mv(cell(false, true))
+    val (m10, v10) = mv(cell(true, false))
+    val (m11, v11) = mv(cell(true, true))
+    val did = (m11 - m10) - (m01 - m00)
+    val se = math.sqrt(v00 + v01 + v10 + v11)
+    val row = q("q_did").select($"did_micro", $"se_micro")
+      .as[(Long, Long)].collect().head
+    assert(math.abs(row._1 / 1e6 - did) < 1e-4,
+      s"did ${row._1 / 1e6} vs $did")
+    assert(math.abs(row._2 / 1e6 - se) < 1e-4,
+      s"se ${row._2 / 1e6} vs $se")
+  }
 }
