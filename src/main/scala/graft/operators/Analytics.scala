@@ -4366,6 +4366,187 @@ object Analytics {
         |FROM a""".stripMargin),
       "difference-in-differences estimate + pooled SE from four exact " +
         "decimal cell moments (one scan, 1-row reduce)"),
+
+    // Experiment-readout capstone — the statistics tier's q_eval_funnel:
+    // EVERY number an A/B readout reports (Welch t + Satterthwaite df,
+    // Cohen's d + Hedges' g, the raw mean difference, and the DiD
+    // estimate + SE for the parallel-trends view), from ONE events scan
+    // and ONE conditional-agg reduce (18 exact decimal sufficient
+    // statistics), unfolded into (metric, value_micro) rows from
+    // literal structs. Each metric expression is IDENTICAL to its
+    // standalone query's (q_welch_t / q_cohens_d / q_did) — pinned
+    // row-equal by ExperimentReportSpec, so the capstone can never
+    // drift from the parts. The DuckDB oracle replays the whole
+    // composition. Scale: one scan, 1-row reduce, 7-row unfold.
+    "q_experiment_report" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+        def sv(c: Column) = sum(when(c, $"v"))
+        def sq(c: Column) = sum(when(c, $"v" * $"v"))
+        val g1 = $"et" === "click"
+        val g2 = $"et" === "error"
+        // no scan filter: the DiD cells cover ALL events (exactly
+        // q_did's basis), while the two-sample metrics select their
+        // groups in the conditions
+        val base = Tables.load(s, d, "events")
+          .select($"event_type".as("et"),
+            (pmod($"user_id", lit(2L)) === 1L).as("t"),
+            (datediff(to_date($"ts"), lit("2024-01-01")) >= 15).as("po"),
+            $"value".cast(Fns.D18_6).as("v"))
+        def cell(t: Boolean, po: Boolean) = $"t" === t && $"po" === po
+        val agg = base.agg(
+          cnt(g1).as("n1"), sv(g1).as("s1"), sq(g1).as("q1"),
+          cnt(g2).as("n2"), sv(g2).as("s2"), sq(g2).as("q2"),
+          cnt(cell(false, false)).as("n00"), sv(cell(false, false)).as("s00"),
+          sq(cell(false, false)).as("q00"),
+          cnt(cell(false, true)).as("n01"), sv(cell(false, true)).as("s01"),
+          sq(cell(false, true)).as("q01"),
+          cnt(cell(true, false)).as("n10"), sv(cell(true, false)).as("s10"),
+          sq(cell(true, false)).as("q10"),
+          cnt(cell(true, true)).as("n11"), sv(cell(true, true)).as("s11"),
+          sq(cell(true, true)).as("q11"))
+        val mid = agg.select($"n1", $"n2",
+          expr("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+            "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))").as("md"),
+          expr("((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+            "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / " +
+            "CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)").as("se1"),
+          expr("((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * " +
+            "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / " +
+            "CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)").as("se2"),
+          expr("((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+            "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) + " +
+            "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * " +
+            "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) / " +
+            "CAST(n1 + n2 - 2 AS DOUBLE)").as("sp2"),
+          expr("((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) - " +
+            "CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) - " +
+            "(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) - " +
+            "CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))").as("did"),
+          expr("sqrt(" +
+            "(CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * " +
+            "CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / " +
+            "(CAST(n00 - 1 AS DOUBLE) * CAST(n00 AS DOUBLE)) + " +
+            "(CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * " +
+            "CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / " +
+            "(CAST(n01 - 1 AS DOUBLE) * CAST(n01 AS DOUBLE)) + " +
+            "(CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * " +
+            "CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / " +
+            "(CAST(n10 - 1 AS DOUBLE) * CAST(n10 AS DOUBLE)) + " +
+            "(CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * " +
+            "CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / " +
+            "(CAST(n11 - 1 AS DOUBLE) * CAST(n11 AS DOUBLE)))").as("dse"))
+        def m(name: String, v: String) =
+          struct(lit(name).as("metric"),
+            expr(s"CAST(round($v * 1000000.0, 0) AS BIGINT)")
+              .as("value_micro"))
+        mid.select(explode(array(
+            m("cohens_d", "md / sqrt(sp2)"),
+            m("did", "did"),
+            m("did_se", "dse"),
+            m("hedges_g", "md / sqrt(sp2) * (1.0 - 3.0 / " +
+              "(4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0))"),
+            m("mean_diff", "md"),
+            m("welch_df", "(se1 + se2) * (se1 + se2) / " +
+              "(se1 * se1 / CAST(n1 - 1 AS DOUBLE) + " +
+              "se2 * se2 / CAST(n2 - 1 AS DOUBLE))"),
+            m("welch_t", "md / sqrt(se1 + se2)"))).as("r"))
+          .select($"r.metric".as("metric"),
+            $"r.value_micro".as("value_micro"))
+          .orderBy($"metric")
+      },
+      Some("""WITH b AS (
+        |  SELECT event_type AS et, user_id % 2 = 1 AS t,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15
+        |      AS po,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    SUM(CASE WHEN et = 'click' THEN v END) AS s1,
+        |    SUM(CASE WHEN et = 'click' THEN v * v END) AS q1,
+        |    CAST(SUM(CASE WHEN et = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    SUM(CASE WHEN et = 'error' THEN v END) AS s2,
+        |    SUM(CASE WHEN et = 'error' THEN v * v END) AS q2,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT po THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00,
+        |    SUM(CASE WHEN NOT t AND NOT po THEN v END) AS s00,
+        |    SUM(CASE WHEN NOT t AND NOT po THEN v * v END) AS q00,
+        |    CAST(SUM(CASE WHEN NOT t AND po THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    SUM(CASE WHEN NOT t AND po THEN v END) AS s01,
+        |    SUM(CASE WHEN NOT t AND po THEN v * v END) AS q01,
+        |    CAST(SUM(CASE WHEN t AND NOT po THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    SUM(CASE WHEN t AND NOT po THEN v END) AS s10,
+        |    SUM(CASE WHEN t AND NOT po THEN v * v END) AS q10,
+        |    CAST(SUM(CASE WHEN t AND po THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    SUM(CASE WHEN t AND po THEN v END) AS s11,
+        |    SUM(CASE WHEN t AND po THEN v * v END) AS q11
+        |  FROM b),
+        |mid AS (
+        |  SELECT n1, n2,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS md,
+        |    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |      CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS se1,
+        |    ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |      CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS se2,
+        |    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |      (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+        |      CAST(n1 + n2 - 2 AS DOUBLE) AS sp2,
+        |    ((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) -
+        |      CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) -
+        |      (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) -
+        |      CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))) AS did,
+        |    sqrt(
+        |      (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) *
+        |      CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) /
+        |      (CAST(n00 - 1 AS DOUBLE) * CAST(n00 AS DOUBLE)) +
+        |      (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) *
+        |      CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) /
+        |      (CAST(n01 - 1 AS DOUBLE) * CAST(n01 AS DOUBLE)) +
+        |      (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) *
+        |      CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) /
+        |      (CAST(n10 - 1 AS DOUBLE) * CAST(n10 AS DOUBLE)) +
+        |      (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) *
+        |      CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) /
+        |      (CAST(n11 - 1 AS DOUBLE) * CAST(n11 AS DOUBLE))) AS dse
+        |  FROM a)
+        |SELECT metric, value_micro FROM (
+        |  SELECT 'cohens_d' AS metric,
+        |    CAST(round(md / sqrt(sp2) * 1000000.0, 0) AS BIGINT)
+        |      AS value_micro FROM mid
+        |  UNION ALL SELECT 'did',
+        |    CAST(round(did * 1000000.0, 0) AS BIGINT) FROM mid
+        |  UNION ALL SELECT 'did_se',
+        |    CAST(round(dse * 1000000.0, 0) AS BIGINT) FROM mid
+        |  UNION ALL SELECT 'hedges_g',
+        |    CAST(round(md / sqrt(sp2) * (1.0 - 3.0 /
+        |      (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) * 1000000.0, 0)
+        |      AS BIGINT) FROM mid
+        |  UNION ALL SELECT 'mean_diff',
+        |    CAST(round(md * 1000000.0, 0) AS BIGINT) FROM mid
+        |  UNION ALL SELECT 'welch_df',
+        |    CAST(round((se1 + se2) * (se1 + se2) /
+        |      (se1 * se1 / CAST(n1 - 1 AS DOUBLE) +
+        |      se2 * se2 / CAST(n2 - 1 AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT) FROM mid
+        |  UNION ALL SELECT 'welch_t',
+        |    CAST(round(md / sqrt(se1 + se2) * 1000000.0, 0) AS BIGINT)
+        |      FROM mid)
+        |ORDER BY metric""".stripMargin),
+      "experiment-readout capstone: Welch t/df, Cohen's d/Hedges' g, " +
+        "mean diff, DiD + SE — one scan, one reduce, 7 metric rows"),
   )
 
   /** Memoized (session, dir) value-grain contingency grid for

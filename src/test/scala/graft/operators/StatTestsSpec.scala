@@ -628,4 +628,23 @@ class StatTestsSpec extends SparkSpec {
     assert(math.abs(row._2 / 1e6 - se) < 1e-4,
       s"se ${row._2 / 1e6} vs $se")
   }
+
+  test("q_experiment_report rows equal the standalone queries exactly") {
+    // the capstone promises the SAME expression trees as the parts —
+    // integer equality, not tolerance
+    val rep = q("q_experiment_report")
+      .as[(String, Long)].collect().toMap
+    val welch = q("q_welch_t").select($"t_micro", $"df_micro")
+      .as[(Long, Long)].collect().head
+    assert(rep("welch_t") == welch._1 && rep("welch_df") == welch._2,
+      s"welch (${rep("welch_t")}, ${rep("welch_df")}) vs $welch")
+    val cd = q("q_cohens_d").select($"d_micro", $"g_micro")
+      .as[(Long, Long)].collect().head
+    assert(rep("cohens_d") == cd._1 && rep("hedges_g") == cd._2,
+      s"cohens (${rep("cohens_d")}, ${rep("hedges_g")}) vs $cd")
+    val did = q("q_did").select($"did_micro", $"se_micro")
+      .as[(Long, Long)].collect().head
+    assert(rep("did") == did._1 && rep("did_se") == did._2,
+      s"did (${rep("did")}, ${rep("did_se")}) vs $did")
+  }
 }
