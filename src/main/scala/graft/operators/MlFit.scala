@@ -1784,10 +1784,15 @@ object MlFit {
             sum(when($"lang" === "en", 1L).otherwise(0L)).as("p"))
         val w = Window.orderBy($"score")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = vg.agg(sum($"n").as("nn"), sum($"p").as("pp"))
+        // totals from a full-frame window over the SAME grain pass —
+        // a tot-aggregate branch would rescan documents (PlanSpec pins
+        // the single corpus scan)
+        val wAll = Window.orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         vg.withColumn("cn", sum($"n").over(w))
           .withColumn("cp", sum($"p").over(w))
-          .crossJoin(broadcast(tot))
+          .withColumn("nn", sum($"n").over(wAll))
+          .withColumn("pp", sum($"p").over(wAll))
           .filter($"cn" < $"nn")
           .select($"score".as("threshold"), $"nn",
             expr("CAST(round((CAST(cn AS DOUBLE) * (2.0 * " +

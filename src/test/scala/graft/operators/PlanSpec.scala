@@ -945,6 +945,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "probe-sized tables must broadcast")
   }
 
+  test("round-11 stats family: one scan each, conditional partial " +
+    "sums, no cartesian") {
+    for (q <- Seq("q_cohens_d", "q_did", "q_experiment_report",
+      "q_tukey_hsd")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(p.split("FileScan").length - 1 == 1, s"$q: one scan")
+      assert(p.contains("partial_sum"), s"$q: ${p.take(800)}")
+    }
+    // q_brier / q_log_loss carry the documented second scan for the
+    // broadcast 1-row min/max bounds (the q_calibration_ece shape)
+    for (q <- Seq("q_brier", "q_log_loss")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(p.split("FileScan").length - 1 == 2,
+        s"$q: main scan + bounds scan")
+    }
+  }
+
+  test("q_stump: one doc scan to the value grain, pruned to the two " +
+    "needed columns") {
+    val p = plan("q_stump")
+    assert(p.split("FileScan").length - 1 == 1, "one scan")
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      p.take(800))
+  }
+
   test("no UDFs anywhere in the verified query plans") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
