@@ -2651,7 +2651,11 @@ object Analytics {
               .cast(org.apache.spark.sql.types.DecimalType(38, 0))
               .as("u2"),
             $"ties")
-          .select($"n1", $"n2", $"u2",
+          // output contract: NO decimal-typed columns (driver hashes
+          // decimal outputs differently per engine — VERDICT r11). The
+          // doubled U <= 2*n1*n2 fits BIGINT until n1*n2 ~ 4.6e18,
+          // i.e. ~2.1e9 rows PER flag — decimal internals unchanged.
+          .select($"n1", $"n2", $"u2".cast("bigint").as("u2"),
             expr("CAST(round((CAST(u2 - CAST(n1 AS DECIMAL(19,0)) * " +
               "CAST(n2 AS DECIMAL(19,0)) AS DOUBLE) / 2.0) / " +
               "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
@@ -2686,7 +2690,7 @@ object Analytics {
         |    CAST(r1_2 - CAST(n1 AS DECIMAL(19,0)) *
         |      CAST(n1 + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS u2,
         |    ties FROM a)
-        |SELECT n1, n2, u2,
+        |SELECT n1, n2, CAST(u2 AS BIGINT) AS u2,
         |  CAST(round((CAST(u2 - CAST(n1 AS DECIMAL(19,0)) *
         |    CAST(n2 AS DECIMAL(19,0)) AS DOUBLE) / 2.0) /
         |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
@@ -2897,7 +2901,12 @@ object Analytics {
           .agg(sum($"t".cast(d19) * ($"t" - lit(1L)).cast(d19)).as("n2d"))
         pairs.crossJoin(broadcast(totals))
           .crossJoin(broadcast(tx)).crossJoin(broadcast(uy))
-          .select($"n", $"conc", $"disc",
+          // output contract: NO decimal-typed columns (driver hashes
+          // decimal outputs differently per engine — VERDICT r11). Pair
+          // counts <= n(n-1)/2 fit BIGINT until n ~ 4.3e9 rows — the
+          // decimal internals (where products form) are unchanged.
+          .select($"n", $"conc".cast("bigint").as("conc"),
+            $"disc".cast("bigint").as("disc"),
             expr("CAST(round(2.0 * CAST(conc - disc AS DOUBLE) / " +
               "sqrt(CAST(CAST(n AS DECIMAL(19,0)) * " +
               "CAST(n - 1 AS DECIMAL(19,0)) - n1d AS DOUBLE) * " +
@@ -2929,7 +2938,8 @@ object Analytics {
         |  SELECT SUM(CAST(t AS DECIMAL(19,0)) *
         |    CAST(t - 1 AS DECIMAL(19,0))) AS n2d
         |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g GROUP BY y))
-        |SELECT n, conc, disc,
+        |SELECT n, CAST(conc AS BIGINT) AS conc,
+        |  CAST(disc AS BIGINT) AS disc,
         |  CAST(round(2.0 * CAST(conc - disc AS DOUBLE) /
         |    sqrt(CAST(CAST(n AS DECIMAL(19,0)) *
         |    CAST(n - 1 AS DECIMAL(19,0)) - n1d AS DOUBLE) *
@@ -4164,7 +4174,11 @@ object Analytics {
           .select($"n_days", $"n_pairs",
             expr("CAST(round(ms * 1000000.0, 0) AS BIGINT)")
               .as("slope_micro"),
-            expr("CAST(round(mi * 100.0, 0) AS BIGINT)")
+            // mi is in CENTS, so microdollars = mi * 1e4 (ADVICE r11
+            // fixed a 100x unit mislabel). BIGINT horizon: fits until
+            // the weekly-revenue intercept reaches ~$9.2e12 (~sf 1e4);
+            // past that, re-emit at cent grain.
+            expr("CAST(round(mi * 10000.0, 0) AS BIGINT)")
               .as("intercept_microdollar"))
       },
       Some("""WITH daily AS (
@@ -4189,7 +4203,7 @@ object Analytics {
         |  FROM idx, sl GROUP BY 1, 2)
         |SELECT n_days, n_pairs,
         |  CAST(round(ms * 1000000.0, 0) AS BIGINT) AS slope_micro,
-        |  CAST(round(mi * 100.0, 0) AS BIGINT) AS intercept_microdollar
+        |  CAST(round(mi * 10000.0, 0) AS BIGINT) AS intercept_microdollar
         |FROM ic""".stripMargin),
       "Theil-Sen robust slope + intercept: exact interpolated medians " +
         "of bounded week-pair slopes (the OLS trend's robust twin)"),

@@ -1201,8 +1201,9 @@ object Similarity {
     // broadcast pass at any corpus size); ranks come from q_id-
     // partitioned windows on bit-identical cosines (the q_ndcg
     // convention), per-hit precisions freeze to micro-units before the
-    // per-probe mean (house discipline), and probes with no top-10 hit
-    // report ap_micro = 0 via the left join against the R table.
+    // per-probe mean (house discipline). The output is driven from the
+    // probe PANEL itself: a probe with no top-10 hit — or no same-label
+    // pool at all — reports r_tot/ap_micro = 0 instead of vanishing.
     "q_map" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -1231,9 +1232,14 @@ object Similarity {
               .as("p6"))
           .groupBy($"q_id")
           .agg(count(lit(1)).as("n_hits"), sum($"p6").as("sp"))
-        rtot.join(hits, Seq("q_id"), "left")
+        // drive the output from the PROBE PANEL, not rtot (ADVICE r11):
+        // a probe whose label has zero same-label pool still reports a
+        // row (r_tot = 0, ap_micro = 0) instead of silently vanishing
+        probes.select($"q_id")
+          .join(rtot, Seq("q_id"), "left")
+          .join(hits, Seq("q_id"), "left")
           .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
-            $"r_tot",
+            coalesce($"r_tot", lit(0L)).as("r_tot"),
             coalesce(expr("CAST(round(CAST(sp AS DOUBLE) / " +
               "CAST(LEAST(r_tot, 10) AS DOUBLE), 0) AS BIGINT)"),
               lit(0L)).as("ap_micro"))
@@ -1267,12 +1273,14 @@ object Similarity {
         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
         |    CAST(SUM(p6) AS BIGINT) AS sp
         |  FROM h WHERE rel = 1 GROUP BY 1)
-        |SELECT rt.q_id, COALESCE(ha.n_hits, 0) AS n_hits, rt.r_tot,
+        |SELECT p.q_id, COALESCE(ha.n_hits, 0) AS n_hits,
+        |  COALESCE(rt.r_tot, 0) AS r_tot,
         |  COALESCE(CAST(round(CAST(ha.sp AS DOUBLE) /
         |    CAST(LEAST(rt.r_tot, 10) AS DOUBLE), 0) AS BIGINT), 0)
         |    AS ap_micro
-        |FROM rt LEFT JOIN ha ON rt.q_id = ha.q_id
-        |ORDER BY rt.q_id""".stripMargin),
+        |FROM p LEFT JOIN rt ON p.q_id = rt.q_id
+        |LEFT JOIN ha ON p.q_id = ha.q_id
+        |ORDER BY p.q_id""".stripMargin),
       "average precision @ 10 per probe over the fixed 8-probe panel " +
         "(micro-frozen per-hit precisions, left-join zero for no-hit)"),
   )

@@ -37,25 +37,20 @@ object AnomalyStream {
   /** Per-batch (event_type, day)-grain exact moment partials,
     * replay-idempotent via dynamic partition overwrite on batch_id. */
   def momentPartials(batch: DataFrame, batchId: Long, path: String): Unit =
-    batch
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").as("v6"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"), sum(col("v6")).as("s1"),
-        sum(col("v6").cast(D19) * col("v6").cast(D19)).as("s2"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+    PartialsStore.sink(
+      batch
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").as("v6"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("s1"),
+          sum(col("v6").cast(D19) * col("v6").cast(D19)).as("s2")),
+      batchId, path)
 
   /** Merged (event_type, day)-grain moments over all stored batches —
     * the one (bounded) shuffle every rollup shares. */
   private def merged(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
-        sum(col("s2")).as("s2"))
+    PartialsStore.mergedSums(spark, path,
+      Seq("event_type", "day"), Seq("n", "s1", "s2"))
 
   /** Per-day z-scores of the day mean against the type's day-mean
     * distribution, 3σ fence — computed from the stored partials
@@ -71,15 +66,23 @@ object AnomalyStream {
     val t = m.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nd"), sum(col("mean_micro")).as("sm"),
         sum(col("mean_micro").cast(D19) * col("mean_micro").cast(D19))
-          .as("sm2"))
+          .as("sm2"),
+        // exact sigma-zero witness: sigma = 0 iff every day mean is
+        // equal — integer compare, no decimal-product overflow risk
+        min(col("mean_micro")).as("mn"), max(col("mean_micro")).as("mx"))
     m.join(broadcast(t), "event_type")
       .select(col("event_type"), col("day"), col("n"), col("mean_micro"),
-        expr("CAST(round((CAST(mean_micro AS DOUBLE) - " +
+        // ADVICE r11 sigma=0 guard: a type with one observed day or
+        // constant day means would divide by sigma = 0 and emit
+        // NaN/null for exactly the quietest metrics — a "no baseline
+        // yet" day must read as defined non-anomalous (z_micro = 0)
+        expr("CASE WHEN mn = mx THEN 0L ELSE " +
+          "CAST(round((CAST(mean_micro AS DOUBLE) - " +
           "CAST(sm AS DOUBLE) / CAST(nd AS DOUBLE)) / " +
           "sqrt(CAST(sm2 AS DOUBLE) / CAST(nd AS DOUBLE) - " +
           "(CAST(sm AS DOUBLE) / CAST(nd AS DOUBLE)) * " +
           "(CAST(sm AS DOUBLE) / CAST(nd AS DOUBLE))) " +
-          "* 1000000.0, 0) AS BIGINT)").as("z_micro"))
+          "* 1000000.0, 0) AS BIGINT) END").as("z_micro"))
       .withColumn("is_anomaly", abs(col("z_micro")) > 3000000L)
       .orderBy(col("event_type"), col("day"))
   }

@@ -51,26 +51,19 @@ object EvalStream {
     val votes = (0 to 7).map(a =>
       sum(when(ansCol(col("event_id"), col("user_id")) === a.toLong, 1L)
         .otherwise(0L)).as(s"v$a"))
-    batch
-      .groupBy(col("user_id").as("task"))
-      .agg(count(lit(1)).as("n"),
-        sum(okCol(col("event_id"))).as("c") +: votes: _*)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+    PartialsStore.sink(
+      batch
+        .groupBy(col("user_id").as("task"))
+        .agg(count(lit(1)).as("n"),
+          sum(okCol(col("event_id"))).as("c") +: votes: _*),
+      batchId, path)
   }
 
   /** Merged task-grain statistics over all stored batches — the one
     * shuffle every rollup shares. */
-  private def merged(spark: SparkSession, path: String): DataFrame = {
-    val sums = (Seq("n", "c") ++ (0 to 7).map(a => s"v$a"))
-      .map(c => sum(col(c)).as(c))
-    spark.read.parquet(path)
-      .groupBy(col("task"))
-      .agg(sums.head, sums.tail: _*)
-  }
+  private def merged(spark: SparkSession, path: String): DataFrame =
+    PartialsStore.mergedSums(spark, path, Seq("task"),
+      Seq("n", "c") ++ (0 to 7).map(a => s"v$a"))
 
   /** pass@k over the stored partials — the q_pass_at_k estimator
     * (unbiased 1 - C(n-c,k)/C(n,k), per-task micro freeze, same n>=10

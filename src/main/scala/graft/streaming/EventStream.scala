@@ -102,11 +102,7 @@ object EventStream {
     * recipe for non-transactional stores. */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String)
       : Unit =
-    batch.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+    PartialsStore.sink(batch, batchId, path)
 
   /** CDC upsert sink: merge each micro-batch of key-versioned updates into
     * a partitioned parquet serving table ([[graft.io.Upsert.mergeByKey]] —
@@ -149,15 +145,12 @@ object EventStream {
     * This is the streaming producer of the same partials the batch
     * `q_rolling_distinct` consumes. */
   def sketchPartials(batch: DataFrame, batchId: Long, path: String): Unit =
-    batch
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
-        count(lit(1)).as("n_events"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+    PartialsStore.sink(
+      batch
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events")),
+      batchId, path)
 
   /** Incremental KLL QUANTILE partials — the quantile member of the
     * stored-partials family beside [[sketchPartials]]' HLL distincts
@@ -170,17 +163,14 @@ object EventStream {
     * question over any day range is answered from the stored partials
     * by [[quantilesFromPartials]] — the raw values are never rescanned. */
   def kllPartials(batch: DataFrame, batchId: Long, path: String): Unit =
-    graft.functions.QuantileSketch
-      .partials(batch, to_date(col("ts")), col("value"))
-      .withColumnRenamed("scope", "day")
+    PartialsStore.sink(
+      graft.functions.QuantileSketch
+        .partials(batch, to_date(col("ts")), col("value"))
+        .withColumnRenamed("scope", "day"),
       // ALL (input partition × day) sketch rows land — merging here
       // would need a sketch-merge aggregate; the reader merges instead,
       // and KLL merge keeps the error bound either way
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+      batchId, path)
 
   /** Quantiles (+ the published rank-confidence envelope) for each
     * requested rank over a DAY RANGE, answered purely from stored

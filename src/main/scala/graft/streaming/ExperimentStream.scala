@@ -54,12 +54,7 @@ object ExperimentStream {
 
   /** Per-batch 1-row sufficient statistics, replay-idempotent. */
   def expPartials(batch: DataFrame, batchId: Long, path: String): Unit =
-    stats(prepared(batch))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+    PartialsStore.sink(stats(prepared(batch)), batchId, path)
 
   private val statCols = Seq("n1", "s1", "q1", "n2", "s2", "q2",
     "n00", "s00", "q00", "n01", "s01", "q01",
@@ -70,9 +65,7 @@ object ExperimentStream {
     * (exact decimal sums are associative, so the doubles match the
     * one-pass query bit-for-bit). */
   def reportFromPartials(spark: SparkSession, path: String): DataFrame = {
-    val merged = spark.read.parquet(path)
-      .agg(sum(col(statCols.head)).as(statCols.head),
-        statCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val merged = PartialsStore.mergedSums(spark, path, Nil, statCols)
       // re-summing DECIMAL(28,6) widens to (38,6); the one-pass query
       // aggregates DECIMAL(18,6) inputs straight to (28,6) — normalize
       // so CAST(x AS DOUBLE) sees identical values either way

@@ -541,8 +541,9 @@ class StatTestsSpec extends SparkSpec {
     assert(row._2 == slopes.length.toLong)
     assert(math.abs(row._3 - math.round(ms * 1e6)) <= 1,
       s"slope ${row._3} vs ${ms * 1e6}")
-    assert(math.abs(row._4 - math.round(mi * 100)) <= 1,
-      s"intercept ${row._4} vs ${mi * 100}")
+    // mi is in cents; the query emits TRUE microdollars (cents * 1e4)
+    assert(math.abs(row._4 - math.round(mi * 10000)) <= 1,
+      s"intercept ${row._4} vs ${mi * 10000}")
   }
 
   test("q_cusum matches the direct max(0, S + d) recursion") {

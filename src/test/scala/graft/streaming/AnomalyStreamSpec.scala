@@ -84,4 +84,32 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(out.count(_._2) == 1,
       s"expected exactly one anomaly, got ${out.filter(_._2)}")
   }
+
+  test("sigma = 0 (one-day and constant-mean types) reads as 'no " +
+    "baseline yet': z_micro = 0, is_anomaly = false, never null") {
+    // ADVICE r11: a live monitor must not emit NaN/null for exactly
+    // the quietest metrics. One type with a single observed day, one
+    // with three days of identical means, one normal control.
+    val rows =
+      Seq(("2024-03-01 12:00:00", "single", 5.0)) ++
+        (1 to 3).map(d => (s"2024-03-0$d 12:00:00", "flat", 2.5)) ++
+        Seq(("2024-03-01 12:00:00", "ctl", 1.0),
+          ("2024-03-02 12:00:00", "ctl", 2.0))
+    val df = rows.toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    val path = Files.createTempDirectory("graft_anom_sigma0").toString
+    AnomalyStream.momentPartials(df, 0L, path)
+    val out = AnomalyStream.zscoresFromPartials(spark, path)
+      .select($"event_type", $"z_micro", $"is_anomaly")
+      .collect()
+    assert(out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      s"null z/is_anomaly leaked: ${out.mkString(", ")}")
+    val byType = out.groupBy(_.getString(0))
+    assert(byType("single").forall(r =>
+      r.getLong(1) == 0L && !r.getBoolean(2)))
+    assert(byType("flat").forall(r =>
+      r.getLong(1) == 0L && !r.getBoolean(2)))
+    // the control type still gets real (symmetric, nonzero) z-scores
+    assert(byType("ctl").forall(r => r.getLong(1) != 0L))
+  }
 }

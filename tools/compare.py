@@ -96,6 +96,22 @@ def main(sf_dir, out_dir):
                   "(driver hashes 10.0 != 10)")
             n_fail += 1
             continue
+        # Decimal-typed OUTPUT columns are a hard local failure: the
+        # driver's byte-hash diverges on decimal outputs (Spark parquet
+        # decimal vs DuckDB's decimal->python path) even when every
+        # value is identical — the ONLY 2 red rows of round 11
+        # (q_mannwhitney u2, q_kendall_tau conc/disc) were exactly the
+        # only 2 decimal-output queries of 290. Decimal INTERNALS are
+        # fine; cast the final select to BIGINT/DOUBLE. (VERDICT r11 #2)
+        import pyarrow.types as pt
+        badd = sorted({f.name for f in stbl.schema if pt.is_decimal(f.type)}
+                      | {f.name for f in dtbl.schema if pt.is_decimal(f.type)})
+        if badd:
+            print(f"FAIL {name}: decimal-typed output column(s) {badd} "
+                  "(driver hash hazard — cast to BIGINT/DOUBLE in the "
+                  "final select of BOTH engines)")
+            n_fail += 1
+            continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
             n_fail += 1
