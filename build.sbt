@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 290 generated query classes in one JVM pressure the C2 code cache
+  // (default 240m); measured ABAB at r12: the profiled contention
+  // victims (q_bradley_terry, q_calibration) improve 21-36% with 512m
+  // while the full-surface total is unchanged — see SCALE.md round 12.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -48,6 +48,9 @@ object PlanAudit {
     "q_woe_iv" -> "bounded band table",
     "q_pr_curve" -> "bounded threshold table",
     "q_changepoint" -> "bounded day table",
+    "q_page_hinkley" -> ("running sum + running min over the bounded " +
+      "day table — the q_cusum dissolution with a running-mean " +
+      "baseline"),
     "q_zipf_slope" -> "vocabulary-bounded rank table",
     "q_domain_mix" -> "one row per source",
     "q_rrf_fusion" -> "bounded fused top-k",

@@ -4561,7 +4561,671 @@ object Analytics {
         |ORDER BY metric""".stripMargin),
       "experiment-readout capstone: Welch t/df, Cohen's d/Hedges' g, " +
         "mean diff, DiD + SE — one scan, one reduce, 7 metric rows"),
+
+    // Jarque-Bera normality test over l_quantity — the TEST companion
+    // to q_skew_moments' descriptive moments (JB = n/6·(S² + K²/4),
+    // chi²(2) under H0): quantities live on a 0.01 grid, so q100 =
+    // round(q·100) is an exact integer and the four power sums are
+    // exact decimals (skewness/kurtosis are scale-invariant, so the
+    // ×100 changes nothing). The only floating point is ONE identical
+    // final expression over the exact sums in both engines. Shape: one
+    // scan, 1-row reduce (5 numbers per partition). jb_micro grows
+    // ~linearly with n at fixed shape — BIGINT-safe past 1e12 rows.
+    "q_jarque_bera" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d4 = org.apache.spark.sql.types.DecimalType(4, 0)
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        Tables.load(s, d, "lineitem")
+          .select(expr("CAST(round(l_quantity * 100, 0) AS BIGINT)")
+            .as("q"))
+          .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+            sum($"q".cast(d19) * $"q".cast(d19)).as("s2"),
+            sum($"q".cast(d4) * $"q".cast(d4) * $"q".cast(d4))
+              .as("s3"),
+            sum(($"q".cast(d4) * $"q".cast(d4)) *
+              ($"q".cast(d4) * $"q".cast(d4))).as("s4"))
+          .select($"n",
+            expr("CAST(round(" + jbExpr("skew") +
+              " * 1000000.0, 0) AS BIGINT)").as("skew_micro"),
+            expr("CAST(round(" + jbExpr("exkurt") +
+              " * 1000000.0, 0) AS BIGINT)").as("exkurt_micro"),
+            expr("CAST(round(CAST(n AS DOUBLE) / 6.0 * (" +
+              jbExpr("skew") + " * " + jbExpr("skew") + " + " +
+              jbExpr("exkurt") + " * " + jbExpr("exkurt") +
+              " / 4.0) * 1000000.0, 0) AS BIGINT)").as("jb_micro"))
+      },
+      Some(s"""WITH p AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS s1,
+        |    SUM(CAST(round(l_quantity * 100, 0) AS DECIMAL(19,0)) *
+        |        CAST(round(l_quantity * 100, 0) AS DECIMAL(19,0)))
+        |      AS s2,
+        |    SUM(CAST(round(l_quantity * 100, 0) AS DECIMAL(4,0)) *
+        |        CAST(round(l_quantity * 100, 0) AS DECIMAL(4,0)) *
+        |        CAST(round(l_quantity * 100, 0) AS DECIMAL(4,0)))
+        |      AS s3,
+        |    SUM((CAST(round(l_quantity * 100, 0) AS DECIMAL(4,0)) *
+        |         CAST(round(l_quantity * 100, 0) AS DECIMAL(4,0))) *
+        |        (CAST(round(l_quantity * 100, 0) AS DECIMAL(4,0)) *
+        |         CAST(round(l_quantity * 100, 0) AS DECIMAL(4,0))))
+        |      AS s4
+        |  FROM lineitem)
+        |SELECT n,
+        |  CAST(round(${jbExpr("skew")} * 1000000.0, 0) AS BIGINT)
+        |    AS skew_micro,
+        |  CAST(round(${jbExpr("exkurt")} * 1000000.0, 0) AS BIGINT)
+        |    AS exkurt_micro,
+        |  CAST(round(CAST(n AS DOUBLE) / 6.0 * (${jbExpr("skew")} *
+        |    ${jbExpr("skew")} + ${jbExpr("exkurt")} *
+        |    ${jbExpr("exkurt")} / 4.0) * 1000000.0, 0) AS BIGINT)
+        |    AS jb_micro
+        |FROM p""".stripMargin),
+      "Jarque-Bera normality test from exact integer power sums " +
+        "(one scan, 1-row reduce, one shared IEEE expression)"),
+
+    // Ljung-Box portmanteau test on the daily event-count series —
+    // "is there ANY autocorrelation in the first 7 lags?", the test
+    // q_autocorr's per-lag ACF values feed in textbooks: Q = n(n+2)·
+    // Σ_{k=1..7} r_k²/(n−k), chi²(7) under H0. Same gap-correct
+    // self-join pairing as q_autocorr (never positional lag); products
+    // form in DECIMAL so day counts past ~3e9/day cannot overflow; the
+    // seven per-lag terms freeze to 9 dp (the q_chi2 recipe) so the
+    // 7-row sum is exact and order-free. The 14.0671 significance
+    // fence is the frozen chi²(7, 0.95) literal compared in integers.
+    "q_ljung_box" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val nd = daily.agg(count(lit(1)).as("nd"))
+        val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
+        val pairs = daily.as("a").crossJoin(broadcast(lags))
+          .join(daily.as("b"), $"b.day" === date_add($"a.day", $"lag"))
+          .select($"lag", $"a.n".as("x"), $"b.n".as("y"))
+        val rk = pairs.groupBy($"lag")
+          .agg(count(lit(1)).as("k"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x".cast(d19) * $"y".cast(d19)).as("sxy"),
+            sum($"x".cast(d19) * $"x".cast(d19)).as("sxx"),
+            sum($"y".cast(d19) * $"y".cast(d19)).as("syy"))
+          .crossJoin(broadcast(nd))
+          .select($"nd",
+            expr("CAST(round(pow((CAST(k AS DECIMAL(19,0)) * sxy - " +
+              "CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)))" +
+              " / (sqrt(CAST(CAST(k AS DECIMAL(19,0)) * sxx - " +
+              "CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) " +
+              "AS DOUBLE)) * sqrt(CAST(CAST(k AS DECIMAL(19,0)) * syy" +
+              " - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0" +
+              ")) AS DOUBLE))), 2) / CAST(nd - lag AS DOUBLE), 9) " +
+              "AS DECIMAL(20,9))").as("term"))
+        rk.groupBy($"nd")
+          .agg(count(lit(1)).as("n_lags"), sum($"term").as("tsum"))
+          .select($"nd".as("n_days"), $"n_lags",
+            expr("CAST(round(CAST(nd AS DOUBLE) * " +
+              "CAST(nd + 2 AS DOUBLE) * CAST(tsum AS DOUBLE) * " +
+              "1000000.0, 0) AS BIGINT)").as("q_micro"))
+          .withColumn("significant", $"q_micro" > 14067140L)
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+        |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |p AS (
+        |  SELECT l.lag, a.n AS x, b.n AS y
+        |  FROM lags l JOIN daily a ON true
+        |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+        |    * INTERVAL 1 DAY),
+        |s AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS syy
+        |  FROM p GROUP BY 1),
+        |t AS (
+        |  SELECT nd, CAST(round(pow((CAST(k AS DECIMAL(19,0)) * sxy -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))) /
+        |    (sqrt(CAST(CAST(k AS DECIMAL(19,0)) * sxx -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+        |    AS DOUBLE)) * sqrt(CAST(CAST(k AS DECIMAL(19,0)) * syy -
+        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+        |    AS DOUBLE))), 2) / CAST(nd - lag AS DOUBLE), 9)
+        |    AS DECIMAL(20,9)) AS term
+        |  FROM s, nd)
+        |SELECT nd AS n_days, CAST(COUNT(*) AS BIGINT) AS n_lags,
+        |  CAST(round(CAST(nd AS DOUBLE) * CAST(nd + 2 AS DOUBLE) *
+        |    CAST(SUM(term) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS q_micro,
+        |  CAST(round(CAST(nd AS DOUBLE) * CAST(nd + 2 AS DOUBLE) *
+        |    CAST(SUM(term) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    > 14067140 AS significant
+        |FROM t GROUP BY nd""".stripMargin),
+      "Ljung-Box portmanteau test (7 gap-correct lags, 9-dp frozen " +
+        "per-lag terms, frozen chi-square fence)"),
+
+    // Page-Hinkley change detector over the daily event series — the
+    // third member beside q_cusum (global-mean baseline) and
+    // q_changepoint (retrospective scan): PH subtracts the RUNNING
+    // mean, so it adapts to slow drift and fires only on abrupt level
+    // shifts. m_t = Σ_{i<=t}(x_i − mean_i − δ) with mean_i = cum_i/i;
+    // PH_t = m_t − min_{k<=t} m_k, alarm when PH > λ. δ = 0.5σ and
+    // λ = 4σ mirror q_cusum's k/h so the two charts are comparable.
+    // Each per-day term freezes to micro-units (one IEEE division of
+    // exact integers), so the two running aggregates are exact integer
+    // windows over the BOUNDED day table (allowlisted) — the same
+    // no-recursion dissolution as q_cusum.
+    "q_page_hinkley" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val mo = daily.agg(count(lit(1)).as("nd"), sum($"x").as("sx"),
+          sum($"x".cast(d19) * $"x".cast(d19)).as("sxx"))
+          .select(
+            expr("sqrt(CAST(sxx AS DOUBLE) / CAST(nd AS DOUBLE) - " +
+              "(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)) * " +
+              "(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)))").as("sg"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(mo))
+          .withColumn("cum", sum($"x").over(w))
+          .withColumn("t", row_number().over(Window.orderBy($"day")))
+          .select($"day", $"x",
+            expr("CAST(round((CAST(x AS DOUBLE) - CAST(cum AS DOUBLE)" +
+              " / CAST(t AS DOUBLE) - 0.5 * sg) * 1000000.0, 0) " +
+              "AS BIGINT)").as("dm"),
+            expr("CAST(round(4.0 * sg * 1000000.0, 0) AS BIGINT)")
+              .as("hm"))
+          .withColumn("m", sum($"dm").over(w))
+          .withColumn("ph_micro", $"m" - min($"m").over(w))
+          .select($"day", $"x", $"ph_micro",
+            ($"ph_micro" > $"hm").as("alarm"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |mo AS (
+        |  SELECT sqrt(CAST(SUM(CAST(x AS DECIMAL(19,0)) *
+        |      CAST(x AS DECIMAL(19,0))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) -
+        |      (CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) *
+        |      (CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+        |      AS sg
+        |  FROM daily),
+        |c AS (
+        |  SELECT day, x, sg,
+        |    CAST(SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM daily, mo),
+        |f AS (
+        |  SELECT day, x,
+        |    CAST(round((CAST(x AS DOUBLE) - CAST(cum AS DOUBLE) /
+        |      CAST(t AS DOUBLE) - 0.5 * sg) * 1000000.0, 0) AS BIGINT)
+        |      AS dm,
+        |    CAST(round(4.0 * sg * 1000000.0, 0) AS BIGINT) AS hm
+        |  FROM c),
+        |r AS (
+        |  SELECT day, x, hm,
+        |    CAST(SUM(dm) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS m
+        |  FROM f)
+        |SELECT day, x,
+        |  m - CAST(MIN(m) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS ph_micro,
+        |  m - CAST(MIN(m) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) > hm AS alarm
+        |FROM r ORDER BY day""".stripMargin),
+      "Page-Hinkley chart (running-mean baseline, micro-frozen terms, " +
+        "two integer running windows over the bounded day table)"),
+
+    // Mann-Kendall trend test over the weekly-revenue series — the
+    // SIGNIFICANCE companion to q_theil_sen's robust slope (the pair is
+    // the standard nonparametric trend kit): S = Σ_{i<j} sign(y_j−y_i)
+    // over all week pairs, Var(S) with the tie correction, z from the
+    // continuity-corrected S. Week pairs are CALENDAR-bounded (the
+    // q_theil_sen argument: ~59k pairs at any corpus size); S and
+    // 18·Var are exact BIGINTs; z is one IEEE expression. Corpus-scale
+    // work is one date-keyed partial agg.
+    "q_mann_kendall" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val weekly = Tables.load(s, d, "orders")
+          .groupBy(date_trunc("week", $"o_orderdate").cast("date")
+            .as("wk"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("yc"))
+        val a = weekly.select($"wk".as("wa"), $"yc".as("ya"))
+        val b = weekly.select($"wk".as("wb"), $"yc".as("yb"))
+        val sStat = a.join(b, $"wb" > $"wa")
+          .agg(coalesce(sum(when($"yb" > $"ya", 1L)
+            .when($"yb" < $"ya", -1L).otherwise(0L)), lit(0L)).as("s"))
+        val nW = weekly.agg(count(lit(1)).as("n"))
+        val ties = weekly.groupBy($"yc").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)),
+            lit(0L)).as("tt"))
+        sStat.crossJoin(broadcast(nW)).crossJoin(broadcast(ties))
+          .select($"n".as("n_weeks"), $"s".as("s_stat"),
+            ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tt")
+              .as("var18"),
+            expr("CAST(round(CASE WHEN s > 0 THEN " +
+              "CAST(s - 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * " +
+              "(2 * n + 5) - tt AS DOUBLE) / 18.0) WHEN s < 0 THEN " +
+              "CAST(s + 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * " +
+              "(2 * n + 5) - tt AS DOUBLE) / 18.0) ELSE 0.0 END " +
+              "* 1000000.0, 0) AS BIGINT)").as("z_micro"))
+      },
+      Some("""WITH weekly AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN b.yc > a.yc THEN 1
+        |    WHEN b.yc < a.yc THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM weekly a JOIN weekly b ON b.wk > a.wk),
+        |nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM weekly),
+        |tg AS (
+        |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tt
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM weekly
+        |        GROUP BY yc))
+        |SELECT n AS n_weeks, s AS s_stat,
+        |  n * (n - 1) * (2 * n + 5) - tt AS var18,
+        |  CAST(round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) /
+        |    sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+        |    / 18.0) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) /
+        |    sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+        |    / 18.0) ELSE 0.0 END * 1000000.0, 0) AS BIGINT) AS z_micro
+        |FROM p, nw, tg""".stripMargin),
+      "Mann-Kendall trend test over calendar-bounded week pairs " +
+        "(exact S and 18·Var integers, tie-corrected, one IEEE z)"),
+
+    // Herfindahl-Hirschman concentration index of customer revenue
+    // within each nation — the market-concentration number beside
+    // q_lorenz/q_gini's inequality curves (HHI > 0.25 = "highly
+    // concentrated" in the DOJ convention): HHI = Σ_i share_i² where
+    // share_i is customer i's fraction of the nation's revenue. Exact:
+    // per-customer revenue in cents (BIGINT), Σx and Σx² as decimals,
+    // HHI = Σx²/(Σx)² one IEEE division. Shapes: one custkey-keyed
+    // partial agg (the corpus shuffle), one nation-grain rollup, a
+    // broadcast name join — no windows, no per-nation sort.
+    "q_hhi" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val rev = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer")
+            .select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_nationkey", $"c_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("xc"))
+        rev.groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_cust"), sum($"xc").as("sx"),
+            sum($"xc".cast(d19) * $"xc".cast(d19)).as("sxx"))
+          .join(broadcast(Tables.load(s, d, "nation")
+            .select($"n_nationkey", $"n_name")),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"n_name", $"n_cust",
+            expr("CAST(round(CAST(sxx AS DOUBLE) / " +
+              "(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+              "* 1000000.0, 0) AS BIGINT)").as("hhi_micro"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH rev AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(xc) AS BIGINT) AS sx,
+        |    SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0)))
+        |      AS sxx
+        |  FROM rev GROUP BY 1)
+        |SELECT n_name, n_cust,
+        |  CAST(round(CAST(sxx AS DOUBLE) /
+        |    (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0, 0)
+        |    AS BIGINT) AS hhi_micro
+        |FROM g JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin),
+      "Herfindahl-Hirschman revenue concentration per nation (exact " +
+        "cent sums, one corpus shuffle + nation rollup)"),
+
+    // Sample-ratio mismatch check for the A/B assignment every
+    // experiment query shares (treated = odd user_id) — the FIRST
+    // validity gate a real experimentation platform runs before any
+    // readout: a 50/50 split whose realized arm sizes chi-square-fail
+    // means the assignment (not the metric) is broken. Counts are
+    // exact DISTINCT users per arm; the chi-square GOF against 50/50
+    // reduces to (n0−n1)²/(n0+n1), and the 3.8415 (chi²(1, .95))
+    // fence compares in EXACT integers — no floating point in the
+    // verdict at all. One distinct shuffle, 1-row reduce.
+    "q_srm" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        Tables.load(s, d, "events")
+          .select(pmod($"user_id", lit(2L)).as("arm"), $"user_id")
+          .distinct()
+          .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n0"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n1"))
+          .select($"n0", $"n1",
+            expr("CAST(round(CAST(CAST(n0 - n1 AS DECIMAL(19,0)) * " +
+              "CAST(n0 - n1 AS DECIMAL(19,0)) AS DOUBLE) / " +
+              "CAST(n0 + n1 AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("chi2_micro"),
+            expr("CAST(n0 - n1 AS DECIMAL(19,0)) * " +
+              "CAST(n0 - n1 AS DECIMAL(19,0)) * 1000000 > " +
+              "CAST(n0 + n1 AS DECIMAL(19,0)) * 3841459")
+              .as("srm"))
+      },
+      Some("""WITH u AS (
+        |  SELECT DISTINCT user_id % 2 AS arm, user_id FROM events),
+        |c AS (
+        |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM u)
+        |SELECT n0, n1,
+        |  CAST(round(CAST(CAST(n0 - n1 AS DECIMAL(19,0)) *
+        |    CAST(n0 - n1 AS DECIMAL(19,0)) AS DOUBLE) /
+        |    CAST(n0 + n1 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS chi2_micro,
+        |  CAST(n0 - n1 AS DECIMAL(19,0)) *
+        |    CAST(n0 - n1 AS DECIMAL(19,0)) * 1000000 >
+        |    CAST(n0 + n1 AS DECIMAL(19,0)) * 3841459 AS srm
+        |FROM c""".stripMargin),
+      "sample-ratio-mismatch gate for the shared A/B assignment " +
+        "(exact distinct arm counts, integer chi-square verdict)"),
+
+    // UCB1 bandit scores per event-type arm — the exploration-
+    // exploitation readout a serving system computes from exactly the
+    // sufficient statistics the experiment tier already stores (pulls
+    // + reward sums per arm): score = mean + sqrt(2·ln(N)/n) over
+    // rewards min-max-normalized to [0,1] (the UCB1 contract). Rewards
+    // freeze to normalized micro-units per row (exact BIGINT sums);
+    // ln(N) rounds to 9 dp (the q_log_loss recipe) so the one
+    // exploration term is cross-engine identical. One scan + broadcast
+    // bounds; the arm table is category-bounded.
+    "q_ucb" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events").filter($"value".isNotNull)
+        val bounds = ev.agg(min($"value").as("mn"), max($"value").as("mx"))
+        val arms = ev.crossJoin(broadcast(bounds))
+          .select($"event_type",
+            expr("CAST(round((value - mn) / (mx - mn) * 1000000.0, 0)" +
+              " AS BIGINT)").as("r6"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"r6").as("s6"))
+        val tot = arms.agg(sum($"n").as("nt"))
+        arms.crossJoin(broadcast(tot))
+          .select($"event_type", $"n",
+            expr("CAST(round(CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE), " +
+              "0) AS BIGINT)").as("mean_micro"),
+            expr("CAST(round(CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE) + " +
+              "sqrt(2.0 * round(ln(CAST(nt AS DOUBLE)), 9) / " +
+              "CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("ucb_micro"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+        |arms AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round((value - mn) / (mx - mn) * 1000000.0,
+        |      0) AS BIGINT)) AS BIGINT) AS s6
+        |  FROM ev, b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM arms)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE), 0)
+        |    AS BIGINT) AS mean_micro,
+        |  CAST(round(CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE) +
+        |    sqrt(2.0 * round(ln(CAST(nt AS DOUBLE)), 9) /
+        |    CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS ucb_micro
+        |FROM arms, t ORDER BY event_type""".stripMargin),
+      "UCB1 bandit scores per arm (normalized micro rewards, 9-dp " +
+        "frozen ln, category-bounded arm table)"),
+
+    // CUPED variance reduction for the shared A/B readout — THE
+    // standard experimentation-platform sensitivity trick (Deng et al.
+    // 2013: regress the experiment metric on a pre-period covariate,
+    // analyze the residual): per user, x = mean pre-period value,
+    // y = mean post-period value (micro-frozen per-user means, the
+    // AnomalyStream recipe, so every downstream moment is an exact
+    // integer sum); θ = cov(x,y)/var(x) pooled; the adjusted treatment
+    // effect is diff_adj = diff_y − θ·diff_x, and the variance
+    // reduction equals ρ²(x,y). Users present in only one period are
+    // excluded (stated contract — CUPED needs the covariate). Shapes:
+    // one user-keyed partial agg (the corpus shuffle), a user-grain
+    // conditional-sum reduce — no windows, no per-user sort.
+    "q_cuped" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val u = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select(pmod($"user_id", lit(2L)).as("arm"), $"user_id",
+            (datediff(to_date($"ts"), lit("2024-01-01")) >= 15)
+              .as("po"),
+            expr("CAST(round(value * 1000000.0, 0) AS BIGINT)")
+              .as("v6"))
+          .groupBy($"arm", $"user_id")
+          .agg(
+            sum(when(!$"po", $"v6")).as("sx"),
+            sum(when(!$"po", 1L).otherwise(0L)).as("nx"),
+            sum(when($"po", $"v6")).as("sy"),
+            sum(when($"po", 1L).otherwise(0L)).as("ny"))
+          .filter($"nx" > 0L && $"ny" > 0L)
+          .select($"arm",
+            expr("CAST(round(CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)," +
+              " 0) AS BIGINT)").as("x6"),
+            expr("CAST(round(CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE)," +
+              " 0) AS BIGINT)").as("y6"))
+        u.agg(count(lit(1)).as("n"),
+            sum($"x6").as("sx"), sum($"y6").as("sy"),
+            sum($"x6".cast(d19) * $"x6".cast(d19)).as("sxx"),
+            sum($"x6".cast(d19) * $"y6".cast(d19)).as("sxy"),
+            sum($"y6".cast(d19) * $"y6".cast(d19)).as("syy"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("nt"),
+            sum(when($"arm" === 1L, $"x6").otherwise(0L)).as("sxt"),
+            sum(when($"arm" === 1L, $"y6").otherwise(0L)).as("syt"))
+          .select($"n", $"nt",
+            expr(cupedTheta).as("theta_micro"),
+            expr("CAST(round(" + cupedDiff("sy", "syt") + " - " +
+              cupedThetaD + " * " + cupedDiff("sx", "sxt") +
+              ", 0) AS BIGINT)").as("adj_diff_micro"),
+            expr("CAST(round(" + cupedDiff("sy", "syt") +
+              ", 0) AS BIGINT)").as("raw_diff_micro"),
+            expr("CAST(round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)" +
+              " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
+              "(CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+              "((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+              "(CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - " +
+              "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+              "* 1000000.0, 0) AS BIGINT)").as("var_reduction_micro"))
+      },
+      Some(s"""WITH u AS (
+        |  SELECT user_id % 2 AS arm, user_id,
+        |    CAST(round(CAST(SUM(CASE WHEN NOT po THEN v6 END)
+        |      AS DOUBLE) / CAST(SUM(CASE WHEN NOT po THEN 1 ELSE 0
+        |      END) AS DOUBLE), 0) AS BIGINT) AS x6,
+        |    CAST(round(CAST(SUM(CASE WHEN po THEN v6 END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN po THEN 1 ELSE 0 END) AS DOUBLE),
+        |      0) AS BIGINT) AS y6
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        |        >= 15 AS po,
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) AS v6
+        |    FROM events WHERE value IS NOT NULL)
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN NOT po THEN 1 ELSE 0 END) > 0
+        |     AND SUM(CASE WHEN po THEN 1 ELSE 0 END) > 0),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x6) AS BIGINT) AS sx,
+        |    CAST(SUM(y6) AS BIGINT) AS sy,
+        |    SUM(CAST(x6 AS DECIMAL(19,0)) * CAST(x6 AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(x6 AS DECIMAL(19,0)) * CAST(y6 AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    SUM(CAST(y6 AS DECIMAL(19,0)) * CAST(y6 AS DECIMAL(19,0)))
+        |      AS syy,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nt,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x6 ELSE 0 END) AS BIGINT)
+        |      AS sxt,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y6 ELSE 0 END) AS BIGINT)
+        |      AS syt
+        |  FROM u)
+        |SELECT n, nt,
+        |  $cupedTheta AS theta_micro,
+        |  CAST(round(${cupedDiff("sy", "syt")} - $cupedThetaD *
+        |    ${cupedDiff("sx", "sxt")}, 0) AS BIGINT)
+        |    AS adj_diff_micro,
+        |  CAST(round(${cupedDiff("sy", "syt")}, 0) AS BIGINT)
+        |    AS raw_diff_micro,
+        |  CAST(round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |    (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    ((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0, 0) AS BIGINT) AS var_reduction_micro
+        |FROM m""".stripMargin),
+      "CUPED variance-reduced A/B readout (micro-frozen per-user " +
+        "period means, exact decimal moments, pooled theta)"),
+
+    // Minimum detectable effect for the shared A/B metric at the
+    // observed sample sizes — the power-analysis number every
+    // experiment review asks first ("could this test even see a 1%
+    // move?"): MDE = (z_{α/2} + z_β)·SE(diff) with the frozen
+    // two-sided-5% / 80%-power normal quantiles (2.801586 = 1.959964
+    // + 0.841621) and SE from the same exact per-arm moment battery
+    // as q_welch_t. One scan, 1-row reduce, one IEEE expression.
+    "q_power_mde" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val dd = Fns.D18_6
+        def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+        def sv(c: Column) = sum(when(c, $"v"))
+        def sq(c: Column) = sum(when(c, $"v" * $"v"))
+        val t = $"arm" === 1L
+        Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select(pmod($"user_id", lit(2L)).as("arm"),
+            $"value".cast(dd).as("v"))
+          .agg(cnt(!t).as("nc"), sv(!t).as("sc"), sq(!t).as("qc"),
+            cnt(t).as("nt"), sv(t).as("st"), sq(t).as("qt"))
+          .select($"nc", $"nt",
+            expr("CAST(round(2.801586 * sqrt(" + mdeVar("c") + " / " +
+              "CAST(nc AS DOUBLE) + " + mdeVar("t") +
+              " / CAST(nt AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("mde_micro"),
+            expr("CAST(round(2.801586 * sqrt(" + mdeVar("c") + " / " +
+              "CAST(nc AS DOUBLE) + " + mdeVar("t") +
+              " / CAST(nt AS DOUBLE)) / (CAST(sc AS DOUBLE) / " +
+              "CAST(nc AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("mde_rel_micro"))
+      },
+      Some(s"""WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS sc,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS qc,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nt,
+        |    SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS st,
+        |    SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) END) AS qt
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT nc, nt,
+        |  CAST(round(2.801586 * sqrt(${mdeVar("c")} /
+        |    CAST(nc AS DOUBLE) + ${mdeVar("t")} /
+        |    CAST(nt AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS mde_micro,
+        |  CAST(round(2.801586 * sqrt(${mdeVar("c")} /
+        |    CAST(nc AS DOUBLE) + ${mdeVar("t")} /
+        |    CAST(nt AS DOUBLE)) / (CAST(sc AS DOUBLE) /
+        |    CAST(nc AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS mde_rel_micro
+        |FROM m""".stripMargin),
+      "minimum detectable effect at 5%/80% (frozen normal quantiles, " +
+        "exact per-arm moment battery, one scan)"),
   )
+
+  /** The q_jarque_bera skewness / excess-kurtosis expression over the
+    * exact power sums (n, s1..s4) — ONE string shared verbatim by the
+    * Spark plan and the DuckDB oracle so the single IEEE expression
+    * tree is identical in both engines. m2^1.5 is written as
+    * m2·sqrt(m2) (multiply and sqrt are correctly rounded by IEEE 754;
+    * pow(x, 1.5) is not guaranteed to be). */
+  private def jbExpr(which: String): String = {
+    val m1 = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val m2r = "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val m3r = "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val m4r = "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val cm2 = s"($m2r - $m1 * $m1)"
+    which match {
+      case "skew" =>
+        s"(($m3r - 3.0 * $m1 * $m2r + 2.0 * $m1 * $m1 * $m1) / " +
+          s"($cm2 * sqrt($cm2)))"
+      case "exkurt" =>
+        s"(($m4r - 4.0 * $m1 * $m3r + 6.0 * $m1 * $m1 * $m2r - " +
+          s"3.0 * $m1 * $m1 * $m1 * $m1) / ($cm2 * $cm2) - 3.0)"
+    }
+  }
+
+  /** q_cuped's pooled theta = cov(x,y)/var(x) over the exact decimal
+    * user-grain moments — one string shared verbatim by both engines. */
+  private def cupedThetaD: String =
+    "((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+
+  private def cupedTheta: String =
+    s"CAST(round($cupedThetaD * 1000000.0, 0) AS BIGINT)"
+
+  /** Treated-minus-control mean difference (micro units) from a total
+    * sum `s`, treated sum `st`, total n, treated nt. */
+  private def cupedDiff(s: String, st: String): String =
+    s"(CAST($st AS DOUBLE) / CAST(nt AS DOUBLE) - " +
+      s"CAST($s - $st AS DOUBLE) / CAST(n - nt AS DOUBLE))"
+
+  /** q_power_mde's per-arm sample variance from the exact decimal
+    * (n, Σv, Σv²) battery; `a` is the arm suffix ('c' or 't'). */
+  private def mdeVar(a: String): String =
+    s"((CAST(q$a AS DOUBLE) - CAST(s$a AS DOUBLE) * " +
+      s"CAST(s$a AS DOUBLE) / CAST(n$a AS DOUBLE)) / " +
+      s"CAST(n$a - 1 AS DOUBLE))"
 
   /** Memoized (session, dir) value-grain contingency grid for
     * q_kendall_tau: (quantity, discount, count) — ≤ 50 × 11 cells at

@@ -1283,5 +1283,69 @@ object Similarity {
         |ORDER BY p.q_id""".stripMargin),
       "average precision @ 10 per probe over the fixed 8-probe panel " +
         "(micro-frozen per-hit precisions, left-join zero for no-hit)"),
+
+    // Recall @ 10 per probe — the fourth retrieval metric beside
+    // q_mrr (first hit), q_map (precision-weighted), q_ndcg (graded):
+    // recall@k = |relevant ∩ top-k| / R with the UNCAPPED pool size R
+    // as denominator (the q_map variant divides by min(R, k); both
+    // conventions exist — this one reports how much of the pool the
+    // cut retrieves). Same fixed 8-probe panel, same q_id-partitioned
+    // rank windows on bit-identical cosines; the output is driven from
+    // the probe PANEL (the q_map r12 contract), so zero-pool probes
+    // report r_tot = 0 / recall_micro = 0 instead of vanishing.
+    "q_recall_at_k" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val probes = broadcast(e.filter($"vec_id" < 8)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"embedding".as("q_emb")))
+        val scored = e.filter($"vec_id" >= 8).crossJoin(probes)
+          .select($"q_id", $"q_label", $"vec_id", $"label",
+            expr("cosine_sim(embedding, q_emb)").as("cos"))
+        val rtot = scored.filter($"label" === $"q_label")
+          .groupBy($"q_id").agg(count(lit(1)).as("r_tot"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc, $"vec_id")
+        val hits = scored
+          .withColumn("pos", row_number().over(w)).filter($"pos" <= 10)
+          .filter($"label" === $"q_label")
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+        probes.select($"q_id")
+          .join(rtot, Seq("q_id"), "left")
+          .join(hits, Seq("q_id"), "left")
+          .select($"q_id", coalesce($"r_tot", lit(0L)).as("r_tot"),
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            coalesce(expr("CAST(round(CAST(n_hits AS DOUBLE) / " +
+              "CAST(r_tot AS DOUBLE) * 1000000.0, 0) AS BIGINT)"),
+              lit(0L)).as("recall_micro"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH p AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT q_id, q_label, e.vec_id, e.label,
+        |    ${duckCos("e.embedding", "q_emb")} AS cos
+        |  FROM embeddings e, p WHERE e.vec_id >= 8),
+        |rt AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS r_tot FROM sc
+        |  WHERE label = q_label GROUP BY 1),
+        |h AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM (
+        |    SELECT q_id, q_label, label, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, vec_id) AS pos
+        |    FROM sc) WHERE pos <= 10 AND label = q_label GROUP BY 1)
+        |SELECT p.q_id, COALESCE(rt.r_tot, 0) AS r_tot,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(CAST(round(CAST(h.n_hits AS DOUBLE) /
+        |    CAST(rt.r_tot AS DOUBLE) * 1000000.0, 0) AS BIGINT), 0)
+        |    AS recall_micro
+        |FROM p LEFT JOIN rt ON p.q_id = rt.q_id
+        |LEFT JOIN h ON p.q_id = h.q_id
+        |ORDER BY p.q_id""".stripMargin),
+      "recall @ 10 per probe over the fixed 8-probe panel (uncapped " +
+        "pool denominator, panel-driven zero rows)"),
   )
 }

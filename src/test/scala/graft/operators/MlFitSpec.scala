@@ -258,10 +258,12 @@ class MlFitSpec extends SparkSpec {
       .select($"q_id", $"q_label", $"vec_id", $"label",
         expr("cosine_sim(embedding, q_emb)").as("cos"))
       .as[(Long, Int, Long, Int, Double)].collect()
-    val expected = scored.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+    // panel contract (r12): zero-pool probes are REPORTED with
+    // r_tot = 0 / ap_micro = 0, not dropped
+    val expected = scored.groupBy(_._1).toSeq.map { case (qid, rs) =>
       val qlabel = rs.head._2
       val rTot = rs.count(_._4 == qlabel).toLong
-      if (rTot == 0L) None
+      if (rTot == 0L) (qid, 0L, 0L, 0L)
       else {
         val top = rs.sortBy(r => (-r._5, r._3)).take(10)
         var cum = 0L; var sp = 0L; var nh = 0L
@@ -271,7 +273,7 @@ class MlFitSpec extends SparkSpec {
             sp += math.round(cum.toDouble / (i + 1) * 1e6)
           }
         }
-        Some((qid, nh, rTot, math.round(sp.toDouble / math.min(rTot, 10L))))
+        (qid, nh, rTot, math.round(sp.toDouble / math.min(rTot, 10L)))
       }
     }.sortBy(_._1)
     val got = SparkEntry.queries("q_map")(spark, d)

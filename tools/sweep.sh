@@ -24,6 +24,9 @@ JOPTS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   printf -- "--add-opens java.base/sun.nio.cs=ALL-UNNAMED "
   printf -- "--add-opens java.base/sun.security.action=ALL-UNNAMED "
   printf -- "--add-opens java.base/sun.util.calendar=ALL-UNNAMED")
+# match build.sbt: the 290-query surface pressures the default 240m
+# C2 code cache (SCALE.md round 12)
+JOPTS="$JOPTS -XX:ReservedCodeCacheSize=512m"
 
 [ -d "$SFDIR" ] || python3 tools/gen_sfx.py "$MULT" "$SFDIR"
 
