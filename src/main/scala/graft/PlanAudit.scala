@@ -78,7 +78,9 @@ object PlanAudit {
     "q_cusum" -> ("two running sums over the bounded day table — the " +
       "q_changepoint bound"),
     "q_stump" -> ("two running sums over the n_chars value grain — " +
-      "bounded by the doc-length domain, not corpus size"))
+      "bounded by the doc-length domain, not corpus size"),
+    "q_bayes_ab" -> ("grid-CDF running sum over the FIXED 2048-point " +
+      "integration grid — constant size at any corpus size"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

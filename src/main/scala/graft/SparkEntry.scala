@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Behavior.queries ++
       operators.Bpe.queries ++
       operators.Graph.queries ++
-      operators.MlFit.queries
+      operators.MlFit.queries ++
+      operators.Inference.queries
 
   require(all.map(_._1).distinct.size == all.size, "duplicate query names")
 

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Golden recounts for the inference family (odds ratio, Cramér's V,
+  * Bayesian A/B, mSPRT). The DuckDB oracle SHARES each query's formula,
+  * so a wrong formula would pass both engines — these tests recompute
+  * every statistic INDEPENDENTLY (plain-Scala cell counts, direct
+  * double-path chi-square, a from-scratch grid integration plus an
+  * exact closed-form Beta cross-check, a textbook day-loop) from the
+  * raw sf0.001 rows. */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  /** (arm, userId) -> converted, from raw rows. */
+  private lazy val userConv: Map[(Long, Long), Boolean] =
+    graft.Tables.load(spark, d, "events")
+      .select($"user_id", $"event_type")
+      .as[(Long, String)].collect()
+      .groupBy(r => (((r._1 % 2) + 2) % 2, r._1))
+      .map { case (k, rs) => k -> rs.exists(_._2 == "purchase") }
+
+  private lazy val (a0, b0, c0, d0) = {
+    val t = userConv.filter(_._1._1 == 1L).values
+    val c = userConv.filter(_._1._1 == 0L).values
+    (t.count(identity).toLong, t.count(!_).toLong,
+      c.count(identity).toLong, c.count(!_).toLong)
+  }
+
+  test("q_odds_ratio matches a plain-Scala cell recount") {
+    val (a, b, c, dd) = (a0 + 0.5, b0 + 0.5, c0 + 0.5, d0 + 0.5)
+    val or = a * dd / (b * c)
+    val rr = (a / (a + b)) / (c / (c + dd))
+    val lor = math.log(or)
+    val se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / dd)
+    val row = q("q_odds_ratio")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert((row._1, row._2, row._3, row._4) == (a0, b0, c0, d0))
+    assert(math.abs(row._5 - math.round(or * 1e6)) <= 2)
+    assert(math.abs(row._6 - math.round(rr * 1e6)) <= 2)
+    assert(math.abs(row._7 -
+      math.round(math.exp(lor - 1.959964 * se) * 1e6)) <= 2)
+    assert(math.abs(row._8 -
+      math.round(math.exp(lor + 1.959964 * se) * 1e6)) <= 2)
+  }
+
+  test("q_cramers_v matches a direct double-path chi-square") {
+    val rows = graft.Tables.load(spark, d, "orders")
+      .select($"o_orderstatus", $"o_orderpriority")
+      .as[(String, String)].collect()
+    val n = rows.length.toDouble
+    val cells = rows.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toDouble }
+    val rt = rows.groupBy(_._1).map { case (k, v) =>
+      k -> v.length.toDouble }
+    val ct = rows.groupBy(_._2).map { case (k, v) =>
+      k -> v.length.toDouble }
+    // FULL grid incl. empty cells — their expectation still counts
+    val chi2 = (for (s <- rt.keys; p <- ct.keys) yield {
+      val e = rt(s) * ct(p) / n
+      val o = cells.getOrElse((s, p), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    val v = math.sqrt(chi2 / (n * (math.min(rt.size, ct.size) - 1)))
+    val row = q("q_cramers_v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row._1 == rows.length.toLong)
+    assert(row._2 == rt.size.toLong && row._3 == ct.size.toLong)
+    assert(math.abs(row._4 - math.round(chi2 * 1e6)) <= 20,
+      s"chi2 ${row._4} vs ${chi2 * 1e6}")
+    assert(math.abs(row._5 - math.round(v * 1e6)) <= 2)
+  }
+
+  /** Lanczos log-gamma (g=7, 9 coefficients — standard public-domain
+    * constants), used only by the closed-form Beta cross-check. */
+  private def lgamma(x: Double): Double = {
+    val g = Array(0.99999999999980993, 676.5203681218851,
+      -1259.1392167224028, 771.32342877765313, -176.61502916214059,
+      12.507343278686905, -0.13857109526572012, 9.9843695780195716e-6,
+      1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lgamma(1 - x)
+    else {
+      val xx = x - 1
+      val base = xx + 7.5
+      val s = g.zipWithIndex.drop(1)
+        .map { case (c, i) => c / (xx + i) }.sum + g(0)
+      0.5 * math.log(2 * math.Pi) + (xx + 0.5) * math.log(base) -
+        base + math.log(s)
+    }
+  }
+
+  test("q_bayes_ab: independent grid recount + exact closed form") {
+    val nc = userConv.count(_._1._1 == 0L).toLong
+    val sc = userConv.count(k => k._1._1 == 0L && k._2).toLong
+    val nt = userConv.count(_._1._1 == 1L).toLong
+    val st = userConv.count(k => k._1._1 == 1L && k._2).toLong
+    // independent midpoint-rule recount (same stated contract, plain
+    // Scala arithmetic path)
+    val gN = 2048
+    def w12(s: Long, n: Long): Array[Long] = {
+      val lw = (1 to gN).map { i =>
+        val x = (i - 0.5) / gN
+        BigDecimal(s * math.log(x) + (n - s) * math.log(1 - x))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val mx = lw.max
+      lw.map(l => math.round(math.exp(l - mx) * 1e12)).toArray
+    }
+    val wc = w12(sc, nc); val wt = w12(st, nt)
+    val zc = wc.map(BigInt(_)).sum; val zt = wt.map(BigInt(_)).sum
+    val cumc = wc.scanLeft(BigInt(0))(_ + _).tail
+    val num = wt.zipWithIndex.map { case (w, i) =>
+      BigDecimal(w) * BigDecimal(2 * cumc(i) - wc(i)) }.sum
+    val p = (num / (BigDecimal(2) * BigDecimal(zc) * BigDecimal(zt)))
+      .toDouble
+    val row = q("q_bayes_ab")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((row._1, row._2, row._3, row._4) == (nc, sc, nt, st))
+    assert(math.abs(row._5 - math.round(p * 1e6)) <= 2,
+      s"grid p ${row._5} vs ${p * 1e6}")
+    // closed form: P(T > C) = sum_{k=0}^{sT} B(aC+k, bC+bT) /
+    // ((bT+k) B(1+k, bT) B(aC, bC)) with a=1+s, b=1+n-s
+    val (ac, bc) = (1.0 + sc, 1.0 + (nc - sc))
+    val (at, bt) = (1.0 + st, 1.0 + (nt - st))
+    def lbeta(x: Double, y: Double) = lgamma(x) + lgamma(y) - lgamma(x + y)
+    val exact = (0 until at.toInt).map { k =>
+      math.exp(lbeta(ac + k, bc + bt) - math.log(bt + k) -
+        lbeta(1.0 + k, bt) - lbeta(ac, bc))
+    }.sum
+    assert(math.abs(row._5 / 1e6 - exact) < 2e-3,
+      s"grid ${row._5 / 1e6} vs closed-form $exact")
+    assert(row._6 == math.round((1 + sc) / (2.0 + nc) * 1e6))
+    assert(row._7 == math.round((1 + st) / (2.0 + nt) * 1e6))
+  }
+
+  test("q_msprt matches a textbook day-loop recount") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .filter($"value".isNotNull)
+      .select(org.apache.spark.sql.functions.to_date($"ts")
+        .cast("string"), $"user_id" % 2,
+        org.apache.spark.sql.functions
+          .expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val n = rows.length
+    val s1 = rows.map(r => BigInt(r._3)).sum
+    val s2 = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+    val g = BigDecimal(
+      (s2.toDouble / 1e12 - s1.toDouble / 1e6 * s1.toDouble / 1e6 / n)
+        / (n - 1)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val days = rows.map(_._1).distinct.sorted
+    var (ncc, scc, ntc, stc) = (0L, 0L, 0L, 0L)
+    val expect = days.flatMap { day =>
+      val dr = rows.filter(_._1 == day)
+      val c = dr.filter(_._2 == 0L); val t = dr.filter(_._2 == 1L)
+      ncc += c.length; scc += c.map(_._3).sum
+      ntc += t.length; stc += t.map(_._3).sum
+      // the query inner-joins the per-arm day series: a readout row
+      // exists only on days where BOTH arms logged events
+      if (c.isEmpty || t.isEmpty) None
+      else {
+        val mc = scc.toDouble / ncc / 1e6
+        val mt = stc.toDouble / ntc / 1e6
+        val v = g * (1.0 / ncc + 1.0 / ntc)
+        val llam = 0.5 * math.log(v / (v + g)) +
+          (mt - mc) * (mt - mc) * g / (2 * v * (v + g))
+        Some((day, ncc, ntc, math.round(llam * 1e6)))
+      }
+    }
+    val got = q("q_msprt")
+      .select($"day".cast("string"), $"nc", $"nt", $"log_lambda_micro")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (gr, er) =>
+      assert(gr._1 == er._1 && gr._2 == er._2 && gr._3 == er._3)
+      assert(math.abs(gr._4 - er._4) <= 2, s"day ${gr._1}: ${gr._4} vs ${er._4}")
+    }
+  }
+}
