@@ -80,7 +80,9 @@ object PlanAudit {
     "q_stump" -> ("two running sums over the n_chars value grain — " +
       "bounded by the doc-length domain, not corpus size"),
     "q_bayes_ab" -> ("grid-CDF running sum over the FIXED 2048-point " +
-      "integration grid — constant size at any corpus size"))
+      "integration grid — constant size at any corpus size"),
+    "q_periodogram" -> ("max/total normalizers over the FIXED 13-row " +
+      "candidate-period grid — constant size at any corpus size"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

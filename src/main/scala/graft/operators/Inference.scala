@@ -396,5 +396,430 @@ object Inference {
         |ORDER BY c0.day""".stripMargin),
       "mixture-SPRT always-valid A/B monitor: per-day log Lambda from " +
         "exact cumulative arm sums, ln(20) fence"),
+
+    // Forecast accuracy scorecard for the seasonal-naive baseline
+    // (f_d = revenue 7 days earlier) over the daily order-revenue
+    // series: MAPE, SMAPE, and MASE (scaled by the gap-correct naive-1
+    // in-sample MAE — the scale-free metric that survives unit
+    // changes). Revenue is exact cents; per-day ratio terms freeze to
+    // micro before the cross-day sums, so every aggregate is an exact
+    // BIGINT. The day table is calendar-bounded (~2.4k rows at any
+    // corpus size); eligibility is gap-correct (a day scores only if
+    // day-7 traded; the MASE denominator only over consecutive-day
+    // pairs). One orders rollup + two bounded self-joins.
+    "q_forecast_eval" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"))
+        val e7 = rev.as("a")
+          .join(rev.as("b"), $"a.day" === date_add($"b.day", 7))
+          .select($"a.r".as("r"), $"b.r".as("f"))
+          .agg(count(lit(1)).as("n7"),
+            sum(abs($"r" - $"f")).as("sae"),
+            sum(expr("CAST(round(CAST(abs(r - f) AS DOUBLE) / " +
+              "CAST(r AS DOUBLE) * 1000000.0, 0) AS BIGINT)"))
+              .as("sape"),
+            sum(expr("CAST(round(2.0 * CAST(abs(r - f) AS DOUBLE) / " +
+              "CAST(r + f AS DOUBLE) * 1000000.0, 0) AS BIGINT)"))
+              .as("ssm"))
+        val e1 = rev.as("a")
+          .join(rev.as("b"), $"a.day" === date_add($"b.day", 1))
+          .select($"a.r".as("r"), $"b.r".as("f"))
+          .agg(count(lit(1)).as("n1"), sum(abs($"r" - $"f")).as("sae1"))
+        e7.crossJoin(e1)
+          .select($"n7",
+            expr("CAST(round(CAST(sape AS DOUBLE) / " +
+              "CAST(n7 AS DOUBLE), 0) AS BIGINT)").as("mape_micro"),
+            expr("CAST(round(CAST(ssm AS DOUBLE) / " +
+              "CAST(n7 AS DOUBLE), 0) AS BIGINT)").as("smape_micro"),
+            expr("CAST(round(CAST(sae AS DOUBLE) / CAST(n7 AS DOUBLE)" +
+              " / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * " +
+              "1000000.0, 0) AS BIGINT)").as("mase_micro"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |e7 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n7,
+        |    CAST(SUM(abs(a.r - b.r)) AS BIGINT) AS sae,
+        |    CAST(SUM(CAST(round(CAST(abs(a.r - b.r) AS DOUBLE) /
+        |      CAST(a.r AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+        |      AS BIGINT) AS sape,
+        |    CAST(SUM(CAST(round(2.0 * CAST(abs(a.r - b.r) AS DOUBLE) /
+        |      CAST(a.r + b.r AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+        |      AS BIGINT) AS ssm
+        |  FROM rev a JOIN rev b ON a.day = b.day + 7),
+        |e1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(abs(a.r - b.r)) AS BIGINT) AS sae1
+        |  FROM rev a JOIN rev b ON a.day = b.day + 1)
+        |SELECT n7,
+        |  CAST(round(CAST(sape AS DOUBLE) / CAST(n7 AS DOUBLE), 0)
+        |    AS BIGINT) AS mape_micro,
+        |  CAST(round(CAST(ssm AS DOUBLE) / CAST(n7 AS DOUBLE), 0)
+        |    AS BIGINT) AS smape_micro,
+        |  CAST(round(CAST(sae AS DOUBLE) / CAST(n7 AS DOUBLE) /
+        |    (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 1000000.0, 0)
+        |    AS BIGINT) AS mase_micro
+        |FROM e7, e1""".stripMargin),
+      "MAPE/SMAPE/MASE of the seasonal-naive day-7 revenue forecast " +
+        "(exact cents, micro-frozen per-day terms, gap-correct)"),
+
+    // Pinball (quantile) loss of the constant q-quantile forecast at
+    // q = 0.1 / 0.5 / 0.9 over daily order revenue — the scoring rule
+    // that grades quantile forecasts the way Brier grades probability
+    // forecasts (in-sample, so it also VALIDATES the quantile: the
+    // q-quantile minimizes expected pinball loss). Forecasts freeze to
+    // decicents (exact — interpolated quantiles of cent integers live
+    // on a 0.1-cent grid), per-day losses freeze to integer decicents,
+    // so all sums are exact. Day table calendar-bounded; one rollup +
+    // one broadcast of the 3-row forecast panel.
+    "q_pinball" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"))
+        val qf = rev
+          .agg(expr("percentile(r, array(0.1, 0.5, 0.9))").as("p"))
+          .select(expr("stack(3, " +
+            "CAST(100000 AS BIGINT), CAST(round(element_at(p, 1) " +
+            "* 10.0, 0) AS BIGINT), " +
+            "CAST(500000 AS BIGINT), CAST(round(element_at(p, 2) " +
+            "* 10.0, 0) AS BIGINT), " +
+            "CAST(900000 AS BIGINT), CAST(round(element_at(p, 3) " +
+            "* 10.0, 0) AS BIGINT)) AS (q_micro, f1)"))
+        rev.crossJoin(broadcast(qf))
+          .select($"q_micro", $"f1",
+            expr("CAST(round(CAST(q_micro AS DOUBLE) / 1000000.0 * " +
+              "CAST(greatest(r * 10 - f1, 0) AS DOUBLE) + " +
+              "(1.0 - CAST(q_micro AS DOUBLE) / 1000000.0) * " +
+              "CAST(greatest(f1 - r * 10, 0) AS DOUBLE), 0) AS BIGINT)")
+              .as("t1"))
+          .groupBy($"q_micro", $"f1")
+          .agg(count(lit(1)).as("n"), sum($"t1").as("st"))
+          .select($"q_micro", $"f1", $"n",
+            expr("CAST(round(CAST(st AS DOUBLE) / CAST(n AS DOUBLE), " +
+              "0) AS BIGINT)").as("avg_pinball_decicents"))
+          .orderBy($"q_micro")
+      },
+      Some("""WITH rev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT quantile_cont(r, 0.1) AS f10,
+        |  quantile_cont(r, 0.5) AS f50,
+        |  quantile_cont(r, 0.9) AS f90 FROM rev),
+        |qf AS (
+        |  SELECT CAST(100000 AS BIGINT) AS q_micro,
+        |    CAST(round(f10 * 10.0, 0) AS BIGINT) AS f1 FROM p
+        |  UNION ALL SELECT CAST(500000 AS BIGINT),
+        |    CAST(round(f50 * 10.0, 0) AS BIGINT) FROM p
+        |  UNION ALL SELECT CAST(900000 AS BIGINT),
+        |    CAST(round(f90 * 10.0, 0) AS BIGINT) FROM p),
+        |j AS (
+        |  SELECT q_micro, f1,
+        |    CAST(round(CAST(q_micro AS DOUBLE) / 1000000.0 *
+        |      CAST(greatest(r * 10 - f1, 0) AS DOUBLE) +
+        |      (1.0 - CAST(q_micro AS DOUBLE) / 1000000.0) *
+        |      CAST(greatest(f1 - r * 10, 0) AS DOUBLE), 0) AS BIGINT)
+        |      AS t1
+        |  FROM rev, qf)
+        |SELECT q_micro, f1, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(round(CAST(SUM(t1) AS DOUBLE) / CAST(COUNT(*)
+        |    AS DOUBLE), 0) AS BIGINT) AS avg_pinball_decicents
+        |FROM j GROUP BY 1, 2 ORDER BY q_micro""".stripMargin),
+      "pinball loss of the constant 0.1/0.5/0.9-quantile revenue " +
+        "forecast (decicent-frozen quantiles and losses, exact sums)"),
+
+    // AR(2) fit by Yule-Walker over the daily event-count series:
+    // gap-correct lag-1/lag-2 autocorrelations from exact raw sums
+    // (the q_ljung_box pair construction, but with the GLOBAL mean —
+    // the YW convention), then phi1 = r1(1-r2)/(1-r1^2),
+    // phi2 = (r2-r1^2)/(1-r1^2). r values freeze at 9 dp before the
+    // phi arithmetic. Day table bounded; one events rollup + one
+    // 2-lag bounded self-join.
+    "q_yule_walker" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+        val tot = daily.agg(count(lit(1)).as("nd"), sum($"x").as("s1"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("s2"))
+        val lags = s.range(1, 3).select($"id".cast("int").as("lag"))
+        val pairs = daily.as("a").crossJoin(broadcast(lags))
+          .join(daily.as("b"), $"b.day" === date_add($"a.day", $"lag"))
+          .select($"lag", $"a.x".as("xa"), $"b.x".as("xb"))
+          .groupBy($"lag")
+          .agg(count(lit(1)).as("nk"), sum($"xa").as("sx"),
+            sum($"xb").as("sy"),
+            sum($"xa".cast(d38) * $"xb".cast(d38)).as("sxy"))
+        val wide = pairs.groupBy()
+          .agg(max(when($"lag" === 1, $"nk")).as("n1"),
+            max(when($"lag" === 1, $"sx")).as("sx1"),
+            max(when($"lag" === 1, $"sy")).as("sy1"),
+            max(when($"lag" === 1, $"sxy")).as("sxy1"),
+            max(when($"lag" === 2, $"nk")).as("n2"),
+            max(when($"lag" === 2, $"sx")).as("sx2"),
+            max(when($"lag" === 2, $"sy")).as("sy2"),
+            max(when($"lag" === 2, $"sxy")).as("sxy2"))
+        wide.crossJoin(broadcast(tot))
+          .select($"nd",
+            expr(s"round(${ywCovE("1")} / ${ywC0E}, 9)").as("r1"),
+            expr(s"round(${ywCovE("2")} / ${ywC0E}, 9)").as("r2"))
+          .select($"nd".as("n_days"),
+            expr("CAST(round(r1 * 1000000.0, 0) AS BIGINT)")
+              .as("r1_micro"),
+            expr("CAST(round(r2 * 1000000.0, 0) AS BIGINT)")
+              .as("r2_micro"),
+            expr("CAST(round(r1 * (1.0 - r2) / (1.0 - r1 * r1) * " +
+              "1000000.0, 0) AS BIGINT)").as("phi1_micro"),
+            expr("CAST(round((r2 - r1 * r1) / (1.0 - r1 * r1) * " +
+              "1000000.0, 0) AS BIGINT)").as("phi2_micro"))
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |  CAST(SUM(x) AS BIGINT) AS s1,
+        |  SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |    AS s2 FROM daily),
+        |pairs AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(a.x) AS BIGINT) AS sx,
+        |    CAST(SUM(b.x) AS BIGINT) AS sy,
+        |    SUM(CAST(a.x AS DECIMAL(38,0)) * CAST(b.x AS DECIMAL(38,0)))
+        |      AS sxy
+        |  FROM (SELECT unnest(generate_series(1, 2)) AS lag) l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+        |    * INTERVAL 1 DAY
+        |  GROUP BY 1),
+        |wide AS (
+        |  SELECT MAX(CASE WHEN lag = 1 THEN nk END) AS n1,
+        |    MAX(CASE WHEN lag = 1 THEN sx END) AS sx1,
+        |    MAX(CASE WHEN lag = 1 THEN sy END) AS sy1,
+        |    MAX(CASE WHEN lag = 1 THEN sxy END) AS sxy1,
+        |    MAX(CASE WHEN lag = 2 THEN nk END) AS n2,
+        |    MAX(CASE WHEN lag = 2 THEN sx END) AS sx2,
+        |    MAX(CASE WHEN lag = 2 THEN sy END) AS sy2,
+        |    MAX(CASE WHEN lag = 2 THEN sxy END) AS sxy2
+        |  FROM pairs),
+        |rr AS (
+        |  SELECT nd, round(${ywCovE("1")} / ${ywC0E}, 9) AS r1,
+        |    round(${ywCovE("2")} / ${ywC0E}, 9) AS r2
+        |  FROM wide, tot)
+        |SELECT nd AS n_days,
+        |  CAST(round(r1 * 1000000.0, 0) AS BIGINT) AS r1_micro,
+        |  CAST(round(r2 * 1000000.0, 0) AS BIGINT) AS r2_micro,
+        |  CAST(round(r1 * (1.0 - r2) / (1.0 - r1 * r1) * 1000000.0, 0)
+        |    AS BIGINT) AS phi1_micro,
+        |  CAST(round((r2 - r1 * r1) / (1.0 - r1 * r1) * 1000000.0, 0)
+        |    AS BIGINT) AS phi2_micro
+        |FROM rr""".stripMargin),
+      "AR(2) Yule-Walker fit over daily event counts (gap-correct " +
+        "lag pairs, exact raw sums, 9-dp frozen autocorrelations)"),
+
+    // Grubbs outlier statistic over the daily event-count series:
+    // G = max |x - mean| / sd, with the argmax day. The argmax is
+    // decided in EXACT integers (|x*n - s1|, ties to the earliest
+    // day) — no float enters until the reported G itself. One rollup,
+    // one 1-row moment battery, one top-1 (TakeOrdered, not a global
+    // window).
+    "q_grubbs" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+        val tot = daily.agg(count(lit(1)).as("nd"), sum($"x").as("s1"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("s2"))
+        daily.crossJoin(broadcast(tot))
+          .select($"day", $"x", $"nd", $"s1", $"s2",
+            abs($"x" * $"nd" - $"s1").as("dev"))
+          .orderBy($"dev".desc, $"day".asc)
+          .limit(1)
+          .select($"nd".as("n_days"), $"day", $"x",
+            expr("CAST(round(CAST(dev AS DOUBLE) / CAST(nd AS DOUBLE)" +
+              " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+              "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)) / " +
+              "CAST(nd - 1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("g_micro"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |  CAST(SUM(x) AS BIGINT) AS s1,
+        |  SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |    AS s2 FROM daily),
+        |top AS (
+        |  SELECT day, x, nd, s1, s2, abs(x * nd - s1) AS dev
+        |  FROM daily, tot ORDER BY dev DESC, day ASC LIMIT 1)
+        |SELECT nd AS n_days, day, x,
+        |  CAST(round(CAST(dev AS DOUBLE) / CAST(nd AS DOUBLE) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |    CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)) /
+        |    CAST(nd - 1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS g_micro
+        |FROM top""".stripMargin),
+      "Grubbs outlier statistic + argmax day over daily event counts " +
+        "(exact-integer argmax, frozen moments)"),
+
+    // Discrete periodogram over the daily event-count series: spectral
+    // power at candidate periods 2..14 days, reported as the share of
+    // total candidate power (micro) with the peak flagged — the
+    // "which seasonality does this series actually have" readout
+    // behind q_holt_winters' fixed period-7 assumption. Per-term
+    // products freeze to micro (9-dp frozen cos/sin times exact day
+    // counts), per-period sums are exact decimals; powers normalize by
+    // the max before the share so no intermediate exceeds BIGINT at
+    // any corpus size. One rollup + a 13x bounded fan-out.
+    "q_periodogram" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+        val m = daily.agg(min($"day").as("d0"))
+        val ks = s.range(2, 15).select($"id".cast("int").as("k"))
+        val terms = daily.crossJoin(broadcast(m))
+          .select(datediff($"day", $"d0").as("t"), $"x")
+          .crossJoin(broadcast(ks))
+          .select($"k",
+            expr(s"CAST(round(CAST(x AS DOUBLE) * ${trig9("cos")} * " +
+              "1000000.0, 0) AS BIGINT)").as("a6"),
+            expr(s"CAST(round(CAST(x AS DOUBLE) * ${trig9("sin")} * " +
+              "1000000.0, 0) AS BIGINT)").as("b6"))
+        // The 13-row period grid hosts its own normalizers as stacked
+        // full-frame windows (max power, then total relative power) —
+        // one bounded sort instead of two scalar-agg round trips.
+        val full = Window.orderBy($"k")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rel = terms.groupBy($"k")
+          .agg(sum($"a6".cast(d38)).as("sa"), sum($"b6".cast(d38)).as("sb"))
+          .select($"k", expr("CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) " +
+            "+ CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)").as("p"))
+          .withColumn("mp", max($"p").over(full))
+          .select($"k", expr("CAST(round(p / mp * 1000000.0, 0) " +
+            "AS BIGINT)").as("p6"))
+        rel.withColumn("tp", sum($"p6").over(full))
+          .select($"k".as("period"),
+            expr("CAST(round(CAST(p6 AS DOUBLE) / CAST(tp AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("share_micro"),
+            ($"p6" === 1000000L).as("is_peak"))
+          .orderBy($"period")
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT MIN(day) AS d0 FROM daily),
+        |terms AS (
+        |  SELECT k,
+        |    CAST(round(CAST(x AS DOUBLE) * ${trig9("cos")} *
+        |      1000000.0, 0) AS BIGINT) AS a6,
+        |    CAST(round(CAST(x AS DOUBLE) * ${trig9("sin")} *
+        |      1000000.0, 0) AS BIGINT) AS b6
+        |  FROM (SELECT day - d0 AS t, x FROM daily, m) dd,
+        |    (SELECT unnest(generate_series(2, 14)) AS k) kk),
+        |pk AS (
+        |  SELECT k, CAST(SUM(CAST(a6 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * CAST(SUM(CAST(a6 AS DECIMAL(38,0))) AS DOUBLE)
+        |    + CAST(SUM(CAST(b6 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * CAST(SUM(CAST(b6 AS DECIMAL(38,0))) AS DOUBLE) AS p
+        |  FROM terms GROUP BY 1),
+        |mx AS (SELECT MAX(p) AS mp FROM pk),
+        |rel AS (SELECT k, CAST(round(p / mp * 1000000.0, 0) AS BIGINT)
+        |  AS p6 FROM pk, mx),
+        |tp AS (SELECT CAST(SUM(p6) AS BIGINT) AS tp FROM rel)
+        |SELECT k AS period,
+        |  CAST(round(CAST(p6 AS DOUBLE) / CAST(tp AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) AS share_micro,
+        |  p6 = 1000000 AS is_peak
+        |FROM rel, tp ORDER BY period""".stripMargin),
+      "discrete periodogram over daily event counts: power share at " +
+        "periods 2-14 days, peak flagged (micro-frozen trig terms)"),
+
+    // Hampel filter over the daily event-count series: a +-3-day
+    // rolling median/MAD window flags days where |x - med| exceeds
+    // 3 * 1.4826 * MAD — the robust outlier screen that (unlike
+    // q_grubbs' mean/sd) one genuine spike cannot mask. Medians of
+    // integer counts live on exact quarters (x4) and MADs on exact
+    // eighths (x8), so the fence verdict compares INTEGERS —
+    // 20000*dev4 > 44478*mad8 — no float anywhere. Two banded
+    // self-joins over the calendar-bounded day table.
+    "q_hampel" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+        val med = daily.as("a")
+          .join(daily.as("b"), $"b.day" >= date_sub($"a.day", 3) &&
+            $"b.day" <= date_add($"a.day", 3))
+          .groupBy($"a.day".as("day"), $"a.x".as("x"))
+          .agg(expr("CAST(round(percentile(b.x, 0.5) * 4.0, 0) " +
+            "AS BIGINT)").as("m4"))
+        val mad = med.as("c")
+          .join(daily.as("b"), $"b.day" >= date_sub($"c.day", 3) &&
+            $"b.day" <= date_add($"c.day", 3))
+          .groupBy($"c.day".as("day"), $"c.x".as("x"), $"c.m4".as("m4"))
+          .agg(expr("CAST(round(percentile(abs(b.x * 4 - c.m4), 0.5) " +
+            "* 2.0, 0) AS BIGINT)").as("mad8"))
+        mad.select($"day", $"x", $"m4", $"mad8",
+          (abs($"x" * 4 - $"m4") * 20000L > $"mad8" * 44478L)
+            .as("is_out"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |med AS (
+        |  SELECT a.day AS day, a.x AS x,
+        |    CAST(round(quantile_cont(b.x, 0.5) * 4.0, 0) AS BIGINT)
+        |      AS m4
+        |  FROM daily a JOIN daily b
+        |    ON b.day BETWEEN a.day - 3 AND a.day + 3
+        |  GROUP BY 1, 2),
+        |mad AS (
+        |  SELECT c.day AS day, c.x AS x, c.m4 AS m4,
+        |    CAST(round(quantile_cont(abs(b.x * 4 - c.m4), 0.5) * 2.0,
+        |      0) AS BIGINT) AS mad8
+        |  FROM med c JOIN daily b
+        |    ON b.day BETWEEN c.day - 3 AND c.day + 3
+        |  GROUP BY 1, 2, 3)
+        |SELECT day, x, m4, mad8,
+        |  abs(x * 4 - m4) * 20000 > mad8 * 44478 AS is_out
+        |FROM mad ORDER BY day""".stripMargin),
+      "Hampel filter over daily event counts (+-3-day rolling median " +
+        "/MAD, all-integer fence verdict on exact quarters/eighths)"),
   )
+
+  /** q_yule_walker gap-correct lag-k covariance from raw sums, with the
+    * GLOBAL series mean mu = s1/nd: (sxy - mu*sx - mu*sy + nk*mu^2)/nk.
+    * One string, both engines. */
+  private def ywCovE(k: String): String = {
+    val mu = "(CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))"
+    s"((CAST(sxy$k AS DOUBLE) - $mu * CAST(sx$k AS DOUBLE) - " +
+      s"$mu * CAST(sy$k AS DOUBLE) + CAST(n$k AS DOUBLE) * $mu * $mu)" +
+      s" / CAST(n$k AS DOUBLE))"
+  }
+
+  /** q_yule_walker lag-0 variance from raw sums (population form, the
+    * YW convention). */
+  private def ywC0E: String = {
+    val mu = "(CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))"
+    s"((CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)) - $mu * $mu)"
+  }
+
+  /** q_periodogram 9-dp frozen trig factor at period k, day offset t. */
+  private def trig9(fn: String): String =
+    s"round($fn(2.0 * pi() * CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 9)"
 }

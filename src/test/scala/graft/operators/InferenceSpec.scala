@@ -180,4 +180,165 @@ class InferenceSpec extends SparkSpec {
       assert(math.abs(gr._4 - er._4) <= 2, s"day ${gr._1}: ${gr._4} vs ${er._4}")
     }
   }
+
+  /** Daily order revenue in exact cents, from raw rows. */
+  private lazy val dailyRev: Map[Long, Long] =
+    graft.Tables.load(spark, d, "orders")
+      .select(org.apache.spark.sql.functions.to_date($"o_orderdate")
+        .cast("string"),
+        org.apache.spark.sql.functions
+          .expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+      .as[(String, Long)].collect()
+      .groupBy(r => java.time.LocalDate.parse(r._1).toEpochDay)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+
+  /** Daily event counts keyed by epoch day, from raw rows. */
+  private lazy val dailyCnt: Seq[(Long, Long)] =
+    graft.Tables.load(spark, d, "events")
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts")
+        .cast("string").as("day"))
+      .count().as[(String, Long)].collect()
+      .map(r => (java.time.LocalDate.parse(r._1).toEpochDay, r._2))
+      .sortBy(_._1).toSeq
+
+  test("q_forecast_eval matches a plain day-map recount") {
+    val e7 = dailyRev.toSeq.flatMap { case (ep, r) =>
+      dailyRev.get(ep - 7).map(f => (r, f)) }
+    val e1 = dailyRev.toSeq.flatMap { case (ep, r) =>
+      dailyRev.get(ep - 1).map(f => (r, f)) }
+    val mape = e7.map { case (r, f) =>
+      math.round(math.abs(r - f).toDouble / r * 1e6) }.sum.toDouble /
+      e7.length
+    val smape = e7.map { case (r, f) =>
+      math.round(2.0 * math.abs(r - f) / (r + f) * 1e6) }.sum.toDouble /
+      e7.length
+    val mase = (e7.map { case (r, f) => math.abs(r - f) }.sum.toDouble /
+      e7.length) / (e1.map { case (r, f) => math.abs(r - f) }.sum.toDouble /
+      e1.length)
+    val row = q("q_forecast_eval")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == e7.length.toLong)
+    assert(math.abs(row._2 - math.round(mape)) <= 2)
+    assert(math.abs(row._3 - math.round(smape)) <= 2)
+    assert(math.abs(row._4 - math.round(mase * 1e6)) <= 2)
+  }
+
+  test("q_pinball matches a sorted-array quantile + direct loss; " +
+    "each quantile minimizes its own loss") {
+    val xs = dailyRev.values.toArray.sorted
+    def quant(p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < xs.length) xs(lo) + (xs(lo + 1) - xs(lo)) * frac
+      else xs(lo).toDouble
+    }
+    def loss(qv: Double, f1: Long): Double =
+      dailyRev.values.map { r =>
+        math.round(qv * math.max(r * 10 - f1, 0L) +
+          (1 - qv) * math.max(f1 - r * 10, 0L)).toDouble
+      }.sum / dailyRev.size
+    val rows = q("q_pinball")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val qs = Seq(0.1, 0.5, 0.9)
+    rows.zip(qs).foreach { case ((qm, f1, n, avg), p) =>
+      assert(qm == math.round(p * 1e6))
+      assert(f1 == math.round(quant(p) * 10))
+      assert(n == dailyRev.size.toLong)
+      assert(math.abs(avg - math.round(loss(p, f1))) <= 2,
+        s"q=$p: $avg vs ${loss(p, f1)}")
+    }
+    // scoring-rule sanity: the q-quantile forecast beats the OTHER two
+    // forecasts on its own loss
+    for ((p, i) <- qs.zipWithIndex; (f1, j) <- rows.map(_._2).zipWithIndex
+         if i != j)
+      assert(loss(p, rows(i)._2) <= loss(p, f1) + 1e-9,
+        s"quantile $p not the minimizer vs forecast $j")
+  }
+
+  test("q_yule_walker matches a direct centered-covariance recount") {
+    val byDay = dailyCnt.toMap
+    val nd = dailyCnt.length
+    val mu = dailyCnt.map(_._2).sum.toDouble / nd
+    val c0 = dailyCnt.map { case (_, x) => (x - mu) * (x - mu) }.sum / nd
+    def ck(k: Int): Double = {
+      val pairs = dailyCnt.flatMap { case (ep, x) =>
+        byDay.get(ep + k).map(y => (x - mu) * (y - mu)) }
+      pairs.sum / pairs.length
+    }
+    val r1 = ck(1) / c0; val r2 = ck(2) / c0
+    val phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val row = q("q_yule_walker")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row._1 == nd.toLong)
+    assert(math.abs(row._2 - math.round(r1 * 1e6)) <= 2)
+    assert(math.abs(row._3 - math.round(r2 * 1e6)) <= 2)
+    assert(math.abs(row._4 - math.round(phi1 * 1e6)) <= 5)
+    assert(math.abs(row._5 - math.round(phi2 * 1e6)) <= 5)
+  }
+
+  test("q_grubbs matches a direct max-z recount") {
+    val n = dailyCnt.length
+    val mu = dailyCnt.map(_._2).sum.toDouble / n
+    val sd = math.sqrt(dailyCnt.map { case (_, x) =>
+      (x - mu) * (x - mu) }.sum / (n - 1))
+    val (epBest, xBest) = dailyCnt
+      .maxBy { case (ep, x) => (math.abs(x * n - dailyCnt.map(_._2).sum), -ep) }
+    val g = math.abs(xBest - mu) / sd
+    val row = q("q_grubbs")
+      .select($"n_days", $"day".cast("string"), $"x", $"g_micro")
+      .as[(Long, String, Long, Long)].collect().head
+    assert(row._1 == n.toLong)
+    assert(java.time.LocalDate.parse(row._2).toEpochDay == epBest)
+    assert(row._3 == xBest)
+    assert(math.abs(row._4 - math.round(g * 1e6)) <= 2)
+  }
+
+  test("q_periodogram matches a direct DFT recount") {
+    val d0 = dailyCnt.map(_._1).min
+    val powers = (2 to 14).map { k =>
+      val a = dailyCnt.map { case (ep, x) =>
+        x * math.cos(2 * math.Pi * (ep - d0) / k) }.sum
+      val b = dailyCnt.map { case (ep, x) =>
+        x * math.sin(2 * math.Pi * (ep - d0) / k) }.sum
+      k -> (a * a + b * b)
+    }
+    val mp = powers.map(_._2).max
+    val p6 = powers.map { case (k, p) => k -> math.round(p / mp * 1e6) }
+    val tp = p6.map(_._2).sum.toDouble
+    val rows = q("q_periodogram")
+      .as[(Int, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 13)
+    rows.zip(p6).foreach { case ((k, share, peak), (ek, ep6)) =>
+      assert(k == ek)
+      // the recount's unfrozen trig path drifts slightly from the
+      // query's micro-frozen terms; shares still agree to ~1e-4
+      assert(math.abs(share - math.round(ep6 / tp * 1e6)) <= 200,
+        s"period $k: $share vs ${ep6 / tp * 1e6}")
+      assert(peak == (ep6 == 1000000L), s"peak flag at period $k")
+    }
+  }
+
+  test("q_hampel matches a direct sliding-window recount") {
+    val byDay = dailyCnt.toMap
+    def median(v: Seq[Long]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val expect = dailyCnt.map { case (ep, x) =>
+      val win = (-3L to 3L).flatMap(o => byDay.get(ep + o))
+      val m4 = math.round(median(win) * 4)
+      val mad8 = math.round(median(win.map(v =>
+        math.abs(v * 4 - m4))) * 2)
+      (ep, x, m4, mad8,
+        math.abs(x * 4 - m4) * 20000 > mad8 * 44478)
+    }
+    val got = q("q_hampel")
+      .select($"day".cast("string"), $"x", $"m4", $"mad8", $"is_out")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (java.time.LocalDate.parse(r._1).toEpochDay,
+        r._2, r._3, r._4, r._5)).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+  }
 }
