@@ -800,7 +800,100 @@ object Inference {
         |FROM mad ORDER BY day""".stripMargin),
       "Hampel filter over daily event counts (+-3-day rolling median " +
         "/MAD, all-integer fence verdict on exact quarters/eighths)"),
+
+    // Price elasticity of demand per brand: the log-log OLS slope of
+    // part-level demand (total lineitem quantity) on part retail price
+    // across each brand's parts — the classic cross-sectional demand
+    // curve, plus intercept and R^2. Both log transforms freeze to
+    // micro-integers per part so every regression moment is an exact
+    // integer/decimal sum (the scale factors cancel in the slope and
+    // R^2; the intercept is read off in micro directly). Shapes: one
+    // part-keyed lineitem rollup (the corpus shuffle), one partkey
+    // join, one brand-keyed 25-group reduce — no windows.
+    "q_elasticity" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val qty = Tables.load(s, d, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(sum(expr("CAST(round(l_quantity * 100, 0) AS BIGINT)"))
+            .as("q100"))
+        val pts = qty.join(Tables.load(s, d, "part")
+            .select($"p_partkey", $"p_brand", $"p_retailprice"),
+            $"l_partkey" === $"p_partkey")
+          .select($"p_brand",
+            expr("CAST(round(ln(p_retailprice) * 1000000.0, 0) " +
+              "AS BIGINT)").as("u6"),
+            expr("CAST(round(ln(CAST(q100 AS DOUBLE) / 100.0) * " +
+              "1000000.0, 0) AS BIGINT)").as("v6"))
+        pts.groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum($"u6").as("su"), sum($"v6").as("sv"),
+            sum($"u6".cast(d38) * $"v6".cast(d38)).as("suv"),
+            sum($"u6".cast(d38) * $"u6".cast(d38)).as("suu"),
+            sum($"v6".cast(d38) * $"v6".cast(d38)).as("svv"))
+          .select($"p_brand", $"n".as("n_parts"),
+            expr(s"CAST(round($elastBetaE * 1000000.0, 0) AS BIGINT)")
+              .as("beta_micro"),
+            expr(s"CAST(round((CAST(sv AS DOUBLE) - $elastBetaE * " +
+              "CAST(su AS DOUBLE)) / CAST(n AS DOUBLE), 0) AS BIGINT)")
+              .as("alpha_micro"),
+            expr(s"CAST(round($elastR2E * 1000000.0, 0) AS BIGINT)")
+              .as("r2_micro"))
+          .orderBy($"p_brand")
+      },
+      Some(s"""WITH qty AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS q100
+        |  FROM lineitem GROUP BY 1),
+        |pts AS (
+        |  SELECT p_brand,
+        |    CAST(round(ln(p_retailprice) * 1000000.0, 0) AS BIGINT)
+        |      AS u6,
+        |    CAST(round(ln(CAST(q100 AS DOUBLE) / 100.0) * 1000000.0,
+        |      0) AS BIGINT) AS v6
+        |  FROM qty JOIN part ON l_partkey = p_partkey),
+        |m AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(u6) AS BIGINT) AS su,
+        |    CAST(SUM(v6) AS BIGINT) AS sv,
+        |    SUM(CAST(u6 AS DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)))
+        |      AS suv,
+        |    SUM(CAST(u6 AS DECIMAL(38,0)) * CAST(u6 AS DECIMAL(38,0)))
+        |      AS suu,
+        |    SUM(CAST(v6 AS DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)))
+        |      AS svv
+        |  FROM pts GROUP BY 1)
+        |SELECT p_brand, n AS n_parts,
+        |  CAST(round($elastBetaE * 1000000.0, 0) AS BIGINT)
+        |    AS beta_micro,
+        |  CAST(round((CAST(sv AS DOUBLE) - $elastBetaE *
+        |    CAST(su AS DOUBLE)) / CAST(n AS DOUBLE), 0) AS BIGINT)
+        |    AS alpha_micro,
+        |  CAST(round($elastR2E * 1000000.0, 0) AS BIGINT) AS r2_micro
+        |FROM m ORDER BY p_brand""".stripMargin),
+      "log-log price elasticity of demand per brand (micro-frozen " +
+        "logs, exact regression moments, 25-group reduce)"),
   )
+
+  /** q_elasticity OLS slope from the micro-frozen log moments — the
+    * 1e12 scale factors cancel between numerator and denominator. */
+  private def elastBetaE: String =
+    "((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) " +
+      "* CAST(sv AS DOUBLE)) / (CAST(n AS DOUBLE) * " +
+      "CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))"
+
+  /** q_elasticity R^2 = corr(u,v)^2 from the same moments. */
+  private def elastR2E: String = {
+    val num = "(CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - " +
+      "CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))"
+    val du = "(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - " +
+      "CAST(su AS DOUBLE) * CAST(su AS DOUBLE))"
+    val dv = "(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - " +
+      "CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+    s"($num * $num / ($du * $dv))"
+  }
 
   /** q_yule_walker gap-correct lag-k covariance from raw sums, with the
     * GLOBAL series mean mu = s1/nd: (sxy - mu*sx - mu*sy + nk*mu^2)/nk.

@@ -1347,5 +1347,140 @@ object Similarity {
         |ORDER BY p.q_id""".stripMargin),
       "recall @ 10 per probe over the fixed 8-probe panel (uncapped " +
         "pool denominator, panel-driven zero rows)"),
+
+    // Expected reciprocal rank @ 10 — the cascade-model retrieval
+    // metric (Chapelle et al. 2009): a user scans ranks top-down and
+    // stops at a relevant hit with probability R; ERR = sum over
+    // relevant ranks r of (1/r) * R * (1-R)^(#relevant above r), with
+    // the binary same-label relevance mapped to the standard graded
+    // R = (2^1-1)/2^1 = 0.5 — so each term is EXACTLY 1e6/(r * 2^(k+1))
+    // micro-units with an integer denominator (no float powers). Same
+    // fixed 8-probe panel as q_mrr; the output is panel-driven (the
+    // q_map lesson): a probe with no top-10 hit reports err_micro = 0.
+    "q_err" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val probes = broadcast(e.filter($"vec_id" < 8)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"embedding".as("q_emb")))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc, $"vec_id")
+        val top = e.filter($"vec_id" >= 8).crossJoin(probes)
+          .select($"q_id", $"vec_id",
+            ($"label" === $"q_label").cast("long").as("rel"),
+            expr("cosine_sim(embedding, q_emb)").as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 10)
+          .withColumn("kprev", sum($"rel").over(w) - $"rel")
+        val hits = top.filter($"rel" === 1L)
+          .select($"q_id", expr("CAST(round(1000000.0 / " +
+            "CAST(rn * shiftleft(1, CAST(kprev + 1 AS INT)) " +
+            "AS DOUBLE), 0) AS BIGINT)").as("t6"))
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_rel"), sum($"t6").as("err"))
+        probes.select($"q_id").join(hits, Seq("q_id"), "left")
+          .select($"q_id", coalesce($"n_rel", lit(0L)).as("n_rel"),
+            coalesce($"err", lit(0L)).as("err_micro"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH p AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT q_id, e.vec_id,
+        |    CASE WHEN e.label = q_label THEN 1 ELSE 0 END AS rel,
+        |    ${duckCos("e.embedding", "q_emb")} AS cos
+        |  FROM embeddings e, p WHERE e.vec_id >= 8),
+        |top AS (
+        |  SELECT q_id, rel, rn,
+        |    SUM(rel) OVER (PARTITION BY q_id ORDER BY cos DESC,
+        |      vec_id) - rel AS kprev
+        |  FROM (
+        |    SELECT q_id, vec_id, rel, cos, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |    FROM sc) WHERE rn <= 10),
+        |h AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel,
+        |    CAST(SUM(CAST(round(1000000.0 /
+        |      CAST(rn * (1 << CAST(kprev + 1 AS INT)) AS DOUBLE), 0)
+        |      AS BIGINT)) AS BIGINT) AS err
+        |  FROM top WHERE rel = 1 GROUP BY 1)
+        |SELECT p.q_id, COALESCE(h.n_rel, 0) AS n_rel,
+        |  COALESCE(h.err, 0) AS err_micro
+        |FROM p LEFT JOIN h ON p.q_id = h.q_id
+        |ORDER BY p.q_id""".stripMargin),
+      "expected reciprocal rank @ 10 per probe (cascade model, exact " +
+        "integer 1/(r*2^(k+1)) terms, panel-driven zero rows)"),
+
+    // Mean silhouette per label over a fixed 256-vector panel — the
+    // "do the labels cohere in embedding space" diagnostic that grades
+    // the embedding column itself (q_knn_classify grades prediction;
+    // this grades geometry). Cosine distances freeze to micro on the
+    // bounded 256x256 pair grid; a(i) = mean intra-label distance,
+    // b(i) = min over other labels of mean distance, s = (b-a)/max(a,b)
+    // frozen per point then averaged per label. Points whose label has
+    // no second panel member are excluded (silhouette undefined) — the
+    // standard contract. Scale: the panel is FIXED size; the only
+    // corpus-sized work is the vec_id < 256 scan prune.
+    "q_silhouette" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val p = emb(s, d).filter($"vec_id" < 256)
+          .select($"vec_id", $"label", $"embedding")
+        val pairs = p.as("a")
+          .join(broadcast(p.select($"vec_id".as("j"),
+            $"label".as("lj"), $"embedding".as("ej"))),
+            $"vec_id" =!= $"j")
+          .select($"vec_id".as("i"), $"label".as("li"), $"lj",
+            expr("CAST(round((1.0 - cosine_sim(embedding, ej)) * " +
+              "1000000.0, 0) AS BIGINT)").as("d6"))
+        val byLab = pairs.groupBy($"i", $"li", $"lj")
+          .agg(sum($"d6").as("sd"), count(lit(1)).as("cnt"))
+        val aDist = byLab.filter($"li" === $"lj")
+          .select($"i", $"li",
+            expr("CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE)").as("a"))
+        val bDist = byLab.filter($"li" =!= $"lj")
+          .groupBy($"i")
+          .agg(min(expr("CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE)"))
+            .as("b"))
+        aDist.join(bDist, "i")
+          .select($"li".as("label"),
+            expr("CAST(round((b - a) / greatest(a, b) * 1000000.0, " +
+              "0) AS BIGINT)").as("s6"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(round(CAST(SUM(s6) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)")
+              .as("mean_sil_micro"))
+          .orderBy($"label")
+      },
+      Some(s"""WITH p AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE vec_id < 256),
+        |pairs AS (
+        |  SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+        |    CAST(round((1.0 -
+        |      ${duckCos("a.embedding", "b.embedding")}) * 1000000.0,
+        |      0) AS BIGINT) AS d6
+        |  FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+        |bylab AS (
+        |  SELECT i, li, lj, CAST(SUM(d6) AS BIGINT) AS sd,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |ad AS (
+        |  SELECT i, li, CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE) AS a
+        |  FROM bylab WHERE li = lj),
+        |bd AS (
+        |  SELECT i, MIN(CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE)) AS b
+        |  FROM bylab WHERE li <> lj GROUP BY 1)
+        |SELECT li AS label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(round(CAST(SUM(CAST(round((b - a) / greatest(a, b) *
+        |    1000000.0, 0) AS BIGINT)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) AS mean_sil_micro
+        |FROM ad JOIN bd USING (i)
+        |GROUP BY 1 ORDER BY label""".stripMargin),
+      "mean silhouette per label over a fixed 256-vector panel " +
+        "(micro-frozen cosine distances, bounded pair grid)"),
   )
 }

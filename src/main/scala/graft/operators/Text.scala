@@ -1588,5 +1588,59 @@ object Text {
         |FROM r2 ORDER BY word""".stripMargin),
       "TextRank keyword scores: 2-round weighted PageRank over the " +
         "word co-occurrence graph (X4, vocab-bounded after one count pass)"),
+
+    // Flesch reading ease per source — the classic readability score a
+    // corpus-quality dashboard shows next to q_text_quality's heuristic
+    // battery: 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+    // words). Words = the shared whitespace tokenizer; sentences =
+    // [.!?]+ runs (min 1); syllables ~= [aeiouy]+ vowel groups over the
+    // lowered text (whitespace breaks groups across word boundaries, so
+    // no per-word explode is needed — the whole score is one regex pass
+    // per doc). Per-doc scores freeze to micro before the per-source
+    // mean, so the rollup is an exact integer sum. One scan + one
+    // source-keyed agg at any corpus size.
+    "q_flesch" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select($"source",
+            size(tokens($"text")).cast("long").as("w"),
+            greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+              .cast("long"), lit(1L)).as("st"),
+            size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+              .cast("long").as("syl"))
+          .filter($"w" > 0)
+          .select($"source",
+            expr("CAST(round((206.835 - 1.015 * CAST(w AS DOUBLE) / " +
+              "CAST(st AS DOUBLE) - 84.6 * CAST(syl AS DOUBLE) / " +
+              "CAST(w AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("f6"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(round(CAST(SUM(f6) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)")
+              .as("flesch_micro"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH sc AS (
+        |  SELECT source,
+        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS st,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    CAST(round((206.835 - 1.015 * CAST(w AS DOUBLE) /
+        |      CAST(st AS DOUBLE) - 84.6 * CAST(syl AS DOUBLE) /
+        |      CAST(w AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS f6
+        |  FROM sc WHERE w > 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(round(CAST(SUM(f6) AS DOUBLE) / CAST(COUNT(*)
+        |    AS DOUBLE), 0) AS BIGINT) AS flesch_micro
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin),
+      "Flesch reading ease per source (shared tokenizer word counts, " +
+        "vowel-group syllables, micro-frozen per-doc scores)"),
   )
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Golden recounts for the round-12 retrieval/geometry/readability
+  * additions (q_err, q_silhouette, q_flesch, q_elasticity). Each test
+  * recomputes the statistic INDEPENDENTLY in plain Scala from the raw
+  * sf0.001 rows — brute-force cosine loops in the same left-to-right
+  * accumulation order as the codegen expression (bit-identical
+  * doubles), textbook cascade/silhouette/OLS definitions. */
+class RetrievalGeomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  private lazy val vecs: Seq[(Long, Array[Float], Long)] =
+    graft.Tables.load(spark, d, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Long)].collect().toSeq.sortBy(_._1)
+
+  /** Same accumulation order as CosineSimilarityExpr — bit-identical. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("q_err matches a brute-force cascade-model recount") {
+    val probes = vecs.filter(_._1 < 8)
+    val corpus = vecs.filter(_._1 >= 8)
+    val expect = probes.map { case (qid, qemb, qlab) =>
+      val top = corpus
+        .map { case (vid, emb, lab) => (vid, lab, cos(emb, qemb)) }
+        .sortBy { case (vid, _, c) => (-c, vid) }.take(10)
+      var k = 0; var err = 0L; var nRel = 0L
+      top.zipWithIndex.foreach { case ((_, lab, _), idx) =>
+        if (lab == qlab) {
+          err += math.round(1e6 / ((idx + 1).toLong * (1L << (k + 1))))
+          k += 1; nRel += 1
+        }
+      }
+      (qid, nRel, err)
+    }
+    val got = q("q_err").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == expect)
+  }
+
+  test("q_silhouette matches a textbook pairwise recount") {
+    val panel = vecs.filter(_._1 < 256)
+    val sByLabel = panel.flatMap { case (i, ei, li) =>
+      val others = panel.filter(_._1 != i)
+      val d6 = others.map { case (j, ej, lj) =>
+        (lj, math.round((1.0 - cos(ei, ej)) * 1e6)) }
+      val own = d6.filter(_._1 == li).map(_._2)
+      if (own.isEmpty) None
+      else {
+        val a = own.sum.toDouble / own.length
+        val b = d6.filter(_._1 != li).groupBy(_._1)
+          .map { case (_, v) => v.map(_._2).sum.toDouble / v.length }.min
+        Some(li -> math.round((b - a) / math.max(a, b) * 1e6))
+      }
+    }.groupBy(_._1)
+    val expect = sByLabel.map { case (lab, v) =>
+      (lab, v.length.toLong,
+        math.round(v.map(_._2).sum.toDouble / v.length))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_silhouette")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2)
+      assert(math.abs(g._3 - e._3) <= 2, s"label ${g._1}: ${g._3} vs ${e._3}")
+    }
+  }
+
+  test("q_flesch matches a per-doc regex recount") {
+    val docs = graft.Tables.load(spark, d, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val expect = docs.flatMap { case (src, text) =>
+      val w = text.trim.toLowerCase.split("\\s+").count(_.nonEmpty)
+      val st = math.max("[.!?]+".r.findAllIn(text).length, 1)
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).length
+      if (w == 0) None
+      else Some(src -> math.round(
+        (206.835 - 1.015 * w.toDouble / st - 84.6 * syl.toDouble / w)
+          * 1e6))
+    }.groupBy(_._1).map { case (src, v) =>
+      (src, v.length.toLong,
+        math.round(v.map(_._2).sum.toDouble / v.length))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_flesch")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2)
+      assert(math.abs(g._3 - e._3) <= 2, s"${g._1}: ${g._3} vs ${e._3}")
+    }
+  }
+
+  test("q_elasticity matches frozen-path BigInt moments and an " +
+    "unfrozen OLS sanity check") {
+    val qty = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_partkey",
+        org.apache.spark.sql.functions
+          .expr("CAST(round(l_quantity * 100, 0) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val parts = graft.Tables.load(spark, d, "part")
+      .select($"p_partkey", $"p_brand", $"p_retailprice")
+      .as[(Long, String, Double)].collect()
+    val pts = parts.flatMap { case (pk, brand, price) =>
+      qty.get(pk).map { q100 =>
+        (brand, math.round(math.log(price) * 1e6),
+          math.round(math.log(q100 / 100.0) * 1e6))
+      }
+    }
+    val expect = pts.groupBy(_._1).map { case (brand, v) =>
+      val n = v.length.toLong
+      val su = v.map(r => BigInt(r._2)).sum
+      val sv = v.map(r => BigInt(r._3)).sum
+      val suv = v.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val suu = v.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val svv = v.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      val num = n.toDouble * suv.toDouble - su.toDouble * sv.toDouble
+      val du = n.toDouble * suu.toDouble - su.toDouble * su.toDouble
+      val dv = n.toDouble * svv.toDouble - sv.toDouble * sv.toDouble
+      val beta = num / du
+      val alpha = (sv.toDouble - beta * su.toDouble) / n
+      val r2 = num * num / (du * dv)
+      (brand, n, math.round(beta * 1e6), math.round(alpha),
+        math.round(r2 * 1e6))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_elasticity")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"panel ${g._1}")
+      assert(math.abs(g._3 - e._3) <= 2, s"beta ${g._1}: ${g._3} vs ${e._3}")
+      assert(math.abs(g._4 - e._4) <= 2, s"alpha ${g._1}")
+      assert(math.abs(g._5 - e._5) <= 2, s"r2 ${g._1}")
+      assert(g._5 >= 0 && g._5 <= 1000000L)
+    }
+    // unfrozen-path sanity: the micro-freeze must not move beta by more
+    // than the freeze granularity allows
+    val unfrozen = pts.groupBy(_._1).map { case (brand, v) =>
+      val xs = v.map(_._2.toDouble / 1e6); val ys = v.map(_._3.toDouble / 1e6)
+      val n = v.length
+      val beta = (n * xs.zip(ys).map(p => p._1 * p._2).sum -
+        xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+      brand -> beta
+    }
+    got.foreach { g =>
+      assert(math.abs(g._3 / 1e6 - unfrozen(g._1)) < 1e-4,
+        s"frozen-vs-unfrozen beta drift for ${g._1}")
+    }
+  }
+}
