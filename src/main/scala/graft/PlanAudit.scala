@@ -82,7 +82,12 @@ object PlanAudit {
     "q_bayes_ab" -> ("grid-CDF running sum over the FIXED 2048-point " +
       "integration grid — constant size at any corpus size"),
     "q_periodogram" -> ("max/total normalizers over the FIXED 13-row " +
-      "candidate-period grid — constant size at any corpus size"))
+      "candidate-period grid — constant size at any corpus size"),
+    "q_nelson_aalen" -> ("reverse at-risk + forward hazard running " +
+      "sums over the duration-day table — bounded by the observation " +
+      "window's day count (the q_kaplan_meier bound)"),
+    "q_croston" -> ("arrival ranks + lag intervals over the demand-" +
+      "day table — calendar-bounded (<= observation window days)"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

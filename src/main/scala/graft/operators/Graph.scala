@@ -824,5 +824,67 @@ object Graph {
         |ORDER BY authority DESC, id LIMIT 20""".stripMargin),
       "HITS hubs/authorities, 2 rounds, end-normalized (scalars commute " +
         "through the linear updates) vs DuckDB CTEs"),
+
+    // Degree assortativity of the trade graph: the Pearson correlation
+    // between the out-degree of an edge's customer endpoint and the
+    // in-degree of its supplier endpoint, over edges — the one-number
+    // "do hubs link to hubs" diagnostic (Newman 2002) that tells a
+    // pipeline whether degree-capped operators (q_triangles' MaxCustDeg
+    // guard) will clip correlated or random structure. All moments are
+    // exact integer/decimal sums over the edge table; degrees join back
+    // via the two degree rollups (corpus-keyed shuffles with map-side
+    // partials — no windows, no collects).
+    "q_assortativity" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = tradeEdges(s, d)
+        val ds = e.groupBy($"src").agg(count(lit(1)).as("dj"))
+        val dd = e.groupBy($"dst").agg(count(lit(1)).as("dk"))
+        e.join(ds, "src").join(dd, "dst")
+          .agg(count(lit(1)).as("n"),
+            sum($"dj").as("sj"), sum($"dk").as("sk"),
+            sum($"dj".cast(d38) * $"dk".cast(d38)).as("sjk"),
+            sum($"dj".cast(d38) * $"dj".cast(d38)).as("sjj"),
+            sum($"dk".cast(d38) * $"dk".cast(d38)).as("skk"))
+          .select($"n".as("n_edges"),
+            expr("CAST(round((CAST(n AS DOUBLE) * CAST(sjk AS DOUBLE)" +
+              " - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE)) / " +
+              "(sqrt(CAST(n AS DOUBLE) * CAST(sjj AS DOUBLE) - " +
+              "CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) * " +
+              "sqrt(CAST(n AS DOUBLE) * CAST(skk AS DOUBLE) - " +
+              "CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))) * " +
+              "1000000.0, 0) AS BIGINT)").as("r_micro"))
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ds AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dj
+        |  FROM e GROUP BY 1),
+        |dd AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS dk
+        |  FROM e GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dj) AS BIGINT) AS sj,
+        |    CAST(SUM(dk) AS BIGINT) AS sk,
+        |    SUM(CAST(dj AS DECIMAL(38,0)) * CAST(dk AS DECIMAL(38,0)))
+        |      AS sjk,
+        |    SUM(CAST(dj AS DECIMAL(38,0)) * CAST(dj AS DECIMAL(38,0)))
+        |      AS sjj,
+        |    SUM(CAST(dk AS DECIMAL(38,0)) * CAST(dk AS DECIMAL(38,0)))
+        |      AS skk
+        |  FROM e JOIN ds USING (src) JOIN dd USING (dst))
+        |SELECT n AS n_edges,
+        |  CAST(round((CAST(n AS DOUBLE) * CAST(sjk AS DOUBLE) -
+        |    CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sjj AS DOUBLE) -
+        |    CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) *
+        |    sqrt(CAST(n AS DOUBLE) * CAST(skk AS DOUBLE) -
+        |    CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))) * 1000000.0, 0)
+        |    AS BIGINT) AS r_micro
+        |FROM m""".stripMargin),
+      "degree assortativity of the trade graph (exact moment sums " +
+        "over edges, two degree rollups, one reduce)"),
   )
 }

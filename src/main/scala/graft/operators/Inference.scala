@@ -875,7 +875,229 @@ object Inference {
         |FROM m ORDER BY p_brand""".stripMargin),
       "log-log price elasticity of demand per brand (micro-frozen " +
         "logs, exact regression moments, 25-group reduce)"),
+
+    // Nelson-Aalen cumulative hazard — the estimator-of-record twin to
+    // q_kaplan_meier (same per-user duration table, same reverse
+    // running at-risk counts): H(t) = sum_{d<=t} deaths_d / at_risk_d,
+    // with the Breslow survival exp(-H). Per-day hazard terms freeze
+    // at 9 dp so the forward running sum is an exact decimal. Both
+    // windows run over the duration-day table, bounded by the
+    // observation window's day count (the q_kaplan_meier bound).
+    "q_nelson_aalen" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val dayIdx = datediff(to_date($"ts"), lit("2024-01-01"))
+        val byDayDesc = Window.orderBy($"day".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val byDayAsc = Window.orderBy($"day".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, d, "events")
+          .select($"user_id", dayIdx.as("day"),
+            ($"event_type" === "purchase" && $"value" > 100.0).as("q"))
+          .groupBy($"user_id")
+          .agg(min($"day").as("fd"), max($"day").as("ld"),
+            min(when($"q", $"day")).as("dd"))
+          .select((coalesce($"dd", $"ld") - $"fd").as("day"),
+            $"dd".isNotNull.cast("long").as("event"))
+          .groupBy($"day")
+          .agg(sum($"event").as("deaths"), count(lit(1)).as("cnt"))
+          .withColumn("at_risk", sum($"cnt").over(byDayDesc))
+          .withColumn("term",
+            expr("CAST(round(CAST(deaths AS DOUBLE) / " +
+              "CAST(at_risk AS DOUBLE), 9) AS DECIMAL(20,9))"))
+          .withColumn("h", sum($"term").over(byDayAsc))
+          .select($"day", $"at_risk", $"deaths",
+            expr("CAST(round(CAST(h AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("h_micro"),
+            expr("CAST(round(exp(-CAST(h AS DOUBLE)) * 1000000.0, 0)" +
+              " AS BIGINT)").as("surv_micro"))
+          .orderBy($"day")
+      },
+      Some("""WITH ud AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS fd,
+        |    max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+        |      AS ld,
+        |    min(CASE WHEN event_type = 'purchase' AND value > 100.0
+        |      THEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      END) AS dd
+        |  FROM events GROUP BY user_id),
+        |dt AS (
+        |  SELECT COALESCE(dd, ld) - fd AS day,
+        |    CAST(SUM(CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS deaths,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ud GROUP BY 1),
+        |ar AS (
+        |  SELECT day, deaths,
+        |    CAST(SUM(cnt) OVER (ORDER BY day DESC) AS BIGINT)
+        |      AS at_risk
+        |  FROM dt),
+        |h AS (
+        |  SELECT day, at_risk, deaths,
+        |    SUM(CAST(round(CAST(deaths AS DOUBLE) /
+        |      CAST(at_risk AS DOUBLE), 9) AS DECIMAL(20,9)))
+        |      OVER (ORDER BY day ASC) AS h
+        |  FROM ar)
+        |SELECT day, at_risk, deaths,
+        |  CAST(round(CAST(h AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS h_micro,
+        |  CAST(round(exp(-CAST(h AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS surv_micro
+        |FROM h ORDER BY day""".stripMargin),
+      "Nelson-Aalen cumulative hazard + Breslow survival over the " +
+        "user-duration table (9-dp frozen hazard terms, exact decimal " +
+        "running sum)"),
+
+    // Theil's U2 forecast skill score: RMSE of the seasonal-naive
+    // (day-7) revenue forecast relative to RMSE of the naive (day-1)
+    // forecast, over days where BOTH references exist (gap-correct,
+    // stated) — the one number that says whether the weekly cycle
+    // carries real signal (U2 < 1) or the series is a random walk
+    // (U2 >= 1). Squared errors are exact decimal integers (cent
+    // diffs squared); one rollup + one 3-way bounded day join.
+    "q_theil_u" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val rev = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"))
+        rev.as("a")
+          .join(rev.as("b7"), $"a.day" === date_add($"b7.day", 7))
+          .join(rev.as("b1"), $"a.day" === date_add($"b1.day", 1))
+          .select($"a.r".as("r"), $"b7.r".as("f7"), $"b1.r".as("f1"))
+          .agg(count(lit(1)).as("n"),
+            sum((($"r" - $"f7").cast(d38)) * (($"r" - $"f7").cast(d38)))
+              .as("se7"),
+            sum((($"r" - $"f1").cast(d38)) * (($"r" - $"f1").cast(d38)))
+              .as("se1"))
+          .select($"n",
+            expr("CAST(round(sqrt(CAST(se7 AS DOUBLE) / " +
+              "CAST(se1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("u2_micro"),
+            expr("CAST(round(sqrt(CAST(se7 AS DOUBLE) / " +
+              "CAST(n AS DOUBLE)), 0) AS BIGINT)").as("rmse7_cents"),
+            expr("CAST(round(sqrt(CAST(se1 AS DOUBLE) / " +
+              "CAST(n AS DOUBLE)), 0) AS BIGINT)").as("rmse1_cents"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT a.r AS r, b7.r AS f7, b1.r AS f1
+        |  FROM rev a JOIN rev b7 ON a.day = b7.day + 7
+        |  JOIN rev b1 ON a.day = b1.day + 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(r - f7 AS DECIMAL(38,0)) *
+        |      CAST(r - f7 AS DECIMAL(38,0))) AS se7,
+        |    SUM(CAST(r - f1 AS DECIMAL(38,0)) *
+        |      CAST(r - f1 AS DECIMAL(38,0))) AS se1
+        |  FROM j)
+        |SELECT n,
+        |  CAST(round(sqrt(CAST(se7 AS DOUBLE) / CAST(se1 AS DOUBLE)) *
+        |    1000000.0, 0) AS BIGINT) AS u2_micro,
+        |  CAST(round(sqrt(CAST(se7 AS DOUBLE) / CAST(n AS DOUBLE)), 0)
+        |    AS BIGINT) AS rmse7_cents,
+        |  CAST(round(sqrt(CAST(se1 AS DOUBLE) / CAST(n AS DOUBLE)), 0)
+        |    AS BIGINT) AS rmse1_cents
+        |FROM m""".stripMargin),
+      "Theil's U2 skill score of the day-7 vs day-1 revenue forecast " +
+        "(exact decimal squared errors, gap-correct common days)"),
+
+    // Croston's method for intermittent demand — THE forecasting
+    // recipe for sparse series that EWMA/Holt-Winters handle wrong
+    // (they decay toward zero between demands): separate exponential
+    // smoothing of nonzero demand SIZES and of inter-arrival TIMES,
+    // forecast = size / interval. Series: daily BUILDING-segment order
+    // counts (genuinely intermittent at small scale, calendar-bounded
+    // always). The EWMA recursions are DISSOLVED into closed-form
+    // weighted sums over arrival ranks — alpha*(1-alpha)^(m-j) weights
+    // frozen at 9 dp, summed as exact decimals (the q_cusum
+    // dissolution discipline) — so no sequential state survives into
+    // the plan. Init convention (stated): z seeds at the first demand,
+    // p at the first observed interval. Requires >= 2 arrivals (else
+    // empty output). One orders rollup + bounded-day-table windows.
+    "q_croston" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val arr = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer")
+            .filter($"c_mktsegment" === "BUILDING")
+            .select($"c_custkey"), $"o_custkey" === $"c_custkey")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy($"day")
+        val idx = arr
+          .withColumn("j", row_number().over(w))
+          .withColumn("iv", datediff($"day",
+            lag($"day", 1).over(w)).cast("long"))
+        val m = idx.agg(max($"j").as("m"))
+        idx.crossJoin(broadcast(m))
+          .filter($"m" >= 2)
+          .select($"m",
+            expr(s"CAST(round(${crostonW("1", "x")}, 9) " +
+              "AS DECIMAL(20,9))").as("zt"),
+            expr(s"CASE WHEN j >= 2 THEN CAST(round(" +
+              s"${crostonW("2", "iv")}, 9) AS DECIMAL(20,9)) " +
+              "ELSE CAST(0 AS DECIMAL(20,9)) END").as("pt"))
+          .groupBy($"m")
+          .agg(sum($"zt").as("z"), sum($"pt").as("p"))
+          .select($"m".cast("long").as("n_arrivals"),
+            expr("CAST(round(CAST(z AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("z_micro"),
+            expr("CAST(round(CAST(p AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("p_micro"),
+            expr("CAST(round(CAST(z AS DOUBLE) / CAST(p AS DOUBLE) * " +
+              "1000000.0, 0) AS BIGINT)").as("forecast_micro"))
+      },
+      Some(s"""WITH arr AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |idx AS (
+        |  SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS j,
+        |    CAST(date_diff('day', lag(day) OVER (ORDER BY day), day)
+        |      AS BIGINT) AS iv
+        |  FROM arr),
+        |mm AS (SELECT CAST(MAX(j) AS BIGINT) AS m FROM idx),
+        |t AS (
+        |  SELECT m,
+        |    CAST(round(${crostonW("1", "x")}, 9) AS DECIMAL(20,9))
+        |      AS zt,
+        |    CASE WHEN j >= 2 THEN CAST(round(${crostonW("2", "iv")},
+        |      9) AS DECIMAL(20,9)) ELSE CAST(0 AS DECIMAL(20,9)) END
+        |      AS pt
+        |  FROM idx, mm WHERE m >= 2),
+        |g AS (SELECT m, SUM(zt) AS z, SUM(pt) AS p FROM t GROUP BY 1)
+        |SELECT m AS n_arrivals,
+        |  CAST(round(CAST(z AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS z_micro,
+        |  CAST(round(CAST(p AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS p_micro,
+        |  CAST(round(CAST(z AS DOUBLE) / CAST(p AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) AS forecast_micro
+        |FROM g""".stripMargin),
+      "Croston intermittent-demand forecast over daily BUILDING-" +
+        "segment order counts (dissolved EWMA recursions, 9-dp frozen " +
+        "weights, exact decimal sums)"),
   )
+
+  /** Croston dissolved-EWMA weight for one row: seed rows (j = base)
+    * carry (1-a)^(m-base) * v; later rows carry a*(1-a)^(m-j) * v.
+    * alpha = 0.2 fixed. `base` is the seed rank (1 for sizes, 2 for
+    * intervals); `v` the smoothed quantity. */
+  private def crostonW(base: String, v: String): String =
+    s"(CASE WHEN j = $base THEN power(0.8, CAST(m - $base AS DOUBLE)) " +
+      s"* CAST($v AS DOUBLE) ELSE 0.2 * power(0.8, " +
+      s"CAST(m - j AS DOUBLE)) * CAST($v AS DOUBLE) END)"
 
   /** q_elasticity OLS slope from the micro-frozen log moments — the
     * 1e12 scale factors cancel between numerator and denominator. */

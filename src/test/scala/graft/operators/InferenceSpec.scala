@@ -341,4 +341,113 @@ class InferenceSpec extends SparkSpec {
         r._2, r._3, r._4, r._5)).sortBy(_._1)
     assert(got.toSeq == expect.toSeq)
   }
+
+  /** Per-user (duration, event) rows — the q_kaplan_meier convention. */
+  private lazy val durations: Seq[(Long, Boolean)] =
+    graft.Tables.load(spark, d, "events")
+      .select($"user_id",
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date($"ts"),
+          org.apache.spark.sql.functions.lit("2024-01-01")).as("day"),
+        ($"event_type" === "purchase" && $"value" > 100.0).as("q"))
+      .as[(Long, Int, Boolean)].collect().toSeq
+      .groupBy(_._1).values.map { rs =>
+        val fd = rs.map(_._2).min; val ld = rs.map(_._2).max
+        val dd = rs.filter(_._3).map(_._2).sorted.headOption
+        ((dd.getOrElse(ld) - fd).toLong, dd.isDefined)
+      }.toSeq
+
+  test("q_nelson_aalen matches a textbook cumulative-hazard loop") {
+    val byDay = durations.groupBy(_._1).map { case (day, v) =>
+      (day, v.count(_._2).toLong, v.length.toLong) }.toSeq.sortBy(_._1)
+    var atRiskLeft = durations.length.toLong
+    var h = BigDecimal(0)
+    val expect = byDay.map { case (day, deaths, cnt) =>
+      val atRisk = atRiskLeft
+      h += BigDecimal(deaths.toDouble / atRisk)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      atRiskLeft -= cnt
+      (day, atRisk, deaths, math.round(h.toDouble * 1e6),
+        math.round(math.exp(-h.toDouble) * 1e6))
+    }
+    val got = q("q_nelson_aalen")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"day ${g._1} frame")
+      assert(math.abs(g._4 - e._4) <= 2, s"H at day ${g._1}")
+      assert(math.abs(g._5 - e._5) <= 2, s"S at day ${g._1}")
+    }
+  }
+
+  test("q_theil_u matches a day-map recount") {
+    val j = dailyRev.toSeq.flatMap { case (ep, r) =>
+      for (f7 <- dailyRev.get(ep - 7); f1 <- dailyRev.get(ep - 1))
+        yield (r, f7, f1) }
+    val se7 = j.map { case (r, f, _) => BigInt(r - f) * BigInt(r - f) }.sum
+    val se1 = j.map { case (r, _, f) => BigInt(r - f) * BigInt(r - f) }.sum
+    val row = q("q_theil_u").as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == j.length.toLong)
+    assert(math.abs(row._2 -
+      math.round(math.sqrt(se7.toDouble / se1.toDouble) * 1e6)) <= 2)
+    assert(math.abs(row._3 -
+      math.round(math.sqrt(se7.toDouble / j.length))) <= 1)
+    assert(math.abs(row._4 -
+      math.round(math.sqrt(se1.toDouble / j.length))) <= 1)
+  }
+
+  test("q_croston matches the textbook sequential EWMA recursion") {
+    // SEQUENTIAL updates — a genuinely different arithmetic path than
+    // the query's dissolved closed-form weighted sums
+    val cust = graft.Tables.load(spark, d, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").as[Long].collect().toSet
+    val days = graft.Tables.load(spark, d, "orders")
+      .select($"o_custkey",
+        org.apache.spark.sql.functions.to_date($"o_orderdate")
+          .cast("string"))
+      .as[(Long, String)].collect()
+      .filter(r => cust(r._1))
+      .groupBy(r => java.time.LocalDate.parse(r._2).toEpochDay)
+      .map { case (ep, v) => (ep, v.length.toLong) }.toSeq.sortBy(_._1)
+    val a = 0.2
+    var z = days.head._2.toDouble
+    var p = 0.0
+    days.zipWithIndex.drop(1).foreach { case ((ep, x), i) =>
+      z = z + a * (x - z)
+      val iv = (ep - days(i - 1)._1).toDouble
+      p = if (i == 1) iv else p + a * (iv - p)
+    }
+    val row = q("q_croston")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == days.length.toLong)
+    assert(math.abs(row._2 - math.round(z * 1e6)) <= 5,
+      s"z ${row._2} vs ${z * 1e6}")
+    assert(math.abs(row._3 - math.round(p * 1e6)) <= 5,
+      s"p ${row._3} vs ${p * 1e6}")
+    assert(math.abs(row._4 - math.round(z / p * 1e6)) <= 10)
+  }
+
+  test("q_assortativity matches a direct degree-correlation recount") {
+    val edges = graft.Tables.load(spark, d, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.load(spark, d, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+        "o_orderkey")
+      .select($"o_custkey", $"l_suppkey")
+      .as[(Long, Long)].collect().distinct
+    val dj = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val dk = edges.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val js = edges.map(e => dj(e._1).toDouble)
+    val ks = edges.map(e => dk(e._2).toDouble)
+    val n = edges.length.toDouble
+    val num = n * js.zip(ks).map(p => p._1 * p._2).sum - js.sum * ks.sum
+    val den = math.sqrt(n * js.map(x => x * x).sum - js.sum * js.sum) *
+      math.sqrt(n * ks.map(x => x * x).sum - ks.sum * ks.sum)
+    val row = q("q_assortativity").as[(Long, Long)].collect().head
+    assert(row._1 == edges.length.toLong)
+    assert(math.abs(row._2 - math.round(num / den * 1e6)) <= 2,
+      s"r ${row._2} vs ${num / den * 1e6}")
+  }
 }
