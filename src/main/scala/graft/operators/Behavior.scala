@@ -576,5 +576,174 @@ object Behavior {
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin),
       "top contiguous 3-step event-type journey patterns"),
+
+    // Data-driven (Markov removal-effect) attribution — the principled
+    // alternative to q_attribution's positional rules: model user
+    // journeys as a Markov chain over channels (start -> touches ->
+    // purchase | null, truncated at first conversion), then credit each
+    // channel by how much total conversion DROPS when it is removed
+    // (Anderl et al. 2014). The chain solve is a 64-step fixed-point
+    // over the 4 transient channel states, run ENTIRELY in integer
+    // nano-probability space — p9 = n*1e9 // total, products floored
+    // back to nanos — so both engines produce bit-identical fixed
+    // points (no float enters until the final micro outputs, computed
+    // from identical integers). Distributed work: one user-keyed
+    // journey window + a (from,to) count rollup; the <=30-cell matrix
+    // then collects to the driver (metadata-scale, the kmeans-centroid
+    // pattern) where the 5-scenario iteration is plain BigInt
+    // arithmetic. Channel set fixed to the four non-converting event
+    // types (stated contract — a dynamic state set would key the
+    // pivot differently).
+    "q_markov_attribution" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+        val seq = ev(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("rn", row_number().over(w))
+        val firstP = seq.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"rn").as("prn"))
+        val kept = seq.join(firstP, Seq("user_id"), "left")
+          .filter($"prn".isNull || $"rn" <= $"prn")
+        val w2 = Window.partitionBy($"user_id").orderBy($"rn")
+        val pairs = kept
+          .withColumn("nxt", lead($"event_type", 1).over(w2))
+          .select($"event_type".as("from_t"),
+            coalesce($"nxt", when($"event_type" === "purchase",
+              lit(null)).otherwise(lit("null"))).as("to_t"))
+          .filter($"to_t".isNotNull)
+        val starts = kept.filter($"rn" === 1)
+          .select(lit("start").as("from_t"), $"event_type".as("to_t"))
+        val cntRows = pairs.unionByName(starts)
+          .groupBy($"from_t", $"to_t").agg(count(lit(1)).as("n"))
+          .collect().map(r =>
+            (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+        // driver-side exact-integer chain solve (BigInt mirrors the
+        // oracle's HUGEINT floor arithmetic step for step)
+        val B = BigInt(1000000000L)
+        val tot = mkFroms.map(f =>
+          f -> mkTos.map(t => cntRows.getOrElse((f, t), 0L)).sum).toMap
+        def p9(f: String, t: String): BigInt =
+          if (tot(f) == 0L) BigInt(0)
+          else BigInt(cntRows.getOrElse((f, t), 0L)) * B / BigInt(tot(f))
+        def solve(removed: Option[String]): BigInt = {
+          def clamp(c: String, v: BigInt) =
+            if (removed.contains(c)) BigInt(0) else v
+          var v = mkChans.map(c =>
+            c -> clamp(c, p9(c, "purchase"))).toMap
+          for (_ <- 1 to 64) v = mkChans.map { c =>
+            c -> clamp(c, p9(c, "purchase") +
+              mkChans.map(t => p9(c, t) * v(t) / B).sum)
+          }.toMap
+          p9("start", "purchase") +
+            mkChans.map(t => p9("start", t) * v(t) / B).sum
+        }
+        val v0 = solve(None)
+        val re9 = mkChans.map(c => c -> (B - solve(Some(c)) * B / v0))
+        val sre = re9.map(_._2).sum
+        val out = re9.map { case (c, r) =>
+          (c, math.round(r.toDouble / 1000.0),
+            math.round(r.toDouble / sre.toDouble * 1000000.0),
+            math.round(v0.toDouble / 1000.0))
+        }
+        s.createDataFrame(out).toDF(
+          "channel", "re_micro", "share_micro", "p_base_micro")
+          .orderBy($"channel")
+      },
+      Some(mkOracle),
+      "Markov removal-effect attribution over first-conversion " +
+        "journeys (bit-exact integer nano-probability fixed point, " +
+        "metadata-scale matrix collect)"),
   )
+
+  // ---- q_markov_attribution SQL generation -------------------------------
+
+  /** Channel states (alphabetical — the non-converting event types). */
+  private lazy val mkChans = Seq("click", "error", "signup", "view")
+  private lazy val mkFroms = "start" +: mkChans
+  private lazy val mkTos = mkChans ++ Seq("purchase", "null")
+
+  /** One pivoted-matrix column name per (from, to) cell. */
+  private def mkCol(f: String, t: String) = s"p9_${f}_$t"
+
+  /** The full DuckDB oracle: journey counts, integer nano-probability
+    * pivot, a 64-step recursive fixed point per removal scenario, and
+    * the removal-effect readout — generated from the state lists so the
+    * Spark driver loop and this SQL share one structure. */
+  private def mkOracle: String = {
+    val pivotCols = (for (f <- mkFroms; t <- mkTos if t != "null")
+      yield s"""    CAST(COALESCE(MAX(CASE WHEN from_t = '$f' AND
+         | to_t = '$t' THEN CAST(n AS HUGEINT) * 1000000000 //
+         | CAST(tt AS HUGEINT) END), 0) AS BIGINT) AS ${mkCol(f, t)}"""
+        .stripMargin.replace("\n", "")).mkString(",\n")
+    val baseV = mkChans.map(c =>
+      s"""    CASE WHEN scen = '$c' THEN CAST(0 AS BIGINT)
+         | ELSE ${mkCol(c, "purchase")} END AS v_$c"""
+        .stripMargin.replace("\n", "")).mkString(",\n")
+    def stepSum(f: String) = mkChans.map(t =>
+      s"CAST(CAST(${mkCol(f, t)} AS HUGEINT) * v_$t // 1000000000 " +
+        "AS BIGINT)").mkString(" + ")
+    val stepV = mkChans.map(c =>
+      s"""    CASE WHEN scen = '$c' THEN CAST(0 AS BIGINT)
+         | ELSE ${mkCol(c, "purchase")} + ${stepSum(c)} END AS v_$c"""
+        .stripMargin.replace("\n", "")).mkString(",\n")
+    val scenVals = ("none" +: mkChans).map(c => s"('$c')").mkString(", ")
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT user_id, event_type, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000,
+       |    event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, MIN(rn) AS prn FROM seq
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |kept AS (
+       |  SELECT s.user_id, s.event_type, s.rn
+       |  FROM seq s LEFT JOIN fp USING (user_id)
+       |  WHERE prn IS NULL OR rn <= prn),
+       |prs AS (
+       |  SELECT event_type AS from_t,
+       |    COALESCE(lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY rn),
+       |      CASE WHEN event_type = 'purchase' THEN NULL
+       |        ELSE 'null' END) AS to_t
+       |  FROM kept),
+       |allp AS (
+       |  SELECT from_t, to_t FROM prs WHERE to_t IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'start', event_type FROM kept WHERE rn = 1),
+       |cnt AS (SELECT from_t, to_t, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM allp GROUP BY 1, 2),
+       |tt AS (SELECT from_t, CAST(SUM(n) AS BIGINT) AS tt
+       |  FROM cnt GROUP BY 1),
+       |mrow AS (
+       |  SELECT
+       |$pivotCols
+       |  FROM cnt JOIN tt USING (from_t)),
+       |it AS (
+       |  SELECT scen, 0 AS k,
+       |$baseV
+       |  FROM (VALUES $scenVals) sc(scen), mrow
+       |  UNION ALL
+       |  SELECT scen, k + 1,
+       |$stepV
+       |  FROM it, mrow WHERE k < 64),
+       |fin AS (
+       |  SELECT scen, ${mkCol("start", "purchase")} +
+       |    ${stepSum("start")} AS vs
+       |  FROM it, mrow WHERE k = 64),
+       |b AS (SELECT vs AS v0 FROM fin WHERE scen = 'none'),
+       |re AS (
+       |  SELECT scen AS channel,
+       |    CAST(1000000000 - CAST(vs AS HUGEINT) * 1000000000 //
+       |      CAST(v0 AS HUGEINT) AS BIGINT) AS re9, v0
+       |  FROM fin, b WHERE scen <> 'none'),
+       |t2 AS (SELECT CAST(SUM(re9) AS BIGINT) AS sre FROM re)
+       |SELECT channel,
+       |  CAST(round(re9 / 1000.0, 0) AS BIGINT) AS re_micro,
+       |  CAST(round(CAST(re9 AS DOUBLE) / CAST(sre AS DOUBLE) *
+       |    1000000.0, 0) AS BIGINT) AS share_micro,
+       |  CAST(round(v0 / 1000.0, 0) AS BIGINT) AS p_base_micro
+       |FROM re, t2 ORDER BY channel""".stripMargin
+  }
 }
