@@ -1482,5 +1482,102 @@ object Similarity {
         |GROUP BY 1 ORDER BY label""".stripMargin),
       "mean silhouette per label over a fixed 256-vector panel " +
         "(micro-frozen cosine distances, bounded pair grid)"),
+
+    // Maximal Marginal Relevance selection (Carbonell & Goldstein
+    // 1998) — the diversity-aware re-ranker a RAG/training-data
+    // pipeline runs AFTER retrieval: greedily pick k=5 of the top-20
+    // candidates maximizing lambda*relevance - (1-lambda)*max-
+    // similarity-to-already-picked, lambda = 0.7. Every score is an
+    // EXACT INTEGER (7*rel6 - 3*maxsim6 over micro-frozen cosines,
+    // ties to the smaller vec_id), so the greedy argmax chain is
+    // deterministic in both engines: Spark collects the 20-row
+    // candidate panel + its 380 pair similarities (metadata-scale,
+    // the kmeans-centroid pattern) and runs the 5 steps in plain
+    // integer arithmetic; the oracle unrolls the same 5 steps as
+    // generated CTEs. Distributed work: one corpus top-20 + one
+    // bounded pair grid.
+    "q_mmr_select" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val probe = broadcast(e.filter($"vec_id" === 0)
+          .select($"embedding".as("q_emb")))
+        val cands = e.filter($"vec_id" >= 8).crossJoin(probe)
+          .select($"vec_id", $"embedding",
+            expr("CAST(round(cosine_sim(embedding, q_emb) * " +
+              "1000000.0, 0) AS BIGINT)").as("rel6"))
+          .orderBy($"rel6".desc, $"vec_id").limit(20)
+          .localCheckpoint()
+        val rel = cands.select($"vec_id", $"rel6")
+          .as[(Long, Long)].collect().toMap
+        val sim = cands.as("a")
+          .join(cands.select($"vec_id".as("j"),
+            $"embedding".as("ej")).as("b"), $"vec_id" =!= $"j")
+          .select($"vec_id".as("i"), $"j",
+            expr("CAST(round(cosine_sim(embedding, ej) * 1000000.0, " +
+              "0) AS BIGINT)").as("sim6"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        // greedy integer MMR, 5 steps
+        var sel = Vector.empty[(Long, Long, Long)] // (vec_id, rel6, score)
+        for (_ <- 1 to 5) {
+          val remaining = rel.keys.filterNot(sel.map(_._1).contains)
+          val scored = remaining.map { c =>
+            val score =
+              if (sel.isEmpty) 7L * rel(c)
+              else 7L * rel(c) - 3L * sel.map(s => sim((c, s._1))).max
+            (c, rel(c), score)
+          }
+          sel = sel :+ scored.minBy(x => (-x._3, x._1))
+        }
+        s.createDataFrame(sel.zipWithIndex.map { case ((v, r, sc), i) =>
+          ((i + 1).toLong, v, r, sc) })
+          .toDF("rank", "vec_id", "rel_micro", "score")
+          .orderBy($"rank")
+      },
+      Some(mmrOracle),
+      "MMR diverse top-5 from the top-20 retrieval panel (integer " +
+        "7*rel6 - 3*maxsim6 greedy, unrolled oracle CTEs)"),
   )
+
+  /** q_mmr_select's oracle: the same 5 greedy steps unrolled as CTEs,
+    * generated so both engines share one selection rule. */
+  private def mmrOracle: String = {
+    val steps = (2 to 5).map { k =>
+      s"""s$k AS (
+         |  SELECT c.vec_id, c.rel6,
+         |    7 * c.rel6 - 3 * MAX(p.sim6) AS score
+         |  FROM cands c
+         |  JOIN pairs p ON p.i = c.vec_id
+         |  JOIN sel${k - 1} s ON p.j = s.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  GROUP BY c.vec_id, c.rel6
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$k AS (SELECT vec_id FROM sel${k - 1}
+         |  UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, vec_id, rel6 AS rel_micro," +
+        s" score FROM s$k").mkString("\nUNION ALL\n")
+    s"""WITH p0 AS (
+       |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cands AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(round(${duckCos("embedding", "q_emb")} * 1000000.0, 0)
+       |      AS BIGINT) AS rel6
+       |  FROM embeddings, p0 WHERE vec_id >= 8
+       |  ORDER BY rel6 DESC, vec_id LIMIT 20),
+       |pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |    CAST(round(${duckCos("a.embedding", "b.embedding")} *
+       |      1000000.0, 0) AS BIGINT) AS sim6
+       |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel6, 7 * rel6 AS score FROM cands
+       |  ORDER BY rel6 DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
 }

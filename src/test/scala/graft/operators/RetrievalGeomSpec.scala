@@ -158,4 +158,41 @@ class RetrievalGeomSpec extends SparkSpec {
         s"frozen-vs-unfrozen beta drift for ${g._1}")
     }
   }
+
+  test("q_mmr_select matches an independent greedy recount and is " +
+    "more diverse than plain top-5") {
+    val probe = vecs.find(_._1 == 0L).get._2
+    val cands = vecs.filter(_._1 >= 8)
+      .map { case (id, emb, _) =>
+        (id, emb, math.round(cos(emb, probe) * 1e6)) }
+      .sortBy(c => (-c._3, c._1)).take(20)
+    val byId = cands.map(c => c._1 -> c).toMap
+    def sim6(a: Long, b: Long) =
+      math.round(cos(byId(a)._2, byId(b)._2) * 1e6)
+    var sel = Vector.empty[(Long, Long, Long)]
+    for (_ <- 1 to 5) {
+      val rem = cands.filterNot(c => sel.exists(_._1 == c._1))
+      val scored = rem.map { c =>
+        val sc = if (sel.isEmpty) 7L * c._3
+          else 7L * c._3 - 3L * sel.map(s => sim6(c._1, s._1)).max
+        (c._1, c._3, sc)
+      }
+      sel = sel :+ scored.minBy(x => (-x._3, x._1))
+    }
+    val expect = sel.zipWithIndex.map { case ((v, r, sc), i) =>
+      ((i + 1).toLong, v, r, sc) }
+    val got = q("q_mmr_select")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == expect)
+    // rank 1 is the pure-relevance argmax
+    assert(got.head._2 == cands.head._1)
+    // diversity property: the MMR set's minimum pairwise distance is
+    // at least the plain top-5's (it optimizes exactly that tradeoff)
+    def minDist(ids: Seq[Long]) = (for {
+      a <- ids; b <- ids if a < b } yield 1e6 - sim6(a, b)).min
+    val mmrIds = got.map(_._2).toSeq
+    val topIds = cands.take(5).map(_._1)
+    assert(minDist(mmrIds) >= minDist(topIds),
+      s"MMR not more diverse: ${minDist(mmrIds)} < ${minDist(topIds)}")
+  }
 }
