@@ -87,7 +87,12 @@ object PlanAudit {
       "sums over the duration-day table — bounded by the observation " +
       "window's day count (the q_kaplan_meier bound)"),
     "q_croston" -> ("arrival ranks + lag intervals over the demand-" +
-      "day table — calendar-bounded (<= observation window days)"))
+      "day table — calendar-bounded (<= observation window days)"),
+    "q_gains" -> ("running sums over the activity-score VALUE grain " +
+      "— bounded by per-user event counts, not corpus size (the " +
+      "q_stump argument)"),
+    "q_anderson_darling" -> ("rank window over the bounded day table " +
+      "— the q_changepoint bound"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

@@ -886,5 +886,77 @@ object Graph {
         |FROM m""".stripMargin),
       "degree assortativity of the trade graph (exact moment sums " +
         "over edges, two degree rollups, one reduce)"),
+
+    // Global clustering coefficient (transitivity) of the thresholded
+    // supplier-similarity graph: 3 * triangles / wedges, where wedges =
+    // sum over nodes of C(deg, 2) — the "how cliquish is this
+    // similarity graph" number that q_triangles' raw count can't give
+    // without its denominator. Reuses the memoized capped-projection
+    // edge table; the triangle join is q_triangles' oriented two-join
+    // chain, the wedge count one degree rollup over the edge list —
+    // both exact integers, one IEEE division at the end.
+    "q_clustering_coeff" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val edges = supplierSimEdges(s, d)
+        val tri = edges.as("ab")
+          .join(edges.as("bc"), col("ab.s2") === col("bc.s1"))
+          .join(edges.as("ac"),
+            col("ac.s1") === col("ab.s1") && col("ac.s2") === col("bc.s2"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val deg = edges.select($"s1".as("s"))
+          .unionAll(edges.select($"s2".as("s")))
+          .groupBy($"s").agg(count(lit(1)).as("deg"))
+        val wed = deg.agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+            .as("n_wedges"))
+        val ne = edges.agg(count(lit(1)).as("n_edges"))
+        // empty-graph contract: below the similarity threshold the edge
+        // set can be empty at tiny scale — report explicit zeros, not
+        // NULLs
+        wed.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+          .select($"n_nodes", $"n_edges", $"n_triangles",
+            $"n_wedges".cast("long").as("n_wedges"),
+            expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE " +
+              "CAST(round(3.0 * CAST(n_triangles AS DOUBLE) / " +
+              "CAST(n_wedges AS DOUBLE) * 1000000.0, 0) AS BIGINT) " +
+              "END").as("cc_micro"))
+      },
+      Some(s"""WITH co0 AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |co AS (
+        |  SELECT c, s FROM (
+        |    SELECT c, s, COUNT(*) OVER (PARTITION BY c) AS deg FROM co0)
+        |  WHERE deg <= $MaxCustDeg),
+        |p AS (
+        |  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |t AS (SELECT quantile_cont(shared, 0.99) AS thr FROM p),
+        |e AS (
+        |  SELECT s1, s2 FROM p, t WHERE CAST(shared AS DOUBLE) > t.thr),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e ab JOIN e bc ON ab.s2 = bc.s1
+        |    JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2),
+        |deg AS (
+        |  SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e)
+        |  GROUP BY 1),
+        |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+        |    AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(round(3.0 * CAST(n_triangles AS DOUBLE) /
+        |    CAST(n_wedges AS DOUBLE) * 1000000.0, 0) AS BIGINT) END
+        |    AS cc_micro
+        |FROM w, ne, tri""".stripMargin),
+      "global clustering coefficient of the supplier-similarity " +
+        "graph (exact triangle + wedge counts over the capped " +
+        "projection)"),
   )
 }

@@ -1088,7 +1088,179 @@ object Inference {
       "Croston intermittent-demand forecast over daily BUILDING-" +
         "segment order counts (dissolved EWMA recursions, 9-dp frozen " +
         "weights, exact decimal sums)"),
+
+    // Cumulative gains / lift curve on the ACTIVITY-SCORE VALUE GRAIN:
+    // score users by their total event count, outcome = converted
+    // (>$100 purchase, the q_kaplan_meier convention), then for every
+    // score threshold report the cumulative population targeted from
+    // the top and its conversion lift over the base rate — the
+    // campaign-targeting readout behind every "top-decile" claim.
+    // Working on the VALUE grain (per-user event counts — bounded by
+    // per-user behavior, not corpus size; the q_stump n_chars
+    // argument) keeps the running sums on a small table instead of
+    // ntile-ing every user through one partition. All counts exact;
+    // lift is one IEEE division chain over identical integers.
+    "q_gains" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val u = Tables.load(s, d, "events")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("score"),
+            max(($"event_type" === "purchase" && $"value" > 100.0)
+              .cast("long")).as("conv"))
+        val g = u.groupBy($"score")
+          .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+        val byScoreDesc = Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        g.withColumn("cum_users", sum($"n_users").over(byScoreDesc))
+          .withColumn("cum_conv", sum($"n_conv").over(byScoreDesc))
+          .withColumn("tu", sum($"n_users").over(full))
+          .withColumn("tc", sum($"n_conv").over(full))
+          .select($"score", $"n_users", $"cum_users", $"cum_conv",
+            expr("CAST(round(CAST(cum_conv AS DOUBLE) / " +
+              "CAST(cum_users AS DOUBLE) / (CAST(tc AS DOUBLE) / " +
+              "CAST(tu AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+              .as("lift_micro"))
+          .orderBy($"score".desc)
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(conv) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT score, n_users,
+        |    CAST(SUM(n_users) OVER (ORDER BY score DESC) AS BIGINT)
+        |      AS cum_users,
+        |    CAST(SUM(n_conv) OVER (ORDER BY score DESC) AS BIGINT)
+        |      AS cum_conv,
+        |    CAST(SUM(n_users) OVER () AS BIGINT) AS tu,
+        |    CAST(SUM(n_conv) OVER () AS BIGINT) AS tc
+        |  FROM g)
+        |SELECT score, n_users, cum_users, cum_conv,
+        |  CAST(round(CAST(cum_conv AS DOUBLE) /
+        |    CAST(cum_users AS DOUBLE) / (CAST(tc AS DOUBLE) /
+        |    CAST(tu AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS lift_micro
+        |FROM c ORDER BY score DESC""".stripMargin),
+      "cumulative gains/lift curve on the activity-score value grain " +
+        "(exact counts, bounded running sums, one user rollup)"),
+
+    // Anderson-Darling normality test over the daily event-count
+    // series — the tail-sensitive complement to q_jarque_bera's
+    // moment test (AD weights the CDF ends, exactly where count data
+    // departs first). The normal CDF uses the Abramowitz-Stegun
+    // 26.2.17 rational tail (|err| < 7.5e-8 — stated approximation,
+    // the SAME expression tree in both engines); per-rank terms
+    // freeze at 9 dp into an exact decimal sum. The rank window runs
+    // over the bounded day table. Reports the n-adjusted A*^2 with
+    // the 0.752 (5%, unknown mean/var) fence.
+    "q_anderson_darling" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("s2"))
+        val staged = daily.crossJoin(broadcast(tot))
+          .select($"day", $"n", expr(adZE).as("z"))
+          .select($"day", $"n", $"z", abs($"z").as("az"))
+          .select($"day", $"n", $"z", expr(adTailE).as("tail"))
+          .select($"day", $"n",
+            expr("CASE WHEN z >= 0.0 THEN ln(1.0 - tail) " +
+              "ELSE ln(tail) END").as("lp"),
+            expr("CASE WHEN z >= 0.0 THEN ln(tail) " +
+              "ELSE ln(1.0 - tail) END").as("lq"),
+            $"z")
+          .withColumn("i", row_number().over(
+            Window.orderBy($"z".asc, $"day".asc)))
+        staged
+          .select($"n",
+            expr("CAST(round((2.0 * CAST(i AS DOUBLE) - 1.0) * lp + " +
+              "(2.0 * CAST(n - i AS DOUBLE) + 1.0) * lq, 9) " +
+              "AS DECIMAL(24,9))").as("t9"))
+          .groupBy($"n").agg(sum($"t9").as("tsum"))
+          .select($"n".as("n_days"),
+            expr(s"CAST(round($adA2E * 1000000.0, 0) AS BIGINT)")
+              .as("a2_micro"),
+            expr(s"CAST(round($adA2E * $adCorrE * 1000000.0, 0) " +
+              "AS BIGINT)").as("a2_star_micro"))
+          .withColumn("reject", $"a2_star_micro" > 752000L)
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS s1,
+        |  SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |    AS s2 FROM daily),
+        |z1 AS (SELECT day, n, $adZE AS z FROM daily, tot),
+        |z2 AS (SELECT day, n, z, abs(z) AS az FROM z1),
+        |z3 AS (SELECT day, n, z, $adTailE AS tail FROM z2),
+        |z4 AS (
+        |  SELECT day, n, z,
+        |    CASE WHEN z >= 0.0 THEN ln(1.0 - tail) ELSE ln(tail) END
+        |      AS lp,
+        |    CASE WHEN z >= 0.0 THEN ln(tail) ELSE ln(1.0 - tail) END
+        |      AS lq
+        |  FROM z3),
+        |z5 AS (
+        |  SELECT n,
+        |    CAST(round((2.0 * CAST(i AS DOUBLE) - 1.0) * lp +
+        |      (2.0 * CAST(n - i AS DOUBLE) + 1.0) * lq, 9)
+        |      AS DECIMAL(24,9)) AS t9
+        |  FROM (SELECT day, n, lp, lq,
+        |    row_number() OVER (ORDER BY z ASC, day ASC) AS i, z
+        |    FROM z4)),
+        |g AS (SELECT n, SUM(t9) AS tsum FROM z5 GROUP BY 1)
+        |SELECT n AS n_days,
+        |  CAST(round($adA2E * 1000000.0, 0) AS BIGINT) AS a2_micro,
+        |  CAST(round($adA2E * $adCorrE * 1000000.0, 0) AS BIGINT)
+        |    AS a2_star_micro,
+        |  CAST(round($adA2E * $adCorrE * 1000000.0, 0) AS BIGINT)
+        |    > 752000 AS reject
+        |FROM g""".stripMargin),
+      "Anderson-Darling normality test over daily event counts " +
+        "(A&S 26.2.17 normal tail, 9-dp frozen rank terms, n-adjusted " +
+        "A* with the 0.752 fence)"),
   )
+
+  /** q_anderson_darling standardized z from exact sums: (x-mu)/sd with
+    * the sample sd. */
+  private def adZE: String = {
+    val sd = "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+      "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "CAST(n - 1 AS DOUBLE))"
+    "((CAST(x AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)) " +
+      s"/ (CAST(n AS DOUBLE) * $sd))"
+  }
+
+  /** Abramowitz-Stegun 26.2.17 upper-tail 1-Phi(az) for az >= 0 —
+    * normal pdf times the 5-term rational polynomial in
+    * t = 1/(1 + 0.2316419 az). One string, both engines. */
+  private def adTailE: String = {
+    val t = "(1.0 / (1.0 + 0.2316419 * az))"
+    val pdf = "(exp(-az * az / 2.0) / 2.5066282746310002)"
+    s"($pdf * ((((1.330274429 * $t - 1.821255978) * $t + " +
+      s"1.781477937) * $t - 0.356563782) * $t + 0.319381530) * $t)"
+  }
+
+  /** q_anderson_darling A^2 from the frozen term sum. */
+  private def adA2E: String =
+    "(-CAST(n AS DOUBLE) - CAST(tsum AS DOUBLE) / CAST(n AS DOUBLE))"
+
+  /** Small-sample correction factor for A*^2 (unknown mean/variance). */
+  private def adCorrE: String =
+    "(1.0 + 0.75 / CAST(n AS DOUBLE) + 2.25 / (CAST(n AS DOUBLE) * " +
+      "CAST(n AS DOUBLE)))"
 
   /** Croston dissolved-EWMA weight for one row: seed rows (j = base)
     * carry (1-a)^(m-base) * v; later rows carry a*(1-a)^(m-j) * v.

@@ -1642,5 +1642,60 @@ object Text {
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin),
       "Flesch reading ease per source (shared tokenizer word counts, " +
         "vowel-group syllables, micro-frozen per-doc scores)"),
+
+    // Token burstiness for the top-20 corpus tokens: the variance-to-
+    // mean ratio of per-document counts (zeros included — absent docs
+    // contribute only to N) plus the Church-Gale tf/df rate. Content
+    // words BURST (a doc that mentions them once mentions them again:
+    // VMR >> 1) while function words spread Poisson-like (VMR ~ 1) —
+    // the signal that separates topical vocabulary from glue without
+    // any lexicon, and a quality feature next to q_tfidf/q_zipf_slope.
+    // One explode + (doc, token) rollup, a vocab-bounded token rollup,
+    // exact integer moments, top-20 by tf (ties to token).
+    "q_burstiness" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val perDoc = docs(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("x"))
+        val nd = docs(s, d).agg(count(lit(1)).as("nn"))
+        perDoc.groupBy($"tok")
+          .agg(sum($"x").as("tf"), count(lit(1)).as("df"),
+            sum($"x".cast(d38) * $"x".cast(d38)).as("sx2"))
+          .crossJoin(broadcast(nd))
+          .select($"tok", $"tf", $"df",
+            expr("CAST(round((CAST(sx2 AS DOUBLE) / CAST(nn AS " +
+              "DOUBLE) - CAST(tf AS DOUBLE) / CAST(nn AS DOUBLE) * " +
+              "CAST(tf AS DOUBLE) / CAST(nn AS DOUBLE)) / " +
+              "(CAST(tf AS DOUBLE) / CAST(nn AS DOUBLE)) * " +
+              "1000000.0, 0) AS BIGINT)").as("vmr_micro"),
+            expr("CAST(round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)" +
+              " * 1000000.0, 0) AS BIGINT)").as("rate_micro"))
+          .orderBy($"tf".desc, $"tok".asc)
+          .limit(20)
+      },
+      Some(s"""WITH pd AS (
+        |  SELECT doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM documents, unnest(${sqlTokens("text")}) AS t(tok)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+        |tk AS (
+        |  SELECT tok, CAST(SUM(x) AS BIGINT) AS tf,
+        |    CAST(COUNT(*) AS BIGINT) AS df,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS sx2
+        |  FROM pd GROUP BY 1)
+        |SELECT tok, tf, df,
+        |  CAST(round((CAST(sx2 AS DOUBLE) / CAST(nn AS DOUBLE) -
+        |    CAST(tf AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |    CAST(tf AS DOUBLE) / CAST(nn AS DOUBLE)) /
+        |    (CAST(tf AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0, 0)
+        |    AS BIGINT) AS vmr_micro,
+        |  CAST(round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) AS rate_micro
+        |FROM tk, nd ORDER BY tf DESC, tok LIMIT 20""".stripMargin),
+      "token burstiness (per-doc VMR, zeros included) + Church-Gale " +
+        "tf/df for the top-20 tokens (exact integer moments)"),
   )
 }

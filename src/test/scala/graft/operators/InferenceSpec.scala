@@ -450,4 +450,146 @@ class InferenceSpec extends SparkSpec {
     assert(math.abs(row._2 - math.round(num / den * 1e6)) <= 2,
       s"r ${row._2} vs ${num / den * 1e6}")
   }
+
+  test("q_gains matches a plain user-map recount") {
+    val users = graft.Tables.load(spark, d, "events")
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Option[Double])].collect()
+      .groupBy(_._1).toSeq.map { case (_, v) =>
+        (v.length.toLong,
+          v.exists(r => r._2 == "purchase" && r._3.exists(_ > 100.0)))
+      }
+    val tu = users.length.toLong
+    val tc = users.count(_._2).toLong
+    val byScore = users.groupBy(_._1).toSeq.sortBy(-_._1)
+    var (cu, cc) = (0L, 0L)
+    val expect = byScore.map { case (sc, v) =>
+      cu += v.length; cc += v.count(_._2)
+      (sc, v.length.toLong, cu, cc,
+        math.round(cc.toDouble / cu / (tc.toDouble / tu) * 1e6))
+    }
+    val got = q("q_gains")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(-_._1)
+    assert(got.toSeq == expect)
+  }
+
+  test("q_anderson_darling: same-formula recount is tight; exact-Phi " +
+    "comparison bounds the stated A&S approximation") {
+    val xs = dailyCnt.map(_._2.toDouble)
+    val n = xs.length
+    val mu = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    val zs = dailyCnt.map { case (ep, x) => ((x - mu) / sd, ep) }
+      .sortBy(identity).map(_._1)
+    def tailAS(az: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val pdf = math.exp(-az * az / 2.0) / 2.5066282746310002
+      pdf * ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+        - 0.356563782) * t + 0.319381530) * t
+    }
+    // exact Phi by Simpson integration of the pdf (independent path)
+    def phiExact(z: Double): Double = {
+      val az = math.abs(z); val steps = 4096
+      val h = az / steps
+      def pdf(u: Double) = math.exp(-u * u / 2.0) / 2.5066282746310002
+      val s = pdf(0) + pdf(az) + (1 until steps).map(i =>
+        (if (i % 2 == 1) 4.0 else 2.0) * pdf(i * h)).sum
+      val half = s * h / 3.0
+      if (z >= 0) 0.5 + half else 0.5 - half
+    }
+    def a2With(phi: Double => Double): Double = {
+      val tsum = zs.zipWithIndex.map { case (z, idx) =>
+        val i = idx + 1
+        (2.0 * i - 1) * math.log(phi(z)) +
+          (2.0 * (n - i) + 1) * math.log(1 - phi(z))
+      }.sum
+      -n - tsum / n
+    }
+    def phiAS(z: Double) =
+      if (z >= 0) 1.0 - tailAS(z) else tailAS(-z)
+    val row = q("q_anderson_darling")
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(row._1 == n.toLong)
+    val sameFormula = a2With(phiAS)
+    assert(math.abs(row._2 - math.round(sameFormula * 1e6)) <= 10,
+      s"a2 ${row._2} vs ${sameFormula * 1e6}")
+    val exact = a2With(phiExact)
+    assert(math.abs(row._2 / 1e6 - exact) < 2e-3,
+      s"A&S drift vs exact Phi: ${row._2 / 1e6} vs $exact")
+    val corr = 1.0 + 0.75 / n + 2.25 / (n.toDouble * n)
+    assert(math.abs(row._3 -
+      math.round(sameFormula * corr * 1e6)) <= 10)
+    assert(row._4 == (row._3 > 752000L))
+  }
+
+  test("q_burstiness matches a direct token-count recount") {
+    val docs = graft.Tables.load(spark, d, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val nn = docs.length.toDouble
+    val perDoc = docs.flatMap { case (id, text) =>
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, v) => (t, id, v.length.toLong) }
+    }
+    val expect = perDoc.groupBy(_._1).map { case (tok, v) =>
+      val tf = v.map(_._3).sum
+      val df = v.length.toLong
+      val sx2 = v.map(r => r._3.toDouble * r._3).sum
+      val mean = tf / nn
+      (tok, tf, df,
+        math.round((sx2 / nn - mean * mean) / mean * 1e6),
+        math.round(tf.toDouble / df * 1e6))
+    }.toSeq.sortBy(r => (-r._2, r._1)).take(20)
+    val got = q("q_burstiness")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == expect)
+    // content words burst harder than glue: the top-20's max VMR
+    // should comfortably exceed 1 if the fixture has any topicality
+    assert(got.map(_._4).max > 1000000L)
+  }
+
+  test("q_clustering_coeff matches a from-scratch projection recount " +
+    "and q_triangles' own counts") {
+    // below the similarity threshold the sf0.001 graph is EMPTY — the
+    // stated contract reports zeros (no NULLs)
+    assert(q("q_clustering_coeff")
+      .as[(Long, Long, Long, Long, Long)].collect().head ==
+      ((0L, 0L, 0L, 0L, 0L)))
+    // the recount runs where the graph is nonempty
+    val d01 = "/root/testdata/sf0.01"
+    val co = graft.Tables.load(spark, d01, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.load(spark, d01, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+        "o_orderkey")
+      .select($"o_custkey", $"l_suppkey")
+      .as[(Long, Long)].collect().distinct
+    val byCust = co.groupBy(_._1).filter(_._2.length <= 64)
+    val shared = byCust.values.toSeq.flatMap { sups =>
+      val ss = sups.map(_._2).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length)
+        yield (ss(i), ss(j))
+    }.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val counts = shared.values.toSeq.sorted
+    val h = 0.99 * (counts.length - 1)
+    val lo = counts(h.toInt)
+    val thr = lo + (counts(math.min(h.toInt + 1, counts.length - 1)) -
+      lo) * (h - h.toInt)
+    val edges = shared.filter(_._2.toDouble > thr).keys.toSeq
+    val eset = edges.toSet
+    val tris = (for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b
+      if eset((a, c)) } yield 1).size.toLong
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map(_._2.length.toLong)
+    val wedges = deg.map(dd => dd * (dd - 1) / 2).sum
+    val nodes = deg.size.toLong
+    val row = SparkEntry.queries("q_clustering_coeff")(spark, d01)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row == ((nodes, edges.length.toLong, tris, wedges,
+      math.round(3.0 * tris / wedges * 1e6))))
+    // cross-query pin: the shared counts must equal q_triangles'
+    val t = SparkEntry.queries("q_triangles")(spark, d01)
+      .as[(Long, Long, Long)].collect().head
+    assert((row._1, row._2, row._3) == t)
+  }
 }
