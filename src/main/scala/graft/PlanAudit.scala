@@ -92,7 +92,9 @@ object PlanAudit {
       "— bounded by per-user event counts, not corpus size (the " +
       "q_stump argument)"),
     "q_anderson_darling" -> ("rank window over the bounded day table " +
-      "— the q_changepoint bound"))
+      "— the q_changepoint bound"),
+    "q_bh_fdr" -> ("BH decision chain over the category-bounded " +
+      "metric table (one row per event type)"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

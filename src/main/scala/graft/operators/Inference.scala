@@ -1231,7 +1231,299 @@ object Inference {
       "Anderson-Darling normality test over daily event counts " +
         "(A&S 26.2.17 normal tail, 9-dp frozen rank terms, n-adjusted " +
         "A* with the 0.752 fence)"),
+
+    // Benjamini-Hochberg FDR control over the per-metric A/B family —
+    // the multiple-testing guard every experiment platform needs once
+    // it reads out MORE than one metric (five Welch z-tests here, one
+    // per event type): sort p ascending, find the largest rank with
+    // p <= alpha*rank/m, reject everything at or below it. p-values
+    // come from the shared A&S normal tail (9-dp frozen); the BH
+    // decision chain runs over the category-bounded metric table.
+    "q_bh_fdr" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val wide = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type", pmod($"user_id", lit(2L)).as("arm"),
+            expr("CAST(round(value * 1000000.0, 0) AS BIGINT)")
+              .as("v6"))
+          .groupBy($"event_type", $"arm")
+          .agg(count(lit(1)).as("n"), sum($"v6".cast(d38)).as("sv"),
+            sum($"v6".cast(d38) * $"v6".cast(d38)).as("qv"))
+          .groupBy($"event_type")
+          .agg(max(when($"arm" === 0L, $"n")).as("nc"),
+            max(when($"arm" === 0L, $"sv")).as("sc"),
+            max(when($"arm" === 0L, $"qv")).as("qc"),
+            max(when($"arm" === 1L, $"n")).as("nt"),
+            max(when($"arm" === 1L, $"sv")).as("st"),
+            max(when($"arm" === 1L, $"qv")).as("qt"))
+        val run = Window.orderBy($"p9".asc, $"event_type".asc)
+        val full = Window.orderBy($"p9".asc, $"event_type".asc)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        wide
+          .select($"event_type", expr(welchZE).as("z"))
+          .select($"event_type", $"z", abs($"z").as("az"))
+          .select($"event_type",
+            expr("CAST(round(z * 1000000.0, 0) AS BIGINT)")
+              .as("z_micro"),
+            expr(s"CAST(round(2.0 * ${gaussTail("az")}, 9) " +
+              "AS DECIMAL(12,9))").as("p9"))
+          .withColumn("rank", row_number().over(run))
+          .withColumn("m", count(lit(1)).over(full))
+          .withColumn("flag",
+            when(expr("CAST(p9 AS DOUBLE) <= 0.05 * " +
+              "CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)"), $"rank"))
+          .withColumn("k", coalesce(max($"flag").over(full), lit(0)))
+          .select($"event_type", $"z_micro",
+            expr("CAST(round(CAST(p9 AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("p_micro"),
+            $"rank".cast("long").as("rank"),
+            ($"rank" <= $"k").as("reject"))
+          .orderBy($"rank")
+      },
+      Some(s"""WITH w AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |      AS nc,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(v6 AS
+        |      DECIMAL(38,0)) END) AS sc,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(v6 AS
+        |      DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)) END) AS qc,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS nt,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(v6 AS
+        |      DECIMAL(38,0)) END) AS st,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(v6 AS
+        |      DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)) END) AS qt
+        |  FROM (SELECT event_type, user_id,
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) AS v6
+        |    FROM events WHERE value IS NOT NULL)
+        |  GROUP BY 1),
+        |z1 AS (SELECT event_type, $welchZE AS z FROM w),
+        |z2 AS (SELECT event_type, z, abs(z) AS az FROM z1),
+        |p AS (
+        |  SELECT event_type,
+        |    CAST(round(z * 1000000.0, 0) AS BIGINT) AS z_micro,
+        |    CAST(round(2.0 * ${gaussTail("az")}, 9) AS DECIMAL(12,9))
+        |      AS p9
+        |  FROM z2),
+        |r AS (
+        |  SELECT event_type, z_micro, p9,
+        |    CAST(row_number() OVER (ORDER BY p9, event_type)
+        |      AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM p),
+        |k AS (
+        |  SELECT COALESCE(MAX(CASE WHEN CAST(p9 AS DOUBLE) <= 0.05 *
+        |    CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) THEN rank END),
+        |    0) AS k
+        |  FROM r)
+        |SELECT event_type, z_micro,
+        |  CAST(round(CAST(p9 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS p_micro,
+        |  rank, rank <= k.k AS reject
+        |FROM r, k ORDER BY rank""".stripMargin),
+      "Benjamini-Hochberg FDR over the 5-metric A/B family (Welch z " +
+        "per event type, shared A&S tail, bounded decision chain)"),
+
+    // Stratified average treatment effect — the causal-inference
+    // counterpart to q_cuped: stratify users by their activity score
+    // (the bounded value grain q_gains uses), take the within-stratum
+    // treated-minus-control spend difference, and weight by stratum
+    // size. Removes the confounding that the NAIVE pooled difference
+    // (also reported, for the contrast) absorbs whenever activity
+    // correlates with both assignment imbalance and spend. Strata
+    // missing an arm are excluded (stated — no counterfactual there).
+    // Per-stratum differences freeze to micro; the weighted sum is an
+    // exact integer until the final division.
+    "q_stratified_ate" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val u = Tables.load(s, d, "events")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("score"),
+            coalesce(sum(when($"event_type" === "purchase",
+              expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))),
+              lit(0L)).as("y6"),
+            pmod(first($"user_id"), lit(2L)).as("arm"))
+        val strat = u.groupBy($"score")
+          .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("nc"),
+            sum(when($"arm" === 0L, $"y6").otherwise(0L)).as("syc"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("nt"),
+            sum(when($"arm" === 1L, $"y6").otherwise(0L)).as("syt"))
+          .filter($"nc" > 0L && $"nt" > 0L)
+          .select($"nc", $"nt",
+            expr("CAST(round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)" +
+              " - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 0) " +
+              "AS BIGINT)").as("d6"))
+        val naive = u.agg(
+          expr("CAST(round(CAST(SUM(CASE WHEN arm = 1 THEN y6 ELSE 0 " +
+            "END) AS DOUBLE) / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 " +
+            "END) - CAST(SUM(CASE WHEN arm = 0 THEN y6 ELSE 0 END) " +
+            "AS DOUBLE) / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), " +
+            "0) AS BIGINT)").as("naive_micro"))
+        strat.agg(count(lit(1)).as("n_strata"),
+          sum($"nc" + $"nt").as("n_users_used"),
+          expr("CAST(round(CAST(SUM((nc + nt) * d6) AS DOUBLE) / " +
+            "CAST(SUM(nc + nt) AS DOUBLE), 0) AS BIGINT)")
+            .as("ate_micro"))
+          .crossJoin(broadcast(naive))
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS score,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS y6
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT score,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y6 ELSE 0 END) AS BIGINT)
+        |      AS syc,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nt,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y6 ELSE 0 END) AS BIGINT)
+        |      AS syt
+        |  FROM u GROUP BY 1),
+        |used AS (
+        |  SELECT nc, nt,
+        |    CAST(round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) -
+        |      CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 0) AS BIGINT)
+        |      AS d6
+        |  FROM st WHERE nc > 0 AND nt > 0),
+        |nv AS (
+        |  SELECT CAST(round(CAST(SUM(CASE WHEN arm = 1 THEN y6 ELSE 0
+        |    END) AS DOUBLE) / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0
+        |    END) - CAST(SUM(CASE WHEN arm = 0 THEN y6 ELSE 0 END)
+        |    AS DOUBLE) / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS naive_micro
+        |  FROM u)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  CAST(SUM(nc + nt) AS BIGINT) AS n_users_used,
+        |  CAST(round(CAST(SUM((nc + nt) * d6) AS DOUBLE) /
+        |    CAST(SUM(nc + nt) AS DOUBLE), 0) AS BIGINT) AS ate_micro,
+        |  naive_micro
+        |FROM used, nv
+        |GROUP BY naive_micro""".stripMargin),
+      "stratified ATE on the activity-score grain vs the naive pooled " +
+        "difference (micro-frozen stratum effects, exact weights)"),
+
+    // TOST equivalence test — the A/B readout for "prove this change
+    // does NOT move the metric" (rollout safety gates, infra swaps):
+    // two one-sided Welch z-tests against the +-delta margin (5% of
+    // the control mean, 9-dp frozen); equivalent iff BOTH one-sided
+    // p-values clear alpha = 0.05. Superiority tests (q_ab_test)
+    // cannot answer this — failing to find a difference is not
+    // evidence of equivalence. One scan, one 1-row reduce, shared
+    // A&S tails.
+    "q_tost" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val w = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select(pmod($"user_id", lit(2L)).as("arm"),
+            expr("CAST(round(value * 1000000.0, 0) AS BIGINT)")
+              .as("v6"))
+          .groupBy()
+          .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("nc"),
+            sum(when($"arm" === 0L, $"v6".cast(d38))).as("sc"),
+            sum(when($"arm" === 0L,
+              $"v6".cast(d38) * $"v6".cast(d38))).as("qc"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("nt"),
+            sum(when($"arm" === 1L, $"v6".cast(d38))).as("st"),
+            sum(when($"arm" === 1L,
+              $"v6".cast(d38) * $"v6".cast(d38))).as("qt"))
+        w.select(expr(tostDiffE).as("diff"), expr(tostDeltaE).as("dl"),
+            expr(welchSeE).as("se"))
+          .select($"diff", $"dl", $"se",
+            (($"diff" + $"dl") / $"se").as("zlo"),
+            (($"diff" - $"dl") / $"se").as("zhi"))
+          .select($"diff", $"dl", $"se", $"zlo", $"zhi",
+            abs($"zlo").as("azlo"), abs($"zhi").as("azhi"))
+          .select($"diff", $"dl", $"se",
+            expr(s"CASE WHEN zlo >= 0.0 THEN ${gaussTail("azlo")} " +
+              s"ELSE 1.0 - ${gaussTail("azlo")} END").as("p1"),
+            expr(s"CASE WHEN zhi >= 0.0 THEN 1.0 - " +
+              s"${gaussTail("azhi")} ELSE ${gaussTail("azhi")} END")
+              .as("p2"))
+          .select(
+            expr("CAST(round(diff * 1000000.0, 0) AS BIGINT)")
+              .as("diff_micro"),
+            expr("CAST(round(dl * 1000000.0, 0) AS BIGINT)")
+              .as("delta_micro"),
+            expr("CAST(round(se * 1000000.0, 0) AS BIGINT)")
+              .as("se_micro"),
+            expr("CAST(round(greatest(p1, p2) * 1000000.0, 0) " +
+              "AS BIGINT)").as("p_tost_micro"),
+            expr("p1 <= 0.05 AND p2 <= 0.05").as("equivalent"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS nc,
+        |    SUM(CASE WHEN arm = 0 THEN v6d END) AS sc,
+        |    SUM(CASE WHEN arm = 0 THEN v6d * v6d END) AS qc,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS nt,
+        |    SUM(CASE WHEN arm = 1 THEN v6d END) AS st,
+        |    SUM(CASE WHEN arm = 1 THEN v6d * v6d END) AS qt
+        |  FROM (SELECT user_id % 2 AS arm,
+        |      CAST(CAST(round(value * 1000000.0, 0) AS BIGINT)
+        |        AS DECIMAL(38,0)) AS v6d
+        |    FROM events WHERE value IS NOT NULL)),
+        |s1 AS (SELECT $tostDiffE AS diff, $tostDeltaE AS dl,
+        |  $welchSeE AS se FROM w),
+        |s2 AS (SELECT diff, dl, se, (diff + dl) / se AS zlo,
+        |  (diff - dl) / se AS zhi FROM s1),
+        |s3 AS (SELECT diff, dl, se, zlo, zhi, abs(zlo) AS azlo,
+        |  abs(zhi) AS azhi FROM s2),
+        |s4 AS (
+        |  SELECT diff, dl, se,
+        |    CASE WHEN zlo >= 0.0 THEN ${gaussTail("azlo")}
+        |      ELSE 1.0 - ${gaussTail("azlo")} END AS p1,
+        |    CASE WHEN zhi >= 0.0 THEN 1.0 - ${gaussTail("azhi")}
+        |      ELSE ${gaussTail("azhi")} END AS p2
+        |  FROM s3)
+        |SELECT
+        |  CAST(round(diff * 1000000.0, 0) AS BIGINT) AS diff_micro,
+        |  CAST(round(dl * 1000000.0, 0) AS BIGINT) AS delta_micro,
+        |  CAST(round(se * 1000000.0, 0) AS BIGINT) AS se_micro,
+        |  CAST(round(greatest(p1, p2) * 1000000.0, 0) AS BIGINT)
+        |    AS p_tost_micro,
+        |  p1 <= 0.05 AND p2 <= 0.05 AS equivalent
+        |FROM s4""".stripMargin),
+      "TOST equivalence gate at a 5%-of-control margin (two one-sided " +
+        "Welch z-tests, shared A&S tails, frozen margin)"),
   )
+
+  /** Welch per-arm sample variance in value units from the exact
+    * micro-decimal battery; `a` is the arm suffix ('c' or 't'). */
+  private def welchVar(a: String): String =
+    s"((CAST(q$a AS DOUBLE) / 1e12 - CAST(s$a AS DOUBLE) / 1e6 * " +
+      s"CAST(s$a AS DOUBLE) / 1e6 / CAST(n$a AS DOUBLE)) / " +
+      s"CAST(n$a - 1 AS DOUBLE))"
+
+  /** Welch standard error of the mean difference. */
+  private def welchSeE: String =
+    s"sqrt(${welchVar("c")} / CAST(nc AS DOUBLE) + ${welchVar("t")} " +
+      "/ CAST(nt AS DOUBLE))"
+
+  /** q_bh_fdr Welch z from the per-type arm battery. */
+  private def welchZE: String =
+    "((CAST(st AS DOUBLE) / 1e6 / CAST(nt AS DOUBLE) - " +
+      s"CAST(sc AS DOUBLE) / 1e6 / CAST(nc AS DOUBLE)) / $welchSeE)"
+
+  /** q_tost mean difference (treated - control) in value units. */
+  private def tostDiffE: String =
+    "(CAST(st AS DOUBLE) / 1e6 / CAST(nt AS DOUBLE) - " +
+      "CAST(sc AS DOUBLE) / 1e6 / CAST(nc AS DOUBLE))"
+
+  /** q_tost equivalence margin: 5% of the control mean, 9-dp frozen. */
+  private def tostDeltaE: String =
+    "round(0.05 * CAST(sc AS DOUBLE) / 1e6 / CAST(nc AS DOUBLE), 9)"
 
   /** q_anderson_darling standardized z from exact sums: (x-mu)/sd with
     * the sample sd. */
@@ -1245,13 +1537,17 @@ object Inference {
 
   /** Abramowitz-Stegun 26.2.17 upper-tail 1-Phi(az) for az >= 0 —
     * normal pdf times the 5-term rational polynomial in
-    * t = 1/(1 + 0.2316419 az). One string, both engines. */
-  private def adTailE: String = {
-    val t = "(1.0 / (1.0 + 0.2316419 * az))"
-    val pdf = "(exp(-az * az / 2.0) / 2.5066282746310002)"
+    * t = 1/(1 + 0.2316419 az). One string, both engines; `az` is the
+    * (non-negative) column expression. Shared by q_anderson_darling,
+    * q_bh_fdr, and q_tost. */
+  private def gaussTail(az: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * $az))"
+    val pdf = s"(exp(-$az * $az / 2.0) / 2.5066282746310002)"
     s"($pdf * ((((1.330274429 * $t - 1.821255978) * $t + " +
       s"1.781477937) * $t - 0.356563782) * $t + 0.319381530) * $t)"
   }
+
+  private def adTailE: String = gaussTail("az")
 
   /** q_anderson_darling A^2 from the frozen term sum. */
   private def adA2E: String =

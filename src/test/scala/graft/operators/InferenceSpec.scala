@@ -592,4 +592,111 @@ class InferenceSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert((row._1, row._2, row._3) == t)
   }
+
+  /** Per-(event_type, arm) raw value rows for the Welch recounts. */
+  private lazy val valRows: Seq[(String, Long, Long)] =
+    graft.Tables.load(spark, d, "events")
+      .filter($"value".isNotNull)
+      .select($"event_type", $"user_id" % 2,
+        org.apache.spark.sql.functions
+          .expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))
+      .as[(String, Long, Long)].collect().toSeq
+
+  private def phiExactT(z: Double): Double = {
+    val az = math.abs(z); val steps = 4096; val h = az / steps
+    def pdf(u: Double) = math.exp(-u * u / 2.0) / 2.5066282746310002
+    val s = pdf(0) + pdf(az) + (1 until steps).map(i =>
+      (if (i % 2 == 1) 4.0 else 2.0) * pdf(i * h)).sum
+    if (z >= 0) 0.5 + s * h / 3.0 else 0.5 - s * h / 3.0
+  }
+
+  private def welch(rows: Seq[Long], rowsT: Seq[Long]): Double = {
+    def mv(v: Seq[Long]) = {
+      val xs = v.map(_ / 1e6); val n = xs.length
+      val m = xs.sum / n
+      (m, xs.map(x => (x - m) * (x - m)).sum / (n - 1), n)
+    }
+    val (mc, vc, nc) = mv(rows); val (mt, vt, nt) = mv(rowsT)
+    (mt - mc) / math.sqrt(vc / nc + vt / nt)
+  }
+
+  test("q_bh_fdr matches a textbook BH recount with exact-Phi p-values") {
+    val byType = valRows.groupBy(_._1)
+    val ps = byType.toSeq.map { case (et, v) =>
+      val z = welch(v.filter(_._2 == 0L).map(_._3),
+        v.filter(_._2 == 1L).map(_._3))
+      (et, z, 2.0 * (1.0 - phiExactT(math.abs(z))))
+    }.sortBy(r => (r._3, r._1))
+    val m = ps.length
+    val k = ps.zipWithIndex
+      .filter { case ((_, _, p), i) => p <= 0.05 * (i + 1) / m }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    val got = SparkEntry.queries("q_bh_fdr")(spark, d)
+      .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._4)
+    assert(got.length == m)
+    got.zip(ps).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g._1 == e._1, s"rank ${i + 1} order")
+      assert(math.abs(g._2 - math.round(e._2 * 1e6)) <= 3,
+        s"z(${e._1})")
+      // query uses the A&S tail (|err| < 7.5e-8 in Phi)
+      assert(math.abs(g._3 - math.round(e._3 * 1e6)) <= 2,
+        s"p(${e._1}): ${g._3} vs ${e._3 * 1e6}")
+      assert(g._4 == i + 1)
+      assert(g._5 == (i + 1 <= k), s"BH decision at rank ${i + 1}")
+    }
+  }
+
+  test("q_stratified_ate matches a plain stratum-map recount") {
+    val users = graft.Tables.load(spark, d, "events")
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Option[Double])].collect()
+      .groupBy(_._1).toSeq.map { case (uid, v) =>
+        (uid % 2, v.length.toLong,
+          v.filter(r => r._2 == "purchase" && r._3.isDefined)
+            .map(r => math.round(r._3.get * 1e6)).sum)
+      }
+    val strata = users.groupBy(_._2).toSeq.flatMap { case (_, v) =>
+      val c = v.filter(_._1 == 0L); val t = v.filter(_._1 == 1L)
+      if (c.isEmpty || t.isEmpty) None
+      else Some((c.length + t.length,
+        math.round(t.map(_._3).sum.toDouble / t.length -
+          c.map(_._3).sum.toDouble / c.length)))
+    }
+    val ate = math.round(
+      strata.map(s => s._1 * s._2).sum.toDouble /
+        strata.map(_._1).sum)
+    val row = SparkEntry.queries("q_stratified_ate")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == strata.length.toLong)
+    assert(row._2 == strata.map(_._1.toLong).sum)
+    assert(math.abs(row._3 - ate) <= 2, s"ate ${row._3} vs $ate")
+    val c = users.filter(_._1 == 0L); val t = users.filter(_._1 == 1L)
+    val naive = math.round(t.map(_._3).sum.toDouble / t.length -
+      c.map(_._3).sum.toDouble / c.length)
+    assert(math.abs(row._4 - naive) <= 2)
+  }
+
+  test("q_tost matches a direct recount with exact-Phi tails") {
+    val c = valRows.filter(_._2 == 0L).map(_._3)
+    val t = valRows.filter(_._2 == 1L).map(_._3)
+    def mv(v: Seq[Long]) = {
+      val xs = v.map(_ / 1e6); val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (mc, vc) = mv(c); val (mt, vt) = mv(t)
+    val diff = mt - mc
+    val dl = BigDecimal(0.05 * mc)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val se = math.sqrt(vc / c.length + vt / t.length)
+    val p1 = 1.0 - phiExactT((diff + dl) / se)
+    val p2 = phiExactT((diff - dl) / se)
+    val row = SparkEntry.queries("q_tost")(spark, d)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(math.abs(row._1 - math.round(diff * 1e6)) <= 2)
+    assert(math.abs(row._2 - math.round(dl * 1e6)) <= 2)
+    assert(math.abs(row._3 - math.round(se * 1e6)) <= 2)
+    assert(math.abs(row._4 - math.round(math.max(p1, p2) * 1e6)) <= 2,
+      s"p_tost ${row._4} vs ${math.max(p1, p2) * 1e6}")
+    assert(row._5 == (p1 <= 0.05 && p2 <= 0.05))
+  }
 }
