@@ -1497,6 +1497,81 @@ object Inference {
         |FROM s4""".stripMargin),
       "TOST equivalence gate at a 5%-of-control margin (two one-sided " +
         "Welch z-tests, shared A&S tails, frozen margin)"),
+
+    // Split-conformal prediction interval for the seasonal-naive
+    // day-7 revenue forecast: calibrate the 95th percentile of
+    // absolute residuals on the FIRST HALF of eligible days (split at
+    // the median eligible day — a data-derived, order-free cutoff),
+    // then report empirical coverage of forecast +- q95 on the second
+    // half — the distribution-free uncertainty wrapper (Vovk;  Lei et
+    // al.) that turns ANY point forecast into calibrated intervals.
+    // Finite-sample guarantee says test coverage >~ 95% regardless of
+    // the forecast's quality. Residuals are exact cents; the quantile
+    // interpolates on the bounded calibration-day table; coverage is
+    // an exact count ratio.
+    "q_conformal" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"))
+        val resid = rev.as("a")
+          .join(rev.as("b"), $"a.day" === date_add($"b.day", 7))
+          .select($"a.day".as("day"), abs($"a.r" - $"b.r").as("ae"))
+        val cut = resid.agg(
+          expr("CAST(round(percentile(datediff(day, DATE " +
+            "'1970-01-01'), 0.5), 0) AS INT)").as("cutd"))
+        val tagged = resid.crossJoin(broadcast(cut))
+          .select($"day", $"ae",
+            (datediff($"day", lit("1970-01-01")) <= $"cutd").as("cal"))
+        val q95 = tagged.filter($"cal")
+          .agg(count(lit(1)).as("n_cal"),
+            expr("CAST(round(percentile(ae, 0.95) * 10.0, 0) " +
+              "AS BIGINT)").as("q1"))
+        tagged.filter(!$"cal")
+          .crossJoin(broadcast(q95))
+          .agg(max($"n_cal").as("n_cal"),
+            count(lit(1)).as("n_test"), max($"q1").as("q1"),
+            sum(($"ae" * 10 <= $"q1").cast("long")).as("nin"))
+          .select($"n_cal", $"n_test",
+            expr("q1 div 10").as("q95_cents"),
+            expr("CAST(round(CAST(nin AS DOUBLE) / " +
+              "CAST(n_test AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("coverage_micro"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |resid AS (
+        |  SELECT a.day AS day, abs(a.r - b.r) AS ae
+        |  FROM rev a JOIN rev b ON a.day = b.day + 7),
+        |cut AS (
+        |  SELECT CAST(round(quantile_cont(
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS INT),
+        |    0.5), 0) AS INT) AS cutd
+        |  FROM resid),
+        |tg AS (
+        |  SELECT day, ae,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS INT)
+        |      <= cutd AS cal
+        |  FROM resid, cut),
+        |q AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |    CAST(round(quantile_cont(ae, 0.95) * 10.0, 0) AS BIGINT)
+        |      AS q1
+        |  FROM tg WHERE cal)
+        |SELECT n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  q1 // 10 AS q95_cents,
+        |  CAST(round(CAST(SUM(CASE WHEN ae * 10 <= q1 THEN 1 ELSE 0
+        |    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0,
+        |    0) AS BIGINT) AS coverage_micro
+        |FROM tg, q WHERE NOT cal GROUP BY n_cal, q1""".stripMargin),
+      "split-conformal 95% interval for the day-7 revenue forecast " +
+        "(exact-cent residual quantile on the calibration half, " +
+        "exact coverage count on the test half)"),
   )
 
   /** Welch per-arm sample variance in value units from the exact

@@ -699,4 +699,31 @@ class InferenceSpec extends SparkSpec {
       s"p_tost ${row._4} vs ${math.max(p1, p2) * 1e6}")
     assert(row._5 == (p1 <= 0.05 && p2 <= 0.05))
   }
+
+  test("q_conformal matches a plain split recount") {
+    val resid = dailyRev.toSeq.flatMap { case (ep, r) =>
+      dailyRev.get(ep - 7).map(f => (ep, math.abs(r - f))) }
+    val days = resid.map(_._1.toDouble).sorted
+    val pos = 0.5 * (days.length - 1)
+    val cutd = math.round(days(pos.toInt) +
+      (days(math.min(pos.toInt + 1, days.length - 1)) - days(pos.toInt))
+        * (pos - pos.toInt))
+    val cal = resid.filter(_._1 <= cutd).map(_._2.toDouble).sorted
+    val tst = resid.filter(_._1 > cutd)
+    val h = 0.95 * (cal.length - 1)
+    val q1 = math.round((cal(h.toInt) +
+      (cal(math.min(h.toInt + 1, cal.length - 1)) - cal(h.toInt)) *
+        (h - h.toInt)) * 10)
+    val nin = tst.count(_._2 * 10 <= q1).toLong
+    val row = SparkEntry.queries("q_conformal")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == cal.length.toLong && row._2 == tst.length.toLong)
+    assert(row._3 == q1 / 10, s"q95 ${row._3} vs ${q1 / 10}")
+    val cov = math.round(nin.toDouble / tst.length * 1e6)
+    assert(math.abs(row._4 - cov) <= 2, s"coverage ${row._4} vs $cov")
+    // the conformal guarantee: test coverage should sit near (and in
+    // expectation above) the nominal 95% minus finite-sample slack
+    assert(row._4 >= 850000L,
+      s"coverage ${row._4} far below the conformal guarantee")
+  }
 }
