@@ -1512,33 +1512,10 @@ object Inference {
     "q_conformal" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val rev = Tables.load(s, d, "orders")
+        conformalReadout(Tables.load(s, d, "orders")
           .groupBy(to_date($"o_orderdate").as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
-            .as("r"))
-        val resid = rev.as("a")
-          .join(rev.as("b"), $"a.day" === date_add($"b.day", 7))
-          .select($"a.day".as("day"), abs($"a.r" - $"b.r").as("ae"))
-        val cut = resid.agg(
-          expr("CAST(round(percentile(datediff(day, DATE " +
-            "'1970-01-01'), 0.5), 0) AS INT)").as("cutd"))
-        val tagged = resid.crossJoin(broadcast(cut))
-          .select($"day", $"ae",
-            (datediff($"day", lit("1970-01-01")) <= $"cutd").as("cal"))
-        val q95 = tagged.filter($"cal")
-          .agg(count(lit(1)).as("n_cal"),
-            expr("CAST(round(percentile(ae, 0.95) * 10.0, 0) " +
-              "AS BIGINT)").as("q1"))
-        tagged.filter(!$"cal")
-          .crossJoin(broadcast(q95))
-          .agg(max($"n_cal").as("n_cal"),
-            count(lit(1)).as("n_test"), max($"q1").as("q1"),
-            sum(($"ae" * 10 <= $"q1").cast("long")).as("nin"))
-          .select($"n_cal", $"n_test",
-            expr("q1 div 10").as("q95_cents"),
-            expr("CAST(round(CAST(nin AS DOUBLE) / " +
-              "CAST(n_test AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
-              .as("coverage_micro"))
+            .as("r")))
       },
       Some("""WITH rev AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
@@ -1573,6 +1550,39 @@ object Inference {
         "(exact-cent residual quantile on the calibration half, " +
         "exact coverage count on the test half)"),
   )
+
+  /** q_conformal's readout over a `(day DATE, r BIGINT-cents)` daily
+    * revenue table: median-day split, calibration q95 of the |day-7
+    * residual|, test-half coverage. Public because
+    * [[graft.streaming.ConformalStream]] answers the SAME readout from
+    * its merged day-sum partials — one expression tree, two tiers. */
+  def conformalReadout(rev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import rev.sparkSession.implicits._
+    val resid = rev.as("a")
+      .join(rev.as("b"), $"a.day" === date_add($"b.day", 7))
+      .select($"a.day".as("day"), abs($"a.r" - $"b.r").as("ae"))
+    val cut = resid.agg(
+      expr("CAST(round(percentile(datediff(day, DATE " +
+        "'1970-01-01'), 0.5), 0) AS INT)").as("cutd"))
+    val tagged = resid.crossJoin(broadcast(cut))
+      .select($"day", $"ae",
+        (datediff($"day", lit("1970-01-01")) <= $"cutd").as("cal"))
+    val q95 = tagged.filter($"cal")
+      .agg(count(lit(1)).as("n_cal"),
+        expr("CAST(round(percentile(ae, 0.95) * 10.0, 0) " +
+          "AS BIGINT)").as("q1"))
+    tagged.filter(!$"cal")
+      .crossJoin(broadcast(q95))
+      .agg(max($"n_cal").as("n_cal"),
+        count(lit(1)).as("n_test"), max($"q1").as("q1"),
+        sum(($"ae" * 10 <= $"q1").cast("long")).as("nin"))
+      .select($"n_cal", $"n_test",
+        expr("q1 div 10").as("q95_cents"),
+        expr("CAST(round(CAST(nin AS DOUBLE) / " +
+          "CAST(n_test AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+          .as("coverage_micro"))
+  }
 
   /** Welch per-arm sample variance in value units from the exact
     * micro-decimal battery; `a` is the arm suffix ('c' or 't'). */
