@@ -1549,7 +1549,110 @@ object Inference {
       "split-conformal 95% interval for the day-7 revenue forecast " +
         "(exact-cent residual quantile on the calibration half, " +
         "exact coverage count on the test half)"),
+
+    // Group-sequential monitoring with the O'Brien-Fleming BOUNDARY
+    // SHAPE — the frequentist peeking guard beside q_msprt's mixture
+    // martingale: per day, the cumulative Welch-style z against the
+    // boundary 1.959964/sqrt(t_k), where t_k is the information
+    // fraction (cumulative sample share of the full horizon). Early
+    // looks face a near-insurmountable bar that relaxes to the
+    // fixed-horizon 1.96 at full information — the shape that spends
+    // almost no alpha early (stated: the classic OBF SHAPE anchored
+    // at the nominal final z, the standard practical approximation;
+    // exact Lan-DeMets spending needs the multivariate normal).
+    // Same exact cumulative integer battery as q_msprt; the horizon
+    // total folds in as a 1-row broadcast.
+    "q_obrien_fleming" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select(to_date($"ts").as("day"),
+            pmod($"user_id", lit(2L)).as("arm"),
+            expr("CAST(round(value * 1000000.0, 0) AS BIGINT)")
+              .as("v6"))
+        val mom = ev.agg(count(lit(1)).as("ntot"),
+          sum($"v6".cast(d38)).as("s1"),
+          sum(($"v6".cast(d38)) * ($"v6".cast(d38))).as("s2"))
+          .select($"ntot",
+            expr("round((CAST(s2 AS DOUBLE) / 1e12 - " +
+              "CAST(s1 AS DOUBLE) / 1e6 * CAST(s1 AS DOUBLE) / 1e6 /" +
+              " CAST(ntot AS DOUBLE)) / CAST(ntot - 1 AS DOUBLE), 9)")
+              .as("g"))
+        val daily = ev.groupBy($"day", $"arm")
+          .agg(count(lit(1)).as("dn"), sum($"v6").as("ds"))
+        val wArm = Window.partitionBy($"arm").orderBy($"day")
+        val cum = daily
+          .withColumn("cn", sum($"dn").over(wArm))
+          .withColumn("cs", sum($"ds").over(wArm))
+        val c0 = cum.filter($"arm" === 0L)
+          .select($"day", $"cn".as("nc"), $"cs".as("sc6"))
+        val c1 = cum.filter($"arm" === 1L)
+          .select($"day", $"cn".as("nt"), $"cs".as("st6"))
+        c0.join(c1, "day")
+          .crossJoin(broadcast(mom))
+          .select($"day", $"nc", $"nt",
+            expr(s"CAST(round($obfZE * 1000000.0, 0) AS BIGINT)")
+              .as("z_micro"),
+            expr(s"CAST(round($obfBoundE * 1000000.0, 0) AS BIGINT)")
+              .as("bound_micro"))
+          .withColumn("significant",
+            abs($"z_micro") > $"bound_micro")
+          .orderBy($"day")
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS v6
+        |  FROM events WHERE value IS NOT NULL),
+        |mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS ntot,
+        |    round((CAST(SUM(CAST(v6 AS DECIMAL(38,0)) *
+        |    CAST(v6 AS DECIMAL(38,0))) AS DOUBLE) / 1e12 -
+        |    CAST(SUM(v6) AS DOUBLE) / 1e6 * CAST(SUM(v6) AS DOUBLE) /
+        |    1e6 / CAST(COUNT(*) AS DOUBLE)) /
+        |    CAST(COUNT(*) - 1 AS DOUBLE), 9) AS g
+        |  FROM ev),
+        |daily AS (
+        |  SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS dn,
+        |    CAST(SUM(v6) AS BIGINT) AS ds
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT day, arm,
+        |    CAST(SUM(dn) OVER (PARTITION BY arm ORDER BY day)
+        |      AS BIGINT) AS cn,
+        |    CAST(SUM(ds) OVER (PARTITION BY arm ORDER BY day)
+        |      AS BIGINT) AS cs
+        |  FROM daily)
+        |SELECT c0.day, c0.cn AS nc, c1.cn AS nt,
+        |  CAST(round($obfZE * 1000000.0, 0) AS BIGINT) AS z_micro,
+        |  CAST(round($obfBoundE * 1000000.0, 0) AS BIGINT)
+        |    AS bound_micro,
+        |  abs(CAST(round($obfZE * 1000000.0, 0) AS BIGINT)) >
+        |    CAST(round($obfBoundE * 1000000.0, 0) AS BIGINT)
+        |    AS significant
+        |FROM (SELECT day, cn, cs AS sc6 FROM cum WHERE arm = 0) c0
+        |JOIN (SELECT day, cn, cs AS st6 FROM cum WHERE arm = 1) c1
+        |  USING (day), mom,
+        |  LATERAL (SELECT c0.cn AS nc, c1.cn AS nt) nn
+        |ORDER BY c0.day""".stripMargin),
+      "O'Brien-Fleming-shaped group-sequential A/B boundary: per-day " +
+        "cumulative z vs 1.96/sqrt(information fraction) (exact " +
+        "integer battery, frozen pooled variance)"),
   )
+
+  /** q_obrien_fleming per-day z: cumulative mean difference over
+    * sqrt(g*(1/nc + 1/nt)) — all inputs exact cumulative integers. */
+  private def obfZE: String = {
+    val mc = "(CAST(sc6 AS DOUBLE) / CAST(nc AS DOUBLE) / 1000000.0)"
+    val mt = "(CAST(st6 AS DOUBLE) / CAST(nt AS DOUBLE) / 1000000.0)"
+    s"(($mt - $mc) / sqrt(g * (1.0 / CAST(nc AS DOUBLE) + " +
+      "1.0 / CAST(nt AS DOUBLE))))"
+  }
+
+  /** OBF-shaped boundary at information fraction (nc+nt)/ntot. */
+  private def obfBoundE: String =
+    "(1.959964 / sqrt(CAST(nc + nt AS DOUBLE) / CAST(ntot AS DOUBLE)))"
 
   /** q_conformal's readout over a `(day DATE, r BIGINT-cents)` daily
     * revenue table: median-day split, calibration q95 of the |day-7

@@ -726,4 +726,54 @@ class InferenceSpec extends SparkSpec {
     assert(row._4 >= 850000L,
       s"coverage ${row._4} far below the conformal guarantee")
   }
+
+  test("q_obrien_fleming matches a textbook day-loop recount and the " +
+    "boundary relaxes monotonically to ~1.96") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .filter($"value".isNotNull)
+      .select(org.apache.spark.sql.functions.to_date($"ts")
+        .cast("string"), $"user_id" % 2,
+        org.apache.spark.sql.functions
+          .expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val n = rows.length
+    val s1 = rows.map(r => BigInt(r._3)).sum
+    val s2 = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+    val g = BigDecimal(
+      (s2.toDouble / 1e12 - s1.toDouble / 1e6 * s1.toDouble / 1e6 / n)
+        / (n - 1)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val days = rows.map(_._1).distinct.sorted
+    var (ncc, scc, ntc, stc) = (0L, 0L, 0L, 0L)
+    val expect = days.flatMap { day =>
+      val dr = rows.filter(_._1 == day)
+      val c = dr.filter(_._2 == 0L); val t = dr.filter(_._2 == 1L)
+      ncc += c.length; scc += c.map(_._3).sum
+      ntc += t.length; stc += t.map(_._3).sum
+      if (c.isEmpty || t.isEmpty) None
+      else {
+        val z = (stc.toDouble / ntc / 1e6 - scc.toDouble / ncc / 1e6) /
+          math.sqrt(g * (1.0 / ncc + 1.0 / ntc))
+        val b = 1.959964 / math.sqrt((ncc + ntc).toDouble / n)
+        Some((day, math.round(z * 1e6), math.round(b * 1e6)))
+      }
+    }
+    val got = q("q_obrien_fleming")
+      .select($"day".cast("string"), $"nc", $"nt", $"z_micro",
+        $"bound_micro", $"significant")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (gr, er) =>
+      assert(gr._1 == er._1)
+      assert(math.abs(gr._4 - er._2) <= 2, s"z at ${gr._1}")
+      assert(math.abs(gr._5 - er._3) <= 2, s"bound at ${gr._1}")
+      assert(gr._6 == (math.abs(gr._4) > gr._5))
+    }
+    // OBF shape: the boundary is non-increasing in information and
+    // ends at the fixed-horizon z
+    val bounds = got.map(_._5)
+    bounds.sliding(2).foreach { case Array(a, b) => assert(a >= b)
+      case _ => }
+    assert(math.abs(bounds.last - 1959964L) <= 2)
+  }
 }
