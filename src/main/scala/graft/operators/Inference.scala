@@ -1639,7 +1639,190 @@ object Inference {
       "O'Brien-Fleming-shaped group-sequential A/B boundary: per-day " +
         "cumulative z vs 1.96/sqrt(information fraction) (exact " +
         "integer battery, frozen pooled variance)"),
+
+    // Negative-binomial moment fit per event type — the overdispersion
+    // readout for count data (per-user event counts, ZEROS INCLUDED
+    // via the total-user denominator): dispersion index v/m, and when
+    // v > m the NB size r = m^2/(v-m) — the parameter a simulator or
+    // anomaly model needs because Poisson (v = m) underestimates count
+    // tails everywhere real user behavior is bursty. All moments from
+    // exact integer sums; absent (user, type) pairs contribute zero
+    // without materializing the cross join.
+    "q_negbin_fit" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val nu = Tables.load(s, d, "events")
+          .agg(countDistinct($"user_id").as("nu"))
+        Tables.load(s, d, "events")
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("x"))
+          .groupBy($"event_type")
+          .agg(sum($"x").as("sx"),
+            sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"))
+          .crossJoin(broadcast(nu))
+          .select($"event_type", $"nu".as("n_users"),
+            expr(s"CAST(round($nbMeanE * 1000000.0, 0) AS BIGINT)")
+              .as("mean_micro"),
+            expr(s"CAST(round($nbVarE * 1000000.0, 0) AS BIGINT)")
+              .as("var_micro"),
+            expr(s"CAST(round($nbVarE / $nbMeanE * 1000000.0, 0) " +
+              "AS BIGINT)").as("dispersion_micro"),
+            expr(s"CASE WHEN $nbVarE > $nbMeanE THEN CAST(round(" +
+              s"$nbMeanE * $nbMeanE / ($nbVarE - $nbMeanE) * " +
+              "1000000.0, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+              .as("r_micro"),
+            expr(s"$nbVarE > $nbMeanE").as("overdispersed"))
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH nu AS (
+        |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS sxx
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, nu AS n_users,
+        |  CAST(round($nbMeanE * 1000000.0, 0) AS BIGINT) AS mean_micro,
+        |  CAST(round($nbVarE * 1000000.0, 0) AS BIGINT) AS var_micro,
+        |  CAST(round($nbVarE / $nbMeanE * 1000000.0, 0) AS BIGINT)
+        |    AS dispersion_micro,
+        |  CASE WHEN $nbVarE > $nbMeanE THEN CAST(round($nbMeanE *
+        |    $nbMeanE / ($nbVarE - $nbMeanE) * 1000000.0, 0) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS r_micro,
+        |  $nbVarE > $nbMeanE AS overdispersed
+        |FROM m, nu ORDER BY event_type""".stripMargin),
+      "negative-binomial moment fit per event type (zeros-included " +
+        "per-user counts, exact moments, dispersion + NB size)"),
+
+    // Classical decomposition variance split for the daily event-count
+    // series: trend = centered 7-day moving average (full windows
+    // only — edge days excluded, stated), seasonal = day-of-week means
+    // of the detrended series, residual = what's left; reported as
+    // each component's variance share of the total (a diagnostic — the
+    // components are not exactly orthogonal on finite gap-y data,
+    // stated). Detrending is EXACT integer arithmetic at 7x scale
+    // (7x - sum7); component values freeze to micro before the moment
+    // sums. Everything runs on the calendar-bounded day table.
+    "q_stl_lite" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+        val win = daily.as("a")
+          .join(daily.as("b"), $"b.day" >= date_sub($"a.day", 3) &&
+            $"b.day" <= date_add($"a.day", 3))
+          .groupBy($"a.day".as("day"), $"a.x".as("x"))
+          .agg(count(lit(1)).as("w"), sum($"b.x").as("s7"))
+          .filter($"w" === 7)
+          .select($"day", $"x", ($"x" * 7 - $"s7").as("det7"))
+        val seas = win.groupBy(dayofweek($"day").as("dow"))
+          .agg(expr("CAST(round(CAST(SUM(det7) AS DOUBLE) / " +
+            "CAST(COUNT(*) AS DOUBLE) / 7.0 * 1000000.0, 0) " +
+            "AS BIGINT)").as("s6"))
+        val parts = win.join(broadcast(seas),
+            dayofweek($"day") === $"dow")
+          .select($"x",
+            expr("CAST(round((CAST(x AS DOUBLE) - " +
+              "CAST(det7 AS DOUBLE) / 7.0) * 1000000.0, 0) AS BIGINT)")
+              .as("t6"),
+            $"s6",
+            expr("CAST(round(CAST(det7 AS DOUBLE) / 7.0 * 1000000.0," +
+              " 0) AS BIGINT) - s6").as("r6"))
+        parts.agg(count(lit(1)).as("n"),
+            sum($"x").as("sx"),
+            sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"),
+            sum($"t6").as("st"),
+            sum($"t6".cast(d38) * $"t6".cast(d38)).as("stt"),
+            sum($"s6").as("ss"),
+            sum($"s6".cast(d38) * $"s6".cast(d38)).as("sss"),
+            sum($"r6").as("sr"),
+            sum($"r6".cast(d38) * $"r6".cast(d38)).as("srr"))
+          .select($"n".as("n_days_used"),
+            expr(s"CAST(round(${stlVarE("st", "stt", "1e12")} / " +
+              s"${stlVarE("sx", "sxx", "1.0")} * 1000000.0, 0) " +
+              "AS BIGINT)").as("trend_share_micro"),
+            expr(s"CAST(round(${stlVarE("ss", "sss", "1e12")} / " +
+              s"${stlVarE("sx", "sxx", "1.0")} * 1000000.0, 0) " +
+              "AS BIGINT)").as("seasonal_share_micro"),
+            expr(s"CAST(round(${stlVarE("sr", "srr", "1e12")} / " +
+              s"${stlVarE("sx", "sxx", "1.0")} * 1000000.0, 0) " +
+              "AS BIGINT)").as("resid_share_micro"))
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT a.day AS day, a.x AS x,
+        |    a.x * 7 - CAST(SUM(b.x) AS BIGINT) AS det7
+        |  FROM daily a JOIN daily b
+        |    ON b.day BETWEEN a.day - 3 AND a.day + 3
+        |  GROUP BY 1, 2 HAVING COUNT(*) = 7),
+        |seas AS (
+        |  SELECT dayofweek(day) AS dow,
+        |    CAST(round(CAST(SUM(det7) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) / 7.0 * 1000000.0, 0)
+        |      AS BIGINT) AS s6
+        |  FROM win GROUP BY 1),
+        |parts AS (
+        |  SELECT x,
+        |    CAST(round((CAST(x AS DOUBLE) - CAST(det7 AS DOUBLE) /
+        |      7.0) * 1000000.0, 0) AS BIGINT) AS t6,
+        |    s6,
+        |    CAST(round(CAST(det7 AS DOUBLE) / 7.0 * 1000000.0, 0)
+        |      AS BIGINT) - s6 AS r6
+        |  FROM win JOIN seas ON dayofweek(win.day) = seas.dow),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS sxx,
+        |    CAST(SUM(t6) AS BIGINT) AS st,
+        |    SUM(CAST(t6 AS DECIMAL(38,0)) * CAST(t6 AS DECIMAL(38,0)))
+        |      AS stt,
+        |    CAST(SUM(s6) AS BIGINT) AS ss,
+        |    SUM(CAST(s6 AS DECIMAL(38,0)) * CAST(s6 AS DECIMAL(38,0)))
+        |      AS sss,
+        |    CAST(SUM(r6) AS BIGINT) AS sr,
+        |    SUM(CAST(r6 AS DECIMAL(38,0)) * CAST(r6 AS DECIMAL(38,0)))
+        |      AS srr
+        |  FROM parts)
+        |SELECT n AS n_days_used,
+        |  CAST(round(${stlVarE("st", "stt", "1e12")} /
+        |    ${stlVarE("sx", "sxx", "1.0")} * 1000000.0, 0) AS BIGINT)
+        |    AS trend_share_micro,
+        |  CAST(round(${stlVarE("ss", "sss", "1e12")} /
+        |    ${stlVarE("sx", "sxx", "1.0")} * 1000000.0, 0) AS BIGINT)
+        |    AS seasonal_share_micro,
+        |  CAST(round(${stlVarE("sr", "srr", "1e12")} /
+        |    ${stlVarE("sx", "sxx", "1.0")} * 1000000.0, 0) AS BIGINT)
+        |    AS resid_share_micro
+        |FROM m""".stripMargin),
+      "classical-decomposition variance split of daily event counts " +
+        "(exact 7x-scaled detrending, dow seasonal means, micro-" +
+        "frozen components)"),
   )
+
+  /** q_negbin_fit zeros-included mean: sx/nu. */
+  private def nbMeanE: String =
+    "(CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE))"
+
+  /** q_negbin_fit zeros-included population variance from raw sums. */
+  private def nbVarE: String =
+    s"(CAST(sxx AS DOUBLE) / CAST(nu AS DOUBLE) - $nbMeanE * $nbMeanE)"
+
+  /** q_stl_lite population variance of a component from (sum, sumsq)
+    * with the component's squared scale factor (micro components carry
+    * 1e12, the raw series 1). */
+  private def stlVarE(s1: String, s2: String, scale: String): String =
+    s"((CAST($s2 AS DOUBLE) / CAST(n AS DOUBLE) - CAST($s1 AS DOUBLE)" +
+      s" / CAST(n AS DOUBLE) * CAST($s1 AS DOUBLE) / " +
+      s"CAST(n AS DOUBLE)) / $scale)"
 
   /** q_obrien_fleming per-day z: cumulative mean difference over
     * sqrt(g*(1/nc + 1/nt)) — all inputs exact cumulative integers. */

@@ -1538,7 +1538,82 @@ object Similarity {
       Some(mmrOracle),
       "MMR diverse top-5 from the top-20 retrieval panel (integer " +
         "7*rel6 - 3*maxsim6 greedy, unrolled oracle CTEs)"),
+
+    // Farthest-point (k-center greedy) sampling: pick k=8 maximally
+    // spread vectors from the fixed 64-vector panel — THE diversity
+    // sampler for training-data curation (coreset seeding, kmeans++
+    // first phase, eval-set spreading) where q_mmr_select trades
+    // against relevance, this maximizes pure coverage: each step takes
+    // the candidate whose MINIMUM cosine distance to the already-
+    // selected set is LARGEST (2-approximation to the k-center
+    // optimum). Seeded at vec_id 0 (stated). Distances are micro-
+    // frozen integers, ties to the smaller vec_id, so the greedy chain
+    // is deterministic; Spark collects the 64-row panel + pair grid
+    // (metadata-scale) and runs integer steps; the oracle unrolls the
+    // same 7 steps as generated CTEs.
+    "q_fps_sample" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val p = emb(s, d).filter($"vec_id" < 64)
+          .select($"vec_id", $"embedding")
+        val sim = p.as("a")
+          .join(broadcast(p.select($"vec_id".as("j"),
+            $"embedding".as("ej"))), $"vec_id" =!= $"j")
+          .select($"vec_id".as("i"), $"j",
+            expr("CAST(round((1.0 - cosine_sim(embedding, ej)) * " +
+              "1000000.0, 0) AS BIGINT)").as("d6"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val ids = (sim.keys.map(_._1) ++ sim.keys.map(_._2)).toSet
+        var sel = Vector((0L, 0L)) // (vec_id, min-dist at selection)
+        for (_ <- 2 to 8) {
+          val rem = ids.filterNot(c => sel.exists(_._1 == c))
+          val scored = rem.map { c =>
+            (c, sel.map(s => sim((c, s._1))).min) }
+          val pick = scored.minBy(x => (-x._2, x._1))
+          sel = sel :+ pick
+        }
+        s.createDataFrame(sel.zipWithIndex.map { case ((v, md), i) =>
+          ((i + 1).toLong, v, md) })
+          .toDF("rank", "vec_id", "min_dist_micro")
+          .orderBy($"rank")
+      },
+      Some(fpsOracle),
+      "farthest-point diversity sample: k=8 greedy k-center picks " +
+        "from the 64-vector panel (integer micro distances, unrolled " +
+        "oracle CTEs)"),
   )
+
+  /** q_fps_sample's oracle: the same 7 greedy steps unrolled as CTEs,
+    * generated to share one selection rule with the Spark loop. */
+  private def fpsOracle: String = {
+    val steps = (2 to 8).map { k =>
+      s"""f$k AS (
+         |  SELECT p.i AS vec_id, MIN(p.d6) AS md
+         |  FROM pairs p JOIN fsel${k - 1} s ON p.j = s.vec_id
+         |  WHERE p.i NOT IN (SELECT vec_id FROM fsel${k - 1})
+         |  GROUP BY p.i
+         |  ORDER BY md DESC, p.i LIMIT 1),
+         |fsel$k AS (SELECT vec_id FROM fsel${k - 1}
+         |  UNION ALL SELECT vec_id FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    val out = Seq(
+      "SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS vec_id," +
+        " CAST(0 AS BIGINT) AS min_dist_micro") ++
+      (2 to 8).map(k =>
+        s"SELECT CAST($k AS BIGINT), vec_id, md FROM f$k")
+    s"""WITH p0 AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+       |pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |    CAST(round((1.0 - ${duckCos("a.embedding", "b.embedding")})
+       |      * 1000000.0, 0) AS BIGINT) AS d6
+       |  FROM p0 a JOIN p0 b ON a.vec_id <> b.vec_id),
+       |fsel1 AS (SELECT CAST(0 AS BIGINT) AS vec_id),
+       |$steps
+       |${out.mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+  }
 
   /** q_mmr_select's oracle: the same 5 greedy steps unrolled as CTEs,
     * generated so both engines share one selection rule. */

@@ -776,4 +776,62 @@ class InferenceSpec extends SparkSpec {
       case _ => }
     assert(math.abs(bounds.last - 1959964L) <= 2)
   }
+
+  test("q_negbin_fit matches a zeros-included moment recount") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val nu = rows.map(_._1).distinct.length
+    val expect = rows.groupBy(_._2).toSeq.map { case (et, v) =>
+      val per = v.groupBy(_._1).values.map(_.length.toLong).toSeq
+      val m = per.sum.toDouble / nu
+      val ex2 = per.map(x => x.toDouble * x).sum / nu
+      val vr = ex2 - m * m
+      (et, nu.toLong, math.round(m * 1e6), math.round(vr * 1e6),
+        math.round(vr / m * 1e6),
+        if (vr > m) math.round(m * m / (vr - m) * 1e6) else 0L,
+        vr > m)
+    }.sortBy(_._1)
+    val got = q("q_negbin_fit")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._7 == e._7)
+      assert(math.abs(g._3 - e._3) <= 2 && math.abs(g._4 - e._4) <= 2)
+      assert(math.abs(g._5 - e._5) <= 2, s"dispersion ${g._1}")
+      assert(math.abs(g._6 - e._6) <= 5, s"r ${g._1}")
+    }
+  }
+
+  test("q_stl_lite matches a direct decomposition recount") {
+    val byDay = dailyCnt.toMap
+    val win = dailyCnt.flatMap { case (ep, x) =>
+      val w = (-3L to 3L).flatMap(o => byDay.get(ep + o))
+      if (w.length == 7) Some((ep, x, 7 * x - w.sum)) else None
+    }
+    val seas = win.groupBy { case (ep, _, _) =>
+      java.time.LocalDate.ofEpochDay(ep).getDayOfWeek.getValue }
+      .map { case (dow, v) =>
+        dow -> math.round(v.map(_._3).sum.toDouble / v.length / 7 * 1e6) }
+    val parts = win.map { case (ep, x, det7) =>
+      val dow = java.time.LocalDate.ofEpochDay(ep).getDayOfWeek.getValue
+      val t6 = math.round((x - det7 / 7.0) * 1e6)
+      val s6 = seas(dow)
+      val r6 = math.round(det7 / 7.0 * 1e6) - s6
+      (x, t6, s6, r6)
+    }
+    val n = parts.length.toDouble
+    def popVar(xs: Seq[Double]) = {
+      val m = xs.sum / n; xs.map(v => v * v).sum / n - m * m }
+    val vT = popVar(parts.map(_._1.toDouble))
+    val row = q("q_stl_lite")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == parts.length.toLong)
+    assert(math.abs(row._2 -
+      math.round(popVar(parts.map(_._2.toDouble / 1e6)) / vT * 1e6)) <= 3)
+    assert(math.abs(row._3 -
+      math.round(popVar(parts.map(_._3.toDouble / 1e6)) / vT * 1e6)) <= 3)
+    assert(math.abs(row._4 -
+      math.round(popVar(parts.map(_._4.toDouble / 1e6)) / vT * 1e6)) <= 3)
+  }
 }

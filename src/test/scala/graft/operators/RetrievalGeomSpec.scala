@@ -195,4 +195,35 @@ class RetrievalGeomSpec extends SparkSpec {
     assert(minDist(mmrIds) >= minDist(topIds),
       s"MMR not more diverse: ${minDist(mmrIds)} < ${minDist(topIds)}")
   }
+
+  test("q_fps_sample matches an independent greedy recount and " +
+    "spreads wider than the first-8 panel") {
+    val panel = vecs.filter(_._1 < 64)
+    val byId = panel.map(p => p._1 -> p._2).toMap
+    def d6(a: Long, b: Long) =
+      math.round((1.0 - cos(byId(a), byId(b))) * 1e6)
+    var sel = Vector((0L, 0L))
+    for (_ <- 2 to 8) {
+      val rem = panel.map(_._1).filterNot(c => sel.exists(_._1 == c))
+      val pick = rem.map(c => (c, sel.map(s => d6(c, s._1)).min))
+        .minBy(x => (-x._2, x._1))
+      sel = sel :+ pick
+    }
+    val expect = sel.zipWithIndex.map { case ((v, md), i) =>
+      ((i + 1).toLong, v, md) }
+    val got = q("q_fps_sample")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == expect)
+    // spread property: greedy k-center picks are at least as spread
+    // as the arbitrary first-8 slice of the panel
+    def minPair(ids: Seq[Long]) = (for {
+      a <- ids; b <- ids if a < b } yield d6(a, b)).min
+    assert(minPair(got.map(_._2).toSeq) >=
+      minPair(panel.map(_._1).take(8)))
+    // each reported min_dist is non-increasing (the k-center chain)
+    got.map(_._3).drop(1).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
 }
