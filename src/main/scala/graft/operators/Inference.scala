@@ -1806,7 +1806,249 @@ object Inference {
       "classical-decomposition variance split of daily event counts " +
         "(exact 7x-scaled detrending, dow seasonal means, micro-" +
         "frozen components)"),
+
+    // Cook's distance over the daily-revenue OLS trend — the influence
+    // diagnostic that answers "which days are dragging the fit":
+    // D_i = e_i^2 h_i / (2 s^2 (1-h_i)^2) with leverage h_i = 1/n +
+    // (t_i - tbar)^2/Stt. Every moment comes from exact decimal sums
+    // (cents x day-index products); residuals freeze to micro before
+    // the s^2 pass. Flags D > 4/n (the standard screening fence).
+    // Two passes over the calendar-bounded day table.
+    "q_cooks_distance" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val rev = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"))
+          .select(datediff($"day", lit("1970-01-01")).cast("long")
+            .as("t"), $"day", $"r")
+        val mom = rev.agg(count(lit(1)).as("n"),
+          sum($"t").as("st"), sum($"r").as("sr"),
+          sum($"t".cast(d38) * $"t".cast(d38)).as("stt"),
+          sum($"t".cast(d38) * $"r".cast(d38)).as("str"))
+        val e = rev.crossJoin(broadcast(mom))
+          .select($"day", $"t", $"r", $"n", $"st", $"stt",
+            expr(s"CAST(round((CAST(r AS DOUBLE) - ($olsAE + $olsBE " +
+              "* CAST(t AS DOUBLE))) * 100.0, 0) AS BIGINT)")
+              .as("e2c"))
+        val s2 = e.agg(
+          sum($"e2c".cast(d38) * $"e2c".cast(d38)).as("se2"))
+        e.crossJoin(broadcast(s2))
+          .select($"day", $"r",
+            expr("CAST(round(CAST(e2c AS DOUBLE) / 100.0, 0) " +
+              "AS BIGINT)").as("resid_cents"),
+            expr(s"CAST(round($cookHE * 1000000.0, 0) AS BIGINT)")
+              .as("leverage_micro"),
+            expr(s"CAST(round($cookDE * 1000000.0, 0) AS BIGINT)")
+              .as("cook_d_micro"),
+            expr(s"$cookDE > 4.0 / CAST(n AS DOUBLE)")
+              .as("influential"))
+          .orderBy($"day")
+      },
+      Some(s"""WITH rev AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(r) AS BIGINT) AS sr,
+        |    SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+        |      AS stt,
+        |    SUM(CAST(t AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
+        |      AS str
+        |  FROM rev),
+        |e AS (
+        |  SELECT day, t, r, n, st, stt,
+        |    CAST(round((CAST(r AS DOUBLE) - ($olsAE + $olsBE *
+        |      CAST(t AS DOUBLE))) * 100.0, 0) AS BIGINT) AS e2c
+        |  FROM rev, mom),
+        |s2 AS (
+        |  SELECT SUM(CAST(e2c AS DECIMAL(38,0)) *
+        |    CAST(e2c AS DECIMAL(38,0))) AS se2 FROM e)
+        |SELECT day, r,
+        |  CAST(round(CAST(e2c AS DOUBLE) / 100.0, 0) AS BIGINT)
+        |    AS resid_cents,
+        |  CAST(round($cookHE * 1000000.0, 0) AS BIGINT)
+        |    AS leverage_micro,
+        |  CAST(round($cookDE * 1000000.0, 0) AS BIGINT)
+        |    AS cook_d_micro,
+        |  $cookDE > 4.0 / CAST(n AS DOUBLE) AS influential
+        |FROM e, s2 ORDER BY day""".stripMargin),
+      "Cook's distance + leverage per day over the revenue OLS trend " +
+        "(exact decimal moments, micro-frozen residuals, 4/n fence)"),
+
+    // Shapiro-Francia W' — the third normality lens beside
+    // q_jarque_bera (moments) and q_anderson_darling (CDF tails): the
+    // squared correlation between the SORTED daily counts and their
+    // Blom normal scores probit((i-3/8)/(n+1/4)). The probit uses the
+    // Abramowitz-Stegun 26.2.23 rational approximation (|err| <
+    // 4.5e-4 — stated; identical expression tree in both engines),
+    // frozen at 9 dp so the correlation moments are exact decimals.
+    // Rank window over the bounded day table.
+    "q_shapiro_francia" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+        val n1 = daily.agg(count(lit(1)).as("n"))
+        val ranked = daily.crossJoin(broadcast(n1))
+          .withColumn("i", row_number().over(
+            Window.orderBy($"x".asc, $"day".asc)))
+          .select($"x", $"n",
+            expr("(CAST(i AS DOUBLE) - 0.375) / " +
+              "(CAST(n AS DOUBLE) + 0.25)").as("p"))
+          .select($"x", $"n",
+            expr(s"CAST(round(${probitE("p")}, 9) AS DECIMAL(14,9))")
+              .as("m9"))
+        ranked.groupBy($"n")
+          .agg(sum($"x").as("sx"),
+            sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"),
+            sum($"m9").as("sm"),
+            sum($"m9" * $"m9").as("smm"),
+            sum($"x".cast(d38) * $"m9").as("sxm"))
+          .select($"n".as("n_days"),
+            expr(s"CAST(round($sfW2E * 1000000.0, 0) AS BIGINT)")
+              .as("wprime_micro"))
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |rk AS (
+        |  SELECT x, n,
+        |    (CAST(row_number() OVER (ORDER BY x ASC, day ASC)
+        |      AS DOUBLE) - 0.375) / (CAST(n AS DOUBLE) + 0.25) AS p
+        |  FROM daily, n1),
+        |sc AS (
+        |  SELECT x, n,
+        |    CAST(round(${probitE("p")}, 9) AS DECIMAL(14,9)) AS m9
+        |  FROM rk),
+        |m AS (
+        |  SELECT n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS sxx,
+        |    SUM(m9) AS sm, SUM(m9 * m9) AS smm,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * m9) AS sxm
+        |  FROM sc GROUP BY 1)
+        |SELECT n AS n_days,
+        |  CAST(round($sfW2E * 1000000.0, 0) AS BIGINT)
+        |    AS wprime_micro
+        |FROM m""".stripMargin),
+      "Shapiro-Francia W' normality statistic (Blom scores via the " +
+        "A&S 26.2.23 probit, 9-dp frozen, exact correlation moments)"),
+
+    // Lincoln-Petersen / Chapman capture-recapture estimate of the
+    // total user population from the two-week split of the event
+    // window — the mark-recapture trick a pipeline uses to estimate
+    // how many entities it has NOT yet seen (users, duplicate
+    // clusters, vocabulary) from overlap between two observation
+    // windows. Exact distinct counts; Chapman's +1 correction keeps
+    // the estimator finite when the overlap is tiny.
+    "q_capture_recapture" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .select($"user_id", to_date($"ts").as("day"))
+        val cut = ev.agg(date_add(min($"day"), 14).as("cutd"))
+        val tagged = ev.crossJoin(broadcast(cut))
+          .select($"user_id", ($"day" <= $"cutd").as("h1"))
+        tagged.groupBy($"user_id")
+          .agg(max($"h1".cast("long")).as("in1"),
+            max((!$"h1").cast("long")).as("in2"))
+          .agg(count(lit(1)).as("n_total"),
+            sum($"in1").as("n1"), sum($"in2").as("n2"),
+            sum($"in1" * $"in2").as("m"))
+          .select($"n_total", $"n1", $"n2", $"m",
+            expr("CAST(round(CAST(n1 AS DOUBLE) * " +
+              "CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0, " +
+              "0) AS BIGINT)").as("lp_est_micro"),
+            expr("CAST(round((CAST(n1 + 1 AS DOUBLE) * " +
+              "CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0)" +
+              " * 1000000.0, 0) AS BIGINT)").as("chapman_est_micro"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cut AS (SELECT MIN(day) + 14 AS cutd FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN day <= cutd THEN 1 ELSE 0 END) AS in1,
+        |    MAX(CASE WHEN day > cutd THEN 1 ELSE 0 END) AS in2
+        |  FROM ev, cut GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(in1) AS BIGINT) AS n1,
+        |    CAST(SUM(in2) AS BIGINT) AS n2,
+        |    CAST(SUM(in1 * in2) AS BIGINT) AS m
+        |  FROM u)
+        |SELECT n_total, n1, n2, m,
+        |  CAST(round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+        |    CAST(m AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS lp_est_micro,
+        |  CAST(round((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+        |    / CAST(m + 1 AS DOUBLE) - 1.0) * 1000000.0, 0) AS BIGINT)
+        |    AS chapman_est_micro
+        |FROM c""".stripMargin),
+      "Lincoln-Petersen + Chapman capture-recapture population " +
+        "estimate from the two-week window split (exact overlaps)"),
   )
+
+  /** q_cooks_distance OLS intercept/slope from exact decimal moments
+    * (cents on day-index). */
+  private def olsBE: String =
+    "((CAST(n AS DOUBLE) * CAST(str AS DOUBLE) - CAST(st AS DOUBLE) " +
+      "* CAST(sr AS DOUBLE)) / (CAST(n AS DOUBLE) * " +
+      "CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"
+  private def olsAE: String =
+    s"((CAST(sr AS DOUBLE) - $olsBE * CAST(st AS DOUBLE)) / " +
+      "CAST(n AS DOUBLE))"
+
+  /** q_cooks_distance leverage h_i = 1/n + (t-tbar)^2/Stt_centered. */
+  private def cookHE: String = {
+    val tb = "(CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sttC = s"(CAST(stt AS DOUBLE) - $tb * CAST(st AS DOUBLE))"
+    s"(1.0 / CAST(n AS DOUBLE) + (CAST(t AS DOUBLE) - $tb) * " +
+      s"(CAST(t AS DOUBLE) - $tb) / $sttC)"
+  }
+
+  /** Cook's D from the hundredth-cent residual, leverage, and the
+    * pooled s^2 = sum(e^2)/(n-2); p = 2 parameters. */
+  private def cookDE: String = {
+    val e = "(CAST(e2c AS DOUBLE) / 100.0)"
+    val s2 = "(CAST(se2 AS DOUBLE) / 10000.0 / CAST(n - 2 AS DOUBLE))"
+    s"($e * $e * $cookHE / (2.0 * $s2 * (1.0 - $cookHE) * " +
+      s"(1.0 - $cookHE)))"
+  }
+
+  /** Abramowitz-Stegun 26.2.23 probit of probability column `p` (in
+    * (0,1)): |err| < 4.5e-4, symmetric around 0.5. One string, both
+    * engines. */
+  private def probitE(p: String): String = {
+    def half(q: String) = {
+      val t = s"sqrt(-2.0 * ln($q))"
+      s"($t - (2.515517 + 0.802853 * $t + 0.010328 * $t * $t) / " +
+        s"(1.0 + 1.432788 * $t + 0.189269 * $t * $t + " +
+        s"0.001308 * $t * $t * $t))"
+    }
+    s"(CASE WHEN $p < 0.5 THEN -${half(p)} " +
+      s"ELSE ${half(s"(1.0 - $p)")} END)"
+  }
+
+  /** Shapiro-Francia W' = corr(x, m)^2 from exact mixed moments. */
+  private def sfW2E: String = {
+    val num = "(CAST(n AS DOUBLE) * CAST(sxm AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE))"
+    val dx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val dm = "(CAST(n AS DOUBLE) * CAST(smm AS DOUBLE) - " +
+      "CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))"
+    s"($num * $num / ($dx * $dm))"
+  }
 
   /** q_negbin_fit zeros-included mean: sx/nu. */
   private def nbMeanE: String =

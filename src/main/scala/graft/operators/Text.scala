@@ -1697,5 +1697,52 @@ object Text {
         |FROM tk, nd ORDER BY tf DESC, tok LIMIT 20""".stripMargin),
       "token burstiness (per-doc VMR, zeros included) + Church-Gale " +
         "tf/df for the top-20 tokens (exact integer moments)"),
+
+    // Unseen-vocabulary estimation: Chao1 richness (bias-corrected
+    // form, finite even when no doubletons exist) and the Good-Turing
+    // unseen probability mass P0 = F1/N, from the token frequency-of-
+    // frequencies — the "how much vocabulary has this corpus NOT
+    // shown me yet" readout that tells a pipeline whether more
+    // crawling buys new tokens or more of the same. One explode +
+    // vocab-bounded count-of-counts rollup; all counts exact.
+    "q_chao1" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val tf = docs(s, d)
+          .select(explode(tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("tf"))
+        tf.agg(count(lit(1)).as("vocab"), sum($"tf").as("n_tokens"),
+            sum(($"tf" === 1L).cast("long")).as("f1"),
+            sum(($"tf" === 2L).cast("long")).as("f2"))
+          .select($"vocab", $"n_tokens", $"f1", $"f2",
+            expr("CAST(round(CAST(vocab AS DOUBLE) + " +
+              "CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) / " +
+              "(2.0 * CAST(f2 + 1 AS DOUBLE)), 0) AS BIGINT)")
+              .as("chao1_est"),
+            expr("CAST(round(CAST(f1 AS DOUBLE) / " +
+              "CAST(n_tokens AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("p0_micro"))
+      },
+      Some(s"""WITH tf AS (
+        |  SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM documents, unnest(${sqlTokens("text")}) AS t(tok)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM tf)
+        |SELECT vocab, n_tokens, f1, f2,
+        |  CAST(round(CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE) *
+        |    CAST(f1 - 1 AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE)),
+        |    0) AS BIGINT) AS chao1_est,
+        |  CAST(round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) AS p0_micro
+        |FROM m""".stripMargin),
+      "Chao1 unseen-vocabulary estimate + Good-Turing unseen mass " +
+        "from the token frequency-of-frequencies (exact counts)"),
   )
 }

@@ -834,4 +834,100 @@ class InferenceSpec extends SparkSpec {
     assert(math.abs(row._4 -
       math.round(popVar(parts.map(_._4.toDouble / 1e6)) / vT * 1e6)) <= 3)
   }
+
+  test("q_cooks_distance matches a textbook OLS-influence recount") {
+    val pts = dailyRev.toSeq.sortBy(_._1)
+    val n = pts.length
+    val ts = pts.map(_._1.toDouble); val rs = pts.map(_._2.toDouble)
+    val tb = ts.sum / n
+    val b = (n * ts.zip(rs).map(p => p._1 * p._2).sum -
+      ts.sum * rs.sum) / (n * ts.map(t => t * t).sum - ts.sum * ts.sum)
+    val a = (rs.sum - b * ts.sum) / n
+    val es = pts.map { case (t, r) =>
+      math.round((r - (a + b * t)) * 100) / 100.0 }
+    val s2 = es.map(e => e * e).sum / (n - 2)
+    val sttC = ts.map(t => (t - tb) * (t - tb)).sum
+    val got = q("q_cooks_distance")
+      .select($"day".cast("string"), $"r", $"resid_cents",
+        $"leverage_micro", $"cook_d_micro", $"influential")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    assert(got.length == n)
+    got.zip(pts).zip(es).foreach { case ((g, (t, r)), e) =>
+      assert(java.time.LocalDate.parse(g._1).toEpochDay == t)
+      assert(g._2 == r)
+      assert(math.abs(g._3 - math.round(e)) <= 1)
+      val h = 1.0 / n + (t - tb) * (t - tb) / sttC
+      assert(math.abs(g._4 - math.round(h * 1e6)) <= 2)
+      val dd = e * e * h / (2 * s2 * (1 - h) * (1 - h))
+      assert(math.abs(g._5 - math.round(dd * 1e6)) <= 3,
+        s"D at ${g._1}: ${g._5} vs ${dd * 1e6}")
+      assert(g._6 == (dd > 4.0 / n))
+    }
+  }
+
+  test("q_shapiro_francia: same-formula recount + sanity bounds") {
+    val xs = dailyCnt.sortBy(r => (r._2, r._1))
+    val n = xs.length
+    def probit(p: Double): Double = {
+      def half(q: Double) = {
+        val t = math.sqrt(-2 * math.log(q))
+        t - (2.515517 + 0.802853 * t + 0.010328 * t * t) /
+          (1 + 1.432788 * t + 0.189269 * t * t + 0.001308 * t * t * t)
+      }
+      if (p < 0.5) -half(p) else half(1 - p)
+    }
+    val ms = xs.indices.map(i =>
+      BigDecimal(probit((i + 1 - 0.375) / (n + 0.25)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val vs = xs.map(_._2.toDouble)
+    val num = n * vs.zip(ms).map(p => p._1 * p._2).sum -
+      vs.sum * ms.sum
+    val w2 = num * num /
+      ((n * vs.map(v => v * v).sum - vs.sum * vs.sum) *
+        (n * ms.map(m => m * m).sum - ms.sum * ms.sum))
+    val row = q("q_shapiro_francia").as[(Long, Long)].collect().head
+    assert(row._1 == n.toLong)
+    assert(math.abs(row._2 - math.round(w2 * 1e6)) <= 5,
+      s"W' ${row._2} vs ${w2 * 1e6}")
+    assert(row._2 >= 0L && row._2 <= 1000000L)
+  }
+
+  test("q_capture_recapture matches a plain overlap recount") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .select($"user_id", org.apache.spark.sql.functions
+        .to_date($"ts").cast("string"))
+      .as[(Long, String)].collect()
+      .map(r => (r._1, java.time.LocalDate.parse(r._2).toEpochDay))
+    val cutd = rows.map(_._2).min + 14
+    val users = rows.groupBy(_._1).toSeq.map { case (u, v) =>
+      (v.exists(_._2 <= cutd), v.exists(_._2 > cutd)) }
+    val n1 = users.count(_._1).toLong; val n2 = users.count(_._2).toLong
+    val m = users.count(u => u._1 && u._2).toLong
+    val row = q("q_capture_recapture")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(row._1 == users.length.toLong)
+    assert((row._2, row._3, row._4) == ((n1, n2, m)))
+    assert(math.abs(row._5 -
+      math.round(n1.toDouble * n2 / m * 1e6)) <= 2)
+    assert(math.abs(row._6 - math.round(
+      ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) * 1e6)) <= 2)
+  }
+
+  test("q_chao1 matches a plain frequency-of-frequencies recount") {
+    val tf = graft.Tables.load(spark, d, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val v = tf.length.toLong; val nt = tf.sum
+    val f1 = tf.count(_ == 1L).toLong; val f2 = tf.count(_ == 2L).toLong
+    val row = q("q_chao1")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert((row._1, row._2, row._3, row._4) == ((v, nt, f1, f2)))
+    assert(row._5 == math.round(v + f1.toDouble * (f1 - 1) /
+      (2.0 * (f2 + 1))))
+    assert(row._6 == math.round(f1.toDouble / nt * 1e6))
+    // richness estimate can only add to the observed vocabulary
+    assert(row._5 >= v)
+  }
 }
