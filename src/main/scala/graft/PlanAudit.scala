@@ -96,7 +96,9 @@ object PlanAudit {
     "q_bh_fdr" -> ("BH decision chain over the category-bounded " +
       "metric table (one row per event type)"),
     "q_shapiro_francia" -> ("Blom-score rank window over the bounded " +
-      "day table — the q_changepoint bound"))
+      "day table — the q_changepoint bound"),
+    "q_hurst" -> ("day-index rank over the bounded day table feeding " +
+      "block-partitioned cumulative windows — the q_changepoint bound"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

@@ -1996,7 +1996,260 @@ object Inference {
         |FROM c""".stripMargin),
       "Lincoln-Petersen + Chapman capture-recapture population " +
         "estimate from the two-week window split (exact overlaps)"),
+
+    // Entropy rate of the user journey chain: per from-state Shannon
+    // entropy of the outgoing transition distribution, and the chain
+    // rate H = sum_i pi_i H_i with pi the empirical from-state
+    // occupancy — "how predictable is the next event", the number
+    // that says whether a session model can beat a marginal
+    // classifier. Transition counts are the q_transition_matrix
+    // construction; -p ln p terms freeze at 9 dp into exact decimal
+    // sums. One user-keyed window + a category-bounded rollup.
+    "q_entropy_rate" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+        val pairs = Tables.load(s, d, "events")
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type".as("from_type"),
+            $"next_type".as("to_type"))
+          .agg(count(lit(1)).as("nij"))
+        val rows_ = pairs.groupBy($"from_type")
+          .agg(sum($"nij").as("ni"))
+        val tot = pairs.agg(sum($"nij").as("nn"))
+        val hState = pairs.join(rows_, "from_type")
+          .select($"from_type", $"ni",
+            expr("CAST(round(-(CAST(nij AS DOUBLE) / " +
+              "CAST(ni AS DOUBLE)) * ln(CAST(nij AS DOUBLE) / " +
+              "CAST(ni AS DOUBLE)), 9) AS DECIMAL(14,9))").as("t9"))
+          .groupBy($"from_type", $"ni").agg(sum($"t9").as("h"))
+        val rate = hState.crossJoin(broadcast(tot))
+          .select(expr("CAST(round(CAST(ni AS DOUBLE) / " +
+            "CAST(nn AS DOUBLE) * CAST(h AS DOUBLE), 9) " +
+            "AS DECIMAL(14,9))").as("r9"))
+          .agg(sum($"r9").as("hr"))
+        hState.crossJoin(broadcast(tot)).crossJoin(broadcast(rate))
+          .select($"from_type", $"ni".as("n_out"),
+            expr("CAST(round(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)" +
+              " * 1000000.0, 0) AS BIGINT)").as("pi_micro"),
+            expr("CAST(round(CAST(h AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("h_state_micro"),
+            expr("CAST(round(CAST(hr AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("h_rate_micro"))
+          .orderBy($"from_type")
+      },
+      Some("""WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS next_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_type, CAST(SUM(nij) AS BIGINT) AS ni
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM p),
+        |h AS (
+        |  SELECT from_type, ni,
+        |    SUM(CAST(round(-(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
+        |      * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)), 9)
+        |      AS DECIMAL(14,9))) AS h
+        |  FROM p JOIN r USING (from_type) GROUP BY 1, 2),
+        |hr AS (
+        |  SELECT SUM(CAST(round(CAST(ni AS DOUBLE) /
+        |    CAST(nn AS DOUBLE) * CAST(h AS DOUBLE), 9)
+        |    AS DECIMAL(14,9))) AS hr
+        |  FROM h, t)
+        |SELECT from_type, ni AS n_out,
+        |  CAST(round(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) AS pi_micro,
+        |  CAST(round(CAST(h AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS h_state_micro,
+        |  CAST(round(CAST(hr AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS h_rate_micro
+        |FROM h, t, hr ORDER BY from_type""".stripMargin),
+      "journey-chain entropy rate (per-state outgoing entropy + " +
+        "occupancy-weighted rate, 9-dp frozen -p ln p terms)"),
+
+    // Hurst exponent by rescaled-range (R/S) analysis over the daily
+    // event-count series: for block sizes 5/10/15 days, the mean over
+    // complete consecutive blocks of (range of cumulative deviations /
+    // block std); H is the log-log slope across the three sizes.
+    // H ~ 0.5 means the series forgets (random walk increments); H
+    // well above 0.5 means long-range persistence — burst clustering
+    // that AR/EWMA models understate. Block assignment and running
+    // sums ride one rank over the bounded day table; per-block stats
+    // are exact until the final frozen ratios.
+    "q_hurst" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(Window.orderBy($"day"))
+            .cast("long"))
+        val ws = s.range(1, 4).select(($"id" * 5).as("w"))
+        val blocks = daily.crossJoin(broadcast(ws))
+          .select($"w", expr("(i - 1) div w").as("blk"), $"i", $"x")
+        val sized = blocks.groupBy($"w", $"blk")
+          .agg(count(lit(1)).as("bn"), sum($"x").as("bs"))
+          .filter($"bn" === $"w")
+        val dev = blocks.join(sized, Seq("w", "blk"))
+          .withColumn("cum",
+            sum($"x" * $"bn" - $"bs").over(
+              Window.partitionBy($"w", $"blk").orderBy($"i")))
+        val rs = dev.groupBy($"w", $"blk", $"bn", $"bs")
+          .agg(max($"cum").as("mx"), min($"cum").as("mn"),
+            sum($"x".cast(org.apache.spark.sql.types
+              .DecimalType(38, 0)) * $"x".cast(org.apache.spark.sql
+              .types.DecimalType(38, 0))).as("sxx"))
+          .select($"w",
+            expr(s"CAST(round($hurstRsE, 9) AS DECIMAL(16,9))")
+              .as("rs9"))
+          .filter($"rs9".isNotNull)
+          .groupBy($"w")
+          .agg(count(lit(1)).as("n_blocks"), sum($"rs9").as("srs"))
+          .select($"w", $"n_blocks",
+            expr("round(ln(CAST(srs AS DOUBLE) / " +
+              "CAST(n_blocks AS DOUBLE)), 9)").as("ly"),
+            expr("round(ln(CAST(w AS DOUBLE)), 9)").as("lx"))
+        val slope = rs.agg(count(lit(1)).as("k"),
+          sum($"lx").as("slx"), sum($"ly").as("sly"),
+          sum(expr("lx * ly")).as("slxy"),
+          sum(expr("lx * lx")).as("slxx"))
+          .select(expr("CAST(round((CAST(k AS DOUBLE) * slxy - slx *" +
+            " sly) / (CAST(k AS DOUBLE) * slxx - slx * slx) * " +
+            "1000000.0, 0) AS BIGINT)").as("hurst_micro"))
+        rs.crossJoin(broadcast(slope))
+          .select($"w", $"n_blocks",
+            expr("CAST(round(exp(ly) * 1000000.0, 0) AS BIGINT)")
+              .as("rs_micro"),
+            $"hurst_micro")
+          .orderBy($"w")
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS i, day
+        |  FROM daily),
+        |blocks AS (
+        |  SELECT w, (i - 1) // w AS blk, i, x
+        |  FROM idx, (SELECT unnest([5, 10, 15]) AS w) ws),
+        |sized AS (
+        |  SELECT w, blk, CAST(COUNT(*) AS BIGINT) AS bn,
+        |    CAST(SUM(x) AS BIGINT) AS bs
+        |  FROM blocks GROUP BY 1, 2 HAVING COUNT(*) = w),
+        |dev AS (
+        |  SELECT b.w, b.blk, s.bn, s.bs, b.i, b.x,
+        |    CAST(SUM(b.x * s.bn - s.bs) OVER (
+        |      PARTITION BY b.w, b.blk ORDER BY b.i) AS BIGINT) AS cum
+        |  FROM blocks b JOIN sized s ON b.w = s.w AND b.blk = s.blk),
+        |rsb AS (
+        |  SELECT w, blk, bn, bs, MAX(cum) AS mx, MIN(cum) AS mn,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS sxx
+        |  FROM dev GROUP BY 1, 2, 3, 4),
+        |rs9 AS (
+        |  SELECT w, CAST(round($hurstRsE, 9) AS DECIMAL(16,9)) AS rs9
+        |  FROM rsb),
+        |mrs AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    round(ln(CAST(SUM(rs9) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE)), 9) AS ly,
+        |    round(ln(CAST(w AS DOUBLE)), 9) AS lx
+        |  FROM rs9 WHERE rs9 IS NOT NULL GROUP BY 1),
+        |sl AS (
+        |  SELECT CAST(round((CAST(COUNT(*) AS DOUBLE) * SUM(lx * ly)
+        |    - SUM(lx) * SUM(ly)) / (CAST(COUNT(*) AS DOUBLE) *
+        |    SUM(lx * lx) - SUM(lx) * SUM(lx)) * 1000000.0, 0)
+        |    AS BIGINT) AS hurst_micro
+        |  FROM mrs)
+        |SELECT w, n_blocks,
+        |  CAST(round(exp(ly) * 1000000.0, 0) AS BIGINT) AS rs_micro,
+        |  hurst_micro
+        |FROM mrs, sl ORDER BY w""".stripMargin),
+      "Hurst exponent by R/S analysis at block sizes 5/10/15 days " +
+        "(exact bn-scaled cumulative deviations, 9-dp frozen ratios, " +
+        "log-log slope)"),
+
+    // Day-level jackknife standard error of the revenue-per-order
+    // ratio — honest uncertainty for a NONLINEAR corpus statistic
+    // (the delta-method alternative without the derivative): each
+    // leave-one-day-out replicate recomputes theta from the totals
+    // minus that day (O(days), never O(rows)), SE_jack =
+    // sqrt((n-1)/n * sum (theta_i - mean)^2). Replicates freeze at
+    // 9 dp so the moment sums are exact decimals.
+    "q_jackknife_ratio" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val day = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"), count(lit(1)).as("c"))
+        val tot = day.agg(count(lit(1)).as("n"), sum($"r").as("tr"),
+          sum($"c").as("tc"))
+        val reps = day.crossJoin(broadcast(tot))
+          .select($"n", $"tr", $"tc",
+            expr("CAST(round(CAST(tr - r AS DOUBLE) / " +
+              "CAST(tc - c AS DOUBLE), 6) AS DECIMAL(19,6))")
+              .as("th9"))
+        reps.groupBy($"n", $"tr", $"tc")
+          .agg(sum($"th9").as("s1"), sum($"th9" * $"th9").as("s2"))
+          .select($"n".as("n_days"),
+            expr("CAST(round(CAST(tr AS DOUBLE) / CAST(tc AS DOUBLE)" +
+              " * 100.0, 0) AS BIGINT)").as("theta_centicents"),
+            expr(s"CAST(round($jackSeE * 100.0, 0) AS BIGINT)")
+              .as("se_jack_centicents"))
+      },
+      Some(s"""WITH day_ AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(r) AS BIGINT) AS tr, CAST(SUM(c) AS BIGINT) AS tc
+        |  FROM day_),
+        |reps AS (
+        |  SELECT n, tr, tc,
+        |    CAST(round(CAST(tr - r AS DOUBLE) / CAST(tc - c AS
+        |      DOUBLE), 6) AS DECIMAL(19,6)) AS th9
+        |  FROM day_, tot),
+        |m AS (
+        |  SELECT n, tr, tc, SUM(th9) AS s1, SUM(th9 * th9) AS s2
+        |  FROM reps GROUP BY 1, 2, 3)
+        |SELECT n AS n_days,
+        |  CAST(round(CAST(tr AS DOUBLE) / CAST(tc AS DOUBLE) * 100.0,
+        |    0) AS BIGINT) AS theta_centicents,
+        |  CAST(round($jackSeE * 100.0, 0) AS BIGINT)
+        |    AS se_jack_centicents
+        |FROM m""".stripMargin),
+      "day-level jackknife SE of revenue-per-order (O(days) " +
+        "replicates from exact totals, 9-dp frozen)"),
   )
+
+  /** q_hurst per-block R/S at bn-scale: range(cum)/(bn * std) where
+    * cum is bn-scaled, std is the population std from raw sums; NULL
+    * when the block is constant (std = 0). */
+  private def hurstRsE: String = {
+    val varE = "(CAST(sxx AS DOUBLE) / CAST(bn AS DOUBLE) - " +
+      "CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) * CAST(bs AS DOUBLE)" +
+      " / CAST(bn AS DOUBLE))"
+    s"(CASE WHEN $varE <= 0.0 THEN NULL ELSE " +
+      "CAST(mx - mn AS DOUBLE) / CAST(bn AS DOUBLE) / " +
+      s"sqrt($varE) END)"
+  }
+
+  /** q_jackknife_ratio SE from the frozen replicate moments. */
+  private def jackSeE: String =
+    "sqrt(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) * " +
+      "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+      "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
 
   /** q_cooks_distance OLS intercept/slope from exact decimal moments
     * (cents on day-index). */

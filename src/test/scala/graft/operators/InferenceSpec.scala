@@ -930,4 +930,110 @@ class InferenceSpec extends SparkSpec {
     // richness estimate can only add to the observed vocabulary
     assert(row._5 >= v)
   }
+
+  test("q_entropy_rate matches a plain transition-map recount") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .select($"user_id",
+        org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val trans = rows.groupBy(_._1).toSeq.flatMap { case (_, v) =>
+      val seq = v.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      seq.zip(seq.drop(1))
+    }
+    val byFrom = trans.groupBy(_._1)
+    val nn = trans.length.toDouble
+    val expect = byFrom.toSeq.map { case (f, v) =>
+      val h = v.groupBy(_._2).values.map { g =>
+        val p = g.length.toDouble / v.length
+        BigDecimal(-p * math.log(p))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+      (f, v.length.toLong, math.round(v.length / nn * 1e6),
+        math.round(h * 1e6))
+    }.sortBy(_._1)
+    val rate = byFrom.toSeq.map { case (_, v) =>
+      val h = v.groupBy(_._2).values.map { g =>
+        val p = g.length.toDouble / v.length; -p * math.log(p) }.sum
+      v.length / nn * h
+    }.sum
+    val got = q("q_entropy_rate")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2)
+      assert(math.abs(g._3 - e._3) <= 2)
+      assert(math.abs(g._4 - e._4) <= 3, s"H(${g._1})")
+      assert(math.abs(g._5 - math.round(rate * 1e6)) <= 5)
+    }
+    // entropy of a <=6-way categorical is bounded by ln 6
+    got.foreach(g => assert(g._4 <= math.round(math.log(6) * 1e6) + 2))
+  }
+
+  test("q_hurst matches a direct R/S recount") {
+    val xs = dailyCnt.sortBy(_._1).map(_._2)
+    val pts = Seq(5, 10, 15).map { w =>
+      val rss = xs.grouped(w).filter(_.length == w).flatMap { blk =>
+        val bn = blk.length; val bs = blk.sum
+        // bn-scaled deviations, as the query computes them
+        val cum = blk.map(_ * bn - bs)
+          .scanLeft(0L)(_ + _).tail
+        val varP = blk.map(x => x.toDouble * x).sum / bn -
+          (bs.toDouble / bn) * (bs.toDouble / bn)
+        if (varP <= 0) None
+        else Some(BigDecimal((cum.max - cum.min).toDouble / bn /
+          math.sqrt(varP)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+      (w, rss.length.toLong, rss.sum / rss.length)
+    }
+    val ls = pts.map { case (w, _, m) =>
+      (BigDecimal(math.log(w)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.log(m)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val k = ls.length
+    val hurst = (k * ls.map(p => p._1 * p._2).sum -
+      ls.map(_._1).sum * ls.map(_._2).sum) /
+      (k * ls.map(p => p._1 * p._1).sum -
+        ls.map(_._1).sum * ls.map(_._1).sum)
+    val got = q("q_hurst")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(5L, 10L, 15L))
+    got.zip(pts).foreach { case (g, (w, nb, m)) =>
+      assert(g._2 == nb, s"blocks at w=$w")
+      assert(math.abs(g._3 - math.round(m * 1e6)) <= 3,
+        s"R/S at w=$w: ${g._3} vs ${m * 1e6}")
+      assert(math.abs(g._4 - math.round(hurst * 1e6)) <= 5)
+    }
+    // R/S grows with window for any non-degenerate series
+    assert(got.map(_._3).sliding(2).forall {
+      case Array(a, b) => b >= a; case _ => true })
+  }
+
+  test("q_jackknife_ratio matches a leave-one-day-out recount") {
+    val days = dailyRev.toSeq
+    val cnts = graft.Tables.load(spark, d, "orders")
+      .groupBy(org.apache.spark.sql.functions.to_date($"o_orderdate")
+        .cast("string").as("day"))
+      .count().as[(String, Long)].collect()
+      .map(r => java.time.LocalDate.parse(r._1).toEpochDay -> r._2)
+      .toMap
+    val n = days.length
+    val tr = days.map(_._2).sum; val tc = cnts.values.sum
+    val reps = days.map { case (ep, r) =>
+      BigDecimal((tr - r).toDouble / (tc - cnts(ep)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val mean = reps.sum / n
+    val se = math.sqrt((n - 1.0) / n *
+      reps.map(t => (t - mean) * (t - mean)).sum)
+    val row = q("q_jackknife_ratio")
+      .as[(Long, Long, Long)].collect().head
+    assert(row._1 == n.toLong)
+    assert(math.abs(row._2 - math.round(tr.toDouble / tc * 100)) <= 1)
+    assert(math.abs(row._3 - math.round(se * 100)) <= 2,
+      s"SE ${row._3} vs ${se * 100}")
+  }
 }
