@@ -2193,17 +2193,26 @@ object Inference {
             .as("r"), count(lit(1)).as("c"))
         val tot = day.agg(count(lit(1)).as("n"), sum($"r").as("tr"),
           sum($"c").as("tc"))
+        // replicates freeze to INTEGER centicents: integer-valued moment
+        // sums convert to double identically in both engines (a scale-12
+        // decimal cast diverged by 1 ulp at sf0.1 and flipped the
+        // rounded SE)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val reps = day.crossJoin(broadcast(tot))
           .select($"n", $"tr", $"tc",
             expr("CAST(round(CAST(tr - r AS DOUBLE) / " +
-              "CAST(tc - c AS DOUBLE), 6) AS DECIMAL(19,6))")
+              "CAST(tc - c AS DOUBLE) * 100.0, 0) AS BIGINT)")
               .as("th9"))
         reps.groupBy($"n", $"tr", $"tc")
-          .agg(sum($"th9").as("s1"), sum($"th9" * $"th9").as("s2"))
+          .agg(sum($"th9".cast(d38)).as("s1"),
+            sum($"th9".cast(d38) * $"th9".cast(d38)).as("s2"))
           .select($"n".as("n_days"),
-            expr("CAST(round(CAST(tr AS DOUBLE) / CAST(tc AS DOUBLE)" +
-              " * 100.0, 0) AS BIGINT)").as("theta_centicents"),
-            expr(s"CAST(round($jackSeE * 100.0, 0) AS BIGINT)")
+            // HALF_UP in EXACT integer arithmetic: the double path hit
+            // a .5 boundary at sf0.1 and the engines split on it
+            expr("CAST((CAST(tr AS DECIMAL(38,0)) * 200 + tc) div " +
+              "(2 * CAST(tc AS DECIMAL(38,0))) AS BIGINT)")
+              .as("theta_centicents"),
+            expr(s"CAST(round($jackSeE, 0) AS BIGINT)")
               .as("se_jack_centicents"))
       },
       Some(s"""WITH day_ AS (
@@ -2218,15 +2227,18 @@ object Inference {
         |reps AS (
         |  SELECT n, tr, tc,
         |    CAST(round(CAST(tr - r AS DOUBLE) / CAST(tc - c AS
-        |      DOUBLE), 6) AS DECIMAL(19,6)) AS th9
+        |      DOUBLE) * 100.0, 0) AS BIGINT) AS th9
         |  FROM day_, tot),
         |m AS (
-        |  SELECT n, tr, tc, SUM(th9) AS s1, SUM(th9 * th9) AS s2
+        |  SELECT n, tr, tc,
+        |    SUM(CAST(th9 AS DECIMAL(38,0))) AS s1,
+        |    SUM(CAST(th9 AS DECIMAL(38,0)) * CAST(th9 AS
+        |      DECIMAL(38,0))) AS s2
         |  FROM reps GROUP BY 1, 2, 3)
         |SELECT n AS n_days,
-        |  CAST(round(CAST(tr AS DOUBLE) / CAST(tc AS DOUBLE) * 100.0,
-        |    0) AS BIGINT) AS theta_centicents,
-        |  CAST(round($jackSeE * 100.0, 0) AS BIGINT)
+        |  CAST((CAST(tr AS HUGEINT) * 200 + tc) //
+        |    (2 * CAST(tc AS HUGEINT)) AS BIGINT) AS theta_centicents,
+        |  CAST(round($jackSeE, 0) AS BIGINT)
         |    AS se_jack_centicents
         |FROM m""".stripMargin),
       "day-level jackknife SE of revenue-per-order (O(days) " +

@@ -1022,9 +1022,9 @@ class InferenceSpec extends SparkSpec {
       .toMap
     val n = days.length
     val tr = days.map(_._2).sum; val tc = cnts.values.sum
+    // the query's contract: replicates frozen to integer centicents
     val reps = days.map { case (ep, r) =>
-      BigDecimal((tr - r).toDouble / (tc - cnts(ep)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round((tr - r).toDouble / (tc - cnts(ep)) * 100).toDouble
     }
     val mean = reps.sum / n
     val se = math.sqrt((n - 1.0) / n *
@@ -1033,7 +1033,7 @@ class InferenceSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(row._1 == n.toLong)
     assert(math.abs(row._2 - math.round(tr.toDouble / tc * 100)) <= 1)
-    assert(math.abs(row._3 - math.round(se * 100)) <= 2,
-      s"SE ${row._3} vs ${se * 100}")
+    assert(math.abs(row._3 - math.round(se)) <= 2,
+      s"SE ${row._3} vs $se")
   }
 }
