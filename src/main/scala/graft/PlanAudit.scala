@@ -98,7 +98,11 @@ object PlanAudit {
     "q_shapiro_francia" -> ("Blom-score rank window over the bounded " +
       "day table — the q_changepoint bound"),
     "q_hurst" -> ("day-index rank over the bounded day table feeding " +
-      "block-partitioned cumulative windows — the q_changepoint bound"))
+      "block-partitioned cumulative windows — the q_changepoint bound"),
+    "q_runs_test" -> ("sign-lag window over the bounded day table — " +
+      "the q_changepoint bound"),
+    "q_sign_trend" -> ("day rank + ln-factorial running sum over the " +
+      "calendar-bounded integer spine (N <= day count <= ~2.4k)"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

@@ -2243,7 +2243,169 @@ object Inference {
         |FROM m""".stripMargin),
       "day-level jackknife SE of revenue-per-order (O(days) " +
         "replicates from exact totals, 9-dp frozen)"),
+
+    // Wald-Wolfowitz runs test on the daily-revenue sign sequence
+    // (above/below the median): too FEW runs means level persistence,
+    // too MANY means oscillation — the distribution-free randomness
+    // check that catches what autocorrelation tests miss when the
+    // dependence is nonlinear. Runs are counted by an exact integer
+    // lag comparison over the ordered day table; E[R] and Var[R] are
+    // closed-form integers-over-integers; exact-median days are
+    // excluded (stated, cent-exact so ties are real ties).
+    "q_runs_test" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"))
+        val med = rev.agg(
+          expr("CAST(round(percentile(r, 0.5) * 2.0, 0) AS BIGINT)")
+            .as("m2"))
+        val signs = rev.crossJoin(broadcast(med))
+          .filter($"r" * 2 =!= $"m2")
+          .select($"day", ($"r" * 2 > $"m2").cast("long").as("sg"))
+        val w = Window.orderBy($"day")
+        val runs = signs
+          .withColumn("chg",
+            when(lag($"sg", 1).over(w).isNull, 1L)
+              .when(lag($"sg", 1).over(w) =!= $"sg", 1L).otherwise(0L))
+          .agg(sum($"chg").as("r_runs"), sum($"sg").as("n1"),
+            sum(lit(1L) - $"sg").as("n2"))
+        runs.select($"r_runs", $"n1", $"n2",
+          expr(s"CAST(round($runsEE * 1000000.0, 0) AS BIGINT)")
+            .as("e_runs_micro"),
+          expr(s"CAST(round((CAST(r_runs AS DOUBLE) - $runsEE) / " +
+            s"sqrt($runsVE) * 1000000.0, 0) AS BIGINT)")
+            .as("z_micro"))
+      },
+      Some(s"""WITH rev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT CAST(round(quantile_cont(r, 0.5) * 2.0, 0)
+        |  AS BIGINT) AS m2 FROM rev),
+        |signs AS (
+        |  SELECT day, CAST(r * 2 > m2 AS BIGINT) AS sg
+        |  FROM rev, med WHERE r * 2 <> m2),
+        |ch AS (
+        |  SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY day) IS NULL
+        |    THEN 1 WHEN lag(sg) OVER (ORDER BY day) <> sg THEN 1
+        |    ELSE 0 END AS chg
+        |  FROM signs),
+        |m AS (
+        |  SELECT CAST(SUM(chg) AS BIGINT) AS r_runs,
+        |    CAST(SUM(sg) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - sg) AS BIGINT) AS n2
+        |  FROM ch)
+        |SELECT r_runs, n1, n2,
+        |  CAST(round($runsEE * 1000000.0, 0) AS BIGINT)
+        |    AS e_runs_micro,
+        |  CAST(round((CAST(r_runs AS DOUBLE) - $runsEE) /
+        |    sqrt($runsVE) * 1000000.0, 0) AS BIGINT) AS z_micro
+        |FROM m""".stripMargin),
+      "Wald-Wolfowitz runs test on daily-revenue median signs (exact " +
+        "integer run counting, closed-form moments)"),
+
+    // Cox-Stuart trend test with an EXACT binomial tail: pair each of
+    // the first half's days with its day m positions later, count
+    // strict increases vs decreases, and compute the exact two-sided
+    // sign-test p-value — no normal approximation, no alpha table.
+    // The binomial tail sums exp(ln C(N,k) - N ln 2) with ln-
+    // factorials built as a 9-dp-frozen running sum over the bounded
+    // 1..N integer spine, every term frozen before the exact decimal
+    // sum — the engines agree because the whole computation is
+    // decimal arithmetic over identically-rounded logs.
+    "q_sign_trend" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("r"))
+          .withColumn("i", row_number().over(Window.orderBy($"day"))
+            .cast("long"))
+        val nn = rev.agg(count(lit(1)).as("nd"))
+        val (plus, minus) = rev.as("a").crossJoin(broadcast(nn))
+          .join(rev.as("b"), $"b.i" === $"a.i" + expr("nd div 2"))
+          .select(($"b.r" > $"a.r").cast("long").as("up"),
+            ($"b.r" < $"a.r").cast("long").as("dn"))
+          .agg(sum($"up"), sum($"dn"))
+          .as[(Long, Long)].collect().head
+        // the tail is driver-side BigDecimal over the SAME frozen-log
+        // algorithm the oracle runs as CTEs (the q_markov_attribution
+        // collect-then-exact-math pattern — (plus, minus) is a 2-long
+        // metadata-scale collect; a plan-side formulation paid 21
+        // single-partition exchanges re-deriving the 1-row battery)
+        def r9(x: Double) = BigDecimal(x)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        val nN = (plus + minus).toInt
+        val kK = math.max(plus, minus).toInt
+        val lf = new Array[BigDecimal](nN + 1)
+        lf(0) = BigDecimal(0)
+        for (j <- 1 to nN) lf(j) = lf(j - 1) + r9(math.log(j))
+        val ln2 = r9(math.log(2.0))
+        val tail = (kK to nN).map { k =>
+          r9(math.exp((lf(nN) - lf(k) - lf(nN - k) -
+            BigDecimal(nN) * ln2).toDouble))
+        }.sum
+        val p = math.min(2.0 * tail.toDouble, 1.0)
+        s.createDataFrame(Seq((plus, minus, math.round(p * 1e6))))
+          .toDF("plus", "minus", "p_micro")
+      },
+      Some(s"""WITH rev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT r, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS i
+        |  FROM rev),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM idx),
+        |pm AS (
+        |  SELECT CAST(SUM(CASE WHEN b.r > a.r THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS plus,
+        |    CAST(SUM(CASE WHEN b.r < a.r THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS minus
+        |  FROM idx a, nn, idx b WHERE b.i = a.i + nd // 2),
+        |spine AS (
+        |  SELECT j, SUM(CAST(round(ln(CAST(j AS DOUBLE)), 9)
+        |    AS DECIMAL(24,9))) OVER (ORDER BY j) AS lf
+        |  FROM (SELECT unnest(generate_series(1, 3000)) AS j) s, pm
+        |  WHERE j <= plus + minus),
+        |lfn AS (SELECT lf AS lfn FROM spine, pm
+        |  WHERE j = plus + minus),
+        |t AS (
+        |  SELECT CAST(round(exp(CAST(lfn AS DOUBLE) -
+        |    CAST(k.lf AS DOUBLE) - CAST(COALESCE((SELECT MAX(nk.lf)
+        |      FROM spine nk WHERE nk.j = plus + minus - k.j), 0)
+        |      AS DOUBLE)
+        |    - CAST(plus + minus AS DOUBLE) * round(ln(2.0), 9)), 9)
+        |    AS DECIMAL(12,9)) AS t9
+        |  FROM spine k, pm, lfn
+        |  WHERE k.j >= greatest(plus, minus))
+        |SELECT plus, minus,
+        |  CAST(round(least(2.0 * CAST(SUM(t9) AS DOUBLE), 1.0) *
+        |    1000000.0, 0) AS BIGINT) AS p_micro
+        |FROM t, pm GROUP BY plus, minus""".stripMargin),
+      "Cox-Stuart trend test with an EXACT binomial two-sided tail " +
+        "(9-dp frozen ln-factorial spine, decimal term sums)"),
   )
+
+  /** Runs-test expected runs 2 n1 n2/(n1+n2) + 1. */
+  private def runsEE: String =
+    "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / " +
+      "CAST(n1 + n2 AS DOUBLE) + 1.0)"
+
+  /** Runs-test variance 2n1n2(2n1n2-n1-n2)/((n1+n2)^2(n1+n2-1)). */
+  private def runsVE: String =
+    "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+      "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
+      "CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) * " +
+      "CAST(n1 + n2 - 1 AS DOUBLE)))"
 
   /** q_hurst per-block R/S at bn-scale: range(cum)/(bn * std) where
     * cum is bn-scaled, std is the population std from raw sums; NULL

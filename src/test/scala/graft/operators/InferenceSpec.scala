@@ -1036,4 +1036,49 @@ class InferenceSpec extends SparkSpec {
     assert(math.abs(row._3 - math.round(se)) <= 2,
       s"SE ${row._3} vs $se")
   }
+
+  test("q_runs_test matches a direct run-count recount") {
+    val days = dailyRev.toSeq.sortBy(_._1)
+    val sorted = days.map(_._2).sorted
+    val med2 =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2) * 2
+      else sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)
+    val sg = days.filter(_._2 * 2 != med2).map(_._2 * 2 > med2)
+    val r = 1 + sg.zip(sg.drop(1)).count(p => p._1 != p._2)
+    val n1 = sg.count(identity).toLong; val n2 = sg.count(!_).toLong
+    val e = 2.0 * n1 * n2 / (n1 + n2) + 1
+    val v = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+      ((n1 + n2).toDouble * (n1 + n2) * (n1 + n2 - 1))
+    val row = q("q_runs_test")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert((row._1, row._2, row._3) == ((r.toLong, n1, n2)))
+    assert(math.abs(row._4 - math.round(e * 1e6)) <= 2)
+    assert(math.abs(row._5 - math.round((r - e) / math.sqrt(v) * 1e6))
+      <= 2)
+  }
+
+  test("q_sign_trend matches an exact BigDecimal binomial recount") {
+    val days = dailyRev.toSeq.sortBy(_._1).map(_._2)
+    val m = days.length / 2
+    val pairs = (0 until days.length - m).map(i =>
+      (days(i), days(i + m)))
+    val plus = pairs.count(p => p._2 > p._1).toLong
+    val minus = pairs.count(p => p._2 < p._1).toLong
+    val nN = (plus + minus).toInt
+    val kK = math.max(plus, minus).toInt
+    // exact rational tail via BigDecimal binomials — a COMPLETELY
+    // different path than the query's frozen-log spine
+    val tail = (kK to nN).map { k =>
+      var c = BigDecimal(1)
+      for (j <- 1 to k) c = c * (nN - k + j) / j
+      c / BigDecimal(2).pow(nN)
+    }.sum
+    val p = (BigDecimal(2) * tail).min(BigDecimal(1))
+    val row = q("q_sign_trend").as[(Long, Long, Long)].collect().head
+    assert((row._1, row._2) == ((plus, minus)))
+    // the frozen-log spine carries ~1e-9-per-term drift; micro output
+    // agrees within a few units
+    assert(math.abs(row._3 - math.round(p.toDouble * 1e6)) <= 5,
+      s"p ${row._3} vs ${p.toDouble * 1e6}")
+  }
 }
