@@ -2392,6 +2392,101 @@ object Inference {
         |FROM t, pm GROUP BY plus, minus""".stripMargin),
       "Cox-Stuart trend test with an EXACT binomial two-sided tail " +
         "(9-dp frozen ln-factorial spine, decimal term sums)"),
+
+    // Operational workload profile via Little's law quantities: from
+    // gap-sessionized user activity (the q_sessionize 30-min contract),
+    // the time-average concurrency L = total session-seconds /
+    // horizon, arrival rate lambda (sessions/hour), mean session
+    // duration W, and the PEAK concurrency sampled at top-of-hour
+    // instants (stated: hourly sampling — each session explodes into
+    // only the hour marks it spans, so the sweep is O(session-hours),
+    // never a global boundary sort). Capacity planning reads exactly
+    // these four numbers. All sums exact seconds; L = lambda*W holds
+    // by construction (Little's law for a closed window) and is the
+    // in-query invariant the spec pins.
+    "q_littles_law" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "events")
+          .select($"user_id", unix_timestamp($"ts").as("t"))
+        val w = Window.partitionBy($"user_id").orderBy($"t")
+        val sess = e
+          .withColumn("prev", lag($"t", 1).over(w))
+          .withColumn("ns",
+            when($"prev".isNull || $"t" - $"prev" > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum($"ns").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(min($"t").as("st"), max($"t").as("en"))
+        val hz = e.agg(min($"t").as("t0"), max($"t").as("t1"))
+        val tot = sess.agg(count(lit(1)).as("n_sessions"),
+          sum($"en" - $"st").as("sdur"))
+        // guard lo <= hi explicitly: Spark's sequence() would emit a
+        // DESCENDING range where DuckDB's generate_series is empty
+        val peak = sess.filter($"en" > $"st")
+          .filter(expr("(st + 3599) div 3600 <= (en - 1) div 3600"))
+          .select(explode(expr(
+            "sequence((st + 3599) div 3600, (en - 1) div 3600)"))
+            .as("hb"))
+          .groupBy($"hb").agg(count(lit(1)).as("c"))
+          .agg(coalesce(max($"c"), lit(0L)).as("peak_hourly"))
+        tot.crossJoin(broadcast(hz)).crossJoin(broadcast(peak))
+          .select($"n_sessions",
+            expr("CAST(round(CAST(n_sessions AS DOUBLE) * 3600.0 / " +
+              "CAST(t1 - t0 AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("lambda_hr_micro"),
+            expr("CAST(round(CAST(sdur AS DOUBLE) / " +
+              "CAST(n_sessions AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("w_sec_micro"),
+            expr("CAST(round(CAST(sdur AS DOUBLE) / " +
+              "CAST(t1 - t0 AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("l_micro"),
+            $"peak_hourly")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS t
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0
+        |      END AS ns
+        |  FROM (SELECT user_id, t,
+        |      lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+        |    FROM e)),
+        |sid AS (
+        |  SELECT user_id, t,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, CAST(MIN(t) AS BIGINT) AS st,
+        |    CAST(MAX(t) AS BIGINT) AS en
+        |  FROM sid GROUP BY 1, 2),
+        |hz AS (SELECT CAST(MIN(t) AS BIGINT) AS t0,
+        |  CAST(MAX(t) AS BIGINT) AS t1 FROM e),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(en - st) AS BIGINT) AS sdur FROM sess),
+        |hb AS (
+        |  SELECT u.hb, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM sess, unnest(generate_series((st + 3599) // 3600,
+        |    (en - 1) // 3600)) AS u(hb)
+        |  WHERE en > st GROUP BY 1),
+        |pk AS (SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT)
+        |  AS peak_hourly FROM hb)
+        |SELECT n_sessions,
+        |  CAST(round(CAST(n_sessions AS DOUBLE) * 3600.0 /
+        |    CAST(t1 - t0 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS lambda_hr_micro,
+        |  CAST(round(CAST(sdur AS DOUBLE) / CAST(n_sessions AS
+        |    DOUBLE) * 1000000.0, 0) AS BIGINT) AS w_sec_micro,
+        |  CAST(round(CAST(sdur AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) AS l_micro,
+        |  peak_hourly
+        |FROM tot, hz, pk""".stripMargin),
+      "Little's-law workload profile from 30-min gap sessions: " +
+        "concurrency, arrival rate, mean duration, hourly-sampled " +
+        "peak (exact second sums, O(session-hours) sweep)"),
   )
 
   /** Runs-test expected runs 2 n1 n2/(n1+n2) + 1. */

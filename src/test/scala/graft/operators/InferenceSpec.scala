@@ -1081,4 +1081,43 @@ class InferenceSpec extends SparkSpec {
     assert(math.abs(row._3 - math.round(p.toDouble * 1e6)) <= 5,
       s"p ${row._3} vs ${p.toDouble * 1e6}")
   }
+
+  test("q_littles_law matches a direct sessionization recount and " +
+    "the L = lambda*W identity") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .select($"user_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts"))
+      .as[(Long, Long)].collect()
+    val sessions = rows.groupBy(_._1).toSeq.flatMap { case (_, v) =>
+      val ts = v.map(_._2).sorted
+      val bounds = scala.collection.mutable.Buffer[(Long, Long)]()
+      var st = ts.head; var prev = ts.head
+      for (t <- ts.tail) {
+        if (t - prev > 1800L) { bounds += ((st, prev)); st = t }
+        prev = t
+      }
+      bounds += ((st, prev))
+      bounds.toSeq
+    }
+    val t0 = rows.map(_._2).min; val t1 = rows.map(_._2).max
+    val n = sessions.length.toLong
+    val sdur = sessions.map(s => s._2 - s._1).sum
+    val hourly = sessions.filter(s => s._2 > s._1).flatMap { s =>
+      ((s._1 + 3599) / 3600) to ((s._2 - 1) / 3600) }
+      .groupBy(identity).values.map(_.size)
+    val peak = if (hourly.isEmpty) 0L else hourly.max.toLong
+    val row = q("q_littles_law")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row._1 == n)
+    assert(math.abs(row._2 - math.round(n * 3600.0 / (t1 - t0) * 1e6))
+      <= 2)
+    assert(math.abs(row._3 - math.round(sdur.toDouble / n * 1e6)) <= 2)
+    assert(math.abs(row._4 -
+      math.round(sdur.toDouble / (t1 - t0) * 1e6)) <= 2)
+    assert(row._5 == peak, s"peak ${row._5} vs $peak")
+    // Little's law identity for the closed window: L = lambda * W
+    val l = row._4 / 1e6
+    val lw = (row._2 / 1e6 / 3600.0) * (row._3 / 1e6)
+    assert(math.abs(l - lw) < 1e-4, s"L $l vs lambda*W $lw")
+  }
 }
