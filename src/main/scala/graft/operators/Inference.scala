@@ -2487,7 +2487,87 @@ object Inference {
       "Little's-law workload profile from 30-min gap sessions: " +
         "concurrency, arrival rate, mean duration, hourly-sampled " +
         "peak (exact second sums, O(session-hours) sweep)"),
+
+    // Theil T inequality index of customer revenue per nation — the
+    // DECOMPOSABLE member of the concentration family (q_gini ranks,
+    // q_hhi squares shares; Theil alone splits exactly into within-
+    // group + between-group terms, which is why inequality audits use
+    // it): T = (1/n) sum (x/mu) ln(x/mu) over customers, reported per
+    // nation plus the exact between-nation component. Customer revenue
+    // is exact cents; (x/mu)ln(x/mu) terms freeze at 9 dp into exact
+    // decimal sums; zero-revenue customers are excluded (ln; stated).
+    // One corpus rollup + a nation-bounded reduce.
+    "q_theil_index" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("x"))
+          .join(Tables.load(s, d, "customer")
+            .select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+        val tot = cust.agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+        val terms = cust.crossJoin(broadcast(tot))
+          .select($"c_nationkey", $"x", $"n", $"sx",
+            expr(s"CAST(round($theilTermE, 9) AS DECIMAL(16,9))")
+              .as("t9"))
+        val byNation = terms.groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_cust"), sum($"x").as("nx"),
+            sum($"t9").as("ts"), max($"n").as("n"), max($"sx").as("sx"))
+          .join(Tables.load(s, d, "nation")
+            .select($"n_nationkey", $"n_name"),
+            $"c_nationkey" === $"n_nationkey")
+        byNation
+          .select($"n_name", $"n_cust",
+            expr("CAST(round(CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("theil_contrib_micro"),
+            expr(s"CAST(round($theilBetweenE * 1000000.0, 0) " +
+              "AS BIGINT)").as("between_term_micro"))
+          .orderBy($"n_name")
+      },
+      Some(s"""WITH cust AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY o_custkey, c_nationkey),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx FROM cust),
+        |terms AS (
+        |  SELECT c_nationkey, x, n, sx,
+        |    CAST(round($theilTermE, 9) AS DECIMAL(16,9)) AS t9
+        |  FROM cust, tot),
+        |bn AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(x) AS BIGINT) AS nx, SUM(t9) AS ts,
+        |    MAX(n) AS n, MAX(sx) AS sx
+        |  FROM terms GROUP BY 1)
+        |SELECT n_name, n_cust,
+        |  CAST(round(CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) AS theil_contrib_micro,
+        |  CAST(round($theilBetweenE * 1000000.0, 0) AS BIGINT)
+        |    AS between_term_micro
+        |FROM bn JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin),
+      "Theil T inequality of customer revenue per nation (9-dp " +
+        "frozen (x/mu)ln(x/mu) terms, exact between-nation component)"),
   )
+
+  /** Theil per-customer term (x/mu) ln(x/mu) with mu = sx/n. */
+  private def theilTermE: String = {
+    val ratio = "(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / " +
+      "CAST(sx AS DOUBLE))"
+    s"($ratio * ln($ratio))"
+  }
+
+  /** Between-nation Theil term s_g ln(s_g / (n_g/n)) with s_g the
+    * nation's revenue share. */
+  private def theilBetweenE: String = {
+    val sg = "(CAST(nx AS DOUBLE) / CAST(sx AS DOUBLE))"
+    val pg = "(CAST(n_cust AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"($sg * ln($sg / $pg))"
+  }
 
   /** Runs-test expected runs 2 n1 n2/(n1+n2) + 1. */
   private def runsEE: String =

@@ -1120,4 +1120,47 @@ class InferenceSpec extends SparkSpec {
     val lw = (row._2 / 1e6 / 3600.0) * (row._3 / 1e6)
     assert(math.abs(l - lw) < 1e-4, s"L $l vs lambda*W $lw")
   }
+
+  test("q_theil_index matches a direct recount; contributions sum to " +
+    "the corpus Theil and between <= total") {
+    val revByCust = graft.Tables.load(spark, d, "orders")
+      .select($"o_custkey",
+        org.apache.spark.sql.functions
+          .expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (k, v) => k -> v.map(_._2).sum }
+    val natByCust = graft.Tables.load(spark, d, "customer")
+      .select($"c_custkey", $"c_nationkey")
+      .as[(Long, Long)].collect().toMap
+    val names = graft.Tables.load(spark, d, "nation")
+      .select($"n_nationkey", $"n_name")
+      .as[(Long, String)].collect().toMap
+    val n = revByCust.length
+    val sx = revByCust.map(_._2).sum
+    val mu = sx.toDouble / n
+    def term(x: Long) = {
+      val r = x / mu
+      BigDecimal(r * math.log(r))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = revByCust.groupBy(c => natByCust(c._1)).toSeq
+      .map { case (nk, v) =>
+        val contrib = v.map(c => term(c._2)).sum / n
+        val s = v.map(_._2).sum.toDouble / sx
+        val p = v.length.toDouble / n
+        (names(nk), v.length.toLong, math.round(contrib * 1e6),
+          math.round(s * math.log(s / p) * 1e6))
+      }.sortBy(_._1)
+    val got = q("q_theil_index")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2)
+      assert(math.abs(g._3 - e._3) <= 3, s"contrib ${g._1}")
+      assert(math.abs(g._4 - e._4) <= 3, s"between ${g._1}")
+    }
+    // decomposition sanity: the between component never exceeds the
+    // total Theil (within-group terms are non-negative)
+    assert(got.map(_._4).sum <= got.map(_._3).sum + 5)
+  }
 }
