@@ -641,11 +641,19 @@ object Behavior {
             mkChans.map(t => p9("start", t) * v(t) / B).sum
         }
         val v0 = solve(None)
-        val re9 = mkChans.map(c => c -> (B - solve(Some(c)) * B / v0))
+        // degenerate contracts (one rule, both engines): zero base
+        // conversion probability -> empty result (the oracle's re CTE
+        // carries WHERE v0 > 0); all-zero removal effects -> share 0
+        // (the oracle CASEs sre = 0) instead of Scala's NaN-to-0 vs
+        // DuckDB's CAST(round(nan)) error
+        val re9 =
+          if (v0 == 0) Seq.empty[(String, BigInt)]
+          else mkChans.map(c => c -> (B - solve(Some(c)) * B / v0))
         val sre = re9.map(_._2).sum
         val out = re9.map { case (c, r) =>
           (c, math.round(r.toDouble / 1000.0),
-            math.round(r.toDouble / sre.toDouble * 1000000.0),
+            if (sre == 0) 0L
+            else math.round(r.toDouble / sre.toDouble * 1000000.0),
             math.round(v0.toDouble / 1000.0))
         }
         s.createDataFrame(out).toDF(
@@ -737,12 +745,13 @@ object Behavior {
        |  SELECT scen AS channel,
        |    CAST(1000000000 - CAST(vs AS HUGEINT) * 1000000000 //
        |      CAST(v0 AS HUGEINT) AS BIGINT) AS re9, v0
-       |  FROM fin, b WHERE scen <> 'none'),
+       |  FROM fin, b WHERE scen <> 'none' AND v0 > 0),
        |t2 AS (SELECT CAST(SUM(re9) AS BIGINT) AS sre FROM re)
        |SELECT channel,
        |  CAST(round(re9 / 1000.0, 0) AS BIGINT) AS re_micro,
-       |  CAST(round(CAST(re9 AS DOUBLE) / CAST(sre AS DOUBLE) *
-       |    1000000.0, 0) AS BIGINT) AS share_micro,
+       |  CASE WHEN sre = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(round(CAST(re9 AS DOUBLE) / CAST(sre AS DOUBLE) *
+       |      1000000.0, 0) AS BIGINT) END AS share_micro,
        |  CAST(round(v0 / 1000.0, 0) AS BIGINT) AS p_base_micro
        |FROM re, t2 ORDER BY channel""".stripMargin
   }

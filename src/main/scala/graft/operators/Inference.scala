@@ -1651,29 +1651,9 @@ object Inference {
     "q_negbin_fit" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val nu = Tables.load(s, d, "events")
-          .agg(countDistinct($"user_id").as("nu"))
-        Tables.load(s, d, "events")
+        negbinReadout(Tables.load(s, d, "events")
           .groupBy($"event_type", $"user_id")
-          .agg(count(lit(1)).as("x"))
-          .groupBy($"event_type")
-          .agg(sum($"x").as("sx"),
-            sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"))
-          .crossJoin(broadcast(nu))
-          .select($"event_type", $"nu".as("n_users"),
-            expr(s"CAST(round($nbMeanE * 1000000.0, 0) AS BIGINT)")
-              .as("mean_micro"),
-            expr(s"CAST(round($nbVarE * 1000000.0, 0) AS BIGINT)")
-              .as("var_micro"),
-            expr(s"CAST(round($nbVarE / $nbMeanE * 1000000.0, 0) " +
-              "AS BIGINT)").as("dispersion_micro"),
-            expr(s"CASE WHEN $nbVarE > $nbMeanE THEN CAST(round(" +
-              s"$nbMeanE * $nbMeanE / ($nbVarE - $nbMeanE) * " +
-              "1000000.0, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-              .as("r_micro"),
-            expr(s"$nbVarE > $nbMeanE").as("overdispersed"))
-          .orderBy($"event_type")
+          .agg(count(lit(1)).as("x")))
       },
       Some(s"""WITH nu AS (
         |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
@@ -1965,9 +1945,12 @@ object Inference {
             sum($"in1").as("n1"), sum($"in2").as("n2"),
             sum($"in1" * $"in2").as("m"))
           .select($"n_total", $"n1", $"n2", $"m",
-            expr("CAST(round(CAST(n1 AS DOUBLE) * " +
+            // zero recapture overlap: LP is undefined (Chapman's +1
+            // stays finite) -> NULL in both engines, not Infinity
+            expr("CASE WHEN m = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(CAST(n1 AS DOUBLE) * " +
               "CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0, " +
-              "0) AS BIGINT)").as("lp_est_micro"),
+              "0) AS BIGINT) END").as("lp_est_micro"),
             expr("CAST(round((CAST(n1 + 1 AS DOUBLE) * " +
               "CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0)" +
               " * 1000000.0, 0) AS BIGINT)").as("chapman_est_micro"))
@@ -1987,8 +1970,9 @@ object Inference {
         |    CAST(SUM(in1 * in2) AS BIGINT) AS m
         |  FROM u)
         |SELECT n_total, n1, n2, m,
-        |  CAST(round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
-        |    CAST(m AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |  CASE WHEN m = 0 THEN CAST(NULL AS BIGINT) ELSE
+        |    CAST(round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+        |      CAST(m AS DOUBLE) * 1000000.0, 0) AS BIGINT) END
         |    AS lp_est_micro,
         |  CAST(round((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
         |    / CAST(m + 1 AS DOUBLE) - 1.0) * 1000000.0, 0) AS BIGINT)
@@ -2331,7 +2315,8 @@ object Inference {
           .join(rev.as("b"), $"b.i" === $"a.i" + expr("nd div 2"))
           .select(($"b.r" > $"a.r").cast("long").as("up"),
             ($"b.r" < $"a.r").cast("long").as("dn"))
-          .agg(sum($"up"), sum($"dn"))
+          .agg(coalesce(sum($"up"), lit(0L)),
+            coalesce(sum($"dn"), lit(0L)))
           .as[(Long, Long)].collect().head
         // the tail is driver-side BigDecimal over the SAME frozen-log
         // algorithm the oracle runs as CTEs (the q_markov_attribution
@@ -2373,8 +2358,8 @@ object Inference {
         |spine AS (
         |  SELECT j, SUM(CAST(round(ln(CAST(j AS DOUBLE)), 9)
         |    AS DECIMAL(24,9))) OVER (ORDER BY j) AS lf
-        |  FROM (SELECT unnest(generate_series(1, 3000)) AS j) s, pm
-        |  WHERE j <= plus + minus),
+        |  FROM (SELECT unnest(generate_series(1, (SELECT plus + minus
+        |    FROM pm))) AS j) s),
         |lfn AS (SELECT lf AS lfn FROM spine, pm
         |  WHERE j = plus + minus),
         |t AS (
@@ -2385,11 +2370,12 @@ object Inference {
         |    - CAST(plus + minus AS DOUBLE) * round(ln(2.0), 9)), 9)
         |    AS DECIMAL(12,9)) AS t9
         |  FROM spine k, pm, lfn
-        |  WHERE k.j >= greatest(plus, minus))
+        |  WHERE k.j >= greatest(plus, minus)),
+        |ts AS (SELECT CAST(SUM(t9) AS DOUBLE) AS tailsum FROM t)
         |SELECT plus, minus,
-        |  CAST(round(least(2.0 * CAST(SUM(t9) AS DOUBLE), 1.0) *
+        |  CAST(round(least(2.0 * COALESCE(tailsum, 1.0), 1.0) *
         |    1000000.0, 0) AS BIGINT) AS p_micro
-        |FROM t, pm GROUP BY plus, minus""".stripMargin),
+        |FROM pm, ts""".stripMargin),
       "Cox-Stuart trend test with an EXACT binomial two-sided tail " +
         "(9-dp frozen ln-factorial spine, decimal term sums)"),
 
@@ -2659,6 +2645,38 @@ object Inference {
   /** q_negbin_fit zeros-included population variance from raw sums. */
   private def nbVarE: String =
     s"(CAST(sxx AS DOUBLE) / CAST(nu AS DOUBLE) - $nbMeanE * $nbMeanE)"
+
+  /** q_negbin_fit's readout over an `(event_type, user_id, x BIGINT)`
+    * per-user count table: zeros-included moments via the distinct-
+    * user denominator, dispersion index, NB size. Public because
+    * [[graft.streaming.DispersionStream]] answers the SAME readout
+    * from its merged user-grain partials — one expression tree, two
+    * tiers (the conformalReadout pattern), so the documented
+    * BIT-EQUAL invariant is structural, not held by parallel edits. */
+  def negbinReadout(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import counts.sparkSession.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nu = counts.select($"user_id").distinct()
+      .agg(count(lit(1)).as("nu"))
+    counts.groupBy($"event_type")
+      .agg(sum($"x").as("sx"),
+        sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"))
+      .crossJoin(broadcast(nu))
+      .select($"event_type", $"nu".as("n_users"),
+        expr(s"CAST(round($nbMeanE * 1000000.0, 0) AS BIGINT)")
+          .as("mean_micro"),
+        expr(s"CAST(round($nbVarE * 1000000.0, 0) AS BIGINT)")
+          .as("var_micro"),
+        expr(s"CAST(round($nbVarE / $nbMeanE * 1000000.0, 0) " +
+          "AS BIGINT)").as("dispersion_micro"),
+        expr(s"CASE WHEN $nbVarE > $nbMeanE THEN CAST(round(" +
+          s"$nbMeanE * $nbMeanE / ($nbVarE - $nbMeanE) * " +
+          "1000000.0, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .as("r_micro"),
+        expr(s"$nbVarE > $nbMeanE").as("overdispersed"))
+      .orderBy($"event_type")
+  }
 
   /** q_stl_lite population variance of a component from (sum, sumsq)
     * with the component's squared scale factor (micro components carry

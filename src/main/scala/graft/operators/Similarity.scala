@@ -1518,9 +1518,11 @@ object Similarity {
               "0) AS BIGINT)").as("sim6"))
           .as[(Long, Long, Long)].collect()
           .map(r => (r._1, r._2) -> r._3).toMap
-        // greedy integer MMR, 5 steps
+        // greedy integer MMR, up to 5 steps — bounded by the panel
+        // size so a thin corpus emits fewer picks (the oracle's
+        // LIMIT-1 CTE chain degrades to fewer rows the same way)
         var sel = Vector.empty[(Long, Long, Long)] // (vec_id, rel6, score)
-        for (_ <- 1 to 5) {
+        for (_ <- 1 to math.min(5, rel.size)) {
           val remaining = rel.keys.filterNot(sel.map(_._1).contains)
           val scored = remaining.map { c =>
             val score =
@@ -1566,7 +1568,9 @@ object Similarity {
           .map(r => (r._1, r._2) -> r._3).toMap
         val ids = (sim.keys.map(_._1) ++ sim.keys.map(_._2)).toSet
         var sel = Vector((0L, 0L)) // (vec_id, min-dist at selection)
-        for (_ <- 2 to 8) {
+        // bounded by the panel size: a <8-vector panel yields fewer
+        // picks, matching the oracle's empty-CTE tail
+        for (_ <- 2 to math.min(8, ids.size)) {
           val rem = ids.filterNot(c => sel.exists(_._1 == c))
           val scored = rem.map { c =>
             (c, sel.map(s => sim((c, s._1))).min) }

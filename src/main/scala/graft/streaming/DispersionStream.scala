@@ -31,32 +31,12 @@ object DispersionStream {
         .agg(count(lit(1)).as("x")),
       batchId, path)
 
-  /** The live q_negbin_fit readout over the merged counts. */
+  /** The live q_negbin_fit readout over the merged counts —
+    * [[graft.operators.Inference.negbinReadout]], the ONE expression
+    * tree both tiers share (bit-equality is structural). */
   def dispersionFromPartials(spark: SparkSession, path: String)
-      : DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val c = PartialsStore.mergedSums(spark, path,
-      Seq("event_type", "user_id"), Seq("x"))
-    val nu = c.select(col("user_id")).distinct()
-      .agg(count(lit(1)).as("nu"))
-    val nbMean = "(CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE))"
-    val nbVar = s"(CAST(sxx AS DOUBLE) / CAST(nu AS DOUBLE) - " +
-      s"$nbMean * $nbMean)"
-    c.groupBy(col("event_type"))
-      .agg(sum(col("x")).as("sx"),
-        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
-      .crossJoin(broadcast(nu))
-      .select(col("event_type"), col("nu").as("n_users"),
-        expr(s"CAST(round($nbMean * 1000000.0, 0) AS BIGINT)")
-          .as("mean_micro"),
-        expr(s"CAST(round($nbVar * 1000000.0, 0) AS BIGINT)")
-          .as("var_micro"),
-        expr(s"CAST(round($nbVar / $nbMean * 1000000.0, 0) " +
-          "AS BIGINT)").as("dispersion_micro"),
-        expr(s"CASE WHEN $nbVar > $nbMean THEN CAST(round($nbMean * " +
-          s"$nbMean / ($nbVar - $nbMean) * 1000000.0, 0) AS BIGINT) " +
-          "ELSE CAST(0 AS BIGINT) END").as("r_micro"),
-        expr(s"$nbVar > $nbMean").as("overdispersed"))
-      .orderBy(col("event_type"))
-  }
+      : DataFrame =
+    graft.operators.Inference.negbinReadout(
+      PartialsStore.mergedSums(spark, path,
+        Seq("event_type", "user_id"), Seq("x")))
 }
