@@ -1804,6 +1804,10 @@ object Inference {
             .as("r"))
           .select(datediff($"day", lit("1970-01-01")).cast("long")
             .as("t"), $"day", $"r")
+          // day-grain (calendar-bounded) and consumed by the moment
+          // anchor AND the residual table — checkpoint so orders is
+          // scanned once, not per consumer
+          .localCheckpoint()
         val mom = rev.agg(count(lit(1)).as("n"),
           sum($"t").as("st"), sum($"r").as("sr"),
           sum($"t".cast(d38) * $"t".cast(d38)).as("stt"),
@@ -1813,6 +1817,8 @@ object Inference {
             expr(s"CAST(round((CAST(r AS DOUBLE) - ($olsAE + $olsBE " +
               "* CAST(t AS DOUBLE))) * 100.0, 0) AS BIGINT)")
               .as("e2c"))
+          // same day grain, consumed by s2 and the final readout
+          .localCheckpoint()
         val s2 = e.agg(
           sum($"e2c".cast(d38) * $"e2c".cast(d38)).as("se2"))
         e.crossJoin(broadcast(s2))
@@ -2001,15 +2007,23 @@ object Inference {
           .groupBy($"event_type".as("from_type"),
             $"next_type".as("to_type"))
           .agg(count(lit(1)).as("nij"))
+          // category-bounded (<= |event_type|^2 ~ 25 rows) and
+          // consumed by three anchors — checkpoint so the per-user
+          // lead window over events runs ONCE, not per anchor
+          .localCheckpoint()
         val rows_ = pairs.groupBy($"from_type")
           .agg(sum($"nij").as("ni"))
-        val tot = pairs.agg(sum($"nij").as("nn"))
+        // 1-row anchor broadcast into rate AND the readout —
+        // checkpoint so it reduces once over the checkpointed pairs
+        val tot = pairs.agg(sum($"nij").as("nn")).localCheckpoint()
         val hState = pairs.join(rows_, "from_type")
           .select($"from_type", $"ni",
             expr("CAST(round(-(CAST(nij AS DOUBLE) / " +
               "CAST(ni AS DOUBLE)) * ln(CAST(nij AS DOUBLE) / " +
               "CAST(ni AS DOUBLE)), 9) AS DECIMAL(14,9))").as("t9"))
           .groupBy($"from_type", $"ni").agg(sum($"t9").as("h"))
+          // per-state grain (<= ~5 rows), consumed by rate + readout
+          .localCheckpoint()
         val rate = hState.crossJoin(broadcast(tot))
           .select(expr("CAST(round(CAST(ni AS DOUBLE) / " +
             "CAST(nn AS DOUBLE) * CAST(h AS DOUBLE), 9) " +
@@ -2100,6 +2114,11 @@ object Inference {
             expr("round(ln(CAST(srs AS DOUBLE) / " +
               "CAST(n_blocks AS DOUBLE)), 9)").as("ly"),
             expr("round(ln(CAST(w AS DOUBLE)), 9)").as("lx"))
+          // 3 rows (one per block size) referenced by slope AND the
+          // final join — checkpoint so the day-rank window + block
+          // cumsum tree runs once, not twice (r12 audit: 4 single-
+          // partition barriers from the duplicated subtree)
+          .localCheckpoint()
         val slope = rs.agg(count(lit(1)).as("k"),
           sum($"lx").as("slx"), sum($"ly").as("sly"),
           sum(expr("lx * ly")).as("slxy"),
@@ -2405,9 +2424,12 @@ object Inference {
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy($"user_id", $"sid")
           .agg(min($"t").as("st"), max($"t").as("en"))
-        val hz = e.agg(min($"t").as("t0"), max($"t").as("t1"))
+        // horizon folded into the session anchor: min(st)/max(en)
+        // over sessions equal min(t)/max(t) over events (every event
+        // lands in a session), so no separate events pass + barrier
         val tot = sess.agg(count(lit(1)).as("n_sessions"),
-          sum($"en" - $"st").as("sdur"))
+          sum($"en" - $"st").as("sdur"),
+          min($"st").as("t0"), max($"en").as("t1"))
         // guard lo <= hi explicitly: Spark's sequence() would emit a
         // DESCENDING range where DuckDB's generate_series is empty
         val peak = sess.filter($"en" > $"st")
@@ -2417,7 +2439,7 @@ object Inference {
             .as("hb"))
           .groupBy($"hb").agg(count(lit(1)).as("c"))
           .agg(coalesce(max($"c"), lit(0L)).as("peak_hourly"))
-        tot.crossJoin(broadcast(hz)).crossJoin(broadcast(peak))
+        tot.crossJoin(broadcast(peak))
           .select($"n_sessions",
             expr("CAST(round(CAST(n_sessions AS DOUBLE) * 3600.0 / " +
               "CAST(t1 - t0 AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
@@ -2707,15 +2729,24 @@ object Inference {
   def conformalReadout(rev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import rev.sparkSession.implicits._
+    // day-grain (calendar-bounded, <= ~2.4k rows) and referenced by
+    // all three sequential scalar anchors below — checkpoint once so
+    // the source scan + day agg + self-join run ONCE, not per anchor
+    // (r12 audit: the inlined tree re-scanned the source 6x and
+    // carried 4 single-partition barriers; the q_mmr_select pattern)
     val resid = rev.as("a")
       .join(rev.as("b"), $"a.day" === date_add($"b.day", 7))
       .select($"a.day".as("day"), abs($"a.r" - $"b.r").as("ae"))
+      .localCheckpoint()
     val cut = resid.agg(
       expr("CAST(round(percentile(datediff(day, DATE " +
         "'1970-01-01'), 0.5), 0) AS INT)").as("cutd"))
     val tagged = resid.crossJoin(broadcast(cut))
       .select($"day", $"ae",
         (datediff($"day", lit("1970-01-01")) <= $"cutd").as("cal"))
+      // same day grain, consumed by the q95 anchor AND the coverage
+      // readout — checkpoint so the median-cut anchor runs once
+      .localCheckpoint()
     val q95 = tagged.filter($"cal")
       .agg(count(lit(1)).as("n_cal"),
         expr("CAST(round(percentile(ae, 0.95) * 10.0, 0) " +
