@@ -958,5 +958,176 @@ object Graph {
       "global clustering coefficient of the supplier-similarity " +
         "graph (exact triangle + wedge counts over the capped " +
         "projection)"),
+
+    // (3,3)-core decomposition of the REPEAT-trade graph by
+    // simultaneous peeling: edges are customer-supplier pairs with
+    // >= 2 line items (one-off purchases are noise for core
+    // extraction — on the raw pair graph every node trivially clears
+    // degree 3 and nothing peels); each round drops customers with
+    // fewer than 3 surviving repeat suppliers AND suppliers with fewer
+    // than 3 surviving repeat customers (both degree tables computed
+    // on the SAME round input, so the peel order is canonical),
+    // reporting the shrinking (nodes, edges) profile per round — the
+    // standard dense-subgraph extraction a fraud/abuse pipeline runs
+    // to isolate the collusive core from the long tail. 8 rounds are
+    // unrolled — a BOUNDED peel profile (at sf0.1 the cascade is
+    // still shaving the tail at round 8, stated); a production run
+    // iterates the identical per-round cost to fixpoint. Scale shape:
+    // each round is two partial-aggregated degree counts plus two hash
+    // semi-joins over the surviving edge set — O(edges) map work,
+    // O(nodes) shuffled bytes — with a checkpoint per round to cut
+    // lineage (the pageRank loop discipline).
+    "q_kcore" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val k = 3
+        var e = Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey")
+          .join(Tables.load(s, d, "lineitem")
+            .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+            "o_orderkey")
+          .groupBy(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .agg(count(lit(1)).as("m")).filter($"m" >= 2)
+          .select($"src", $"dst")
+          .localCheckpoint() // scanned 9x by the peel loop
+        val rounds = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        def stat(i: Int): Unit = {
+          val r = e.agg(countDistinct($"src"), countDistinct($"dst"),
+            count(lit(1))).as[(Long, Long, Long)].collect().head
+          rounds += ((i.toLong, r._1, r._2, r._3))
+        }
+        stat(0)
+        for (i <- 1 to 8) {
+          val srcOk = e.groupBy($"src")
+            .agg(count(lit(1)).as("dg")).filter($"dg" >= k)
+            .select($"src")
+          val dstOk = e.groupBy($"dst")
+            .agg(count(lit(1)).as("dg")).filter($"dg" >= k)
+            .select($"dst")
+          e = e.join(srcOk, Seq("src"), "left_semi")
+            .join(dstOk, Seq("dst"), "left_semi")
+            .select($"src", $"dst")
+            .localCheckpoint()
+          stat(i)
+        }
+        s.createDataFrame(rounds.toSeq)
+          .toDF("round", "n_cust", "n_supp", "n_edges")
+          .orderBy($"round")
+      },
+      Some(kcoreSql),
+      "(3,3)-core peeling profile of the repeat-trade graph " +
+        "(>= 2 line items per edge): per-round surviving customers/" +
+        "suppliers/edges over 8 unrolled simultaneous-peel rounds"),
+
+    // Adamic-Adar link prediction over the customer co-purchase
+    // projection: for supplier pairs sharing customers, AA =
+    // sum over common customers of 1/ln(customer degree) — the
+    // common-neighbor score that discounts promiscuous neighbors
+    // (a customer buying from everyone says nothing about any pair).
+    // Top-20 predicted links by AA, with the exact common count and
+    // capped-set Jaccard alongside. Mega-degree customers above the
+    // q_triangles cap are dropped BEFORE the pair self-join (deg^2
+    // blowup, no signal), and degree-1 customers generate no pairs;
+    // 1/ln(deg) terms freeze at 9 dp into exact decimal sums so the
+    // ranking is deterministic (ties to the smaller pair ids).
+    "q_link_predict" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val e = tradeEdges(s, d)
+        val cdeg = e.groupBy($"src").agg(count(lit(1)).as("cd"))
+          .filter($"cd" >= 2 && $"cd" <= MaxCustDeg)
+        val kept = e.join(cdeg, "src")
+          .withColumn("aa9",
+            expr("CAST(round(1.0 / ln(CAST(cd AS DOUBLE)), 9) " +
+              "AS DECIMAL(16,9))"))
+        val sdeg = kept.groupBy($"dst").agg(count(lit(1)).as("sd"))
+        val pairs = kept.select($"src", $"dst".as("s1"), $"aa9")
+          .join(kept.select($"src", $"dst".as("s2")), "src")
+          .filter($"s1" < $"s2")
+          .groupBy($"s1", $"s2")
+          .agg(count(lit(1)).as("n_common"), sum($"aa9").as("aa"))
+        pairs
+          .join(sdeg.select($"dst".as("s1"), $"sd".as("sd1")), "s1")
+          .join(sdeg.select($"dst".as("s2"), $"sd".as("sd2")), "s2")
+          .select($"s1", $"s2", $"n_common",
+            expr("CAST(round(CAST(aa AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("aa_micro"),
+            expr("CAST(round(CAST(n_common AS DOUBLE) / " +
+              "CAST(sd1 + sd2 - n_common AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("jaccard_micro"))
+          .orderBy($"aa_micro".desc, $"s1", $"s2")
+          .limit(20)
+      },
+      Some(linkPredictSql),
+      "Adamic-Adar link prediction: top-20 supplier pairs by " +
+        "1/ln(deg) common-customer score over the capped co-purchase " +
+        "projection (9-dp frozen terms, exact Jaccard)"),
   )
+
+  /** q_kcore's oracle: the 8 simultaneous-peel rounds unrolled as
+    * chained CTEs (the q_fps_sample generation pattern — one loop in
+    * Scala emits both engines' structure). Every e$i is MATERIALIZED:
+    * each round table is referenced by the next round AND its stats
+    * row, and DuckDB 1.0 inlines multiply-referenced CTEs by default,
+    * which makes the 8-deep chain exponential (measured: >15 min at
+    * sf0.01 plain vs 0.35 s materialized — same results). */
+  private def kcoreSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""d$i AS (SELECT src FROM e${i - 1} GROUP BY src
+         |  HAVING COUNT(*) >= 3),
+         |t$i AS (SELECT dst FROM e${i - 1} GROUP BY dst
+         |  HAVING COUNT(*) >= 3),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN d$i USING (src) JOIN t$i USING (dst))""".stripMargin
+    }.mkString(",\n")
+    val stats = (0 to 8).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_cust,
+         |  CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_supp,
+         |  CAST(COUNT(*) AS BIGINT) AS n_edges FROM e$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |$rounds
+       |$stats
+       |ORDER BY round""".stripMargin
+  }
+
+  /** q_link_predict's oracle — the same capped projection, 9-dp frozen
+    * Adamic-Adar terms, and tie-broken top-20. */
+  private def linkPredictSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |cdeg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS cd FROM e
+       |  GROUP BY 1 HAVING COUNT(*) >= 2 AND COUNT(*) <= $MaxCustDeg),
+       |kept AS (
+       |  SELECT e.src, e.dst,
+       |    CAST(round(1.0 / ln(CAST(cd AS DOUBLE)), 9)
+       |      AS DECIMAL(16,9)) AS aa9
+       |  FROM e JOIN cdeg USING (src)),
+       |sdeg AS (
+       |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS sd FROM kept
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.dst AS s1, b.dst AS s2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common, SUM(a.aa9) AS aa
+       |  FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, n_common,
+       |  CAST(round(CAST(aa AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+       |    AS aa_micro,
+       |  CAST(round(CAST(n_common AS DOUBLE) /
+       |    CAST(d1.sd + d2.sd - n_common AS DOUBLE) * 1000000.0, 0)
+       |    AS BIGINT) AS jaccard_micro
+       |FROM pairs JOIN sdeg d1 ON s1 = d1.dst
+       |  JOIN sdeg d2 ON s2 = d2.dst
+       |ORDER BY aa_micro DESC, s1, s2 LIMIT 20""".stripMargin
 }

@@ -2560,7 +2560,320 @@ object Inference {
         |ORDER BY n_name""".stripMargin),
       "Theil T inequality of customer revenue per nation (9-dp " +
         "frozen (x/mu)ln(x/mu) terms, exact between-nation component)"),
+
+    // Atkinson inequality index (epsilon = 1) of customer revenue per
+    // nation: A = 1 - geometric_mean/mean — the welfare-grounded
+    // member of the concentration family (q_gini ranks, q_theil_index
+    // decomposes; Atkinson alone states "the fraction of total revenue
+    // you could discard and keep equal welfare", which is why
+    // budget-equity audits quote it). Customer revenue is exact cents
+    // (always positive — each customer has >= 1 order); ln(x) terms
+    // freeze at 9 dp into exact decimal sums, so the only double math
+    // is the one-row exp/ln readout, identical IEEE ops in both
+    // engines. One corpus rollup + a nation-bounded reduce.
+    "q_atkinson" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("x"))
+          .join(Tables.load(s, d, "customer")
+            .select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .select($"c_nationkey",  $"x",
+            expr("CAST(round(ln(CAST(x AS DOUBLE)), 9) " +
+              "AS DECIMAL(16,9))").as("l9"))
+        cust.groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            sum($"x").as("sum_cents"), sum($"l9").as("sl"))
+          .join(Tables.load(s, d, "nation")
+            .select($"n_nationkey", $"n_name"),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"n_name", $"n_cust", $"sum_cents",
+            expr(s"CAST(round($atkinsonE * 1000000.0, 0) AS BIGINT)")
+              .as("atkinson_micro"))
+          .orderBy($"n_name")
+      },
+      Some(s"""WITH cust AS (
+        |  SELECT c_nationkey,
+        |    CAST(round(ln(CAST(x AS DOUBLE)), 9) AS DECIMAL(16,9))
+        |      AS l9, x
+        |  FROM (
+        |    SELECT c_nationkey,
+        |      CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |        AS BIGINT) AS x
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    GROUP BY o_custkey, c_nationkey)),
+        |bn AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(x) AS BIGINT) AS sum_cents, SUM(l9) AS sl
+        |  FROM cust GROUP BY 1)
+        |SELECT n_name, n_cust, sum_cents,
+        |  CAST(round($atkinsonE * 1000000.0, 0) AS BIGINT)
+        |    AS atkinson_micro
+        |FROM bn JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin),
+      "Atkinson(1) inequality of customer revenue per nation (9-dp " +
+        "frozen ln terms, geometric/arithmetic mean ratio)"),
+
+    // Inverse-propensity-weighted treatment effect with OVERLAP
+    // clipping — the estimator q_stratified_ate can't be: strata where
+    // one arm is empty are DROPPED there (no within-stratum contrast),
+    // but IPW with the stratum-frequency propensity clipped to
+    // [0.1, 0.9] keeps every user, which is what a production causal
+    // pipeline does when positivity fails in the tails. Reports the
+    // Horvitz-Thompson and Hajek (ratio-normalized) estimates — they
+    // differ exactly because clipping breaks the HT = stratified
+    // identity — plus Kish's effective sample size of the treated
+    // weights (the overlap-health number reviewers ask for). Arm =
+    // user_id parity, outcome = purchase value, strata = per-user
+    // event count (the q_stratified_ate battery); per-stratum weighted
+    // terms freeze at 9 dp into exact decimal sums.
+    "q_ipw" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val u = Tables.load(s, d, "events")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("score"),
+            coalesce(sum(when($"event_type" === "purchase",
+              expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))),
+              lit(0L)).as("y6"),
+            pmod(first($"user_id"), lit(2L)).as("arm"))
+        val strat = u.groupBy($"score")
+          .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("nc"),
+            sum(when($"arm" === 0L, $"y6").otherwise(0L)).as("syc"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("nt"),
+            sum(when($"arm" === 1L, $"y6").otherwise(0L)).as("syt"))
+        strat
+          .select($"nc", $"syc", $"nt", $"syt",
+            expr(s"CASE WHEN $ipwRawE < 0.1 OR $ipwRawE > 0.9 " +
+              "THEN 1L ELSE 0L END").as("clipped"),
+            expr(s"CAST(round(CAST(syt AS DOUBLE) / $ipwEE - " +
+              s"CAST(syc AS DOUBLE) / (1.0 - $ipwEE), 9) " +
+              "AS DECIMAL(28,9))").as("ht9"),
+            expr(s"CAST(round(CAST(nt AS DOUBLE) / $ipwEE, 9) " +
+              "AS DECIMAL(28,9))").as("wt9"),
+            expr(s"CAST(round(CAST(nc AS DOUBLE) / (1.0 - $ipwEE), " +
+              "9) AS DECIMAL(28,9))").as("wc9"),
+            expr(s"CAST(round(CAST(syt AS DOUBLE) / $ipwEE, 9) " +
+              "AS DECIMAL(28,9))").as("st9"),
+            expr(s"CAST(round(CAST(syc AS DOUBLE) / (1.0 - $ipwEE), " +
+              "9) AS DECIMAL(28,9))").as("sc9"),
+            expr(s"CAST(round(CAST(nt AS DOUBLE) / ($ipwEE * " +
+              s"$ipwEE), 9) AS DECIMAL(28,9))").as("wt2_9"))
+          .agg(sum($"nc" + $"nt").as("n_users"),
+            count(lit(1)).as("n_strata"),
+            sum($"clipped").as("n_clipped_strata"),
+            sum($"ht9").as("sht"), sum($"wt9").as("swt"),
+            sum($"wc9").as("swc"), sum($"st9").as("sst"),
+            sum($"sc9").as("ssc"), sum($"wt2_9").as("swt2"))
+          .select($"n_users", $"n_strata", $"n_clipped_strata",
+            expr("CAST(round(CAST(sht AS DOUBLE) / " +
+              "CAST(n_users AS DOUBLE), 0) AS BIGINT)")
+              .as("ipw_ate_micro"),
+            expr("CAST(round(CAST(sst AS DOUBLE) / " +
+              "CAST(swt AS DOUBLE) - CAST(ssc AS DOUBLE) / " +
+              "CAST(swc AS DOUBLE), 0) AS BIGINT)")
+              .as("hajek_ate_micro"),
+            expr("CAST(round(CAST(swt AS DOUBLE) * " +
+              "CAST(swt AS DOUBLE) / CAST(swt2 AS DOUBLE) * " +
+              "1000000.0, 0) AS BIGINT)").as("ess_t_micro"))
+      },
+      Some(s"""WITH u AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS score,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS y6
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT score,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y6 ELSE 0 END) AS BIGINT)
+        |      AS syc,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nt,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y6 ELSE 0 END) AS BIGINT)
+        |      AS syt
+        |  FROM u GROUP BY 1),
+        |t AS (
+        |  SELECT nc, nt,
+        |    CASE WHEN $ipwRawE < 0.1 OR $ipwRawE > 0.9
+        |      THEN 1 ELSE 0 END AS clipped,
+        |    CAST(round(CAST(syt AS DOUBLE) / $ipwEE -
+        |      CAST(syc AS DOUBLE) / (1.0 - $ipwEE), 9)
+        |      AS DECIMAL(28,9)) AS ht9,
+        |    CAST(round(CAST(nt AS DOUBLE) / $ipwEE, 9)
+        |      AS DECIMAL(28,9)) AS wt9,
+        |    CAST(round(CAST(nc AS DOUBLE) / (1.0 - $ipwEE), 9)
+        |      AS DECIMAL(28,9)) AS wc9,
+        |    CAST(round(CAST(syt AS DOUBLE) / $ipwEE, 9)
+        |      AS DECIMAL(28,9)) AS st9,
+        |    CAST(round(CAST(syc AS DOUBLE) / (1.0 - $ipwEE), 9)
+        |      AS DECIMAL(28,9)) AS sc9,
+        |    CAST(round(CAST(nt AS DOUBLE) / ($ipwEE * $ipwEE), 9)
+        |      AS DECIMAL(28,9)) AS wt2_9
+        |  FROM st),
+        |m AS (
+        |  SELECT CAST(SUM(nc + nt) AS BIGINT) AS n_users,
+        |    CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(clipped) AS BIGINT) AS n_clipped_strata,
+        |    SUM(ht9) AS sht, SUM(wt9) AS swt, SUM(wc9) AS swc,
+        |    SUM(st9) AS sst, SUM(sc9) AS ssc, SUM(wt2_9) AS swt2
+        |  FROM t)
+        |SELECT n_users, n_strata, n_clipped_strata,
+        |  CAST(round(CAST(sht AS DOUBLE) / CAST(n_users AS DOUBLE),
+        |    0) AS BIGINT) AS ipw_ate_micro,
+        |  CAST(round(CAST(sst AS DOUBLE) / CAST(swt AS DOUBLE) -
+        |    CAST(ssc AS DOUBLE) / CAST(swc AS DOUBLE), 0) AS BIGINT)
+        |    AS hajek_ate_micro,
+        |  CAST(round(CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE) /
+        |    CAST(swt2 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS ess_t_micro
+        |FROM m""".stripMargin),
+      "IPW treatment effect with [0.1, 0.9] overlap clipping: " +
+        "Horvitz-Thompson + Hajek estimates and treated-weight " +
+        "effective sample size (9-dp frozen per-stratum terms)"),
+
+    // Granger-style lag-1 causality: does yesterday's event VOLUME
+    // carry information about today's purchase REVENUE beyond
+    // yesterday's revenue itself? Both day series come from the events
+    // table (shared calendar); adjacent-day pairs via the q_conformal
+    // date self-join (calendar gaps drop the pair, stated). The whole
+    // test reduces to ONE exact integer moment battery — counts, sums,
+    // and DECIMAL(38) cross-products of (y_t, y_{t-1}, x_{t-1}) — and
+    // a closed-form one-row readout: restricted (y ~ y1) vs
+    // unrestricted (y ~ y1 + x1) OLS through the centered normal
+    // equations, F = (SSR_r - SSR_u)/(SSR_u/(n-3)). Identical IEEE
+    // double ops in both engines from the same exact battery; n < 4 or
+    // a singular design emits NULLs (one contract, both engines).
+    "q_granger" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val day = Tables.load(s, d, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("x"),
+            coalesce(sum(when($"event_type" === "purchase",
+              expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))),
+              lit(0L)).as("y"))
+        val p = day.as("a")
+          .join(day.as("b"), $"a.day" === date_add($"b.day", 1))
+          .select($"a.y".as("y"), $"b.y".as("y1"), $"b.x".as("x1"))
+        p.agg(count(lit(1)).as("n"),
+            sum($"y").as("sy"), sum($"y1").as("sy1"),
+            sum($"x1").as("sx1"),
+            sum($"y".cast(d38) * $"y".cast(d38)).as("syy"),
+            sum($"y".cast(d38) * $"y1".cast(d38)).as("syy1"),
+            sum($"y".cast(d38) * $"x1".cast(d38)).as("syx1"),
+            sum($"y1".cast(d38) * $"y1".cast(d38)).as("sy1y1"),
+            sum($"y1".cast(d38) * $"x1".cast(d38)).as("sy1x1"),
+            sum($"x1".cast(d38) * $"x1".cast(d38)).as("sx1x1"))
+          .select($"n".as("n_pairs"),
+            expr(s"CASE WHEN $grangerGuardE THEN CAST(NULL AS BIGINT)" +
+              s" ELSE CAST(round($grangerB2E, 0) AS BIGINT) END")
+              .as("b_x_micro"),
+            expr(s"CASE WHEN $grangerGuardE THEN CAST(NULL AS BIGINT)" +
+              s" ELSE CAST(round($grangerFE * 1000000.0, 0) AS BIGINT)" +
+              " END").as("f_micro"),
+            expr(s"CASE WHEN $grangerGuardE THEN CAST(NULL AS BIGINT)" +
+              s" ELSE CAST(round(($grangerSsrRE - $grangerSsrUE) / " +
+              s"$grangerCyyE * 1000000.0, 0) AS BIGINT) END")
+              .as("dr2_micro"))
+      },
+      Some(s"""WITH day AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.y AS y, b.y AS y1, b.x AS x1
+        |  FROM day a JOIN day b ON a.day = b.day + 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(y1) AS BIGINT) AS sy1,
+        |    CAST(SUM(x1) AS BIGINT) AS sx1,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS syy,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y1 AS DECIMAL(38,0)))
+        |      AS syy1,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0)))
+        |      AS syx1,
+        |    SUM(CAST(y1 AS DECIMAL(38,0)) * CAST(y1 AS DECIMAL(38,0)))
+        |      AS sy1y1,
+        |    SUM(CAST(y1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0)))
+        |      AS sy1x1,
+        |    SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0)))
+        |      AS sx1x1
+        |  FROM p)
+        |SELECT n AS n_pairs,
+        |  CASE WHEN $grangerGuardE THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round($grangerB2E, 0) AS BIGINT) END
+        |    AS b_x_micro,
+        |  CASE WHEN $grangerGuardE THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round($grangerFE * 1000000.0, 0) AS BIGINT) END
+        |    AS f_micro,
+        |  CASE WHEN $grangerGuardE THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(($grangerSsrRE - $grangerSsrUE) /
+        |      $grangerCyyE * 1000000.0, 0) AS BIGINT) END
+        |    AS dr2_micro
+        |FROM m""".stripMargin),
+      "Granger lag-1 causality of event volume on purchase revenue " +
+        "(one exact moment battery, closed-form restricted vs " +
+        "unrestricted OLS, F + R2 gain)"),
   )
+
+  /** q_atkinson readout: 1 - exp(mean ln x - ln mean x). */
+  private def atkinsonE: String =
+    "(1.0 - exp(CAST(sl AS DOUBLE) / CAST(n_cust AS DOUBLE) - " +
+      "ln(CAST(sum_cents AS DOUBLE) / CAST(n_cust AS DOUBLE))))"
+
+  /** q_ipw raw stratum propensity nt/(nc+nt). */
+  private def ipwRawE: String =
+    "(CAST(nt AS DOUBLE) / CAST(nc + nt AS DOUBLE))"
+
+  /** q_ipw clipped propensity: raw bounded into [0.1, 0.9]. */
+  private def ipwEE: String =
+    s"least(greatest($ipwRawE, 0.1), 0.9)"
+
+  // ---- q_granger closed-form readout over the one-row battery ------
+  // centered moments (exact-integer battery -> doubles, identical op
+  // order in both engines)
+  private def gC(a: String, b: String, sab: String): String =
+    s"(CAST($sab AS DOUBLE) - CAST(s$a AS DOUBLE) * " +
+      s"CAST(s$b AS DOUBLE) / CAST(n AS DOUBLE))"
+  private def grangerC11E: String = gC("y1", "y1", "sy1y1")
+  private def grangerC22E: String = gC("x1", "x1", "sx1x1")
+  private def grangerC12E: String = gC("y1", "x1", "sy1x1")
+  private def grangerC1yE: String = gC("y", "y1", "syy1")
+  private def grangerC2yE: String = gC("y", "x1", "syx1")
+  private def grangerCyyE: String = gC("y", "y", "syy")
+  private def grangerDetE: String =
+    s"($grangerC11E * $grangerC22E - $grangerC12E * $grangerC12E)"
+  private def grangerB1E: String =
+    s"(($grangerC1yE * $grangerC22E - $grangerC2yE * $grangerC12E) " +
+      s"/ $grangerDetE)"
+  private def grangerB2E: String =
+    s"(($grangerC2yE * $grangerC11E - $grangerC1yE * $grangerC12E) " +
+      s"/ $grangerDetE)"
+  private def grangerSsrUE: String =
+    s"($grangerCyyE - $grangerB1E * $grangerC1yE - " +
+      s"$grangerB2E * $grangerC2yE)"
+  private def grangerSsrRE: String =
+    s"($grangerCyyE - $grangerC1yE * $grangerC1yE / $grangerC11E)"
+  private def grangerFE: String =
+    s"(($grangerSsrRE - $grangerSsrUE) / " +
+      s"($grangerSsrUE / CAST(n - 3 AS DOUBLE)))"
+  /** Degenerate designs (too few pairs, singular normal equations, or
+    * a perfect unrestricted fit) -> NULL readouts in both engines. */
+  private def grangerGuardE: String =
+    s"(n < 4 OR $grangerDetE <= 0.0 OR $grangerSsrUE <= 0.0 OR " +
+      s"$grangerC11E <= 0.0)"
 
   /** Theil per-customer term (x/mu) ln(x/mu) with mu = sx/n. */
   private def theilTermE: String = {

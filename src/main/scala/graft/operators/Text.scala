@@ -1744,5 +1744,165 @@ object Text {
         |FROM m""".stripMargin),
       "Chao1 unseen-vocabulary estimate + Good-Turing unseen mass " +
         "from the token frequency-of-frequencies (exact counts)"),
+
+    // Cross-document boilerplate detection at phrase granularity — the
+    // C4 repeated-line rule re-expressed for whitespace corpora: a
+    // word 5-gram appearing verbatim in >= 10 DISTINCT documents is
+    // boilerplate (headers, footers, license blurbs, templated spans),
+    // and each source is scored by the fraction of its documents'
+    // distinct 5-grams that are boilerplate — the first number a
+    // curation pass checks before trusting a crawl source. Scale
+    // shape: distinct (doc, gram) explode -> gram-keyed doc-frequency
+    // (partial-agg shuffle) -> semi-join back -> doc + source rollups;
+    // no pair joins, no windows. Docs under 5 tokens carry no 5-gram
+    // and are excluded from the denominator (stated).
+    "q_boilerplate" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val g = spread(docs(s, d).select($"doc_id", $"source", $"text"))
+          .withColumn("toks", tokens($"text"))
+          .filter(size($"toks") >= 5)
+          .select($"doc_id", $"source", explode(expr(
+            "transform(sequence(1, size(toks)-4), " +
+              "i -> md5(concat_ws(' ', slice(toks, i, 5))))"))
+            .as("g"))
+          .distinct()
+        val bp = g.groupBy($"g")
+          .agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" >= 10).select($"g")
+        val perDoc = g.join(bp, Seq("g"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_bp"))
+        g.groupBy($"doc_id", $"source").agg(count(lit(1)).as("n_g"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_g").as("n_grams"),
+            sum(coalesce($"n_bp", lit(0L))).as("n_bp_grams"))
+          .select($"source", $"n_docs", $"n_grams", $"n_bp_grams",
+            expr("CAST(round(CAST(n_bp_grams AS DOUBLE) / " +
+              "CAST(n_grams AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("bp_frac_micro"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source, ${sqlTokens("text")} AS toks
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, len(toks)-4),
+        |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS g
+        |  FROM t WHERE len(toks) >= 5),
+        |gt AS (SELECT DISTINCT doc_id, source, g FROM g0),
+        |bp AS (
+        |  SELECT g FROM (
+        |    SELECT g, COUNT(DISTINCT doc_id) AS df FROM gt GROUP BY 1)
+        |  WHERE df >= 10),
+        |pd AS (
+        |  SELECT gt.doc_id, gt.source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bp
+        |  FROM gt LEFT JOIN bp ON gt.g = bp.g
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_g) AS BIGINT) AS n_grams,
+        |  CAST(SUM(n_bp) AS BIGINT) AS n_bp_grams,
+        |  CAST(round(CAST(SUM(n_bp) AS DOUBLE) /
+        |    CAST(SUM(n_g) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS bp_frac_micro
+        |FROM pd GROUP BY 1 ORDER BY source""".stripMargin),
+      "cross-doc boilerplate score per source: fraction of distinct " +
+        "word 5-grams appearing in >= 10 documents (C4 line-dedup at " +
+        "phrase granularity)"),
+
+    // CCNet-style perplexity bucketing: per-doc bigram cross-entropy
+    // (the q_bigram_lm add-1 corpus LM, frozen to integer micro) cut
+    // at corpus terciles into head/middle/tail quality buckets, with
+    // per-(lang, bucket) doc and bigram counts — THE operation CCNet
+    // runs to split a crawl by LM quality before sampling. Tercile
+    // thresholds come from one percentile anchor over the per-doc
+    // score table; that table is cached once (it is the score product
+    // a production run materializes anyway) so the corpus LM join
+    // builds it a single time, and the only post-score passes are the
+    // 1-row anchor and the bounded (lang x bucket) rollup.
+    "q_ppl_bucket" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d)
+          .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        val bg = toks.filter(size($"toks") >= 2)
+          .select($"doc_id", $"lang", explode(expr(
+            "transform(sequence(1, size(toks)-1), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i+1) AS w2))")).as("bg"))
+          .select($"doc_id", $"lang", $"bg.w1", $"bg.w2")
+        val lm = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        val ctx = lm.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
+        val vocab = toks.select(explode($"toks").as("tok"))
+          .agg(countDistinct($"tok").as("v"))
+        val scored = lm.join(ctx, "w1").crossJoin(broadcast(vocab))
+          .select($"w1", $"w2",
+            round(log(($"n_ab" + 1).cast("double") /
+              ($"n_a" + $"v").cast("double")), 9)
+              .cast("decimal(18,9)").as("sc"))
+        val ce = bg.join(scored, Seq("w1", "w2"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"sc").as("ssum"))
+          .select($"doc_id", $"lang", $"n_bigrams",
+            expr("CAST(round(-CAST(ssum AS DOUBLE) / " +
+              "CAST(n_bigrams AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("ce6"))
+          .localCheckpoint()
+        val th = ce.agg(
+          expr("percentile(ce6, 0.3333333333333333)").as("t1"),
+          expr("percentile(ce6, 0.6666666666666666)").as("t2"))
+        ce.crossJoin(broadcast(th))
+          .select($"lang", $"n_bigrams",
+            expr("CASE WHEN ce6 <= t1 THEN 'head' WHEN ce6 <= t2 " +
+              "THEN 'middle' ELSE 'tail' END").as("bucket"))
+          .groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_bigrams").as("sum_bigrams"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, lang, ${sqlTokens("text")} AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, toks[CAST(i AS INT)] AS w1,
+        |    toks[CAST(i AS INT) + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a
+        |  FROM lm GROUP BY 1),
+        |vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM toks)),
+        |scored AS (
+        |  SELECT w1, w2,
+        |    CAST(round(ln(CAST(n_ab + 1 AS DOUBLE) /
+        |      CAST(n_a + v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS sc
+        |  FROM lm JOIN ctx USING (w1), vocab),
+        |ce AS (
+        |  SELECT doc_id, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(round(-CAST(SUM(sc) AS DOUBLE) / CAST(COUNT(*)
+        |      AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ce6
+        |  FROM bg JOIN scored USING (w1, w2) GROUP BY 1, 2),
+        |th AS (
+        |  SELECT quantile_cont(ce6, 0.3333333333333333) AS t1,
+        |    quantile_cont(ce6, 0.6666666666666666) AS t2
+        |  FROM ce)
+        |SELECT lang,
+        |  CASE WHEN ce6 <= t1 THEN 'head' WHEN ce6 <= t2
+        |    THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+        |FROM ce, th GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin),
+      "CCNet perplexity buckets: per-doc bigram cross-entropy cut at " +
+        "corpus terciles into head/middle/tail, per (lang, bucket) " +
+        "doc + bigram counts"),
   )
 }
