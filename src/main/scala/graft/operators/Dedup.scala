@@ -1018,7 +1018,11 @@ object Dedup {
     "q_simhash" -> GQuery(
       (s, d) => {
         import s.implicits._
-        Tables.load(s, d, "documents")
+        // spread: the per-token md5 battery is the cost and a small
+        // single-split scan serializes it on one core (measured at the
+        // sf10 sweep: 312x for 100x data unspread, linear spread)
+        spread(Tables.load(s, d, "documents")
+          .select($"doc_id", $"text"))
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 1)
           .withColumn("hs", expr(
