@@ -1032,27 +1032,45 @@ object Graph {
     // blowup, no signal), and degree-1 customers generate no pairs;
     // 1/ln(deg) terms freeze at 9 dp into exact decimal sums so the
     // ranking is deterministic (ties to the smaller pair ids).
+    // Hot-path representation (measured at the sf5 tier, 559M pair
+    // rows): the pair shuffle is near-irreducible (most supplier pairs
+    // share exactly one customer, so map-side combine removes almost
+    // nothing) — the lever is BYTES PER ROW, so the whole pipeline
+    // runs on LONG supplier keys and LONG nano-frozen 1/ln(deg) terms
+    // (sum of <= 64 nano terms fits comfortably; codegen long-sum agg,
+    // no decimal objects, no string hashing in the joins) and the
+    // 's'-prefixed ids are formatted onto the 20 output rows only.
+    // round(x, 9) as DECIMAL and nano-LONG are the same quantization,
+    // so results are identical to the decimal formulation.
     "q_link_predict" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val e = tradeEdges(s, d)
+        val e = Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey")
+          .join(Tables.load(s, d, "lineitem")
+            .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+            "o_orderkey")
+          .select($"o_custkey".as("src"),
+            $"l_suppkey".cast("long").as("dst"))
+          .distinct()
         val cdeg = e.groupBy($"src").agg(count(lit(1)).as("cd"))
           .filter($"cd" >= 2 && $"cd" <= MaxCustDeg)
         val kept = e.join(cdeg, "src")
           .withColumn("aa9",
-            expr("CAST(round(1.0 / ln(CAST(cd AS DOUBLE)), 9) " +
-              "AS DECIMAL(16,9))"))
+            expr("CAST(round(1.0 / ln(CAST(cd AS DOUBLE)) * " +
+              "1000000000.0, 0) AS BIGINT)"))
         val sdeg = kept.groupBy($"dst").agg(count(lit(1)).as("sd"))
-        val pairs = kept.select($"src", $"dst".as("s1"), $"aa9")
-          .join(kept.select($"src", $"dst".as("s2")), "src")
-          .filter($"s1" < $"s2")
-          .groupBy($"s1", $"s2")
+        val pairs = kept.select($"src", $"dst".as("k1"), $"aa9")
+          .join(kept.select($"src", $"dst".as("k2")), "src")
+          .filter($"k1" < $"k2")
+          .groupBy($"k1", $"k2")
           .agg(count(lit(1)).as("n_common"), sum($"aa9").as("aa"))
         pairs
-          .join(sdeg.select($"dst".as("s1"), $"sd".as("sd1")), "s1")
-          .join(sdeg.select($"dst".as("s2"), $"sd".as("sd2")), "s2")
-          .select($"s1", $"s2", $"n_common",
-            expr("CAST(round(CAST(aa AS DOUBLE) * 1000000.0, 0) " +
+          .join(sdeg.select($"dst".as("k1"), $"sd".as("sd1")), "k1")
+          .join(sdeg.select($"dst".as("k2"), $"sd".as("sd2")), "k2")
+          .select(concat(lit("s"), $"k1").as("s1"),
+            concat(lit("s"), $"k2").as("s2"), $"n_common",
+            expr("CAST(round(CAST(aa AS DOUBLE) / 1000.0, 0) " +
               "AS BIGINT)").as("aa_micro"),
             expr("CAST(round(CAST(n_common AS DOUBLE) / " +
               "CAST(sd1 + sd2 - n_common AS DOUBLE) * 1000000.0, 0) " +
@@ -1098,36 +1116,39 @@ object Graph {
        |ORDER BY round""".stripMargin
   }
 
-  /** q_link_predict's oracle — the same capped projection, 9-dp frozen
-    * Adamic-Adar terms, and tie-broken top-20. */
+  /** q_link_predict's oracle — the same capped projection on NUMERIC
+    * supplier keys with nano-frozen terms (mirroring the hot-path
+    * representation above), prefixed to 's' ids on output only. */
   private def linkPredictSql: String =
     s"""WITH e AS (
-       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-       |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  SELECT DISTINCT o_custkey AS src,
+       |    CAST(l_suppkey AS BIGINT) AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |cdeg AS (
        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS cd FROM e
        |  GROUP BY 1 HAVING COUNT(*) >= 2 AND COUNT(*) <= $MaxCustDeg),
        |kept AS (
        |  SELECT e.src, e.dst,
-       |    CAST(round(1.0 / ln(CAST(cd AS DOUBLE)), 9)
-       |      AS DECIMAL(16,9)) AS aa9
+       |    CAST(round(1.0 / ln(CAST(cd AS DOUBLE)) * 1000000000.0, 0)
+       |      AS BIGINT) AS aa9
        |  FROM e JOIN cdeg USING (src)),
        |sdeg AS (
        |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS sd FROM kept
        |  GROUP BY 1),
        |pairs AS (
-       |  SELECT a.dst AS s1, b.dst AS s2,
-       |    CAST(COUNT(*) AS BIGINT) AS n_common, SUM(a.aa9) AS aa
+       |  SELECT a.dst AS k1, b.dst AS k2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common,
+       |    CAST(SUM(a.aa9) AS BIGINT) AS aa
        |  FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
        |  GROUP BY 1, 2)
-       |SELECT s1, s2, n_common,
-       |  CAST(round(CAST(aa AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+       |SELECT 's' || CAST(k1 AS VARCHAR) AS s1,
+       |  's' || CAST(k2 AS VARCHAR) AS s2, n_common,
+       |  CAST(round(CAST(aa AS DOUBLE) / 1000.0, 0) AS BIGINT)
        |    AS aa_micro,
        |  CAST(round(CAST(n_common AS DOUBLE) /
        |    CAST(d1.sd + d2.sd - n_common AS DOUBLE) * 1000000.0, 0)
        |    AS BIGINT) AS jaccard_micro
-       |FROM pairs JOIN sdeg d1 ON s1 = d1.dst
-       |  JOIN sdeg d2 ON s2 = d2.dst
+       |FROM pairs JOIN sdeg d1 ON k1 = d1.dst
+       |  JOIN sdeg d2 ON k2 = d2.dst
        |ORDER BY aa_micro DESC, s1, s2 LIMIT 20""".stripMargin
 }

@@ -63,25 +63,27 @@ class GraphCausalSpec extends SparkSpec {
   }
 
   test("q_link_predict matches a brute-force Adamic-Adar recount") {
-    val cdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    // numeric supplier keys, nano-frozen terms — the query's hot-path
+    // representation; prefixes land on the output rows only
+    val numEdges = edges.map(p => (p._1, p._2.drop(1).toLong))
+    val cdeg = numEdges.groupBy(_._1).map { case (k, v) => k -> v.size }
       .filter { case (_, n) => n >= 2 && n <= Graph.MaxCustDeg }
-    val kept = edges.filter(p => cdeg.contains(p._1))
-    def r9(x: Double) = BigDecimal(x)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val kept = numEdges.filter(p => cdeg.contains(p._1))
     val sdeg = kept.groupBy(_._2).map { case (k, v) => k -> v.size }
     val byCust = kept.groupBy(_._1)
       .map { case (c, es) => c -> es.map(_._2).toSeq.sorted }
     val pairAgg = scala.collection.mutable
-      .Map.empty[(String, String), (Long, BigDecimal)]
+      .Map.empty[(Long, Long), (Long, Long)]
     for ((c, ss) <- byCust; i <- ss.indices; j <- (i + 1) until ss.size) {
       val key = (ss(i), ss(j))
-      val (n, aa) = pairAgg.getOrElse(key, (0L, BigDecimal(0)))
-      pairAgg(key) = (n + 1, aa + r9(1.0 / math.log(cdeg(c).toDouble)))
+      val (n, aa) = pairAgg.getOrElse(key, (0L, 0L))
+      pairAgg(key) = (n + 1,
+        aa + math.round(1.0 / math.log(cdeg(c).toDouble) * 1e9))
     }
-    val expect = pairAgg.toSeq.map { case ((s1, s2), (n, aa)) =>
+    val expect = pairAgg.toSeq.map { case ((k1, k2), (n, aa)) =>
       val jac = math.round(n.toDouble /
-        (sdeg(s1) + sdeg(s2) - n).toDouble * 1e6)
-      (s1, s2, n, math.round(aa.toDouble * 1e6), jac)
+        (sdeg(k1) + sdeg(k2) - n).toDouble * 1e6)
+      (s"s$k1", s"s$k2", n, math.round(aa.toDouble / 1000.0), jac)
     }.sortBy { case (s1, s2, _, aam, _) => (-aam, s1, s2) }.take(20)
     val got = q("q_link_predict")
       .as[(String, String, Long, Long, Long)].collect().toSeq
