@@ -1828,38 +1828,13 @@ object Text {
     "q_ppl_bucket" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val toks = docs(s, d)
-          .select($"doc_id", $"lang", tokens($"text").as("toks"))
-        val bg = toks.filter(size($"toks") >= 2)
-          .select($"doc_id", $"lang", explode(expr(
-            "transform(sequence(1, size(toks)-1), " +
-              "i -> struct(element_at(toks, i) AS w1, " +
-              "element_at(toks, i+1) AS w2))")).as("bg"))
-          .select($"doc_id", $"lang", $"bg.w1", $"bg.w2")
-        val lm = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
-        val ctx = lm.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
-        val vocab = toks.select(explode($"toks").as("tok"))
-          .agg(countDistinct($"tok").as("v"))
-        val scored = lm.join(ctx, "w1").crossJoin(broadcast(vocab))
-          .select($"w1", $"w2",
-            round(log(($"n_ab" + 1).cast("double") /
-              ($"n_a" + $"v").cast("double")), 9)
-              .cast("decimal(18,9)").as("sc"))
-        val ce = bg.join(scored, Seq("w1", "w2"))
-          .groupBy($"doc_id", $"lang")
-          .agg(count(lit(1)).as("n_bigrams"), sum($"sc").as("ssum"))
-          .select($"doc_id", $"lang", $"n_bigrams",
-            expr("CAST(round(-CAST(ssum AS DOUBLE) / " +
-              "CAST(n_bigrams AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
-              .as("ce6"))
-          .localCheckpoint()
+        val corpus = docs(s, d).select($"doc_id", $"lang", $"text")
+        val ce = pplCe(corpus, pplLm(corpus)).localCheckpoint()
         val th = ce.agg(
           expr("percentile(ce6, 0.3333333333333333)").as("t1"),
           expr("percentile(ce6, 0.6666666666666666)").as("t2"))
         ce.crossJoin(broadcast(th))
-          .select($"lang", $"n_bigrams",
-            expr("CASE WHEN ce6 <= t1 THEN 'head' WHEN ce6 <= t2 " +
-              "THEN 'middle' ELSE 'tail' END").as("bucket"))
+          .select($"lang", $"n_bigrams", expr(pplBucketE).as("bucket"))
           .groupBy($"lang", $"bucket")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_bigrams").as("sum_bigrams"))
@@ -1905,4 +1880,62 @@ object Text {
         "corpus terciles into head/middle/tail, per (lang, bucket) " +
         "doc + bigram counts"),
   )
+
+  /** The add-1 bigram LM score table `(w1, w2, sc DECIMAL(18,9))`
+    * trained on `corpus` (`doc_id`, `lang`, `text`) — the q_bigram_lm
+    * construction. Public because [[graft.streaming.QualityStream]]
+    * calibrates its frozen scoring LM with the SAME tree. */
+  def pplLm(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import corpus.sparkSession.implicits._
+    val bg = pplBigrams(corpus)
+    val lm = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val ctx = lm.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
+    val vocab = corpus
+      .select(explode(Fns.tokens($"text")).as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    lm.join(ctx, "w1").crossJoin(broadcast(vocab))
+      .select($"w1", $"w2",
+        round(log(($"n_ab" + 1).cast("double") /
+          ($"n_a" + $"v").cast("double")), 9)
+          .cast("decimal(18,9)").as("sc"))
+  }
+
+  /** Per-doc integer-micro bigram cross-entropy `(doc_id, lang,
+    * n_bigrams, ce6)` of `corpus` against the frozen LM table
+    * `scored` — one expression tree shared by live `q_ppl_bucket`
+    * and the streaming quality monitor (bigrams outside the LM drop
+    * in the inner join, and a doc with no scored bigram drops
+    * entirely — the frozen-LM contract, stated). */
+  def pplCe(corpus: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import corpus.sparkSession.implicits._
+    pplBigrams(corpus).join(scored, Seq("w1", "w2"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"sc").as("ssum"))
+      .select($"doc_id", $"lang", $"n_bigrams",
+        expr("CAST(round(-CAST(ssum AS DOUBLE) / " +
+          "CAST(n_bigrams AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+          .as("ce6"))
+  }
+
+  /** Tercile bucket of a `ce6` column against `t1`/`t2` thresholds in
+    * scope — the one CASE both tiers share. */
+  val pplBucketE: String =
+    "CASE WHEN ce6 <= t1 THEN 'head' WHEN ce6 <= t2 " +
+      "THEN 'middle' ELSE 'tail' END"
+
+  /** Exploded `(doc_id, lang, w1, w2)` bigrams of a corpus. */
+  private def pplBigrams(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus.select($"doc_id", $"lang", Fns.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS w1, " +
+          "element_at(toks, i+1) AS w2))")).as("bg"))
+      .select($"doc_id", $"lang", $"bg.w1", $"bg.w2")
+  }
 }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val corpus = graft.Tables.load(spark, dir, "documents")
+    .select($"doc_id", $"lang", $"text")
+
+  // slice by doc_id hash so each batch carries whole documents (the
+  // stated contract: docs never span batches) but every lang does
+  private def batches = Seq(
+    corpus.filter(abs(hash($"doc_id")) % 3 === 0),
+    corpus.filter(abs(hash($"doc_id")) % 3 === 1),
+    corpus.filter(abs(hash($"doc_id")) % 3 === 2))
+
+  private def rows(path: String) =
+    QualityStream.mixFromPartials(spark, path)
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+
+  test("k-batch ingest (with a replay) under the batch query's own " +
+    "calibration equals LIVE q_ppl_bucket bit-for-bit") {
+    val cal = QualityStream.calibrate(corpus)
+    val incr = Files.createTempDirectory("graft_qual_incr").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      QualityStream.bucketPartials(b, i.toLong, incr, cal)
+    }
+    // replay batch 1 (failure re-delivery) — must overwrite
+    QualityStream.bucketPartials(batches(1), 1L, incr, cal)
+
+    val live = graft.SparkEntry.queries("q_ppl_bucket")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+    assert(rows(incr) == live, "streamed mix != live q_ppl_bucket")
+  }
+
+  test("a stream of known-tail documents reads as 100% tail") {
+    val cal = QualityStream.calibrate(corpus)
+    val tailDocs = graft.operators.Text.pplCe(corpus, cal.scored)
+      .filter($"ce6" > cal.t2).select($"doc_id")
+      .join(corpus, "doc_id")
+      .select($"doc_id", $"lang", $"text")
+    val p = Files.createTempDirectory("graft_qual_tail").toString
+    QualityStream.bucketPartials(tailDocs, 0L, p, cal)
+    val mix = rows(p)
+    assert(mix.nonEmpty && mix.forall(_._2 == "tail"),
+      s"expected all-tail mix, got $mix")
+  }
+}
