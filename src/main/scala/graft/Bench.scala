@@ -27,6 +27,46 @@ object Bench {
     }
   }
 
+  /** 1-minute system load from /proc/loadavg, sampled around every rep:
+    * the mechanical discount the round-12/13 verdicts asked for. Five
+    * headline queries regressed >30% in r13 on provably untouched code
+    * and the only rebuttal was narrative; with pre/post load per rep the
+    * record itself shows whether a slow rep ran next to a co-tenant.
+    * NaN when the file is unreadable (non-Linux). */
+  private[graft] def loadAvg1: Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => Double.NaN }
+
+  private def f2(v: Double): String =
+    if (v.isNaN) "null"
+    else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** `"load_per_rep"` JSON object: query -> [[pre, post], ...] in rep
+    * order. Lives in the FULL record (bench.json / BENCH_FULL) — ~15 KB
+    * at 350 queries x 3 reps, fine for a file, too big for the driver's
+    * tail window. */
+  private[graft] def loadPerRepJson(
+      loads: Seq[(String, Seq[(Double, Double)])]): String =
+    loads.map { case (q, ls) =>
+      s""""$q":${ls.map { case (a, b) => s"[${f2(a)},${f2(b)}]" }
+        .mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+
+  /** Run-level `"load"` summary for the compact line the driver parses:
+    * min/mean/max of the per-rep PRE samples plus max POST. A round whose
+    * pre_max is 3x pre_min was measured on contended hardware. */
+  private[graft] def loadSummaryJson(samples: Seq[(Double, Double)]): String = {
+    val pre = samples.map(_._1).filterNot(_.isNaN)
+    val post = samples.map(_._2).filterNot(_.isNaN)
+    if (pre.isEmpty) """{"n_reps":0}"""
+    else s"""{"n_reps":${samples.size},"pre_min":${f2(pre.min)},""" +
+      s""""pre_mean":${f2(pre.sum / pre.size)},""" +
+      s""""pre_max":${f2(pre.max)},""" +
+      s""""post_max":${f2(if (post.isEmpty) Double.NaN else post.max)}}"""
+  }
+
   /** Minimal JSON string escaping for error messages (timings never need
     * it; query names are identifier-safe by construction). */
   private[graft] def jsonStr(s: String): String =
@@ -105,12 +145,17 @@ object Bench {
     // map and reported under "errors" so a thrown query can never
     // masquerade as a fast one
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query per-rep (pre, post) 1-min loadavg, in rep order
+    val loads = scala.collection.mutable
+      .LinkedHashMap.empty[String, Vector[(Double, Double)]]
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String = ""): Double = {
       val (g0, j0) = (gcMs, jitMs)
+      val l0 = loadAvg1
       val t0 = System.nanoTime()
       val res = runOne(spark, sfDir, fn)
       val dt = res.getOrElse((System.nanoTime() - t0) / 1e9)
+      loads(name) = loads.getOrElse(name, Vector.empty) :+ (l0, loadAvg1)
       res.left.foreach { err =>
         if (!errors.contains(name)) errors(name) = err
         System.err.println(s"BENCH_ERR $name: $err")
@@ -156,13 +201,15 @@ object Bench {
       if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) =>
         s""""$k":${jsonStr(v)}""" }.mkString("{", ",", "}")}"""
-    println(s"""BENCH_FULL {"queries":${qmap(results)}$errJson}""")
+    val loadJson = s""","load":${loadSummaryJson(
+      loads.valuesIterator.flatten.toSeq)}"""
+    println(s"""BENCH_FULL {"queries":${qmap(results)}$errJson$loadJson}""")
     spark.stop()
     val top = results.sortBy(-_._2).take(30)
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_are_slowest":${top.size},"queries":${qmap(top)}$errJson}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_are_slowest":${top.size},"queries":${qmap(top)}$errJson$loadJson}"""
     // Persist the full record for humans/diffing, independent of what the
     // driver's tail window captures.
-    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${qmap(results)}$errJson}"""
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${qmap(results)}$errJson$loadJson,"load_per_rep":${loadPerRepJson(loads.toSeq)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

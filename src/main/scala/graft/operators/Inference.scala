@@ -2369,10 +2369,10 @@ object Inference {
         |  FROM rev),
         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM idx),
         |pm AS (
-        |  SELECT CAST(SUM(CASE WHEN b.r > a.r THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS plus,
-        |    CAST(SUM(CASE WHEN b.r < a.r THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS minus
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN b.r > a.r THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS plus,
+        |    CAST(COALESCE(SUM(CASE WHEN b.r < a.r THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS minus
         |  FROM idx a, nn, idx b WHERE b.i = a.i + nd // 2),
         |spine AS (
         |  SELECT j, SUM(CAST(round(ln(CAST(j AS DOUBLE)), 9)
@@ -2669,16 +2669,20 @@ object Inference {
             sum($"wc9").as("swc"), sum($"st9").as("sst"),
             sum($"sc9").as("ssc"), sum($"wt2_9").as("swt2"))
           .select($"n_users", $"n_strata", $"n_clipped_strata",
-            expr("CAST(round(CAST(sht AS DOUBLE) / " +
-              "CAST(n_users AS DOUBLE), 0) AS BIGINT)")
+            expr("CASE WHEN n_users = 0 THEN CAST(NULL AS BIGINT) " +
+              "ELSE CAST(round(CAST(sht AS DOUBLE) / " +
+              "CAST(n_users AS DOUBLE), 0) AS BIGINT) END")
               .as("ipw_ate_micro"),
-            expr("CAST(round(CAST(sst AS DOUBLE) / " +
+            expr("CASE WHEN swt = 0 OR swc = 0 " +
+              "THEN CAST(NULL AS BIGINT) " +
+              "ELSE CAST(round(CAST(sst AS DOUBLE) / " +
               "CAST(swt AS DOUBLE) - CAST(ssc AS DOUBLE) / " +
-              "CAST(swc AS DOUBLE), 0) AS BIGINT)")
+              "CAST(swc AS DOUBLE), 0) AS BIGINT) END")
               .as("hajek_ate_micro"),
-            expr("CAST(round(CAST(swt AS DOUBLE) * " +
+            expr("CASE WHEN swt2 = 0 THEN CAST(NULL AS BIGINT) " +
+              "ELSE CAST(round(CAST(swt AS DOUBLE) * " +
               "CAST(swt AS DOUBLE) / CAST(swt2 AS DOUBLE) * " +
-              "1000000.0, 0) AS BIGINT)").as("ess_t_micro"))
+              "1000000.0, 0) AS BIGINT) END").as("ess_t_micro"))
       },
       Some(s"""WITH u AS (
         |  SELECT user_id, user_id % 2 AS arm,
@@ -2724,13 +2728,18 @@ object Inference {
         |    SUM(st9) AS sst, SUM(sc9) AS ssc, SUM(wt2_9) AS swt2
         |  FROM t)
         |SELECT n_users, n_strata, n_clipped_strata,
-        |  CAST(round(CAST(sht AS DOUBLE) / CAST(n_users AS DOUBLE),
-        |    0) AS BIGINT) AS ipw_ate_micro,
-        |  CAST(round(CAST(sst AS DOUBLE) / CAST(swt AS DOUBLE) -
-        |    CAST(ssc AS DOUBLE) / CAST(swc AS DOUBLE), 0) AS BIGINT)
+        |  CASE WHEN n_users = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(CAST(sht AS DOUBLE) /
+        |      CAST(n_users AS DOUBLE), 0) AS BIGINT) END
+        |    AS ipw_ate_micro,
+        |  CASE WHEN swt = 0 OR swc = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(CAST(sst AS DOUBLE) /
+        |      CAST(swt AS DOUBLE) - CAST(ssc AS DOUBLE) /
+        |      CAST(swc AS DOUBLE), 0) AS BIGINT) END
         |    AS hajek_ate_micro,
-        |  CAST(round(CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE) /
-        |    CAST(swt2 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |  CASE WHEN swt2 = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE)
+        |      / CAST(swt2 AS DOUBLE) * 1000000.0, 0) AS BIGINT) END
         |    AS ess_t_micro
         |FROM m""".stripMargin),
       "IPW treatment effect with [0.1, 0.9] overlap clipping: " +
@@ -2753,12 +2762,16 @@ object Inference {
       (s, d) => {
         import s.implicits._
         val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        // day grain is calendar-bounded (~1 row/day); checkpoint it
+        // once so the events scan + rollup doesn't run twice through
+        // the a/b self-join (multiply-consumed-anchor discipline)
         val day = Tables.load(s, d, "events")
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).as("x"),
             coalesce(sum(when($"event_type" === "purchase",
               expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))),
               lit(0L)).as("y"))
+          .localCheckpoint()
         val p = day.as("a")
           .join(day.as("b"), $"a.day" === date_add($"b.day", 1))
           .select($"a.y".as("y"), $"b.y".as("y1"), $"b.x".as("x1"))

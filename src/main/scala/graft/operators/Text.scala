@@ -1926,6 +1926,18 @@ object Text {
     "CASE WHEN ce6 <= t1 THEN 'head' WHEN ce6 <= t2 " +
       "THEN 'middle' ELSE 'tail' END"
 
+  /** Per-document TOTAL bigram count `(doc_id, lang, tot_bigrams)` —
+    * the denominator [[QualityStream]] needs to make the frozen-LM
+    * score join's silent drops observable: `tot_bigrams` minus
+    * [[pplCe]]'s matched `n_bigrams` is the OOV mass the inner join
+    * discarded (r13 VERDICT Next #6). */
+  def pplDocBigramCounts(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import corpus.sparkSession.implicits._
+    pplBigrams(corpus).groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("tot_bigrams"))
+  }
+
   /** Exploded `(doc_id, lang, w1, w2)` bigrams of a corpus. */
   private def pplBigrams(corpus: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

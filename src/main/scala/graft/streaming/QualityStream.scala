@@ -24,10 +24,17 @@ import graft.operators.Text
   * bucketing share [[Text.pplCe]]/[[Text.pplBucketE]] with the live
   * query, and (lang, bucket) counts are exact integers under SUM.
   *
-  * At 100 TB the partials table grows ≤ |langs| × 3 rows per
+  * At 100 TB the partials table grows ≤ |langs| × 4 rows per
   * micro-batch; the mix readout scans kilobytes. Bigrams outside the
   * frozen LM drop in the score join (the frozen-LM contract — unknown
-  * tokens are the reference LM's smoothing concern, stated). */
+  * tokens are the reference LM's smoothing concern) — and since r14
+  * that drop is OBSERVABLE, not just stated (r13 VERDICT Next #6):
+  * every partial row carries `oov_mass` (bigrams of its docs the score
+  * join discarded), documents with ZERO in-calibration bigrams land in
+  * a fourth `unscored` bucket instead of vanishing, and
+  * [[oovFromPartials]] reads the drift out per lang. [[mixFromPartials]]
+  * excludes `unscored` so the pinned mix contract vs live
+  * `q_ppl_bucket` (which also never sees such docs) is unchanged. */
 object QualityStream {
 
   /** The frozen scoring context: the LM score table and the tercile
@@ -48,23 +55,51 @@ object QualityStream {
   }
 
   /** Per-batch (lang, bucket) doc + bigram counts under the frozen
-    * calibration. Replay-idempotent via [[PartialsStore.sink]]. */
+    * calibration, plus the OOV mass the score join dropped. The doc
+    * grain left-joins total bigram counts against scored counts: a doc
+    * whose every bigram is outside the calibration LM has no ce6 and
+    * buckets as `unscored` (visible) instead of dropping (invisible).
+    * Replay-idempotent via [[PartialsStore.sink]]. */
   def bucketPartials(batch: DataFrame, batchId: Long, path: String,
       cal: Calibration): Unit =
     PartialsStore.sink(
-      Text.pplCe(batch, cal.scored)
+      Text.pplDocBigramCounts(batch)
+        .join(Text.pplCe(batch, cal.scored)
+          .select(col("doc_id"), col("n_bigrams"), col("ce6")),
+          Seq("doc_id"), "left")
         .withColumn("t1", lit(cal.t1)).withColumn("t2", lit(cal.t2))
-        .select(col("lang"), col("n_bigrams"),
-          expr(Text.pplBucketE).as("bucket"))
+        .select(col("lang"),
+          when(col("ce6").isNull, lit("unscored"))
+            .otherwise(expr(Text.pplBucketE)).as("bucket"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          (col("tot_bigrams") - coalesce(col("n_bigrams"), lit(0L)))
+            .as("oov"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_bigrams")).as("sum_bigrams")),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(col("oov")).as("oov_mass")),
       batchId, path)
 
   /** The quality mix over all stored batches — the live q_ppl_bucket
-    * output shape from the merged (lang, bucket) counts. */
+    * output shape from the merged (lang, bucket) counts. `unscored`
+    * rows are excluded here (live q_ppl_bucket can never emit them);
+    * they surface through [[oovFromPartials]]. */
   def mixFromPartials(spark: SparkSession, path: String): DataFrame =
     PartialsStore.mergedSums(spark, path,
       Seq("lang", "bucket"), Seq("n_docs", "sum_bigrams"))
+      .filter(col("bucket") =!= "unscored")
       .orderBy(col("lang"), col("bucket"))
+
+  /** Calibration-vocabulary drift per lang: total bigrams the frozen
+    * score join dropped and how many whole documents were unscorable.
+    * Nonzero growth here means the stream's vocabulary is leaving the
+    * calibration LM behind — re-arm the monitor. */
+  def oovFromPartials(spark: SparkSession, path: String): DataFrame =
+    PartialsStore.mergedSums(spark, path,
+      Seq("lang", "bucket"), Seq("n_docs", "oov_mass"))
+      .groupBy(col("lang"))
+      .agg(sum(col("oov_mass")).as("oov_mass"),
+        sum(when(col("bucket") === "unscored", col("n_docs"))
+          .otherwise(lit(0L))).as("unscored_docs"))
+      .orderBy(col("lang"))
 }

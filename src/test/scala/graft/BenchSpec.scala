@@ -40,4 +40,31 @@ class BenchSpec extends SparkSpec {
   test("jsonStr escapes quotes, backslashes, and control chars") {
     assert(Bench.jsonStr("a\"b\\c\n") == "\"a\\\"b\\\\c\\u000a\"")
   }
+
+  // r13 VERDICT Next #2: per-rep machine-load capture — five headline
+  // queries regressed >30% on untouched code and the record couldn't
+  // prove co-tenant noise. These pin that the load fields exist and
+  // carry real samples on this (Linux) platform.
+  test("loadAvg1 reads a finite nonnegative 1-min load on Linux") {
+    val l = Bench.loadAvg1
+    assert(!l.isNaN && l >= 0.0, s"unexpected loadavg: $l")
+  }
+
+  test("loadPerRepJson emits per-query [pre,post] pairs in rep order") {
+    val j = Bench.loadPerRepJson(Seq(
+      "q_a" -> Seq((1.25, 2.0), (0.5, 0.75)),
+      "q_b" -> Seq((Double.NaN, 3.0))))
+    assert(j == """{"q_a":[[1.25,2.00],[0.50,0.75]],""" +
+      """"q_b":[[null,3.00]]}""")
+  }
+
+  test("loadSummaryJson reports pre min/mean/max and post max") {
+    val j = Bench.loadSummaryJson(Seq((1.0, 2.0), (3.0, 1.0)))
+    assert(j == """{"n_reps":2,"pre_min":1.00,"pre_mean":2.00,""" +
+      """"pre_max":3.00,"post_max":2.00}""")
+    assert(Bench.loadSummaryJson(Nil) == """{"n_reps":0}""")
+    // all-NaN (non-Linux) degrades to the empty shape, not a crash
+    assert(Bench.loadSummaryJson(Seq((Double.NaN, Double.NaN))) ==
+      """{"n_reps":0}""")
+  }
 }
