@@ -4,6 +4,8 @@ import graft.{Fns, GQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import Checkpoint.CutOps
+
 /** Byte-pair-encoding merge training as a DISTRIBUTED iterative operator
   * (SURVEY.md §2.11 X4 extension; q_bpe_pairs computes one merge step's
   * statistics, this runs the actual merge loop).
@@ -15,8 +17,9 @@ import org.apache.spark.sql.functions._
   * of merges exactly like a real tokenizer trainer's vocab; (3) rewrite
   * every word's symbol array with the merged pair — a per-row higher-order
   * `aggregate` fold (left-to-right, non-overlapping), no UDF, stays in
-  * codegen. State is `localCheckpoint`ed per round: same iterative-lineage
-  * rule as [[Dedup.clusters]].
+  * codegen. State is lineage-cut per round via [[Checkpoint.cut]]: same
+  * iterative-lineage rule as [[Dedup.clusters]], fault-tolerant under
+  * `spark.graft.checkpoint.mode=reliable`.
   *
   * Scale: the per-iteration cost is one map-side-combined shuffle of
   * distinct pairs (vocabulary-sized, not corpus-sized, after the partial
@@ -80,7 +83,7 @@ object Bpe {
     * (rank, p1, p2, weighted count) and the final symbolized state. */
   def train(docs: DataFrame, textCol: Column, numMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var state = wordState(docs, textCol).localCheckpoint()
+    var state = wordState(docs, textCol).cut
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -93,7 +96,7 @@ object Bpe {
         val r = top.head
         val (p1, p2, n) = (r.getString(0), r.getString(1), r.getLong(2))
         merges += ((rank + 1, p1, p2, n))
-        state = applyMerge(state, p1, p2).localCheckpoint()
+        state = applyMerge(state, p1, p2).cut
         rank += 1
       }
     }

@@ -4,6 +4,8 @@ import graft.{Fns, GQuery, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import Checkpoint.CutOps
+
 /** Deduplication operators over `documents` (SURVEY.md §2.11 X1/X2).
   *
   * The oracle-verified tier here is exact dedup (hash-groupBy) and n-gram
@@ -44,11 +46,12 @@ object Dedup {
     * node takes the min of its own label, its neighbors' labels, and its
     * label's label (path halving) — so even a path graph converges in
     * O(log diameter) rounds, not O(diameter). Each round is two shuffle
-    * joins, and each round's result is `localCheckpoint`ed: an iterative
-    * join MUST cut lineage per round — a plain cache leaves the logical
-    * plan doubling every iteration until analysis itself blows up (the
-    * classic iterative-Spark trap; a cluster job would use
-    * `checkpoint` for driver-failure resilience).
+    * joins, and each round's result is lineage-cut via
+    * [[Checkpoint.cut]]: an iterative join MUST cut lineage per round —
+    * a plain cache leaves the logical plan doubling every iteration
+    * until analysis itself blows up (the classic iterative-Spark trap).
+    * Under `spark.graft.checkpoint.mode=reliable` the per-round cut is
+    * a fault-tolerant FS checkpoint, the preemptible-cluster setting.
     *
     * Returns (id, cluster_id). */
   def clusters(
@@ -57,9 +60,9 @@ object Dedup {
     import org.apache.spark.sql.functions.{col, coalesce, least, min => fmin}
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().cut
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).cut
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -84,7 +87,7 @@ object Dedup {
         .join(jump, Seq("id"), "left")
         .select(col("id"), newLabel.as("label"),
           (newLabel =!= col("label")).as("chg"))
-        .localCheckpoint()
+        .cut
       val changed = next.filter(col("chg")).limit(1).count()
       labels = next.select(col("id"), col("label"))
       converged = changed == 0L

@@ -4,6 +4,8 @@ import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import Checkpoint.CutOps
+
 /** Link-graph centrality (SURVEY.md §2.11 extension tier): PageRank over
   * an edge table — the quality signal web-scale corpus pipelines attach
   * to documents (CommonCrawl-style centrality filtering) and the third
@@ -15,8 +17,11 @@ import org.apache.spark.sql.functions._
   * one keyed join of that static table against the current rank table
   * (only the O(nodes) rank side shuffles) plus a partial-aggregated
   * shuffle of (dst, contribution): O(edges) map work, O(nodes) shuffled
-  * bytes per round. Lineage is cut by `localCheckpoint` every
-  * `checkpointInterval` rounds rather than every round — each checkpoint
+  * bytes per round. Lineage is cut via [[Checkpoint.cut]] every
+  * `checkpointInterval` rounds rather than every round — executor-local
+  * by default, a fault-tolerant FS checkpoint under
+  * `spark.graft.checkpoint.mode=reliable` (the preemptible-cluster
+  * setting; see [[Checkpoint]]) — each checkpoint
   * is an eager materialization job, and at small scale those fixed job
   * costs dominate (10 per-round checkpoints were ~60% of q_pagerank's
   * 6.5 s at sf0.1); a 3-round interval keeps the plan bounded while
@@ -46,7 +51,7 @@ object Graph {
   /** The static, reusable preprocessing of a PageRank run: checkpointed
     * edges, the distinct node table + its count, and the per-edge weight
     * table partitioned on the join key. Building this costs four eager
-    * localCheckpoint jobs plus a count — fixed latency that dominates a
+    * lineage-cut jobs ([[Checkpoint.cut]]) plus a count — fixed latency that dominates a
     * SHORT run (2 rounds) at small scale, so callers that rank the same
     * graph repeatedly (bench reps, pagerank vs pagerank2) should build it
     * once via [[prepareGraph]]/[[tradeGraph]] and share it. */
@@ -55,14 +60,14 @@ object Graph {
     // Distinct out-edge sources: the complement of the sink-node set.
     // Lazy — only the redistributeDangling mode pays for it.
     lazy val srcIds: DataFrame =
-      eDeg.select(col("src").as("id")).distinct().localCheckpoint()
+      eDeg.select(col("src").as("id")).distinct().cut
   }
 
   def prepareGraph(edges: DataFrame): PreparedGraph = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).cut
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().cut
     val n = nodes.count().toDouble
     // Static per-edge weight table, partitioned on the join key so each
     // round's join shuffles only the rank side.
@@ -71,7 +76,7 @@ object Graph {
       .select(col("src"), col("dst"),
         (lit(1.0) / col("out_deg")).as("w"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .cut
     new PreparedGraph(nodes, n, eDeg)
   }
 
@@ -127,7 +132,7 @@ object Graph {
       // TakeOrderedAndProject) fuse with the last round's computation.
       // Plan depth stays bounded by `checkpointInterval` rounds.
       if (it % math.max(checkpointInterval, 1) == 0) {
-        ranks = next.localCheckpoint()
+        ranks = next.cut
         tol.foreach { t =>
           val delta = ranks
             .join(lastCheckpointed.withColumnRenamed("rank", "prev"),
@@ -164,7 +169,7 @@ object Graph {
         .select(concat(lit("c"), $"o_custkey").as("src"),
           concat(lit("s"), $"l_suppkey").as("dst"))
         .distinct()
-        .localCheckpoint()
+        .cut
     })
 
   /** [[prepareGraph]] over [[tradeEdges]], memoized under the same
@@ -201,7 +206,7 @@ object Graph {
           .select(concat(lit("c"), $"o_custkey").as("src"),
             concat(lit("s"), $"l_suppkey").as("dst"))
           .distinct()
-          .localCheckpoint()
+          .cut
       })
 
   /** Synchronous min-label propagation over UNDIRECTED `edges`
@@ -291,7 +296,7 @@ object Graph {
         .select($"p_partkey".cast("long").as("id"))
         .filter($"id" >= 10)
         .select($"id".as("child"), expr("id div 10").as("parent"))
-        .localCheckpoint() // static adjacency, reused by 5 rounds
+        .cut // static adjacency, reused by 5 rounds
     })
 
   private val simEdgeCache =
@@ -318,7 +323,7 @@ object Graph {
           col("a.s") < col("b.s"))
         .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
         .agg(count(lit(1)).as("shared"))
-        .localCheckpoint()
+        .cut
       // 99th percentile of `shared` WITHOUT percentile()'s single sort
       // buffer: the round-6 sf1 sweep showed that buffer (ALL pair rows
       // collected into one task) was the query's superlinear stall
@@ -351,7 +356,7 @@ object Graph {
       pairs.crossJoin(broadcast(thr))
         .filter($"shared".cast("double") > $"thr")
         .select($"s1", $"s2")
-        .localCheckpoint() // reused by three self-joins in q_triangles
+        .cut // reused by three self-joins in q_triangles
     })
 
   val queries: Seq[(String, GQuery)] = Seq(
@@ -990,7 +995,7 @@ object Graph {
             concat(lit("s"), $"l_suppkey").as("dst"))
           .agg(count(lit(1)).as("m")).filter($"m" >= 2)
           .select($"src", $"dst")
-          .localCheckpoint() // scanned 9x by the peel loop
+          .cut // scanned 9x by the peel loop
         val rounds = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long, Long)]
         def stat(i: Int): Unit = {
@@ -1009,7 +1014,7 @@ object Graph {
           e = e.join(srcOk, Seq("src"), "left_semi")
             .join(dstOk, Seq("dst"), "left_semi")
             .select($"src", $"dst")
-            .localCheckpoint()
+            .cut
           stat(i)
         }
         s.createDataFrame(rounds.toSeq)
