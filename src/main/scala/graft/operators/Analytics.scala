@@ -131,10 +131,16 @@ object Analytics {
     "q_anomaly_days" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // day-grain (calendar-bounded) consumed by THREE passes (median,
+        // MAD, readout) — checkpoint so the corpus scan runs once; the
+        // 1-row median anchor likewise feeds both MAD and the readout
+        // (r13 audit: singlepart x3 from the duplicated subtrees)
         val daily = Tables.load(s, d, "events")
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).as("n_events"))
+          .localCheckpoint()
         val med = daily.agg(expr("percentile(n_events, 0.5)").as("med"))
+          .localCheckpoint()
         val mad = daily.crossJoin(broadcast(med))
           .agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
         // MAD = 0 (uniform data) must be well-defined identically on both
@@ -1403,27 +1409,34 @@ object Analytics {
     "q_join_skew_audit" -> GQuery(
       (s, d) => {
         import s.implicits._
-        def audit(df: org.apache.spark.sql.DataFrame, table: String,
-            key: String) = {
-          val counts = df.groupBy(col(key).as("k"))
+        // one labeled union of the three keyed count tables + ONE
+        // grouped reduction, instead of three sequential global scalar
+        // barriers (r13 audit: singlepart x3). Same partial-agg math —
+        // percentile's merge state is a value->freq map over the tiny
+        // count DOMAIN either way — but the three audits now reduce in
+        // parallel as three groups of one hash exchange.
+        def counts(df: org.apache.spark.sql.DataFrame, table: String,
+            key: String) =
+          df.groupBy(col(key).as("k"))
             .agg(count(lit(1)).as("c"))
-          counts.agg(
+            .select(lit(s"$table.$key").as("join_key"), $"c")
+        counts(Tables.load(s, d, "lineitem"), "lineitem", "l_orderkey")
+          .unionAll(counts(Tables.load(s, d, "orders"), "orders",
+            "o_custkey"))
+          .unionAll(counts(Tables.load(s, d, "events"), "events",
+            "user_id"))
+          .groupBy($"join_key")
+          .agg(
             sum($"c").as("n_rows"),
             count(lit(1)).as("n_keys"),
             max($"c").as("max_key_rows"),
             expr("percentile(c, 0.5)").as("p50"))
-            .select(lit(s"$table.$key").as("join_key"),
-              $"n_rows", $"n_keys", $"max_key_rows",
-              round($"max_key_rows".cast("double") /
-                $"n_rows".cast("double"), 6).as("max_key_share"),
-              round($"max_key_rows".cast("double") / $"p50", 6)
-                .as("skew_ratio"))
-        }
-        audit(Tables.load(s, d, "lineitem"), "lineitem", "l_orderkey")
-          .unionAll(audit(Tables.load(s, d, "orders"), "orders",
-            "o_custkey"))
-          .unionAll(audit(Tables.load(s, d, "events"), "events",
-            "user_id"))
+          .select($"join_key",
+            $"n_rows", $"n_keys", $"max_key_rows",
+            round($"max_key_rows".cast("double") /
+              $"n_rows".cast("double"), 6).as("max_key_share"),
+            round($"max_key_rows".cast("double") / $"p50", 6)
+              .as("skew_ratio"))
           .orderBy($"join_key")
       },
       Some("""WITH a1 AS (
@@ -1827,22 +1840,29 @@ object Analytics {
     "q_chi2" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // lang x source grid (bounded, <= ~100 cells) consumed by FOUR
+        // passes (marginals x2, total, cell join) — checkpoint so the
+        // corpus scan runs once; nr/nc fold into the final grid-side
+        // reduction as countDistinct over the complete crossed grid
+        // (identical values, two fewer 1-row barriers — r13 audit:
+        // singlepart x3)
         val o = Tables.load(s, d, "documents")
           .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val rt = o.groupBy($"lang").agg(sum($"n").as("rn"))
         val ct = o.groupBy($"source").agg(sum($"n").as("cn"))
         val tot = o.agg(sum($"n").as("ntot"))
-        val rdim = rt.agg(count(lit(1)).as("nr"))
-        val cdim = ct.agg(count(lit(1)).as("nc"))
         val e = ($"rn" * $"cn").cast("double") / $"ntot"
         rt.crossJoin(ct)
           .join(o, Seq("lang", "source"), "left")
           .crossJoin(broadcast(tot))
           .select(round(pow(coalesce($"n", lit(0L)) - e, 2) / e, 9)
-            .cast("decimal(24,9)").as("term"), $"ntot")
-          .crossJoin(broadcast(rdim)).crossJoin(broadcast(cdim))
-          .groupBy($"ntot", $"nr", $"nc")
-          .agg(sum($"term").as("tsum"))
+            .cast("decimal(24,9)").as("term"), $"ntot",
+            $"lang", $"source")
+          .groupBy($"ntot")
+          .agg(sum($"term").as("tsum"),
+            countDistinct($"lang").as("nr"),
+            countDistinct($"source").as("nc"))
           .select(round($"tsum".cast("double"), 6).as("chi2"),
             (($"nr" - 1) * ($"nc" - 1)).as("dof"),
             round(sqrt($"tsum".cast("double") /
@@ -2012,16 +2032,23 @@ object Analytics {
             .as("half"),
             least(greatest(floor($"value" / 50.0).cast("bigint"), lit(0L)),
               lit(9L)).as("bin"))
+        // half x bin grid (<= 20 rows) consumed by FOUR anchors below —
+        // checkpoint so the corpus scan + min-day anchor + bin shuffle
+        // run once, not per consumer (r13 audit: singlepart x7 from the
+        // duplicated subtree; the ee746d2 recipe)
         val c = e.groupBy($"half", $"bin").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val bins = s.range(0, 10).select($"id".as("bin"))
-        val tp = c.filter($"half" === "p").agg(sum($"n").as("np"))
-        val tq = c.filter($"half" === "q").agg(sum($"n").as("nq"))
+        // np + nq folded into ONE conditional 1-row reduction (was two
+        // separate filter+agg barriers over the same grid)
+        val t = c.agg(sum(when($"half" === "p", $"n")).as("np"),
+          sum(when($"half" === "q", $"n")).as("nq"))
         val j = broadcast(bins)
           .join(c.filter($"half" === "p").select($"bin", $"n".as("cp")),
             Seq("bin"), "left")
           .join(c.filter($"half" === "q").select($"bin", $"n".as("cq")),
             Seq("bin"), "left")
-          .crossJoin(broadcast(tp)).crossJoin(broadcast(tq))
+          .crossJoin(broadcast(t))
           .select(
             ((coalesce($"cp", lit(0L)) + 0.5) / ($"np" + 5.0)).as("pp"),
             ((coalesce($"cq", lit(0L)) + 0.5) / ($"nq" + 5.0)).as("qq"))
@@ -2808,6 +2835,11 @@ object Analytics {
             .withColumn("cum", sum($"t").over(w))
             .select(col(c), (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L))
               .as(s"dr$c"))
+            // value-grain (<= 4901 / <= 11 rows at any corpus size):
+            // checkpoint so each global-window rank build is a one-time
+            // bounded job, not a barrier replayed inside the broadcast
+            // subtree (r13 audit: singlepart x3)
+            .localCheckpoint()
         }
         val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
@@ -2894,13 +2926,18 @@ object Analytics {
             coalesce(sum(when($"ya" > $"yb",
               $"na".cast(d19) * $"nb".cast(d19)).otherwise(zero)), zero)
               .cast(d38).as("disc"))
-        val totals = g.agg(sum($"n").as("n"))
-        val tx = g.groupBy($"x").agg(sum($"n").as("t"))
-          .agg(sum($"t".cast(d19) * ($"t" - lit(1L)).cast(d19)).as("n1d"))
-        val uy = g.groupBy($"y").agg(sum($"n").as("t"))
-          .agg(sum($"t".cast(d19) * ($"t" - lit(1L)).cast(d19)).as("n2d"))
-        pairs.crossJoin(broadcast(totals))
-          .crossJoin(broadcast(tx)).crossJoin(broadcast(uy))
+        // n / n1d / n2d folded into ONE reduction (was three separate
+        // 1-row barriers over the same checkpointed grid — r13 audit:
+        // singlepart x4): with t_x = marginal count via a partitioned
+        // window, SUM_x t(t-1) = SUM_cells n*(t_x - 1) — identical exact
+        // integers, one pass
+        val gw = g
+          .withColumn("mtx", sum($"n").over(Window.partitionBy($"x")))
+          .withColumn("mty", sum($"n").over(Window.partitionBy($"y")))
+        val moments = gw.agg(sum($"n").as("n"),
+          sum($"n".cast(d19) * ($"mtx" - lit(1L)).cast(d19)).as("n1d"),
+          sum($"n".cast(d19) * ($"mty" - lit(1L)).cast(d19)).as("n2d"))
+        pairs.crossJoin(broadcast(moments))
           // output contract: NO decimal-typed columns (driver hashes
           // decimal outputs differently per engine — VERDICT r11). Pair
           // counts <= n(n-1)/2 fit BIGINT until n ~ 4.3e9 rows — the
@@ -3747,8 +3784,12 @@ object Analytics {
           .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
             .as("yc"))
         val m = daily.agg(min($"day").as("d0"))
+        // day-grain (calendar-bounded) and consumed by the OLS moment
+        // anchor AND the residual pass — checkpoint so the orders scan +
+        // min-day barrier run once (r13 audit: singlepart x4)
         val idx = daily.crossJoin(broadcast(m))
           .select(datediff($"day", $"d0").cast("long").as("t"), $"yc")
+          .localCheckpoint()
         val st = idx.agg(count(lit(1)).as("n"), sum($"t").as("sx"),
           sum($"yc").as("sy"),
           sum($"t".cast(d19) * $"t".cast(d19)).as("sxx"),
@@ -3765,6 +3806,9 @@ object Analytics {
               "((CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) / " +
               "CAST(n AS DOUBLE) + b1 * CAST(t AS DOUBLE))) * 100.0, " +
               "0) AS BIGINT)").as("em"))
+          // residual table at the same bounded day grain, feeding the
+          // lag window — checkpoint so the st anchor reduces once
+          .localCheckpoint()
           .withColumn("ep", lag($"em", 1).over(w))
           .agg(count(lit(1)).as("n_days"),
             sum(when($"ep".isNotNull,
@@ -4061,6 +4105,11 @@ object Analytics {
             expr("CAST(round(abs(CAST(s1 AS DOUBLE) / " +
               "CAST(n1 AS DOUBLE) - CAST(st - s1 AS DOUBLE) / " +
               "CAST(nn - n1 AS DOUBLE)), 0) AS BIGINT)").as("obs_micro"))
+          // 1-row observed anchor broadcast into BOTH the permutation
+          // pass and the final readout — checkpoint so its corpus
+          // reduction runs once (r13 audit: singlepart x3 from the
+          // duplicated subtree; the ee746d2 `tot` pattern)
+          .localCheckpoint()
         val stats = ev.select($"event_id", $"v6",
             explode(expr("sequence(0, 31)")).as("b"))
           .crossJoin(broadcast(obs))
@@ -4155,8 +4204,13 @@ object Analytics {
           .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
             .as("yc"))
         val m = daily.agg(min($"day").as("d0"))
+        // week-grain (calendar-bounded, <= ~350 rows) and consumed
+        // THREE times (both pair sides + the intercept pass) —
+        // checkpoint so the orders scan + min-day barrier run once
+        // (r13 audit: singlepart x4 from the duplicated subtree)
         val idx = daily.crossJoin(broadcast(m))
           .select(datediff($"day", $"d0").cast("long").as("t"), $"yc")
+          .localCheckpoint()
         val a = idx.select($"t".as("ta"), $"yc".as("ya"))
         val b = idx.select($"t".as("tb"), $"yc".as("yb"))
         val sl = a.join(b, $"tb" > $"ta")
@@ -4806,16 +4860,25 @@ object Analytics {
             .as("wk"))
           .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
             .as("yc"))
+          // week-grain (calendar-bounded) and consumed by both pair
+          // sides AND the n/tie moments — checkpoint so the orders scan
+          // runs once (r13 audit: singlepart x3)
+          .localCheckpoint()
         val a = weekly.select($"wk".as("wa"), $"yc".as("ya"))
         val b = weekly.select($"wk".as("wb"), $"yc".as("yb"))
         val sStat = a.join(b, $"wb" > $"wa")
           .agg(coalesce(sum(when($"yb" > $"ya", 1L)
             .when($"yb" < $"ya", -1L).otherwise(0L)), lit(0L)).as("s"))
-        val nW = weekly.agg(count(lit(1)).as("n"))
-        val ties = weekly.groupBy($"yc").agg(count(lit(1)).as("t"))
-          .agg(coalesce(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)),
-            lit(0L)).as("tt"))
-        sStat.crossJoin(broadcast(nW)).crossJoin(broadcast(ties))
+        // n + tie term folded into ONE reduction (was two 1-row
+        // barriers): with t = the week's yc-tie group size via a
+        // partitioned window, SUM_groups t(t-1)(2t+5) =
+        // SUM_rows (t-1)(2t+5) — identical exact integers, one pass
+        val moments = weekly
+          .withColumn("mt", count(lit(1)).over(Window.partitionBy($"yc")))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(($"mt" - 1L) * (lit(2L) * $"mt" + 5L)),
+              lit(0L)).as("tt"))
+        sStat.crossJoin(broadcast(moments))
           .select($"n".as("n_weeks"), $"s".as("s_stat"),
             ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tt")
               .as("var18"),
@@ -4973,6 +5036,10 @@ object Analytics {
               " AS BIGINT)").as("r6"))
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), sum($"r6").as("s6"))
+          // arm table (category-bounded, ~5 rows) consumed by the total
+          // anchor AND the readout — checkpoint so the corpus scan +
+          // min/max bounds barrier run once (r13 audit: singlepart x3)
+          .localCheckpoint()
         val tot = arms.agg(sum($"n").as("nt"))
         arms.crossJoin(broadcast(tot))
           .select($"event_type", $"n",

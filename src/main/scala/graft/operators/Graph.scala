@@ -467,10 +467,16 @@ object Graph {
           .join(edges.as("ac"),
             col("ac.s1") === col("ab.s1") && col("ac.s2") === col("bc.s2"))
           .agg(count(lit(1)).as("n_triangles"))
-        val nn = edges.select($"s1".as("s")).union(edges.select($"s2"))
-          .distinct().agg(count(lit(1)).as("n_nodes"))
-        val ne = edges.agg(count(lit(1)).as("n_edges"))
-        nn.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        // node + edge counts folded into ONE reduction over the degree
+        // table (was two separate 1-row barriers — r13 audit:
+        // singlepart x3): every distinct-pair edge contributes one to
+        // each endpoint's degree, so SUM(deg) = 2*|E| exactly
+        val deg = edges.select($"s1".as("s"))
+          .unionAll(edges.select($"s2".as("s")))
+          .groupBy($"s").agg(count(lit(1)).as("deg"))
+        val stats = deg.agg(count(lit(1)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"))
+        stats.crossJoin(broadcast(tri))
           .select($"n_nodes", $"n_edges", $"n_triangles")
       },
       Some(s"""WITH co0 AS (
@@ -723,8 +729,13 @@ object Graph {
         val seedCond: org.apache.spark.sql.Column =
           $"id".startsWith("c") &&
             substring($"id", 2, 20).cast("long").between(1, 25)
+        // 1-row seed-count anchor broadcast into the init AND both
+        // unrolled rounds — checkpoint so its reduction over the node
+        // table runs once, not three times (r13 audit: singlepart x3
+        // from the duplicated subtree)
         val nsDf = g.nodes.filter(seedCond)
           .agg(count(lit(1)).cast("double").as("ns"))
+          .localCheckpoint()
         var r = g.nodes.filter(seedCond)
           .crossJoin(broadcast(nsDf))
           .select($"id", (lit(1.0) / $"ns").as("rank"))
@@ -912,14 +923,17 @@ object Graph {
         val deg = edges.select($"s1".as("s"))
           .unionAll(edges.select($"s2".as("s")))
           .groupBy($"s").agg(count(lit(1)).as("deg"))
+        // edge count folded into the wedge reduction (was a separate
+        // 1-row barrier — r13 audit: singlepart x3): SUM(deg) = 2*|E|
+        // exactly on the distinct-pair edge table
         val wed = deg.agg(count(lit(1)).as("n_nodes"),
           coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
-            .as("n_wedges"))
-        val ne = edges.agg(count(lit(1)).as("n_edges"))
+            .as("n_wedges"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"))
         // empty-graph contract: below the similarity threshold the edge
         // set can be empty at tiny scale — report explicit zeros, not
         // NULLs
-        wed.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        wed.crossJoin(broadcast(tri))
           .select($"n_nodes", $"n_edges", $"n_triangles",
             $"n_wedges".cast("long").as("n_wedges"),
             expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE " +

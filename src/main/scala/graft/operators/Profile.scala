@@ -63,6 +63,11 @@ object Profile {
       (s, d) => {
         val orders = Tables.load(s, d, "orders")
         val lineitem = Tables.load(s, d, "lineitem")
+        // each audit is an independent partial-aggregated scalar
+        // reduction over its own table scan; checkpoint every 1-row
+        // audit RESULT (the ee746d2 anchor pattern) so the plan is a
+        // union of five precomputed rows instead of five stacked
+        // single-partition barriers (r13 audit: singlepart x5)
         def keyAudit(df: org.apache.spark.sql.DataFrame, name: String,
             keyCols: Seq[String]) =
           df.agg(count(lit(1)).as("n_rows"),
@@ -70,6 +75,7 @@ object Profile {
             .select(lit(name).as("audit"), col("n_rows"), col("n_groups"),
               (col("n_rows") - col("n_groups")).as("n_violations"),
               (col("n_rows") === col("n_groups")).as("ok"))
+            .localCheckpoint()
         def fdAudit(df: org.apache.spark.sql.DataFrame, name: String,
             lhs: String, rhs: String) =
           df.groupBy(col(lhs))
@@ -79,6 +85,7 @@ object Profile {
             .select(lit(name).as("audit"),
               col("n_groups").as("n_rows"), col("n_groups"),
               col("n_violations"), (col("n_violations") === 0).as("ok"))
+            .localCheckpoint()
         keyAudit(orders, "key:o_orderkey", Seq("o_orderkey"))
           .unionAll(keyAudit(orders, "key:o_custkey", Seq("o_custkey")))
           .unionAll(keyAudit(lineitem, "key:l_orderkey+l_linenumber",

@@ -1090,10 +1090,15 @@ object Similarity {
           })
         val v1 = mm.groupBy($"j".as("vj")).agg(sum($"m_ij").as("v1"))
         val mx1 = v1.agg(max(abs($"v1")).as("mx1"))
+        // normalized first power step (64 rows) broadcast into the
+        // second step — checkpoint so the mx1 norm anchor reduces once
+        // instead of replaying inside the broadcast subtree (r13 audit:
+        // singlepart x3)
         val v1n = v1.crossJoin(broadcast(mx1))
           .select($"vj",
             round($"v1".cast("double") / $"mx1".cast("double") * 1e6, 0)
               .cast("bigint").as("v1n"))
+          .localCheckpoint()
         val v2 = mm.join(broadcast(v1n), $"j" === $"vj")
           .groupBy($"i")
           .agg(sum(($"m_ij" * $"v1n").cast("decimal(38,0)")).as("v2"))

@@ -229,12 +229,17 @@ object SqlShapes {
     "q_fk_integrity" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // five independent anti-join count audits; checkpoint each
+        // 1-row RESULT (the ee746d2 anchor pattern) so the plan is a
+        // union of five precomputed rows instead of five stacked
+        // single-partition barriers (r13 audit: singlepart x5)
         def orphans(child: DataFrame, key: String, parent: DataFrame,
             pkey: String, rel: String) = {
           val p = parent.select(col(pkey).as(key)).distinct()
           child.select(col(key)).join(p, Seq(key), "left_anti")
             .agg(count(lit(1)).as("n_orphans"))
             .select(lit(rel).as("relationship"), $"n_orphans")
+            .localCheckpoint()
         }
         val li = Tables.load(s, d, "lineitem")
         val o = Tables.load(s, d, "orders")

@@ -1217,13 +1217,20 @@ object Text {
         val e = docs(s, d).select(
           when($"lang" === "en", lit("p")).otherwise(lit("q")).as("side"),
           explode(tokens($"text")).as("tok"))
-        val cnt = e.groupBy($"side", $"tok").agg(count(lit(1)).as("n"))
-        val pc = cnt.filter($"side" === "p").select($"tok", $"n".as("np"))
-        val qc = cnt.filter($"side" === "q").select($"tok", $"n".as("nq"))
-        val pt = pc.agg(sum($"np").as("tp"))
-        val qt = qc.agg(sum($"nq").as("tq"))
-        val joined = pc.join(qc, Seq("tok"), "full_outer")
-          .crossJoin(broadcast(pt)).crossJoin(broadcast(qt))
+        // one vocab-grain PIVOT (conditional sums == the old p/q
+        // full-outer join: sum over zero rows is NULL exactly where the
+        // join left a null side), checkpointed for its two consumers
+        // (mass anchor + term pass) so the corpus explode runs once —
+        // and tp/tq fold into ONE 1-row reduction (r13 audit:
+        // singlepart x3 from pt/qt + the duplicated explode)
+        val piv = e.groupBy($"side", $"tok").agg(count(lit(1)).as("n"))
+          .groupBy($"tok")
+          .agg(sum(when($"side" === "p", $"n")).as("np"),
+            sum(when($"side" === "q", $"n")).as("nq"))
+          .localCheckpoint()
+        val tots = piv.agg(sum($"np").as("tp"), sum($"nq").as("tq"))
+        val joined = piv
+          .crossJoin(broadcast(tots))
           .select(
             (coalesce($"np", lit(0L)).cast("double") / $"tp").as("pp"),
             (coalesce($"nq", lit(0L)).cast("double") / $"tq").as("qq"))
@@ -1520,14 +1527,21 @@ object Text {
           .select($"bg.w1", $"bg.w2")
           .filter(length($"w1") >= 4 && length($"w2") >= 4 &&
             $"w1" =!= $"w2")
+        // co-occurrence edge table (vocab-bounded after the count pass)
+        // consumed by BOTH directions and both rounds — checkpoint so
+        // the corpus bigram explode runs once; the 1-row node-count
+        // anchor likewise feeds three ranking passes (r13 audit:
+        // singlepart x3 from its duplicated subtree)
         val und = bg.select(least($"w1", $"w2").as("a"),
             greatest($"w1", $"w2").as("b"))
           .groupBy($"a", $"b").agg(count(lit(1)).as("wt"))
+          .localCheckpoint()
         val e = und.select($"a".as("src"), $"b".as("dst"), $"wt")
           .unionByName(und.select($"b".as("src"), $"a".as("dst"), $"wt"))
         val wdeg = e.groupBy($"src").agg(sum($"wt").as("wd"))
         val nodes = e.select($"src".as("id")).distinct()
         val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+          .localCheckpoint()
         val c1 = e.join(wdeg, "src").crossJoin(broadcast(nn))
           .groupBy($"dst")
           .agg(sum(($"wt".cast("double") / $"wd") / $"n").as("m"))

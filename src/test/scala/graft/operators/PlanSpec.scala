@@ -416,12 +416,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
-  test("q_psi: per-event work is one partial-agg shuffle, anchors broadcast") {
+  test("q_psi: bin math runs on the checkpointed grid — no fact scan, " +
+    "anchors broadcast") {
     val p = plan("q_psi")
-    assert(p.contains("partial_count"), p.take(1500))
+    // the per-event partial-agg shuffle (and the min-day anchor) run ONCE
+    // inside the half x bin grid's checkpoint build (r13 audit fix:
+    // singlepart x7 -> x2); the audited plan works the <= 20-row grid
+    assert(p.split("FileScan").length - 1 == 0,
+      "bin smoothing must run on the checkpointed grid, not the fact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
+    val singles = p.split("\n").count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"$singles single-partition exchanges (want <=2)")
   }
 
   test("q_bloom: filter and membership sides broadcast, no cartesian") {
@@ -477,11 +484,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1500)) // daily rollup partials
   }
 
-  test("q_textrank: bigram partial-agg; rank rounds are keyed joins only") {
+  test("q_textrank: rank rounds run on the checkpointed edge table — " +
+    "no fact scan, keyed joins only") {
     val p = plan("q_textrank")
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("partial_count"), p.take(1500)) // (a,b) edge counts
-    // the two 1-row node-count anchors broadcast; rank messages join on
+    // the corpus bigram explode + (a,b) edge counts run ONCE inside the
+    // co-occurrence table's checkpoint build (r13 audit fix:
+    // singlepart x3 -> 0); both rank rounds join the checkpointed edges
+    assert(p.split("FileScan").length - 1 == 0,
+      "rank rounds must run on the checkpointed edge table, not the fact")
+    assert(p.contains("partial_sum"), p.take(1500)) // weighted degrees
+    // the 1-row node-count anchor broadcasts; rank messages join on
     // src/dst hash keys, never all-pairs
     assert(p.contains("BroadcastExchange"), p.take(1500))
   }
