@@ -95,6 +95,8 @@ object PlanAudit {
       "— the q_changepoint bound"),
     "q_bh_fdr" -> ("BH decision chain over the category-bounded " +
       "metric table (one row per event type)"),
+    "q_holm" -> ("Holm step-down running-failure max over the same " +
+      "category-bounded metric table as q_bh_fdr"),
     "q_shapiro_francia" -> ("Blom-score rank window over the bounded " +
       "day table — the q_changepoint bound"),
     "q_hurst" -> ("day-index rank over the bounded day table feeding " +

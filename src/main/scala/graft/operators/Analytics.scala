@@ -2442,6 +2442,131 @@ object Analytics {
         |GROUP BY k ORDER BY k""".stripMargin),
       "k-anonymity / l-diversity audit over quasi-identifier classes"),
 
+    // epsilon-differentially-private released counts per event type
+    // (Laplace mechanism, eps = 1) — the privacy sibling of
+    // q_k_anonymity: what a DP query interface would actually publish.
+    // The Laplace draw is DETERMINISTIC (md5-seeded inverse CDF, the
+    // house recipe — rand() would break both the oracle and
+    // reproducible releases): u = (2h+1)/2e6 from the type's md5,
+    // noise = -sign(u - 1/2) * ln(1 - 2|u - 1/2|). The ln argument
+    // reduces to k/1e6 with k an exact INTEGER in [1, 1e6), so the
+    // transcendental is a difference of 9-dp-frozen ln-of-integer
+    // terms — the q_mutual_info determinism rule; (2h+1) is odd so the
+    // CDF never hits the sign singularity. Scale: one category-keyed
+    // partial-agg shuffle; the noise is per-GROUP arithmetic.
+    "q_dp_count" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("h",
+            pmod(conv(substring(md5(concat(lit("dp_"), $"event_type")),
+              1, 8), 16, 10).cast("bigint"), lit(1000000L)))
+          .withColumn("dev", lit(2L) * $"h" + 1L - 1000000L)
+          .select($"event_type", $"n",
+            expr(s"CAST(round($dpNoiseE * 1000000.0, 0) AS BIGINT)")
+              .as("noise_micro"),
+            expr(s"CAST(round((CAST(n AS DOUBLE) + $dpNoiseE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("released_micro"))
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT event_type, n,
+        |    ('0x' || substring(md5('dp_' || event_type), 1, 8))::BIGINT
+        |      % 1000000 AS h
+        |  FROM g),
+        |dv AS (SELECT event_type, n, 2 * h + 1 - 1000000 AS dev FROM h)
+        |SELECT event_type, n,
+        |  CAST(round($dpNoiseE * 1000000.0, 0) AS BIGINT)
+        |    AS noise_micro,
+        |  CAST(round((CAST(n AS DOUBLE) + $dpNoiseE) * 1000000.0, 0)
+        |    AS BIGINT) AS released_micro
+        |FROM dv ORDER BY event_type""".stripMargin),
+      "deterministic-Laplace differentially-private count release " +
+        "per event type (eps = 1, md5-seeded inverse CDF)"),
+
+    // Simpson's-paradox audit: the discount -> quantity OLS slope per
+    // return-flag group NEXT TO the pooled slope, flagging groups whose
+    // within-group trend points the other way — the aggregation-bias
+    // check that should precede any pooled-correlation claim (the
+    // classic admission/kidney-stone reversal detector). The pooled
+    // moments are EXACTLY the column sums of the per-group moment
+    // battery (raw power sums are additive), so the whole audit is ONE
+    // corpus partial-agg + a 3-row checkpointed group table + one 1-row
+    // anchor. Exactness: centi-frozen x/y, decimal products, identical
+    // closed-form slope expressions both engines; degenerate groups
+    // (zero x-variance) emit NULL slope/flag via CASE guards.
+    "q_simpsons" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val g = Tables.load(s, d, "lineitem")
+          .select($"l_returnflag",
+            expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("x"),
+            expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").as("y"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("ng"),
+            sum($"x".cast(d19)).as("sxg"),
+            sum($"y".cast(d19)).as("syg"),
+            sum($"x".cast(d19) * $"x".cast(d19)).as("sxxg"),
+            sum($"x".cast(d19) * $"y".cast(d19)).as("sxyg"))
+          // 3-row group-moment table consumed by the pooled anchor AND
+          // the readout — checkpoint so the corpus scan runs once
+          .localCheckpoint()
+        val pooled = g.agg(sum($"ng").as("np"), sum($"sxg").as("sxp"),
+          sum($"syg").as("syp"), sum($"sxxg").as("sxxp"),
+          sum($"sxyg").as("sxyp"))
+        g.crossJoin(broadcast(pooled))
+          .select($"l_returnflag", $"ng".as("n"),
+            expr(s"CASE WHEN ${simpDenE("g")} = 0.0 THEN " +
+              s"CAST(NULL AS BIGINT) ELSE CAST(round(${simpSlopeE("g")}" +
+              " * 1000000.0, 0) AS BIGINT) END").as("slope_micro"),
+            expr(s"CASE WHEN ${simpDenE("p")} = 0.0 THEN " +
+              s"CAST(NULL AS BIGINT) ELSE CAST(round(${simpSlopeE("p")}" +
+              " * 1000000.0, 0) AS BIGINT) END").as("pooled_micro"),
+            expr(s"CASE WHEN ${simpDenE("g")} = 0.0 OR " +
+              s"${simpDenE("p")} = 0.0 THEN CAST(NULL AS BOOLEAN) " +
+              s"ELSE ${simpSlopeE("g")} * ${simpSlopeE("p")} < 0.0 " +
+              "END").as("sign_flip"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(x AS DECIMAL(19,0))) AS sxg,
+        |    SUM(CAST(y AS DECIMAL(19,0))) AS syg,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS sxxg,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS sxyg
+        |  FROM li GROUP BY 1),
+        |pl AS (
+        |  SELECT CAST(SUM(ng) AS BIGINT) AS np, SUM(sxg) AS sxp,
+        |    SUM(syg) AS syp, SUM(sxxg) AS sxxp, SUM(sxyg) AS sxyp
+        |  FROM g)
+        |SELECT l_returnflag, ng AS n,
+        |  CASE WHEN ${simpDenE("g")} = 0.0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(${simpSlopeE("g")} * 1000000.0, 0)
+        |      AS BIGINT) END AS slope_micro,
+        |  CASE WHEN ${simpDenE("p")} = 0.0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(${simpSlopeE("p")} * 1000000.0, 0)
+        |      AS BIGINT) END AS pooled_micro,
+        |  CASE WHEN ${simpDenE("g")} = 0.0 OR ${simpDenE("p")} = 0.0
+        |    THEN CAST(NULL AS BOOLEAN)
+        |    ELSE ${simpSlopeE("g")} * ${simpSlopeE("p")} < 0.0
+        |    END AS sign_flip
+        |FROM g, pl ORDER BY l_returnflag""".stripMargin),
+      "Simpson's-paradox audit: per-group vs pooled OLS slope with " +
+        "sign-reversal flags (additive moment battery, one scan)"),
+
     // Welch two-sample A/B z-test on mean event value — the experiment
     // readout primitive (the PROPORTION variant degenerates on this data:
     // every user converts, pooled variance 0, z = 0/0). Cohorts from a
@@ -5302,6 +5427,28 @@ object Analytics {
   private val kendallCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.DataFrame]()
+  /** q_simpsons OLS denominator n*sxx - sx^2 over the moment columns
+    * with suffix `sfx` ("g" per-group, "p" pooled). */
+  private def simpDenE(sfx: String): String =
+    s"(CAST(n$sfx AS DOUBLE) * CAST(sxx$sfx AS DOUBLE) - " +
+      s"CAST(sx$sfx AS DOUBLE) * CAST(sx$sfx AS DOUBLE))"
+
+  /** q_simpsons OLS slope (n*sxy - sx*sy) / den, same suffixes. */
+  private def simpSlopeE(sfx: String): String =
+    s"((CAST(n$sfx AS DOUBLE) * CAST(sxy$sfx AS DOUBLE) - " +
+      s"CAST(sx$sfx AS DOUBLE) * CAST(sy$sfx AS DOUBLE)) / " +
+      s"${simpDenE(sfx)})"
+
+  /** q_dp_count deterministic Laplace draw (eps = 1) from the odd
+    * integer deviate `dev` = 2h+1-1e6, h the md5-derived uniform in
+    * [0, 1e6): noise = sign(dev) * (ln 1e6 - ln(1e6 - |dev|)) — the
+    * inverse-CDF form with both transcendentals as 9-dp-frozen
+    * ln-of-integers (the q_mutual_info rule). */
+  private def dpNoiseE: String =
+    "((CASE WHEN dev > 0 THEN 1.0 ELSE -1.0 END) * " +
+      "(round(ln(1000000.0), 9) - " +
+      "round(ln(CAST(1000000 - abs(dev) AS DOUBLE)), 9)))"
+
   private def kendallGrid(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     kendallCache.computeIfAbsent(

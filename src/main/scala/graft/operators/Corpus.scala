@@ -329,6 +329,56 @@ object Corpus {
         |FROM s ORDER BY source""".stripMargin),
       "temperature-scaled (alpha=0.7) source mixing weights"),
 
+    // Leave-one-out source attribution: for each source, how much does
+    // REMOVING it move the corpus-mean document length — the cheapest
+    // member of the data-valuation family (the closed-form special case
+    // of leave-one-out influence over the group partition; a quality
+    // score would slot in for n_chars unchanged). Everything derives
+    // from per-source (count, sum) pairs, so the whole readout is one
+    // grouped partial agg + one 1-row total anchor: loo_mean_s =
+    // (S - sum_s) / (N - n_s), delta = corpus mean - loo mean (positive
+    // delta = the source pulls the mean UP, dropping it lowers it).
+    // The single-source corpus edge (N = n_s) emits NULL via an
+    // explicit guard — the q_ipw degenerate-input contract. Scale: one
+    // source-keyed partial-agg shuffle; the source table (~dozens of
+    // rows) is checkpointed for its two consumers.
+    "q_loo_source" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val src = Tables.load(s, d, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sc"))
+          .localCheckpoint()
+        val tot = src.agg(sum($"n_docs").as("nn"), sum($"sc").as("ss"))
+        src.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs",
+            expr("CAST(round(CAST(sc AS DOUBLE) / " +
+              "CAST(n_docs AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+              .as("mean_chars_micro"),
+            expr("CASE WHEN nn = n_docs THEN CAST(NULL AS BIGINT) " +
+              "ELSE CAST(round((CAST(ss AS DOUBLE) / " +
+              "CAST(nn AS DOUBLE) - CAST(ss - sc AS DOUBLE) / " +
+              "CAST(nn - n_docs AS DOUBLE)) * 1000000.0, 0) AS BIGINT)" +
+              " END").as("loo_delta_micro"))
+          .orderBy($"source")
+      },
+      Some("""WITH src AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sc
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |               CAST(SUM(sc) AS BIGINT) AS ss FROM src)
+        |SELECT source, n_docs,
+        |  CAST(round(CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) AS mean_chars_micro,
+        |  CASE WHEN nn = n_docs THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round((CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) -
+        |      CAST(ss - sc AS DOUBLE) / CAST(nn - n_docs AS DOUBLE))
+        |      * 1000000.0, 0) AS BIGINT) END AS loo_delta_micro
+        |FROM src, tot ORDER BY source""".stripMargin),
+      "leave-one-out source attribution on mean document length " +
+        "(closed-form group influence from per-source sums)"),
+
     // Epoch token-budget allocation — the step AFTER q_mix_temperature's
     // weights: given a total token budget (50k here), each source gets
     // floor(budget * weight) tokens, then docs fill the allocation in

@@ -1242,34 +1242,11 @@ object Inference {
     "q_bh_fdr" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val wide = Tables.load(s, d, "events")
-          .filter($"value".isNotNull)
-          .select($"event_type", pmod($"user_id", lit(2L)).as("arm"),
-            expr("CAST(round(value * 1000000.0, 0) AS BIGINT)")
-              .as("v6"))
-          .groupBy($"event_type", $"arm")
-          .agg(count(lit(1)).as("n"), sum($"v6".cast(d38)).as("sv"),
-            sum($"v6".cast(d38) * $"v6".cast(d38)).as("qv"))
-          .groupBy($"event_type")
-          .agg(max(when($"arm" === 0L, $"n")).as("nc"),
-            max(when($"arm" === 0L, $"sv")).as("sc"),
-            max(when($"arm" === 0L, $"qv")).as("qc"),
-            max(when($"arm" === 1L, $"n")).as("nt"),
-            max(when($"arm" === 1L, $"sv")).as("st"),
-            max(when($"arm" === 1L, $"qv")).as("qt"))
         val run = Window.orderBy($"p9".asc, $"event_type".asc)
         val full = Window.orderBy($"p9".asc, $"event_type".asc)
           .rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)
-        wide
-          .select($"event_type", expr(welchZE).as("z"))
-          .select($"event_type", $"z", abs($"z").as("az"))
-          .select($"event_type",
-            expr("CAST(round(z * 1000000.0, 0) AS BIGINT)")
-              .as("z_micro"),
-            expr(s"CAST(round(2.0 * ${gaussTail("az")}, 9) " +
-              "AS DECIMAL(12,9))").as("p9"))
+        welchP(s, d)
           .withColumn("rank", row_number().over(run))
           .withColumn("m", count(lit(1)).over(full))
           .withColumn("flag",
@@ -1283,32 +1260,7 @@ object Inference {
             ($"rank" <= $"k").as("reject"))
           .orderBy($"rank")
       },
-      Some(s"""WITH w AS (
-        |  SELECT event_type,
-        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
-        |      AS nc,
-        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(v6 AS
-        |      DECIMAL(38,0)) END) AS sc,
-        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(v6 AS
-        |      DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)) END) AS qc,
-        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
-        |      AS nt,
-        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(v6 AS
-        |      DECIMAL(38,0)) END) AS st,
-        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(v6 AS
-        |      DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)) END) AS qt
-        |  FROM (SELECT event_type, user_id,
-        |      CAST(round(value * 1000000.0, 0) AS BIGINT) AS v6
-        |    FROM events WHERE value IS NOT NULL)
-        |  GROUP BY 1),
-        |z1 AS (SELECT event_type, $welchZE AS z FROM w),
-        |z2 AS (SELECT event_type, z, abs(z) AS az FROM z1),
-        |p AS (
-        |  SELECT event_type,
-        |    CAST(round(z * 1000000.0, 0) AS BIGINT) AS z_micro,
-        |    CAST(round(2.0 * ${gaussTail("az")}, 9) AS DECIMAL(12,9))
-        |      AS p9
-        |  FROM z2),
+      Some(s"""WITH $welchPCtesE,
         |r AS (
         |  SELECT event_type, z_micro, p9,
         |    CAST(row_number() OVER (ORDER BY p9, event_type)
@@ -1327,6 +1279,66 @@ object Inference {
         |FROM r, k ORDER BY rank""".stripMargin),
       "Benjamini-Hochberg FDR over the 5-metric A/B family (Welch z " +
         "per event type, shared A&S tail, bounded decision chain)"),
+
+    // Holm-Bonferroni step-down over the SAME 5-metric Welch battery —
+    // the FWER-controlling companion to q_bh_fdr's FDR control (Holm
+    // guards "any false rejection", BH guards the false-discovery
+    // RATE; a platform reports both). Shares [[welchP]] verbatim, so
+    // the two procedures are guaranteed to disagree only in their
+    // decision chains: Holm rejects while p_(i) <= alpha/(m-i+1) and
+    // STOPS at the first failure (the step-down monotonicity BH does
+    // not have) — expressed as a running failure max over the
+    // category-bounded p-value table (<= |event types| rows, the
+    // q_bh_fdr allowlist bound). Alpha = 0.05.
+    "q_holm" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val run = Window.orderBy($"p9".asc, $"event_type".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = Window.orderBy($"p9".asc, $"event_type".asc)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        welchP(s, d)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"p9".asc, $"event_type".asc)))
+          .withColumn("m", count(lit(1)).over(full))
+          .withColumn("fail",
+            expr("CASE WHEN CAST(p9 AS DOUBLE) > 0.05 / " +
+              "CAST(m - rank + 1 AS DOUBLE) THEN 1 ELSE 0 END"))
+          .withColumn("anyfail", max($"fail").over(run))
+          .select($"event_type",
+            expr("CAST(round(CAST(p9 AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("p_micro"),
+            $"rank".cast("long").as("rank"),
+            expr("CAST(round(0.05 / CAST(m - rank + 1 AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("threshold_micro"),
+            ($"anyfail" === 0).as("reject"))
+          .orderBy($"rank")
+      },
+      Some(s"""WITH $welchPCtesE,
+        |r AS (
+        |  SELECT event_type, p9,
+        |    CAST(row_number() OVER (ORDER BY p9, event_type)
+        |      AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM p),
+        |f AS (
+        |  SELECT event_type, p9, rank, m,
+        |    MAX(CASE WHEN CAST(p9 AS DOUBLE) > 0.05 /
+        |      CAST(m - rank + 1 AS DOUBLE) THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY p9, event_type
+        |        ROWS UNBOUNDED PRECEDING) AS anyfail
+        |  FROM r)
+        |SELECT event_type,
+        |  CAST(round(CAST(p9 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS p_micro,
+        |  rank,
+        |  CAST(round(0.05 / CAST(m - rank + 1 AS DOUBLE) * 1000000.0,
+        |    0) AS BIGINT) AS threshold_micro,
+        |  anyfail = 0 AS reject
+        |FROM f ORDER BY rank""".stripMargin),
+      "Holm-Bonferroni FWER step-down over the shared 5-metric Welch " +
+        "battery (running-failure max, stops at the first miss)"),
 
     // Stratified average treatment effect — the causal-inference
     // counterpart to q_cuped: stratify users by their activity score
@@ -2839,7 +2851,193 @@ object Inference {
       "Granger lag-1 causality of event volume on purchase revenue " +
         "(one exact moment battery, closed-form restricted vs " +
         "unrestricted OLS, F + R2 gain)"),
+
+    // Wilson score interval per event type — the proportion CI a
+    // metrics dashboard should show instead of the Wald interval
+    // (Wald collapses at p near 0/1 and small n; Wilson stays inside
+    // [0,1] and is the Agresti-Coull backbone). "Success" = the event
+    // carries a non-null value (the house conversion proxy). z is the
+    // fixed two-sided 95% literal; the whole readout is one grouped
+    // partial agg (exact integer k/n per arm) + closed-form arithmetic
+    // whose only transcendental is sqrt (correctly rounded IEEE, so no
+    // 9-dp freeze is needed). Scale: one category-keyed partial-agg
+    // shuffle at any corpus size; NO 1-row barrier at all.
+    "q_wilson_ci" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".isNotNull.cast("long")).as("k"))
+          .select($"event_type", $"n", $"k",
+            expr("CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("p_micro"),
+            expr(s"CAST(round($wilsonCtrE - $wilsonHwE, 0) AS BIGINT)")
+              .as("lo_micro"),
+            expr(s"CAST(round($wilsonCtrE + $wilsonHwE, 0) AS BIGINT)")
+              .as("hi_micro"))
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, k,
+        |  CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) AS p_micro,
+        |  CAST(round($wilsonCtrE - $wilsonHwE, 0) AS BIGINT) AS lo_micro,
+        |  CAST(round($wilsonCtrE + $wilsonHwE, 0) AS BIGINT) AS hi_micro
+        |FROM g ORDER BY event_type""".stripMargin),
+      "Wilson 95% score intervals for per-event-type conversion " +
+        "(exact k/n cells, closed form, sqrt-only transcendentals)"),
+
+    // Sharp regression-discontinuity estimate at the zero-balance
+    // cutoff: does crossing acctbal = 0 shift total order spend? The
+    // textbook RDD shape — local linear fits on each side of the
+    // cutoff within a fixed bandwidth, effect = right intercept minus
+    // left intercept AT the cutoff (x is centered on the cutoff, so
+    // the intercepts ARE the boundary values; no extrapolation term).
+    // Exactness: running variable and outcome are integer cents;
+    // ALL five OLS moments for BOTH sides come from ONE conditional
+    // 1-row reduction (exact decimal products), and the closed-form
+    // slopes/intercepts are identical IEEE expressions on both
+    // engines. Degenerate sides (n < 2 or zero x-variance) emit NULL
+    // estimates via explicit CASE guards — the q_ipw contract. Scale:
+    // one custkey-keyed partial agg (the corpus shuffle), a customer-
+    // grain join, one scalar reduce; the bandwidth filter prunes
+    // before the join-side agg consumes anything.
+    "q_rdd" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val oc = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("yc"))
+        val pan = Tables.load(s, d, "customer")
+          .select($"c_custkey",
+            expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("xc"))
+          .filter(abs($"xc") <= 100000L)
+          .join(oc, $"c_custkey" === $"o_custkey", "left")
+          .select($"xc", coalesce($"yc", lit(0L)).as("yc"),
+            ($"xc" >= 0L).as("r"))
+        def side(p: String, cond: org.apache.spark.sql.Column) = Seq(
+          sum(when(cond, 1L).otherwise(0L)).as(s"n$p"),
+          sum(when(cond, $"xc".cast(d38))).as(s"sx$p"),
+          sum(when(cond, $"yc".cast(d38))).as(s"sy$p"),
+          sum(when(cond, $"xc".cast(d19) * $"xc".cast(d19)))
+            .as(s"sxx$p"),
+          sum(when(cond, $"xc".cast(d19) * $"yc".cast(d19)))
+            .as(s"sxy$p"))
+        val moments = side("l", !$"r") ++ side("r", $"r")
+        pan.agg(moments.head, moments.tail: _*)
+          .select($"nl".as("n_left"), $"nr".as("n_right"),
+            expr(s"CASE WHEN ${rddGuardE("l")} THEN CAST(NULL AS " +
+              s"BIGINT) ELSE CAST(round(${rddB1E("l")} * 1000000.0, " +
+              "0) AS BIGINT) END").as("slope_l_micro"),
+            expr(s"CASE WHEN ${rddGuardE("r")} THEN CAST(NULL AS " +
+              s"BIGINT) ELSE CAST(round(${rddB1E("r")} * 1000000.0, " +
+              "0) AS BIGINT) END").as("slope_r_micro"),
+            expr(s"CASE WHEN ${rddGuardE("l")} OR ${rddGuardE("r")} " +
+              s"THEN CAST(NULL AS BIGINT) ELSE CAST(round(" +
+              s"${rddB0E("r")} - ${rddB0E("l")}, 0) AS BIGINT) END")
+              .as("effect_cents"))
+      },
+      Some(s"""WITH oc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1),
+        |pan AS (
+        |  SELECT xc, COALESCE(yc, 0) AS yc, xc >= 0 AS r FROM (
+        |    SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS xc,
+        |      c_custkey
+        |    FROM customer) c
+        |  LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+        |  WHERE abs(xc) <= 100000),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nl,
+        |    SUM(CASE WHEN NOT r THEN CAST(xc AS DECIMAL(38,0)) END)
+        |      AS sxl,
+        |    SUM(CASE WHEN NOT r THEN CAST(yc AS DECIMAL(38,0)) END)
+        |      AS syl,
+        |    SUM(CASE WHEN NOT r THEN CAST(xc AS DECIMAL(19,0)) *
+        |      CAST(xc AS DECIMAL(19,0)) END) AS sxxl,
+        |    SUM(CASE WHEN NOT r THEN CAST(xc AS DECIMAL(19,0)) *
+        |      CAST(yc AS DECIMAL(19,0)) END) AS sxyl,
+        |    CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    SUM(CASE WHEN r THEN CAST(xc AS DECIMAL(38,0)) END) AS sxr,
+        |    SUM(CASE WHEN r THEN CAST(yc AS DECIMAL(38,0)) END) AS syr,
+        |    SUM(CASE WHEN r THEN CAST(xc AS DECIMAL(19,0)) *
+        |      CAST(xc AS DECIMAL(19,0)) END) AS sxxr,
+        |    SUM(CASE WHEN r THEN CAST(xc AS DECIMAL(19,0)) *
+        |      CAST(yc AS DECIMAL(19,0)) END) AS sxyr
+        |  FROM pan)
+        |SELECT nl AS n_left, nr AS n_right,
+        |  CASE WHEN ${rddGuardE("l")} THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(${rddB1E("l")} * 1000000.0, 0) AS BIGINT)
+        |    END AS slope_l_micro,
+        |  CASE WHEN ${rddGuardE("r")} THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(${rddB1E("r")} * 1000000.0, 0) AS BIGINT)
+        |    END AS slope_r_micro,
+        |  CASE WHEN ${rddGuardE("l")} OR ${rddGuardE("r")}
+        |    THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round(${rddB0E("r")} - ${rddB0E("l")}, 0)
+        |      AS BIGINT) END AS effect_cents
+        |FROM m""".stripMargin),
+      "sharp regression discontinuity at the zero-balance cutoff " +
+        "(per-side local OLS from one conditional moment battery)"),
   )
+
+  /** q_wilson_ci fixed 95% constants: z and z^2 as literals so both
+    * engines evaluate the identical IEEE expression. Package-visible
+    * (like Text.pplLm for QualityStream) so CiStream's readout is the
+    * SAME expression tree as the live query — structural sharing, not
+    * a parallel edit. */
+  // defs, NOT vals: the oracle strings interpolate these at `queries`
+  // initialization, which runs BEFORE any later val would be assigned
+  // (a val here silently interpolates "null" into the SQL)
+  private def wilsonZ = "1.959963984540054"
+  private def wilsonZ2 = "3.841458820694124"
+
+  /** q_wilson_ci center term (micro-units): (p + z^2/2n) / (1 + z^2/n). */
+  private[graft] def wilsonCtrE: String =
+    s"((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + $wilsonZ2 / " +
+      "(2.0 * CAST(n AS DOUBLE))) / " +
+      s"(1.0 + $wilsonZ2 / CAST(n AS DOUBLE)) * 1000000.0)"
+
+  /** q_wilson_ci half-width (micro-units):
+    * z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n). */
+  private[graft] def wilsonHwE: String = {
+    val p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"($wilsonZ * sqrt($p * (1.0 - $p) / CAST(n AS DOUBLE) + " +
+      s"$wilsonZ2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / " +
+      s"(1.0 + $wilsonZ2 / CAST(n AS DOUBLE)) * 1000000.0)"
+  }
+
+  /** q_rdd per-side OLS denominator n*sxx - sx^2 (suffix l/r). */
+  private def rddDenE(p: String): String =
+    s"(CAST(n$p AS DOUBLE) * CAST(sxx$p AS DOUBLE) - " +
+      s"CAST(sx$p AS DOUBLE) * CAST(sx$p AS DOUBLE))"
+
+  /** q_rdd degenerate-side guard: under 2 points or zero x-variance. */
+  private def rddGuardE(p: String): String =
+    s"(n$p < 2 OR ${rddDenE(p)} = 0.0)"
+
+  /** q_rdd per-side slope (n*sxy - sx*sy) / den. */
+  private def rddB1E(p: String): String =
+    s"((CAST(n$p AS DOUBLE) * CAST(sxy$p AS DOUBLE) - " +
+      s"CAST(sx$p AS DOUBLE) * CAST(sy$p AS DOUBLE)) / ${rddDenE(p)})"
+
+  /** q_rdd per-side intercept (= the boundary value, x centered on the
+    * cutoff): (sy - b1*sx) / n. */
+  private def rddB0E(p: String): String =
+    s"((CAST(sy$p AS DOUBLE) - ${rddB1E(p)} * CAST(sx$p AS DOUBLE)) " +
+      s"/ CAST(n$p AS DOUBLE))"
 
   /** q_atkinson readout: 1 - exp(mean ln x - ln mean x). */
   private def atkinsonE: String =
@@ -3174,6 +3372,68 @@ object Inference {
       "CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
     s"($num * $num / ($du * $dv))"
   }
+
+  /** The 5-metric Welch p-value battery shared VERBATIM by q_bh_fdr
+    * and q_holm (so the two multiple-testing procedures differ only in
+    * their decision chains): per event type, the A/B Welch z from
+    * exact decimal moments and the two-sided A&S-tail p, 9-dp frozen.
+    * One (type, arm)-keyed partial-agg shuffle; output is the
+    * category-bounded (event_type, z_micro, p9) table. */
+  private def welchP(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.load(s, d, "events")
+      .filter($"value".isNotNull)
+      .select($"event_type", pmod($"user_id", lit(2L)).as("arm"),
+        expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").as("v6"))
+      .groupBy($"event_type", $"arm")
+      .agg(count(lit(1)).as("n"), sum($"v6".cast(d38)).as("sv"),
+        sum($"v6".cast(d38) * $"v6".cast(d38)).as("qv"))
+      .groupBy($"event_type")
+      .agg(max(when($"arm" === 0L, $"n")).as("nc"),
+        max(when($"arm" === 0L, $"sv")).as("sc"),
+        max(when($"arm" === 0L, $"qv")).as("qc"),
+        max(when($"arm" === 1L, $"n")).as("nt"),
+        max(when($"arm" === 1L, $"sv")).as("st"),
+        max(when($"arm" === 1L, $"qv")).as("qt"))
+      .select($"event_type", expr(welchZE).as("z"))
+      .select($"event_type", $"z", abs($"z").as("az"))
+      .select($"event_type",
+        expr("CAST(round(z * 1000000.0, 0) AS BIGINT)").as("z_micro"),
+        expr(s"CAST(round(2.0 * ${gaussTail("az")}, 9) " +
+          "AS DECIMAL(12,9))").as("p9"))
+  }
+
+  /** DuckDB CTE prefix mirroring [[welchP]] (w/z1/z2/p, ending at the
+    * (event_type, z_micro, p9) table `p`). */
+  private def welchPCtesE: String =
+    s"""w AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+       |      AS nc,
+       |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(v6 AS
+       |      DECIMAL(38,0)) END) AS sc,
+       |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(v6 AS
+       |      DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)) END) AS qc,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+       |      AS nt,
+       |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(v6 AS
+       |      DECIMAL(38,0)) END) AS st,
+       |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(v6 AS
+       |      DECIMAL(38,0)) * CAST(v6 AS DECIMAL(38,0)) END) AS qt
+       |  FROM (SELECT event_type, user_id,
+       |      CAST(round(value * 1000000.0, 0) AS BIGINT) AS v6
+       |    FROM events WHERE value IS NOT NULL)
+       |  GROUP BY 1),
+       |z1 AS (SELECT event_type, $welchZE AS z FROM w),
+       |z2 AS (SELECT event_type, z, abs(z) AS az FROM z1),
+       |p AS (
+       |  SELECT event_type,
+       |    CAST(round(z * 1000000.0, 0) AS BIGINT) AS z_micro,
+       |    CAST(round(2.0 * ${gaussTail("az")}, 9) AS DECIMAL(12,9))
+       |      AS p9
+       |  FROM z2)""".stripMargin
 
   /** q_yule_walker gap-correct lag-k covariance from raw sums, with the
     * GLOBAL series mean mu = s1/nd: (sxy - mu*sx - mu*sy + nk*mu^2)/nk.

@@ -27,6 +27,85 @@ object Similarity {
   private val scatterCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** The 64x64 centered-scatter table M = n·S - m·mᵀ (exact integer
+    * entries from milli-frozen coordinates), memoized per (session, dir)
+    * and eagerly checkpointed — the shared O(data) input of q_pca_power
+    * and q_pca_var_explained. */
+  private def scatter(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    scatterCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d", _ => {
+        import s.implicits._
+        val e = emb(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+          .select($"vec_id", $"i",
+            round($"x".cast("double") * 1000, 0).cast("bigint").as("xi"))
+          .localCheckpoint() // two consumers: Gram self-join + mean
+        val n = e.agg((count(lit(1)) / 64).cast("bigint").as("n"))
+        val m = e.groupBy($"i").agg(sum($"xi").as("mi"))
+        val gram = e.as("a")
+          .join(e.as("b").withColumnRenamed("i", "j")
+            .withColumnRenamed("xi", "xj"), "vec_id")
+          .groupBy($"i", $"j")
+          .agg(sum($"xi" * $"xj").as("s_ij"))
+        gram
+          .join(broadcast(m), "i")
+          .join(broadcast(m.select($"i".as("j"), $"mi".as("mj"))), "j")
+          .crossJoin(broadcast(n))
+          .select($"i", $"j",
+            ($"n" * $"s_ij" - $"mi" * $"mj").as("m_ij"))
+          .localCheckpoint() // consumers: power steps + Rayleigh terms
+      })
+
+  /** One power step from v0 = 1 over the scatter, max-normalized to
+    * frozen integer micro-units — q_pca_power's v1' and the direction
+    * q_pca_var_explained measures. Checkpointed (64 rows) so the norm
+    * anchor reduces once, not per broadcast consumer. */
+  private def pc1(mm: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import mm.sparkSession.implicits._
+    val v1 = mm.groupBy($"j".as("vj")).agg(sum($"m_ij").as("v1"))
+    val mx1 = v1.agg(max(abs($"v1")).as("mx1"))
+    v1.crossJoin(broadcast(mx1))
+      .select($"vj",
+        round($"v1".cast("double") / $"mx1".cast("double") * 1e6, 0)
+          .cast("bigint").as("v1n"))
+      .localCheckpoint()
+  }
+
+  /** Shared oracle CTE prefix rebuilding the scatter + frozen first
+    * power step (e/nn/m/g/mm/v1/mx1/v1n) — DuckDB's side of
+    * [[scatter]] + [[pc1]]. */
+  private val pcaCteE: String =
+    """e AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS INT) AS i,
+      |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000, 0)
+      |      AS BIGINT) AS xi
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS u(i)),
+      |nn AS (SELECT CAST(COUNT(*) / 64 AS BIGINT) AS n FROM e),
+      |m AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS mi FROM e GROUP BY 1),
+      |g AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS s_ij
+      |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+      |mm AS (
+      |  SELECT g.i, g.j, nn.n * g.s_ij - ma.mi * mb.mi AS m_ij
+      |  FROM g JOIN m ma ON g.i = ma.i JOIN m mb ON g.j = mb.i, nn),
+      |v1 AS (SELECT j AS vj, CAST(SUM(m_ij) AS BIGINT) AS v1
+      |       FROM mm GROUP BY 1),
+      |mx1 AS (SELECT MAX(abs(v1)) AS mx1 FROM v1),
+      |v1n AS (
+      |  SELECT vj, CAST(round(CAST(v1 AS DOUBLE) / CAST(mx1 AS DOUBLE)
+      |    * 1e6, 0) AS BIGINT) AS v1n
+      |  FROM v1, mx1)""".stripMargin
+
+  /** q_mmd per-moment half difference E_x[.] - E_y[.] (milli units):
+    * the halves' exact integer sums `a`/`b` over their counts. */
+  private def mmdDiffE(a: String, b: String): String =
+    s"(CAST($a AS DOUBLE) / CAST(nx AS DOUBLE) - " +
+      s"CAST($b AS DOUBLE) / CAST(ny AS DOUBLE))"
+
   /** DuckDB cosine over DOUBLE[] — float inputs are widened first so both
     * engines do exact float→double conversion then identical double math. */
   private def duckCos(a: String, b: String) =
@@ -1065,40 +1144,9 @@ object Similarity {
         // memoized per (session, dir) so the Gram build (the query's
         // only O(data) work, eagerly checkpointed for its two power-step
         // consumers) runs once, not once per invocation (the
-        // q_pagerank2 rep-cost lesson)
-        val mm = scatterCache.computeIfAbsent(
-          s"${System.identityHashCode(s)}|$d", _ => {
-            val e = emb(s, d)
-              .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
-              .select($"vec_id", $"i",
-                round($"x".cast("double") * 1000, 0).cast("bigint").as("xi"))
-              .localCheckpoint() // two consumers: Gram self-join + mean
-            val n = e.agg((count(lit(1)) / 64).cast("bigint").as("n"))
-            val m = e.groupBy($"i").agg(sum($"xi").as("mi"))
-            val gram = e.as("a")
-              .join(e.as("b").withColumnRenamed("i", "j")
-                .withColumnRenamed("xi", "xj"), "vec_id")
-              .groupBy($"i", $"j")
-              .agg(sum($"xi" * $"xj").as("s_ij"))
-            gram
-              .join(broadcast(m), "i")
-              .join(broadcast(m.select($"i".as("j"), $"mi".as("mj"))), "j")
-              .crossJoin(broadcast(n))
-              .select($"i", $"j",
-                ($"n" * $"s_ij" - $"mi" * $"mj").as("m_ij"))
-              .localCheckpoint() // two consumers: both power steps
-          })
-        val v1 = mm.groupBy($"j".as("vj")).agg(sum($"m_ij").as("v1"))
-        val mx1 = v1.agg(max(abs($"v1")).as("mx1"))
-        // normalized first power step (64 rows) broadcast into the
-        // second step — checkpoint so the mx1 norm anchor reduces once
-        // instead of replaying inside the broadcast subtree (r13 audit:
-        // singlepart x3)
-        val v1n = v1.crossJoin(broadcast(mx1))
-          .select($"vj",
-            round($"v1".cast("double") / $"mx1".cast("double") * 1e6, 0)
-              .cast("bigint").as("v1n"))
-          .localCheckpoint()
+        // q_pagerank2 rep-cost lesson); shared with q_pca_var_explained
+        val mm = scatter(s, d)
+        val v1n = pc1(mm)
         val v2 = mm.join(broadcast(v1n), $"j" === $"vj")
           .groupBy($"i")
           .agg(sum(($"m_ij" * $"v1n").cast("decimal(38,0)")).as("v2"))
@@ -1139,6 +1187,179 @@ object Similarity {
         |  AS loading
         |FROM v2, mx2 ORDER BY i""".stripMargin),
       "dominant PCA direction via 2 oracle-exact power-iteration steps"),
+
+    // Variance share of the dominant PCA direction — the number that
+    // tells an embedding-quality dashboard whether the space has
+    // COLLAPSED (PC1 share near 1 = representations on a line, the
+    // standard anisotropy/collapse symptom) or stays spread. Uses the
+    // same memoized scatter M and frozen integer direction v1' as
+    // q_pca_power: Rayleigh quotient lambda1 = v1'ᵀMv1' / v1'ᵀv1', and
+    // share = lambda1 / trace(M) — all three bilinear terms are EXACT
+    // decimal sums of integer products (no floats until the two final
+    // divisions). Scale: everything runs on the checkpointed 4096-row
+    // scatter + 64-row direction; the only corpus work is the shared
+    // (already-cached) scatter build.
+    "q_pca_var_explained" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val mm = scatter(s, d)
+        val v1n = pc1(mm)
+        val vn = v1n.agg(sum(($"v1n" * $"v1n").cast("decimal(38,0)"))
+          .as("vtv"))
+        mm.join(broadcast(v1n.select($"vj".as("i"), $"v1n".as("vi"))),
+            "i")
+          .join(broadcast(v1n.select($"vj".as("j"), $"v1n".as("vj_"))),
+            "j")
+          .agg(
+            sum(($"vi".cast("decimal(19,0)") * $"m_ij".cast("decimal(19,0)"))
+              .cast("decimal(38,0)") * $"vj_".cast("decimal(38,0)"))
+              .as("vmv"),
+            sum(when($"i" === $"j", $"m_ij".cast("decimal(38,0)")))
+              .as("tr"),
+            sum(when($"i" === $"j", 1L).otherwise(0L)).as("n_dims"))
+          .crossJoin(broadcast(vn))
+          .select($"n_dims",
+            expr("CAST(round(CAST(vmv AS DOUBLE) / " +
+              "CAST(vtv AS DOUBLE) / CAST(tr AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("pc1_share_micro"),
+            expr("CAST(tr AS BIGINT)").as("trace_m"))
+      },
+      Some(s"""WITH $pcaCteE,
+        |vn AS (
+        |  SELECT SUM(CAST(v1n AS HUGEINT) * CAST(v1n AS HUGEINT))
+        |    AS vtv
+        |  FROM v1n),
+        |ray AS (
+        |  SELECT
+        |    SUM(CAST(a.v1n AS HUGEINT) * CAST(mm.m_ij AS HUGEINT)
+        |      * CAST(b.v1n AS HUGEINT)) AS vmv,
+        |    SUM(CASE WHEN mm.i = mm.j
+        |      THEN CAST(mm.m_ij AS HUGEINT) END) AS tr,
+        |    CAST(SUM(CASE WHEN mm.i = mm.j THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dims
+        |  FROM mm JOIN v1n a ON mm.i = a.vj JOIN v1n b ON mm.j = b.vj)
+        |SELECT n_dims,
+        |  CAST(round(CAST(vmv AS DOUBLE) / CAST(vtv AS DOUBLE) /
+        |    CAST(tr AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS pc1_share_micro,
+        |  CAST(tr AS BIGINT) AS trace_m
+        |FROM ray, vn""".stripMargin),
+      "PC1 variance share (Rayleigh quotient over trace) — the " +
+        "embedding-collapse / anisotropy readout on the shared scatter"),
+
+    // Quadratic-kernel MMD^2 between the even/odd vec_id halves — the
+    // SECOND-ORDER distribution-shift test q_embed_drift's centroid
+    // cosine cannot see (a variance or covariance change with frozen
+    // means is invisible to any first-moment monitor). For the
+    // polynomial kernel k(a,b) = (a.b + 1)^2 the kernel mean embedding
+    // is FINITE-dimensional — pairs {a_i a_j}, scaled firsts
+    // {sqrt(2) a_i}, constant — so MMD^2 = |mu_x - mu_y|^2 collapses
+    // to moment differences: SUM_ij (E_x[a_i a_j] - E_y[a_i a_j])^2 +
+    // 2 SUM_i (E_x[a_i] - E_y[a_i])^2. NO pair-of-points join ever
+    // forms: the statistic needs one (i,j)-keyed partial agg over
+    // exploded vectors (the scatter-build shape) and bounded grids
+    // after. The mean-only first-order part is emitted alongside so a
+    // dashboard sees exactly what a centroid monitor would and what it
+    // would miss. Exactness: milli-frozen coordinates, exact
+    // conditional integer sums per half, per-cell term frozen at 9 dp
+    // into DECIMAL (milli-unit scale; /1e12 to raw^2 only at the
+    // nano-unit output edge).
+    "q_mmd" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val e = emb(s, d)
+          .select($"vec_id", pmod($"vec_id", lit(2L)).as("hf"),
+            posexplode($"embedding").as(Seq("i", "x")))
+          .select($"vec_id", $"hf", $"i",
+            round($"x".cast("double") * 1000, 0).cast("bigint").as("xi"))
+          .localCheckpoint() // three consumers: pairs, dims, counts
+        val cnt = e.agg(
+          expr("sum(CASE WHEN hf = 0 THEN 1 ELSE 0 END) div 64")
+            .as("nx"),
+          expr("sum(CASE WHEN hf = 1 THEN 1 ELSE 0 END) div 64")
+            .as("ny"))
+          .localCheckpoint() // 1-row anchor, two consumers
+        val pairSums = e
+          .join(e.select($"vec_id", $"i".as("j"), $"xi".as("xj")),
+            "vec_id")
+          .groupBy($"i", $"j")
+          .agg(sum(when($"hf" === 0, ($"xi" * $"xj").cast(d38)))
+            .as("sx"),
+            sum(when($"hf" === 1, ($"xi" * $"xj").cast(d38)))
+              .as("sy"))
+        val dimSums = e.groupBy($"i")
+          .agg(sum(when($"hf" === 0, $"xi".cast(d38))).as("mx"),
+            sum(when($"hf" === 1, $"xi".cast(d38))).as("my"))
+        val cellT = pairSums.crossJoin(broadcast(cnt))
+          .select(lit("x2").as("part"),
+            expr(s"CAST(round(${mmdDiffE("sx", "sy")} * " +
+              s"${mmdDiffE("sx", "sy")}, 9) AS DECIMAL(28,9))")
+              .as("t9"))
+        val dimT = dimSums.crossJoin(broadcast(cnt))
+          .select(lit("m").as("part"),
+            expr(s"CAST(round(2.0 * ${mmdDiffE("mx", "my")} * " +
+              s"${mmdDiffE("mx", "my")} * 1000000.0, 9) " +
+              "AS DECIMAL(28,9))").as("t9"))
+        cellT.unionAll(dimT)
+          .agg(sum($"t9").as("tot"),
+            sum(when($"part" === "m", $"t9")).as("mt"))
+          .crossJoin(broadcast(cnt))
+          .select($"nx".as("n_even"), $"ny".as("n_odd"),
+            expr("CAST(round(CAST(tot AS DOUBLE) / 1000.0, 0) " +
+              "AS BIGINT)").as("mmd2_nano"),
+            expr("CAST(round(CAST(mt AS DOUBLE) / 1000.0, 0) " +
+              "AS BIGINT)").as("mean_part_nano"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, vec_id % 2 AS hf, CAST(u.i - 1 AS INT) AS i,
+        |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cnt AS (
+        |  SELECT SUM(CASE WHEN hf = 0 THEN 1 ELSE 0 END) // 64 AS nx,
+        |         SUM(CASE WHEN hf = 1 THEN 1 ELSE 0 END) // 64 AS ny
+        |  FROM e),
+        |ps AS (
+        |  SELECT a.i, b.i AS j,
+        |    SUM(CASE WHEN a.hf = 0 THEN CAST(a.xi * b.xi AS
+        |      DECIMAL(38,0)) END) AS sx,
+        |    SUM(CASE WHEN a.hf = 1 THEN CAST(a.xi * b.xi AS
+        |      DECIMAL(38,0)) END) AS sy
+        |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+        |ds AS (
+        |  SELECT i,
+        |    SUM(CASE WHEN hf = 0 THEN CAST(xi AS DECIMAL(38,0)) END)
+        |      AS mx,
+        |    SUM(CASE WHEN hf = 1 THEN CAST(xi AS DECIMAL(38,0)) END)
+        |      AS my
+        |  FROM e GROUP BY 1),
+        |terms AS (
+        |  SELECT 'x2' AS part,
+        |    CAST(round(${mmdDiffE("sx", "sy")} *
+        |      ${mmdDiffE("sx", "sy")}, 9) AS DECIMAL(28,9)) AS t9
+        |  FROM ps, cnt
+        |  UNION ALL
+        |  SELECT 'm' AS part,
+        |    CAST(round(2.0 * ${mmdDiffE("mx", "my")} *
+        |      ${mmdDiffE("mx", "my")} * 1000000.0, 9)
+        |      AS DECIMAL(28,9)) AS t9
+        |  FROM ds, cnt),
+        |agg_ AS (
+        |  SELECT SUM(t9) AS tot,
+        |    SUM(CASE WHEN part = 'm' THEN t9 END) AS mt
+        |  FROM terms)
+        |SELECT CAST(nx AS BIGINT) AS n_even, CAST(ny AS BIGINT)
+        |    AS n_odd,
+        |  CAST(round(CAST(tot AS DOUBLE) / 1000.0, 0) AS BIGINT)
+        |    AS mmd2_nano,
+        |  CAST(round(CAST(mt AS DOUBLE) / 1000.0, 0) AS BIGINT)
+        |    AS mean_part_nano
+        |FROM agg_, cnt""".stripMargin),
+      "quadratic-kernel MMD^2 between vec_id-parity halves via exact " +
+        "finite-dimensional kernel mean embeddings (moment " +
+        "differences — no point-pair join), mean-only part alongside"),
 
     // Mean reciprocal rank over a FIXED 8-probe panel — the retrieval-
     // eval metric beside q_ndcg/q_ivf_recall/q_rrf_fusion: for each

@@ -587,6 +587,57 @@ object Text {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "add-1 unigram-LM average surprisal per document (extension X4)"),
 
+    // word2vec-style negative-sampling table: the unigram distribution
+    // raised to the 3/4 power (Mikolov et al. 2013's smoothing — rare
+    // words get proportionally MORE negative-sample mass than their raw
+    // frequency) over the corpus vocabulary, top 20 by count. The
+    // determinism trick: c^0.75 = sqrt(c * sqrt(c)) — two correctly-
+    // rounded IEEE sqrts and one multiply instead of a libm pow whose
+    // last bits differ across engines; each weight is then 9-dp frozen
+    // to DECIMAL so the normalizer is an exact sum. Scale: one token
+    // explode + vocab-keyed partial agg (the corpus shuffle); the
+    // vocab-grain weight table is checkpointed for its two consumers
+    // (normalizer + readout) and the top-20 cut is a TakeOrdered, not
+    // a global sort.
+    "q_neg_sampling" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cnt = docs(s, d)
+          .select(explode(tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("n"))
+          .select($"tok", $"n",
+            expr("CAST(round(sqrt(CAST(n AS DOUBLE) * " +
+              "sqrt(CAST(n AS DOUBLE))), 9) AS DECIMAL(28,9))")
+              .as("w9"))
+          .localCheckpoint()
+        val tot = cnt.agg(sum($"w9").as("tw"))
+        cnt.crossJoin(broadcast(tot))
+          .select($"tok", $"n",
+            expr("CAST(round(CAST(w9 AS DOUBLE) * 1000000.0, 0) " +
+              "AS BIGINT)").as("w75_micro"),
+            expr("CAST(round(CAST(w9 AS DOUBLE) / CAST(tw AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT)").as("p_micro"))
+          .orderBy($"n".desc, $"tok")
+          .limit(20)
+      },
+      Some(s"""WITH cnt AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE) *
+        |      sqrt(CAST(COUNT(*) AS DOUBLE))), 9) AS DECIMAL(28,9))
+        |      AS w9
+        |  FROM (SELECT unnest(${sqlTokens("text")}) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |tot AS (SELECT SUM(w9) AS tw FROM cnt)
+        |SELECT tok, n,
+        |  CAST(round(CAST(w9 AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |    AS w75_micro,
+        |  CAST(round(CAST(w9 AS DOUBLE) / CAST(tw AS DOUBLE)
+        |    * 1000000.0, 0) AS BIGINT) AS p_micro
+        |FROM cnt, tot ORDER BY n DESC, tok LIMIT 20""".stripMargin),
+      "unigram^(3/4) negative-sampling table (word2vec smoothing, " +
+        "sqrt-composed power, exact decimal normalizer)"),
+
     // X4 bigram-LM cross-entropy: train an add-1-smoothed bigram language
     // model on the corpus itself and score each document by average
     // negative log p(w2|w1) — the CCNet/Gopher perplexity-filter shape one

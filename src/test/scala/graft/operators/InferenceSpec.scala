@@ -646,6 +646,43 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q_holm matches a textbook step-down recount and is never " +
+    "less conservative than BH") {
+    val byType = valRows.groupBy(_._1)
+    val ps = byType.toSeq.map { case (et, v) =>
+      val z = welch(v.filter(_._2 == 0L).map(_._3),
+        v.filter(_._2 == 1L).map(_._3))
+      (et, 2.0 * (1.0 - phiExactT(math.abs(z))))
+    }.sortBy(r => (r._2, r._1))
+    val m = ps.length
+    // textbook Holm: reject while p_(i) <= alpha/(m-i+1), stop at the
+    // first failure
+    val rejects = ps.zipWithIndex.scanLeft(true) {
+      case (ok, ((_, p), i)) => ok && p <= 0.05 / (m - i)
+    }.tail
+    val got = SparkEntry.queries("q_holm")(spark, d)
+      .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._3)
+    assert(got.length == m)
+    got.zip(ps.zip(rejects)).zipWithIndex.foreach {
+      case ((g, ((et, p), rej)), i) =>
+        assert(g._1 == et, s"rank ${i + 1} order")
+        assert(math.abs(g._2 - math.round(p * 1e6)) <= 2, s"p($et)")
+        assert(g._3 == i + 1)
+        assert(g._4 == math.round(0.05 / (m - i) * 1e6),
+          s"threshold at rank ${i + 1}")
+        assert(g._5 == rej, s"Holm decision at rank ${i + 1}")
+    }
+    // step-down shape: rejections form a PREFIX of the rank order
+    val flags = got.map(_._5)
+    assert(!flags.sliding(2).exists(w => !w(0) && w(1)),
+      "Holm rejections must be a prefix")
+    // FWER control is stricter than FDR: Holm rejects a subset of BH
+    val bh = SparkEntry.queries("q_bh_fdr")(spark, d)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .filter(_._5).map(_._1).toSet
+    assert(got.filter(_._5).map(_._1).toSet.subsetOf(bh))
+  }
+
   test("q_stratified_ate matches a plain stratum-map recount") {
     val users = graft.Tables.load(spark, d, "events")
       .select($"user_id", $"event_type", $"value")

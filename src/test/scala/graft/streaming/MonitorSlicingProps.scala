@@ -18,17 +18,18 @@ import org.scalacheck.{Gen, Prop, Properties}
   * This is the PartialsStore contract stated in its scaladoc
   * ("the merged table over ANY batch slicing equals a one-shot pass
   * bit-for-bit") finally tested as a property instead of at three
-  * hand-picked slicings. All 8 monitors ride the same generator:
+  * hand-picked slicings. All 9 monitors ride the same generator:
   * eval (pass@k + majority vote), anomaly z-scores, experiment
   * report, drift PSI, conformal coverage, SRM, dispersion, quality
-  * mix (+ its r14 OOV readout).
+  * mix (+ its r14 OOV readout), and the r14 Wilson-CI conversion
+  * monitor.
   *
   * Slicing grain: raw rows for the event/order monitors (cells span
   * batches freely — the harder direction); whole documents for the
   * quality monitor (its stated contract: docs never span batches). */
 object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
 
-  // each case ingests ~8 monitors x ~7 batches; 4 cases x the forced
+  // each case ingests ~9 monitors x ~7 batches; 4 cases x the forced
   // degenerate shapes already cover far more slicings than the fixed
   // replay specs, without a multi-minute suite hit
   override def overrideParameters(p: org.scalacheck.Test.Parameters)
@@ -90,7 +91,10 @@ object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
     Monitor("quality", () => docs,
       (b, i, p) => QualityStream.bucketPartials(b, i, p, cal),
       Seq(p => rows(QualityStream.mixFromPartials(spark, p)),
-        p => rows(QualityStream.oovFromPartials(spark, p)))))
+        p => rows(QualityStream.oovFromPartials(spark, p)))),
+    Monitor("ci", () => events,
+      CiStream.convPartials,
+      Seq(p => rows(CiStream.wilsonFromPartials(spark, p)))))
 
   private lazy val counts: Map[String, Long] =
     monitors.map(m => m.name -> m.base().count()).toMap
@@ -120,7 +124,7 @@ object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
     bs.zip(bs.tail)
   }
 
-  property("k-batch ingest == one-shot for all 8 monitors under " +
+  property("k-batch ingest == one-shot for all 9 monitors under " +
     "random slicings with forced empty + 1-row batches") =
     Prop.forAll(genSlicing) { case (cuts, fj) =>
       Prop.all(monitors.flatMap { m =>
