@@ -2991,6 +2991,69 @@ object Inference {
         |FROM m""".stripMargin),
       "sharp regression discontinuity at the zero-balance cutoff " +
         "(per-side local OLS from one conditional moment battery)"),
+
+    // Quantile treatment effects at the quartiles — the DISTRIBUTIONAL
+    // A/B readout the mean-difference tests (q_ab_test/q_cuped) cannot
+    // give: a treatment that moves the tails but not the center shows
+    // a zero ATE and a nonzero QTE. Quantiles are the exact type-1
+    // (smallest value with CDF >= q) statistic on the CENTI-FROZEN
+    // value grid, so the whole readout is INTEGER end to end — per-arm
+    // grid counts, an arm-partitioned cumulative window (the q_auc
+    // two-phase shape; the grid is bounded by the VALUE DOMAIN, never
+    // corpus size), and an integer cum*100 >= tot*q threshold pick.
+    // Zero floats, zero 1-row barriers, zero global windows.
+    "q_qte" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cum = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select(pmod($"user_id", lit(2L)).as("arm"),
+            expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("v2"))
+          .groupBy($"arm", $"v2").agg(count(lit(1)).as("n"))
+          .withColumn("cum", sum($"n").over(
+            Window.partitionBy($"arm").orderBy($"v2")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum($"n").over(Window.partitionBy($"arm")))
+        cum
+          .select($"arm", $"v2", $"cum", $"tot",
+            explode(expr("array(25L, 50L, 75L)")).as("q_pct"))
+          .filter($"cum" * 100L >= $"tot" * $"q_pct")
+          .groupBy($"q_pct", $"arm").agg(min($"v2").as("qv"))
+          .groupBy($"q_pct")
+          .agg(max(when($"arm" === 0L, $"qv")).as("qc_centi"),
+            max(when($"arm" === 1L, $"qv")).as("qt_centi"))
+          .select($"q_pct", $"qc_centi", $"qt_centi",
+            ($"qt_centi" - $"qc_centi").as("qte_centi"))
+          .orderBy($"q_pct")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS v2
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT arm, v2, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT arm, v2,
+        |    SUM(n) OVER (PARTITION BY arm ORDER BY v2
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER (PARTITION BY arm) AS tot
+        |  FROM c),
+        |qs AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q_pct),
+        |sel AS (
+        |  SELECT q_pct, arm, MIN(v2) AS qv
+        |  FROM cm, qs WHERE cum * 100 >= tot * q_pct
+        |  GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT q_pct,
+        |    MAX(CASE WHEN arm = 0 THEN qv END) AS qc_centi,
+        |    MAX(CASE WHEN arm = 1 THEN qv END) AS qt_centi
+        |  FROM sel GROUP BY 1)
+        |SELECT q_pct, qc_centi, qt_centi,
+        |  qt_centi - qc_centi AS qte_centi
+        |FROM piv ORDER BY q_pct""".stripMargin),
+      "quantile treatment effects at the quartiles: exact type-1 " +
+        "grid quantiles per arm, integer end to end (distributional " +
+        "A/B beside the mean tests)"),
   )
 
   /** q_wilson_ci fixed 95% constants: z and z^2 as literals so both

@@ -744,6 +744,111 @@ object MlFit {
       "learning curve: held-out MSE vs nested training-data fractions, " +
         "one scan of conditional sufficient statistics"),
 
+    // 5-fold CROSS-VALIDATION of the closed-form y~x fit — the rotation
+    // companion to q_learning_curve's nested fractions: every row is a
+    // test row exactly once, and each fold's TRAIN moments are the
+    // total-minus-fold COLUMN DIFFERENCES (raw power sums are additive),
+    // so the whole CV is one fold-keyed partial-agg scan + a 1-row
+    // total anchor — never five training passes. Folds are md5 row
+    // buckets (the q_sample_hash determinism); held-out MSE comes from
+    // each fold's own sufficient statistics (the q_learning_curve SSE
+    // expansion). Per-fold RMSE spread IS the variance estimate a
+    // model-selection pipeline wants from CV. Micro outputs of
+    // bit-identical doubles (the q_learning_curve rounding rule).
+    "q_cv_kfold" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.load(s, d, "lineitem")
+          .select(
+            pmod(conv(substring(md5(concat(
+              $"l_orderkey".cast("string"), lit("-"),
+              $"l_linenumber".cast("string"))), 1, 8), 16, 10)
+              .cast("long"), lit(5L)).as("fold"),
+            $"l_quantity".cast("bigint").as("x"),
+            round($"l_extendedprice" * 100, 0).cast("bigint").as("y"))
+        val f = rows.groupBy($"fold")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+            sum($"x" * $"y").as("sxy"),
+            sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+          // 5-row fold table consumed by the total anchor AND the
+          // readout — checkpoint so the corpus scan runs once
+          .localCheckpoint()
+        val tot = f.agg(sum($"n").as("tn"), sum($"sx").as("tsx"),
+          sum($"sy").as("tsy"), sum($"sxx").as("tsxx"),
+          sum($"sxy").as("tsxy"))
+        f.crossJoin(broadcast(tot))
+          .selectExpr("fold", "n", "sx", "sy", "sxx", "sxy", "syy",
+            "CAST(tn - n AS DOUBLE) AS rn",
+            "CAST(tsx - sx AS DOUBLE) AS rsx",
+            "CAST(tsy - sy AS DOUBLE) AS rsy",
+            "CAST(tsxx - sxx AS DOUBLE) AS rsxx",
+            "CAST(tsxy - sxy AS DOUBLE) AS rsxy")
+          .selectExpr("*",
+            "(rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) AS b1")
+          .selectExpr("*", "(rsy - b1 * rsx) / rn AS b0")
+          .selectExpr("fold", "n AS n_test",
+            "CAST(round(b0 * 10000.0, 0) AS BIGINT) AS intercept_micro",
+            "CAST(round(b1 * 10000.0, 0) AS BIGINT) AS slope_micro",
+            "CAST(round((((((((CAST(syy AS DOUBLE) " +
+              "- 2.0 * b0 * CAST(sy AS DOUBLE)) " +
+              "- 2.0 * b1 * CAST(sxy AS DOUBLE)) " +
+              "+ CAST(n AS DOUBLE) * b0 * b0) " +
+              "+ 2.0 * b0 * b1 * CAST(sx AS DOUBLE)) " +
+              "+ b1 * b1 * CAST(sxx AS DOUBLE)) " +
+              "/ CAST(n AS DOUBLE)) / 10000.0) * 1000000.0, 0) " +
+              "AS BIGINT) AS mse_micro")
+          .orderBy($"fold")
+      },
+      Some("""WITH r AS (
+        |  SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+        |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+        |      % 5 AS fold,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |  FROM r GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(sx) AS BIGINT) AS tsx,
+        |    CAST(SUM(sy) AS BIGINT) AS tsy,
+        |    CAST(SUM(sxx) AS BIGINT) AS tsxx,
+        |    CAST(SUM(sxy) AS BIGINT) AS tsxy
+        |  FROM f),
+        |tr AS (
+        |  SELECT fold, n, sx, sy, sxx, sxy, syy,
+        |    CAST(tn - n AS DOUBLE) AS rn,
+        |    CAST(tsx - sx AS DOUBLE) AS rsx,
+        |    CAST(tsy - sy AS DOUBLE) AS rsy,
+        |    CAST(tsxx - sxx AS DOUBLE) AS rsxx,
+        |    CAST(tsxy - sxy AS DOUBLE) AS rsxy
+        |  FROM f, tot),
+        |b AS (
+        |  SELECT *, (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx)
+        |    AS b1
+        |  FROM tr),
+        |bb AS (SELECT *, (rsy - b1 * rsx) / rn AS b0 FROM b)
+        |SELECT fold, n AS n_test,
+        |  CAST(round(b0 * 10000.0, 0) AS BIGINT) AS intercept_micro,
+        |  CAST(round(b1 * 10000.0, 0) AS BIGINT) AS slope_micro,
+        |  CAST(round((((((((CAST(syy AS DOUBLE)
+        |    - 2.0 * b0 * CAST(sy AS DOUBLE))
+        |    - 2.0 * b1 * CAST(sxy AS DOUBLE))
+        |    + CAST(n AS DOUBLE) * b0 * b0)
+        |    + 2.0 * b0 * b1 * CAST(sx AS DOUBLE))
+        |    + b1 * b1 * CAST(sxx AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) / 10000.0) * 1000000.0, 0)
+        |    AS BIGINT) AS mse_micro
+        |FROM bb ORDER BY fold""".stripMargin),
+      "5-fold cross-validation of the closed-form fit: rotated " +
+        "train-minus-fold moment differences, one scan, one anchor"),
+
     // Calibration / reliability report (the model-eval counterpart of
     // the fit tier): bucket a score into 10 equal-width bins and compare
     // per-bin confidence (mean score) against per-bin accuracy (outcome

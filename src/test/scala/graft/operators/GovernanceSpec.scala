@@ -284,6 +284,71 @@ class GovernanceSpec extends SparkSpec {
     assert(got._3 >= got._4, "second-order terms are nonnegative")
   }
 
+  test("q_cv_kfold matches a rotation recount and every row is a " +
+    "test row exactly once") {
+    val rows = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+      .as[(Long, Int, Double, Double)].collect()
+      .map { case (ok, ln, x, y) =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"$ok-$ln").substring(0, 8), 16) % 5L
+        (h, x.toLong, rL(y * 100))
+      }
+    val byFold = rows.groupBy(_._1)
+    assert(byFold.values.map(_.size).sum == rows.length)
+    val expect = byFold.toSeq.sortBy(_._1).map { case (fold, v) =>
+      val test = v
+      val train = rows.filter(_._1 != fold)
+      def mom(s0: Seq[(Long, Long, Long)]) = (
+        s0.size.toDouble,
+        s0.map(r => BigInt(r._2)).sum.toDouble,
+        s0.map(r => BigInt(r._3)).sum.toDouble,
+        s0.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble,
+        s0.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble)
+      val (rn, rsx, rsy, rsxx, rsxy) = mom(train.toSeq)
+      val b1 = (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx)
+      val b0 = (rsy - b1 * rsx) / rn
+      val mse = test.map { case (_, x, y) =>
+        val e = y.toDouble - b0 - b1 * x.toDouble; e * e
+      }.sum / test.size
+      (fold, test.size.toLong, rL(b0 * 1e4), rL(b1 * 1e4), mse)
+    }
+    val got = q("q_cv_kfold")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) ==
+      expect.map(e => (e._1, e._2)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 2, s"fold ${g._1} intercept")
+      assert(math.abs(g._4 - e._4) <= 2, s"fold ${g._1} slope")
+      // per-row residual recount vs the query's SSE expansion: same
+      // statistic, different summation order — allow double noise
+      assert(math.abs(g._5 - rL(e._5 / 1e4 * 1e6)) <=
+        math.max(4, (e._5 / 1e4 * 1e6 * 1e-9).toLong),
+        s"fold ${g._1} mse ${g._5} vs ${rL(e._5 / 1e4 * 1e6)}")
+    }
+  }
+
+  test("q_qte matches a sorted-grid type-1 quantile recount") {
+    val vals = graft.Tables.load(spark, d, "events")
+      .filter($"value".isNotNull)
+      .select($"user_id", $"value")
+      .as[(Long, Double)].collect()
+      .map { case (u, v) => (u % 2, rL(v * 100)) }
+    def q1(arm: Long, pct: Long): Long = {
+      val xs = vals.filter(_._1 == arm).map(_._2).sorted
+      // smallest value whose CDF clears pct/100 (type-1)
+      xs(math.max(0,
+        math.ceil(xs.length.toDouble * pct / 100.0).toInt - 1))
+    }
+    val expect = Seq(25L, 50L, 75L).map { p =>
+      val (c, t) = (q1(0L, p), q1(1L, p))
+      (p, c, t, t - c)
+    }
+    val got = q("q_qte").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("q_pca_var_explained matches an explicit BigInt Rayleigh " +
     "quotient and sits in (0, 1]") {
     val vecs = graft.Tables.load(spark, d, "embeddings")
