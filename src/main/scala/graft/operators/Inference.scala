@@ -3005,26 +3005,11 @@ object Inference {
     "q_qte" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val cum = Tables.load(s, d, "events")
+        qteFromGridCounts(Tables.load(s, d, "events")
           .filter($"value".isNotNull)
           .select(pmod($"user_id", lit(2L)).as("arm"),
             expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("v2"))
-          .groupBy($"arm", $"v2").agg(count(lit(1)).as("n"))
-          .withColumn("cum", sum($"n").over(
-            Window.partitionBy($"arm").orderBy($"v2")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("tot", sum($"n").over(Window.partitionBy($"arm")))
-        cum
-          .select($"arm", $"v2", $"cum", $"tot",
-            explode(expr("array(25L, 50L, 75L)")).as("q_pct"))
-          .filter($"cum" * 100L >= $"tot" * $"q_pct")
-          .groupBy($"q_pct", $"arm").agg(min($"v2").as("qv"))
-          .groupBy($"q_pct")
-          .agg(max(when($"arm" === 0L, $"qv")).as("qc_centi"),
-            max(when($"arm" === 1L, $"qv")).as("qt_centi"))
-          .select($"q_pct", $"qc_centi", $"qt_centi",
-            ($"qt_centi" - $"qc_centi").as("qte_centi"))
-          .orderBy($"q_pct")
+          .groupBy($"arm", $"v2").agg(count(lit(1)).as("n")))
       },
       Some("""WITH e AS (
         |  SELECT user_id % 2 AS arm,
@@ -3055,6 +3040,30 @@ object Inference {
         "grid quantiles per arm, integer end to end (distributional " +
         "A/B beside the mean tests)"),
   )
+
+  /** q_qte's readout over an (arm, v2, n) grid-count table: per-arm
+    * cumulative window, integer cum*100 >= tot*q threshold pick, arm
+    * pivot. Package-visible so QteStream's streamed readout IS this
+    * expression tree over its merged partials (grid counts are
+    * sum-associative) — the CiStream/QualityStream sharing recipe. */
+  private[graft] def qteFromGridCounts(
+      c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import c.sparkSession.implicits._
+    c.withColumn("cum", sum($"n").over(
+        Window.partitionBy($"arm").orderBy($"v2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"n").over(Window.partitionBy($"arm")))
+      .select($"arm", $"v2", $"cum", $"tot",
+        explode(expr("array(25L, 50L, 75L)")).as("q_pct"))
+      .filter($"cum" * 100L >= $"tot" * $"q_pct")
+      .groupBy($"q_pct", $"arm").agg(min($"v2").as("qv"))
+      .groupBy($"q_pct")
+      .agg(max(when($"arm" === 0L, $"qv")).as("qc_centi"),
+        max(when($"arm" === 1L, $"qv")).as("qt_centi"))
+      .select($"q_pct", $"qc_centi", $"qt_centi",
+        ($"qt_centi" - $"qc_centi").as("qte_centi"))
+      .orderBy($"q_pct")
+  }
 
   /** q_wilson_ci fixed 95% constants: z and z^2 as literals so both
     * engines evaluate the identical IEEE expression. Package-visible

@@ -849,6 +849,129 @@ object MlFit {
       "5-fold cross-validation of the closed-form fit: rotated " +
         "train-minus-fold moment differences, one scan, one anchor"),
 
+    // Logistic regression (return-flag ~ quantity) by TWO unrolled
+    // Newton-Raphson/IRLS steps — the fit tier's GLM beside the
+    // closed-form OLS family and the q_perceptron online baseline. The
+    // scale trick is the value-grain dissolution: quantity lives on a
+    // bounded centi grid (<= 4901 cells at ANY corpus size — the
+    // q_mannwhitney bound), so the per-row sigmoid never happens; each
+    // Newton step needs only per-CELL probabilities against the
+    // checkpointed (x, n, n1) grid, and every gradient/Hessian entry
+    // is an exact decimal sum of (integer count) x (9-dp frozen
+    // p/w) products. Step 1 from b = (0,0) has p = 1/2 EXACTLY, so its
+    // update is closed-form integer arithmetic; step 2 freezes the
+    // per-cell sigmoid at 9 dp (the gaussTail exp rule) before any
+    // sum. One corpus partial-agg shuffle; everything after is
+    // grid-bounded.
+    "q_logistic" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val grid = Tables.load(s, d, "lineitem")
+          .select(
+            expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").as("xc"),
+            ($"l_returnflag" === "R").cast("long").as("y"))
+          .groupBy($"xc")
+          .agg(count(lit(1)).as("n"), sum($"y").as("n1"))
+          // value-grain grid, consumed by BOTH Newton steps —
+          // checkpoint so the corpus scan runs once
+          .localCheckpoint()
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val m1 = grid.agg(count(lit(1)).as("n_cells"),
+          sum($"n").as("tn"), sum($"n1").as("s1"),
+          sum($"xc".cast(d38) * $"n".cast(d38)).as("sx"),
+          sum($"xc".cast(d38) * $"n1".cast(d38)).as("sx1"),
+          sum($"xc".cast(d38) * $"xc".cast(d38) * $"n".cast(d38))
+            .as("sxx"))
+        val step1 = m1.select($"n_cells", $"tn",
+          expr(s"${newtonE(logitG1, logitH1, 0)}").as("b0a"),
+          expr(s"${newtonE(logitG1, logitH1, 1)}").as("b1a"))
+        val terms = grid.crossJoin(broadcast(step1))
+          .select($"n_cells", $"tn", $"b0a", $"b1a",
+            $"xc", $"n", $"n1",
+            expr("CAST(round(1.0 / (1.0 + exp(-(b0a + b1a * " +
+              "CAST(xc AS DOUBLE) / 100.0))), 9) AS DECIMAL(12,9))")
+              .as("p9"))
+          .withColumn("w9",
+            expr("CAST(round(CAST(p9 AS DOUBLE) * " +
+              "(1.0 - CAST(p9 AS DOUBLE)), 9) AS DECIMAL(12,9))"))
+          .select($"n_cells", $"tn", $"b0a", $"b1a",
+            (($"n1".cast("decimal(19,0)") -
+              $"n".cast("decimal(19,0)") * $"p9")).as("g0t"),
+            ($"xc".cast("decimal(19,0)") *
+              ($"n1".cast("decimal(19,0)") -
+                $"n".cast("decimal(19,0)") * $"p9")).as("g1t"),
+            ($"n".cast("decimal(19,0)") * $"w9").as("h00t"),
+            ($"xc".cast("decimal(19,0)") * $"n".cast("decimal(19,0)")
+              * $"w9").as("h01t"),
+            ($"xc".cast("decimal(19,0)") * $"xc".cast("decimal(19,0)")
+              * $"n".cast("decimal(19,0)") * $"w9").as("h11t"))
+        terms
+          .groupBy($"n_cells", $"tn", $"b0a", $"b1a")
+          .agg(sum($"g0t").as("g0"), sum($"g1t").as("g1c"),
+            sum($"h00t").as("h00"), sum($"h01t").as("h01c"),
+            sum($"h11t").as("h11cc"))
+          .select($"n_cells", $"tn".as("n"),
+            expr(s"CAST(round((b0a + ${newtonE(logitG2, logitH2, 0)})" +
+              " * 1000000.0, 0) AS BIGINT)").as("b0_micro"),
+            expr(s"CAST(round((b1a + ${newtonE(logitG2, logitH2, 1)})" +
+              " * 1000000.0, 0) AS BIGINT)").as("b1_micro"))
+      },
+      Some(s"""WITH grid AS (
+        |  SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS xc,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM lineitem GROUP BY 1),
+        |m1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n1) AS BIGINT) AS s1,
+        |    SUM(CAST(xc AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+        |      AS sx,
+        |    SUM(CAST(xc AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
+        |      AS sx1,
+        |    SUM(CAST(xc AS DECIMAL(38,0)) * CAST(xc AS DECIMAL(38,0))
+        |      * CAST(n AS DECIMAL(38,0))) AS sxx
+        |  FROM grid),
+        |s1_ AS (
+        |  SELECT n_cells, tn,
+        |    ${newtonE(logitG1, logitH1, 0)} AS b0a,
+        |    ${newtonE(logitG1, logitH1, 1)} AS b1a
+        |  FROM m1),
+        |t AS (
+        |  SELECT n_cells, tn, b0a, b1a,
+        |    CAST(n1 AS DECIMAL(19,0)) - CAST(n AS DECIMAL(19,0)) * p9
+        |      AS g0t,
+        |    CAST(xc AS DECIMAL(19,0)) * (CAST(n1 AS DECIMAL(19,0)) -
+        |      CAST(n AS DECIMAL(19,0)) * p9) AS g1t,
+        |    CAST(n AS DECIMAL(19,0)) * w9 AS h00t,
+        |    CAST(xc AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) * w9
+        |      AS h01t,
+        |    CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0)) *
+        |      CAST(n AS DECIMAL(19,0)) * w9 AS h11t
+        |  FROM (
+        |    SELECT *, CAST(round(CAST(p9 AS DOUBLE) *
+        |        (1.0 - CAST(p9 AS DOUBLE)), 9) AS DECIMAL(12,9)) AS w9
+        |    FROM (
+        |      SELECT grid.*, n_cells, tn, b0a, b1a,
+        |        CAST(round(1.0 / (1.0 + exp(-(b0a + b1a *
+        |          CAST(xc AS DOUBLE) / 100.0))), 9) AS DECIMAL(12,9))
+        |          AS p9
+        |      FROM grid, s1_))),
+        |m2 AS (
+        |  SELECT n_cells, tn, b0a, b1a,
+        |    SUM(g0t) AS g0, SUM(g1t) AS g1c, SUM(h00t) AS h00,
+        |    SUM(h01t) AS h01c, SUM(h11t) AS h11cc
+        |  FROM t GROUP BY 1, 2, 3, 4)
+        |SELECT n_cells, tn AS n,
+        |  CAST(round((b0a + ${newtonE(logitG2, logitH2, 0)})
+        |    * 1000000.0, 0) AS BIGINT) AS b0_micro,
+        |  CAST(round((b1a + ${newtonE(logitG2, logitH2, 1)})
+        |    * 1000000.0, 0) AS BIGINT) AS b1_micro
+        |FROM m2""".stripMargin),
+      "logistic regression by two value-grain Newton/IRLS steps " +
+        "(exact step-1 closed form, 9-dp frozen per-cell sigmoids, " +
+        "grid-bounded gradient/Hessian sums)"),
+
     // Calibration / reliability report (the model-eval counterpart of
     // the fit tier): bucket a score into 10 equal-width bins and compare
     // per-bin confidence (mean score) against per-bin accuracy (outcome
@@ -1953,4 +2076,38 @@ object MlFit {
         "doc-length value grain (two running sums, top-1 reduce)"),
   )
 
+  /** q_logistic step-1 gradient (g0, g1) at b = (0,0): p = 1/2 exactly,
+    * so both components are closed-form arithmetic on the exact
+    * integer/decimal moment sums (x converted centi -> units). */
+  private def logitG1: (String, String) = (
+    "(CAST(s1 AS DOUBLE) - CAST(tn AS DOUBLE) / 2.0)",
+    "((CAST(sx1 AS DOUBLE) - CAST(sx AS DOUBLE) / 2.0) / 100.0)")
+
+  /** q_logistic step-1 Hessian (h00, h01, h11) at b = (0,0): w = 1/4
+    * exactly; the /100 and /10000 convert the centi-grid moments. */
+  private def logitH1: (String, String, String) = (
+    "(CAST(tn AS DOUBLE) / 4.0)",
+    "(CAST(sx AS DOUBLE) / 400.0)",
+    "(CAST(sxx AS DOUBLE) / 40000.0)")
+
+  /** q_logistic step-2 gradient from the frozen-sigmoid decimal sums. */
+  private def logitG2: (String, String) = (
+    "CAST(g0 AS DOUBLE)",
+    "(CAST(g1c AS DOUBLE) / 100.0)")
+
+  /** q_logistic step-2 Hessian from the frozen-sigmoid decimal sums. */
+  private def logitH2: (String, String, String) = (
+    "CAST(h00 AS DOUBLE)",
+    "(CAST(h01c AS DOUBLE) / 100.0)",
+    "(CAST(h11cc AS DOUBLE) / 10000.0)")
+
+  /** One 2x2 Newton solve component: H^-1 g, entry `c` (0 = intercept,
+    * 1 = slope) — the same text in the Spark select and the oracle so
+    * both engines run the identical IEEE expression. */
+  private def newtonE(g: (String, String),
+      h: (String, String, String), c: Int): String = {
+    val det = s"(${h._1} * ${h._3} - ${h._2} * ${h._2})"
+    if (c == 0) s"((${h._3} * ${g._1} - ${h._2} * ${g._2}) / $det)"
+    else s"((${h._1} * ${g._2} - ${h._2} * ${g._1}) / $det)"
+  }
 }

@@ -13,6 +13,58 @@ class MlFitSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.01"
 
+  test("q_logistic matches a plain 2-step Newton/IRLS reimplementation") {
+    def r9(x: Double): BigDecimal = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def rL(x: Double): Long = BigDecimal.valueOf(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val grid = graft.Tables.load(spark, d, "lineitem")
+      .select($"l_quantity", ($"l_returnflag" === "R").cast("long"))
+      .as[(Double, Long)].collect()
+      .groupBy { case (q, _) => rL(q * 100) }
+      .map { case (xc, v) => (xc, v.size.toLong, v.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val tn = grid.map(_._2).sum.toDouble
+    val s1 = grid.map(_._3).sum.toDouble
+    val sx = grid.map(g => BigInt(g._1) * BigInt(g._2)).sum.toDouble
+    val sx1 = grid.map(g => BigInt(g._1) * BigInt(g._3)).sum.toDouble
+    val sxx = grid.map(g =>
+      BigInt(g._1) * BigInt(g._1) * BigInt(g._2)).sum.toDouble
+    def solve(g0: Double, g1: Double, h00: Double, h01: Double,
+        h11: Double): (Double, Double) = {
+      val det = h00 * h11 - h01 * h01
+      ((h11 * g0 - h01 * g1) / det, (h00 * g1 - h01 * g0) / det)
+    }
+    val (b0a, b1a) = solve(s1 - tn / 2.0, (sx1 - sx / 2.0) / 100.0,
+      tn / 4.0, sx / 400.0, sxx / 40000.0)
+    var (g0, g1c) = (BigDecimal(0), BigDecimal(0))
+    var (h00, h01c, h11cc) = (BigDecimal(0), BigDecimal(0), BigDecimal(0))
+    grid.foreach { case (xc, n, n1) =>
+      val p9 = r9(1.0 / (1.0 + math.exp(-(b0a + b1a * xc / 100.0))))
+      val w9 = r9(p9.toDouble * (1.0 - p9.toDouble))
+      val g0t = BigDecimal(n1) - BigDecimal(n) * p9
+      g0 += g0t; g1c += BigDecimal(xc) * g0t
+      h00 += BigDecimal(n) * w9
+      h01c += BigDecimal(xc) * BigDecimal(n) * w9
+      h11cc += BigDecimal(xc) * BigDecimal(xc) * BigDecimal(n) * w9
+    }
+    val (db0, db1) = solve(g0.toDouble, g1c.toDouble / 100.0,
+      h00.toDouble, h01c.toDouble / 100.0, h11cc.toDouble / 10000.0)
+    val got = SparkEntry.queries("q_logistic")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._1 == grid.size.toLong)
+    assert(got._2 == tn.toLong)
+    assert(math.abs(got._3 - rL((b0a + db0) * 1e6)) <= 2,
+      s"b0 ${got._3} vs ${rL((b0a + db0) * 1e6)}")
+    assert(math.abs(got._4 - rL((b1a + db1) * 1e6)) <= 2,
+      s"b1 ${got._4} vs ${rL((b1a + db1) * 1e6)}")
+    // sanity: overall base rate maps back through the fitted curve at
+    // the mean quantity to something inside (0, 1)
+    val pMean = 1.0 / (1.0 +
+      math.exp(-((b0a + db0) + (b1a + db1) * sx / tn / 100.0)))
+    assert(pMean > 0.0 && pMean < 1.0)
+  }
+
   test("q_kmeans matches a local 2-round Lloyd reimplementation") {
     val vecs = spark.read.parquet(s"$d/embeddings.parquet")
       .select($"vec_id", expr(

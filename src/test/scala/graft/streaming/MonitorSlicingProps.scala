@@ -18,18 +18,18 @@ import org.scalacheck.{Gen, Prop, Properties}
   * This is the PartialsStore contract stated in its scaladoc
   * ("the merged table over ANY batch slicing equals a one-shot pass
   * bit-for-bit") finally tested as a property instead of at three
-  * hand-picked slicings. All 9 monitors ride the same generator:
+  * hand-picked slicings. All 10 monitors ride the same generator:
   * eval (pass@k + majority vote), anomaly z-scores, experiment
   * report, drift PSI, conformal coverage, SRM, dispersion, quality
   * mix (+ its r14 OOV readout), and the r14 Wilson-CI conversion
-  * monitor.
+  * and QTE-grid monitors.
   *
   * Slicing grain: raw rows for the event/order monitors (cells span
   * batches freely — the harder direction); whole documents for the
   * quality monitor (its stated contract: docs never span batches). */
 object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
 
-  // each case ingests ~9 monitors x ~7 batches; 4 cases x the forced
+  // each case ingests ~10 monitors x ~7 batches; 4 cases x the forced
   // degenerate shapes already cover far more slicings than the fixed
   // replay specs, without a multi-minute suite hit
   override def overrideParameters(p: org.scalacheck.Test.Parameters)
@@ -94,7 +94,10 @@ object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
         p => rows(QualityStream.oovFromPartials(spark, p)))),
     Monitor("ci", () => events,
       CiStream.convPartials,
-      Seq(p => rows(CiStream.wilsonFromPartials(spark, p)))))
+      Seq(p => rows(CiStream.wilsonFromPartials(spark, p)))),
+    Monitor("qte", () => events,
+      QteStream.gridPartials,
+      Seq(p => rows(QteStream.qteFromPartials(spark, p)))))
 
   private lazy val counts: Map[String, Long] =
     monitors.map(m => m.name -> m.base().count()).toMap
@@ -124,7 +127,7 @@ object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
     bs.zip(bs.tail)
   }
 
-  property("k-batch ingest == one-shot for all 9 monitors under " +
+  property("k-batch ingest == one-shot for all 10 monitors under " +
     "random slicings with forced empty + 1-row batches") =
     Prop.forAll(genSlicing) { case (cuts, fj) =>
       Prop.all(monitors.flatMap { m =>
