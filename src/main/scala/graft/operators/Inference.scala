@@ -3039,7 +3039,112 @@ object Inference {
       "quantile treatment effects at the quartiles: exact type-1 " +
         "grid quantiles per arm, integer end to end (distributional " +
         "A/B beside the mean tests)"),
+
+    // Instrumental-variables 2SLS (one instrument, one endogenous
+    // regressor) — the causal-tier classic still missing beside
+    // DiD/RDD/IPW/CUPED: when exposure (a user's event count) is
+    // endogenous to spend, the house A/B assignment is the instrument,
+    // and the Wald/2SLS estimand collapses to the exact moment ratio
+    // beta_iv = cov(z,y)/cov(z,x). Emitted alongside: the naive OLS
+    // slope (the biased number 2SLS corrects) and the first-stage F
+    // (the weak-instrument gate — F < 10 means don't trust the IV).
+    // All moments are one user-keyed partial agg + ONE conditional
+    // 1-row reduction of exact integers/decimals; every output is a
+    // fixed IEEE expression over them. Degenerate cov(z,x) = 0 emits
+    // NULL via CASE (the q_rdd contract).
+    "q_iv_2sls" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val u = Tables.load(s, d, "events")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("x"),
+            coalesce(sum(when($"event_type" === "purchase",
+              expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))),
+              lit(0L)).as("y"))
+          .select(pmod($"user_id", lit(2L)).as("z"), $"x", $"y")
+        u.agg(count(lit(1)).as("n"), sum($"z").as("sz"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"z" * $"x").as("szx"),
+            sum(($"z" * $"y").cast(d19)).as("szy"),
+            sum($"x".cast(d19) * $"x".cast(d19)).as("sxx"),
+            sum($"x".cast(d19) * $"y".cast(d19)).as("sxy"))
+          .select($"n",
+            expr(s"CASE WHEN $ivCzxE = 0.0 THEN CAST(NULL AS BIGINT) " +
+              s"ELSE CAST(round($ivCzyE / $ivCzxE, 0) AS BIGINT) END")
+              .as("beta_iv_micro"),
+            expr(s"CASE WHEN $ivCxxE = 0.0 THEN CAST(NULL AS BIGINT) " +
+              s"ELSE CAST(round($ivCxyE / $ivCxxE, 0) AS BIGINT) END")
+              .as("beta_ols_micro"),
+            expr(s"CASE WHEN $ivCzzE = 0.0 OR $ivCxxE = 0.0 OR " +
+              s"1.0 - $ivR2E = 0.0 THEN CAST(NULL AS BIGINT) " +
+              s"ELSE CAST(round($ivFstageE * 1000000.0, 0) AS BIGINT) " +
+              "END").as("first_stage_f_micro"))
+      },
+      Some(s"""WITH u AS (
+        |  SELECT user_id % 2 AS z, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) END), 0)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(z * x) AS BIGINT) AS szx,
+        |    SUM(CAST(z * y AS DECIMAL(19,0))) AS szy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM u)
+        |SELECT n,
+        |  CASE WHEN $ivCzxE = 0.0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round($ivCzyE / $ivCzxE, 0) AS BIGINT) END
+        |    AS beta_iv_micro,
+        |  CASE WHEN $ivCxxE = 0.0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round($ivCxyE / $ivCxxE, 0) AS BIGINT) END
+        |    AS beta_ols_micro,
+        |  CASE WHEN $ivCzzE = 0.0 OR $ivCxxE = 0.0 OR
+        |    1.0 - $ivR2E = 0.0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round($ivFstageE * 1000000.0, 0) AS BIGINT) END
+        |    AS first_stage_f_micro
+        |FROM m""".stripMargin),
+      "instrumental-variables 2SLS (Wald ratio) with the naive OLS " +
+        "contrast and the first-stage weak-instrument F — one " +
+        "conditional moment battery"),
   )
+
+  /** q_iv_2sls centered cross-moments (n-scaled covariances — the n
+    * factors cancel in every ratio below, so no division happens until
+    * the final estimands). */
+  private def ivCzxE: String =
+    "(CAST(n AS DOUBLE) * CAST(szx AS DOUBLE) - " +
+      "CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private def ivCzyE: String =
+    "(CAST(n AS DOUBLE) * CAST(szy AS DOUBLE) - " +
+      "CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private def ivCxxE: String =
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private def ivCxyE: String =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+
+  /** q_iv_2sls instrument variance term: z is 0/1 so sum(z^2) = sum(z)
+    * and n*szz - sz^2 = n*sz - sz^2 exactly. */
+  private def ivCzzE: String =
+    "(CAST(n AS DOUBLE) * CAST(sz AS DOUBLE) - " +
+      "CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))"
+
+  /** q_iv_2sls first-stage R^2 = czx^2 / (czz * cxx). */
+  private def ivR2E: String =
+    s"($ivCzxE * $ivCzxE / ($ivCzzE * $ivCxxE))"
+
+  /** q_iv_2sls first-stage F for one instrument:
+    * (n - 2) * R^2 / (1 - R^2). */
+  private def ivFstageE: String =
+    s"((CAST(n AS DOUBLE) - 2.0) * $ivR2E / (1.0 - $ivR2E))"
 
   /** q_qte's readout over an (arm, v2, n) grid-count table: per-arm
     * cumulative window, integer cum*100 >= tot*q threshold pick, arm

@@ -349,6 +349,40 @@ class GovernanceSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q_iv_2sls matches a plain user-map Wald/OLS/F recount") {
+    val users = graft.Tables.load(spark, d, "events")
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Option[Double])].collect()
+      .groupBy(_._1).toSeq.map { case (uid, v) =>
+        (uid % 2, v.size.toLong,
+          v.filter(r => r._2 == "purchase" && r._3.isDefined)
+            .map(r => rL(r._3.get * 1e6)).sum)
+      }
+    val n = users.size.toDouble
+    val sz = users.map(_._1).sum.toDouble
+    val sx = users.map(_._2).sum.toDouble
+    val sy = users.map(u => BigInt(u._3)).sum.toDouble
+    val szx = users.map(u => u._1 * u._2).sum.toDouble
+    val szy = users.map(u => BigInt(u._1 * u._3)).sum.toDouble
+    val sxx = users.map(u => BigInt(u._2) * BigInt(u._2)).sum.toDouble
+    val sxy = users.map(u => BigInt(u._2) * BigInt(u._3)).sum.toDouble
+    val (czx, czy) = (n * szx - sz * sx, n * szy - sz * sy)
+    val (cxx, cxy) = (n * sxx - sx * sx, n * sxy - sx * sy)
+    val czz = n * sz - sz * sz
+    val r2 = czx * czx / (czz * cxx)
+    val got = q("q_iv_2sls")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(got._1 == users.size.toLong)
+    assert(math.abs(got._2.get - rL(czy / czx)) <= 2, "beta_iv")
+    assert(math.abs(got._3.get - rL(cxy / cxx)) <= 2, "beta_ols")
+    assert(math.abs(got._4.get -
+      rL((n - 2.0) * r2 / (1.0 - r2) * 1e6)) <= 2, "first-stage F")
+    // with a parity instrument uncorrelated with exposure by design,
+    // the F gate should report weakness honestly rather than NULL
+    assert(got._4.get >= 0L)
+  }
+
   test("q_pca_var_explained matches an explicit BigInt Rayleigh " +
     "quotient and sits in (0, 1]") {
     val vecs = graft.Tables.load(spark, d, "embeddings")
