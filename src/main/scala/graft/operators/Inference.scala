@@ -3113,7 +3113,80 @@ object Inference {
       "instrumental-variables 2SLS (Wald ratio) with the naive OLS " +
         "contrast and the first-stage weak-instrument F — one " +
         "conditional moment battery"),
+
+    // Event-study / dynamic DiD — the per-period effect PATH around
+    // the treatment date that a single q_did number averages away (and
+    // the standard pre-trend check: nonzero "effects" BEFORE the event
+    // falsify the parallel-trends assumption). Weeks are indexed
+    // relative to the day-15 cutover (the q_cuped period boundary);
+    // for each relative week, effect_w = (treated - control mean gap)
+    // minus the SAME gap in the base week w = -1 (the textbook
+    // normalization, so effect_{-1} = 0 identically). One (arm, week)
+    // partial agg over micro-frozen values; the bounded week x arm
+    // grid is checkpointed and the 1-row base-week anchor folds out of
+    // it — calendar-bounded end to end after the single corpus
+    // shuffle.
+    "q_event_study" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val g = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select(pmod($"user_id", lit(2L)).as("arm"),
+            floor(datediff(to_date($"ts"), lit("2024-01-15")) / 7.0)
+              .cast("long").as("rw"),
+            expr("CAST(round(value * 1000000.0, 0) AS BIGINT)")
+              .as("v6"))
+          .groupBy($"rw")
+          .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("nc"),
+            sum(when($"arm" === 0L, $"v6")).as("sc"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("nt"),
+            sum(when($"arm" === 1L, $"v6")).as("st"))
+          // calendar-bounded week grid, consumed by the base-week
+          // anchor AND the readout — checkpoint so the events scan
+          // runs once
+          .localCheckpoint()
+        val base = g.filter($"rw" === -1L)
+          .select(expr(evsGapE).as("base_gap"))
+        g.crossJoin(broadcast(base))
+          .select($"rw".as("rel_week"), $"nc", $"nt",
+            expr(s"CAST(round($evsGapE, 0) AS BIGINT)")
+              .as("gap_micro"),
+            expr(s"CAST(round($evsGapE - base_gap, 0) AS BIGINT)")
+              .as("effect_micro"))
+          .orderBy($"rel_week")
+      },
+      Some(s"""WITH g AS (
+        |  SELECT CAST(floor(date_diff('day', DATE '2024-01-15',
+        |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS rw,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) END)
+        |      AS BIGINT) AS sc,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) END)
+        |      AS BIGINT) AS st
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT $evsGapE AS base_gap FROM g WHERE rw = -1)
+        |SELECT rw AS rel_week, nc, nt,
+        |  CAST(round($evsGapE, 0) AS BIGINT) AS gap_micro,
+        |  CAST(round($evsGapE - base_gap, 0) AS BIGINT)
+        |    AS effect_micro
+        |FROM g, b ORDER BY rel_week""".stripMargin),
+      "event-study / dynamic DiD: per-relative-week treated-control " +
+        "gap normalized to the pre-event base week (pre-trend check + " +
+        "effect path)"),
   )
+
+  /** q_event_study per-week treated-minus-control mean gap (micro):
+    * the same text over (nc, sc, nt, st) in both engines. NULL when an
+    * arm is empty in the week (st/sc sums of no rows), which both
+    * engines propagate identically through the subtraction. */
+  private def evsGapE: String =
+    "(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) - " +
+      "CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))"
 
   /** q_iv_2sls centered cross-moments (n-scaled covariances — the n
     * factors cancel in every ratio below, so no division happens until

@@ -383,6 +383,58 @@ class GovernanceSpec extends SparkSpec {
     assert(got._4.get >= 0L)
   }
 
+  test("q_event_study matches a plain week-map recount and is zero " +
+    "at the base week by construction") {
+    val rows = graft.Tables.load(spark, d, "events")
+      .filter($"value".isNotNull)
+      .select($"user_id",
+        org.apache.spark.sql.functions.to_date($"ts").cast("string"),
+        $"value")
+      .as[(Long, String, Double)].collect()
+      .map { case (u, day, v) =>
+        val epoch = java.time.LocalDate.parse(day).toEpochDay -
+          java.time.LocalDate.parse("2024-01-15").toEpochDay
+        (u % 2, math.floor(epoch / 7.0).toLong, rL(v * 1e6))
+      }
+    val base = {
+      val w = rows.filter(_._2 == -1L)
+      val c = w.filter(_._1 == 0L); val t = w.filter(_._1 == 1L)
+      t.map(x => BigInt(x._3)).sum.toDouble / t.size -
+        c.map(x => BigInt(x._3)).sum.toDouble / c.size
+    }
+    val expect = rows.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (rw, v) =>
+        val c = v.filter(_._1 == 0L); val t = v.filter(_._1 == 1L)
+        val gap =
+          if (c.isEmpty || t.isEmpty) None
+          else Some(t.map(x => BigInt(x._3)).sum.toDouble / t.size -
+            c.map(x => BigInt(x._3)).sum.toDouble / c.size)
+        (rw, c.size.toLong, t.size.toLong, gap.map(rL),
+          gap.map(g => rL(g - base)))
+      }
+    val got = q("q_event_study")
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) ==
+      expect.map(e => (e._1, e._2, e._3)))
+    got.zip(expect).foreach { case (g, e) =>
+      (g._4, e._4) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 2, s"week ${g._1} gap")
+        case (None, None) => ()
+        case other => fail(s"week ${g._1} gap: $other")
+      }
+      (g._5, e._5) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 2, s"week ${g._1} effect")
+        case (None, None) => ()
+        case other => fail(s"week ${g._1} effect: $other")
+      }
+    }
+    // the textbook normalization: the base week's effect is exactly 0
+    assert(got.find(_._1 == -1L).flatMap(_._5).contains(0L))
+  }
+
   test("q_pca_var_explained matches an explicit BigInt Rayleigh " +
     "quotient and sits in (0, 1]") {
     val vecs = graft.Tables.load(spark, d, "embeddings")
