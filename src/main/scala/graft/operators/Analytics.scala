@@ -1420,7 +1420,8 @@ object Analytics {
           df.groupBy(col(key).as("k"))
             .agg(count(lit(1)).as("c"))
             .select(lit(s"$table.$key").as("join_key"), $"c")
-        counts(Tables.load(s, d, "lineitem"), "lineitem", "l_orderkey")
+        val grouped = counts(Tables.load(s, d, "lineitem"), "lineitem",
+            "l_orderkey")
           .unionAll(counts(Tables.load(s, d, "orders"), "orders",
             "o_custkey"))
           .unionAll(counts(Tables.load(s, d, "events"), "events",
@@ -1431,8 +1432,17 @@ object Analytics {
             count(lit(1)).as("n_keys"),
             max($"c").as("max_key_rows"),
             expr("percentile(c, 0.5)").as("p50"))
+        // an EMPTY audited table groups away entirely, but the oracle's
+        // per-table global aggs (a1/a2/a3) always emit one row each —
+        // left-join the three expected labels so a degenerate corpus
+        // still yields its NULL-stat row (n_keys = 0, matching the
+        // oracle's COUNT(*) over the empty per-key subquery)
+        val labels = Seq("events.user_id", "lineitem.l_orderkey",
+          "orders.o_custkey").toDF("join_key")
+        labels.join(grouped, Seq("join_key"), "left")
           .select($"join_key",
-            $"n_rows", $"n_keys", $"max_key_rows",
+            $"n_rows", coalesce($"n_keys", lit(0L)).as("n_keys"),
+            $"max_key_rows",
             round($"max_key_rows".cast("double") /
               $"n_rows".cast("double"), 6).as("max_key_share"),
             round($"max_key_rows".cast("double") / $"p50", 6)

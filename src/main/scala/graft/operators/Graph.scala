@@ -277,6 +277,14 @@ object Graph {
     * binds in tests while keeping the toy graph connected. */
   val MaxCustDeg = 64
 
+  /** q_clustering_coeff_topk's per-node edge budget: each supplier keeps
+    * its k strongest co-purchase edges (union-kNN), so |E| <= k·N —
+    * linear in the node universe where the percentile threshold stays
+    * quadratic (SWEEP_r14cmp.md: 102x edges for 10x data). 8 is the
+    * usual kNN-graph neighborhood size; mirrored verbatim in the
+    * oracle. */
+  val TopKSimEdges = 8
+
   /** q_triangles' thresholded supplier-similarity edge table (s1, s2) —
     * the capped co-purchase projection cut at its own 99th-percentile
     * shared-count (see the q_triangles scaladoc for every step's scale
@@ -302,8 +310,16 @@ object Graph {
   private val simEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def supplierSimEdges(s: SparkSession, d: String): DataFrame =
-    simEdgeCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+  private val simPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The capped co-purchase projection's weighted pair table
+    * (s1 < s2, shared) — the common ancestor of BOTH similarity-graph
+    * definitions (percentile-thresholded [[supplierSimEdges]] and the
+    * scale-safe per-node top-k of q_clustering_coeff_topk), memoized so
+    * the projection self-join runs once per corpus across all of them. */
+  private def supplierSimPairs(s: SparkSession, d: String): DataFrame =
+    simPairCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
       import s.implicits._
       val co = Tables.load(s, d, "orders")
         .select($"o_orderkey", $"o_custkey".as("c"))
@@ -315,15 +331,22 @@ object Graph {
           org.apache.spark.sql.expressions.Window.partitionBy($"c")))
         .filter($"deg" <= MaxCustDeg)
         .drop("deg")
-      // pairs feeds BOTH the threshold histogram and the edge filter:
-      // pin it once (at sf1 the projection join + agg would otherwise
-      // run twice — the round-6 sweep's residual 17x was half this)
-      val pairs = co.as("a")
+      // pairs feeds the threshold histogram, the edge filter AND the
+      // top-k variant: pin it once (at sf1 the projection join + agg
+      // would otherwise run twice — the round-6 sweep's residual 17x
+      // was half this)
+      co.as("a")
         .join(co.as("b"), col("a.c") === col("b.c") &&
           col("a.s") < col("b.s"))
         .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
         .agg(count(lit(1)).as("shared"))
         .cut
+    })
+
+  private def supplierSimEdges(s: SparkSession, d: String): DataFrame =
+    simEdgeCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+      import s.implicits._
+      val pairs = supplierSimPairs(s, d)
       // 99th percentile of `shared` WITHOUT percentile()'s single sort
       // buffer: the round-6 sf1 sweep showed that buffer (ALL pair rows
       // collected into one task) was the query's superlinear stall
@@ -358,6 +381,41 @@ object Graph {
         .select($"s1", $"s2")
         .cut // reused by three self-joins in q_triangles
     })
+
+  /** Exact global-clustering-coefficient readout over a canonical
+    * (s1 < s2) distinct edge table: 3·triangles / wedges with the
+    * oriented two-join triangle chain and a single degree rollup —
+    * shared by q_clustering_coeff (percentile graph) and
+    * q_clustering_coeff_topk (per-node top-k graph) so both
+    * definitions are measured by bit-identical math. */
+  private def ccFromEdges(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val tri = edges.as("ab")
+      .join(edges.as("bc"), col("ab.s2") === col("bc.s1"))
+      .join(edges.as("ac"),
+        col("ac.s1") === col("ab.s1") && col("ac.s2") === col("bc.s2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select($"s1".as("s"))
+      .unionAll(edges.select($"s2".as("s")))
+      .groupBy($"s").agg(count(lit(1)).as("deg"))
+    // edge count folded into the wedge reduction (was a separate
+    // 1-row barrier — r13 audit: singlepart x3): SUM(deg) = 2*|E|
+    // exactly on the distinct-pair edge table
+    val wed = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+        .as("n_wedges"),
+      coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"))
+    // empty-graph contract: below the similarity threshold the edge
+    // set can be empty at tiny scale — report explicit zeros, not
+    // NULLs
+    wed.crossJoin(broadcast(tri))
+      .select($"n_nodes", $"n_edges", $"n_triangles",
+        $"n_wedges".cast("long").as("n_wedges"),
+        expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(round(3.0 * CAST(n_triangles AS DOUBLE) / " +
+          "CAST(n_wedges AS DOUBLE) * 1000000.0, 0) AS BIGINT) " +
+          "END").as("cc_micro"))
+  }
 
   val queries: Seq[(String, GQuery)] = Seq(
     // Centrality over the customer->supplier trade graph: 10 PageRank
@@ -912,35 +970,7 @@ object Graph {
     // chain, the wedge count one degree rollup over the edge list —
     // both exact integers, one IEEE division at the end.
     "q_clustering_coeff" -> GQuery(
-      (s, d) => {
-        import s.implicits._
-        val edges = supplierSimEdges(s, d)
-        val tri = edges.as("ab")
-          .join(edges.as("bc"), col("ab.s2") === col("bc.s1"))
-          .join(edges.as("ac"),
-            col("ac.s1") === col("ab.s1") && col("ac.s2") === col("bc.s2"))
-          .agg(count(lit(1)).as("n_triangles"))
-        val deg = edges.select($"s1".as("s"))
-          .unionAll(edges.select($"s2".as("s")))
-          .groupBy($"s").agg(count(lit(1)).as("deg"))
-        // edge count folded into the wedge reduction (was a separate
-        // 1-row barrier — r13 audit: singlepart x3): SUM(deg) = 2*|E|
-        // exactly on the distinct-pair edge table
-        val wed = deg.agg(count(lit(1)).as("n_nodes"),
-          coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
-            .as("n_wedges"),
-          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"))
-        // empty-graph contract: below the similarity threshold the edge
-        // set can be empty at tiny scale — report explicit zeros, not
-        // NULLs
-        wed.crossJoin(broadcast(tri))
-          .select($"n_nodes", $"n_edges", $"n_triangles",
-            $"n_wedges".cast("long").as("n_wedges"),
-            expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE " +
-              "CAST(round(3.0 * CAST(n_triangles AS DOUBLE) / " +
-              "CAST(n_wedges AS DOUBLE) * 1000000.0, 0) AS BIGINT) " +
-              "END").as("cc_micro"))
-      },
+      (s, d) => ccFromEdges(supplierSimEdges(s, d)),
       Some(s"""WITH co0 AS (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -977,6 +1007,88 @@ object Graph {
       "global clustering coefficient of the supplier-similarity " +
         "graph (exact triangle + wedge counts over the capped " +
         "projection)"),
+
+    // The SCALE-SAFE twin of q_clustering_coeff (r14 VERDICT #1): the
+    // percentile-thresholded graph definition densifies — keeping the
+    // top 1% OF PAIRS keeps |E| quadratic in the node universe
+    // (SWEEP_r14cmp.md measured 102x edge growth for 10x data) — so the
+    // production knob is PER-NODE top-k: each supplier keeps its k
+    // strongest co-purchase edges (shared DESC, neighbor id ASC ties),
+    // an edge survives if EITHER endpoint keeps it (the standard
+    // union-kNN graph), and |E| <= k*N by construction — linear in
+    // nodes at ANY corpus size. Same exact triangle/wedge readout as
+    // the percentile form (shared ccFromEdges). Scale shape: the pair
+    // table is the memoized capped projection; ranking is one keyed
+    // window (per-node sort, O(deg log deg) map-side work); the
+    // triangle join now runs on a degree-bounded edge set, so the
+    // wedge work is <= C(2k,2)*N instead of percentile-form quadratic.
+    "q_clustering_coeff_topk" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val pairs = supplierSimPairs(s, d)
+        val dirp = pairs
+          .select($"s1".as("node"), $"s2".as("nb"), $"shared")
+          .unionAll(pairs
+            .select($"s2".as("node"), $"s1".as("nb"), $"shared"))
+        val topk = dirp
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"node")
+              .orderBy($"shared".desc, $"nb")))
+          .filter($"rk" <= TopKSimEdges)
+        val edges = topk
+          .select(least($"node", $"nb").as("s1"),
+            greatest($"node", $"nb").as("s2"))
+          .distinct()
+          .cut // three triangle self-join consumers + degree rollup
+        ccFromEdges(edges)
+      },
+      Some(s"""WITH co0 AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |co AS (
+        |  SELECT c, s FROM (
+        |    SELECT c, s, COUNT(*) OVER (PARTITION BY c) AS deg FROM co0)
+        |  WHERE deg <= $MaxCustDeg),
+        |p AS (
+        |  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |dirp AS (
+        |  SELECT s1 AS node, s2 AS nb, shared FROM p
+        |  UNION ALL
+        |  SELECT s2 AS node, s1 AS nb, shared FROM p),
+        |topk AS (
+        |  SELECT node, nb FROM (
+        |    SELECT node, nb, row_number() OVER (
+        |      PARTITION BY node ORDER BY shared DESC, nb) AS rk
+        |    FROM dirp)
+        |  WHERE rk <= $TopKSimEdges),
+        |e AS (
+        |  SELECT DISTINCT LEAST(node, nb) AS s1, GREATEST(node, nb) AS s2
+        |  FROM topk),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e ab JOIN e bc ON ab.s2 = bc.s1
+        |    JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2),
+        |deg AS (
+        |  SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e)
+        |  GROUP BY 1),
+        |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+        |    AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(round(3.0 * CAST(n_triangles AS DOUBLE) /
+        |    CAST(n_wedges AS DOUBLE) * 1000000.0, 0) AS BIGINT) END
+        |    AS cc_micro
+        |FROM w, ne, tri""".stripMargin),
+      "global clustering coefficient of the per-node top-k similarity " +
+        "graph (|E| <= k*N by construction — the 100 TB-safe graph " +
+        "definition the percentile form cannot give)"),
 
     // (3,3)-core decomposition of the REPEAT-trade graph by
     // simultaneous peeling: edges are customer-supplier pairs with

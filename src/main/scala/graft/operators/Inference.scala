@@ -3145,8 +3145,13 @@ object Inference {
           // anchor AND the readout — checkpoint so the events scan
           // runs once
           .localCheckpoint()
-        val base = g.filter($"rw" === -1L)
-          .select(expr(evsGapE).as("base_gap"))
+        // base is a 1-row AGGREGATE (max over the at-most-one rw = -1
+        // week), not a filter: a corpus with no events in the base week
+        // then yields NULL-normalized effect rows instead of the whole
+        // result silently vanishing through an empty crossJoin
+        val base = g
+          .select(expr(s"CASE WHEN rw = -1 THEN $evsGapE END").as("bg"))
+          .agg(max($"bg").as("base_gap"))
         g.crossJoin(broadcast(base))
           .select($"rw".as("rel_week"), $"nc", $"nt",
             expr(s"CAST(round($evsGapE, 0) AS BIGINT)")
@@ -3169,7 +3174,8 @@ object Inference {
         |      CAST(round(value * 1000000.0, 0) AS BIGINT) END)
         |      AS BIGINT) AS st
         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
-        |b AS (SELECT $evsGapE AS base_gap FROM g WHERE rw = -1)
+        |b AS (SELECT max(CASE WHEN rw = -1 THEN $evsGapE END)
+        |      AS base_gap FROM g)
         |SELECT rw AS rel_week, nc, nt,
         |  CAST(round($evsGapE, 0) AS BIGINT) AS gap_micro,
         |  CAST(round($evsGapE - base_gap, 0) AS BIGINT)

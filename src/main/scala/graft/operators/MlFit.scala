@@ -785,7 +785,13 @@ object MlFit {
             "CAST(tsxx - sxx AS DOUBLE) AS rsxx",
             "CAST(tsxy - sxy AS DOUBLE) AS rsxy")
           .selectExpr("*",
-            "(rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) AS b1")
+            // degenerate train side (zero x-variance, or a fold holding
+            // every row so rn = 0) => NULL, not NaN/Inf: Spark CASTs
+            // NaN to 0 where DuckDB's CAST(round(NaN)) errors — the
+            // q_rdd/q_iv_2sls degenerate-side contract
+            "CASE WHEN (rn * rsxx - rsx * rsx) = 0.0 THEN NULL " +
+              "ELSE (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) " +
+              "END AS b1")
           .selectExpr("*", "(rsy - b1 * rsx) / rn AS b0")
           .selectExpr("fold", "n AS n_test",
             "CAST(round(b0 * 10000.0, 0) AS BIGINT) AS intercept_micro",
@@ -830,8 +836,9 @@ object MlFit {
         |    CAST(tsxy - sxy AS DOUBLE) AS rsxy
         |  FROM f, tot),
         |b AS (
-        |  SELECT *, (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx)
-        |    AS b1
+        |  SELECT *, CASE WHEN (rn * rsxx - rsx * rsx) = 0.0 THEN NULL
+        |    ELSE (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx)
+        |    END AS b1
         |  FROM tr),
         |bb AS (SELECT *, (rsy - b1 * rsx) / rn AS b0 FROM b)
         |SELECT fold, n AS n_test,
@@ -2107,7 +2114,13 @@ object MlFit {
   private def newtonE(g: (String, String),
       h: (String, String, String), c: Int): String = {
     val det = s"(${h._1} * ${h._3} - ${h._2} * ${h._2})"
-    if (c == 0) s"((${h._3} * ${g._1} - ${h._2} * ${g._2}) / $det)"
-    else s"((${h._1} * ${g._2} - ${h._2} * ${g._1}) / $det)"
+    // singular Hessian (degenerate one-cell grid: zero x-variance)
+    // => NULL, not NaN/Inf — Spark CASTs NaN to 0 where DuckDB's
+    // CAST(round(NaN)) errors; NULL propagates identically through
+    // the step-2 sigmoid/readout in both engines (q_rdd contract)
+    val num =
+      if (c == 0) s"(${h._3} * ${g._1} - ${h._2} * ${g._2})"
+      else s"(${h._1} * ${g._2} - ${h._2} * ${g._1})"
+    s"(CASE WHEN $det = 0.0 THEN NULL ELSE $num / $det END)"
   }
 }

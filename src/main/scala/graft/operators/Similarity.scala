@@ -103,8 +103,13 @@ object Similarity {
   /** q_mmd per-moment half difference E_x[.] - E_y[.] (milli units):
     * the halves' exact integer sums `a`/`b` over their counts. */
   private def mmdDiffE(a: String, b: String): String =
-    s"(CAST($a AS DOUBLE) / CAST(nx AS DOUBLE) - " +
-      s"CAST($b AS DOUBLE) / CAST(ny AS DOUBLE))"
+    // empty-half guard: nx/ny are count-div-64 and CAN be 0 with
+    // non-NULL moment sums (e.g. sub-64-dim vectors), where x/0 gives
+    // Inf in Spark but a CAST(round(Inf)) error in DuckDB — emit NULL
+    // in both engines instead (the q_rdd degenerate-side contract)
+    s"(CASE WHEN nx = 0 OR ny = 0 THEN NULL ELSE " +
+      s"CAST($a AS DOUBLE) / CAST(nx AS DOUBLE) - " +
+      s"CAST($b AS DOUBLE) / CAST(ny AS DOUBLE) END)"
 
   /** DuckDB cosine over DOUBLE[] — float inputs are widened first so both
     * engines do exact float→double conversion then identical double math. */

@@ -593,6 +593,55 @@ class InferenceSpec extends SparkSpec {
     assert((row._1, row._2, row._3) == t)
   }
 
+  test("q_clustering_coeff_topk matches a from-scratch union-kNN " +
+    "recount and honors the |E| <= k*N linearity bound") {
+    val d01 = "/root/testdata/sf0.01"
+    val co = graft.Tables.load(spark, d01, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.load(spark, d01, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+        "o_orderkey")
+      .select($"o_custkey", $"l_suppkey")
+      .as[(Long, Long)].collect().distinct
+    val byCust = co.groupBy(_._1).filter(_._2.length <= 64)
+    val shared = byCust.values.toSeq.flatMap { sups =>
+      val ss = sups.map(_._2).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length)
+        yield (ss(i), ss(j))
+    }.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    // per-node top-8 by (shared DESC, neighbor ASC); union-kNN: an
+    // edge survives if EITHER endpoint ranks it
+    val dirp = shared.toSeq.flatMap { case ((a, b), c) =>
+      Seq((a, b, c), (b, a, c)) }
+    val edges = dirp.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(8)
+        .map(r => (math.min(r._1, r._2), math.max(r._1, r._2)))
+    }.toSet.toSeq
+    val eset = edges.toSet
+    val tris = (for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b
+      if eset((a, c)) } yield 1).size.toLong
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map(_._2.length.toLong)
+    val wedges = deg.map(dd => dd * (dd - 1) / 2).sum
+    val nodes = deg.size.toLong
+    val row = SparkEntry.queries("q_clustering_coeff_topk")(spark, d01)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row == ((nodes, edges.length.toLong, tris, wedges,
+      math.round(3.0 * tris / wedges * 1e6))))
+    // the whole point of the variant: the per-node budget bounds the
+    // edge set linearly in the node universe (the percentile form
+    // measured 102x edges for 10x data in SWEEP_r14cmp.md)
+    assert(row._2 <= Graph.TopKSimEdges * row._1,
+      s"|E|=${row._2} must be <= k*N=${Graph.TopKSimEdges * row._1}")
+    // and unlike the percentile form at tiny scale, the kNN graph is
+    // nonempty wherever any co-purchase pair exists
+    val tiny = q("q_clustering_coeff_topk")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(tiny._1 > 0L && tiny._2 > 0L,
+      s"sf0.001 top-k graph must be nonempty, got $tiny")
+  }
+
   /** Per-(event_type, arm) raw value rows for the Welch recounts. */
   private lazy val valRows: Seq[(String, Long, Long)] =
     graft.Tables.load(spark, d, "events")

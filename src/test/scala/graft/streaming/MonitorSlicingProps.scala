@@ -61,43 +61,79 @@ object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  private final case class Monitor(name: String, base: () => DataFrame,
+  /** `producer` is the `Object.method` name of the partials sink this
+    * monitor ingests through — the registry key the source-scan
+    * property below matches against the actual `*Stream` files, so a
+    * NEW monitor cannot land with a partials producer and skip this
+    * slicing property (r14 VERDICT Next #6). */
+  private final case class Monitor(name: String, producer: String,
+      base: () => DataFrame,
       sink: (DataFrame, Long, String) => Unit,
       readouts: Seq[String => Seq[String]])
 
   private lazy val monitors: Seq[Monitor] = Seq(
-    Monitor("eval", () => events,
+    Monitor("eval", "EvalStream.evalPartials", () => events,
       EvalStream.evalPartials,
       Seq(p => rows(EvalStream.passAtKFromPartials(spark, p)),
         p => rows(EvalStream.voteFromPartials(spark, p)))),
-    Monitor("anomaly", () => events,
+    Monitor("anomaly", "AnomalyStream.momentPartials", () => events,
       AnomalyStream.momentPartials,
       Seq(p => rows(AnomalyStream.zscoresFromPartials(spark, p)))),
-    Monitor("experiment", () => events,
+    Monitor("experiment", "ExperimentStream.expPartials", () => events,
       ExperimentStream.expPartials,
       Seq(p => rows(ExperimentStream.reportFromPartials(spark, p)))),
-    Monitor("drift", () => events,
+    Monitor("drift", "DriftStream.binPartials", () => events,
       (b, i, p) => DriftStream.binPartials(b, i, p, cutoff),
       Seq(p => rows(DriftStream.psiFromPartials(spark, p)))),
-    Monitor("conformal", () => orders,
+    Monitor("conformal", "ConformalStream.dayPartials", () => orders,
       ConformalStream.dayPartials,
       Seq(p => rows(ConformalStream.conformalFromPartials(spark, p)))),
-    Monitor("srm", () => events,
+    Monitor("srm", "SrmStream.armPartials", () => events,
       SrmStream.armPartials,
       Seq(p => rows(SrmStream.srmFromPartials(spark, p)))),
-    Monitor("dispersion", () => events,
+    Monitor("dispersion", "DispersionStream.countPartials", () => events,
       DispersionStream.countPartials,
       Seq(p => rows(DispersionStream.dispersionFromPartials(spark, p)))),
-    Monitor("quality", () => docs,
+    Monitor("quality", "QualityStream.bucketPartials", () => docs,
       (b, i, p) => QualityStream.bucketPartials(b, i, p, cal),
       Seq(p => rows(QualityStream.mixFromPartials(spark, p)),
         p => rows(QualityStream.oovFromPartials(spark, p)))),
-    Monitor("ci", () => events,
+    Monitor("ci", "CiStream.convPartials", () => events,
       CiStream.convPartials,
       Seq(p => rows(CiStream.wilsonFromPartials(spark, p)))),
-    Monitor("qte", () => events,
+    Monitor("qte", "QteStream.gridPartials", () => events,
       QteStream.gridPartials,
       Seq(p => rows(QteStream.qteFromPartials(spark, p)))))
+
+  /** Producers deliberately OUTSIDE the bit-for-bit slicing contract:
+    * EventStream's sketch sinks merge HLL/KLL summaries whose internal
+    * layout is merge-order dependent by design (KLL compaction order);
+    * their weaker estimate-envelope invariants live in
+    * SketchPartialsSpec. Anything else found by the scan MUST appear
+    * in `monitors`. */
+  private val excludedProducers: Set[String] = Set(
+    "EventStream.sketchPartials", "EventStream.kllPartials")
+
+  property("the monitor registry enumerates EVERY *Stream partials " +
+    "producer (new monitors cannot land unsliced)") = {
+    val dir = new java.io.File("src/main/scala/graft/streaming")
+    val files = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith("Stream.scala"))
+    // the scan must actually see the sources — a wrong cwd silently
+    // passing would defeat the gate
+    assert(files.nonEmpty, s"no *Stream.scala under ${dir.getAbsolutePath}")
+    val sig = """def (\w+Partials)\(batch: DataFrame, batchId: Long""".r
+    val found = files.flatMap { f =>
+      val obj = f.getName.stripSuffix(".scala")
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      sig.findAllMatchIn(text).map(m => s"$obj.${m.group(1)}")
+    }.toSet
+    val covered = monitors.map(_.producer).toSet ++ excludedProducers
+    Prop(found == covered) :|
+      (s"uncovered producers: ${(found -- covered).toSeq.sorted}; " +
+        s"stale registry entries: ${(covered -- found).toSeq.sorted}")
+  }
 
   private lazy val counts: Map[String, Long] =
     monitors.map(m => m.name -> m.base().count()).toMap
