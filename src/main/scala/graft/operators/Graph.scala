@@ -71,10 +71,12 @@ object Graph {
     val n = nodes.count().toDouble
     // Static per-edge weight table, partitioned on the join key so each
     // round's join shuffles only the rank side.
+    // out_deg rides along for deterministic (integer-nano) mode's exact
+    // floor-division contributions; double mode reads only w
     val eDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
       .select(col("src"), col("dst"),
-        (lit(1.0) / col("out_deg")).as("w"))
+        (lit(1.0) / col("out_deg")).as("w"), col("out_deg"))
       .repartition(col("src"))
       .cut
     new PreparedGraph(nodes, n, eDeg)
@@ -86,9 +88,10 @@ object Graph {
       damping: Double = 0.85,
       checkpointInterval: Int = 3,
       redistributeDangling: Boolean = false,
-      tol: Option[Double] = None): DataFrame =
+      tol: Option[Double] = None,
+      deterministic: Boolean = false): DataFrame =
     pageRank(prepareGraph(edges), iterations, damping, checkpointInterval,
-      redistributeDangling, tol)
+      redistributeDangling, tol, deterministic)
 
   def pageRank(
       g: PreparedGraph,
@@ -96,12 +99,38 @@ object Graph {
       damping: Double,
       checkpointInterval: Int,
       redistributeDangling: Boolean,
-      tol: Option[Double]): DataFrame = {
+      tol: Option[Double],
+      deterministic: Boolean): DataFrame = {
+    // deterministic mode: ranks live on an INTEGER nano grid (BIGINT
+    // nano-rank units, 1e-9). Each contribution is rank_nano div
+    // out_deg (floor), the damping step is (85 * in_mass) div 100, and
+    // the base is 150000000 div n — every operation is exact integer
+    // arithmetic, so the result is independent of aggregation order,
+    // partitioning, AND engine (Spark `div` == DuckDB `//` on
+    // positives). This is what lets q_pagerank carry a DuckDB oracle
+    // at 10 rounds, where raw double sums drift ~1 ulp per round and
+    // compound; no double round() parity assumption is needed at all.
+    // The cost is sub-nano truncation per edge (rank shifts by
+    // ~deg nano relative to exact PageRank — invisible at ranking
+    // granularity). Dangling redistribution and tol stay double-mode
+    // features (their driver-side scalars would need the same freeze
+    // to be reproducible).
+    require(!deterministic || (!redistributeDangling && tol.isEmpty),
+      "deterministic pageRank supports neither dangling redistribution " +
+        "nor tol-based early stop")
+    require(!deterministic ||
+      (damping * 100.0).round.toDouble / 100.0 == damping,
+      s"deterministic pageRank needs damping on the 1/100 grid, " +
+        s"got $damping")
     val nodes = g.nodes
     val n = g.n
+    val nLong = n.toLong
     val eDeg = g.eDeg
     def srcIds = g.srcIds
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks =
+      if (deterministic)
+        nodes.withColumn("rank", lit(1000000000L / nLong))
+      else nodes.withColumn("rank", lit(1.0 / n))
     var lastCheckpointed = ranks
     var it = 0
     var converged = false
@@ -116,15 +145,27 @@ object Graph {
             .head.getDouble(0)
           damping * dangling / n
         }
+      val contrib =
+        if (deterministic) expr("rank div out_deg")
+        else col("rank") * col("w")
       val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("rank") * col("w")).as("c"))
+        .select(col("dst").as("id"), contrib.as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_mass"))
+      val newRank =
+        if (deterministic)
+          // damping as exact integer percent: deterministic mode
+          // requires damping on the 1/100 grid so (d*100)*m div 100
+          // is exact — 0.85 is. Base term (1-d)/n in nano units:
+          // (100-d100)*1e7 div n == floor((1-d)*1e9/n).
+          lit((100L - (damping * 100.0).round) * 10000000L / nLong) +
+            expr(s"(${(damping * 100.0).round} * " +
+              "coalesce(in_mass, CAST(0 AS BIGINT))) div 100")
+        else lit((1.0 - damping) / n + sinkBoost) +
+          lit(damping) * coalesce(col("in_mass"), lit(0.0))
       val next = nodes
         .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n + sinkBoost) +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .select(col("id"), newRank.as("rank"))
       // Checkpoint only at interval boundaries — NOT on the final round:
       // a final-round checkpoint is one extra eager materialization job
       // whose only consumer is the caller's own action, and returning the
@@ -267,6 +308,45 @@ object Graph {
       |         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.m, 0.0) AS rank
       |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id)
       |SELECT id, round(rank, 6) AS rank2 FROM r2 ORDER BY id""".stripMargin
+
+  /** The q_pagerank oracle: `rounds` deterministic (integer-nano)
+    * damped iterations unrolled as chained CTEs — the bit-exact SQL
+    * twin of [[pageRank]]'s `deterministic = true` mode. Every step is
+    * BIGINT floor division (`//` here, `div` in Spark — identical on
+    * positives), so no double round() parity assumption is needed even
+    * at 10 rounds where per-round FP drift would compound. d100 is the
+    * damping in integer percent (85). */
+  private def pagerankNanoSql(rounds: Int, d100: Long): String = {
+    val head = """WITH e AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+      |        FROM e GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, deg.out_deg
+      |       FROM e JOIN deg ON e.src = deg.src),
+      |r0 AS (SELECT nodes.id, 1000000000 // nn.n AS rank
+      |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (
+        |  SELECT ed.dst AS id,
+        |         CAST(SUM(r${i - 1}.rank // ed.out_deg) AS BIGINT) AS m
+        |  FROM ed JOIN r${i - 1} ON r${i - 1}.id = ed.src
+        |  GROUP BY ed.dst),
+        |r$i AS (
+        |  SELECT nodes.id,
+        |         CAST((${100L - d100} * 10000000) // nn.n +
+        |           (($d100 * COALESCE(c$i.m, 0)) // 100) AS BIGINT)
+        |           AS rank
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN c$i ON nodes.id = c$i.id)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, rank AS rank_nano FROM r$rounds" +
+      "\nORDER BY rank_nano DESC, id LIMIT 20"
+  }
 
   /** q_triangles' mega-degree cap: customers co-purchasing from more than
     * this many suppliers are dropped before the projection self-join (the
@@ -419,22 +499,28 @@ object Graph {
 
   val queries: Seq[(String, GQuery)] = Seq(
     // Centrality over the customer->supplier trade graph: 10 PageRank
-    // rounds, top-20 by rank. Iterative double arithmetic at 10 rounds is
-    // not stably oracle-comparable across engines (aggregation-order
-    // drift compounds per round), so the driver records a rows-only
-    // check; semantics are golden-tested against an independent in-memory
-    // implementation in GraphSpec, and the 2-round unrolled q_pagerank2
-    // below IS oracle-checked.
+    // rounds, top-20 by rank. Runs the engine's DETERMINISTIC mode
+    // (integer nano-rank arithmetic — see the pageRank scaladoc), which
+    // is what makes a 10-round iterative computation hash-comparable
+    // against DuckDB at all: every step is exact BIGINT floor division,
+    // so there is no per-round FP drift to compound and the oracle is
+    // the same update rule unrolled as 10 chained CTEs
+    // (pagerankNanoSql). The raw double mode stays golden-tested
+    // against an independent in-memory implementation in GraphSpec, and
+    // the 2-round unrolled q_pagerank2 below pins ITS semantics.
     "q_pagerank" -> GQuery(
       (s, d) => {
         import s.implicits._
         pageRank(tradeGraph(s, d), iterations = 10, damping = 0.85,
-          checkpointInterval = 3, redistributeDangling = false, tol = None)
-          .orderBy($"rank".desc, $"id")
+          checkpointInterval = 3, redistributeDangling = false,
+          tol = None, deterministic = true)
+          .select($"id", $"rank".as("rank_nano"))
+          .orderBy($"rank_nano".desc, $"id")
           .limit(20)
       },
-      None,
-      "PageRank centrality over the customer->supplier graph (10 rounds)"),
+      Some(pagerankNanoSql(rounds = 10, d100 = 85L)),
+      "PageRank centrality over the customer->supplier graph (10 " +
+        "deterministic integer-nano rounds, oracle-checked vs DuckDB)"),
 
     // The oracle-checked variant (VERDICT r3 #5): the same engine run for
     // exactly 2 iterations, hash-compared against the unrolled-CTE SQL
@@ -445,7 +531,8 @@ object Graph {
       (s, d) => {
         import s.implicits._
         pageRank(tradeGraph(s, d), iterations = 2, damping = 0.85,
-          checkpointInterval = 3, redistributeDangling = false, tol = None)
+          checkpointInterval = 3, redistributeDangling = false,
+          tol = None, deterministic = false)
           .select($"id", round($"rank", 6).as("rank2"))
           .orderBy($"id")
       },

@@ -113,6 +113,57 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** In-memory twin of deterministic (integer-nano) pageRank: every
+    * step is Long floor division, so equality below is EXACT. */
+  private def referencePageRankNano(
+      edges: Seq[(String, String)], iterations: Int, d100: Long)
+      : Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iterations)
+      r = nodes.map { v =>
+        val mass = in.getOrElse(v, Seq.empty).map(u => r(u) / out(u)).sum
+        v -> ((100L - d100) * 10000000L / n + d100 * mass / 100L)
+      }.toMap
+    r
+  }
+
+  test("deterministic mode: EXACT integer match to the in-memory twin, " +
+      "checkpoint-interval invariant, and close to double mode") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "d"), ("b", "d"), ("c", "d"), ("d", "e"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 10,
+        deterministic = true)
+      .as[(String, Long)].collect().toMap
+    assert(got == referencePageRankNano(edges, 10, 85L))
+    // quantization is sub-ppm of total mass: nano ranks track the raw
+    // double ranks to ~deg*1e-9
+    val dbl = referencePageRank(edges, 10, 0.85)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v / 1e9 - dbl(k)) < 1e-7, s"node $k: $v vs ${dbl(k)}")
+    }
+    val sparse = Graph.pageRank(edges.toDF("src", "dst"), iterations = 10,
+        checkpointInterval = 7, deterministic = true)
+      .as[(String, Long)].collect().toMap
+    assert(sparse == got)
+    // randomized graphs: exact integer agreement, every trial
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nodes = ('a' to 'l').map(_.toString)
+      val e2 = (1 to 30).map(_ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+        .filter(e => e._1 != e._2).distinct
+      val g2 = Graph.pageRank(e2.toDF("src", "dst"), iterations = 6,
+          deterministic = true)
+        .as[(String, Long)].collect().toMap
+      assert(g2 == referencePageRankNano(e2, 6, 85L), s"trial $trial")
+    }
+  }
+
   // The three round-8 link-analysis queries are DETERMINISTIC and fully
   // oracle-checked against DuckDB (unlike 10-round pagerank); these pins
   // assert the semantic invariants a hash match alone doesn't explain.
