@@ -104,7 +104,11 @@ object PlanAudit {
     "q_runs_test" -> ("sign-lag window over the bounded day table — " +
       "the q_changepoint bound"),
     "q_sign_trend" -> ("day rank + ln-factorial running sum over the " +
-      "calendar-bounded integer spine (N <= day count <= ~2.4k)"))
+      "calendar-bounded integer spine (N <= day count <= ~2.4k)"),
+    "q_cvm" -> ("cumulative arm counts over the centi value grid — " +
+      "bounded by the value domain (<= ~49k cells), the q_qte class"),
+    "q_rbo" -> ("row_number over the 20-row post-limit top-k — " +
+      "constant-size input by construction"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

@@ -5408,6 +5408,386 @@ object Analytics {
         |FROM m""".stripMargin),
       "minimum detectable effect at 5%/80% (frozen normal quantiles, " +
         "exact per-arm moment battery, one scan)"),
+
+    // Maximum drawdown per market segment over the daily revenue curve
+    // — the risk primitive every revenue dashboard wants next to the
+    // trend slope. Cumulative revenue and its running peak are ONE
+    // partitioned window pass (partitioned by segment, ordered by day)
+    // whose input is the DAILY rollup: cardinality = segments × days,
+    // calendar-bounded, never corpus-bounded — the corpus-scale work is
+    // the (segment, day) partial agg that feeds it. The argmax day of
+    // the deepest drawdown is the integer-encoded max (dd * 1e5 +
+    // (99999 - day_num)) so ties break to the EARLIEST day with exact
+    // integer arithmetic in both engines (headroom: dd cents * 1e5
+    // stays under 2^63 through ~1e13 cents of cumulative revenue).
+    "q_drawdown" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"c_mktsegment").orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer")
+            .select($"c_custkey", $"c_mktsegment"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment", to_date($"o_orderdate").as("day"))
+          .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+            .as("rev"))
+          .withColumn("cum", sum($"rev").over(w))
+          .withColumn("dd", max($"cum").over(w) - $"cum")
+          .withColumn("dnum",
+            datediff($"day", lit("1992-01-01").cast("date"))
+              .cast("bigint"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_days"),
+            max($"dd").as("max_dd_cents"),
+            max($"dd" * lit(100000L) + (lit(99999L) - $"dnum"))
+              .as("enc"))
+          .select($"c_mktsegment", $"n_days", $"max_dd_cents",
+            date_add(lit("1992-01-01").cast("date"),
+              (lit(99999L) - pmod($"enc", lit(100000L))).cast("int"))
+              .as("dd_day"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH daily AS (
+        |  SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT c_mktsegment, day,
+        |    CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT)
+        |      AS dnum,
+        |    SUM(rev) OVER (PARTITION BY c_mktsegment ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily),
+        |dd AS (
+        |  SELECT c_mktsegment, dnum,
+        |    MAX(cum) OVER (PARTITION BY c_mktsegment ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum
+        |      AS dd
+        |  FROM cur)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(dd) AS BIGINT) AS max_dd_cents,
+        |  DATE '1992-01-01' + CAST(99999 -
+        |    (MAX(dd * 100000 + (99999 - dnum)) % 100000) AS INTEGER)
+        |    AS dd_day
+        |FROM dd GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
+      "per-segment maximum drawdown of cumulative daily revenue with " +
+        "earliest-peak-to-trough day (exact integer encoding)"),
+
+    // (Augmented-lag-0) Dickey-Fuller unit-root test on the daily
+    // revenue series: regress Δr_t on r_{t-1} (with drift), DF stat =
+    // γ̂ / se(γ̂). Consecutive-day pairs come from ONE equi-join of the
+    // daily rollup to itself on day+1 (key join, no window at all), the
+    // five moment sums are exact DECIMAL over integer cents, and the
+    // stat is one IEEE expression shared textually with the oracle —
+    // the q_rdd recipe. Degenerate series (n < 3, zero variance, or a
+    // perfect fit with SSR <= 0) emit NULL via CASE guards (the q_ipw
+    // contract). The flag compares the FROZEN micro stat to the frozen
+    // 5% critical value (-2.8629 for the drift case), so both engines
+    // decide it on identical integers. Scale: day-grain input
+    // (calendar-bounded), one 1-row reduce.
+    "q_adf" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = Tables.load(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+            .as("r"))
+        daily.as("a")
+          .join(daily.as("b"),
+            date_add(col("a.day"), 1) === col("b.day"))
+          .select(col("a.r").as("x"), (col("b.r") - col("a.r")).as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+            sum($"x".cast(d19) * $"x".cast(d19)).as("sxx"),
+            sum($"x".cast(d19) * $"y".cast(d19)).as("sxy"),
+            sum($"y".cast(d19) * $"y".cast(d19)).as("syy"))
+          .selectExpr("n",
+            s"CASE WHEN $adfGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              s"CAST(round($adfGammaE * 1000000.0, 0) AS BIGINT) END " +
+              "AS gamma_micro",
+            s"CASE WHEN $adfGuardE OR $adfSsrE <= 0.0 THEN " +
+              s"CAST(NULL AS BIGINT) ELSE CAST(round($adfStatE * " +
+              "1000000.0, 0) AS BIGINT) END AS df_stat_micro")
+          .selectExpr("n", "gamma_micro", "df_stat_micro",
+            "CASE WHEN df_stat_micro IS NULL THEN CAST(NULL AS " +
+              "BOOLEAN) ELSE df_stat_micro > -2862900 END " +
+              "AS unit_root_05")
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT a.r AS x, b.r - a.r AS y
+        |  FROM daily a JOIN daily b ON a.day + 1 = b.day),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS syy
+        |  FROM p),
+        |o AS (
+        |  SELECT n,
+        |    CASE WHEN $adfGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |      CAST(round($adfGammaE * 1000000.0, 0) AS BIGINT) END
+        |      AS gamma_micro,
+        |    CASE WHEN $adfGuardE OR $adfSsrE <= 0.0 THEN
+        |      CAST(NULL AS BIGINT) ELSE CAST(round($adfStatE *
+        |      1000000.0, 0) AS BIGINT) END AS df_stat_micro
+        |  FROM m)
+        |SELECT n, gamma_micro, df_stat_micro,
+        |  CASE WHEN df_stat_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE df_stat_micro > -2862900 END AS unit_root_05
+        |FROM o""".stripMargin),
+      "Dickey-Fuller unit-root stat on daily revenue (exact decimal " +
+        "moments, frozen critical-value compare)"),
+
+    // Two-sample Cramér–von Mises ω² between the experiment arms —
+    // the omnibus distribution-equality test that sees what a rank-sum
+    // (q_mannwhitney) misses: equal-median, different-shape arms. On
+    // the CENTI-FROZEN value grid the whole statistic is INTEGER until
+    // one final division: per-grid-value arm counts, cumulative counts
+    // over the grid (a global window BOUNDED by the value domain, ≤
+    // ~49k distinct cents — the q_qte/q_auc class, never corpus rows),
+    // then T = Σ_v c_v·(A_v·m − B_v·n)² in DECIMAL(38) (headroom to
+    // n·m ~ 1e19 pair mass). ω² and the frozen 5% critical compare
+    // (0.461) come out micro-frozen. Empty-arm corpora emit NULL via
+    // the q_rdd guard.
+    "q_cvm" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val grid = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .groupBy(expr("CAST(round(value * 100, 0) AS BIGINT)")
+            .as("v"))
+          .agg(sum(when(pmod($"user_id", lit(2L)) === 0L, 1L)
+            .otherwise(0L)).as("a"),
+            sum(when(pmod($"user_id", lit(2L)) === 1L, 1L)
+              .otherwise(0L)).as("b"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        grid
+          .withColumn("ca", sum($"a").over(w))
+          .withColumn("cb", sum($"b").over(w))
+          .agg(sum($"a").as("na"), sum($"b").as("nb"),
+            sum(($"a" + $"b").cast(d38) * $"ca".cast(d38) *
+              $"ca".cast(d38)).as("scaa"),
+            sum(($"a" + $"b").cast(d38) * $"ca".cast(d38) *
+              $"cb".cast(d38)).as("scab"),
+            sum(($"a" + $"b").cast(d38) * $"cb".cast(d38) *
+              $"cb".cast(d38)).as("scbb"))
+          .selectExpr("na", "nb",
+            s"CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS BIGINT) " +
+              s"ELSE CAST(round($cvmOmegaE * 1000000.0, 0) AS BIGINT) " +
+              "END AS cvm_micro")
+          .selectExpr("na", "nb", "cvm_micro",
+            "CASE WHEN cvm_micro IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE cvm_micro > 461000 END AS reject_05")
+      },
+      Some(s"""WITH g AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT a, b,
+        |    SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ca,
+        |    SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cb
+        |  FROM g),
+        |m AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS na,
+        |    CAST(SUM(b) AS BIGINT) AS nb,
+        |    SUM(CAST(a + b AS DECIMAL(38,0)) *
+        |      CAST(ca AS DECIMAL(38,0)) * CAST(ca AS DECIMAL(38,0)))
+        |      AS scaa,
+        |    SUM(CAST(a + b AS DECIMAL(38,0)) *
+        |      CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))
+        |      AS scab,
+        |    SUM(CAST(a + b AS DECIMAL(38,0)) *
+        |      CAST(cb AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))
+        |      AS scbb
+        |  FROM c),
+        |o AS (
+        |  SELECT na, nb,
+        |    CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS BIGINT) ELSE
+        |      CAST(round($cvmOmegaE * 1000000.0, 0) AS BIGINT) END
+        |      AS cvm_micro
+        |  FROM m)
+        |SELECT na, nb, cvm_micro,
+        |  CASE WHEN cvm_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE cvm_micro > 461000 END AS reject_05
+        |FROM o""".stripMargin),
+      "two-sample Cramér–von Mises ω² between experiment arms on the " +
+        "centi value grid (integer until one division)"),
+
+    // Rank-biased overlap (p = 1/2) between the top-20 revenue part
+    // rankings of the two halves of the shipping history — "how much
+    // did the bestseller list change?" with top-weighted emphasis,
+    // the IR-standard list-comparison metric. p = 1/2 is chosen so
+    // every geometric weight 2^-d is a BINARY-EXACT double in both
+    // engines (no pow() parity assumption); each depth term is frozen
+    // to nano before the 20-term sum, so aggregation order cannot
+    // shift the result. Scale shape: per-period top-20 via
+    // TakeOrderedAndProject (never a corpus-wide rank window); the
+    // row_number that assigns ranks runs on 20 rows post-limit (the
+    // allowlisted bounded class); prefix-intersection counts X_d come
+    // from a broadcast join of the ≤20 common items against the
+    // 20-row depth spine. Exact integer revenue cents break ties by
+    // part key identically in both engines.
+    "q_rbo" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cut = "1998-01-01"
+        def top20(pred: Column) = {
+          val t = Tables.load(s, d, "lineitem")
+            .filter(pred)
+            .groupBy($"l_partkey")
+            .agg(sum(round($"l_extendedprice" * 100, 0).cast("bigint"))
+              .as("rev"))
+            .orderBy($"rev".desc, $"l_partkey")
+            .limit(20)
+          t.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"rev".desc, $"l_partkey")))
+            .select($"l_partkey", $"rk")
+        }
+        val a = top20($"l_shipdate" < lit(cut).cast("timestamp"))
+          .withColumnRenamed("rk", "ra")
+        val b = top20($"l_shipdate" >= lit(cut).cast("timestamp"))
+          .withColumnRenamed("rk", "rb")
+        val common = a.join(b, "l_partkey")
+          .select(greatest($"ra", $"rb").as("m"))
+        val spine = s.range(1, 21).select($"id".as("dd"))
+        val xd = spine.join(broadcast(common), $"m" <= $"dd", "left")
+          .groupBy($"dd")
+          .agg(sum(when($"m".isNotNull, 1L).otherwise(0L)).as("x"))
+        xd.select($"dd", $"x",
+          expr("CAST(round(CAST(x AS DOUBLE) / CAST(dd AS DOUBLE) / " +
+            "power(2.0, CAST(dd AS DOUBLE)) * 1000000000.0, 0) AS " +
+            "BIGINT)").as("term_nano"))
+          .agg(max(when($"dd" === 20L, $"x")).as("overlap_at_20"),
+            sum($"term_nano").as("rbo20_nano"))
+      },
+      Some("""WITH pa AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1 ORDER BY rev DESC, l_partkey LIMIT 20),
+        |ra AS (SELECT l_partkey,
+        |  row_number() OVER (ORDER BY rev DESC, l_partkey) AS ra
+        |  FROM pa),
+        |pb AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY 1 ORDER BY rev DESC, l_partkey LIMIT 20),
+        |rb AS (SELECT l_partkey,
+        |  row_number() OVER (ORDER BY rev DESC, l_partkey) AS rb
+        |  FROM pb),
+        |com AS (
+        |  SELECT GREATEST(ra.ra, rb.rb) AS m
+        |  FROM ra JOIN rb ON ra.l_partkey = rb.l_partkey),
+        |spine AS (SELECT CAST(unnest(generate_series(1, 20)) AS BIGINT)
+        |  AS dd),
+        |xd AS (
+        |  SELECT dd,
+        |    CAST(SUM(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM spine LEFT JOIN com ON com.m <= spine.dd
+        |  GROUP BY dd)
+        |SELECT MAX(CASE WHEN dd = 20 THEN x END) AS overlap_at_20,
+        |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) / CAST(dd AS DOUBLE) /
+        |    power(2.0, CAST(dd AS DOUBLE)) * 1000000000.0, 0)
+        |    AS BIGINT)) AS BIGINT) AS rbo20_nano
+        |FROM xd""".stripMargin),
+      "rank-biased overlap (p = 1/2, binary-exact weights) between " +
+        "the two ship-period top-20 part rankings"),
+
+    // Neyman-optimal allocation of a 1,000-unit sample budget across
+    // the market-segment strata: allocation_h ∝ N_h·σ_h — the survey-
+    // sampling primitive behind every stratified estimator (allocate
+    // where variance AND mass live, not just mass). Per-stratum σ
+    // comes from one exact decimal moment battery over acctbal cents
+    // (sqrt is correctly-rounded IEEE in both engines); the weights
+    // N_h·σ_h are frozen to milli before the cross-strata sum (order-
+    // independent), and the final allocation is pure integer floor
+    // division of the frozen weights — identical in both engines. The
+    // one-row total joins back by broadcast (the scalar-anchor
+    // pattern). Degenerate strata (n < 2 or zero variance) carry zero
+    // weight with a NULL σ, the q_ipw contract.
+    "q_neyman_alloc" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val st = Tables.load(s, d, "customer")
+          .select($"c_mktsegment",
+            expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("xc"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum($"xc".cast(d38)).as("sx"),
+            sum($"xc".cast(d19) * $"xc".cast(d19)).as("sxx"))
+          .selectExpr("c_mktsegment", "n",
+            s"CASE WHEN $neymanGuardE THEN CAST(NULL AS BIGINT) " +
+              s"ELSE CAST(round($neymanSigmaE * 1000000.0, 0) AS " +
+              "BIGINT) END AS sigma_cents_micro",
+            s"CASE WHEN $neymanGuardE THEN CAST(0 AS BIGINT) ELSE " +
+              s"CAST(round(${dblE("n")} * $neymanSigmaE * 1000.0, 0) " +
+              "AS BIGINT) END AS w_milli")
+        val tot = st.agg(sum($"w_milli").as("w_tot"))
+        st.crossJoin(broadcast(tot))
+          .selectExpr("c_mktsegment", "n", "sigma_cents_micro",
+            "CASE WHEN w_tot = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+              "(1000 * w_milli) div w_tot END AS alloc_of_1000")
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""WITH st AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(xc AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0)))
+        |      AS sxx
+        |  FROM (SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS xc
+        |    FROM customer)
+        |  GROUP BY 1),
+        |ws AS (
+        |  SELECT c_mktsegment, n,
+        |    CASE WHEN $neymanGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |      CAST(round($neymanSigmaE * 1000000.0, 0) AS BIGINT) END
+        |      AS sigma_cents_micro,
+        |    CASE WHEN $neymanGuardE THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(round(${dblE("n")} * $neymanSigmaE * 1000.0, 0)
+        |      AS BIGINT) END AS w_milli
+        |  FROM st),
+        |tot AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS w_tot FROM ws)
+        |SELECT c_mktsegment, n, sigma_cents_micro,
+        |  CASE WHEN w_tot = 0 THEN CAST(NULL AS BIGINT) ELSE
+        |    (1000 * w_milli) // w_tot END AS alloc_of_1000
+        |FROM ws, tot ORDER BY c_mktsegment""".stripMargin),
+      "Neyman-optimal stratified sample allocation across market " +
+        "segments (exact moment battery, frozen weights, integer " +
+        "floor split)"),
   )
 
   /** The q_jarque_bera skewness / excess-kurtosis expression over the
@@ -5496,4 +5876,54 @@ object Analytics {
           .agg(count(lit(1)).as("n"))
           .localCheckpoint()
       })
+
+  /** Double cast shorthand for the q_adf / q_cvm shared expressions. */
+  private def dblE(c: String): String = s"CAST($c AS DOUBLE)"
+
+  /** q_adf centered second moments (per-n form, over the exact decimal
+    * battery n/sx/sy/sxx/sxy/syy). */
+  private def adfSxxcE: String =
+    s"(${dblE("sxx")} - ${dblE("sx")} * ${dblE("sx")} / ${dblE("n")})"
+  private def adfSyycE: String =
+    s"(${dblE("syy")} - ${dblE("sy")} * ${dblE("sy")} / ${dblE("n")})"
+  private def adfSxycE: String =
+    s"(${dblE("sxy")} - ${dblE("sx")} * ${dblE("sy")} / ${dblE("n")})"
+
+  /** q_adf degenerate guard: too-short series or zero x-variance. */
+  private def adfGuardE: String =
+    s"(n < 3 OR (${dblE("n")} * ${dblE("sxx")} - " +
+      s"${dblE("sx")} * ${dblE("sx")}) = 0.0)"
+
+  /** q_adf slope γ̂ of Δr on r_lag (with drift). */
+  private def adfGammaE: String =
+    s"((${dblE("n")} * ${dblE("sxy")} - ${dblE("sx")} * ${dblE("sy")})" +
+      s" / (${dblE("n")} * ${dblE("sxx")} - " +
+      s"${dblE("sx")} * ${dblE("sx")}))"
+
+  /** q_adf residual sum of squares of the drift regression. */
+  private def adfSsrE: String =
+    s"($adfSyycE - $adfSxycE * $adfSxycE / $adfSxxcE)"
+
+  /** q_adf t-ratio γ̂ / se(γ̂). */
+  private def adfStatE: String =
+    s"($adfGammaE / sqrt(($adfSsrE / ${dblE("n - 2")}) / $adfSxxcE))"
+
+  /** q_neyman_alloc degenerate-stratum guard: n < 2 or no variance. */
+  private def neymanGuardE: String =
+    s"(n < 2 OR (${dblE("n")} * ${dblE("sxx")} - " +
+      s"${dblE("sx")} * ${dblE("sx")}) <= 0.0)"
+
+  /** q_neyman_alloc sample σ of acctbal cents from the exact battery. */
+  private def neymanSigmaE: String =
+    s"sqrt((${dblE("n")} * ${dblE("sxx")} - ${dblE("sx")} * " +
+      s"${dblE("sx")}) / (${dblE("n")} * ${dblE("n - 1")}))"
+
+  /** q_cvm ω² = Σ_v c_v (A_v·m − B_v·n)² / (n·m·(n+m)²) over the exact
+    * decimal cross-moment battery na/nb/scaa/scab/scbb. */
+  private def cvmOmegaE: String =
+    s"((${dblE("nb")} * ${dblE("nb")} * ${dblE("scaa")} - " +
+      s"2.0 * ${dblE("na")} * ${dblE("nb")} * ${dblE("scab")} + " +
+      s"${dblE("na")} * ${dblE("na")} * ${dblE("scbb")}) / " +
+      s"(${dblE("na")} * ${dblE("nb")} * ${dblE("na + nb")} * " +
+      s"${dblE("na + nb")}))"
 }

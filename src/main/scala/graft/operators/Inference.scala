@@ -3184,6 +3184,201 @@ object Inference {
       "event-study / dynamic DiD: per-relative-week treated-control " +
         "gap normalized to the pre-event base week (pre-trend check + " +
         "effect path)"),
+
+    // Nearest-neighbor matching estimator of the ATT — the classic
+    // design-based causal method the regression tier (q_ipw,
+    // q_stratified_ate, q_rdd) does not cover: each treated unit
+    // (BUILDING-segment customer) is matched to its nearest control on
+    // the account-balance covariate WITH replacement inside a 5,000-
+    // cent caliper, ATT = mean over matched treated of (y_t −
+    // y_match). Scale shape is BLOCKED matching, never all-pairs: the
+    // caliper doubles as the block width, controls are exploded to
+    // their own and the two adjacent buckets (3x, constant), and the
+    // candidate join is a bucket EQUI-join whose volume is
+    // Σ_b |T_b|·|C_b±1| — caliper-bounded density, the q_link_predict
+    // cap discipline. The per-treated argmin is ONE integer-encoded
+    // min (dist·1e8 + control_key: exact, ties to the smaller control
+    // key, headroom to 1e8 control keys), so both engines pick the
+    // identical match. Covariate shifted (+1e5) before bucketing so
+    // floor division sees only non-negative operands (Spark div
+    // truncates toward zero, DuckDB // floors — identical only on
+    // non-negatives). Unmatched treated are counted, not imputed.
+    "q_psm_att" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cal = 5000L
+        val oc = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("yc"))
+        val cust = Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment",
+            (expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)") +
+              lit(100000L)).as("xb"))
+          .join(oc, $"c_custkey" === $"o_custkey", "left")
+          .select($"c_custkey", $"c_mktsegment", $"xb",
+            coalesce($"yc", lit(0L)).as("yc"))
+        val treated = cust.filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey".as("tk"), $"xb".as("tx"),
+            $"yc".as("ty"), expr(s"xb div $cal").as("b"))
+        val controls = cust.filter($"c_mktsegment" =!= "BUILDING")
+          .select($"c_custkey".as("ck"), $"xb".as("cx"), $"yc".as("cy"))
+          .withColumn("b", explode(array(
+            expr(s"cx div $cal - 1"), expr(s"cx div $cal"),
+            expr(s"cx div $cal + 1"))))
+        val best = treated.join(controls, Seq("b"))
+          .filter(abs($"tx" - $"cx") <= cal)
+          .groupBy($"tk", $"ty")
+          .agg(min(abs($"tx" - $"cx") * lit(100000000L) + $"ck")
+            .as("enc"))
+          .select($"tk", $"ty", pmod($"enc", lit(100000000L)).as("mk"))
+          .join(controls.select($"ck".as("mk"), $"cy").distinct(), "mk")
+        val nt = treated.agg(count(lit(1)).as("n_treated"))
+        best.agg(count(lit(1)).as("n_matched"),
+          sum(($"ty" - $"cy").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).as("sdiff"))
+          .crossJoin(broadcast(nt))
+          .selectExpr("n_treated", "n_matched",
+            "CASE WHEN n_matched = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(CAST(sdiff AS DOUBLE) / " +
+              "CAST(n_matched AS DOUBLE), 0) AS BIGINT) END " +
+              "AS att_cents")
+      },
+      Some("""WITH oc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1),
+        |cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000 AS xb,
+        |    COALESCE(yc, 0) AS yc
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+        |t AS (
+        |  SELECT c_custkey AS tk, xb AS tx, yc AS ty, xb // 5000 AS b
+        |  FROM cust WHERE c_mktsegment = 'BUILDING'),
+        |c0 AS (
+        |  SELECT c_custkey AS ck, xb AS cx, yc AS cy
+        |  FROM cust WHERE c_mktsegment <> 'BUILDING'),
+        |c AS (
+        |  SELECT ck, cx, cy, cx // 5000 - 1 AS b FROM c0
+        |  UNION ALL SELECT ck, cx, cy, cx // 5000 FROM c0
+        |  UNION ALL SELECT ck, cx, cy, cx // 5000 + 1 FROM c0),
+        |best AS (
+        |  SELECT t.tk, t.ty,
+        |    MIN(abs(t.tx - c.cx) * 100000000 + c.ck) % 100000000 AS mk
+        |  FROM t JOIN c ON t.b = c.b
+        |  WHERE abs(t.tx - c.cx) <= 5000
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT best.tk, best.ty, c0.cy
+        |  FROM best JOIN c0 ON best.mk = c0.ck),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_treated FROM t),
+        |mm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    SUM(CAST(ty - cy AS DECIMAL(38,0))) AS sdiff
+        |  FROM m)
+        |SELECT n_treated, n_matched,
+        |  CASE WHEN n_matched = 0 THEN CAST(NULL AS BIGINT) ELSE
+        |    CAST(round(CAST(sdiff AS DOUBLE) /
+        |      CAST(n_matched AS DOUBLE), 0) AS BIGINT)
+        |    END AS att_cents
+        |FROM mm, nt""".stripMargin),
+      "nearest-neighbor caliper matching ATT (blocked candidate join, " +
+        "integer-encoded argmin, with replacement)"),
+
+    // Frisch-Waugh-Lovell partialling-out / fixed-effects "within"
+    // estimator: the effect of account balance on customer spend with
+    // nation fixed effects removed — the double-ML-lite primitive
+    // (residualize treatment AND outcome on the confounder, regress
+    // residual on residual; for a categorical confounder that is
+    // EXACTLY the within-group estimator, no residual materialization
+    // needed). β_within = Σ_g(Sdy_g − Sd_g·Sy_g/n_g) / Σ_g(Sdd_g −
+    // Sd_g²/n_g): per-group terms come from exact decimal batteries,
+    // are rounded to integer cents² and summed as DECIMAL(38) — so the
+    // cross-group reduction is order-independent in both engines. The
+    // pooled β rides along from the same battery to quantify the
+    // confounding the FE absorb. One groupBy(nation) shuffle, one
+    // ~25-row reduce; nothing corpus-global.
+    "q_fwl_within" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val oc = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("yc"))
+        val g = Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_nationkey",
+            expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("dc"))
+          .join(oc, $"c_custkey" === $"o_custkey", "left")
+          .select($"c_nationkey",
+            $"dc", coalesce($"yc", lit(0L)).as("yc"))
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("ng"),
+            sum($"dc".cast(d38)).as("sd"),
+            sum($"yc".cast(d38)).as("sy"),
+            sum($"dc".cast(d19) * $"dc".cast(d19)).as("sdd"),
+            sum($"dc".cast(d19) * $"yc".cast(d19)).as("sdy"))
+        g.agg(sum($"ng").as("n"),
+          count(lit(1)).as("n_groups"),
+          sum(expr(s"CAST(round($fwlNumTermE, 0) AS DECIMAL(38,0))"))
+            .as("wnum"),
+          sum(expr(s"CAST(round($fwlDenTermE, 0) AS DECIMAL(38,0))"))
+            .as("wden"),
+          sum($"sd").as("tsd"), sum($"sy").as("tsy"),
+          sum($"sdd").as("tsdd"), sum($"sdy").as("tsdy"))
+          .selectExpr("n", "n_groups",
+            "CASE WHEN CAST(wden AS DOUBLE) <= 0.0 THEN " +
+              "CAST(NULL AS BIGINT) ELSE CAST(round(" +
+              "CAST(wnum AS DOUBLE) / CAST(wden AS DOUBLE) * " +
+              "1000000.0, 0) AS BIGINT) END AS beta_within_micro",
+            s"CASE WHEN $fwlPoolDenE <= 0.0 THEN CAST(NULL AS BIGINT)" +
+              s" ELSE CAST(round($fwlPoolBetaE * 1000000.0, 0) " +
+              "AS BIGINT) END AS beta_pooled_micro")
+      },
+      Some(s"""WITH oc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS dc,
+        |    COALESCE(yc, 0) AS yc
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(dc AS DECIMAL(38,0))) AS sd,
+        |    SUM(CAST(yc AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(dc AS DECIMAL(19,0)) * CAST(dc AS DECIMAL(19,0)))
+        |      AS sdd,
+        |    SUM(CAST(dc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+        |      AS sdy
+        |  FROM base GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    SUM(CAST(round($fwlNumTermE, 0) AS DECIMAL(38,0)))
+        |      AS wnum,
+        |    SUM(CAST(round($fwlDenTermE, 0) AS DECIMAL(38,0)))
+        |      AS wden,
+        |    SUM(sd) AS tsd, SUM(sy) AS tsy,
+        |    SUM(sdd) AS tsdd, SUM(sdy) AS tsdy
+        |  FROM g)
+        |SELECT n, n_groups,
+        |  CASE WHEN CAST(wden AS DOUBLE) <= 0.0 THEN
+        |    CAST(NULL AS BIGINT) ELSE CAST(round(
+        |    CAST(wnum AS DOUBLE) / CAST(wden AS DOUBLE) * 1000000.0,
+        |    0) AS BIGINT) END AS beta_within_micro,
+        |  CASE WHEN $fwlPoolDenE <= 0.0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(round($fwlPoolBetaE * 1000000.0, 0) AS BIGINT)
+        |    END AS beta_pooled_micro
+        |FROM m""".stripMargin),
+      "FWL partialling-out / nation-fixed-effects within estimator " +
+        "with the pooled slope for confounding contrast (exact " +
+        "decimal batteries, frozen per-group terms)"),
   )
 
   /** q_event_study per-week treated-minus-control mean gap (micro):
@@ -3711,4 +3906,25 @@ object Inference {
   /** q_periodogram 9-dp frozen trig factor at period k, day offset t. */
   private def trig9(fn: String): String =
     s"round($fn(2.0 * pi() * CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 9)"
+
+  /** q_fwl_within per-group within-numerator Sdy − Sd·Sy/n (cents²). */
+  private def fwlNumTermE: String =
+    "(CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * " +
+      "CAST(sy AS DOUBLE) / CAST(ng AS DOUBLE))"
+
+  /** q_fwl_within per-group within-denominator Sdd − Sd²/n (cents²). */
+  private def fwlDenTermE: String =
+    "(CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * " +
+      "CAST(sd AS DOUBLE) / CAST(ng AS DOUBLE))"
+
+  /** q_fwl_within pooled-slope denominator n·Sdd − Sd². */
+  private def fwlPoolDenE: String =
+    "(CAST(n AS DOUBLE) * CAST(tsdd AS DOUBLE) - " +
+      "CAST(tsd AS DOUBLE) * CAST(tsd AS DOUBLE))"
+
+  /** q_fwl_within pooled slope (n·Sdy − Sd·Sy) / (n·Sdd − Sd²). */
+  private def fwlPoolBetaE: String =
+    "((CAST(n AS DOUBLE) * CAST(tsdy AS DOUBLE) - " +
+      "CAST(tsd AS DOUBLE) * CAST(tsy AS DOUBLE)) / " +
+      s"$fwlPoolDenE)"
 }
