@@ -5788,6 +5788,297 @@ object Analytics {
       "Neyman-optimal stratified sample allocation across market " +
         "segments (exact moment battery, frozen weights, integer " +
         "floor split)"),
+
+    // Engle-Granger cointegration test between the BUILDING and
+    // MACHINERY daily revenue series: do the two segments share a
+    // long-run equilibrium? Step 1 fits the static OLS of y on x over
+    // the joined day series (exact cents battery); step 2 runs the
+    // q_adf Dickey-Fuller machinery on the RESIDUAL series. The one
+    // determinism subtlety: residuals are doubles, so each day's
+    // residual is FROZEN to integer cents before the second battery —
+    // both engines compute the identical IEEE residual from identical
+    // exact inputs, so the frozen series matches bit-for-bit and the
+    // second-stage sums are exact again (the within-query analogue of
+    // the q_pagerank freeze). Day-grain work only; two 1-row reduces.
+    // The 5% fence is the Engle-Granger (2-variable, with-constant)
+    // critical value −3.34, compared in frozen micro space.
+    "q_engle_granger" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        def seg(m: String, nm: String) = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer")
+            .select($"c_custkey", $"c_mktsegment"),
+            $"o_custkey" === $"c_custkey")
+          .filter($"c_mktsegment" === m)
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+            .as(nm))
+        val ser = seg("BUILDING", "yv").join(seg("MACHINERY", "xv"),
+          "day")
+        val m1 = ser.agg(count(lit(1)).as("n"),
+          sum($"xv".cast(d38)).as("sx"), sum($"yv".cast(d38)).as("sy"),
+          sum($"xv".cast(d19) * $"xv".cast(d19)).as("sxx"),
+          sum($"xv".cast(d19) * $"yv".cast(d19)).as("sxy"))
+          .localCheckpoint()
+        val resid = ser.crossJoin(broadcast(m1))
+          .select($"day",
+            expr(s"CASE WHEN $egDenE = 0.0 THEN CAST(0 AS BIGINT) " +
+              s"ELSE CAST(round($egResidE, 0) AS BIGINT) END")
+              .as("e"))
+        val pairs = resid.as("a")
+          .join(resid.as("b"), date_add(col("a.day"), 1) === col("b.day"))
+          .select(col("a.e").as("x"), (col("b.e") - col("a.e")).as("y"))
+        pairs.agg(count(lit(1)).as("n"),
+          sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+          sum($"x".cast(d19) * $"x".cast(d19)).as("sxx"),
+          sum($"x".cast(d19) * $"y".cast(d19)).as("sxy"),
+          sum($"y".cast(d19) * $"y".cast(d19)).as("syy"))
+          .selectExpr("n",
+            s"CASE WHEN $adfGuardE OR $adfSsrE <= 0.0 THEN " +
+              s"CAST(NULL AS BIGINT) ELSE CAST(round($adfStatE * " +
+              "1000000.0, 0) AS BIGINT) END AS eg_stat_micro")
+          .selectExpr("n", "eg_stat_micro",
+            "CASE WHEN eg_stat_micro IS NULL THEN CAST(NULL AS " +
+              "BOOLEAN) ELSE eg_stat_micro < -3340000 END " +
+              "AS cointegrated_05")
+      },
+      Some(s"""WITH b AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS yv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |mch AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS xv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'MACHINERY' GROUP BY 1),
+        |ser AS (SELECT b.day, yv, xv FROM b JOIN mch ON b.day = mch.day),
+        |m1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(xv AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(yv AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(xv AS DECIMAL(19,0)) * CAST(xv AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(xv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM ser),
+        |r AS (
+        |  SELECT day,
+        |    CASE WHEN $egDenE = 0.0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round($egResidE, 0) AS BIGINT) END AS e
+        |  FROM ser, m1),
+        |p AS (
+        |  SELECT a.e AS x, b.e - a.e AS y
+        |  FROM r a JOIN r b ON a.day + 1 = b.day),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS syy
+        |  FROM p),
+        |o AS (
+        |  SELECT n,
+        |    CASE WHEN $adfGuardE OR $adfSsrE <= 0.0 THEN
+        |      CAST(NULL AS BIGINT) ELSE CAST(round($adfStatE *
+        |      1000000.0, 0) AS BIGINT) END AS eg_stat_micro
+        |  FROM m)
+        |SELECT n, eg_stat_micro,
+        |  CASE WHEN eg_stat_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE eg_stat_micro < -3340000 END AS cointegrated_05
+        |FROM o""".stripMargin),
+      "Engle-Granger cointegration of two segment revenue series " +
+        "(frozen residual series, DF machinery on residuals)"),
+
+    // Iterative proportional fitting (raking) of the customer
+    // (segment × region) count grid to the ORDER-ACTIVITY margins —
+    // the survey-weighting workhorse: adjust a sample's joint table so
+    // its margins match known population totals. Two IPF rounds
+    // (row-fit then column-fit), each weight FROZEN to micro before
+    // the next round touches it (the q_pagerank grid discipline, on a
+    // 5×5 grid) — so the unrolled oracle replays the identical
+    // integers. All joins are margin-keyed on the bounded grid; the
+    // corpus-scale work is the two margin aggregations. A zero
+    // current-margin cell keeps weight 0 via the guard (the division
+    // would be 0/0).
+    "q_raking" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.load(s, d, "customer")
+          .join(Tables.load(s, d, "nation"),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"c_mktsegment".as("seg"),
+            expr("n_nationkey div 5").as("reg"))
+        val grid = cust.groupBy($"seg", $"reg")
+          .agg(count(lit(1)).as("n0"))
+          .withColumn("w0", $"n0" * lit(1000000L))
+        val act = Tables.load(s, d, "orders")
+          .join(cust, $"o_custkey" === $"c_custkey")
+        val rowm = act.groupBy($"seg").agg(count(lit(1)).as("rm"))
+        val colm = act.groupBy($"reg").agg(count(lit(1)).as("cm"))
+        val r1 = grid.join(rowm, "seg")
+          .withColumn("rs", sum($"w0").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"seg")))
+          .withColumn("w1", expr(
+            "CASE WHEN rs = 0 THEN CAST(0 AS BIGINT) ELSE " +
+              "CAST(round(CAST(w0 AS DOUBLE) * CAST(rm AS DOUBLE) * " +
+              "1000000.0 / CAST(rs AS DOUBLE), 0) AS BIGINT) END"))
+        val r2 = r1.join(colm, "reg")
+          .withColumn("cs", sum($"w1").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"reg")))
+          .withColumn("w2", expr(
+            "CASE WHEN cs = 0 THEN CAST(0 AS BIGINT) ELSE " +
+              "CAST(round(CAST(w1 AS DOUBLE) * CAST(cm AS DOUBLE) * " +
+              "1000000.0 / CAST(cs AS DOUBLE), 0) AS BIGINT) END"))
+        r2.select($"seg", $"reg", $"n0",
+          $"w2".as("weight_micro"))
+          .orderBy($"seg", $"reg")
+      },
+      Some("""WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    n_nationkey // 5 AS reg
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |grid AS (
+        |  SELECT seg, reg, CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(COUNT(*) AS BIGINT) * 1000000 AS w0
+        |  FROM cust GROUP BY 1, 2),
+        |act AS (
+        |  SELECT seg, reg FROM orders
+        |  JOIN cust ON o_custkey = c_custkey),
+        |rowm AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS rm
+        |  FROM act GROUP BY 1),
+        |colm AS (SELECT reg, CAST(COUNT(*) AS BIGINT) AS cm
+        |  FROM act GROUP BY 1),
+        |r1 AS (
+        |  SELECT grid.*, rm,
+        |    CASE WHEN SUM(w0) OVER (PARTITION BY grid.seg) = 0
+        |      THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(round(CAST(w0 AS DOUBLE) * CAST(rm AS DOUBLE) *
+        |        1000000.0 / CAST(SUM(w0) OVER (PARTITION BY grid.seg)
+        |        AS DOUBLE), 0) AS BIGINT) END AS w1
+        |  FROM grid JOIN rowm ON grid.seg = rowm.seg),
+        |r2 AS (
+        |  SELECT r1.*, cm,
+        |    CASE WHEN SUM(w1) OVER (PARTITION BY r1.reg) = 0
+        |      THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(round(CAST(w1 AS DOUBLE) * CAST(cm AS DOUBLE) *
+        |        1000000.0 / CAST(SUM(w1) OVER (PARTITION BY r1.reg)
+        |        AS DOUBLE), 0) AS BIGINT) END AS w2
+        |  FROM r1 JOIN colm ON r1.reg = colm.reg)
+        |SELECT seg, reg, n0, w2 AS weight_micro
+        |FROM r2 ORDER BY seg, reg""".stripMargin),
+      "two-round iterative proportional fitting of the segment×region " +
+        "grid to order-activity margins (frozen per-round weights)"),
+
+    // Laspeyres / Paasche / Fisher price indexes between the two
+    // halves of the shipping history over common parts — the economics
+    // primitive for "did prices rise, holding the basket fixed?". Unit
+    // prices are revenue/quantity divisions (doubles), so every
+    // per-part index TERM (q0·p1 etc.) is frozen to micro before the
+    // cross-part sums — order-independent, the house rule. One
+    // (part × period) partial agg is the corpus shuffle; the index
+    // arithmetic runs on the ≤|parts| joined rows. Fisher = √(L·P)
+    // (sqrt is correctly-rounded IEEE). Parts missing a period or
+    // with zero quantity drop from the basket (stated contract).
+    "q_price_index" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val per = Tables.load(s, d, "lineitem")
+          .select($"l_partkey",
+            ($"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+              .as("pre"),
+            $"l_quantity".cast("bigint").as("q"),
+            expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+              .as("rev"))
+          .groupBy($"l_partkey", $"pre")
+          .agg(sum($"q").as("q"), sum($"rev").as("rev"))
+        val joined = per.filter($"pre")
+          .select($"l_partkey", $"q".as("q0"), $"rev".as("rev0"))
+          .join(per.filter(!$"pre")
+            .select($"l_partkey", $"q".as("q1"), $"rev".as("rev1")),
+            "l_partkey")
+          .filter($"q0" > 0L && $"q1" > 0L)
+        joined
+          .select(
+            expr(s"CAST(round($piP1E * CAST(q0 AS DOUBLE), 0) AS " +
+              "BIGINT)").as("l_num"),
+            expr(s"CAST(round($piP0E * CAST(q0 AS DOUBLE), 0) AS " +
+              "BIGINT)").as("l_den"),
+            expr(s"CAST(round($piP1E * CAST(q1 AS DOUBLE), 0) AS " +
+              "BIGINT)").as("p_num"),
+            expr(s"CAST(round($piP0E * CAST(q1 AS DOUBLE), 0) AS " +
+              "BIGINT)").as("p_den"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum($"l_num".cast(d38)).as("ln"),
+            sum($"l_den".cast(d38)).as("ld"),
+            sum($"p_num".cast(d38)).as("pn"),
+            sum($"p_den".cast(d38)).as("pd"))
+          .selectExpr("n_parts",
+            s"CASE WHEN $piGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(CAST(ln AS DOUBLE) / CAST(ld AS DOUBLE) * " +
+              "1000000.0, 0) AS BIGINT) END AS laspeyres_micro",
+            s"CASE WHEN $piGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) * " +
+              "1000000.0, 0) AS BIGINT) END AS paasche_micro",
+            s"CASE WHEN $piGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(sqrt((CAST(ln AS DOUBLE) / " +
+              "CAST(ld AS DOUBLE)) * (CAST(pn AS DOUBLE) / " +
+              "CAST(pd AS DOUBLE))) * 1000000.0, 0) AS BIGINT) END " +
+              "AS fisher_micro")
+      },
+      Some(s"""WITH per AS (
+        |  SELECT l_partkey,
+        |    l_shipdate < TIMESTAMP '1998-01-01' AS pre,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.l_partkey, a.q AS q0, a.rev AS rev0,
+        |    b.q AS q1, b.rev AS rev1
+        |  FROM per a JOIN per b ON a.l_partkey = b.l_partkey
+        |  WHERE a.pre AND NOT b.pre AND a.q > 0 AND b.q > 0),
+        |t AS (
+        |  SELECT
+        |    CAST(round($piP1E * CAST(q0 AS DOUBLE), 0) AS BIGINT)
+        |      AS l_num,
+        |    CAST(round($piP0E * CAST(q0 AS DOUBLE), 0) AS BIGINT)
+        |      AS l_den,
+        |    CAST(round($piP1E * CAST(q1 AS DOUBLE), 0) AS BIGINT)
+        |      AS p_num,
+        |    CAST(round($piP0E * CAST(q1 AS DOUBLE), 0) AS BIGINT)
+        |      AS p_den
+        |  FROM j),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    SUM(CAST(l_num AS DECIMAL(38,0))) AS ln,
+        |    SUM(CAST(l_den AS DECIMAL(38,0))) AS ld,
+        |    SUM(CAST(p_num AS DECIMAL(38,0))) AS pn,
+        |    SUM(CAST(p_den AS DECIMAL(38,0))) AS pd
+        |  FROM t)
+        |SELECT n_parts,
+        |  CASE WHEN $piGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |    CAST(round(CAST(ln AS DOUBLE) / CAST(ld AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) END AS laspeyres_micro,
+        |  CASE WHEN $piGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |    CAST(round(CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) *
+        |    1000000.0, 0) AS BIGINT) END AS paasche_micro,
+        |  CASE WHEN $piGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |    CAST(round(sqrt((CAST(ln AS DOUBLE) / CAST(ld AS DOUBLE))
+        |    * (CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE))) * 1000000.0,
+        |    0) AS BIGINT) END AS fisher_micro
+        |FROM m""".stripMargin),
+      "Laspeyres/Paasche/Fisher price indexes across the ship-date " +
+        "split (frozen per-part terms, exact basket sums)"),
   )
 
   /** The q_jarque_bera skewness / excess-kurtosis expression over the
@@ -5917,6 +6208,28 @@ object Analytics {
   private def neymanSigmaE: String =
     s"sqrt((${dblE("n")} * ${dblE("sxx")} - ${dblE("sx")} * " +
       s"${dblE("sx")}) / (${dblE("n")} * ${dblE("n - 1")}))"
+
+  /** q_engle_granger step-1 OLS denominator n·Sxx − Sx². */
+  private def egDenE: String =
+    s"(${dblE("n")} * ${dblE("sxx")} - ${dblE("sx")} * ${dblE("sx")})"
+
+  /** q_engle_granger per-day step-1 residual yv − b0 − b1·xv. */
+  private def egResidE: String = {
+    val b1 = s"((${dblE("n")} * ${dblE("sxy")} - ${dblE("sx")} * " +
+      s"${dblE("sy")}) / $egDenE)"
+    val b0 = s"((${dblE("sy")} - $b1 * ${dblE("sx")}) / ${dblE("n")})"
+    s"(${dblE("yv")} - $b0 - $b1 * ${dblE("xv")})"
+  }
+
+  /** q_price_index per-part unit prices (cents, IEEE division). */
+  private def piP0E: String =
+    s"(${dblE("rev0")} / ${dblE("q0")})"
+  private def piP1E: String =
+    s"(${dblE("rev1")} / ${dblE("q1")})"
+
+  /** q_price_index degenerate guard: empty basket or zero deflator. */
+  private def piGuardE: String =
+    "(n_parts = 0 OR ld <= 0 OR pd <= 0)"
 
   /** q_cvm ω² = Σ_v c_v (A_v·m − B_v·n)² / (n·m·(n+m)²) over the exact
     * decimal cross-moment battery na/nb/scaa/scab/scbb. */

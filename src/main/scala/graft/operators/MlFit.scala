@@ -2081,6 +2081,172 @@ object MlFit {
         |FROM g ORDER BY gini_micro, threshold LIMIT 1""".stripMargin),
       "depth-1 decision stump: exact Gini-impurity argmin over the " +
         "doc-length value grain (two running sums, top-1 reduce)"),
+
+    // Breusch-Pagan heteroscedasticity test on the price ~ quantity
+    // OLS fit — the diagnostic that says whether that regression's
+    // standard errors can be trusted (squared residuals regressed on
+    // the covariate; LM = n·R²_aux ~ χ²(1) under homoscedasticity).
+    // TWO passes, both corpus-shaped: pass 1 is the exact OLS moment
+    // battery (one 1-row reduce); pass 2 re-scans with the 1-row
+    // battery broadcast back, freezes each squared residual to integer
+    // cents² (one IEEE expression per row over exact inputs — both
+    // engines compute the identical double, so the frozen value
+    // matches), and reduces the auxiliary battery in exact DECIMAL.
+    // The LM stat and its frozen χ²(1) fence compare are then pure
+    // expression parity. Degenerate aux variance emits NULL (q_ipw
+    // contract).
+    "q_breusch_pagan" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = Tables.load(s, d, "lineitem")
+          .select($"l_quantity".cast("bigint").as("x"),
+            expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+              .as("y"))
+        val m1 = li.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+          sum($"y".cast(d38)).as("sy"),
+          sum($"x".cast(d19) * $"y".cast(d19)).as("sxy"))
+          .localCheckpoint()
+        li.crossJoin(broadcast(m1))
+          .selectExpr("n", "sx", "sxx",
+            s"$bpE2E AS e2", "x")
+          .groupBy($"n", $"sx", $"sxx")
+          .agg(sum($"e2".cast(d38)).as("se2"),
+            sum($"x".cast(d19) * $"e2".cast(d19)).as("sxe2"),
+            sum($"e2".cast(d19) * $"e2".cast(d19)).as("se2e2"))
+          .selectExpr("n",
+            s"CASE WHEN $bpGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              s"CAST(round($bpLmE * 1000000.0, 0) AS BIGINT) END " +
+              "AS lm_micro")
+          .selectExpr("n", "lm_micro",
+            "CASE WHEN lm_micro IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE lm_micro > 3841459 END AS het_05")
+      },
+      Some(s"""WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM li),
+        |e AS (
+        |  SELECT n, sx, sxx, x,
+        |    $bpE2E AS e2
+        |  FROM li, m1),
+        |m2 AS (
+        |  SELECT n, sx, sxx,
+        |    SUM(CAST(e2 AS DECIMAL(38,0))) AS se2,
+        |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(e2 AS DECIMAL(19,0)))
+        |      AS sxe2,
+        |    SUM(CAST(e2 AS DECIMAL(19,0)) * CAST(e2 AS DECIMAL(19,0)))
+        |      AS se2e2
+        |  FROM e GROUP BY 1, 2, 3),
+        |o AS (
+        |  SELECT n,
+        |    CASE WHEN $bpGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |      CAST(round($bpLmE * 1000000.0, 0) AS BIGINT) END
+        |      AS lm_micro
+        |  FROM m2)
+        |SELECT n, lm_micro,
+        |  CASE WHEN lm_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE lm_micro > 3841459 END AS het_05
+        |FROM o""".stripMargin),
+      "Breusch-Pagan heteroscedasticity LM test on the price~quantity " +
+        "fit (frozen squared residuals, exact auxiliary battery)"),
+
+    // Chow structural-break test of the same price ~ quantity relation
+    // across the 1998-01-01 ship-date split: did the pricing relation
+    // CHANGE between the two halves of the history? F = ((SSR_pooled −
+    // SSR_1 − SSR_2)/k) / ((SSR_1 + SSR_2)/(n − 2k)), k = 2. ALL
+    // three segment batteries come from ONE conditional 1-row
+    // reduction (the q_rdd side pattern — pooled sums are the sums of
+    // the sides, so nothing is scanned twice), each SSR is the
+    // closed-form centered expression over exact decimal moments, and
+    // the frozen F compares against the frozen F(2,∞) 95% fence
+    // (2.996). Degenerate sides emit NULL.
+    "q_chow" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = Tables.load(s, d, "lineitem")
+          .select($"l_quantity".cast("bigint").as("x"),
+            expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+              .as("y"),
+            ($"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+              .as("pre"))
+        def side(p: String,
+            cond: org.apache.spark.sql.Column) = Seq(
+          sum(when(cond, 1L).otherwise(0L)).as(s"n$p"),
+          sum(when(cond, $"x".cast(d38))).as(s"sx$p"),
+          sum(when(cond, $"y".cast(d38))).as(s"sy$p"),
+          sum(when(cond, $"x".cast(d19) * $"x".cast(d19)))
+            .as(s"sxx$p"),
+          sum(when(cond, $"x".cast(d19) * $"y".cast(d19)))
+            .as(s"sxy$p"),
+          sum(when(cond, $"y".cast(d19) * $"y".cast(d19)))
+            .as(s"syy$p"))
+        val cols = side("1", $"pre") ++ side("2", !$"pre")
+        li.agg(cols.head, cols.tail: _*)
+          .selectExpr("n1 AS n_pre", "n2 AS n_post",
+            s"CASE WHEN $chowGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              s"CAST(round($chowFE * 1000000.0, 0) AS BIGINT) END " +
+              "AS f_micro")
+          .selectExpr("n_pre", "n_post", "f_micro",
+            "CASE WHEN f_micro IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE f_micro > 2996000 END AS break_05")
+      },
+      Some(s"""WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+        |    l_shipdate < TIMESTAMP '1998-01-01' AS pre
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    SUM(CASE WHEN pre THEN CAST(x AS DECIMAL(38,0)) END)
+        |      AS sx1,
+        |    SUM(CASE WHEN pre THEN CAST(y AS DECIMAL(38,0)) END)
+        |      AS sy1,
+        |    SUM(CASE WHEN pre THEN CAST(x AS DECIMAL(19,0)) *
+        |      CAST(x AS DECIMAL(19,0)) END) AS sxx1,
+        |    SUM(CASE WHEN pre THEN CAST(x AS DECIMAL(19,0)) *
+        |      CAST(y AS DECIMAL(19,0)) END) AS sxy1,
+        |    SUM(CASE WHEN pre THEN CAST(y AS DECIMAL(19,0)) *
+        |      CAST(y AS DECIMAL(19,0)) END) AS syy1,
+        |    CAST(SUM(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    SUM(CASE WHEN NOT pre THEN CAST(x AS DECIMAL(38,0)) END)
+        |      AS sx2,
+        |    SUM(CASE WHEN NOT pre THEN CAST(y AS DECIMAL(38,0)) END)
+        |      AS sy2,
+        |    SUM(CASE WHEN NOT pre THEN CAST(x AS DECIMAL(19,0)) *
+        |      CAST(x AS DECIMAL(19,0)) END) AS sxx2,
+        |    SUM(CASE WHEN NOT pre THEN CAST(x AS DECIMAL(19,0)) *
+        |      CAST(y AS DECIMAL(19,0)) END) AS sxy2,
+        |    SUM(CASE WHEN NOT pre THEN CAST(y AS DECIMAL(19,0)) *
+        |      CAST(y AS DECIMAL(19,0)) END) AS syy2
+        |  FROM li),
+        |o AS (
+        |  SELECT n1 AS n_pre, n2 AS n_post,
+        |    CASE WHEN $chowGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |      CAST(round($chowFE * 1000000.0, 0) AS BIGINT) END
+        |      AS f_micro
+        |  FROM m)
+        |SELECT n_pre, n_post, f_micro,
+        |  CASE WHEN f_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE f_micro > 2996000 END AS break_05
+        |FROM o""".stripMargin),
+      "Chow structural-break F test of price~quantity across the " +
+        "ship-date split (one conditional battery, closed-form SSRs)"),
   )
 
   /** q_logistic step-1 gradient (g0, g1) at b = (0,0): p = 1/2 exactly,
@@ -2123,4 +2289,82 @@ object MlFit {
       else s"(${h._1} * ${g._2} - ${h._2} * ${g._1})"
     s"(CASE WHEN $det = 0.0 THEN NULL ELSE $num / $det END)"
   }
+
+  /** Double cast shorthand for the q_breusch_pagan / q_chow strings. */
+  private def mfD(c: String): String = s"CAST($c AS DOUBLE)"
+
+  /** q_breusch_pagan main-fit slope over the exact battery. */
+  private def bpB1E: String =
+    s"((${mfD("n")} * ${mfD("sxy")} - ${mfD("sx")} * ${mfD("sy")}) / " +
+      s"(${mfD("n")} * ${mfD("sxx")} - ${mfD("sx")} * ${mfD("sx")}))"
+
+  /** q_breusch_pagan main-fit intercept. */
+  private def bpB0E: String =
+    s"((${mfD("sy")} - $bpB1E * ${mfD("sx")}) / ${mfD("n")})"
+
+  /** q_breusch_pagan per-row residual y − b0 − b1·x (cents). */
+  private def bpResidE: String =
+    s"(${mfD("y")} - $bpB0E - $bpB1E * ${mfD("x")})"
+
+  /** q_breusch_pagan frozen squared residual, guarded so a
+    * zero-x-variance main fit yields 0 (not NaN: Spark rounds NaN to
+    * 0 where DuckDB's CAST errors — the q_rdd contract; the aux-
+    * battery guard then NULLs the readout anyway). */
+  private def bpE2E: String =
+    s"(CASE WHEN (${mfD("n")} * ${mfD("sxx")} - ${mfD("sx")} * " +
+      s"${mfD("sx")}) = 0.0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"CAST(round(($bpResidE) * ($bpResidE), 0) AS BIGINT) END)"
+
+  /** q_breusch_pagan degenerate guard: zero x-variance in the main fit
+    * or zero variance of the squared residuals. */
+  private def bpGuardE: String =
+    s"((${mfD("n")} * ${mfD("sxx")} - ${mfD("sx")} * ${mfD("sx")}) " +
+      s"= 0.0 OR (${mfD("n")} * ${mfD("se2e2")} - " +
+      s"${mfD("se2")} * ${mfD("se2")}) <= 0.0)"
+
+  /** q_breusch_pagan LM = n·R² of e² ~ x. */
+  private def bpLmE: String = {
+    val num = s"(${mfD("n")} * ${mfD("sxe2")} - " +
+      s"${mfD("sx")} * ${mfD("se2")})"
+    s"(${mfD("n")} * $num * $num / " +
+      s"((${mfD("n")} * ${mfD("sxx")} - ${mfD("sx")} * ${mfD("sx")}) " +
+      s"* (${mfD("n")} * ${mfD("se2e2")} - " +
+      s"${mfD("se2")} * ${mfD("se2")})))"
+  }
+
+  /** q_chow closed-form SSR over a six-moment battery given as
+    * expression strings (so the pooled battery can be the sums of the
+    * sides without a second scan). */
+  private def chowSsr(n: String, sx: String, sy: String, sxx: String,
+      sxy: String, syy: String): String = {
+    val sxxc = s"(${mfD(sxx)} - ${mfD(sx)} * ${mfD(sx)} / ${mfD(n)})"
+    val sxyc = s"(${mfD(sxy)} - ${mfD(sx)} * ${mfD(sy)} / ${mfD(n)})"
+    val syyc = s"(${mfD(syy)} - ${mfD(sy)} * ${mfD(sy)} / ${mfD(n)})"
+    s"($syyc - $sxyc * $sxyc / $sxxc)"
+  }
+
+  private def chowSsr1: String =
+    chowSsr("n1", "sx1", "sy1", "sxx1", "sxy1", "syy1")
+  private def chowSsr2: String =
+    chowSsr("n2", "sx2", "sy2", "sxx2", "sxy2", "syy2")
+  private def chowSsrP: String =
+    chowSsr("(n1 + n2)", "(sx1 + sx2)", "(sy1 + sy2)",
+      "(sxx1 + sxx2)", "(sxy1 + sxy2)", "(syy1 + syy2)")
+
+  /** q_chow degenerate guard: a side too small or variance-free, or a
+    * zero residual floor (perfect fits make the F denominator 0). */
+  private def chowGuardE: String =
+    s"(n1 < 3 OR n2 < 3 OR " +
+      s"(${mfD("n1")} * ${mfD("sxx1")} - ${mfD("sx1")} * " +
+      s"${mfD("sx1")}) = 0.0 OR " +
+      s"(${mfD("n2")} * ${mfD("sxx2")} - ${mfD("sx2")} * " +
+      s"${mfD("sx2")}) = 0.0 OR " +
+      s"(${mfD("(n1 + n2)")} * ${mfD("(sxx1 + sxx2)")} - " +
+      s"${mfD("(sx1 + sx2)")} * ${mfD("(sx1 + sx2)")}) = 0.0 OR " +
+      s"($chowSsr1 + $chowSsr2) <= 0.0)"
+
+  /** q_chow F = ((SSR_p − SSR_1 − SSR_2)/2) / ((SSR_1+SSR_2)/(n−4)). */
+  private def chowFE: String =
+    s"((($chowSsrP - $chowSsr1 - $chowSsr2) / 2.0) / " +
+      s"(($chowSsr1 + $chowSsr2) / ${mfD("(n1 + n2 - 4)")}))"
 }

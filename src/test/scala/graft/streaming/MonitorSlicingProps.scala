@@ -18,11 +18,14 @@ import org.scalacheck.{Gen, Prop, Properties}
   * This is the PartialsStore contract stated in its scaladoc
   * ("the merged table over ANY batch slicing equals a one-shot pass
   * bit-for-bit") finally tested as a property instead of at three
-  * hand-picked slicings. All 10 monitors ride the same generator:
+  * hand-picked slicings. All 11 monitors ride the same generator:
   * eval (pass@k + majority vote), anomaly z-scores, experiment
   * report, drift PSI, conformal coverage, SRM, dispersion, quality
   * mix (+ its r14 OOV readout), and the r14 Wilson-CI conversion
-  * and QTE-grid monitors.
+  * and QTE-grid monitors, and the r15 retention
+  * monitor (whose first-seen cohort min is DERIVED at readout —
+  * slicing a user's first day across batches is exactly what this
+  * property stresses).
   *
   * Slicing grain: raw rows for the event/order monitors (cells span
   * batches freely — the harder direction); whole documents for the
@@ -103,7 +106,10 @@ object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
       Seq(p => rows(CiStream.wilsonFromPartials(spark, p)))),
     Monitor("qte", "QteStream.gridPartials", () => events,
       QteStream.gridPartials,
-      Seq(p => rows(QteStream.qteFromPartials(spark, p)))))
+      Seq(p => rows(QteStream.qteFromPartials(spark, p)))),
+    Monitor("retention", "RetentionStream.presencePartials", () => events,
+      RetentionStream.presencePartials,
+      Seq(p => rows(RetentionStream.retentionFromPartials(spark, p)))))
 
   /** Producers deliberately OUTSIDE the bit-for-bit slicing contract:
     * EventStream's sketch sinks merge HLL/KLL summaries whose internal
@@ -163,7 +169,7 @@ object MonitorSlicingProps extends Properties("PartialsStore.monitors") {
     bs.zip(bs.tail)
   }
 
-  property("k-batch ingest == one-shot for all 10 monitors under " +
+  property("k-batch ingest == one-shot for all 11 monitors under " +
     "random slicings with forced empty + 1-row batches") =
     Prop.forAll(genSlicing) { case (cuts, fj) =>
       Prop.all(monitors.flatMap { m =>
