@@ -2247,6 +2247,130 @@ object MlFit {
         |FROM o""".stripMargin),
       "Chow structural-break F test of price~quantity across the " +
         "ship-date split (one conditional battery, closed-form SSRs)"),
+
+    // Poisson regression of per-customer order COUNT on account
+    // balance — the count-data member that completes the GLM family
+    // next to q_logistic (binary) and q_ols_normal (gaussian), by the
+    // same two-step value-grain Newton/IRLS recipe: the corpus
+    // collapses to a ~23-cell balance grid (500-dollar buckets, shifted
+    // non-negative before the floor division), step 1 starts at the
+    // closed-form null fit (b0 = ln ȳ frozen to 9 dp, b1 = 0 — where
+    // the IRLS weight is the constant frozen ȳ, so the whole step is
+    // exact battery arithmetic), and step 2 freezes each cell's
+    // predicted mean exp(b0 + b1·x) to a clamped DECIMAL(12,9) so the
+    // gradient/Hessian sums are exact decimals in both engines. The
+    // 999-clamp keeps a hypothetical runaway mean inside the decimal
+    // width in BOTH engines instead of Spark nulling while DuckDB
+    // errors. Singular Hessians emit NULL via the shared newtonE
+    // guard. Scale: one customer-grain shuffle, then grid-bounded
+    // work.
+    "q_poisson_reg" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val oc = Tables.load(s, d, "orders")
+          .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+        val grid = Tables.load(s, d, "customer")
+          .select($"c_custkey",
+            expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + " +
+              "100000) div 50000").as("cell"))
+          .join(oc, $"c_custkey" === $"o_custkey", "left")
+          .select($"cell", coalesce($"cnt", lit(0L)).as("y"))
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+          .localCheckpoint()
+        val m1 = grid.agg(count(lit(1)).as("n_cells"),
+          sum($"n").as("tn"), sum($"sy").as("ts"),
+          sum($"cell".cast(d38) * $"n".cast(d38)).as("sxn"),
+          sum($"cell".cast(d38) * $"sy".cast(d38)).as("sxs"),
+          sum($"cell".cast(d38) * $"cell".cast(d38) * $"n".cast(d38))
+            .as("sxxn"))
+        val step1 = m1.select($"n_cells", $"tn",
+          expr(s"(round(ln($poisMu0E), 9) + " +
+            s"${newtonE(poisG1, poisH1, 0)})").as("b0a"),
+          expr(newtonE(poisG1, poisH1, 1)).as("b1a"))
+        val terms = grid.crossJoin(broadcast(step1))
+          .select($"n_cells", $"tn", $"b0a", $"b1a", $"cell", $"n",
+            $"sy",
+            expr(poisMu9E).as("mu9"))
+          .select($"n_cells", $"tn", $"b0a", $"b1a",
+            ($"sy".cast("decimal(10,0)") -
+              $"n".cast("decimal(10,0)") * $"mu9").as("g0t"),
+            ($"cell".cast("decimal(4,0)") *
+              ($"sy".cast("decimal(10,0)") -
+                $"n".cast("decimal(10,0)") * $"mu9")).as("g1t"),
+            ($"n".cast("decimal(10,0)") * $"mu9").as("h00t"),
+            ($"cell".cast("decimal(4,0)") *
+              $"n".cast("decimal(10,0)") * $"mu9").as("h01t"),
+            ($"cell".cast("decimal(4,0)") * $"cell".cast("decimal(4,0)")
+              * $"n".cast("decimal(10,0)") * $"mu9").as("h11t"))
+        terms
+          .groupBy($"n_cells", $"tn", $"b0a", $"b1a")
+          .agg(sum($"g0t").as("g0"), sum($"g1t").as("g1c"),
+            sum($"h00t").as("h00"), sum($"h01t").as("h01c"),
+            sum($"h11t").as("h11cc"))
+          .select($"n_cells", $"tn".as("n"),
+            expr(s"CAST(round((b0a + ${newtonE(poisG2, poisH2, 0)})" +
+              " * 1000000.0, 0) AS BIGINT)").as("b0_micro"),
+            expr(s"CAST(round((b1a + ${newtonE(poisG2, poisH2, 1)})" +
+              " * 1000000.0, 0) AS BIGINT)").as("b1_micro"))
+      },
+      Some(s"""WITH oc AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |grid AS (
+        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM (
+        |    SELECT (CAST(round(c_acctbal * 100, 0) AS BIGINT) +
+        |      100000) // 50000 AS cell, COALESCE(cnt, 0) AS y
+        |    FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+        |  GROUP BY 1),
+        |m1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(sy) AS BIGINT) AS ts,
+        |    SUM(CAST(cell AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |      AS sxn,
+        |    SUM(CAST(cell AS DECIMAL(19,0)) *
+        |      CAST(sy AS DECIMAL(19,0))) AS sxs,
+        |    SUM(CAST(cell AS DECIMAL(12,0)) * CAST(cell AS
+        |      DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))) AS sxxn
+        |  FROM grid),
+        |s1_ AS (
+        |  SELECT n_cells, tn,
+        |    (round(ln($poisMu0E), 9) +
+        |      ${newtonE(poisG1, poisH1, 0)}) AS b0a,
+        |    ${newtonE(poisG1, poisH1, 1)} AS b1a
+        |  FROM m1),
+        |t AS (
+        |  SELECT n_cells, tn, b0a, b1a,
+        |    CAST(sy AS DECIMAL(10,0)) - CAST(n AS DECIMAL(10,0)) * mu9
+        |      AS g0t,
+        |    CAST(cell AS DECIMAL(4,0)) * (CAST(sy AS DECIMAL(10,0)) -
+        |      CAST(n AS DECIMAL(10,0)) * mu9) AS g1t,
+        |    CAST(n AS DECIMAL(10,0)) * mu9 AS h00t,
+        |    CAST(cell AS DECIMAL(4,0)) * CAST(n AS DECIMAL(10,0)) *
+        |      mu9 AS h01t,
+        |    CAST(cell AS DECIMAL(4,0)) * CAST(cell AS DECIMAL(4,0)) *
+        |      CAST(n AS DECIMAL(10,0)) * mu9 AS h11t
+        |  FROM (
+        |    SELECT grid.*, n_cells, tn, b0a, b1a, $poisMu9E AS mu9
+        |    FROM grid, s1_)),
+        |m2 AS (
+        |  SELECT n_cells, tn, b0a, b1a,
+        |    SUM(g0t) AS g0, SUM(g1t) AS g1c, SUM(h00t) AS h00,
+        |    SUM(h01t) AS h01c, SUM(h11t) AS h11cc
+        |  FROM t GROUP BY 1, 2, 3, 4)
+        |SELECT n_cells, tn AS n,
+        |  CAST(round((b0a + ${newtonE(poisG2, poisH2, 0)})
+        |    * 1000000.0, 0) AS BIGINT) AS b0_micro,
+        |  CAST(round((b1a + ${newtonE(poisG2, poisH2, 1)})
+        |    * 1000000.0, 0) AS BIGINT) AS b1_micro
+        |FROM m2""".stripMargin),
+      "Poisson regression of order counts on balance by two " +
+        "value-grain Newton/IRLS steps (closed-form null start, " +
+        "clamped 9-dp frozen cell means, grid-bounded sums)"),
   )
 
   /** q_logistic step-1 gradient (g0, g1) at b = (0,0): p = 1/2 exactly,
@@ -2292,6 +2416,37 @@ object MlFit {
 
   /** Double cast shorthand for the q_breusch_pagan / q_chow strings. */
   private def mfD(c: String): String = s"CAST($c AS DOUBLE)"
+
+  /** q_poisson_reg null-fit mean ȳ = ts/tn, frozen to 9 dp. */
+  private def poisMu0E: String =
+    "round(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE), 9)"
+
+  /** q_poisson_reg step-1 gradient at the null fit (μ constant). */
+  private def poisG1: (String, String) = (
+    s"(CAST(ts AS DOUBLE) - $poisMu0E * CAST(tn AS DOUBLE))",
+    s"(CAST(sxs AS DOUBLE) - $poisMu0E * CAST(sxn AS DOUBLE))")
+
+  /** q_poisson_reg step-1 Hessian at the null fit. */
+  private def poisH1: (String, String, String) = (
+    s"($poisMu0E * CAST(tn AS DOUBLE))",
+    s"($poisMu0E * CAST(sxn AS DOUBLE))",
+    s"($poisMu0E * CAST(sxxn AS DOUBLE))")
+
+  /** q_poisson_reg per-cell mean exp(b0 + b1·x), clamped to 999 (so
+    * the DECIMAL(12,9) freeze cannot overflow: Spark would NULL where
+    * DuckDB errors) and frozen to 9 dp. */
+  private def poisMu9E: String =
+    "CAST(round(LEAST(exp(b0a + b1a * CAST(cell AS DOUBLE)), 999.0), " +
+      "9) AS DECIMAL(12,9))"
+
+  /** q_poisson_reg step-2 gradient from the frozen-mean decimal sums. */
+  private def poisG2: (String, String) = (
+    "CAST(g0 AS DOUBLE)", "CAST(g1c AS DOUBLE)")
+
+  /** q_poisson_reg step-2 Hessian from the frozen-mean decimal sums. */
+  private def poisH2: (String, String, String) = (
+    "CAST(h00 AS DOUBLE)", "CAST(h01c AS DOUBLE)",
+    "CAST(h11cc AS DOUBLE)")
 
   /** q_breusch_pagan main-fit slope over the exact battery. */
   private def bpB1E: String =
