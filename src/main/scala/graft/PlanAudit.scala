@@ -108,7 +108,10 @@ object PlanAudit {
     "q_cvm" -> ("cumulative arm counts over the centi value grid — " +
       "bounded by the value domain (<= ~49k cells), the q_qte class"),
     "q_rbo" -> ("row_number over the 20-row post-limit top-k — " +
-      "constant-size input by construction"))
+      "constant-size input by construction"),
+    "q_mood_median" -> ("grand-median cumulative counts over the " +
+      "centi value grid — bounded by the value domain, the q_cvm " +
+      "class"))
 
   /** True when the physical-plan string contains a WindowExec with an
     * ORDER BY but no PARTITION BY — the all-rows-through-one-task shape.

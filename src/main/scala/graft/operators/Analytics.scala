@@ -6079,6 +6079,147 @@ object Analytics {
         |FROM m""".stripMargin),
       "Laspeyres/Paasche/Fisher price indexes across the ship-date " +
         "split (frozen per-part terms, exact basket sums)"),
+
+    // Moran's I spatial autocorrelation of per-nation revenue under
+    // the same-region contiguity weighting — "do high-revenue nations
+    // cluster within regions?", the spatial-stats primitive the
+    // per-group tests cannot express (it is about CROSS-unit
+    // covariance under a weight matrix). The whole statistic is EXACT
+    // integer arithmetic: deviations are computed in n-scaled units
+    // (Dᵢ = n·xᵢ − Σx, so no division ever happens), the block-weight
+    // numerator Σ_r[(Σ_r D)² − Σ_r D²] and the denominator Σ D² are
+    // exact DECIMAL(38) sums, and n/W is a ratio of exact counts —
+    // one IEEE division at the readout. The 25-nation grid keeps all
+    // post-aggregation work constant-size; the corpus shuffle is the
+    // nation-keyed revenue rollup.
+    "q_moran_i" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val nat = Tables.load(s, d, "orders")
+          .join(Tables.load(s, d, "customer")
+            .select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_nationkey".cast("bigint").as("nk"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("x"))
+        val tot = nat.agg(count(lit(1)).as("n"),
+          sum($"x".cast(d38)).as("sx"))
+        val dev = nat.crossJoin(broadcast(tot))
+          .select($"n", expr("nk div 5").as("reg"),
+            ($"n".cast(d38) * $"x".cast(d38) - $"sx").as("dd"))
+        val reg = dev.groupBy($"n", $"reg")
+          .agg(count(lit(1)).as("nr"),
+            sum($"dd").as("sd"), sum($"dd" * $"dd").as("sdd"))
+        reg.groupBy($"n")
+          .agg(sum($"nr" * ($"nr" - 1L)).as("w"),
+            sum($"sd" * $"sd" - $"sdd").as("num"),
+            sum($"sdd").as("den"))
+          .selectExpr("n AS n_nations", "w AS w_pairs",
+            "CASE WHEN w = 0 OR CAST(den AS DOUBLE) <= 0.0 THEN " +
+              "CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(CAST(n AS DOUBLE) / CAST(w AS DOUBLE) * " +
+              "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * " +
+              "1000000.0, 0) AS BIGINT) END AS morans_i_micro",
+            "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(-1000000.0 / CAST(n - 1 AS DOUBLE), 0) " +
+              "AS BIGINT) END AS expected_micro")
+      },
+      Some("""WITH nat AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS DECIMAL(38,0))) AS sx FROM nat),
+        |dev AS (
+        |  SELECT n, nk // 5 AS reg,
+        |    CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) - sx
+        |      AS dd
+        |  FROM nat, tot),
+        |reg AS (
+        |  SELECT n, reg, CAST(COUNT(*) AS BIGINT) AS nr,
+        |    SUM(dd) AS sd, SUM(dd * dd) AS sdd
+        |  FROM dev GROUP BY 1, 2),
+        |m AS (
+        |  SELECT n, CAST(SUM(nr * (nr - 1)) AS BIGINT) AS w,
+        |    SUM(sd * sd - sdd) AS num, SUM(sdd) AS den
+        |  FROM reg GROUP BY 1)
+        |SELECT n AS n_nations, w AS w_pairs,
+        |  CASE WHEN w = 0 OR CAST(den AS DOUBLE) <= 0.0 THEN
+        |    CAST(NULL AS BIGINT) ELSE
+        |    CAST(round(CAST(n AS DOUBLE) / CAST(w AS DOUBLE) *
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000.0,
+        |    0) AS BIGINT) END AS morans_i_micro,
+        |  CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE
+        |    CAST(round(-1000000.0 / CAST(n - 1 AS DOUBLE), 0)
+        |    AS BIGINT) END AS expected_micro
+        |FROM m""".stripMargin),
+      "Moran's I spatial autocorrelation of nation revenue under " +
+        "same-region weights (fully integer via n-scaled deviations)"),
+
+    // X̄ control chart over daily order values — the SPC primitive ops
+    // dashboards run on every metric: per-day subgroup means against
+    // x̄̄ ± 3σ/√n_d limits (variable subgroup sizes), reporting how
+    // many days signal and the first signaling day. Everything
+    // derives from exact integer cells: the global battery gives x̄̄
+    // and σ (sample), each day's comparison is one shared IEEE
+    // expression over exact integers — identical in both engines, so
+    // even the strict inequality decides identically. One day-grain
+    // rollup + a broadcast 1-row battery; the day table is
+    // calendar-bounded.
+    "q_spc_xbar" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val o = Tables.load(s, d, "orders")
+          .select(to_date($"o_orderdate").as("day"),
+            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+              .as("y"))
+        val daily = o.groupBy($"day")
+          .agg(count(lit(1)).as("nd"), sum($"y".cast(d38)).as("sd"))
+        val g = o.agg(count(lit(1)).as("n"),
+          sum($"y".cast(d38)).as("sy"),
+          sum($"y".cast(d19) * $"y".cast(d19)).as("syy"))
+        daily.crossJoin(broadcast(g))
+          .select($"day",
+            expr(s"CASE WHEN $spcGuardE THEN CAST(NULL AS BOOLEAN) " +
+              s"ELSE abs($spcMeanDE - $spcGmE) > 3.0 * $spcSigE / " +
+              "sqrt(CAST(nd AS DOUBLE)) END").as("ooc"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(when($"ooc", 1L).otherwise(0L)).as("n_ooc"),
+            min(when($"ooc", $"day")).as("first_ooc_day"))
+      },
+      Some(s"""WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+        |  FROM orders),
+        |daily AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sd
+        |  FROM o GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS syy
+        |  FROM o),
+        |t AS (
+        |  SELECT day,
+        |    CASE WHEN $spcGuardE THEN CAST(NULL AS BOOLEAN) ELSE
+        |      abs($spcMeanDE - $spcGmE) > 3.0 * $spcSigE /
+        |      sqrt(CAST(nd AS DOUBLE)) END AS ooc
+        |  FROM daily, g)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(CASE WHEN ooc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ooc,
+        |  MIN(CASE WHEN ooc THEN day END) AS first_ooc_day
+        |FROM t""".stripMargin),
+      "X-bar control chart over daily order values: per-day 3-sigma " +
+        "signals with variable subgroup sizes (exact batteries, one " +
+        "shared limit expression)"),
   )
 
   /** The q_jarque_bera skewness / excess-kurtosis expression over the
@@ -6230,6 +6371,24 @@ object Analytics {
   /** q_price_index degenerate guard: empty basket or zero deflator. */
   private def piGuardE: String =
     "(n_parts = 0 OR ld <= 0 OR pd <= 0)"
+
+  /** q_spc_xbar guard: a variance-free or trivial global battery. */
+  private def spcGuardE: String =
+    s"(n < 2 OR (${dblE("n")} * ${dblE("syy")} - " +
+      s"${dblE("sy")} * ${dblE("sy")}) <= 0.0)"
+
+  /** q_spc_xbar per-day subgroup mean (cents). */
+  private def spcMeanDE: String =
+    s"(${dblE("sd")} / ${dblE("nd")})"
+
+  /** q_spc_xbar grand mean (cents). */
+  private def spcGmE: String =
+    s"(${dblE("sy")} / ${dblE("n")})"
+
+  /** q_spc_xbar global sample σ (cents). */
+  private def spcSigE: String =
+    s"sqrt((${dblE("n")} * ${dblE("syy")} - ${dblE("sy")} * " +
+      s"${dblE("sy")}) / (${dblE("n")} * ${dblE("n - 1")}))"
 
   /** q_cvm ω² = Σ_v c_v (A_v·m − B_v·n)² / (n·m·(n+m)²) over the exact
     * decimal cross-moment battery na/nb/scaa/scab/scbb. */

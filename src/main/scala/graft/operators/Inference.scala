@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GQuery, Tables}
+import graft.{Fns, GQuery, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3379,6 +3379,388 @@ object Inference {
       "FWL partialling-out / nation-fixed-effects within estimator " +
         "with the pooled slope for confounding contrast (exact " +
         "decimal batteries, frozen per-group terms)"),
+
+    // Mood's median test across the event types — the nonparametric
+    // k-sample location test that only needs counts above/below the
+    // GRAND median, so it is robust where q_anova is not and cheaper
+    // than the rank tests (no per-group rank sums). ANCHOR-FREE
+    // shape: the grand median is never materialized — a grid value v
+    // sits strictly above the median iff 2·(cum(v) − cnt(v)) ≥ N, a
+    // per-row fact of the cumulative pass over the value-domain-
+    // bounded grid (the q_cvm class; N rides the same window as a
+    // full-frame sum, same exchange). Per-type cells then come from a
+    // v-keyed hash join of the (type, v) grid to those flags, and the
+    // 2×k χ² collapses to ONE reduction via its sufficient-statistic
+    // identity χ² = N²/(ta·tb)·(Σ_g a_g²/n_g − ta²/N), with each
+    // group's a²/n frozen to nano. Exactly two single-partition
+    // exchanges: the grid window and the 1-row readout. Degenerate
+    // margins (every value on one side) emit NULL.
+    "q_mood_median" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val g2 = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type",
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("v"))
+          .groupBy($"event_type", $"v")
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy($"v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .orderBy($"v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window
+              .unboundedFollowing)
+        val flags = g2.groupBy($"v").agg(sum($"cnt").as("cv"))
+          .withColumn("cum", sum($"cv").over(wCum))
+          .withColumn("ntot", sum($"cv").over(wAll))
+          .select($"v", (($"cum" - $"cv") * 2L >= $"ntot").as("abv"))
+        g2.join(flags, "v")
+          .groupBy($"event_type")
+          .agg(sum(when($"abv", $"cnt").otherwise(0L)).as("a"),
+            sum(when(!$"abv", $"cnt").otherwise(0L)).as("b"))
+          .select($"a", $"b",
+            expr(s"CAST(round($moodS9E * 1000000000.0, 0) AS BIGINT)")
+              .as("s9"))
+          .agg(count(lit(1)).as("k"), sum($"a").as("ta"),
+            sum($"b").as("tb"), sum($"s9").as("ss9"))
+          .selectExpr("k", "ta + tb AS n",
+            s"CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS BIGINT) " +
+              s"ELSE CAST(round($moodChi2E * 1000000.0, 0) AS BIGINT)" +
+              " END AS chi2_micro")
+          .selectExpr("k", "n", "chi2_micro",
+            "CASE WHEN chi2_micro IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE chi2_micro > 9487729 END AS reject_05")
+      },
+      Some(s"""WITH g2 AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT)
+        |    AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |flags AS (
+        |  SELECT v, (cum - cv) * 2 >= ntot AS abv FROM (
+        |    SELECT v, cv,
+        |      SUM(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND UNBOUNDED FOLLOWING) AS ntot
+        |    FROM (SELECT v, CAST(SUM(cnt) AS BIGINT) AS cv
+        |          FROM g2 GROUP BY 1))),
+        |cells AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN abv THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN abv THEN 0 ELSE cnt END) AS BIGINT)
+        |      AS b
+        |  FROM g2 JOIN flags ON g2.v = flags.v GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT)
+        |      AS tb,
+        |    CAST(SUM(CAST(round($moodS9E * 1000000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS ss9
+        |  FROM cells),
+        |o AS (
+        |  SELECT k, ta + tb AS n,
+        |    CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS BIGINT)
+        |      ELSE CAST(round($moodChi2E * 1000000.0, 0) AS BIGINT)
+        |      END AS chi2_micro
+        |  FROM m)
+        |SELECT k, n, chi2_micro,
+        |  CASE WHEN chi2_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE chi2_micro > 9487729 END AS reject_05
+        |FROM o""".stripMargin),
+      "Mood's median test across event types (exact grid median, " +
+        "frozen per-type χ² terms)"),
+
+    // Bartlett's test of variance homogeneity across the event types —
+    // the parametric counterpart of q_levene (more powerful under
+    // normality, the standard pre-check before pooling variances).
+    // Per-type variances come from exact DECIMAL(18,6) batteries; each
+    // ln(s²) is frozen to 9 dp (the q_mutual_info transcendental
+    // rule) and each 1/(n_i−1) to 12 dp, so BOTH cross-group sums are
+    // exact decimal reductions — order-independent. The pooled
+    // variance uses micro-frozen per-type variances over an exact
+    // integer-weighted sum. Any type with n < 2 or zero variance
+    // NULLs the readout.
+    "q_bartlett" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val dd = Fns.D18_6
+        val g = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type", $"value".cast(dd).as("v"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("ng"), sum($"v").as("sg"),
+            sum($"v" * $"v").as("qg"))
+          .select($"ng",
+            expr(s"CASE WHEN ng < 2 OR $bartS2E <= 0.0 THEN NULL " +
+              s"ELSE CAST(round($bartS2E * 1000000.0, 0) AS BIGINT) " +
+              "END").as("s2mic"),
+            expr(s"CASE WHEN ng < 2 OR $bartS2E <= 0.0 THEN NULL " +
+              s"ELSE CAST(round(ln($bartS2E), 9) AS DECIMAL(12,9)) " +
+              "END").as("ln9"),
+            expr("CASE WHEN ng < 2 THEN NULL ELSE " +
+              "CAST(round(1.0 / CAST(ng - 1 AS DOUBLE), 12) AS " +
+              "DECIMAL(14,12)) END").as("inv12"))
+        g.agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+          sum(($"ng" - 1L) * $"s2mic").as("ws2"),
+          sum(($"ng" - 1L).cast("decimal(19,0)") * $"ln9").as("wln"),
+          sum($"inv12").as("sinv"),
+          sum(when($"s2mic".isNull, 1L).otherwise(0L)).as("bad"))
+          .selectExpr("k", "n",
+            s"CASE WHEN bad > 0 OR k < 2 OR n <= k THEN " +
+              s"CAST(NULL AS BIGINT) ELSE " +
+              s"CAST(round($bartTE * 1000000.0, 0) AS BIGINT) END " +
+              "AS bartlett_micro")
+          .selectExpr("k", "n", "bartlett_micro",
+            "CASE WHEN bartlett_micro IS NULL THEN CAST(NULL AS " +
+              "BOOLEAN) ELSE bartlett_micro > 9487729 END " +
+              "AS reject_05")
+      },
+      Some(s"""WITH g0 AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sg,
+        |    SUM(CAST(value AS DECIMAL(18,6)) *
+        |      CAST(value AS DECIMAL(18,6))) AS qg
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT ng,
+        |    CASE WHEN ng < 2 OR $bartS2E <= 0.0 THEN NULL ELSE
+        |      CAST(round($bartS2E * 1000000.0, 0) AS BIGINT) END
+        |      AS s2mic,
+        |    CASE WHEN ng < 2 OR $bartS2E <= 0.0 THEN NULL ELSE
+        |      CAST(round(ln($bartS2E), 9) AS DECIMAL(12,9)) END
+        |      AS ln9,
+        |    CASE WHEN ng < 2 THEN NULL ELSE
+        |      CAST(round(1.0 / CAST(ng - 1 AS DOUBLE), 12) AS
+        |      DECIMAL(14,12)) END AS inv12
+        |  FROM g0),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM((ng - 1) * s2mic) AS BIGINT) AS ws2,
+        |    SUM(CAST(ng - 1 AS DECIMAL(19,0)) * ln9) AS wln,
+        |    SUM(inv12) AS sinv,
+        |    CAST(SUM(CASE WHEN s2mic IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bad
+        |  FROM g),
+        |o AS (
+        |  SELECT k, n,
+        |    CASE WHEN bad > 0 OR k < 2 OR n <= k THEN
+        |      CAST(NULL AS BIGINT) ELSE
+        |      CAST(round($bartTE * 1000000.0, 0) AS BIGINT) END
+        |      AS bartlett_micro
+        |  FROM m)
+        |SELECT k, n, bartlett_micro,
+        |  CASE WHEN bartlett_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE bartlett_micro > 9487729 END AS reject_05
+        |FROM o""".stripMargin),
+      "Bartlett variance-homogeneity test across event types (frozen " +
+        "per-type ln-variances, exact weighted sums)"),
+
+    // Cochran-Armitage trend test: does the return probability TREND
+    // with quantity? The 2×k test with ORDERED scores — what q_chi2
+    // (unordered) cannot see: a monotone dose-response concentrated in
+    // one degree of freedom. Scores are the integer quantity levels,
+    // every moment is an exact BIGINT sum over the ≤50-level grid, and
+    // the z² statistic is one shared IEEE expression. Degenerate
+    // margins (no returns, all returns, or a single level) emit NULL.
+    "q_cochran_armitage" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .select($"l_quantity".cast("bigint").as("sc"),
+            ($"l_returnflag" === "R").cast("long").as("r"))
+          .groupBy($"sc")
+          .agg(count(lit(1)).as("ng"), sum($"r").as("rg"))
+          .agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+            sum($"rg").as("rr"),
+            sum($"ng" * $"sc").as("ss"),
+            sum($"rg" * $"sc").as("srs"),
+            sum($"ng" * $"sc" * $"sc").as("sns2"))
+          .selectExpr("k", "n", "rr AS n_return",
+            s"CASE WHEN $caGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              s"CAST(round($caZ2E * 1000000.0, 0) AS BIGINT) END " +
+              "AS z2_micro")
+          .selectExpr("k", "n", "n_return", "z2_micro",
+            "CASE WHEN z2_micro IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE z2_micro > 3841459 END AS trend_05")
+      },
+      Some(s"""WITH g AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS sc,
+        |    CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rg
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(rg) AS BIGINT) AS rr,
+        |    CAST(SUM(ng * sc) AS BIGINT) AS ss,
+        |    CAST(SUM(rg * sc) AS BIGINT) AS srs,
+        |    CAST(SUM(ng * sc * sc) AS BIGINT) AS sns2
+        |  FROM g),
+        |o AS (
+        |  SELECT k, n, rr AS n_return,
+        |    CASE WHEN $caGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |      CAST(round($caZ2E * 1000000.0, 0) AS BIGINT) END
+        |      AS z2_micro
+        |  FROM m)
+        |SELECT k, n, n_return, z2_micro,
+        |  CASE WHEN z2_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE z2_micro > 3841459 END AS trend_05
+        |FROM o""".stripMargin),
+      "Cochran-Armitage trend test of return rate over quantity " +
+        "levels (exact score moments, one reduce)"),
+
+    // Cochran-Mantel-Haenszel test of the segment→activity association
+    // STRATIFIED by nation — the epidemiology workhorse that q_chi2
+    // and q_odds_ratio cannot replace: it pools 25 per-nation 2×2
+    // tables (exposure = BUILDING segment, outcome = placed an order)
+    // without letting nation-mix confounding masquerade as
+    // association (the aggregate table is exactly where q_simpsons
+    // shows the paradox). Per-stratum (a − E) and V are single IEEE
+    // expressions over exact cells, frozen to nano before the
+    // cross-strata sums; strata too small to carry information
+    // (n < 2, or an empty margin → V = 0) contribute zero by the
+    // standard convention, stated here and mirrored in the oracle.
+    "q_cmh" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val oc = Tables.load(s, d, "orders")
+          .select($"o_custkey").distinct()
+          .withColumn("act", lit(1L))
+        val cells = Tables.load(s, d, "customer")
+          .join(oc, $"c_custkey" === $"o_custkey", "left")
+          .select($"c_nationkey",
+            ($"c_mktsegment" === "BUILDING").cast("long").as("e"),
+            coalesce($"act", lit(0L)).as("y"))
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("nn"),
+            sum($"e").as("r1"),
+            sum($"y").as("c1"),
+            sum($"e" * $"y").as("a"))
+        cells
+          .select(
+            expr(s"CASE WHEN $cmhSkipE THEN CAST(0 AS BIGINT) ELSE " +
+              s"CAST(round($cmhDevE * 1000000000.0, 0) AS BIGINT) " +
+              "END").as("dev9"),
+            expr(s"CASE WHEN $cmhSkipE THEN CAST(0 AS BIGINT) ELSE " +
+              s"CAST(round($cmhVarE * 1000000000.0, 0) AS BIGINT) " +
+              "END").as("v9"),
+            expr(s"CASE WHEN $cmhSkipE THEN CAST(0 AS BIGINT) ELSE " +
+              "CAST(1 AS BIGINT) END").as("used"))
+          .agg(count(lit(1)).as("n_strata"), sum($"used").as("n_used"),
+            sum($"dev9").as("sdev"), sum($"v9").as("sv"))
+          .selectExpr("n_strata", "n_used",
+            "CASE WHEN sv <= 0 THEN CAST(NULL AS BIGINT) ELSE " +
+              "CAST(round(CAST(sdev AS DOUBLE) * " +
+              "CAST(sdev AS DOUBLE) / CAST(sv AS DOUBLE) / " +
+              "1000.0, 0) AS BIGINT) END AS cmh_micro")
+          .selectExpr("n_strata", "n_used", "cmh_micro",
+            "CASE WHEN cmh_micro IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE cmh_micro > 3841459 END AS assoc_05")
+      },
+      Some(s"""WITH oc AS (
+        |  SELECT DISTINCT o_custkey, 1 AS act FROM orders),
+        |cells AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(SUM(COALESCE(act, 0)) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN COALESCE(act, 0) ELSE 0 END) AS BIGINT) AS a
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT
+        |    CASE WHEN $cmhSkipE THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(round($cmhDevE * 1000000000.0, 0) AS BIGINT) END
+        |      AS dev9,
+        |    CASE WHEN $cmhSkipE THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(round($cmhVarE * 1000000000.0, 0) AS BIGINT) END
+        |      AS v9,
+        |    CASE WHEN $cmhSkipE THEN 0 ELSE 1 END AS used
+        |  FROM cells),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(used) AS BIGINT) AS n_used,
+        |    CAST(SUM(dev9) AS BIGINT) AS sdev,
+        |    CAST(SUM(v9) AS BIGINT) AS sv
+        |  FROM t),
+        |o AS (
+        |  SELECT n_strata, n_used,
+        |    CASE WHEN sv <= 0 THEN CAST(NULL AS BIGINT) ELSE
+        |      CAST(round(CAST(sdev AS DOUBLE) * CAST(sdev AS DOUBLE)
+        |      / CAST(sv AS DOUBLE) / 1000.0, 0) AS BIGINT) END
+        |      AS cmh_micro
+        |  FROM m)
+        |SELECT n_strata, n_used, cmh_micro,
+        |  CASE WHEN cmh_micro IS NULL THEN CAST(NULL AS BOOLEAN)
+        |    ELSE cmh_micro > 3841459 END AS assoc_05
+        |FROM o""".stripMargin),
+      "Cochran-Mantel-Haenszel nation-stratified 2×2 association " +
+        "test (frozen per-stratum deviations and variances)"),
+
+    // Intraclass correlation ICC(1) of event values within event
+    // types — the reliability coefficient behind "how much of the
+    // variance is BETWEEN groups?", the continuous-outcome sibling of
+    // q_cohen_kappa/q_krippendorff. One-way ANOVA components from
+    // exact DECIMAL batteries: each per-group s²/n term is frozen to
+    // micro before the cross-group sum, the unbalanced-design group
+    // size n0 uses the exact Σn², and the final ratio is one shared
+    // expression. Degenerate designs (k < 2 or zero within variance)
+    // emit NULL.
+    "q_icc" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        val dd = Fns.D18_6
+        val g = Tables.load(s, d, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type", $"value".cast(dd).as("v"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("ng"), sum($"v").as("sg"),
+            sum($"v" * $"v").as("qg"))
+          .select($"ng", $"sg", $"qg",
+            expr("CAST(round(CAST(sg AS DOUBLE) * " +
+              "CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS " +
+              "DECIMAL(30,6))").as("s2n"))
+        g.agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+          sum($"sg").as("ts"), sum($"qg").as("tq"),
+          sum($"s2n").as("ts2n"),
+          sum($"ng" * $"ng").as("tn2"))
+          .selectExpr("k", "n",
+            s"CASE WHEN $iccGuardE THEN CAST(NULL AS BIGINT) ELSE " +
+              s"CAST(round($iccE * 1000000.0, 0) AS BIGINT) END " +
+              "AS icc_micro")
+      },
+      Some(s"""WITH g0 AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sg,
+        |    SUM(CAST(value AS DECIMAL(18,6)) *
+        |      CAST(value AS DECIMAL(18,6))) AS qg
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT ng, sg, qg,
+        |    CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |      CAST(ng AS DOUBLE), 6) AS DECIMAL(30,6)) AS s2n
+        |  FROM g0),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    SUM(sg) AS ts, SUM(qg) AS tq, SUM(s2n) AS ts2n,
+        |    CAST(SUM(ng * ng) AS BIGINT) AS tn2
+        |  FROM g)
+        |SELECT k, n,
+        |  CASE WHEN $iccGuardE THEN CAST(NULL AS BIGINT) ELSE
+        |    CAST(round($iccE * 1000000.0, 0) AS BIGINT) END
+        |    AS icc_micro
+        |FROM m""".stripMargin),
+      "intraclass correlation ICC(1) of values within event types " +
+        "(exact ANOVA batteries, frozen per-group terms)"),
   )
 
   /** q_event_study per-week treated-minus-control mean gap (micro):
@@ -3927,4 +4309,86 @@ object Inference {
     "((CAST(n AS DOUBLE) * CAST(tsdy AS DOUBLE) - " +
       "CAST(tsd AS DOUBLE) * CAST(tsy AS DOUBLE)) / " +
       s"$fwlPoolDenE)"
+
+  /** Double cast shorthand for the round-15 test-tier strings. */
+  private def ifD(c: String): String = s"CAST($c AS DOUBLE)"
+
+  /** q_mood_median per-group sufficient statistic a²/n_g (frozen to
+    * nano before the cross-group sum; margins never touch it). */
+  private def moodS9E: String =
+    s"(${ifD("a")} * ${ifD("a")} / ${ifD("a + b")})"
+
+  /** q_mood_median χ² from the one-reduction sufficient statistics:
+    * N²/(ta·tb)·(Σ a²/n − ta²/N). */
+  private def moodChi2E: String =
+    s"((${ifD("ta + tb")} * ${ifD("ta + tb")} / " +
+      s"(${ifD("ta")} * ${ifD("tb")})) * " +
+      s"(${ifD("ss9")} / 1000000000.0 - " +
+      s"${ifD("ta")} * ${ifD("ta")} / ${ifD("ta + tb")}))"
+
+  /** q_bartlett per-type sample variance from the exact battery. */
+  private def bartS2E: String =
+    s"((${ifD("ng")} * ${ifD("qg")} - ${ifD("sg")} * ${ifD("sg")}) / " +
+      s"(${ifD("ng")} * ${ifD("ng - 1")}))"
+
+  /** q_bartlett statistic T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C. */
+  private def bartTE: String = {
+    val s2p = s"(${ifD("ws2")} / 1000000.0 / ${ifD("n - k")})"
+    val num = s"(${ifD("n - k")} * round(ln($s2p), 9) - ${ifD("wln")})"
+    val c = s"(1.0 + (${ifD("sinv")} - 1.0 / ${ifD("n - k")}) / " +
+      s"(3.0 * ${ifD("k - 1")}))"
+    s"($num / $c)"
+  }
+
+  /** q_cochran_armitage degenerate guard. */
+  private def caGuardE: String =
+    s"(k < 2 OR rr = 0 OR rr = n OR (${ifD("sns2")} - " +
+      s"${ifD("ss")} * ${ifD("ss")} / ${ifD("n")}) <= 0.0)"
+
+  /** q_cochran_armitage trend z² over the exact score moments. */
+  private def caZ2E: String = {
+    val p = s"(${ifD("rr")} / ${ifD("n")})"
+    val num = s"(${ifD("srs")} - $p * ${ifD("ss")})"
+    val den = s"($p * (1.0 - $p) * (${ifD("sns2")} - " +
+      s"${ifD("ss")} * ${ifD("ss")} / ${ifD("n")}))"
+    s"($num * $num / $den)"
+  }
+
+  /** q_cmh strata skipped by the standard convention (V would be 0). */
+  private def cmhSkipE: String =
+    "(nn < 2 OR r1 = 0 OR r1 = nn OR c1 = 0 OR c1 = nn)"
+
+  /** q_cmh per-stratum a − E(a). */
+  private def cmhDevE: String =
+    s"(${ifD("a")} - ${ifD("r1")} * ${ifD("c1")} / ${ifD("nn")})"
+
+  /** q_cmh per-stratum hypergeometric variance. */
+  private def cmhVarE: String =
+    s"(${ifD("r1")} * ${ifD("nn - r1")} * ${ifD("c1")} * " +
+      s"${ifD("nn - c1")} / (${ifD("nn")} * ${ifD("nn")} * " +
+      s"${ifD("nn - 1")}))"
+
+  /** q_icc ANOVA pieces over the summed batteries. */
+  private def iccSsbE: String =
+    s"(${ifD("ts2n")} - ${ifD("ts")} * ${ifD("ts")} / ${ifD("n")})"
+  private def iccSswE: String =
+    s"(${ifD("tq")} - ${ifD("ts2n")})"
+  private def iccN0E: String =
+    s"((${ifD("n")} - ${ifD("tn2")} / ${ifD("n")}) / ${ifD("k - 1")})"
+
+  /** q_icc degenerate guard: trivial design or zero within variance
+    * (the denominator would vanish). */
+  private def iccGuardE: String = {
+    val msb = s"($iccSsbE / ${ifD("k - 1")})"
+    val msw = s"($iccSswE / ${ifD("n - k")})"
+    s"(k < 2 OR n <= k OR $iccSswE <= 0.0 OR " +
+      s"($msb + ($iccN0E - 1.0) * $msw) = 0.0)"
+  }
+
+  /** q_icc ICC(1) = (MSB − MSW) / (MSB + (n₀−1)·MSW). */
+  private def iccE: String = {
+    val msb = s"($iccSsbE / ${ifD("k - 1")})"
+    val msw = s"($iccSswE / ${ifD("n - k")})"
+    s"(($msb - $msw) / ($msb + ($iccN0E - 1.0) * $msw))"
+  }
 }

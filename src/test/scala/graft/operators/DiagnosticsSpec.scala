@@ -143,6 +143,81 @@ class DiagnosticsSpec extends SparkSpec {
       s"fisher $f outside [$l, $p]")
   }
 
+  test("q_moran_i matches a from-scratch weighted recount and its " +
+    "expectation is -1/(n-1)") {
+    val nat = spark.read.parquet(s"$d/orders.parquet")
+      .join(spark.read.parquet(s"$d/customer.parquet"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("x"))
+      .as[(Int, Long)].collect()
+    val n = nat.length
+    val xbar = nat.map(r => BigDecimal(r._2)).sum / n
+    val dev = nat.map(r => (r._1 / 5, BigDecimal(r._2) - xbar))
+    var num = BigDecimal(0); var w = 0L
+    for (i <- dev.indices; j <- dev.indices if i != j
+         if dev(i)._1 == dev(j)._1) {
+      num += dev(i)._2 * dev(j)._2; w += 1
+    }
+    val den = dev.map(v => v._2 * v._2).sum
+    val want = math.round(
+      (n.toDouble / w) * (num / den).toDouble * 1e6)
+    val row = SparkEntry.queries("q_moran_i")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == n.toLong && row._2 == w)
+    assert(math.abs(row._3 - want) <= 1L,
+      s"moran ${row._3} vs recount $want")
+    assert(row._4 == math.round(-1e6 / (n - 1)))
+  }
+
+  test("q_mood_median matches a from-scratch grand-median recount") {
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    val sorted = ev.map(_._2).sorted
+    val nTot = sorted.length
+    // smallest grid value with 2*cum >= N
+    val med = sorted(((nTot + 1) / 2) - 1)
+    val groups = ev.groupBy(_._1)
+    val cells = groups.map { case (_, rows) =>
+      (rows.count(_._2 > med).toLong, rows.count(_._2 <= med).toLong)
+    }.toSeq
+    val ta = cells.map(_._1).sum; val tb = cells.map(_._2).sum
+    val nn = (ta + tb).toDouble
+    val s9 = cells.map { case (a, b) =>
+      math.round(a.toDouble * a / (a + b) * 1e9)
+    }.sum
+    val chi2 = nn * nn / (ta.toDouble * tb) *
+      (s9 / 1e9 - ta.toDouble * ta / nn)
+    val row = SparkEntry.queries("q_mood_median")(spark, d)
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(row._1 == groups.size.toLong && row._2 == nTot.toLong)
+    assert(math.abs(row._3 - math.round(chi2 * 1e6)) <= 1L,
+      s"mood ${row._3} vs recount ${math.round(chi2 * 1e6)}")
+  }
+
+  test("q_cochran_armitage matches the closed-form recount on " +
+    "collected level counts") {
+    val g = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy($"l_quantity".cast("bigint"))
+      .agg(count(lit(1)), sum(($"l_returnflag" === "R").cast("long")))
+      .as[(Long, Long, Long)].collect()
+    val n = g.map(_._2).sum.toDouble; val r = g.map(_._3).sum.toDouble
+    val p = r / n
+    val ss = g.map(x => x._1 * x._2).sum.toDouble
+    val srs = g.map(x => x._1 * x._3).sum.toDouble
+    val sns2 = g.map(x => x._1 * x._1 * x._2).sum.toDouble
+    val z2 = math.pow(srs - p * ss, 2) /
+      (p * (1 - p) * (sns2 - ss * ss / n))
+    val row = SparkEntry.queries("q_cochran_armitage")(spark, d)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(math.abs(row._4 - math.round(z2 * 1e6)) <= 1L,
+      s"ca ${row._4} vs recount ${math.round(z2 * 1e6)}")
+  }
+
   test("q_neyman_alloc: weights proportional to N_h*sigma_h and the " +
     "floor split never exceeds the budget") {
     val rows = SparkEntry.queries("q_neyman_alloc")(spark, d)
