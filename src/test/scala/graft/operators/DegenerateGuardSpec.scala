@@ -140,4 +140,130 @@ class DegenerateGuardSpec extends SparkSpec {
     val mm = SparkEntry.queries("q_mmd")(spark, d).collect().head
     assert(!mm.isNullAt(mm.fieldIndex("mmd2_nano")))
   }
+
+  // ---- round-15 operators: every degenerate branch fires NULL ----
+
+  test("q_adf: a sub-3-day series yields NULL stats") {
+    val ord = Seq((ts("1995-01-01 00:00:00"), 10.0),
+      (ts("1995-01-02 00:00:00"), 12.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val d = corpusDir("orders" -> ord)
+    val r = SparkEntry.queries("q_adf")(spark, d).collect().head
+    assert(r.isNullAt(r.fieldIndex("gamma_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("df_stat_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("unit_root_05")), s"$r")
+  }
+
+  test("q_cvm: an empty arm yields NULL, not Inf->0") {
+    // every user_id even -> arm 1 empty
+    val ev = (1L to 20L).map(k =>
+      (k * 2L, 1.0 + k, ts("2024-01-20 00:00:00")))
+      .toDF("user_id", "value", "ts")
+    val d = corpusDir("events" -> ev)
+    val r = SparkEntry.queries("q_cvm")(spark, d).collect().head
+    assert(r.getAs[Long]("nb") == 0L)
+    assert(r.isNullAt(r.fieldIndex("cvm_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("reject_05")), s"$r")
+  }
+
+  test("q_psm_att: no control inside the caliper yields zero matches " +
+    "and NULL ATT (never a 0/0)") {
+    // treated at balance 0, controls 10,000 dollars away (> 5,000-cent
+    // caliper)
+    val cust = Seq((1L, "BUILDING", 0.0), (2L, "AUTOMOBILE", 9000.0),
+      (3L, "FURNITURE", 9000.0)).toDF(
+      "c_custkey", "c_mktsegment", "c_acctbal")
+    val ord = Seq((1L, 100.0), (2L, 50.0)).toDF(
+      "o_custkey", "o_totalprice")
+    val d = corpusDir("customer" -> cust, "orders" -> ord)
+    val r = SparkEntry.queries("q_psm_att")(spark, d).collect().head
+    assert(r.getAs[Long]("n_treated") == 1L)
+    assert(r.getAs[Long]("n_matched") == 0L)
+    assert(r.isNullAt(r.fieldIndex("att_cents")), s"$r")
+  }
+
+  test("q_chow: an empty period side yields NULL F") {
+    val li = (1L to 30L).map(k =>
+      (1.0 + (k % 5), 100.0 + k, ts("1995-06-01 00:00:00")))
+      .toDF("l_quantity", "l_extendedprice", "l_shipdate")
+    val d = corpusDir("lineitem" -> li)
+    val r = SparkEntry.queries("q_chow")(spark, d).collect().head
+    assert(r.getAs[Long]("n_post") == 0L)
+    assert(r.isNullAt(r.fieldIndex("f_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("break_05")), s"$r")
+  }
+
+  test("q_bartlett: a singleton group NULLs the statistic (its " +
+    "variance is undefined)") {
+    val ev = ((1L to 10L).map(k =>
+      ("click", 1.0 + k, ts("2024-01-20 00:00:00"))) :+
+      (("view", 5.0, ts("2024-01-20 00:00:00"))))
+      .toDF("event_type", "value", "ts")
+    val d = corpusDir("events" -> ev)
+    val r = SparkEntry.queries("q_bartlett")(spark, d).collect().head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.isNullAt(r.fieldIndex("bartlett_micro")), s"$r")
+  }
+
+  test("q_cochran_armitage: zero returns yield NULL (p(1-p) = 0)") {
+    val li = (1L to 30L).map(k => (1.0 + (k % 5), "N"))
+      .toDF("l_quantity", "l_returnflag")
+    val d = corpusDir("lineitem" -> li)
+    val r = SparkEntry.queries("q_cochran_armitage")(spark, d)
+      .collect().head
+    assert(r.getAs[Long]("n_return") == 0L)
+    assert(r.isNullAt(r.fieldIndex("z2_micro")), s"$r")
+  }
+
+  test("q_fwl_within: constant treatment yields NULL betas in both " +
+    "the within and pooled columns") {
+    val cust = (1L to 20L).map(k => (k, (k % 4).toInt, 100.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val ord = (1L to 20L).map(k => (k, 50.0 + k))
+      .toDF("o_custkey", "o_totalprice")
+    val d = corpusDir("customer" -> cust, "orders" -> ord)
+    val r = SparkEntry.queries("q_fwl_within")(spark, d).collect().head
+    assert(r.isNullAt(r.fieldIndex("beta_within_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("beta_pooled_micro")), s"$r")
+  }
+
+  test("q_price_index: disjoint part baskets yield an empty basket " +
+    "and NULL indexes") {
+    val li = Seq(
+      (1L, 5.0, 10.0, ts("1995-06-01 00:00:00")),
+      (2L, 5.0, 10.0, ts("1999-06-01 00:00:00")))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    val d = corpusDir("lineitem" -> li)
+    val r = SparkEntry.queries("q_price_index")(spark, d).collect().head
+    assert(r.getAs[Long]("n_parts") == 0L)
+    assert(r.isNullAt(r.fieldIndex("laspeyres_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("fisher_micro")), s"$r")
+  }
+
+  test("q_mood_median: a one-sided split (all mass at one value) " +
+    "yields NULL chi-square") {
+    // a single distinct value: nothing is strictly above the median,
+    // so the ta margin is 0
+    val ev = (1L to 12L).map(k =>
+      (if (k % 2 == 0) "click" else "view", 7.0,
+        ts("2024-01-20 00:00:00")))
+      .toDF("event_type", "value", "ts")
+    val d = corpusDir("events" -> ev)
+    val r = SparkEntry.queries("q_mood_median")(spark, d).collect().head
+    assert(r.isNullAt(r.fieldIndex("chi2_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("reject_05")), s"$r")
+  }
+
+  test("q_moran_i: a single nation has no weighted pairs -> NULL I") {
+    val cust = (1L to 5L).map(k => (k, 3)).toDF(
+      "c_custkey", "c_nationkey")
+    val ord = (1L to 5L).map(k => (k, 10.0 * k)).toDF(
+      "o_custkey", "o_totalprice")
+    val d = corpusDir("customer" -> cust, "orders" -> ord)
+    val r = SparkEntry.queries("q_moran_i")(spark, d).collect().head
+    assert(r.getAs[Long]("n_nations") == 1L)
+    assert(r.getAs[Long]("w_pairs") == 0L)
+    assert(r.isNullAt(r.fieldIndex("morans_i_micro")), s"$r")
+    assert(r.isNullAt(r.fieldIndex("expected_micro")), s"$r")
+  }
 }
