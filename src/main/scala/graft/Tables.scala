@@ -160,6 +160,23 @@ object Fns {
        |   ($rank - ($n % $k) * ($n div $k + 1) - 1) div ($n div $k) + 1
        |   AS INT) END)""".stripMargin.replace("\n", "")
 
+  /** Materializes independent 1-row/small anchor DataFrames CONCURRENTLY
+    * (one `localCheckpoint` job each) instead of the sequential barrier
+    * chain the N-audit queries paid before round 15: Spark's scheduler
+    * runs concurrent jobs fine (FIFO back-fill — optimization guide
+    * §2.6), so N independent anchor jobs cost ~max(job) wall-clock, not
+    * sum(job). Results are identical to sequential checkpointing — each
+    * plan is untouched, only the submission overlaps. Thread count is
+    * bounded by the caller's list size (audit queries pass 5-6). */
+  def parMat(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(dfs.map(df => Future(df.localCheckpoint()))),
+      Duration.Inf)
+  }
+
   def zipRank(df: DataFrame, idxName: String, order: Column*): DataFrame = {
     // Materialize the sort once: zipWithIndex runs an internal job to
     // count per-partition rows before the indexing pass, and without the

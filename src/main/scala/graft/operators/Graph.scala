@@ -1209,12 +1209,24 @@ object Graph {
           .agg(count(lit(1)).as("m")).filter($"m" >= 2)
           .select($"src", $"dst")
           .cut // scanned 9x by the peel loop
+        // r15: per-round stats run as ASYNC jobs over the round's
+        // already-materialized checkpoint (immutable RDD — nothing to
+        // race) so the 9 stat jobs overlap the sequential peel chain
+        // instead of serializing with it (guide §2.6: overlap
+        // independent jobs); the peel itself is unchanged and the stat
+        // values are byte-identical.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
         val rounds = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long)]
+          .empty[Future[(Long, Long, Long, Long)]]
         def stat(i: Int): Unit = {
-          val r = e.agg(countDistinct($"src"), countDistinct($"dst"),
-            count(lit(1))).as[(Long, Long, Long)].collect().head
-          rounds += ((i.toLong, r._1, r._2, r._3))
+          val snap = e
+          rounds += Future {
+            val r = snap.agg(countDistinct($"src"), countDistinct($"dst"),
+              count(lit(1))).as[(Long, Long, Long)].collect().head
+            (i.toLong, r._1, r._2, r._3)
+          }
         }
         stat(0)
         for (i <- 1 to 8) {
@@ -1230,7 +1242,8 @@ object Graph {
             .cut
           stat(i)
         }
-        s.createDataFrame(rounds.toSeq)
+        s.createDataFrame(
+            Await.result(Future.sequence(rounds.toSeq), Duration.Inf))
           .toDF("round", "n_cust", "n_supp", "n_edges")
           .orderBy($"round")
       },

@@ -329,13 +329,15 @@ object MlFit {
         // guard is a no-op. Hashes and uniforms are hoisted into columns
         // BEFORE the CASE cuts so the 8 WHEN branches can't re-evaluate
         // the digest when codegen's subexpression elimination declines.
+        // r15: the spread guard is the PLAN-DERIVED Fns.spread — the old
+        // `base.rdd.getNumPartitions` probe forced full physical planning
+        // plus an RDD conversion at construction time, a 0.2-0.5 s eager
+        // tax per bench rep (the exact regression the shingle family hit
+        // in round 9; see the Fns.spread scaladoc).
         val base = Tables.load(s, d, "orders")
           .select($"o_orderkey", $"o_custkey",
             expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("y"))
-        val cores = s.sparkContext.defaultParallelism
-        val spread =
-          if (base.rdd.getNumPartitions < cores) base.repartition(cores)
-          else base
+        val spread = Fns.spread(base)
         val hashed = spread
           .select($"y" +:
             (0 until BootReps / 2).map(g => expr(

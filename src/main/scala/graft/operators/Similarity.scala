@@ -36,18 +36,27 @@ object Similarity {
     scatterCache.computeIfAbsent(
       s"${System.identityHashCode(s)}|$d", _ => {
         import s.implicits._
-        val e = emb(s, d)
-          .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
-          .select($"vec_id", $"i",
-            round($"x".cast("double") * 1000, 0).cast("bigint").as("xi"))
-          .localCheckpoint() // two consumers: Gram self-join + mean
-        val n = e.agg((count(lit(1)) / 64).cast("bigint").as("n"))
-        val m = e.groupBy($"i").agg(sum($"xi").as("mi"))
-        val gram = e.as("a")
-          .join(e.as("b").withColumnRenamed("i", "j")
-            .withColumnRenamed("xi", "xj"), "vec_id")
+        // r15: Gram sufficient statistics via the IN-ROW outer product
+        // (nested transform + one explode) instead of the vec_id
+        // self-join of the exploded table — the coordinate pairs live
+        // inside one row's array, so no exchange is needed before the
+        // (i,j) partial agg (same rows, same long sums, same results;
+        // the q_mmd rewrite, shared rationale there).
+        val xs = emb(s, d)
+          .select(expr("transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+            .as("xs"))
+          .localCheckpoint() // three consumers: Gram, mean, count
+        val n = xs.agg((sum(size($"xs")) / 64).cast("bigint").as("n"))
+        val m = xs.select(posexplode($"xs").as(Seq("i", "xi")))
+          .groupBy($"i").agg(sum($"xi").as("mi"))
+        // chained posexplode, not nested transform — see the q_mmd
+        // pairSums note (HOF lambdas are interpreted + boxed)
+        val gram = xs
+          .select($"xs", posexplode($"xs").as(Seq("i", "a")))
+          .select($"i", $"a", posexplode($"xs").as(Seq("j", "b")))
           .groupBy($"i", $"j")
-          .agg(sum($"xi" * $"xj").as("s_ij"))
+          .agg(sum($"a" * $"b").as("s_ij"))
         gram
           .join(broadcast(m), "i")
           .join(broadcast(m.select($"i".as("j"), $"mi".as("mj"))), "j")
@@ -1272,30 +1281,47 @@ object Similarity {
     "q_mmd" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val e = emb(s, d)
-          .select($"vec_id", pmod($"vec_id", lit(2L)).as("hf"),
-            posexplode($"embedding").as(Seq("i", "x")))
-          .select($"vec_id", $"hf", $"i",
-            round($"x".cast("double") * 1000, 0).cast("bigint").as("xi"))
+        // r15 hot-path representation (guide §2.3/§2.4): the (i,j)
+        // moment battery needs every within-vector coordinate pair, and
+        // a vec_id self-join produced exactly those rows at the price of
+        // TWO exchanges plus a sort-merge of the exploded table against
+        // itself. The pairs are WITHIN one row's array, so the outer
+        // product is computed in-row (nested `transform` + one explode)
+        // — zero exchanges before the (i,j) partial agg. Sums run on
+        // LONG instead of DECIMAL(38): milli-frozen coords bound each
+        // product by 1e6, so a per-(i,j)-cell half-sum overflows only
+        // past ~9.2e12 vectors — far above 100 TB of 64-dim embeddings
+        // (~4e11 vectors) — and integer long sums are order-independent
+        // and CAST to the same DOUBLE as the decimal form, so results
+        // are bit-identical (oracle unchanged).
+        val xs = emb(s, d)
+          .select(pmod($"vec_id", lit(2L)).as("hf"),
+            expr("transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+              .as("xs"))
           .localCheckpoint() // three consumers: pairs, dims, counts
-        val cnt = e.agg(
-          expr("sum(CASE WHEN hf = 0 THEN 1 ELSE 0 END) div 64")
+        val cnt = xs.agg(
+          expr("sum(CASE WHEN hf = 0 THEN size(xs) ELSE 0 END) div 64")
             .as("nx"),
-          expr("sum(CASE WHEN hf = 1 THEN 1 ELSE 0 END) div 64")
+          expr("sum(CASE WHEN hf = 1 THEN size(xs) ELSE 0 END) div 64")
             .as("ny"))
           .localCheckpoint() // 1-row anchor, two consumers
-        val pairSums = e
-          .join(e.select($"vec_id", $"i".as("j"), $"xi".as("xj")),
-            "vec_id")
+        // two chained posexplode generators, NOT a nested-transform
+        // struct array: higher-order-function lambdas run interpreted
+        // (no whole-stage codegen) and boxed per element — measured
+        // slower than the join they replaced — while Generate+Generate
+        // streams through codegen with primitive long math
+        val pairSums = xs
+          .select($"hf", $"xs", posexplode($"xs").as(Seq("i", "a")))
+          .select($"hf", $"i", $"a", posexplode($"xs").as(Seq("j", "b")))
           .groupBy($"i", $"j")
-          .agg(sum(when($"hf" === 0, ($"xi" * $"xj").cast(d38)))
-            .as("sx"),
-            sum(when($"hf" === 1, ($"xi" * $"xj").cast(d38)))
-              .as("sy"))
-        val dimSums = e.groupBy($"i")
-          .agg(sum(when($"hf" === 0, $"xi".cast(d38))).as("mx"),
-            sum(when($"hf" === 1, $"xi".cast(d38))).as("my"))
+          .agg(sum(when($"hf" === 0, $"a" * $"b")).as("sx"),
+            sum(when($"hf" === 1, $"a" * $"b")).as("sy"))
+        val dimSums = xs
+          .select($"hf", posexplode($"xs").as(Seq("i", "xi")))
+          .groupBy($"i")
+          .agg(sum(when($"hf" === 0, $"xi")).as("mx"),
+            sum(when($"hf" === 1, $"xi")).as("my"))
         val cellT = pairSums.crossJoin(broadcast(cnt))
           .select(lit("x2").as("part"),
             expr(s"CAST(round(${mmdDiffE("sx", "sy")} * " +

@@ -232,27 +232,30 @@ object SqlShapes {
         // five independent anti-join count audits; checkpoint each
         // 1-row RESULT (the ee746d2 anchor pattern) so the plan is a
         // union of five precomputed rows instead of five stacked
-        // single-partition barriers (r13 audit: singlepart x5)
+        // single-partition barriers (r13 audit: singlepart x5). r15: the
+        // five materialization jobs are independent — run them
+        // CONCURRENTLY (Fns.parMat, guide §2.6) for ~max(job) instead of
+        // sum(job) wall-clock; per-audit plans and results unchanged.
         def orphans(child: DataFrame, key: String, parent: DataFrame,
             pkey: String, rel: String) = {
           val p = parent.select(col(pkey).as(key)).distinct()
           child.select(col(key)).join(p, Seq(key), "left_anti")
             .agg(count(lit(1)).as("n_orphans"))
             .select(lit(rel).as("relationship"), $"n_orphans")
-            .localCheckpoint()
         }
         val li = Tables.load(s, d, "lineitem")
         val o = Tables.load(s, d, "orders")
         val c = Tables.load(s, d, "customer")
-        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
-          .unionByName(orphans(li, "l_partkey",
-            Tables.load(s, d, "part"), "p_partkey", "lineitem->part"))
-          .unionByName(orphans(li, "l_suppkey",
-            Tables.load(s, d, "supplier"), "s_suppkey", "lineitem->supplier"))
-          .unionByName(orphans(o, "o_custkey", c, "c_custkey",
-            "orders->customer"))
-          .unionByName(orphans(c, "c_nationkey",
-            Tables.load(s, d, "nation"), "n_nationkey", "customer->nation"))
+        graft.Fns.parMat(Seq(
+            orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+            orphans(li, "l_partkey",
+              Tables.load(s, d, "part"), "p_partkey", "lineitem->part"),
+            orphans(li, "l_suppkey", Tables.load(s, d, "supplier"),
+              "s_suppkey", "lineitem->supplier"),
+            orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
+            orphans(c, "c_nationkey", Tables.load(s, d, "nation"),
+              "n_nationkey", "customer->nation")))
+          .reduce(_ unionByName _)
           .orderBy($"relationship")
       },
       Some("""SELECT relationship, n_orphans FROM (
