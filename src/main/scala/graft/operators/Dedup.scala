@@ -615,11 +615,15 @@ object Dedup {
         // index, memoized) — O(|candidates|) work, never all-pairs
         val sets = setsCache.computeIfAbsent(cacheKey(s, d),
           _ => prefixSets(s, d).localCheckpoint())
+        // r15 (guide §3.1): shuffled-hash hints on the two set
+        // join-backs — they planned as SortMergeJoin, paying sorts of
+        // the array-carrying set table that nothing downstream uses
+        // (same rationale and build-side bound as q_prefix_join below)
         cand
           .join(sets.select($"doc_id".as("id1"), $"set".as("s1"),
-            $"nsh".as("n1")), "id1")
+            $"nsh".as("n1")).hint("shuffle_hash"), "id1")
           .join(sets.select($"doc_id".as("id2"), $"set".as("s2"),
-            $"nsh".as("n2")), "id2")
+            $"nsh".as("n2")).hint("shuffle_hash"), "id2")
           .withColumn("inter", size(array_intersect($"s1", $"s2")))
           .select($"id1", $"id2",
             ($"inter".cast("double") / ($"n1" + $"n2" - $"inter"))
@@ -660,18 +664,24 @@ object Dedup {
         // uncheckpointed for PlanSpec's no-single-partition pin.
         val sets = setsCache.computeIfAbsent(cacheKey(s, d),
           _ => prefixSets(s, d).localCheckpoint())
+        // r15 (guide §3.1): every join here ran as SortMergeJoin — four
+        // sorts of exploded-prefix / shingle-set tables whose ordering
+        // nothing downstream reuses. Shuffled-hash hints drop the sorts:
+        // the build sides (per-partition prefix slices, the bounded
+        // per-partition slice of the dictionary-encoded set table) fit
+        // in memory by construction, and join output is unchanged.
         val a = sets.select($"doc_id".as("d1"), $"nsh".as("na"),
           explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
         val b = sets.select($"doc_id".as("d2"), $"nsh".as("nb"),
           explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
-        a.join(b, Seq("p"))
+        a.join(b.hint("shuffle_hash"), Seq("p"))
           .filter($"d1" < $"d2" &&
             $"nb" >= ceil(lit(t) * $"na") && $"na" >= ceil(lit(t) * $"nb"))
           .select($"d1", $"d2").distinct()
           .join(sets.select($"doc_id".as("d1"), $"set".as("s1"),
-            $"nsh".as("n1")), "d1")
+            $"nsh".as("n1")).hint("shuffle_hash"), "d1")
           .join(sets.select($"doc_id".as("d2"), $"set".as("s2"),
-            $"nsh".as("n2")), "d2")
+            $"nsh".as("n2")).hint("shuffle_hash"), "d2")
           .withColumn("inter", size(array_intersect($"s1", $"s2")))
           .select($"d1", $"d2",
             ($"inter".cast("double") / ($"n1" + $"n2" - $"inter"))
@@ -860,6 +870,13 @@ object Dedup {
           .withColumn("h",
             conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long"))
           .select($"doc_id", $"h").distinct()
+          // r15: materialized once — the lazy plan rebuilt this
+          // scan+explode+md5+distinct subtree for EVERY consumer
+          // (signatures, both verify join-backs, and transitively the
+          // band/count views: 8 Generate nodes in the before-plan).
+          // The distinct fingerprint table is the derived corpus index
+          // production materializes anyway (the prefixSets rationale).
+          .localCheckpoint()
         // MIN is duplicate-insensitive, so the distinct shingle-hash table
         // serves both the signatures and the exact-Jaccard verify stage.
         val mins = mhPerms.zipWithIndex.map { case ((a, b), i) =>
@@ -871,6 +888,10 @@ object Dedup {
         // aggregate the same distinct (doc_id, h) rows)
         val sig = sh.groupBy($"doc_id")
           .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
+          // r15: doc-keyed signature table, consumed by bands (x2 via
+          // the union), the candidate self-join, and both nsh
+          // join-backs — one materialization instead of 6 rebuilds
+          .localCheckpoint()
         val bands = sig.select($"doc_id", lit(1).as("band_no"),
             md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
           .union(sig.select($"doc_id", lit(2).as("band_no"),
@@ -994,17 +1015,24 @@ object Dedup {
     "q_dup_spans" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val wfp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-        Tables.load(s, d, "documents")
+        // r15 (guide §2.4): the per-fingerprint occurrence count ran as
+        // a partition-only window, which still SORTS the whole span
+        // table by its 32-char md5 key inside WindowExec. `occ > 1` is
+        // exactly "fp appears in the >1-count fingerprint set", so the
+        // window becomes a fp-keyed count + a hash join marker over the
+        // SAME exchange (reused for both branches) — no sort anywhere.
+        val sp = Tables.load(s, d, "documents")
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 10)
           .select($"doc_id", explode(expr(
             "transform(sequence(1, size(toks)-9), i -> md5(concat_ws(' ', slice(toks, i, 10))))"))
             .as("fp"))
-          .withColumn("occ", count(lit(1)).over(wfp))
+        val dup = sp.groupBy($"fp").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1).select($"fp", lit(1).as("isdup"))
+        sp.join(dup.hint("shuffle_hash"), Seq("fp"), "left")
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_spans"),
-            sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+            sum(when($"isdup" === 1, 1L).otherwise(0L)).as("n_dup_spans"))
           .select($"doc_id", $"n_spans", $"n_dup_spans",
             round($"n_dup_spans".cast("double") / $"n_spans".cast("double"), 6)
               .as("dup_ratio"))

@@ -113,8 +113,13 @@ object MlFit {
     import s.implicits._
     def hint(df: org.apache.spark.sql.DataFrame) =
       if (broadcastModel) broadcast(df) else df
+    // r15: the tokenized corpus feeds five consumers (langs, cnt, tot,
+    // voc, scoring) and the lazy plan re-tokenized the corpus for each
+    // (14 parquet scans in the before-plan); one materialization — the
+    // tokenized table a production trainer stores once — feeds all five
     val toks = docs
       .select($"doc_id", $"lang", explode(Fns.tokens($"text")).as("t"))
+      .localCheckpoint()
     val langs = toks.groupBy($"lang")
       .agg(countDistinct($"doc_id").as("n_docs"))
     val total = langs.agg(sum($"n_docs").as("n_total"))
@@ -1142,12 +1147,22 @@ object MlFit {
           $"price".as("pb"), $"brand".as("bb"))
         val pairs = a.join(b, Seq("ok"))
           .filter($"ln_a" < $"ln_b" && $"ba" =!= $"bb" && $"pa" =!= $"pb")
-        val directed = pairs.select($"ba".as("i"), $"bb".as("j"),
-            ($"pa" > $"pb").cast("long").as("w"))
-          .unionByName(pairs.select($"bb".as("i"), $"ba".as("j"),
-            ($"pb" > $"pa").cast("long").as("w")))
+        // r15: both edge directions from ONE pass over the pair join
+        // (explode of a 2-struct array) instead of a unionByName of two
+        // selects — the union made the lazy plan build the orderkey
+        // self-join twice; same rows, same (i,j) aggregation.
+        val directed = pairs.select(explode(array(
+            struct($"ba".as("i"), $"bb".as("j"),
+              ($"pa" > $"pb").cast("long").as("w")),
+            struct($"bb".as("i"), $"ba".as("j"),
+              ($"pb" > $"pa").cast("long").as("w")))).as("e"))
+          .select($"e.i".as("i"), $"e.j".as("j"), $"e.w".as("w"))
+        // the brand-pair table is <= K^2 rows; checkpointing it cuts the
+        // fan-out that rebuilt the corpus-scale self-join for every
+        // downstream consumer (64 parquet scans in the before-plan)
         val ij = directed.groupBy($"i", $"j")
           .agg(count(lit(1)).as("n"), sum($"w").as("wi"))
+          .localCheckpoint()
         val tot = ij.groupBy($"i")
           .agg(sum($"n").as("n_total"), sum($"wi").as("w_total"))
           .withColumn("s1m", expr(

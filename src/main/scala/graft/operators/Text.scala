@@ -1483,6 +1483,11 @@ object Text {
         import s.implicits._
         // spread: token explode + md5 bucketing dominate; all downstream
         // aggregation is integer, so the guard cannot change values
+        // r15: tb (the token explode + md5 battery + doc×bucket agg) is
+        // consumed by w1, the margin pass AND the update pass — the lazy
+        // plan rebuilt the whole CPU-bound battery three times per run.
+        // One materialization (doc×64-bucket rows, the feature table a
+        // production trainer stores anyway) feeds all three.
         val tb = spread(docs(s, d))
           .select($"doc_id",
             when($"lang" === "en", 1L).otherwise(-1L).as("y"),
@@ -1492,11 +1497,15 @@ object Text {
               lit(64L)))
           .groupBy($"doc_id", $"y", $"bucket")
           .agg(count(lit(1)).as("x"))
+          .localCheckpoint()
         val w1 = tb.groupBy($"bucket")
           .agg(sum($"y" * $"x").as("w1"))
+        // margins feeds both the mistake set and the stats anchor —
+        // checkpointed (doc-keyed, tiny) so the model join runs once
         val margins = tb.join(broadcast(w1), "bucket")
           .groupBy($"doc_id", $"y")
           .agg(sum($"w1" * $"x").as("m0"))
+          .localCheckpoint()
         val mistakes = margins.filter($"y" * $"m0" <= 0)
           .select($"doc_id")
         val upd = tb.join(mistakes, "doc_id")
@@ -1824,6 +1833,12 @@ object Text {
     "q_boilerplate" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // r15: materialized once — three consumers (doc-frequency
+        // screen, per-doc boilerplate counts, per-doc gram totals) each
+        // rebuilt the scan+explode+md5+distinct subtree in the lazy
+        // plan (6 Generate nodes in the before-plan); the distinct
+        // (doc, gram-hash) table is the derived index a production run
+        // materializes anyway (the q_lsh_bucket_join rationale)
         val g = spread(docs(s, d).select($"doc_id", $"source", $"text"))
           .withColumn("toks", tokens($"text"))
           .filter(size($"toks") >= 5)
@@ -1832,6 +1847,7 @@ object Text {
               "i -> md5(concat_ws(' ', slice(toks, i, 5))))"))
             .as("g"))
           .distinct()
+          .localCheckpoint()
         val bp = g.groupBy($"g")
           .agg(countDistinct($"doc_id").as("df"))
           .filter($"df" >= 10).select($"g")
