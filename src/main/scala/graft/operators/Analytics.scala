@@ -180,8 +180,12 @@ object Analytics {
     "q_market_basket" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // r15: items feeds freq, the order-count anchor and BOTH pair
+        // sides — the lazy plan rebuilt the distinct projection four
+        // times (10 parquet scans in the before-plan); materialize once
         val items = Tables.load(s, d, "lineitem")
           .select($"l_orderkey", $"l_partkey").distinct()
+          .localCheckpoint()
         val freq = items.groupBy($"l_partkey")
           .agg(count(lit(1)).as("n_part"))
         // the order-universe size rides in as a one-row broadcast (the

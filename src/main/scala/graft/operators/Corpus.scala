@@ -884,6 +884,12 @@ object Corpus {
           .withColumn("bucket",
             pmod(conv(substring(md5($"bg"), 1, 8), 16, 10).cast("long"),
               lit(64L)))
+          // r15: fb feeds five consumers (both marginals, both totals,
+          // the (doc,bucket) scoring agg) — the lazy plan rebuilt the
+          // bigram explode + md5 battery for each; project the bigram
+          // string away (guide §2.3) and materialize once
+          .select($"doc_id", $"source", $"bucket")
+          .localCheckpoint()
         val tgt = fb.filter($"source" === "src0")
         val raw = fb.filter($"source" =!= "src0")
         val tc = tgt.groupBy($"bucket").agg(count(lit(1)).as("ct"))
@@ -975,6 +981,12 @@ object Corpus {
           .withColumn("bucket",
             pmod(conv(substring(md5($"bg"), 1, 8), 16, 10).cast("long"),
               lit(64L)))
+          // r15: fb feeds five consumers (both marginals, both totals,
+          // the (doc,bucket) scoring agg) — the lazy plan rebuilt the
+          // bigram explode + md5 battery for each; project the bigram
+          // string away (guide §2.3) and materialize once
+          .select($"doc_id", $"source", $"bucket")
+          .localCheckpoint()
         val tgt = fb.filter($"source" === "src0")
         val raw = fb.filter($"source" =!= "src0")
         val tc = tgt.groupBy($"bucket").agg(count(lit(1)).as("ct"))

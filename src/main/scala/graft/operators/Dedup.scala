@@ -433,12 +433,19 @@ object Dedup {
     "q_edit_blocking" -> GQuery(
       (s, d) => {
         import s.implicits._
+        // r15: the normalized-text table feeds the key build (twice,
+        // via the former union) and both candidate join-backs — the
+        // lazy plan re-ran the regexp normalization scan for each (12
+        // parquet scans in the before-plan). Materialize n once and
+        // emit both block keys from ONE pass (explode of a 2-element
+        // array instead of a union of two selects).
         val n = Tables.load(s, d, "documents").select($"doc_id", $"lang",
           regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
+          .localCheckpoint()
         val keyed = n.select($"doc_id", $"lang",
-            substring($"t", 1, 16).as("bk"))
-          .unionByName(n.select($"doc_id", $"lang",
-            expr("substring(t, greatest(1, length(t) - 15), 16)").as("bk")))
+          explode(array(substring($"t", 1, 16),
+            expr("substring(t, greatest(1, length(t) - 15), 16)")))
+            .as("bk"))
         val capped = keyed
           .withColumn("bn", count(lit(1))
             .over(org.apache.spark.sql.expressions.Window

@@ -65,21 +65,32 @@ object Graph {
 
   def prepareGraph(edges: DataFrame): PreparedGraph = {
     val e = edges.select(col("src"), col("dst")).cut
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().cut
-    val n = nodes.count().toDouble
+    // r15: the node table (+ its count) and the weight table derive
+    // INDEPENDENTLY from the checkpointed e — their materialization
+    // jobs run concurrently (guide §2.6) instead of as three chained
+    // barriers; each job's plan and the resulting tables are unchanged.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val nodesF = Future {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct().cut
+      (nodes, nodes.count().toDouble)
+    }
     // Static per-edge weight table, partitioned on the join key so each
     // round's join shuffles only the rank side.
     // out_deg rides along for deterministic (integer-nano) mode's exact
     // floor-division contributions; double mode reads only w
-    val eDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
-      .select(col("src"), col("dst"),
-        (lit(1.0) / col("out_deg")).as("w"), col("out_deg"))
-      .repartition(col("src"))
-      .cut
-    new PreparedGraph(nodes, n, eDeg)
+    val eDegF = Future {
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+        .select(col("src"), col("dst"),
+          (lit(1.0) / col("out_deg")).as("w"), col("out_deg"))
+        .repartition(col("src"))
+        .cut
+    }
+    val (nodes, n) = Await.result(nodesF, Duration.Inf)
+    new PreparedGraph(nodes, n, Await.result(eDegF, Duration.Inf))
   }
 
   def pageRank(

@@ -653,12 +653,17 @@ object Text {
       (s, d) => {
         import s.implicits._
         val toks = docs(s, d).select($"doc_id", tokens($"text").as("toks"))
+        // r15: bg feeds the LM count AND the scoring join-back — the
+        // lazy plan ran the tokenize+bigram explode twice; materialize
+        // the (doc, w1, w2) table once (vocab keeps its own tokenize
+        // pass: it must see 1-token docs that carry no bigram)
         val bg = toks.filter(size($"toks") >= 2)
           .select($"doc_id", explode(expr(
             "transform(sequence(1, size(toks)-1), " +
               "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))"))
             .as("bg"))
           .select($"doc_id", $"bg.w1", $"bg.w2")
+          .localCheckpoint()
         val lm = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
         val ctx = lm.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
         val vocab = toks.select(explode($"toks").as("tok"))
@@ -1910,7 +1915,10 @@ object Text {
       (s, d) => {
         import s.implicits._
         val corpus = docs(s, d).select($"doc_id", $"lang", $"text")
-        val ce = pplCe(corpus, pplLm(corpus)).localCheckpoint()
+        // r15: one materialized bigram table shared by the LM build and
+        // the scoring pass (the plan re-tokenized the corpus for each)
+        val bgT = pplBigrams(corpus).localCheckpoint()
+        val ce = pplCeFrom(bgT, pplLmFrom(bgT, corpus)).localCheckpoint()
         val th = ce.agg(
           expr("percentile(ce6, 0.3333333333333333)").as("t1"),
           expr("percentile(ce6, 0.6666666666666666)").as("t2"))
@@ -1967,9 +1975,19 @@ object Text {
     * construction. Public because [[graft.streaming.QualityStream]]
     * calibrates its frozen scoring LM with the SAME tree. */
   def pplLm(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pplLmFrom(pplBigrams(corpus), corpus)
+
+  /** [[pplLm]] over an already-built bigram table — lets a batch caller
+    * materialize [[pplBigrams]] ONCE and share it between the LM build
+    * and the [[pplCeFrom]] scoring pass (r15: q_ppl_bucket's lazy plan
+    * re-ran the corpus tokenize+explode for each). `corpus` is still
+    * needed for the vocabulary count (it must see 1-token docs that
+    * carry no bigram). */
+  def pplLmFrom(bg: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import corpus.sparkSession.implicits._
-    val bg = pplBigrams(corpus)
     val lm = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
     val ctx = lm.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
     val vocab = corpus
@@ -1990,9 +2008,15 @@ object Text {
     * entirely — the frozen-LM contract, stated). */
   def pplCe(corpus: org.apache.spark.sql.DataFrame,
       scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pplCeFrom(pplBigrams(corpus), scored)
+
+  /** [[pplCe]] over an already-built bigram table (see [[pplLmFrom]]). */
+  def pplCeFrom(bg: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import corpus.sparkSession.implicits._
-    pplBigrams(corpus).join(scored, Seq("w1", "w2"))
+    import bg.sparkSession.implicits._
+    bg.join(scored, Seq("w1", "w2"))
       .groupBy($"doc_id", $"lang")
       .agg(count(lit(1)).as("n_bigrams"), sum($"sc").as("ssum"))
       .select($"doc_id", $"lang", $"n_bigrams",
