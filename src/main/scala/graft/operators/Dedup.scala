@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fns, GQuery, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Checkpoint.CutOps
@@ -35,6 +35,41 @@ object Dedup {
     (387461L, 98651L), (554111L, 202021L), (731641L, 315467L),
     (123457L, 47563L), (982451L, 873127L), (286543L, 551239L),
     (665981L, 90907L), (449363L, 668207L))
+
+  /** q_lsh_bucket_join's distinct (doc_id, h) 3-gram shingle-hash table,
+    * UNcheckpointed — the registered query materializes it once (r15);
+    * exposed so PlanSpec can pin the builder's plan shape (the
+    * scan+explode+md5+distinct) independent of the checkpoint. */
+  private[operators] def lshShingleTable(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    spread(Tables.load(s, d, "documents")
+        .select($"doc_id", $"text"))
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("sh"))
+      .withColumn("h",
+        conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long"))
+      .select($"doc_id", $"h").distinct()
+  }
+
+  /** q_lsh_bucket_join's doc-keyed signature table, UNcheckpointed.
+    * MIN is duplicate-insensitive, so the distinct shingle-hash table
+    * serves both the signatures and the exact-Jaccard verify stage;
+    * the 8 mins AND the per-doc shingle count ride ONE doc-keyed
+    * aggregation (nsh was its own groupBy over a second build of the
+    * shingle table — fused, both aggregate the same distinct
+    * (doc_id, h) rows). PlanSpec pins the partial-min map-side shape
+    * here. */
+  private[operators] def lshSignatures(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val mins = mhPerms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * $"h" + lit(b), lit(MhPrime))).as(s"m${i + 1}") }
+    sh.groupBy($"doc_id")
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
+  }
 
   /** Connected components over near-dup candidate pairs — the step after
     * pair generation in a real dedup pass: every document in a duplicate
@@ -867,38 +902,18 @@ object Dedup {
     "q_lsh_bucket_join" -> GQuery(
       (s, d) => {
         import s.implicits._
-        val sh = spread(Tables.load(s, d, "documents")
-              .select($"doc_id", $"text"))
-          .withColumn("toks", tokens($"text"))
-          .filter(size($"toks") >= 3)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-            .as("sh"))
-          .withColumn("h",
-            conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long"))
-          .select($"doc_id", $"h").distinct()
-          // r15: materialized once — the lazy plan rebuilt this
-          // scan+explode+md5+distinct subtree for EVERY consumer
-          // (signatures, both verify join-backs, and transitively the
-          // band/count views: 8 Generate nodes in the before-plan).
-          // The distinct fingerprint table is the derived corpus index
-          // production materializes anyway (the prefixSets rationale).
-          .localCheckpoint()
-        // MIN is duplicate-insensitive, so the distinct shingle-hash table
-        // serves both the signatures and the exact-Jaccard verify stage.
-        val mins = mhPerms.zipWithIndex.map { case ((a, b), i) =>
-          min(pmod(lit(a) * $"h" + lit(b), lit(MhPrime))).as(s"m${i + 1}") }
-        // the 8 mins AND the per-doc shingle count ride ONE doc-keyed
-        // aggregation (nsh was its own groupBy over a second build of
-        // the shingle table; fused, the plan drops a full
-        // scan+explode+distinct+shuffle — identical values, both
-        // aggregate the same distinct (doc_id, h) rows)
-        val sig = sh.groupBy($"doc_id")
-          .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
-          // r15: doc-keyed signature table, consumed by bands (x2 via
-          // the union), the candidate self-join, and both nsh
-          // join-backs — one materialization instead of 6 rebuilds
-          .localCheckpoint()
+        // r15: materialized once — the lazy plan rebuilt the
+        // scan+explode+md5+distinct subtree for EVERY consumer
+        // (signatures, both verify join-backs, and transitively the
+        // band/count views: 8 Generate nodes in the before-plan).
+        // The distinct fingerprint table is the derived corpus index
+        // production materializes anyway (the prefixSets rationale);
+        // PlanSpec pins the PRE-checkpoint builder plans below.
+        val sh = lshShingleTable(s, d).localCheckpoint()
+        // r15: doc-keyed signature table, consumed by bands (x2 via
+        // the union), the candidate self-join, and both nsh
+        // join-backs — one materialization instead of 6 rebuilds
+        val sig = lshSignatures(sh).localCheckpoint()
         val bands = sig.select($"doc_id", lit(1).as("band_no"),
             md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
           .union(sig.select($"doc_id", lit(2).as("band_no"),

@@ -1247,10 +1247,15 @@ object Graph {
           val dstOk = e.groupBy($"dst")
             .agg(count(lit(1)).as("dg")).filter($"dg" >= k)
             .select($"dst")
-          e = e.join(srcOk, Seq("src"), "left_semi")
+          val peeled = e.join(srcOk, Seq("src"), "left_semi")
             .join(dstOk, Seq("dst"), "left_semi")
             .select($"src", $"dst")
-            .cut
+          // r15: cut every SECOND round (plus the last) instead of every
+          // round — a 2-round lineage is still bounded (two stacked
+          // degree-agg + semi-join layers) and halving the eager cut
+          // jobs removes ~4 sequential barriers; stat(i) on uncut
+          // rounds aggregates the 2-deep lazy plan, same values
+          e = if (i % 2 == 0 || i == 8) peeled.cut else peeled
           stat(i)
         }
         s.createDataFrame(

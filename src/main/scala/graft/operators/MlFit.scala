@@ -155,6 +155,39 @@ object MlFit {
       .orderBy($"lang", $"predicted")
   }
 
+    // q_bradley_terry's (i, j) brand-pair match/win table,
+    // UNcheckpointed — the registered query materializes it once (r15);
+    // exposed so PlanSpec can pin the builder's plan (broadcast part
+    // dim, orderkey-keyed pair join) independent of the checkpoint.
+    // Both edge directions come from ONE pass over the pair join
+    // (explode of a 2-struct array) instead of a unionByName of two
+    // selects — the union made the lazy plan build the orderkey
+    // self-join twice; same rows, same (i,j) aggregation.
+    private[operators] def btPairTable(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val lines = Tables.load(s, d, "lineitem")
+      .join(broadcast(Tables.load(s, d, "part")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+        $"l_extendedprice".as("price"), $"p_brand".as("brand"))
+    val a = lines.select($"ok", $"ln".as("ln_a"),
+      $"price".as("pa"), $"brand".as("ba"))
+    val b = lines.select($"ok", $"ln".as("ln_b"),
+      $"price".as("pb"), $"brand".as("bb"))
+    val pairs = a.join(b, Seq("ok"))
+      .filter($"ln_a" < $"ln_b" && $"ba" =!= $"bb" && $"pa" =!= $"pb")
+    val directed = pairs.select(explode(array(
+        struct($"ba".as("i"), $"bb".as("j"),
+          ($"pa" > $"pb").cast("long").as("w")),
+        struct($"bb".as("i"), $"ba".as("j"),
+          ($"pb" > $"pa").cast("long").as("w")))).as("e"))
+      .select($"e.i".as("i"), $"e.j".as("j"), $"e.w".as("w"))
+    directed.groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"w").as("wi"))
+  }
+
   val queries: Seq[(String, GQuery)] = Seq(
 
     // Distributed k-means, 2 Lloyd rounds over the 64-dim embeddings,
@@ -1134,35 +1167,14 @@ object MlFit {
     // per-order line count) and one (i,j) partial agg; everything
     // after lives on the <=K^2 brand-pair table.
     "q_bradley_terry" -> GQuery(
+
       (s, d) => {
         import s.implicits._
-        val lines = Tables.load(s, d, "lineitem")
-          .join(broadcast(Tables.load(s, d, "part")),
-            $"l_partkey" === $"p_partkey")
-          .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
-            $"l_extendedprice".as("price"), $"p_brand".as("brand"))
-        val a = lines.select($"ok", $"ln".as("ln_a"),
-          $"price".as("pa"), $"brand".as("ba"))
-        val b = lines.select($"ok", $"ln".as("ln_b"),
-          $"price".as("pb"), $"brand".as("bb"))
-        val pairs = a.join(b, Seq("ok"))
-          .filter($"ln_a" < $"ln_b" && $"ba" =!= $"bb" && $"pa" =!= $"pb")
-        // r15: both edge directions from ONE pass over the pair join
-        // (explode of a 2-struct array) instead of a unionByName of two
-        // selects — the union made the lazy plan build the orderkey
-        // self-join twice; same rows, same (i,j) aggregation.
-        val directed = pairs.select(explode(array(
-            struct($"ba".as("i"), $"bb".as("j"),
-              ($"pa" > $"pb").cast("long").as("w")),
-            struct($"bb".as("i"), $"ba".as("j"),
-              ($"pb" > $"pa").cast("long").as("w")))).as("e"))
-          .select($"e.i".as("i"), $"e.j".as("j"), $"e.w".as("w"))
         // the brand-pair table is <= K^2 rows; checkpointing it cuts the
         // fan-out that rebuilt the corpus-scale self-join for every
-        // downstream consumer (64 parquet scans in the before-plan)
-        val ij = directed.groupBy($"i", $"j")
-          .agg(count(lit(1)).as("n"), sum($"w").as("wi"))
-          .localCheckpoint()
+        // downstream consumer (64 parquet scans in the before-plan);
+        // PlanSpec pins the PRE-checkpoint builder's plan shape
+        val ij = btPairTable(s, d).localCheckpoint()
         val tot = ij.groupBy($"i")
           .agg(sum($"n").as("n_total"), sum($"wi").as("w_total"))
           .withColumn("s1m", expr(

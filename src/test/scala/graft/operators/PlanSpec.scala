@@ -278,8 +278,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_lsh_bucket_join: bucket join keyed, partial mins, no cartesian") {
+    // r15: the signature table materializes via localCheckpoint in the
+    // registered query, so the min battery's plan lives in the
+    // PRE-checkpoint builder — pin the map-side partial mins there and
+    // the no-blowup invariants on the final (post-checkpoint) plan
+    val sig = Dedup.lshSignatures(Dedup.lshShingleTable(spark, d))
+      .queryExecution.executedPlan.toString
+    assert(sig.contains("partial_min"), sig.take(1500))
     val p = plan("q_lsh_bucket_join")
-    assert(p.contains("partial_min"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
@@ -665,10 +671,16 @@ class PlanSpec extends SparkSpec {
 
   test("q_bradley_terry: broadcast part dim, no cartesian; pair join " +
     "keyed on orderkey") {
+    // r15: the corpus-scale self-join materializes into the checkpointed
+    // brand-pair table, so its shape pins live on the PRE-checkpoint
+    // builder; the final plan keeps the no-cartesian invariant
+    val pair = MlFit.btPairTable(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!pair.contains("CartesianProduct"), pair.take(1500))
+    assert(pair.contains("BroadcastHashJoin"), pair.take(1500))
+    assert(pair.contains("hashpartitioning(ok"), pair.take(3000))
     val p = plan("q_bradley_terry")
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    assert(p.contains("hashpartitioning(ok"), p.take(3000))
   }
 
   test("q_tpch_q4: quarter orders broadcast into one lineitem scan; " +
