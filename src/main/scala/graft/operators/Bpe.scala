@@ -96,8 +96,15 @@ object Bpe {
         val r = top.head
         val (p1, p2, n) = (r.getString(0), r.getString(1), r.getLong(2))
         merges += ((rank + 1, p1, p2, n))
-        state = applyMerge(state, p1, p2).cut
         rank += 1
+        // r15: materialize the merged state only when a FURTHER round
+        // will scan it — the last round's eager applyMerge+cut was dead
+        // work for every current caller (all consume only the merge
+        // table); the returned final state is the same DataFrame, lazy,
+        // computed on demand by any future consumer
+        state =
+          if (rank < numMerges) applyMerge(state, p1, p2).cut
+          else applyMerge(state, p1, p2)
       }
     }
     (merges.result(), state)
