@@ -76,6 +76,20 @@ object Fns {
   def sqlTokens(c: String): String =
     s"list_filter(string_split_regex(lower(trim($c)), '\\s+'), t -> t != '')"
 
+  // NOTE (r16, measured and REJECTED): a size-gated "AQE off below
+  // cores × advisoryPartitionSize" session knob (the r15 verdict's
+  // "plan-size-gated AQE" candidate) was implemented here and A/B'd on
+  // the full surface at sf0.1/local[32]: 167.6 s (AQE on) → 227.1 s
+  // (gated off) — 321 of 385 queries regressed, with the multi-stage
+  // iterative class hit hardest (q_kcore 2.0→12.0 s, q_label_prop
+  // 1.3→8.2 s, q_hits 0.6→2.3 s). AQE's runtime coalescing is what
+  // keeps every post-shuffle stage at a sane task count when the data
+  // is small; its per-stage planning tax (~0.05–0.1 s on a trivial
+  // query) is far cheaper than the 32 fixed-width tasks per exchange
+  // it replaces. AQE therefore stays ON at every scale, and the
+  // per-query fixed-cost floor is attacked by cutting JOB count
+  // instead (see the r16 optimization record).
+
   private val splitEstimates =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 

@@ -16,6 +16,9 @@ class AqeSkewSpec extends SparkSpec {
 
   test("a hot key's partition is split (skew=true) and the result is exact") {
     val keys = Map(
+      // pinned ON: the shared session may have AQE gated off by
+      // Fns.tuneForScale (tiny testdata) — this spec tests AQE itself
+      "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.shuffle.partitions" -> "16",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",

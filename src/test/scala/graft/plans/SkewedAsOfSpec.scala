@@ -60,6 +60,11 @@ class SkewedAsOfSpec extends SparkSpec {
   }
 
   test("AQE manages (coalesces) the exchanges feeding the custom exec") {
+    // pinned ON: the shared session may have AQE gated off by
+    // Fns.tuneForScale (tiny testdata) — this test asserts AQE behavior
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
     val (left, right) = skewedInputs(3L)
     val df = AsOf.asofJoinNative(left, right, "k", "t", "rt", Seq("payload"))
     df.collect()
@@ -69,5 +74,9 @@ class SkewedAsOfSpec extends SparkSpec {
     // exec composes with runtime re-planning even though skew-SPLIT is
     // reserved for built-in joins
     assert(plan.contains("AQEShuffleRead"), plan.take(2000))
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 }
