@@ -903,12 +903,15 @@ object Corpus {
           .withColumn("bucket",
             pmod(conv(substring(md5($"bg"), 1, 8), 16, 10).cast("long"),
               lit(64L)))
-          // r15: fb feeds five consumers (both marginals, both totals,
-          // the (doc,bucket) scoring agg) — the lazy plan rebuilt the
-          // bigram explode + md5 battery for each; project the bigram
-          // string away (guide §2.3) and materialize once
+          // r15 materialized fb here (5 consumers); r16 re-adjudicated
+          // at the driver's local[32] config: the lazy form wins
+          // (isolated min-of-5: 0.84 vs 0.93 s) — each consumer
+          // partial-aggregates before its shuffle, so the duplicate
+          // map work parallelizes inside one job while a checkpoint
+          // adds a barrier + copy (and a shared repartition shuffles
+          // the full bigram table: 1.19 s, worse still). The bigram
+          // string is still projected away before the fan-out (§2.3)
           .select($"doc_id", $"source", $"bucket")
-          .localCheckpoint()
         val tgt = fb.filter($"source" === "src0")
         val raw = fb.filter($"source" =!= "src0")
         val tc = tgt.groupBy($"bucket").agg(count(lit(1)).as("ct"))
@@ -1000,12 +1003,15 @@ object Corpus {
           .withColumn("bucket",
             pmod(conv(substring(md5($"bg"), 1, 8), 16, 10).cast("long"),
               lit(64L)))
-          // r15: fb feeds five consumers (both marginals, both totals,
-          // the (doc,bucket) scoring agg) — the lazy plan rebuilt the
-          // bigram explode + md5 battery for each; project the bigram
-          // string away (guide §2.3) and materialize once
+          // r15 materialized fb here (5 consumers); r16 re-adjudicated
+          // at the driver's local[32] config: the lazy form wins
+          // (isolated min-of-5: 0.84 vs 0.93 s) — each consumer
+          // partial-aggregates before its shuffle, so the duplicate
+          // map work parallelizes inside one job while a checkpoint
+          // adds a barrier + copy (and a shared repartition shuffles
+          // the full bigram table: 1.19 s, worse still). The bigram
+          // string is still projected away before the fan-out (§2.3)
           .select($"doc_id", $"source", $"bucket")
-          .localCheckpoint()
         val tgt = fb.filter($"source" === "src0")
         val raw = fb.filter($"source" =!= "src0")
         val tc = tgt.groupBy($"bucket").agg(count(lit(1)).as("ct"))

@@ -653,17 +653,19 @@ object Text {
       (s, d) => {
         import s.implicits._
         val toks = docs(s, d).select($"doc_id", tokens($"text").as("toks"))
-        // r15: bg feeds the LM count AND the scoring join-back — the
-        // lazy plan ran the tokenize+bigram explode twice; materialize
-        // the (doc, w1, w2) table once (vocab keeps its own tokenize
-        // pass: it must see 1-token docs that carry no bigram)
+        // bg feeds the LM count AND the scoring join-back. r15
+        // materialized it; r16 re-adjudicated at the driver's local[32]
+        // config and the LAZY form wins (isolated min-of-5: 1.11 vs
+        // 1.22 s) — the two explode copies parallelize inside one job,
+        // the checkpoint pays a barrier + copy (a shared (w1,w2)
+        // repartition ties, 1.10 s, for a deeper plan). Vocab keeps its
+        // own tokenize pass: it must see 1-token docs with no bigram
         val bg = toks.filter(size($"toks") >= 2)
           .select($"doc_id", explode(expr(
             "transform(sequence(1, size(toks)-1), " +
               "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))"))
             .as("bg"))
           .select($"doc_id", $"bg.w1", $"bg.w2")
-          .localCheckpoint()
         val lm = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
         val ctx = lm.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
         val vocab = toks.select(explode($"toks").as("tok"))
