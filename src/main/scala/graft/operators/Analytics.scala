@@ -138,9 +138,7 @@ object Analytics {
         val daily = Tables.load(s, d, "events")
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).as("n_events"))
-          .localCheckpoint()
         val med = daily.agg(expr("percentile(n_events, 0.5)").as("med"))
-          .localCheckpoint()
         val mad = daily.crossJoin(broadcast(med))
           .agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
         // MAD = 0 (uniform data) must be well-defined identically on both
@@ -1891,7 +1889,6 @@ object Analytics {
         // singlepart x3)
         val o = Tables.load(s, d, "documents")
           .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
-          .localCheckpoint()
         val rt = o.groupBy($"lang").agg(sum($"n").as("rn"))
         val ct = o.groupBy($"source").agg(sum($"n").as("cn"))
         val tot = o.agg(sum($"n").as("ntot"))
@@ -2080,7 +2077,6 @@ object Analytics {
         // run once, not per consumer (r13 audit: singlepart x7 from the
         // duplicated subtree; the ee746d2 recipe)
         val c = e.groupBy($"half", $"bin").agg(count(lit(1)).as("n"))
-          .localCheckpoint()
         val bins = s.range(0, 10).select($"id".as("bin"))
         // np + nq folded into ONE conditional 1-row reduction (was two
         // separate filter+agg barriers over the same grid)
@@ -2558,8 +2554,7 @@ object Analytics {
             sum($"x".cast(d19) * $"x".cast(d19)).as("sxxg"),
             sum($"x".cast(d19) * $"y".cast(d19)).as("sxyg"))
           // 3-row group-moment table consumed by the pooled anchor AND
-          // the readout — checkpoint so the corpus scan runs once
-          .localCheckpoint()
+          // the readout
         val pooled = g.agg(sum($"ng").as("np"), sum($"sxg").as("sxp"),
           sum($"syg").as("syp"), sum($"sxxg").as("sxxp"),
           sum($"sxyg").as("sxyp"))
@@ -3003,11 +2998,7 @@ object Analytics {
             .withColumn("cum", sum($"t").over(w))
             .select(col(c), (lit(2L) * ($"cum" - $"t") + $"t" + lit(1L))
               .as(s"dr$c"))
-            // value-grain (<= 4901 / <= 11 rows at any corpus size):
-            // checkpoint so each global-window rank build is a one-time
-            // bounded job, not a barrier replayed inside the broadcast
-            // subtree (r13 audit: singlepart x3)
-            .localCheckpoint()
+            // value-grain (<= 4901 / <= 11 rows at any corpus size)
         }
         val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
@@ -3957,7 +3948,6 @@ object Analytics {
         // min-day barrier run once (r13 audit: singlepart x4)
         val idx = daily.crossJoin(broadcast(m))
           .select(datediff($"day", $"d0").cast("long").as("t"), $"yc")
-          .localCheckpoint()
         val st = idx.agg(count(lit(1)).as("n"), sum($"t").as("sx"),
           sum($"yc").as("sy"),
           sum($"t".cast(d19) * $"t".cast(d19)).as("sxx"),
@@ -3974,9 +3964,6 @@ object Analytics {
               "((CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) / " +
               "CAST(n AS DOUBLE) + b1 * CAST(t AS DOUBLE))) * 100.0, " +
               "0) AS BIGINT)").as("em"))
-          // residual table at the same bounded day grain, feeding the
-          // lag window — checkpoint so the st anchor reduces once
-          .localCheckpoint()
           .withColumn("ep", lag($"em", 1).over(w))
           .agg(count(lit(1)).as("n_days"),
             sum(when($"ep".isNotNull,
@@ -4273,11 +4260,6 @@ object Analytics {
             expr("CAST(round(abs(CAST(s1 AS DOUBLE) / " +
               "CAST(n1 AS DOUBLE) - CAST(st - s1 AS DOUBLE) / " +
               "CAST(nn - n1 AS DOUBLE)), 0) AS BIGINT)").as("obs_micro"))
-          // 1-row observed anchor broadcast into BOTH the permutation
-          // pass and the final readout — checkpoint so its corpus
-          // reduction runs once (r13 audit: singlepart x3 from the
-          // duplicated subtree; the ee746d2 `tot` pattern)
-          .localCheckpoint()
         val stats = ev.select($"event_id", $"v6",
             explode(expr("sequence(0, 31)")).as("b"))
           .crossJoin(broadcast(obs))
@@ -4378,7 +4360,6 @@ object Analytics {
         // (r13 audit: singlepart x4 from the duplicated subtree)
         val idx = daily.crossJoin(broadcast(m))
           .select(datediff($"day", $"d0").cast("long").as("t"), $"yc")
-          .localCheckpoint()
         val a = idx.select($"t".as("ta"), $"yc".as("ya"))
         val b = idx.select($"t".as("tb"), $"yc".as("yb"))
         val sl = a.join(b, $"tb" > $"ta")
@@ -5029,9 +5010,7 @@ object Analytics {
           .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
             .as("yc"))
           // week-grain (calendar-bounded) and consumed by both pair
-          // sides AND the n/tie moments — checkpoint so the orders scan
-          // runs once (r13 audit: singlepart x3)
-          .localCheckpoint()
+          // sides AND the n/tie moments
         val a = weekly.select($"wk".as("wa"), $"yc".as("ya"))
         val b = weekly.select($"wk".as("wb"), $"yc".as("yb"))
         val sStat = a.join(b, $"wb" > $"wa")
@@ -5205,9 +5184,7 @@ object Analytics {
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), sum($"r6").as("s6"))
           // arm table (category-bounded, ~5 rows) consumed by the total
-          // anchor AND the readout — checkpoint so the corpus scan +
-          // min/max bounds barrier run once (r13 audit: singlepart x3)
-          .localCheckpoint()
+          // anchor AND the readout
         val tot = arms.agg(sum($"n").as("nt"))
         arms.crossJoin(broadcast(tot))
           .select($"event_type", $"n",
@@ -5827,7 +5804,6 @@ object Analytics {
           sum($"xv".cast(d38)).as("sx"), sum($"yv".cast(d38)).as("sy"),
           sum($"xv".cast(d19) * $"xv".cast(d19)).as("sxx"),
           sum($"xv".cast(d19) * $"yv".cast(d19)).as("sxy"))
-          .localCheckpoint()
         val resid = ser.crossJoin(broadcast(m1))
           .select($"day",
             expr(s"CASE WHEN $egDenE = 0.0 THEN CAST(0 AS BIGINT) " +

@@ -50,11 +50,12 @@ object Corpus {
       .withColumn("h",
         conv(substring(md5($"sg"), 1, 8), 16, 10).cast("long"))
       .select($"doc_id", $"h").distinct()
-      // r15: three consumers (signatures + both verify join-backs) —
-      // materialize the shingle table once (the q_lsh_bucket_join
-      // rationale; under the identity hook this subtree re-derived
-      // stages 1-3 with it each time)
-      .localCheckpoint()
+      // r15 checkpointed the shingle table here (3 consumers); r16
+      // re-adjudicated at local[32]: LAZY wins (isolated min-of-5 3.05
+      // vs 3.61 s) — the consumers rebuild the explode from the s1/s3
+      // checkpoint in parallel inside one job, while the checkpoint
+      // paid a barrier + a corpus-scale copy. sig (below) keeps its
+      // cut: dropping it re-runs the explode+agg four times (3.26 s)
     val mins = Dedup.mhPerms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * $"h" + lit(b), lit(Dedup.MhPrime)))
         .as(s"m${i + 1}")
@@ -68,6 +69,7 @@ object Corpus {
       .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
       // r15: doc-keyed, consumed by both band views and both nsh
       // join-backs — one materialization instead of four rebuilds
+      // (r16 A/B: dropping it is 3.26 vs 3.05 s — kept)
       .localCheckpoint()
     val bands = sig.select($"doc_id", lit(1).as("band_no"),
         md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))

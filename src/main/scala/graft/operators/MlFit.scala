@@ -2137,7 +2137,6 @@ object MlFit {
           sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
           sum($"y".cast(d38)).as("sy"),
           sum($"x".cast(d19) * $"y".cast(d19)).as("sxy"))
-          .localCheckpoint()
         li.crossJoin(broadcast(m1))
           .selectExpr("n", "sx", "sxx",
             s"$bpE2E AS e2", "x")
