@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Checkpoint.CutOps
+
 /** Training-corpus preparation operators (SURVEY.md §2.11 extensions):
   * deterministic hash sampling and the composed dedup→filter→measure
   * pipeline a data-mixing job runs before training.
@@ -70,7 +72,7 @@ object Corpus {
       // r15: doc-keyed, consumed by both band views and both nsh
       // join-backs — one materialization instead of four rebuilds
       // (r16 A/B: dropping it is 3.26 vs 3.05 s — kept)
-      .localCheckpoint()
+      .cut
     val bands = sig.select($"doc_id", lit(1).as("band_no"),
         md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
       .union(sig.select($"doc_id", lit(2).as("band_no"),
@@ -106,8 +108,9 @@ object Corpus {
         "transform(sequence(1, size(toks)-7), i -> concat_ws(' ', slice(toks, i, 8)))"))
         .as("sg"))
       .select($"doc_id", md5($"sg").as("h8")).distinct()
-      // r15: two consumers (heldout gram set + contamination probe)
-      .localCheckpoint()
+      // r15: two consumers (heldout gram set + contamination probe;
+      // r16 A/B: dropping this cut measured 3.68 vs 3.05 s — kept)
+      .cut
     val heldSh = s4b.filter($"bucket" >= 80)
       .select($"doc_id").join(sh8, "doc_id")
       .select($"h8").distinct()
@@ -765,10 +768,11 @@ object Corpus {
     // rescans a previous stage's input, and stage stats ride the same
     // lazy plan (six 1-row aggs, no collects). A real 100 TB prep run
     // would MATERIALIZE each stage's survivor table (they are the
-    // pipeline's products, not intermediates) — as one plan here, the
-    // multiply-referenced shingle tables are recomputed per consumer;
-    // checkpointing them is the production knob, skipped so plan
-    // construction stays side-effect-free per bench rep.
+    // pipeline's products, not intermediates). Since r15 the registered
+    // query EAGERLY cuts the expensive stage survivors and the
+    // signature/8-gram tables during construction (side-effecting, and
+    // timed by Bench since construction happens inside the timed fn);
+    // the parquet-writing production twin is prepFunnelMaterialized.
     "q_prep_funnel" -> GQuery(
       // r15: the EXPENSIVE stage survivors (the exact-dedup window, the
       // near-dup anti-join) materialize via localCheckpoint (executor
@@ -781,7 +785,7 @@ object Corpus {
       // prepFunnelMaterialized, parity-pinned by CorpusFunnelSpec.
       (s, d) => prepFunnel(s, d, (name, df) =>
         if (name == "s1_exact_dedup" || name == "s4_near_dedup")
-          df.localCheckpoint()
+          Checkpoint.cut(df)
         else df),
       Some {
         val minExprs = Dedup.mhPerms.zipWithIndex.map { case ((a, b), i) =>

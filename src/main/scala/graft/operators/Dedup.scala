@@ -476,7 +476,7 @@ object Dedup {
         // array instead of a union of two selects).
         val n = Tables.load(s, d, "documents").select($"doc_id", $"lang",
           regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
-          .localCheckpoint()
+          .cut
         val keyed = n.select($"doc_id", $"lang",
           explode(array(substring($"t", 1, 16),
             expr("substring(t, greatest(1, length(t) - 15), 16)")))
@@ -708,10 +708,13 @@ object Dedup {
           _ => prefixSets(s, d).localCheckpoint())
         // r15 (guide §3.1): every join here ran as SortMergeJoin — four
         // sorts of exploded-prefix / shingle-set tables whose ordering
-        // nothing downstream reuses. Shuffled-hash hints drop the sorts:
-        // the build sides (per-partition prefix slices, the bounded
-        // per-partition slice of the dictionary-encoded set table) fit
-        // in memory by construction, and join output is unchanged.
+        // nothing downstream reuses. Shuffled-hash hints drop the sorts;
+        // join output is unchanged. Build-side memory: a per-partition
+        // slice of the exploded-prefix / set table fits at MEASURED
+        // scales (hash-spread prefixes, df-capped sets), but unlike SMJ
+        // a shuffled-hash build cannot spill gracefully if one
+        // partition's slice grows (a skewed hot prefix at much larger
+        // SF) — if that appears, drop the hint and let SMJ spill.
         val a = sets.select($"doc_id".as("d1"), $"nsh".as("na"),
           explode(expr(s"slice(set, 1, size(set) - CAST(ceil($t * size(set)) AS INT) + 1)")).as("p"))
         val b = sets.select($"doc_id".as("d2"), $"nsh".as("nb"),
@@ -909,11 +912,11 @@ object Dedup {
         // The distinct fingerprint table is the derived corpus index
         // production materializes anyway (the prefixSets rationale);
         // PlanSpec pins the PRE-checkpoint builder plans below.
-        val sh = lshShingleTable(s, d).localCheckpoint()
+        val sh = lshShingleTable(s, d).cut
         // r15: doc-keyed signature table, consumed by bands (x2 via
         // the union), the candidate self-join, and both nsh
         // join-backs — one materialization instead of 6 rebuilds
-        val sig = lshSignatures(sh).localCheckpoint()
+        val sig = lshSignatures(sh).cut
         val bands = sig.select($"doc_id", lit(1).as("band_no"),
             md5(concat_ws("|", $"m1", $"m2", $"m3", $"m4")).as("bk"))
           .union(sig.select($"doc_id", lit(2).as("band_no"),

@@ -4,6 +4,8 @@ import graft.{Fns, GQuery, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Checkpoint.CutOps
+
 /** Distributed ML fits over the corpus tables (SURVEY.md §2.11 extension
   * tier) — the three canonical shapes a training-data pipeline runs beside
   * its ETL, one per fitting paradigm:
@@ -119,7 +121,7 @@ object MlFit {
     // tokenized table a production trainer stores once — feeds all five
     val toks = docs
       .select($"doc_id", $"lang", explode(Fns.tokens($"text")).as("t"))
-      .localCheckpoint()
+      .cut
     val langs = toks.groupBy($"lang")
       .agg(countDistinct($"doc_id").as("n_docs"))
     val total = langs.agg(sum($"n_docs").as("n_total"))

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * partitioned by cell id. */
 object Similarity {
 
+  /** The embeddings table. INPUT-DOMAIN ASSUMPTION (q_mmd / scatter's
+    * LONG micro-unit sums): coordinates are unit-scale, |x| <= ~1 (the
+    * generator emits unit-normalized vectors), so milli-frozen products
+    * are bounded by ~1e6 and the non-ANSI long sums cannot wrap before
+    * ~9.2e12 vectors. Embeddings with |x| >> 30 would need the decimal
+    * sum form back — revisit the q_mmd/scatter freeze if the generator
+    * ever changes scale. */
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
   /** q_pca_power's 64x64 centered-scatter table, memoized per

@@ -4,6 +4,8 @@ import graft.{Fns, GQuery, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import Checkpoint.CutOps
+
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline extension tier (SURVEY.md §2.11 X4): tokenization,
   * quality scoring, language-ID heuristic, BPE-ish token counting, document
@@ -1504,7 +1506,7 @@ object Text {
               lit(64L)))
           .groupBy($"doc_id", $"y", $"bucket")
           .agg(count(lit(1)).as("x"))
-          .localCheckpoint()
+          .cut
         val w1 = tb.groupBy($"bucket")
           .agg(sum($"y" * $"x").as("w1"))
         // margins feeds both the mistake set and the stats anchor —
@@ -1512,7 +1514,7 @@ object Text {
         val margins = tb.join(broadcast(w1), "bucket")
           .groupBy($"doc_id", $"y")
           .agg(sum($"w1" * $"x").as("m0"))
-          .localCheckpoint()
+          .cut
         val mistakes = margins.filter($"y" * $"m0" <= 0)
           .select($"doc_id")
         val upd = tb.join(mistakes, "doc_id")
@@ -1854,7 +1856,7 @@ object Text {
               "i -> md5(concat_ws(' ', slice(toks, i, 5))))"))
             .as("g"))
           .distinct()
-          .localCheckpoint()
+          .cut
         val bp = g.groupBy($"g")
           .agg(countDistinct($"doc_id").as("df"))
           .filter($"df" >= 10).select($"g")
@@ -1919,8 +1921,8 @@ object Text {
         val corpus = docs(s, d).select($"doc_id", $"lang", $"text")
         // r15: one materialized bigram table shared by the LM build and
         // the scoring pass (the plan re-tokenized the corpus for each)
-        val bgT = pplBigrams(corpus).localCheckpoint()
-        val ce = pplCeFrom(bgT, pplLmFrom(bgT, corpus)).localCheckpoint()
+        val bgT = pplBigrams(corpus).cut
+        val ce = pplCeFrom(bgT, pplLmFrom(bgT, corpus)).cut
         val th = ce.agg(
           expr("percentile(ce6, 0.3333333333333333)").as("t1"),
           expr("percentile(ce6, 0.6666666666666666)").as("t2"))
