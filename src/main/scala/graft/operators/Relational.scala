@@ -1219,6 +1219,14 @@ object Relational {
         t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_shipdate")
           .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
             $"l_orderkey" === $"o_orderkey")
+          // r16 (guide §2.4): orders broadcasts, so the join output is
+          // unpartitioned and the (l_orderkey, l_suppkey) aggregate and
+          // the l_orderkey window each paid their own Exchange. One
+          // explicit l_orderkey repartition satisfies BOTH downstream
+          // distributions (partitioning on a subset of the group keys
+          // co-locates every group), so the agg and the window share
+          // this single shuffle: 2 chained Exchanges -> 1
+          .repartition($"l_orderkey")
           .groupBy($"l_orderkey", $"l_suppkey")
           .agg(max(($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
             .cast("long")).as("late"))
