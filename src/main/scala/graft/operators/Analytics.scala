@@ -2095,6 +2095,10 @@ object Analytics {
         // run once, not per consumer (r13 audit: singlepart x7 from the
         // duplicated subtree; the ee746d2 recipe)
         val c = e.groupBy($"half", $"bin").agg(count(lit(1)).as("n"))
+          // kept checkpointed (r16 re-measured the lazy form: a wash at
+          // local[32]) — PlanSpec pins that the bin smoothing runs on
+          // the materialized grid with no fact scan in the final plan
+          .localCheckpoint()
         val bins = s.range(0, 10).select($"id".as("bin"))
         // np + nq folded into ONE conditional 1-row reduction (was two
         // separate filter+agg barriers over the same grid)
